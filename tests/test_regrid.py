@@ -1,0 +1,172 @@
+"""Analytic-oracle regridding tests — ports of the reference's flagship
+assertions (xesmf/tests/test_frontend.py). Exact fixture grids so the
+reference's tolerance thresholds remain valid (SURVEY.md §5, §7):
+
+- conservative g_in→g_out: max |rel err| < 0.05        (:186-187)
+- bilinear periodic:       max |rel err| < 0.065       (:130-137)
+- bilinear NON-periodic:   max |rel err| == 1.0 exactly (:116-127)
+- 4-D broadcast invariance per (time, lev)             (:196-199)
+- nearest to locstream: one source per location, S=1.0 (:209-246)
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from xesmf_spark import Regridder, grid_global, locstream, smm_apply, wave_smooth
+from xesmf_spark.weights import conservative_weights
+
+
+@pytest.fixture(scope="module")
+def g_in(spark):
+    return grid_global(spark, 20, 12)
+
+
+@pytest.fixture(scope="module")
+def g_out(spark):
+    return grid_global(spark, 15, 9)
+
+
+def _field(g):
+    return g.df.select("cell_id", wave_smooth().alias("value"))
+
+
+def _max_rel_err(out_df, g_out):
+    ref = g_out.df.select("cell_id", wave_smooth().alias("ref"))
+    return (
+        out_df.join(ref, "cell_id")
+        .select(F.max(F.abs((F.col("ref") - F.col("value")) / F.col("ref"))).alias("e"))
+        .first()["e"]
+    )
+
+
+def test_conservative(spark, g_in, g_out):
+    rg = Regridder(spark, g_in, g_out, "conservative")
+    out = rg(_field(g_in))
+    assert out.count() == g_out.n_cells
+    err = _max_rel_err(out, g_out)
+    assert err < 0.05, err
+    rg.clean_weight_file()
+
+
+def test_conservative_preserves_integral(spark, g_in, g_out):
+    """Conservation: global area-weighted integral is preserved."""
+    w = conservative_weights(g_in, g_out)
+    out = smm_apply(_field(g_in), w, g_out)
+
+    def integral(df, g):
+        cells = g.df.select(
+            "cell_id",
+            (
+                (F.radians("lon_hi") - F.radians("lon_lo"))
+                * (F.sin(F.radians("lat_hi")) - F.sin(F.radians("lat_lo")))
+            ).alias("area"),
+        )
+        return (
+            df.join(cells, "cell_id")
+            .select(F.sum(F.col("area") * F.col("value")).alias("s"))
+            .first()["s"]
+        )
+
+    i_in = integral(_field(g_in), g_in)
+    i_out = integral(out, g_out)
+    assert abs(i_in - i_out) / abs(i_in) < 1e-9
+
+
+def test_bilinear_periodic_wrong(spark, g_in, g_out):
+    rg = Regridder(spark, g_in, g_out, "bilinear", periodic=False)
+    out = rg(_field(g_in))
+    err = _max_rel_err(out, g_out)
+    assert err == 1.0  # unmapped cells get exactly 0 (test_frontend.py:116-127)
+    rg.clean_weight_file()
+
+
+def test_bilinear_periodic_correct(spark, g_in, g_out):
+    rg = Regridder(spark, g_in, g_out, "bilinear", periodic=True)
+    out = rg(_field(g_in))
+    err = _max_rel_err(out, g_out)
+    assert err < 0.065, err
+    rg.clean_weight_file()
+
+
+def test_broadcast_4d(spark, g_in, g_out):
+    """data4D = time * lev * wave; per-(time,lev) result equals the 2-D
+    regrid scaled by time*lev to 1e-10 (test_frontend.py:196-199)."""
+    rg = Regridder(spark, g_in, g_out, "conservative")
+    time = spark.range(1, 8).select(F.col("id").alias("time"))
+    lev = spark.range(1, 12).select(F.col("id").alias("lev"))
+    f4 = (
+        _field(g_in)
+        .crossJoin(time)
+        .crossJoin(lev)
+        .select("time", "lev", "cell_id", (F.col("time") * F.col("lev") * F.col("value")).alias("value"))
+    )
+    out4 = rg(f4, extra_keys=("time", "lev"))
+    out2 = rg(_field(g_in)).select("cell_id", F.col("value").alias("v2"))
+    bad = (
+        out4.join(out2, "cell_id")
+        .select(
+            F.max(F.abs(F.col("value") - F.col("time") * F.col("lev") * F.col("v2"))).alias("d")
+        )
+        .first()["d"]
+    )
+    assert out4.count() == g_out.n_cells * 7 * 11
+    assert bad < 1e-10, bad
+    rg.clean_weight_file()
+
+
+def test_nearest_s2d_to_locstream(spark, g_in):
+    g_locs = locstream(spark, [0.0, 5.0, 10.0, 15.0], [-20.0, -10.0, 0.0, 10.0])
+    rg = Regridder(spark, g_in, g_locs, "nearest_s2d")
+    w = rg.weights
+    assert w.count() == 4
+    assert w.filter(F.col("S") != 1.0).count() == 0
+    # each location gets exactly one source
+    assert w.select("row").distinct().count() == 4
+    out = rg(_field(g_in))
+    assert out.count() == 4
+    # values are actual wave_smooth values from the source grid
+    src_vals = {r["value"] for r in _field(g_in).collect()}
+    for r in out.collect():
+        assert r["value"] in src_vals
+    rg.clean_weight_file()
+
+
+def test_nearest_d2s(spark, g_in, g_out):
+    rg = Regridder(spark, g_out, g_in, "nearest_d2s")  # fine grid -> coarse
+    w = rg.weights
+    # every source appears exactly once as a col; weights pile up on rows
+    assert w.count() == g_out.n_cells
+    assert w.select("col").distinct().count() == g_out.n_cells
+    rg.clean_weight_file()
+
+
+def test_nearest_bucketed_parity(spark, g_in, g_out):
+    """Bucketed (scale path) ≡ broadcast (exact path) — the engine's
+    analogue of the reference's scipy≡ESMPy differential test
+    (tests/test_backend.py:142-157)."""
+    from xesmf_spark.weights import nearest_weights
+
+    wb = nearest_weights(g_in, g_out, direction="s2d", strategy="broadcast")
+    wk = nearest_weights(g_in, g_out, direction="s2d", strategy="bucketed")
+    assert wb.count() == wk.count()
+    assert wb.exceptAll(wk).count() == 0
+
+
+def test_conservative_without_bounds_raises(spark, g_in):
+    g_locs = locstream(spark, [0.0], [0.0])
+    with pytest.raises((KeyError, ValueError)):
+        Regridder(spark, g_in, g_locs, "conservative")
+
+
+def test_patch_unsupported(spark, g_in, g_out):
+    with pytest.raises(NotImplementedError):
+        Regridder(spark, g_in, g_out, "patch")
+
+
+def test_repr(spark, g_in, g_out):
+    rg = Regridder(spark, g_in, g_out, "bilinear")
+    assert repr(rg) == str(rg)
+    assert "bilinear" in repr(rg)
+    assert "(15, 18)" in repr(rg)
+    rg.clean_weight_file()

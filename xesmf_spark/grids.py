@@ -1,0 +1,222 @@
+"""Grid constructors and analytic fields as distributed DataFrames.
+
+Reference semantics reproduced here (see SURVEY.md §1, §2A #25-28):
+
+- ``_grid_1d`` (xesmf/util.py:6-28): bounds ``b_k = start + k*step`` via
+  ``np.arange(start, end + step, step)``; centers are bound midpoints.
+- ``grid_2d`` (xesmf/util.py:31-69): 2-D rectilinear grid = meshgrid of
+  the two 1-D axes. Spark-native reading: a **cross join** of two tiny
+  axis DataFrames (xesmf/frontend.py:21-30 ``as_2d_mesh``).
+- ``grid_global`` (xesmf/util.py:72-98): grid_2d over [-180,180]x[-90,90]
+  with a divisibility warning.
+- ``wave_smooth`` (xesmf/data.py:8-44): the analytic benchmark field
+  ``2 + cos^2(lat) * cos(2*lon)`` (radians) — a pure Column expression,
+  used as the golden oracle everywhere.
+
+Cell table schema (FIXTURES.md §1.1)::
+
+    cell_id BIGINT   -- j * n_x + i, row-major flatten (xesmf/smm.py:89)
+    j, i    BIGINT   -- 0-based lat/y and lon/x index
+    lon, lat          DOUBLE  -- cell centers, degrees
+    lon_lo, lon_hi, lat_lo, lat_hi  DOUBLE  -- cell bounds, degrees
+
+Scale note: cells are generated with ``spark.range`` (distributed, no
+driver-side materialization) and the 2-D table is a cross join of two
+1-D axes — an n_y x n_x grid of any size never touches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _arange_n(start: float, stop: float, step: float) -> int:
+    """Length of ``np.arange(start, stop, step)`` without allocating it."""
+    n = int(math.ceil((stop - start) / step))
+    # guard against float error at the boundary (arange excludes stop)
+    while start + (n - 1) * step >= stop:
+        n -= 1
+    while start + n * step < stop:
+        n += 1
+    return n
+
+
+def grid_1d(
+    spark: SparkSession, start_b: float, end_b: float, step: float, idx_name: str = "i"
+) -> tuple[DataFrame, int]:
+    """1-D axis table: ``(idx, lo, hi, c)`` — bounds and centers.
+
+    Mirrors ``_grid_1d`` (xesmf/util.py:6-28): bounds are
+    ``np.arange(start_b, end_b + step, step)``, centers are midpoints.
+    Returns (axis DataFrame, n_cells).
+    """
+    n_bounds = _arange_n(start_b, end_b + step, step)
+    n_cells = n_bounds - 1
+    ax = spark.range(n_cells).select(
+        F.col("id").alias(idx_name),
+        (F.lit(float(start_b)) + F.col("id").cast("double") * F.lit(float(step))).alias("lo"),
+        (F.lit(float(start_b)) + (F.col("id") + 1).cast("double") * F.lit(float(step))).alias(
+            "hi"
+        ),
+    )
+    ax = ax.withColumn("c", (F.col("lo") + F.col("hi")) / F.lit(2.0))
+    return ax, n_cells
+
+
+@dataclass
+class Grid:
+    """A 2-D quadrilateral mesh as a cell DataFrame + shape metadata.
+
+    Spark analogue of the ESMF Grid object (xesmf/backend.py:55-114).
+    ``shape = (n_y, n_x)``; ``periodic`` declares 360-degree longitude
+    wrap (xesmf/backend.py:92-95, source grids only).
+    """
+
+    df: DataFrame
+    shape: tuple[int, int]
+    periodic: bool = False
+    has_bounds: bool = True
+    # optional cached 1-D axis tables for rectilinear grids (tiny)
+    lon_axis: DataFrame | None = dc_field(default=None, repr=False)
+    lat_axis: DataFrame | None = dc_field(default=None, repr=False)
+
+    @property
+    def n_cells(self) -> int:
+        return self.shape[0] * self.shape[1]
+
+    @property
+    def n_x(self) -> int:
+        return self.shape[1]
+
+    @property
+    def n_y(self) -> int:
+        return self.shape[0]
+
+    def get_lon_axis(self) -> DataFrame:
+        """1-D lon axis (i, lo, hi, c); derived from cells if not cached."""
+        if self.lon_axis is not None:
+            return self.lon_axis
+        return self.df.select(
+            F.col("i"),
+            F.col("lon_lo").alias("lo"),
+            F.col("lon_hi").alias("hi"),
+            F.col("lon").alias("c"),
+        ).distinct()
+
+    def get_lat_axis(self) -> DataFrame:
+        if self.lat_axis is not None:
+            return self.lat_axis
+        return self.df.select(
+            F.col("j"),
+            F.col("lat_lo").alias("lo"),
+            F.col("lat_hi").alias("hi"),
+            F.col("lat").alias("c"),
+        ).distinct()
+
+
+def grid_2d(
+    spark: SparkSession,
+    lon0_b: float,
+    lon1_b: float,
+    d_lon: float,
+    lat0_b: float,
+    lat1_b: float,
+    d_lat: float,
+    periodic: bool = False,
+) -> Grid:
+    """Rectilinear 2-D grid (xesmf/util.py:31-69) as a cell DataFrame.
+
+    ``lat_axis CROSS JOIN lon_axis`` — the relational meshgrid.
+    """
+    lon_ax, n_x = grid_1d(spark, lon0_b, lon1_b, d_lon, "i")
+    lat_ax, n_y = grid_1d(spark, lat0_b, lat1_b, d_lat, "j")
+    cells = (
+        lat_ax.select(
+            F.col("j"),
+            F.col("lo").alias("lat_lo"),
+            F.col("hi").alias("lat_hi"),
+            F.col("c").alias("lat"),
+        )
+        .crossJoin(
+            lon_ax.select(
+                F.col("i"),
+                F.col("lo").alias("lon_lo"),
+                F.col("hi").alias("lon_hi"),
+                F.col("c").alias("lon"),
+            )
+        )
+        .select(
+            (F.col("j") * F.lit(n_x) + F.col("i")).alias("cell_id"),
+            "j",
+            "i",
+            "lon",
+            "lat",
+            "lon_lo",
+            "lon_hi",
+            "lat_lo",
+            "lat_hi",
+        )
+    )
+    return Grid(
+        df=cells,
+        shape=(n_y, n_x),
+        periodic=periodic,
+        has_bounds=True,
+        lon_axis=lon_ax,
+        lat_axis=lat_ax,
+    )
+
+
+def grid_global(spark: SparkSession, d_lon: float, d_lat: float, periodic: bool = False) -> Grid:
+    """Global grid (xesmf/util.py:72-98) with divisibility warnings."""
+    if not float(360 / d_lon).is_integer():
+        warnings.warn(f"360 cannot be divided by d_lon = {d_lon}, so the grid will not cover the entire globe")
+    if not float(180 / d_lat).is_integer():
+        warnings.warn(f"180 cannot be divided by d_lat = {d_lat}, so the grid will not cover the entire globe")
+    return grid_2d(spark, -180.0, 180.0, d_lon, -90.0, 90.0, d_lat, periodic=periodic)
+
+
+def locstream(spark: SparkSession, lons: list[float], lats: list[float]) -> Grid:
+    """Point list ("LocStream", xesmf/frontend.py:75-102) as a Grid of
+    shape (1, n) with no bounds — matches the reference's shape hack at
+    frontend.py:102 (locstream treated as ``(1, n_locations)``).
+    """
+    if len(lons) != len(lats):
+        raise ValueError("lon and lat must have the same length")
+    rows = [
+        (int(k), 0, int(k), float(lon), float(lat))
+        for k, (lon, lat) in enumerate(zip(lons, lats))
+    ]
+    df = spark.createDataFrame(rows, "cell_id bigint, j bigint, i bigint, lon double, lat double")
+    df = (
+        df.withColumn("lon_lo", F.lit(None).cast("double"))
+        .withColumn("lon_hi", F.lit(None).cast("double"))
+        .withColumn("lat_lo", F.lit(None).cast("double"))
+        .withColumn("lat_hi", F.lit(None).cast("double"))
+    )
+    return Grid(df=df, shape=(1, len(lons)), periodic=False, has_bounds=False)
+
+
+def wave_smooth(lon: Column | str = "lon", lat: Column | str = "lat") -> Column:
+    """Analytic benchmark field ``2 + cos^2(lat) * cos(2*lon)`` in radians
+    (xesmf/data.py:8-44; Jones 1999 / Ullrich 2009). Pure Column expr —
+    JVM-side, whole-stage-codegen friendly; the golden-oracle generator.
+    """
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    return (
+        F.lit(2.0)
+        + F.pow(F.cos(F.radians(lat_c)), F.lit(2.0)) * F.cos(F.lit(2.0) * F.radians(lon_c))
+    )
+
+
+def validate_lat_range(grid: Grid) -> None:
+    """Warn if any |lat| > 90 (xesmf/backend.py:40-52 ``warn_lat_range``)."""
+    bad = grid.df.filter(~F.col("lat").between(-90.0, 90.0)).limit(1).count()
+    if bad:
+        warnings.warn("Latitude is out of range [-90, 90]. Results are likely wrong.")

@@ -1,0 +1,157 @@
+"""Regridder facade — the user-facing handle (xesmf/frontend.py:105-511).
+
+Holds the two grids + method + a materialized weights DataFrame; callable
+on long-format field DataFrames. Reproduces the reference's:
+
+- method x locstream validation matrix (frontend.py:178-184);
+- conservative => bounds required, periodic forced off (frontend.py:165-167);
+- weight materialization with cache-key naming + reuse/overwrite/clean
+  protocol (frontend.py:251-293) — parquet instead of netCDF;
+- ``__repr__`` reporting method/shapes/periodic/filename (frontend.py:295-313).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xesmf_spark.apply import smm_apply
+from xesmf_spark.grids import Grid, validate_lat_range
+from xesmf_spark.weights import (
+    METHODS,
+    bilinear_weights,
+    conservative_weights,
+    nearest_weights,
+)
+
+
+class Regridder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        grid_in: Grid,
+        grid_out: Grid,
+        method: str,
+        periodic: bool = False,
+        filename: str | None = None,
+        reuse_weights: bool = False,
+        weights_dir: str = "/tmp/xesmf_spark_weights",
+    ):
+        if method not in METHODS:
+            raise ValueError(f"method should be one of {METHODS}, got {method!r}")
+        if method == "patch":
+            # no self-contained spec in the reference; its own tests skip
+            # it as too slow (tests/test_frontend.py:49) — fail loudly,
+            # mirroring the reference's method-gating style.
+            raise NotImplementedError(
+                "'patch' (ESMF patch recovery) is not supported by this engine"
+            )
+
+        locstream_in = not grid_in.has_bounds and grid_in.n_y == 1
+        locstream_out = not grid_out.has_bounds and grid_out.n_y == 1
+        # validation matrix (frontend.py:178-184)
+        if locstream_in and method not in ("nearest_s2d", "nearest_d2s"):
+            raise ValueError(
+                "locstream input is only available for method in ['nearest_s2d', 'nearest_d2s']"
+            )
+        if locstream_out and method not in ("bilinear", "nearest_s2d", "nearest_d2s"):
+            raise ValueError(
+                "locstream output is only available for method in "
+                "['bilinear', 'nearest_s2d', 'nearest_d2s']"
+            )
+        if method == "conservative":
+            if not (grid_in.has_bounds and grid_out.has_bounds):
+                raise KeyError("conservative method requires cell bounds on both grids")
+            periodic = False  # frontend.py:165-167
+
+        validate_lat_range(grid_in)
+        validate_lat_range(grid_out)
+
+        self.spark = spark
+        self.grid_in = grid_in
+        self.grid_out = grid_out
+        self.method = method
+        self.periodic = periodic and not locstream_in
+        self.n_in = grid_in.n_cells
+        self.n_out = grid_out.n_cells
+        self.reuse_weights = reuse_weights
+        # cache key mirrors _get_default_filename (frontend.py:251-262)
+        if filename is None:
+            filename = "{}_{}x{}_{}x{}{}.parquet".format(
+                method,
+                grid_in.n_y,
+                grid_in.n_x,
+                grid_out.n_y,
+                grid_out.n_x,
+                "_peri" if self.periodic else "",
+            )
+        self.filename = os.path.join(weights_dir, filename)
+
+        self._write_weights()
+        self.weights = spark.read.parquet(self.filename)
+
+    # -- weight lifecycle (frontend.py:264-293) --------------------------
+
+    def _build_weights(self) -> DataFrame:
+        if self.method == "conservative":
+            return conservative_weights(self.grid_in, self.grid_out)
+        if self.method == "bilinear":
+            return bilinear_weights(self.grid_in, self.grid_out, periodic=self.periodic)
+        if self.method == "nearest_s2d":
+            return nearest_weights(self.grid_in, self.grid_out, direction="s2d")
+        if self.method == "nearest_d2s":
+            return nearest_weights(self.grid_in, self.grid_out, direction="d2s")
+        raise AssertionError(self.method)
+
+    def _write_weights(self) -> None:
+        if os.path.exists(self.filename):
+            if self.reuse_weights:
+                return  # reuse existing (frontend.py:268-272)
+            self.clean_weight_file()
+        self._build_weights().write.mode("overwrite").parquet(self.filename)
+
+    def clean_weight_file(self) -> None:
+        if os.path.exists(self.filename):
+            shutil.rmtree(self.filename, ignore_errors=True)
+
+    @property
+    def A(self) -> DataFrame:  # deprecated alias (frontend.py:238-249)
+        import warnings
+
+        warnings.warn("regridder.A is deprecated and will be removed, use regridder.weights")
+        return self.weights
+
+    # -- apply ------------------------------------------------------------
+
+    def __call__(
+        self,
+        field: DataFrame,
+        extra_keys: tuple[str, ...] = (),
+        value_cols: tuple[str, ...] = ("value",),
+    ) -> DataFrame:
+        """Regrid a long-format field DataFrame
+        ``[*extra_keys, cell_id, *value_cols]`` → same layout on the
+        destination grid (with dest lon/lat attached, the analogue of the
+        coord attach at frontend.py:432-439).
+        """
+        return smm_apply(
+            field,
+            self.weights,
+            self.grid_out,
+            extra_keys=extra_keys,
+            value_cols=value_cols,
+        )
+
+    def __repr__(self) -> str:
+        return (
+            "xesmf_spark Regridder\n"
+            f"Regridding algorithm:       {self.method}\n"
+            f"Weight filename:            {self.filename}\n"
+            f"Input grid shape:           {self.grid_in.shape}\n"
+            f"Output grid shape:          {self.grid_out.shape}\n"
+            f"Output grid dimension name: ('y', 'x')\n"
+            f"Periodic in longitude?      {self.periodic}"
+        )

@@ -1,0 +1,37 @@
+"""SparkSession helpers with scale-oriented defaults.
+
+Defaults target the driver environment (local[$SPARK_GRAFT_CPUS]) but the
+config knobs are the same ones that matter on a 1000-executor cluster:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow on (every Pandas-UDF boundary is Arrow-batched), shuffle-partition
+count sized to the parallelism actually available.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "xesmf_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

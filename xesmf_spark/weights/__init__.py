@@ -1,0 +1,26 @@
+"""Weight-builder queries — the Spark-native replacement for
+``esmf_regrid_build`` (xesmf/backend.py:191-282, which runs in ESMF
+Fortran). Each builder is a pure DataFrame query producing COO triplets
+``(row BIGINT, col BIGINT, S DOUBLE)`` (FIXTURES.md §1.4).
+
+Methods (xesmf/backend.py:241-246):
+- ``conservative``  → interval-overlap join  (conservative.py)
+- ``bilinear``      → bracketing range join  (bilinear.py)
+- ``nearest_s2d`` / ``nearest_d2s`` → distance-ranked window (nearest.py)
+- ``patch``         → unsupported-with-clear-error (the reference's own
+  tests skip it as "too slow", tests/test_frontend.py:49; no
+  self-contained spec exists — see SURVEY.md §2B-5)
+"""
+
+from xesmf_spark.weights.conservative import conservative_weights
+from xesmf_spark.weights.bilinear import bilinear_weights
+from xesmf_spark.weights.nearest import nearest_weights
+
+METHODS = ("bilinear", "conservative", "nearest_s2d", "nearest_d2s", "patch")
+
+__all__ = [
+    "conservative_weights",
+    "bilinear_weights",
+    "nearest_weights",
+    "METHODS",
+]
