@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query on sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2) as
+(spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query; the driver
+hash-compares both sides at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +12,126 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xesmf_spark import queries as Q
+from xesmf_spark import oracle as O
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan sf0.001 lineitem → derive a field on the fixture
+    source grid (deterministic hash-assignment of rows to cells) →
+    conservative regrid onto the destination grid. Exercises parquet
+    scan, hash agg, weight-generation joins, and the join-agg apply."""
+    from xesmf_spark.apply import smm_apply
+    from xesmf_spark.grids import grid_global
+    from xesmf_spark.weights import conservative_weights
+
+    g_in = grid_global(spark, 20, 12)
+    g_out = grid_global(spark, 15, 9)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    field = (
+        li.select((F.col("l_orderkey") % F.lit(g_in.n_cells)).alias("cell_id"), "l_quantity")
+        .groupBy("cell_id")
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    w = conservative_weights(g_in, g_out)
+    out = smm_apply(field, w, g_out)
+    return out.select("cell_id", "lon", "lat", F.round("value", 6).alias("value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "regrid_conservative": Q.regrid_conservative,
+        "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
+        "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
+        "regrid_nearest_s2d": Q.regrid_nearest_s2d,
+        "regrid_nearest_d2s": Q.regrid_nearest_d2s,
+        "regrid_conservative_4d": Q.regrid_conservative_4d,
+        "tpch_q1": Q.tpch_q1,
+        "tpch_q3_top10": Q.tpch_q3_top10,
+        "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
+        "events_sessionize": Q.events_sessionize,
+        "events_hourly": Q.events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "regrid_conservative": O.regrid_oracle_sql("conservative"),
+        "regrid_bilinear_periodic": O.regrid_oracle_sql("bilinear", periodic=True),
+        "regrid_bilinear_noperiodic": O.regrid_oracle_sql("bilinear", periodic=False),
+        "regrid_nearest_s2d": O.regrid_oracle_sql("nearest_s2d"),
+        "regrid_nearest_d2s": O.regrid_oracle_sql("nearest_d2s"),
+        "regrid_conservative_4d": O.regrid_4d_oracle_sql(),
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3_top10": """
+SELECT l_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q5_local_supplier": """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+        "events_sessionize": """
+WITH base AS (
+  SELECT user_id, value, ts, event_id, EPOCH_NS(ts) // 1000000000 AS sec FROM events
+),
+flagged AS (
+  SELECT user_id, value,
+         CASE WHEN LAG(sec) OVER w IS NULL
+                OR sec - LAG(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM flagged
+GROUP BY user_id
+""",
+        "events_hourly": """
+SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    }

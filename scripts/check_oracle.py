@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()``
+twin on DuckDB at the same sf, compare row count, column names, and
+(order-insensitively) the values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; normalize floats for compare."""
+    order = sorted(range(len(cols)), key=lambda k: cols[k])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        return str(v)
+
+    return sorted(tuple(norm(r[k]) for k in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from xesmf_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cpus=8, shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in os_:
+            print(f"  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        res = con.execute(os_[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_vals = canon(srows, scols) == canon(drows, dcols) if ok_cols and ok_count else False
+        status = "PASS" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"  {name}: {status} rows={len(srows)}/{len(drows)} cols_ok={ok_cols} vals_ok={ok_vals}")
+        if status == "FAIL":
+            if not ok_cols:
+                print(f"    spark cols: {sorted(scols)}\n    duck  cols: {sorted(dcols)}")
+            elif ok_count:
+                a, b = canon(srows, scols), canon(drows, dcols)
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+                for x, y in diffs:
+                    print(f"    spark={x}\n    duck ={y}")
+    print(f"{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""DuckDB oracle-SQL generators mirroring the engine's weight queries.
+
+The driver (see __spark_entry__.py) runs each Spark query side-by-side
+with an ANSI-SQL equivalent in DuckDB and hash-compares values. These
+builders emit SQL whose every arithmetic step matches the Spark
+expressions in xesmf_spark.weights/* and xesmf_spark.apply — same
+formulas, same join conditions, same tie-breaks — so results agree to
+float round-off; both sides round doubles to 7 places to absorb the
+~1-ulp libm-vs-JVM trig differences.
+
+Grid CTEs generate the grids with ``range()`` (no external tables), so
+regrid queries are fully self-contained and sf-independent.
+"""
+
+from __future__ import annotations
+
+from xesmf_spark.grids import _arange_n
+
+ROUND = 7
+
+
+def axis_cte(name: str, idx: str, start: float, step: float, n: int) -> str:
+    """1-D axis CTE: (idx, lo, hi, c) — mirrors grids.grid_1d."""
+    return (
+        f"{name} AS (SELECT k AS {idx}, "
+        f"{start!r} + CAST(k AS DOUBLE) * {step!r} AS lo, "
+        f"{start!r} + CAST(k + 1 AS DOUBLE) * {step!r} AS hi, "
+        f"(({start!r} + CAST(k AS DOUBLE) * {step!r}) + ({start!r} + CAST(k + 1 AS DOUBLE) * {step!r})) / 2.0 AS c "
+        f"FROM range({n}) t(k))"
+    )
+
+
+class GridSpec:
+    """Rectilinear grid parameters shared by the Spark fixture builders
+    and the SQL oracle (FIXTURES.md §2.1)."""
+
+    def __init__(self, lon0, lon1, d_lon, lat0, lat1, d_lat):
+        self.lon0, self.lon1, self.d_lon = float(lon0), float(lon1), float(d_lon)
+        self.lat0, self.lat1, self.d_lat = float(lat0), float(lat1), float(d_lat)
+        self.n_x = _arange_n(self.lon0, self.lon1 + self.d_lon, self.d_lon) - 1
+        self.n_y = _arange_n(self.lat0, self.lat1 + self.d_lat, self.d_lat) - 1
+
+    @property
+    def shape(self):
+        return (self.n_y, self.n_x)
+
+
+G_IN = GridSpec(-180, 180, 20, -90, 90, 12)   # grid_global(20, 12): 15x18
+G_OUT = GridSpec(-180, 180, 15, -90, 90, 9)   # grid_global(15, 9): 20x24
+
+WAVE = "2.0 + POW(COS(RADIANS(lat)), 2.0) * COS(2.0 * RADIANS(lon))"
+
+
+def grid_ctes(g: GridSpec, prefix: str) -> str:
+    """Axis + cell CTEs for one grid: {prefix}_lat, {prefix}_lon,
+    {prefix}_cells(cell_id, lon, lat)."""
+    return ",\n".join(
+        [
+            axis_cte(f"{prefix}_lat", "j", g.lat0, g.d_lat, g.n_y),
+            axis_cte(f"{prefix}_lon", "i", g.lon0, g.d_lon, g.n_x),
+            f"{prefix}_cells AS (SELECT la.j * {g.n_x} + lo.i AS cell_id, lo.c AS lon, la.c AS lat, "
+            f"lo.lo AS lon_lo, lo.hi AS lon_hi, la.lo AS lat_lo, la.hi AS lat_hi "
+            f"FROM {prefix}_lat la CROSS JOIN {prefix}_lon lo)",
+        ]
+    )
+
+
+def conservative_weights_ctes(src: GridSpec, dst: GridSpec) -> str:
+    """CTE `w(row, col, S)` — mirrors weights/conservative.py."""
+    return f"""
+lat_ov AS (
+  SELECT s.j AS sj, d.j AS dj,
+         (LEAST(SIN(RADIANS(s.hi)), SIN(RADIANS(d.hi))) - GREATEST(SIN(RADIANS(s.lo)), SIN(RADIANS(d.lo))))
+           / (SIN(RADIANS(d.hi)) - SIN(RADIANS(d.lo))) AS frac_lat
+  FROM src_lat s JOIN dst_lat d ON SIN(RADIANS(s.lo)) < SIN(RADIANS(d.hi)) AND SIN(RADIANS(s.hi)) > SIN(RADIANS(d.lo))
+),
+lon_ov AS (
+  SELECT s.i AS si, d.i AS di,
+         (LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo)) / (d.hi - d.lo) AS frac_lon
+  FROM src_lon s JOIN dst_lon d ON s.lo < d.hi AND s.hi > d.lo
+),
+w AS (
+  SELECT dj * {dst.n_x} + di AS row, sj * {src.n_x} + si AS col, frac_lat * frac_lon AS S
+  FROM lat_ov CROSS JOIN lon_ov
+  WHERE frac_lat * frac_lon > 0.0
+)"""
+
+
+def bilinear_weights_ctes(src: GridSpec, dst: GridSpec, periodic: bool) -> str:
+    """CTE `w(row, col, S)` — mirrors weights/bilinear.py (incl. the
+    ±360 wrap-union and the ALLAVG virtual-pole rows when periodic)."""
+    if periodic:
+        lon_ext = (
+            "SELECT i AS k, c FROM src_lon "
+            "UNION ALL SELECT i AS k, c - 360.0 FROM src_lon "
+            "UNION ALL SELECT i AS k, c + 360.0 FROM src_lon"
+        )
+    else:
+        lon_ext = "SELECT i AS k, c FROM src_lon"
+
+    interior = f"""
+lon_ext AS ({lon_ext}),
+lon_pairs AS (
+  SELECT k AS k_lo, c AS c_lo, LEAD(k) OVER (ORDER BY c) AS k_hi, LEAD(c) OVER (ORDER BY c) AS c_hi
+  FROM lon_ext QUALIFY k_hi IS NOT NULL
+),
+lon_brk AS (
+  SELECT d.i AS di, d.c AS x, p.k_lo, p.c_lo, p.k_hi, p.c_hi
+  FROM dst_lon d JOIN lon_pairs p ON d.c >= p.c_lo AND d.c <= p.c_hi
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.i ORDER BY p.c_lo) = 1
+),
+lon_w AS (
+  SELECT di, k_lo AS si, 1.0 - (x - c_lo) / (c_hi - c_lo) AS w_lon FROM lon_brk
+  UNION ALL SELECT di, k_hi, (x - c_lo) / (c_hi - c_lo) FROM lon_brk
+),
+lat_pairs AS (
+  SELECT j AS k_lo, c AS c_lo, LEAD(j) OVER (ORDER BY c) AS k_hi, LEAD(c) OVER (ORDER BY c) AS c_hi
+  FROM src_lat QUALIFY k_hi IS NOT NULL
+),
+lat_brk AS (
+  SELECT d.j AS dj, d.c AS x, p.k_lo, p.c_lo, p.k_hi, p.c_hi
+  FROM dst_lat d JOIN lat_pairs p ON d.c >= p.c_lo AND d.c <= p.c_hi
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.j ORDER BY p.c_lo) = 1
+),
+lat_w AS (
+  SELECT dj, k_lo AS sj, 1.0 - (x - c_lo) / (c_hi - c_lo) AS w_lat FROM lat_brk
+  UNION ALL SELECT dj, k_hi, (x - c_lo) / (c_hi - c_lo) FROM lat_brk
+)"""
+    if not periodic:
+        return interior + f""",
+w AS (
+  SELECT dj * {dst.n_x} + di AS row, sj * {src.n_x} + si AS col, w_lat * w_lon AS S
+  FROM lat_w CROSS JOIN lon_w WHERE w_lat * w_lon > 0.0
+)"""
+    # periodic: add ALLAVG pole rows (weights/bilinear.py::_pole_brackets)
+    return interior + f""",
+lat_ext AS (
+  SELECT MAX(c) AS c_top, MIN(c) AS c_bot, ARG_MAX(j, c) AS k_top, ARG_MIN(j, c) AS k_bot FROM src_lat
+),
+pole_w AS (
+  SELECT d.j AS dj, e.k_top AS sj, 1.0 - (d.c - e.c_top) / (90.0 - e.c_top) AS w_lat
+    FROM dst_lat d, lat_ext e WHERE d.c > e.c_top
+  UNION ALL
+  SELECT d.j, {src.n_y}, (d.c - e.c_top) / (90.0 - e.c_top)
+    FROM dst_lat d, lat_ext e WHERE d.c > e.c_top
+  UNION ALL
+  SELECT d.j, e.k_bot, 1.0 - (e.c_bot - d.c) / (e.c_bot - (-90.0))
+    FROM dst_lat d, lat_ext e WHERE d.c < e.c_bot
+  UNION ALL
+  SELECT d.j, -1, (e.c_bot - d.c) / (e.c_bot - (-90.0))
+    FROM dst_lat d, lat_ext e WHERE d.c < e.c_bot
+),
+pole_w_nz AS (SELECT * FROM pole_w WHERE w_lat > 0.0),
+lat_all AS (
+  SELECT * FROM lat_w
+  UNION ALL SELECT dj, sj, w_lat FROM pole_w_nz WHERE sj >= 0 AND sj < {src.n_y}
+),
+w_interior AS (
+  SELECT dj * {dst.n_x} + di AS row, sj * {src.n_x} + si AS col, w_lat * w_lon AS S
+  FROM lat_all CROSS JOIN lon_w WHERE w_lat * w_lon > 0.0
+),
+w_pole AS (
+  SELECT p.dj * {dst.n_x} + d.i AS row,
+         (CASE WHEN p.sj < 0 THEN 0 ELSE {src.n_y - 1} END) * {src.n_x} + s.i AS col,
+         p.w_lat / {float(src.n_x)!r} AS S
+  FROM (SELECT * FROM pole_w_nz WHERE sj < 0 OR sj >= {src.n_y}) p
+  CROSS JOIN dst_lon d CROSS JOIN src_lon s
+),
+w AS (
+  SELECT * FROM w_interior
+  UNION ALL SELECT * FROM w_pole
+)"""
+
+
+def nearest_weights_ctes(src: GridSpec, dst: GridSpec, direction: str) -> str:
+    """CTE `w(row, col, S)` — mirrors weights/nearest.py (chord distance,
+    tie-break on round(dist2, 9) then candidate id)."""
+    d2 = (
+        "2.0 - 2.0 * (COS(RADIANS(n.lat)) * COS(RADIANS(p.lat)) * COS(RADIANS(n.lon) - RADIANS(p.lon))"
+        " + SIN(RADIANS(n.lat)) * SIN(RADIANS(p.lat)))"
+    )
+    if direction == "s2d":
+        need, pool, row, col = "dst_cells", "src_cells", "n.cell_id", "p.cell_id"
+    else:
+        need, pool, row, col = "src_cells", "dst_cells", "p.cell_id", "n.cell_id"
+    return f"""
+w AS (
+  SELECT {row} AS row, {col} AS col, 1.0 AS S
+  FROM {need} n CROSS JOIN {pool} p
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY n.cell_id ORDER BY ROUND({d2}, 9) ASC, p.cell_id ASC) = 1
+)"""
+
+
+def regrid_oracle_sql(method: str, periodic: bool = False,
+                      src: GridSpec = G_IN, dst: GridSpec = G_OUT) -> str:
+    """Full oracle query: grids → weights → wave_smooth field → apply
+    with LEFT-join + coalesce(0) unmapped semantics → rounded output
+    (cell_id, lon, lat, value)."""
+    if method == "conservative":
+        wcte = conservative_weights_ctes(src, dst)
+    elif method == "bilinear":
+        wcte = bilinear_weights_ctes(src, dst, periodic)
+    elif method in ("nearest_s2d", "nearest_d2s"):
+        wcte = nearest_weights_ctes(src, dst, method[-3:])
+    else:
+        raise ValueError(method)
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+{grid_ctes(dst, 'dst')},
+{wcte},
+field AS (SELECT cell_id, {WAVE} AS value FROM src_cells),
+agg AS (
+  SELECT w.row, SUM(w.S * f.value) AS v
+  FROM w JOIN field f ON w.col = f.cell_id
+  GROUP BY w.row
+)
+SELECT d.cell_id,
+       ROUND(d.lon, {ROUND}) AS lon,
+       ROUND(d.lat, {ROUND}) AS lat,
+       ROUND(COALESCE(a.v, 0.0), {ROUND}) AS value
+FROM dst_cells d LEFT JOIN agg a ON d.cell_id = a.row
+"""
+
+
+def regrid_4d_oracle_sql(n_time: int = 3, n_lev: int = 2) -> str:
+    """Conservative 4-D broadcast oracle: data4D = time*lev*wave."""
+    src, dst = G_IN, G_OUT
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+{grid_ctes(dst, 'dst')},
+{conservative_weights_ctes(src, dst)},
+times AS (SELECT k + 1 AS time FROM range({n_time}) t(k)),
+levs AS (SELECT k + 1 AS lev FROM range({n_lev}) t(k)),
+field AS (
+  SELECT time, lev, cell_id,
+         CAST(time AS DOUBLE) * CAST(lev AS DOUBLE) * ({WAVE}) AS value
+  FROM src_cells CROSS JOIN times CROSS JOIN levs
+),
+agg AS (
+  SELECT f.time, f.lev, w.row, SUM(w.S * f.value) AS v
+  FROM w JOIN field f ON w.col = f.cell_id
+  GROUP BY f.time, f.lev, w.row
+)
+SELECT d.cell_id, t.time, l.lev, ROUND(COALESCE(a.v, 0.0), {ROUND}) AS value
+FROM dst_cells d CROSS JOIN times t CROSS JOIN levs l
+LEFT JOIN agg a ON d.cell_id = a.row AND a.time = t.time AND a.lev = l.lev
+"""

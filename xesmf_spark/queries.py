@@ -1,0 +1,223 @@
+"""Registered engine queries — Spark implementations with DuckDB oracles.
+
+Each function here has the signature ``(spark, sf_dir) -> DataFrame`` and
+a matching oracle in ``xesmf_spark.oracle`` / the SQL strings in
+``__spark_entry__.py``. Regrid queries generate their grids internally
+(sf-independent, mirroring FIXTURES.md §2.1); relational queries read
+the driver's parquet tables.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark code and the oracle SQL; doubles are rounded the same on both
+sides (see oracle.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xesmf_spark.apply import smm_apply
+from xesmf_spark.grids import grid_global, wave_smooth
+from xesmf_spark.weights import bilinear_weights, conservative_weights, nearest_weights
+
+ROUND = 7
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read the raw nanos and keep them as
+        # BIGINT — downstream queries do exact integer arithmetic on
+        # them (no session-timezone dependence, exact DuckDB parity).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture_grids(spark: SparkSession):
+    return grid_global(spark, 20, 12), grid_global(spark, 15, 9)
+
+
+def _regrid(spark: SparkSession, method: str, periodic: bool = False) -> DataFrame:
+    g_in, g_out = _fixture_grids(spark)
+    if method == "conservative":
+        w = conservative_weights(g_in, g_out)
+    elif method == "bilinear":
+        w = bilinear_weights(g_in, g_out, periodic=periodic)
+    elif method == "nearest_s2d":
+        w = nearest_weights(g_in, g_out, direction="s2d")
+    elif method == "nearest_d2s":
+        w = nearest_weights(g_in, g_out, direction="d2s")
+    else:
+        raise ValueError(method)
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+    out = smm_apply(field, w, g_out)
+    return out.select(
+        "cell_id",
+        F.round("lon", ROUND).alias("lon"),
+        F.round("lat", ROUND).alias("lat"),
+        F.round("value", ROUND).alias("value"),
+    )
+
+
+def regrid_conservative(spark, sf_dir):
+    return _regrid(spark, "conservative")
+
+
+def regrid_bilinear_periodic(spark, sf_dir):
+    return _regrid(spark, "bilinear", periodic=True)
+
+
+def regrid_bilinear_noperiodic(spark, sf_dir):
+    return _regrid(spark, "bilinear", periodic=False)
+
+
+def regrid_nearest_s2d(spark, sf_dir):
+    return _regrid(spark, "nearest_s2d")
+
+
+def regrid_nearest_d2s(spark, sf_dir):
+    return _regrid(spark, "nearest_d2s")
+
+
+def regrid_conservative_4d(spark, sf_dir, n_time: int = 3, n_lev: int = 2):
+    """4-D broadcast apply: extra dims are plain group-by keys (the
+    relational form of the reference's smm.py:89 flatten-and-batch)."""
+    g_in, g_out = _fixture_grids(spark)
+    w = conservative_weights(g_in, g_out)
+    times = spark.range(1, n_time + 1).select(F.col("id").alias("time"))
+    levs = spark.range(1, n_lev + 1).select(F.col("id").alias("lev"))
+    field = (
+        g_in.df.select("cell_id", wave_smooth().alias("v0"))
+        .crossJoin(times)
+        .crossJoin(levs)
+        .select(
+            "time",
+            "lev",
+            "cell_id",
+            (F.col("time").cast("double") * F.col("lev").cast("double") * F.col("v0")).alias(
+                "value"
+            ),
+        )
+    )
+    out = smm_apply(field, w, g_out, extra_keys=("time", "lev"), attach_coords=False)
+    return out.select("cell_id", "time", "lev", F.round("value", ROUND).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Relational queries on the driver tables (operator-category coverage:
+# filter/pushdown, hash agg, multi-join + broadcast, top-k, windows)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1(spark, sf_dir):
+    """Pricing summary: filter + grouped aggregation (partial+final hash
+    agg; filter and column pruning push into the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def tpch_q3_top10(spark, sf_dir):
+    """Shipping priority: 3-way join (broadcast-able dims) + agg + top-k
+    with a deterministic tie-break."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier(spark, sf_dir):
+    """Local-supplier revenue: 6-way star join; small dims broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
+    """Sessionization via lag window: a new session starts when the gap
+    from the previous event (per user) exceeds ``gap_minutes``."""
+    ev = _t(spark, sf_dir, "events").withColumn("sec", F.expr("ts DIV 1000000000"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > gap_minutes * 60),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch analogue of the streaming
+    windowed agg; see xesmf_spark.streaming for the readStream form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("ts DIV 3600000000000").alias("epoch_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
