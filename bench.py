@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline workloads mirror BASELINE.md's canonical numbers:
+- weight generation, bilinear 400x600 -> 300x400 (baseline 7.57 s)
+- weight apply on a 10x50x400x600 float64 field = 0.96 GB
+  (baseline: scipy SMM 0.62 s), via the vectorized mapInPandas path
+- conservative + nearest weight builds on the bench grid pair
+- relational apply on a 12M-row long field (the shuffle-based path)
+- the sf-dir relational/window queries from __spark_entry__.queries()
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    from xesmf_spark.session import get_spark
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import bilinear_weights, conservative_weights, nearest_weights
+    from xesmf_spark.vectorized import smm_apply_vectorized
+    from xesmf_spark.apply import smm_apply
+    from xesmf_spark import queries as Q
+
+    spark = get_spark("xesmf_spark_bench")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- canonical grid pair (BASELINE.md / Backend.ipynb cell 5) --------
+    g_in = grid_2d(spark, -120, 120, 0.4, -60, 60, 0.3)    # 400 x 600
+    g_out = grid_2d(spark, -120, 120, 0.6, -60, 60, 0.4)   # 300 x 400
+    n_in, n_out = g_in.n_cells, g_out.n_cells
+    n_x = g_in.n_x
+
+    timed("weight_bilinear_240k_to_120k", lambda: bilinear_weights(g_in, g_out).count())
+    timed("weight_conservative_240k_to_120k", lambda: conservative_weights(g_in, g_out).count())
+    timed(
+        "weight_nearest_s2d_bucketed_240k_to_120k",
+        lambda: nearest_weights(g_in, g_out, direction="s2d", strategy="bucketed").count(),
+    )
+
+    # --- vectorized apply on the 0.96 GB field (10 time x 50 lev) --------
+    w_bl = bilinear_weights(g_in, g_out)
+    w_bl.persist().count()
+
+    lon_expr = "-120.0 + (CAST(i % {nx} AS DOUBLE) + 0.5) * 0.4".format(nx=n_x)
+    lat_expr = "-60.0 + (CAST(i DIV {nx} AS DOUBLE) + 0.5) * 0.3".format(nx=n_x)
+    wave = (
+        "2.0 + POW(COS(RADIANS({lat})), 2.0) * COS(2.0 * RADIANS({lon}))".format(
+            lat=lat_expr, lon=lon_expr
+        )
+    )
+    wide = (
+        spark.range(1, 11).select(F.col("id").alias("time"))
+        .crossJoin(spark.range(1, 51).select(F.col("id").alias("lev")))
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(
+            "time",
+            "lev",
+            F.expr(
+                f"transform(sequence(0, {n_in - 1}), i -> CAST(time * lev AS DOUBLE) * ({wave}))"
+            ).alias("values"),
+        )
+    )
+    wide.persist().count()  # materialize input so apply timing is pure
+
+    def apply_vec():
+        out = smm_apply_vectorized(wide, w_bl, n_in=n_in, n_out=n_out, extra_cols=("time", "lev"))
+        out.select(F.sum(F.element_at("values", 1)).alias("s")).collect()
+
+    timed("apply_vectorized_0.96GB", apply_vec)
+    gb = 500 * n_in * 8 / 1e9
+    timings["apply_vectorized_GBps"] = round(gb / timings["apply_vectorized_0.96GB"], 3)
+    wide.unpersist()
+
+    # --- relational apply on a 12M-row long field -------------------------
+    long_field = (
+        spark.range(n_in).select(F.col("id").alias("cell_id"))
+        .crossJoin(spark.range(1, 51).select(F.col("id").alias("slice")))
+        .select("slice", "cell_id", F.expr(f"CAST(slice AS DOUBLE) * ({wave.replace('i %', 'cell_id %').replace('i DIV', 'cell_id DIV')})").alias("value"))
+    )
+    timed(
+        "apply_relational_12Mrows",
+        lambda: smm_apply(long_field, w_bl, g_out, extra_keys=("slice",), attach_coords=False)
+        .select(F.sum("value"))
+        .collect(),
+    )
+    w_bl.unpersist()
+
+    # --- sf-dir queries ----------------------------------------------------
+    for name in (
+        "regrid_conservative",
+        "tpch_q1",
+        "tpch_q3_top10",
+        "tpch_q5_local_supplier",
+        "events_sessionize",
+        "events_hourly",
+    ):
+        fn = getattr(Q, name)
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    total = round(sum(v for k, v in timings.items() if not k.endswith("GBps")), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
