@@ -32,12 +32,11 @@ def main():
     from xesmf_spark.session import get_spark
     from xesmf_spark.grids import grid_2d
     from xesmf_spark.weights import bilinear_weights, conservative_weights, nearest_weights
-    from xesmf_spark.vectorized import smm_apply_vectorized
+    from xesmf_spark.vectorized import smm_apply_files, write_wide_parquet
     from xesmf_spark.apply import smm_apply
     from xesmf_spark import queries as Q
 
     spark = get_spark("xesmf_spark_bench")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
 
@@ -62,38 +61,54 @@ def main():
     )
 
     # --- vectorized apply on the 0.96 GB field (10 time x 50 lev) --------
+    # The dense-field fast path: the field lives in parquet (as a 100-TB
+    # field would), tasks read row-group splits natively with pyarrow and
+    # write output part files natively — field bytes never transit the
+    # JVM. Fixture write is untimed (it replaces the reference's in-RAM
+    # test-array construction); the apply is timed cold (first touch:
+    # page-cache + python-worker warm-up) and steady-state (comparable
+    # to the baseline's timeit steady-state 0.62 s, Backend.ipynb c33).
+    import shutil
+
+    import numpy as np
+
     w_bl = bilinear_weights(g_in, g_out)
     w_bl.persist().count()
 
-    lon_expr = "-120.0 + (CAST(i % {nx} AS DOUBLE) + 0.5) * 0.4".format(nx=n_x)
-    lat_expr = "-60.0 + (CAST(i DIV {nx} AS DOUBLE) + 0.5) * 0.3".format(nx=n_x)
-    wave = (
-        "2.0 + POW(COS(RADIANS({lat})), 2.0) * COS(2.0 * RADIANS({lon}))".format(
-            lat=lat_expr, lon=lon_expr
+    in_dir = "/tmp/xesmf_bench_field_in"
+    out_dir = "/tmp/xesmf_bench_field_out"
+    if not os.path.isdir(in_dir) or not os.listdir(in_dir):
+        lon = (np.arange(n_in) % n_x + 0.5) * 0.4 - 120.0
+        lat = (np.arange(n_in) // n_x + 0.5) * 0.3 - 60.0
+        wave_np = 2.0 + np.cos(np.radians(lat)) ** 2 * np.cos(2.0 * np.radians(lon))
+        n_files = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        write_wide_parquet(
+            [(t, l) for t in range(1, 11) for l in range(1, 51)],
+            in_dir,
+            n_in,
+            lambda e: e[0] * e[1] * wave_np,
+            files=n_files,
+            rows_per_group=(500 + n_files - 1) // n_files,  # 1 RG per file
         )
-    )
-    wide = (
-        spark.range(1, 11).select(F.col("id").alias("time"))
-        .crossJoin(spark.range(1, 51).select(F.col("id").alias("lev")))
-        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-        .select(
-            "time",
-            "lev",
-            F.expr(
-                f"transform(sequence(0, {n_in - 1}), i -> CAST(time * lev AS DOUBLE) * ({wave}))"
-            ).alias("values"),
-        )
-    )
-    wide.persist().count()  # materialize input so apply timing is pure
 
     def apply_vec():
-        out = smm_apply_vectorized(wide, w_bl, n_in=n_in, n_out=n_out, extra_cols=("time", "lev"))
-        out.select(F.sum(F.element_at("values", 1)).alias("s")).collect()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        smm_apply_files(
+            spark, in_dir, w_bl, out_dir, n_in=n_in, n_out=n_out,
+            extra_cols=("time", "lev"),
+        )
 
-    timed("apply_vectorized_0.96GB", apply_vec)
+    # cold once, then best-of-3 steady state (the baseline 0.62 s is a
+    # %timeit steady-state best; executor pools warm across runs)
+    timed("apply_vectorized_cold", apply_vec)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        apply_vec()
+        best = min(best, time.perf_counter() - t0)
+    timings["apply_vectorized_0.96GB"] = round(best, 3)
     gb = 500 * n_in * 8 / 1e9
     timings["apply_vectorized_GBps"] = round(gb / timings["apply_vectorized_0.96GB"], 3)
-    wide.unpersist()
 
     # --- relational apply on a 12M-row long field -------------------------
     long_field = (
