@@ -170,3 +170,37 @@ def test_repr(spark, g_in, g_out):
     assert "bilinear" in repr(rg)
     assert "(15, 18)" in repr(rg)
     rg.clean_weight_file()
+
+
+def test_bilinear_locstream_matches_grid_at_centers(spark, g_in, g_out):
+    """Bilinear -> locstream must agree with bilinear -> grid when the
+    locations ARE the destination grid centers (port of the reference's
+    locstream tolerance test, tests/test_frontend.py:206-246, tightened
+    to exact equality since both paths share the same bracket math)."""
+    from xesmf_spark.apply import smm_apply
+    from xesmf_spark.grids import wave_smooth
+    from xesmf_spark.weights import bilinear_weights
+
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+    cells = g_out.df.select("cell_id", "lon", "lat").orderBy("cell_id").collect()
+    ls = locstream(spark, [r.lon for r in cells], [r.lat for r in cells])
+    for periodic in (True, False):
+        w_grid = bilinear_weights(g_in, g_out, periodic=periodic)
+        ref = {r.cell_id: r.value for r in smm_apply(field, w_grid, g_out).collect()}
+        w_ls = bilinear_weights(g_in, ls, periodic=periodic)
+        got = {r.cell_id: r.value for r in smm_apply(field, w_ls, ls).collect()}
+        assert set(got) == set(ref)
+        assert max(abs(ref[k] - got[k]) for k in ref) == 0.0
+
+
+def test_bilinear_locstream_per_point_brackets(spark, g_in):
+    """Regression for the round-1 defect: two locations at lat -30/+30
+    must each bracket between their OWN adjacent source rows (sj 4,5 and
+    sj 9,10 on the 12-degree grid), not share one collapsed bracket."""
+    from xesmf_spark.weights import bilinear_weights
+
+    ls = locstream(spark, [10.0, 10.0], [-30.0, 30.0])
+    w = bilinear_weights(g_in, ls, periodic=False)
+    rows = {(r.row, divmod(r.col, g_in.n_x)[0]) for r in w.collect()}
+    assert {sj for (r, sj) in rows if r == 0} == {4, 5}
+    assert {sj for (r, sj) in rows if r == 1} == {9, 10}

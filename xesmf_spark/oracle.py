@@ -223,6 +223,102 @@ FROM dst_cells d LEFT JOIN agg a ON d.cell_id = a.row
 """
 
 
+def bilinear_locstream_oracle_sql(n_pts: int = 49, src: GridSpec = G_IN) -> str:
+    """Oracle for bilinear -> POINT destination (locstream): per-point
+    lon/lat brackets joined on the point id — mirrors
+    weights/bilinear.py::_bilinear_points (incl. periodic wrap + ALLAVG
+    virtual-pole rows). Point set is a deterministic arithmetic
+    sequence so both engines compute bit-identical coordinates."""
+    dlat = repr(176.0 / 48.0)
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+pts AS (
+  SELECT k AS pid,
+         -180.0 + CAST(k AS DOUBLE) * 7.25 AS lon,
+         -88.0 + CAST(k AS DOUBLE) * {dlat} AS lat
+  FROM range({n_pts}) t(k)
+),
+lon_ext AS (
+  SELECT i AS k, c FROM src_lon
+  UNION ALL SELECT i AS k, c - 360.0 FROM src_lon
+  UNION ALL SELECT i AS k, c + 360.0 FROM src_lon
+),
+lon_pairs AS (
+  SELECT k AS k_lo, c AS c_lo, LEAD(k) OVER (ORDER BY c) AS k_hi, LEAD(c) OVER (ORDER BY c) AS c_hi
+  FROM lon_ext QUALIFY k_hi IS NOT NULL
+),
+plon AS (
+  SELECT p.pid, p.lon AS x, q.k_lo, q.c_lo, q.k_hi, q.c_hi
+  FROM pts p JOIN lon_pairs q ON p.lon >= q.c_lo AND p.lon <= q.c_hi
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY q.c_lo) = 1
+),
+lon_w AS (
+  SELECT pid, k_lo AS si, 1.0 - (x - c_lo) / (c_hi - c_lo) AS w_lon FROM plon
+  UNION ALL SELECT pid, k_hi, (x - c_lo) / (c_hi - c_lo) FROM plon
+),
+lon_w_nz AS (SELECT * FROM lon_w WHERE w_lon > 0.0),
+lat_pairs AS (
+  SELECT j AS k_lo, c AS c_lo, LEAD(j) OVER (ORDER BY c) AS k_hi, LEAD(c) OVER (ORDER BY c) AS c_hi
+  FROM src_lat QUALIFY k_hi IS NOT NULL
+),
+plat AS (
+  SELECT p.pid, p.lat AS x, q.k_lo, q.c_lo, q.k_hi, q.c_hi
+  FROM pts p JOIN lat_pairs q ON p.lat >= q.c_lo AND p.lat <= q.c_hi
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY q.c_lo) = 1
+),
+lat_w AS (
+  SELECT pid, k_lo AS sj, 1.0 - (x - c_lo) / (c_hi - c_lo) AS w_lat FROM plat
+  UNION ALL SELECT pid, k_hi, (x - c_lo) / (c_hi - c_lo) FROM plat
+),
+lat_w_nz AS (SELECT * FROM lat_w WHERE w_lat > 0.0),
+lat_ext AS (
+  SELECT MAX(c) AS c_top, MIN(c) AS c_bot, ARG_MAX(j, c) AS k_top, ARG_MIN(j, c) AS k_bot FROM src_lat
+),
+pole_w AS (
+  SELECT p.pid, e.k_top AS sj, 1.0 - (p.lat - e.c_top) / (90.0 - e.c_top) AS w_lat
+    FROM pts p, lat_ext e WHERE p.lat > e.c_top
+  UNION ALL
+  SELECT p.pid, {src.n_y}, (p.lat - e.c_top) / (90.0 - e.c_top)
+    FROM pts p, lat_ext e WHERE p.lat > e.c_top
+  UNION ALL
+  SELECT p.pid, e.k_bot, 1.0 - (e.c_bot - p.lat) / (e.c_bot - (-90.0))
+    FROM pts p, lat_ext e WHERE p.lat < e.c_bot
+  UNION ALL
+  SELECT p.pid, -1, (e.c_bot - p.lat) / (e.c_bot - (-90.0))
+    FROM pts p, lat_ext e WHERE p.lat < e.c_bot
+),
+pole_w_nz AS (SELECT * FROM pole_w WHERE w_lat > 0.0),
+lat_all AS (
+  SELECT * FROM lat_w_nz
+  UNION ALL SELECT pid, sj, w_lat FROM pole_w_nz WHERE sj >= 0 AND sj < {src.n_y}
+),
+w_interior AS (
+  SELECT la.pid AS row, la.sj * {src.n_x} + lo.si AS col, la.w_lat * lo.w_lon AS S
+  FROM lat_all la JOIN lon_w_nz lo ON la.pid = lo.pid
+),
+w_pole AS (
+  SELECT p.pid AS row,
+         (CASE WHEN p.sj < 0 THEN 0 ELSE {src.n_y - 1} END) * {src.n_x} + s.i AS col,
+         p.w_lat / {float(src.n_x)!r} AS S
+  FROM (SELECT * FROM pole_w_nz WHERE sj < 0 OR sj >= {src.n_y}) p
+  CROSS JOIN src_lon s
+),
+w AS (SELECT * FROM w_interior UNION ALL SELECT * FROM w_pole),
+field AS (SELECT cell_id, {WAVE} AS value FROM src_cells),
+agg AS (
+  SELECT w.row, SUM(w.S * f.value) AS v
+  FROM w JOIN field f ON w.col = f.cell_id
+  GROUP BY w.row
+)
+SELECT p.pid AS cell_id,
+       ROUND(p.lon, {ROUND}) AS lon,
+       ROUND(p.lat, {ROUND}) AS lat,
+       ROUND(COALESCE(a.v, 0.0), {ROUND}) AS value
+FROM pts p LEFT JOIN agg a ON p.pid = a.row
+"""
+
+
 def regrid_4d_oracle_sql(n_time: int = 3, n_lev: int = 2) -> str:
     """Conservative 4-D broadcast oracle: data4D = time*lev*wave."""
     src, dst = G_IN, G_OUT

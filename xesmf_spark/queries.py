@@ -79,6 +79,38 @@ def regrid_nearest_d2s(spark, sf_dir):
     return _regrid(spark, "nearest_d2s")
 
 
+def regrid_bilinear_locstream(spark, sf_dir, n_pts: int = 49):
+    """Bilinear onto a POINT destination (locstream_out=True,
+    frontend.py:178-184): per-point brackets keyed by location id.
+    Points are a deterministic arithmetic sequence spanning ±88° so the
+    periodic wrap AND the ALLAVG virtual-pole rows are both exercised."""
+    from xesmf_spark.grids import Grid
+
+    g_in = grid_global(spark, 20, 12)
+    d_lat = 176.0 / 48.0
+    pts = spark.range(n_pts).select(
+        F.col("id").alias("cell_id"),
+        F.lit(0).cast("bigint").alias("j"),
+        F.col("id").alias("i"),
+        (F.lit(-180.0) + F.col("id").cast("double") * F.lit(7.25)).alias("lon"),
+        (F.lit(-88.0) + F.col("id").cast("double") * F.lit(d_lat)).alias("lat"),
+        F.lit(None).cast("double").alias("lon_lo"),
+        F.lit(None).cast("double").alias("lon_hi"),
+        F.lit(None).cast("double").alias("lat_lo"),
+        F.lit(None).cast("double").alias("lat_hi"),
+    )
+    dst = Grid(df=pts, shape=(1, n_pts), periodic=False, has_bounds=False)
+    w = bilinear_weights(g_in, dst, periodic=True)
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+    out = smm_apply(field, w, dst)
+    return out.select(
+        "cell_id",
+        F.round("lon", ROUND).alias("lon"),
+        F.round("lat", ROUND).alias("lat"),
+        F.round("value", ROUND).alias("value"),
+    )
+
+
 def regrid_conservative_4d(spark, sf_dir, n_time: int = 3, n_lev: int = 2):
     """4-D broadcast apply: extra dims are plain group-by keys (the
     relational form of the reference's smm.py:89 flatten-and-batch)."""

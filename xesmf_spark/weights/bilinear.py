@@ -76,10 +76,12 @@ def _axis_bracket(
     return out.filter(F.col("w") > 0.0)
 
 
-def _pole_brackets(src_lat_ax: DataFrame, dst_lat_ax: DataFrame, n_y: int) -> DataFrame:
+def _pole_brackets(
+    src_lat_ax: DataFrame, dst_lat_ax: DataFrame, n_y: int, idx_dst: str = "dj"
+) -> DataFrame:
     """Lat brackets for dest centers poleward of the outermost src-center
     rows, against virtual poles at ±90. Virtual index: -1 = south pole,
-    ``n_y`` = north pole. Returns (dj, k, w) like ``_axis_bracket``.
+    ``n_y`` = north pole. Returns (idx_dst, k, w) like ``_axis_bracket``.
     """
     s = src_lat_ax.select(F.col(src_lat_ax.columns[0]).alias("k"), "c")
     # outermost rows (tiny table -> min/max via agg, broadcast)
@@ -89,19 +91,19 @@ def _pole_brackets(src_lat_ax: DataFrame, dst_lat_ax: DataFrame, n_y: int) -> Da
         F.max_by("k", "c").alias("k_top"),
         F.max("c").alias("c_top"),
     )
-    d = dst_lat_ax.select(F.col(dst_lat_ax.columns[0]).alias("dj"), F.col("c").alias("x"))
+    d = dst_lat_ax.select(F.col(dst_lat_ax.columns[0]).alias(idx_dst), F.col("c").alias("x"))
     d = d.crossJoin(F.broadcast(ext))
 
     north = d.filter(F.col("x") > F.col("c_top"))
     w_pole_n = (F.col("x") - F.col("c_top")) / (F.lit(90.0) - F.col("c_top"))
-    north_rows = north.select("dj", F.col("k_top").alias("k"), (F.lit(1.0) - w_pole_n).alias("w")).unionByName(
-        north.select("dj", F.lit(n_y).alias("k"), w_pole_n.alias("w"))
+    north_rows = north.select(idx_dst, F.col("k_top").alias("k"), (F.lit(1.0) - w_pole_n).alias("w")).unionByName(
+        north.select(idx_dst, F.lit(n_y).alias("k"), w_pole_n.alias("w"))
     )
 
     south = d.filter(F.col("x") < F.col("c_bot"))
     w_pole_s = (F.col("c_bot") - F.col("x")) / (F.col("c_bot") - F.lit(-90.0))
-    south_rows = south.select("dj", F.col("k_bot").alias("k"), (F.lit(1.0) - w_pole_s).alias("w")).unionByName(
-        south.select("dj", F.lit(-1).cast("bigint").alias("k"), w_pole_s.alias("w"))
+    south_rows = south.select(idx_dst, F.col("k_bot").alias("k"), (F.lit(1.0) - w_pole_s).alias("w")).unionByName(
+        south.select(idx_dst, F.lit(-1).cast("bigint").alias("k"), w_pole_s.alias("w"))
     )
     return north_rows.unionByName(south_rows).filter(F.col("w") > 0.0)
 
@@ -114,12 +116,15 @@ def bilinear_weights(src: Grid, dst: Grid, periodic: bool | None = None) -> Data
         periodic = src.periodic
     src_lon = src.get_lon_axis()
     src_lat = src.get_lat_axis()
-    dst_lon = dst.get_lon_axis() if dst.has_bounds else dst.df.select(
-        F.col("i"), F.col("lon").alias("c")
-    ).distinct()
-    dst_lat = dst.get_lat_axis() if dst.has_bounds else dst.df.select(
-        F.col("j"), F.col("lat").alias("c")
-    ).distinct()
+    if not dst.has_bounds:
+        # point destinations (locstream): per-POINT brackets keyed by the
+        # location id — a locstream has no separable axes (all points
+        # share j=0), so the tensor-product path below would collapse
+        # every location's lat bracket into one (frontend.py:178-184
+        # allows bilinear -> locstream; weights must be per point).
+        return _bilinear_points(src, dst, src_lon, src_lat, periodic)
+    dst_lon = dst.get_lon_axis()
+    dst_lat = dst.get_lat_axis()
 
     lon_br = _axis_bracket(src_lon, dst_lon, "di", periodic=periodic).withColumnRenamed(
         "k", "si"
@@ -135,6 +140,12 @@ def bilinear_weights(src: Grid, dst: Grid, periodic: bool | None = None) -> Data
         )
 
     n_x_src, n_x_dst, n_y_src = src.n_x, dst.n_x, src.n_y
+    return _tensor_product(
+        lon_br, lat_br, dst_lon, src_lon, n_x_src, n_x_dst, n_y_src, periodic
+    )
+
+
+def _tensor_product(lon_br, lat_br, dst_lon, src_lon, n_x_src, n_x_dst, n_y_src, periodic):
 
     # interior tensor product: ≤4 nnz per dest cell
     interior = (
@@ -168,5 +179,65 @@ def bilinear_weights(src: Grid, dst: Grid, periodic: bool | None = None) -> Data
             ).alias("col"),
             (F.col("w_lat") / F.lit(float(n_x_src))).alias("S"),
         )
+    )
+    return interior.unionByName(pole_rows)
+
+
+def _bilinear_points(
+    src: Grid, dst: Grid, src_lon: DataFrame, src_lat: DataFrame, periodic: bool
+) -> DataFrame:
+    """Bilinear weights onto a POINT destination (locstream).
+
+    Each location gets its own lon bracket and lat bracket, both keyed by
+    the location id (``row = cell_id`` directly — the locstream shape
+    hack (1, n) of xesmf/frontend.py:102 makes cell_id == i). The two
+    brackets combine with an EQUI-join on the id, so a point's lat
+    weights can never leak to another point.
+
+    Scale: the bracketing joins are broadcast non-equi joins of the
+    point set against the tiny adjacent-center-pair axis tables
+    (O(n_pts * n_axis) nested-loop with the axis side broadcast) — the
+    point set itself is never shuffled or broadcast.
+    """
+    pts_lon = dst.df.select(F.col("cell_id").alias("pid"), F.col("lon").alias("c"))
+    pts_lat = dst.df.select(F.col("cell_id").alias("pid"), F.col("lat").alias("c"))
+
+    lon_br = _axis_bracket(src_lon, pts_lon, "pid", periodic=periodic).withColumnRenamed(
+        "k", "si"
+    ).withColumnRenamed("w", "w_lon")
+    lat_br = _axis_bracket(src_lat, pts_lat, "pid", periodic=False).withColumnRenamed(
+        "k", "sj"
+    ).withColumnRenamed("w", "w_lat")
+    if periodic:
+        lat_br = lat_br.unionByName(
+            _pole_brackets(src_lat, pts_lat, src.n_y, idx_dst="pid")
+            .withColumnRenamed("k", "sj")
+            .withColumnRenamed("w", "w_lat")
+        )
+
+    n_x_src, n_y_src = src.n_x, src.n_y
+    interior = (
+        lat_br.filter((F.col("sj") >= 0) & (F.col("sj") < n_y_src))
+        .join(lon_br, "pid")
+        .select(
+            F.col("pid").alias("row"),
+            (F.col("sj") * F.lit(n_x_src) + F.col("si")).alias("col"),
+            (F.col("w_lat") * F.col("w_lon")).alias("S"),
+        )
+    )
+    if not periodic:
+        return interior
+
+    # ALLAVG virtual-pole rows: value = mean of the adjacent source row,
+    # lon-independent -> spread S = w_lat / n_x over every cell of it
+    pole = lat_br.filter((F.col("sj") < 0) | (F.col("sj") >= n_y_src))
+    src_i = src_lon.select(F.col(src_lon.columns[0]).alias("si"))
+    pole_rows = pole.crossJoin(F.broadcast(src_i)).select(
+        F.col("pid").alias("row"),
+        (
+            F.when(F.col("sj") < 0, F.lit(0)).otherwise(F.lit(n_y_src - 1)) * F.lit(n_x_src)
+            + F.col("si")
+        ).alias("col"),
+        (F.col("w_lat") / F.lit(float(n_x_src))).alias("S"),
     )
     return interior.unionByName(pole_rows)
