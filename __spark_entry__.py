@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from xesmf_spark import queries as Q
 from xesmf_spark import oracle as O
+from xesmf_spark import pipeline_oracle as PO
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
+        "pipeline_exact_dedup": Q.pipeline_exact_dedup,
+        "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
+        "pipeline_simhash": Q.pipeline_simhash,
+        "pipeline_ngram_jaccard": Q.pipeline_ngram_jaccard,
+        "pipeline_text_stats": Q.pipeline_text_stats,
+        "pipeline_fingerprint": Q.pipeline_fingerprint,
     }
 
 
@@ -136,4 +143,10 @@ SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
 FROM events
 GROUP BY 1, 2
 """,
+        "pipeline_exact_dedup": PO.exact_dedup_sql(),
+        "pipeline_minhash_dedup": PO.minhash_dedup_sql(),
+        "pipeline_simhash": PO.simhash_sql(),
+        "pipeline_ngram_jaccard": PO.ngram_jaccard_sql(),
+        "pipeline_text_stats": PO.text_stats_sql(),
+        "pipeline_fingerprint": PO.fingerprint_sql(),
     }

@@ -1,0 +1,92 @@
+"""Tests for the LLM-data-pipeline text operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xesmf_spark import pipeline as PL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.persist().count()
+    return d
+
+
+def test_exact_dedup_finds_normalized_copies(spark, docs):
+    """Exact copies and case/whitespace variants must land in the same
+    content group; distinct texts must not."""
+    base = docs.select("doc_id", "text")
+    dup = docs.limit(5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    groups = PL.exact_dedup(base.unionByName(dup))
+    n_docs = base.count()
+    assert groups.agg(F.sum("n_docs")).collect()[0][0] == n_docs + 5
+    assert groups.filter(F.col("n_docs") >= 2).count() >= 5
+
+
+def test_minhash_dedup_finds_truncation_neardups(spark, docs):
+    """Dropping the last 3 tokens keeps Jaccard high; the LSH+verify
+    pipeline must surface those pairs with exact Jaccard >= 0.5."""
+    t = PL.tokens(F.col("text"))
+    trunc = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 1, F.greatest(F.size(t) - 3, F.lit(1)))).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(trunc)
+    pairs = PL.minhash_dedup_pairs(both, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    planted = [(i, i + 1000) for i in range(docs.count())]
+    hits = [p for p in planted if p in got]
+    # banded LSH is probabilistic per pair, but at jaccard ~0.9 recall
+    # must be near-total; verification makes every reported pair exact
+    assert len(hits) >= 0.8 * len(planted)
+    assert all(v >= 0.5 for v in got.values())
+
+
+def test_simhash_close_for_neardups(spark, docs):
+    """SimHash of a doc and its truncation differ in few bits; random
+    doc pairs differ in many."""
+    t = PL.tokens(F.col("text"))
+    trunc = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(t, 1, F.greatest(F.size(t) - 3, F.lit(1)))).alias("text"),
+    )
+    sh = {r.doc_id: r.simhash for r in PL.simhash(
+        docs.select("doc_id", "text").unionByName(trunc)
+    ).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    near = [ham(sh[i], sh[i + 1000]) for i in range(10)]
+    far = [ham(sh[i], sh[j]) for i in range(5) for j in range(5) if i < j]
+    # the synthetic corpus shares a tiny vocabulary, so even unrelated
+    # docs have overlapping token SETS — compare relatively
+    assert max(near) <= 6
+    assert sum(far) / len(far) > 2 * sum(near) / len(near)
+
+
+def test_text_stats_ranges(spark, docs):
+    s = PL.text_stats(docs)
+    bad = s.filter(
+        (F.col("n_tokens") <= 0)
+        | (F.col("quality") < 0)
+        | (F.col("quality") > 1)
+        | (F.col("stopword_ratio") < 0)
+        | (F.col("stopword_ratio") > 1)
+    )
+    assert bad.count() == 0
+    assert s.filter(F.col("lang_pred") == "en").count() > 0
+
+
+def test_fingerprint_stable_under_whitespace(spark, docs):
+    """Fingerprint is computed on normalized text — case/whitespace
+    variants must collide, distinct docs must not (bottom-k sketch)."""
+    a = PL.doc_fingerprint(docs).withColumnRenamed("fingerprint", "fa")
+    noisy = docs.select("doc_id", F.concat(F.upper("text"), F.lit("  ")).alias("text"))
+    b = PL.doc_fingerprint(noisy).withColumnRenamed("fingerprint", "fb")
+    j = a.join(b, "doc_id")
+    assert j.filter(F.col("fa") != F.col("fb")).count() == 0
+    # bottom-k is a similarity sketch, not a unique id: docs sharing
+    # their k smallest shingle hashes collide (tiny shared vocab here)
+    assert a.select("fa").distinct().count() >= 0.9 * docs.count()

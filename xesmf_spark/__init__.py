@@ -11,15 +11,23 @@ Spark DataFrame operations:
   (``out[row] = sum_col S(row, col) * in[col]``), the relational form of
   the scipy COO sparse matmul in the reference (xesmf/smm.py:44-95).
 
-Plus large-scale training-data-pipeline operators (dedup, similarity
-search, text analysis, multimodal plumbing) under ``xesmf_spark.pipeline``.
+Plus large-scale training-data-pipeline operators: text dedup +
+analysis under ``xesmf_spark.pipeline`` (exact/MinHash-LSH/SimHash/
+n-gram-Jaccard dedup, text stats, fingerprints).
 """
 
 from xesmf_spark.grids import Grid, grid_1d, grid_2d, grid_global, locstream, wave_smooth
 from xesmf_spark.apply import smm_apply
 from xesmf_spark.regridder import Regridder
+from xesmf_spark.pipeline import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    text_stats,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Grid",
@@ -30,4 +38,9 @@ __all__ = [
     "wave_smooth",
     "smm_apply",
     "Regridder",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "text_stats",
 ]

@@ -1,0 +1,365 @@
+"""Large-scale training-data pipeline operators (text side).
+
+Beyond the reference's regridding surface, this engine ships the
+operators a 100-TB LLM-data pipeline needs, built Spark-first: every
+hot path is built-in Column expressions (JVM, whole-stage codegen) —
+no Python UDFs anywhere in this module.
+
+Determinism contract: every hash is derived from ``md5`` (identical
+across engines) via a fixed hex-prefix -> BIGINT mapping, and all
+arithmetic stays within BIGINT range (values are reduced mod P before
+multiplication), so the DuckDB oracle reproduces results bit-for-bit.
+
+Operators:
+- ``normalize_text`` / ``tokens``          — canonical text form
+- ``exact_dedup``                          — hash-groupBy exact dedup
+- ``minhash_signatures``                   — k min-hashes over token shingles
+- ``lsh_candidate_pairs``                  — banded LSH bucket-join (never all-pairs)
+- ``minhash_dedup_pairs``                  — candidates verified with EXACT Jaccard
+- ``simhash``                              — bit-majority fingerprint
+- ``ngram_jaccard_pairs``                  — exact n-gram Jaccard within a blocking key
+- ``text_stats``                           — tokens/chars/stopword/punct/langid/quality
+- ``doc_fingerprint``                      — bottom-k sketch fingerprint
+
+Scale notes (the 100-TB shapes):
+- exact dedup: one shuffle on a 16-byte digest — the minimum possible;
+- MinHash-LSH: shingle explode is map-side; signatures are one shuffle
+  keyed by doc id; candidate generation is an EQUI-join on (band,
+  band_hash) buckets, so cost is sum of squares of bucket sizes, never
+  |docs|^2; verification joins only the candidate pairs;
+- simhash/stats/fingerprint: embarrassingly parallel projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: modulus keeping all hash arithmetic < 2^60 (ANSI-safe in both engines)
+P = 1_000_000_007
+#: stopword list for the ratio/langid heuristics (tiny, embedded)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+SHINGLE = 3  #: tokens per shingle
+K_HASHES = 16  #: minhash signature length
+BANDS = 4  #: LSH bands (rows per band = K_HASHES // BANDS)
+
+
+def _a(i: int) -> int:
+    return 2 * i + 1
+
+
+def _b(i: int) -> int:
+    return 97 * i + 13
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form: lowercase, whitespace collapsed, trimmed."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def base_hash(col: Column) -> Column:
+    """String -> BIGINT in [0, P): first 60 bits of md5, reduced mod P.
+    ``md5`` matches across engines; 15 hex chars fit a positive BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast("long") % P
+    )
+
+
+def shingles(col: Column, n: int = SHINGLE) -> Column:
+    """Distinct token n-grams (as strings) of the normalized text."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: md5 digest of the NORMALIZED text -> one
+    shuffle (hash agg) keyed by the digest. Returns one row per distinct
+    content: (content_key, keep_id = min doc id, n_docs).
+
+    100-TB shape: the map side projects (digest, id) only — 24 bytes a
+    row into the shuffle regardless of document size; AQE coalesces the
+    post-agg partitions.
+    """
+    key = F.md5(F.encode(normalize_text(F.col(text_col)), "utf-8")).alias("content_key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = K_HASHES,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): k permutation-style min-hashes over the
+    document's distinct token shingles.
+
+    h_i(s) = (a_i * H(s) + b_i) mod P with H the md5-derived base hash —
+    H is reduced mod P FIRST so a_i * H never overflows BIGINT (ANSI
+    mode). Explode + hash is map-side; the only shuffle is the k-way min
+    agg keyed by doc id (partial aggregation makes it tiny).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    ).withColumn("hb", base_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(_a(i)) * F.col("hb") + F.lit(_b(i))) % P).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = K_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Banded LSH: equal band-signature => candidate pair.
+
+    Each doc emits ``bands`` rows keyed by (band_id, md5 of the band's
+    signature slice); a self-equi-join on that key yields candidates.
+    This is the bucket-join that keeps near-dedup scalable: cost follows
+    bucket sizes, never |docs|^2. Returns distinct (id_a < id_b) pairs.
+    """
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.encode(F.concat_ws("_", *parts), "utf-8")).alias("bh"),
+            )
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates VERIFIED with exact
+    shingle-set Jaccard (no false positives — LSH only bounds recall).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    The verify join touches only candidate pairs' shingle sets: shingle
+    lists re-derived for the candidate ids (a semi-join-pruned scan),
+    intersection via explode + join, union by inclusion-exclusion.
+    """
+    sigs = minhash_signatures(df, id_col, text_col)
+    cand = lsh_candidate_pairs(sigs, id_col)
+
+    sh = df.select(
+        F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("sh_set")
+    ).withColumn("n_sh", F.size("sh_set"))
+    ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
+
+    inter = (
+        cand.join(ex.alias("ea"), F.col("id_a") == F.col("ea.sid"))
+        .join(
+            ex.alias("eb"),
+            (F.col("id_b") == F.col("eb.sid"))
+            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("sid", "n_sh")
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.sid"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.sid"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint: per bit position, the sign of the sum of
+    (+1/-1) votes from every DISTINCT token's hash bit; fingerprint =
+    sum of 2^b over positive positions. Near-identical texts differ in
+    few bits (Hamming distance), enabling radius search by fingerprint
+    prefix buckets.
+
+    Shape: explode tokens (map-side) x ``bits`` vote rows via a
+    broadcast-range cross join, then ONE partial+final hash agg keyed by
+    (doc, bit) and a second tiny agg keyed by doc.
+    """
+    spark = df.sparkSession
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .withColumn("hb", base_hash(F.col("tok")))
+    )
+    bitsdf = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
+    votes = tok.crossJoin(F.broadcast(bitsdf)).select(
+        id_col,
+        "bit",
+        (F.expr("shiftright(hb, bit) % 2") * 2 - 1).alias("vote"),
+    )
+    per_bit = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    n: int = SHINGLE,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for every pair WITHIN a blocking key
+    (e.g. same lang+source). Blocking turns the quadratic all-pairs into
+    a per-bucket join — the classic scalable shape when a natural
+    partition key exists; use MinHash-LSH when it doesn't.
+    """
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("sid"),
+        shingles(F.col(text_col), n).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
+    ex = sh.select(*block_cols, "sid", F.explode("sh_set").alias("shingle"))
+    inter = (
+        ex.alias("ea")
+        .join(
+            ex.alias("eb"),
+            [*block_cols, "shingle"],
+        )
+        .filter(F.col("ea.sid") < F.col("eb.sid"))
+        .groupBy(F.col("ea.sid").alias("id_a"), F.col("eb.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.select("sid", "n_sh")
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.sid"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.sid"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document analysis row: token/char counts, mean token length,
+    stopword + punctuation ratios, an n-gram-free language-ID heuristic
+    (stopword hit rate), and a [0,1] quality score combining length and
+    stopword signals (the usual cheap pre-filter for LLM corpora).
+
+    Pure Column projection — embarrassingly parallel, no shuffle.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    mean_tok_len = (
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+            "double"
+        )
+        / n_tok.cast("double")
+    )
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    quality = (
+        F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        F.when(stop_ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest shingle hashes,
+    sorted and digested — a compact document identity robust to small
+    edits (shares the MinHash estimator family). Returns
+    (id, fingerprint hex string)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    hashes = F.array_sort(F.transform(F.col("sh"), lambda s: base_hash(s)))
+    bottom = F.slice(hashes, 1, k)
+    return sh.select(
+        F.col(id_col),
+        F.md5(F.encode(F.concat_ws("_", *[bottom[i].cast("string") for i in range(k)]), "utf-8")).alias(
+            "fingerprint"
+        ),
+    )

@@ -1,0 +1,239 @@
+"""DuckDB oracle SQL mirroring xesmf_spark.pipeline (text operators).
+
+Same determinism contract as oracle.py: every hash derives from md5
+(identical across engines), all modular arithmetic is reduced before
+multiplication, list/array semantics are matched construct-by-construct
+(Spark ``slice``/``transform``/``aggregate`` <-> DuckDB list slicing /
+``list_transform`` / ``list_sum``). The SQL is the SPEC of each
+operator; the Spark side is the distributed implementation.
+"""
+
+from __future__ import annotations
+
+from xesmf_spark.pipeline import BANDS, K_HASHES, P, SHINGLE, STOPWORDS, _a, _b
+
+ROUND = 7
+
+_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+#: normalized text + token list per doc (input CTE must provide
+#: ``docs(doc_id, text, ...)``)
+NORM_CTE = """
+norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  FROM docs
+),
+toks AS (
+  SELECT doc_id, string_split(ntext, ' ') AS t FROM norm
+)"""
+
+#: distinct token 3-gram shingles per doc (needs toks)
+SHINGLE_CTE = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(t) - {SHINGLE}, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + {SHINGLE}], ' '))) AS sh_set
+  FROM toks
+)"""
+
+#: exploded shingle hashes (needs sh)
+SHINGLE_HASH_CTE = f"""
+shx AS (
+  SELECT doc_id, unnest(sh_set) AS shingle FROM sh
+),
+shh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS hb FROM shx
+)"""
+
+
+def _docs_cte(with_dups: bool) -> str:
+    """Base ``docs`` CTE: the documents table, optionally UNIONed with
+    deterministic perturbations that guarantee duplicate structure:
+    - doc_id %% 7 == 0: exact copy (new id +200000)
+    - doc_id %% 11 == 0: upper-cased + extra whitespace (normalizes equal)
+    - doc_id %% 5 == 0: last 3 tokens dropped (near-dup, id +100000)
+    """
+    if not with_dups:
+        return "docs AS (SELECT doc_id, text FROM documents)"
+    return """docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000, upper(text) || '  ' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(
+           (string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+             [1 : greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 3, 1)],
+           ' ')
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def exact_dedup_sql() -> str:
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE}
+SELECT md5(ntext) AS content_key,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM norm
+GROUP BY content_key
+"""
+
+
+def _sig_select() -> str:
+    mins = ",\n         ".join(
+        f"MIN(({_a(i)} * hb + {_b(i)}) % {P}) AS sig_{i}" for i in range(K_HASHES)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh
+  GROUP BY doc_id
+)"""
+
+
+def _bands_cte() -> str:
+    rows = K_HASHES // BANDS
+    selects = []
+    for b in range(BANDS):
+        parts = ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {parts})) AS bh FROM sigs"
+        )
+    return "buckets AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
+
+
+def minhash_dedup_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE},
+{SHINGLE_CTE},
+{SHINGLE_HASH_CTE},
+{_sig_select()},
+{_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(sh_set) AS n_sh FROM sh),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shx ea ON c.id_a = ea.doc_id
+  JOIN shx eb ON c.id_b = eb.doc_id AND ea.shingle = eb.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), {ROUND}) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {P} AS hb FROM tok
+),
+votes AS (
+  SELECT doc_id, b.bit, (((hb >> b.bit) % 2) * 2 - 1) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range({bits})) AS bit) b
+),
+per_bit AS (
+  SELECT doc_id, bit, SUM(vote) AS v FROM votes GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+FROM per_bit
+GROUP BY doc_id
+"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH
+docs AS (SELECT doc_id, text, lang, source FROM documents),
+{NORM_CTE},
+{SHINGLE_CTE},
+blocked AS (
+  SELECT d.lang, d.source, s.doc_id AS sid, s.sh_set, len(s.sh_set) AS n_sh
+  FROM sh s JOIN docs d ON s.doc_id = d.doc_id
+),
+ex AS (
+  SELECT lang, source, sid, unnest(sh_set) AS shingle FROM blocked
+),
+inter AS (
+  SELECT ea.sid AS id_a, eb.sid AS id_b, COUNT(*) AS n_inter
+  FROM ex ea JOIN ex eb
+    ON ea.lang = eb.lang AND ea.source = eb.source AND ea.shingle = eb.shingle
+  WHERE ea.sid < eb.sid
+  GROUP BY ea.sid, eb.sid
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), {ROUND}) AS jaccard
+FROM inter i
+JOIN blocked sa ON i.id_a = sa.sid
+JOIN blocked sb ON i.id_b = sb.sid
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) > {threshold}
+"""
+
+
+def text_stats_sql() -> str:
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE}
+SELECT d.doc_id,
+       len(tk.t) AS n_tokens,
+       length(d.text) AS n_chars,
+       ROUND(CAST(list_sum(list_transform(tk.t, x -> length(x))) AS DOUBLE)
+             / CAST(len(tk.t) AS DOUBLE), {ROUND}) AS mean_token_len,
+       ROUND(CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+             / CAST(len(tk.t) AS DOUBLE), {ROUND}) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / CAST(length(d.text) AS DOUBLE), {ROUND}) AS punct_ratio,
+       CASE WHEN CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                 / CAST(len(tk.t) AS DOUBLE) >= 0.02
+            THEN 'en' ELSE 'unknown' END AS lang_pred,
+       ROUND(least(CAST(len(tk.t) AS DOUBLE) / 64.0, 1.0) * 0.5
+             + least(CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                     / CAST(len(tk.t) AS DOUBLE) * 10.0, 1.0) * 0.5, {ROUND}) AS quality
+FROM docs d JOIN toks tk ON d.doc_id = tk.doc_id
+"""
+
+
+def fingerprint_sql(k: int = 4) -> str:
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+{SHINGLE_CTE},
+hashes AS (
+  SELECT doc_id,
+         list_sort(list_transform(sh_set,
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {P})) AS hs
+  FROM sh
+)
+SELECT doc_id,
+       md5(array_to_string(hs[1 : {k}], '_')) AS fingerprint
+FROM hashes
+"""

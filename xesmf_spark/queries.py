@@ -239,6 +239,101 @@ def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (xesmf_spark.pipeline over the documents table)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents")
+
+
+def _docs_with_dups(docs):
+    """documents + deterministic perturbations guaranteeing duplicate
+    structure (mirrored in pipeline_oracle._docs_cte):
+    %7 -> exact copy, %11 -> case/whitespace variant, %5 -> last-3-tokens
+    truncation (near-dup)."""
+    from xesmf_spark import pipeline as PL
+
+    t = PL.tokens(F.col("text"))
+    trunc = F.concat_ws(" ", F.slice(t, 1, F.greatest(F.size(t) - 3, F.lit(1))))
+    base = docs.select("doc_id", "text")
+    return (
+        base.unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), trunc.alias("text")
+            )
+        )
+    )
+
+
+def pipeline_exact_dedup(spark, sf_dir):
+    """Exact dedup by normalized-content digest (hash-groupBy — ONE
+    shuffle of 24-byte rows regardless of document size)."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.exact_dedup(_docs_with_dups(_docs(spark, sf_dir)))
+
+
+def pipeline_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dedup: banded bucket-join candidates verified
+    with exact shingle-set Jaccard (never all-pairs)."""
+    from xesmf_spark import pipeline as PL
+
+    pairs = PL.minhash_dedup_pairs(_docs_with_dups(_docs(spark, sf_dir)), threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def pipeline_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (bit-majority over token hashes)."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.simhash(_docs(spark, sf_dir))
+
+
+def pipeline_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for pairs blocked by (lang, source)."""
+    from xesmf_spark import pipeline as PL
+
+    pairs = PL.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    return pairs.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def pipeline_text_stats(spark, sf_dir):
+    """Per-document text analysis: counts, ratios, langid, quality."""
+    from xesmf_spark import pipeline as PL
+
+    s = PL.text_stats(_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.round("mean_token_len", ROUND).alias("mean_token_len"),
+        F.round("stopword_ratio", ROUND).alias("stopword_ratio"),
+        F.round("punct_ratio", ROUND).alias("punct_ratio"),
+        "lang_pred",
+        F.round("quality", ROUND).alias("quality"),
+    )
+
+
+def pipeline_fingerprint(spark, sf_dir):
+    """Bottom-k sketch document fingerprints."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.doc_fingerprint(_docs(spark, sf_dir))
+
+
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch analogue of the streaming
     windowed agg; see xesmf_spark.streaming for the readStream form)."""
