@@ -1,0 +1,178 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The engine's convention for image/audio/video at 100-TB scale: media
+lives in a ``payload BINARY`` column (or object-store URIs resolved by
+``spark.read.format('binaryFile')``), with typed metadata columns
+(format, width, n_frames, sample_rate, ...) alongside. All media
+compute runs in Arrow-batched Python (``mapInPandas``) — the payloads
+never pass through row-at-a-time Python, and the JVM treats them as
+opaque byte arrays (no codec work JVM-side).
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
+environment, so ``decode_image`` is gated: it uses the real library
+when importable and otherwise raises — while ``_fake_decode`` provides
+a deterministic stand-in so the Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) is real and tested.
+
+Operators:
+- ``attach_payload``    — demo payload column from a text column
+- ``extract_features``  — per-payload numeric features via mapInPandas
+- ``sample_frames``     — fixed-stride frame sampling (one row per
+                          frame) — the explode-shaped media op
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not installed in this environment
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an (H, W, C) uint8 array. Real codec
+    only — raises when PIL is unavailable (this container)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL; this environment has no codecs — "
+            "use _fake_decode for plumbing tests"
+        )
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+
+
+def _fake_decode(payload: bytes, width: int = 16) -> np.ndarray:
+    """Deterministic stand-in decoder: interpret the payload bytes as a
+    row-major uint8 'image' of fixed width (truncated/padded). Keeps
+    every downstream shape real without codecs."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    h = max(1, len(arr) // width)
+    arr = arr[: h * width]
+    if len(arr) < width:
+        arr = np.pad(arr, (0, width - len(arr)))
+        h = 1
+    return arr.reshape(h, width)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Demo payload: utf-8 bytes of a text column as the opaque binary,
+    with format metadata — stands in for decoded media blobs."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("raw/utf8").alias("format"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Numeric features per payload via Arrow-batched ``mapInPandas``:
+    byte stats + fake-decoded 'image' dimensions + content digest.
+
+    The kernel sees a pandas DataFrame per Arrow batch — one vectorized
+    pass per batch, no per-row Python in the JVM boundary. At scale this
+    is the map-only stage you fuse feature extraction into right after
+    a binaryFile scan (no shuffle)."""
+    import hashlib
+
+    id_out = [f.name for f in FEATURE_SCHEMA.fields][0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                img = _fake_decode(b)
+                rows.append(
+                    (
+                        int(did),
+                        len(b),
+                        int(arr.sum()),
+                        float(arr.mean()) if len(arr) else 0.0,
+                        int(img.shape[0]),
+                        int(img.shape[1]),
+                        hashlib.md5(b).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select(F.col(id_col).alias(id_out), F.col(payload_col)).mapInPandas(
+        kernel, FEATURE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Fixed-stride 'frame' sampling: emit every ``stride``-th
+    ``frame_bytes`` chunk of each payload as its own row — the
+    explode-shaped media op (video frame-sample / audio windowing).
+    Output rows >> input rows; at scale follow with repartition to
+    rebalance before expensive per-frame work."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = max(1, len(b) // frame_bytes)
+                for k in range(0, n_frames, stride):
+                    out_ids.append(int(did))
+                    out_idx.append(k)
+                    out_frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
+        kernel, FRAME_SCHEMA
+    )

@@ -221,6 +221,94 @@ FROM docs d JOIN toks tk ON d.doc_id = tk.doc_id
 """
 
 
+def multimodal_features_sql() -> str:
+    """Oracle for multimodal.extract_features over attach_payload(docs):
+    the demo payload is the utf-8 bytes of ``text`` (pure-ASCII corpus,
+    so codepoints == bytes and the byte stats are SQL-expressible);
+    the fake decoder is a row-major width-16 reshape."""
+    return """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(list_sum(list_transform(range(length(text)),
+            i -> unicode(text[i + 1 : i + 1]))) AS BIGINT) AS byte_sum,
+       ROUND(CAST(list_sum(list_transform(range(length(text)),
+            i -> unicode(text[i + 1 : i + 1]))) AS DOUBLE)
+            / CAST(octet_length(encode(text)) AS DOUBLE), 6) AS mean_byte,
+       CAST(greatest(octet_length(encode(text)) // 16, 1) AS INTEGER) AS height,
+       16 AS width,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (xesmf_spark.similarity over the embeddings table)
+# ---------------------------------------------------------------------------
+
+#: (id, v, nrm) per vector — dot products are sequential left-to-right
+#: folds over DOUBLE-cast elements, bit-matching the Spark aggregate()
+_VEC_CTE = """
+v AS (
+  SELECT vec_id AS id, embedding AS v,
+         sqrt(list_sum(list_transform(range(len(embedding)),
+              i -> embedding[i + 1]::DOUBLE * embedding[i + 1]::DOUBLE))) AS nrm
+  FROM embeddings
+)"""
+
+_DOT = (
+    "list_sum(list_transform(range(len({a}.v)), "
+    "i -> {a}.v[i + 1]::DOUBLE * {b}.v[i + 1]::DOUBLE))"
+)
+
+
+def ann_cosine_topk_sql(k: int = 3) -> str:
+    dot = _DOT.format(a="q", b="p")
+    return f"""
+WITH
+{_VEC_CTE},
+pairs AS (
+  SELECT q.id AS query_id, p.id AS neighbor_id,
+         ROUND({dot} / (q.nrm * p.nrm), 6) AS cosine
+  FROM v q CROSS JOIN v p
+  WHERE q.id != p.id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_topk_sql(k: int = 3, n_centroids: int = 8, n_probe: int = 2) -> str:
+    cdot = _DOT.format(a="x", b="c")
+    qdot = _DOT.format(a="q", b="p")
+    return f"""
+WITH
+{_VEC_CTE},
+cents AS (SELECT id AS cell, v, nrm FROM v WHERE id < {n_centroids}),
+assign AS (
+  SELECT x.id, x.v, x.nrm, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY x.id
+           ORDER BY ROUND({cdot} / (x.nrm * c.nrm), 6) DESC, c.cell ASC) AS crank
+  FROM v x CROSS JOIN cents c
+),
+pool AS (SELECT cell, id, v, nrm FROM assign WHERE crank = 1),
+probes AS (SELECT cell, id, v, nrm FROM assign WHERE crank <= {n_probe}),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, p.id AS neighbor_id,
+         ROUND({qdot} / (q.nrm * p.nrm), 6) AS cosine
+  FROM probes q JOIN pool p ON q.cell = p.cell
+  WHERE q.id != p.id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""
+
+
 def fingerprint_sql(k: int = 4) -> str:
     return f"""
 WITH

@@ -334,6 +334,40 @@ def pipeline_fingerprint(spark, sf_dir):
     return PL.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (the multimodal plumbing path; decode is a deterministic stand-in
+    since no codecs ship in this environment)."""
+    from xesmf_spark import multimodal as MM
+
+    feats = MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "byte_sum",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "height",
+        "width",
+        "payload_md5",
+    )
+
+
+def ann_cosine_top3(spark, sf_dir):
+    """Exact brute-force cosine top-3 over the embeddings table — the
+    correctness baseline for similarity search (O(n^2), broadcast)."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def ann_ivf_top3(spark, sf_dir):
+    """IVF-bucketed approximate top-3: candidates from an equi-join on
+    centroid cell ids — the 100-TB shape (probe cost, never all-pairs)."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch analogue of the streaming
     windowed agg; see xesmf_spark.streaming for the readStream form)."""
