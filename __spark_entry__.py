@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "multimodal_features": Q.multimodal_features,
+        "knn_top3": Q.knn_top3,
     }
 
 
@@ -155,4 +156,5 @@ GROUP BY 1, 2
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),
         "multimodal_features": PO.multimodal_features_sql(),
+        "knn_top3": O.knn_topk_oracle_sql(),
     }

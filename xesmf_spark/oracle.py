@@ -172,13 +172,19 @@ w AS (
 )"""
 
 
+#: squared chord distance in the engine's EXPANDED trig form (see
+#: weights/nearest.py::_dist2) — same op order, so doubles agree
+_D2_EXPANDED = (
+    "2.0 - 2.0 * (COS(RADIANS(n.lat)) * COS(RADIANS(p.lat))"
+    " * (COS(RADIANS(n.lon)) * COS(RADIANS(p.lon)) + SIN(RADIANS(n.lon)) * SIN(RADIANS(p.lon)))"
+    " + SIN(RADIANS(n.lat)) * SIN(RADIANS(p.lat)))"
+)
+
+
 def nearest_weights_ctes(src: GridSpec, dst: GridSpec, direction: str) -> str:
-    """CTE `w(row, col, S)` — mirrors weights/nearest.py (chord distance,
-    tie-break on round(dist2, 9) then candidate id)."""
-    d2 = (
-        "2.0 - 2.0 * (COS(RADIANS(n.lat)) * COS(RADIANS(p.lat)) * COS(RADIANS(n.lon) - RADIANS(p.lon))"
-        " + SIN(RADIANS(n.lat)) * SIN(RADIANS(p.lat)))"
-    )
+    """CTE `w(row, col, S)` — mirrors weights/nearest.py (expanded chord
+    distance, quantized tie-break then candidate id)."""
+    d2 = _D2_EXPANDED
     if direction == "s2d":
         need, pool, row, col = "dst_cells", "src_cells", "n.cell_id", "p.cell_id"
     else:
@@ -187,8 +193,28 @@ def nearest_weights_ctes(src: GridSpec, dst: GridSpec, direction: str) -> str:
 w AS (
   SELECT {row} AS row, {col} AS col, 1.0 AS S
   FROM {need} n CROSS JOIN {pool} p
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY n.cell_id ORDER BY ROUND({d2}, 9) ASC, p.cell_id ASC) = 1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY n.cell_id
+    ORDER BY CAST(ROUND(({d2}) * 1000000000.0) AS BIGINT) ASC, p.cell_id ASC) = 1
 )"""
+
+
+def knn_topk_oracle_sql(k: int = 3, src: GridSpec = G_IN, dst: GridSpec = G_OUT) -> str:
+    """Oracle for the generic k-NN join (dst cells -> k nearest src
+    cells): quantized chord-distance ordering identical to the engine's
+    primitive argmin/rank encoding."""
+    d2 = _D2_EXPANDED
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+{grid_ctes(dst, 'dst')}
+SELECT left_id, right_id, rank, CAST(qd AS DOUBLE) / 1000000000.0 AS dist2 FROM (
+  SELECT n.cell_id AS left_id, p.cell_id AS right_id,
+         CAST(ROUND(({d2}) * 1000000000.0) AS BIGINT) AS qd,
+         ROW_NUMBER() OVER (PARTITION BY n.cell_id
+           ORDER BY CAST(ROUND(({d2}) * 1000000000.0) AS BIGINT) ASC, p.cell_id ASC) AS rank
+  FROM dst_cells n CROSS JOIN src_cells p
+) WHERE rank <= {k}
+"""
 
 
 def regrid_oracle_sql(method: str, periodic: bool = False,

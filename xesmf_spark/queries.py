@@ -334,6 +334,15 @@ def pipeline_fingerprint(spark, sf_dir):
     return PL.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def knn_top3(spark, sf_dir):
+    """Generic geographic 3-NN join (dest grid cells -> 3 nearest source
+    cells), bucketed strategy incl. the exact-rescue path."""
+    from xesmf_spark.weights.nearest import knn_join
+
+    g_in, g_out = _fixture_grids(spark)
+    return knn_join(g_out, g_in, k=3, strategy="bucketed", bin_deg=40.0)
+
+
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via Arrow-batched mapInPandas
     (the multimodal plumbing path; decode is a deterministic stand-in

@@ -1,4 +1,4 @@
-"""Nearest-neighbor regridding weights (SURVEY.md §2B-2).
+"""Nearest-neighbor regridding weights + generic k-NN join (SURVEY.md §2B-2).
 
 Reference: ``method='nearest_s2d'`` / ``'nearest_d2s'``
 (xesmf/backend.py:244-245).
@@ -15,26 +15,44 @@ Distance is 3-D chord distance on the unit sphere (the reference's math
 great-circle distance and naturally periodic in longitude.
 
 Two physical strategies:
-- ``strategy='broadcast'``: broadcast the smaller point set and
-  cross-join — exact, no shuffle of the big side, right whenever one
-  side fits in memory (grids up to ~10^6 cells).
-- ``strategy='bucketed'``: spatial-bin equi-join (coarse lat/lon bins,
-  3x3 neighborhood via exploded offsets, longitude wraps modulo the bin
-  count) with a brute-force fallback pass for points whose neighborhood
-  is empty. This is the 100-TB path: the candidate join is an EQUI-join
-  Catalyst can shuffle-partition by bin, cost O(n * candidates-per-bin)
-  instead of O(n_src * n_dst).
 
-Tie-breaking: ``ORDER BY round(dist2, 9), point_id`` — rounding makes
-exact geometric ties (common on symmetric synthetic grids) break on the
-deterministic id in every engine, so Spark and the DuckDB oracle agree.
+- ``strategy='broadcast'``: broadcast the smaller point set and
+  cross-join. The per-point argmin is a ``min(struct(dist, id))``
+  HASH AGGREGATE, not a window — partial (map-side) aggregation means
+  each task emits at most one row per needle, so nothing resembling the
+  candidate set ever shuffles.
+- ``strategy='bucketed'``: the 100-TB path. Coarse lat/lon spatial bins,
+  candidates from an EQUI-join on bin keys (3x3 neighborhood via
+  exploded offsets, longitude wrapping modulo the bin count), argmin by
+  the same partial hash aggregate. EXACTNESS is enforced, not assumed:
+  a neighborhood winner only stands if its distance beats the bound
+  below; everything else (empty neighborhoods, near-pole points,
+  suspiciously-far winners) is routed through an exact rescue pass that
+  broadcasts the SMALL miss set against the distributed pool — the pool
+  is never collected or broadcast.
+
+Exactness bound: any pool point OUTSIDE the 3x3 neighborhood differs by
+>= 2 bins in latitude or longitude, so its distance is at least
+``2 * cos(phi_max) * sin(bin/2)`` (chord), with ``phi_max = min(90,
+|lat| + 2*bin)`` the worst latitude at which a 2-bin longitude gap can
+close. Near the poles the bound collapses to 0 and those (few) points
+fall through to the exact pass automatically — resolving the silent
+wrong-neighbor hazard of a neighborhood-only search.
+
+Tie-breaking: ``min(struct(round(dist2, 9), point_id))`` — rounding
+makes exact geometric ties (common on symmetric synthetic grids) break
+on the deterministic id in every engine, so Spark and the DuckDB oracle
+agree.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark import StorageLevel
 
 from xesmf_spark.grids import Grid
 
@@ -44,36 +62,79 @@ BROADCAST_LIMIT = 2_000_000
 
 
 def _points(g: Grid | DataFrame, prefix: str) -> DataFrame:
+    """Project (id, lon, lat, cos_lat, sin_lat, cos_lon, sin_lon) —
+    trig ONCE per point, so the per-candidate distance below is pure
+    multiply-add (libm trig per candidate dominated the brute-force
+    strategy: ~10x slower than arithmetic)."""
     df = g.df if isinstance(g, Grid) else g
     return df.select(
         F.col("cell_id").alias(f"{prefix}_id"),
         F.radians("lon").alias(f"{prefix}_lon"),
         F.radians("lat").alias(f"{prefix}_lat"),
+        F.cos(F.radians("lat")).alias(f"{prefix}_cla"),
+        F.sin(F.radians("lat")).alias(f"{prefix}_sla"),
+        F.cos(F.radians("lon")).alias(f"{prefix}_clo"),
+        F.sin(F.radians("lon")).alias(f"{prefix}_slo"),
     )
 
 
 def _dist2(p: str, q: str):
-    """Squared 3-D chord distance between unit-sphere points (radians)."""
+    """Squared 3-D chord distance between unit-sphere points, in the
+    EXPANDED form over precomputed trig columns:
+    ``2 - 2*(cla_p*cla_q*(clo_p*clo_q + slo_p*slo_q) + sla_p*sla_q)``
+    (cos(a-b) expanded so candidates cost multiply-adds only; the
+    DuckDB oracle uses the identical expansion and op order)."""
     return (
         F.lit(2.0)
         - F.lit(2.0)
         * (
-            F.cos(F.col(f"{p}_lat")) * F.cos(F.col(f"{q}_lat"))
-            * F.cos(F.col(f"{p}_lon") - F.col(f"{q}_lon"))
-            + F.sin(F.col(f"{p}_lat")) * F.sin(F.col(f"{q}_lat"))
+            F.col(f"{p}_cla")
+            * F.col(f"{q}_cla")
+            * (
+                F.col(f"{p}_clo") * F.col(f"{q}_clo")
+                + F.col(f"{p}_slo") * F.col(f"{q}_slo")
+            )
+            + F.col(f"{p}_sla") * F.col(f"{q}_sla")
         )
     )
 
 
-def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float) -> DataFrame:
-    """For each point in ``need`` (n_id, n_lon, n_lat — radians), find the
-    nearest point in ``pool`` (p_id, p_lon, p_lat). Returns (n_id, p_id).
-    """
-    if strategy == "broadcast":
-        cand = need.crossJoin(F.broadcast(pool))
-        return _pick_nearest(cand)
+#: argmin encoding: quantized distance in the high bits, candidate id in
+#: the low 30 — lexicographic (dist, id) order as ONE primitive BIGINT.
+#: d2 <= 4 so the quantized part is < 4.1e9; 4.1e9 * 2^30 < 2^63. Ids
+#: must stay below 2^30 (~1.07e9 cells) — asserted by the caller's grid
+#: metadata at real scale.
+_ID_SHIFT = 1 << 30
 
-    # bucketed: equi-join on coarse spatial bins, 3x3 neighborhood
+
+def _argmin_agg(cand: DataFrame) -> DataFrame:
+    """(n_id, p_id, d2r) of the nearest candidate per needle.
+
+    The min runs over a PRIMITIVE encoding of (quantized d2, p_id), not
+    min(struct(...)) / min_by(...): struct-ordered aggregates plan as
+    SortAggregate, which SORTS the whole candidate relation (measured:
+    a 2.9e10-row broadcast-nn candidate set spilled the disk to death).
+    A primitive min is a HashAggregate with map-side partial combine —
+    tasks emit at most one row per needle and nothing ever sorts."""
+    enc = (
+        F.round(_dist2("n", "p") * F.lit(1e9)).cast("long") * F.lit(_ID_SHIFT)
+        + F.col("p_id")
+    ).alias("enc")
+    return (
+        cand.select("n_id", enc)
+        .groupBy("n_id")
+        .agg(F.min("enc").alias("enc"))
+        .select(
+            "n_id",
+            (F.col("enc") % _ID_SHIFT).alias("p_id"),
+            (F.floor(F.col("enc") / _ID_SHIFT).cast("double") / 1e9).alias("d2r"),
+        )
+    )
+
+
+def _bin_candidates(need: DataFrame, pool: DataFrame, bin_deg: float) -> DataFrame:
+    """Candidate pairs from the coarse-bin equi-join (3x3 neighborhood,
+    longitude wraps modulo the bin count)."""
     nbins_lon = max(1, int(round(360.0 / bin_deg)))
     binned_pool = pool.withColumn(
         "blat", F.floor((F.degrees("p_lat") + F.lit(90.0)) / F.lit(bin_deg)).cast("int")
@@ -100,28 +161,116 @@ def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float
             "n_id",
             "n_lon",
             "n_lat",
+            "n_cla",
+            "n_sla",
+            "n_clo",
+            "n_slo",
             (F.col("blat0") + F.col("off.da")).alias("blat"),
             (((F.col("blon0") + F.col("off.db")) % F.lit(nbins_lon) + F.lit(nbins_lon)) % F.lit(nbins_lon)).alias(
                 "blon"
             ),
         )
     )
-    cand = binned_need.join(binned_pool, ["blat", "blon"], "inner").drop("blat", "blon")
-    hit = _pick_nearest(cand)
-    # fallback: points whose 3x3 neighborhood was empty (sparse pool /
-    # polar bins) go through the exact broadcast pass — rare by design.
-    missed = need.join(hit.select("n_id"), "n_id", "left_anti")
-    rescue = _pick_nearest(missed.crossJoin(F.broadcast(pool)))
-    return hit.unionByName(rescue)
+    return binned_need.join(binned_pool, ["blat", "blon"], "inner").drop("blat", "blon")
 
 
-def _pick_nearest(cand: DataFrame) -> DataFrame:
-    d2 = _dist2("n", "p")
-    win = Window.partitionBy("n_id").orderBy(F.round(d2, 9).asc(), F.col("p_id").asc())
+def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float) -> DataFrame:
+    """For each point in ``need`` (n_id, n_lon, n_lat — radians), find the
+    nearest point in ``pool`` (p_id, p_lon, p_lat). Returns (n_id, p_id).
+    """
+    if strategy == "broadcast":
+        return _argmin_agg(need.crossJoin(F.broadcast(pool))).select("n_id", "p_id")
+
+    hit = _argmin_agg(_bin_candidates(need, pool, bin_deg))
+    # exactness bound (see module docstring): a winner farther than the
+    # closest possible out-of-neighborhood point cannot be trusted
+    bin_rad = math.radians(bin_deg)
+    phi_max = F.least(F.lit(math.pi / 2), F.abs(F.col("n_lat")) + F.lit(2 * bin_rad))
+    bound = F.lit(2.0) * F.cos(phi_max) * F.lit(math.sin(bin_rad / 2.0))
+    checked = (
+        hit.join(need, "n_id")
+        .withColumn("_ok", F.col("d2r") <= bound * bound)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ok = checked.filter("_ok").select("n_id", "p_id")
+    # rescue: empty neighborhoods + out-of-bound winners, resolved
+    # EXACTLY by broadcasting the (small) miss set against the
+    # distributed pool — the pool side is never collected
+    missed = need.join(checked.filter("_ok").select("n_id"), "n_id", "left_anti")
+    rescue = _argmin_agg(pool.crossJoin(F.broadcast(missed))).select("n_id", "p_id")
+    return ok.unionByName(rescue)
+
+
+def knn_join(
+    left: DataFrame | Grid,
+    right: DataFrame | Grid,
+    k: int = 1,
+    strategy: str = "auto",
+    bin_deg: float = 2.0,
+) -> DataFrame:
+    """Generic geographic k-NN join: for every left point, the k nearest
+    right points by great-circle (chord) distance. Inputs need columns
+    (cell_id, lon, lat) (degrees). Returns (left_id, right_id, rank,
+    dist2) with rank 1..k and dist2 the rounded squared chord distance.
+
+    Strategy mirrors the nearest-weights duality: ``broadcast`` for a
+    small right side; ``bucketed`` for the 100-TB shape — candidates
+    from the bin equi-join, per-needle top-k via window, and an exact
+    rescue for needles whose k-th winner fails the out-of-neighborhood
+    distance bound (or that found < k candidates).
+    """
+    need = _points(left, "n")
+    pool = _points(right, "p")
+    if strategy == "auto":
+        pool_n = pool.count()
+        strategy = "broadcast" if pool_n <= BROADCAST_LIMIT else "bucketed"
+
+    # quantized ordering key (same 1e-9 grid as _argmin_agg, so ties
+    # break identically in Spark and the DuckDB oracle)
+    qd = F.round(_dist2("n", "p") * F.lit(1e9)).cast("long").alias("qd")
+    w = Window.partitionBy("n_id").orderBy(F.col("qd").asc(), F.col("p_id").asc())
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.select("n_id", "n_lat", "p_id", qd)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("dist2", F.col("qd").cast("double") / F.lit(1e9))
+            .drop("qd")
+        )
+
+    if strategy == "broadcast":
+        res = topk(need.crossJoin(F.broadcast(pool)))
+        return res.select(
+            F.col("n_id").alias("left_id"),
+            F.col("p_id").alias("right_id"),
+            "rank",
+            "dist2",
+        )
+
+    hit = topk(_bin_candidates(need, pool, bin_deg)).persist(StorageLevel.MEMORY_AND_DISK)
+    bin_rad = math.radians(bin_deg)
+    phi_max = F.least(F.lit(math.pi / 2), F.abs(F.col("n_lat")) + F.lit(2 * bin_rad))
+    bound = F.lit(2.0) * F.cos(phi_max) * F.lit(math.sin(bin_rad / 2.0))
+    # a needle is trustworthy only if it found k candidates AND its k-th
+    # distance beats the out-of-neighborhood bound
+    per_needle = hit.groupBy("n_id").agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.max("dist2").alias("d_kth"),
+        F.first(F.pow(bound, 2)).alias("b2"),
+    )
+    ok_ids = per_needle.filter((F.col("n_found") >= k) & (F.col("d_kth") <= F.col("b2"))).select("n_id")
+    ok = hit.join(ok_ids, "n_id", "left_semi")
+    missed = need.join(ok_ids, "n_id", "left_anti")
+    rescue = topk(pool.crossJoin(F.broadcast(missed)))
     return (
-        cand.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select("n_id", "p_id")
+        ok.unionByName(rescue)
+        .select(
+            F.col("n_id").alias("left_id"),
+            F.col("p_id").alias("right_id"),
+            "rank",
+            "dist2",
+        )
     )
 
 
@@ -135,30 +284,30 @@ def nearest_weights(
     """COO triplets for nearest_s2d / nearest_d2s. S is always 1.0;
     d2s accumulation happens naturally in the apply's group-by-sum.
     """
-    sp = _points(src, "s")
-    dp = _points(dst, "d")
+    if direction not in ("s2d", "d2s"):
+        raise ValueError(f"direction must be 's2d' or 'd2s', got {direction!r}")
 
+    pool_grid = src if direction == "s2d" else dst
+    need_grid = dst if direction == "s2d" else src
     if strategy == "auto":
-        pool_n = src.n_cells if direction == "s2d" else dst.n_cells
-        strategy = "broadcast" if pool_n <= BROADCAST_LIMIT else "bucketed"
+        # brute force costs |need| * |pool| candidate evaluations; the
+        # bucketed equi-join wins long before the pool alone is "big"
+        big = (pool_grid.n_cells > BROADCAST_LIMIT) or (
+            pool_grid.n_cells * need_grid.n_cells > 2_000_000_000
+        )
+        strategy = "bucketed" if big else "broadcast"
     if bin_deg is None:
         # heuristic: bins ~2 cells wide on the pool grid so the true
         # nearest is inside the 3x3 neighborhood for quasi-uniform grids
-        pool = src if direction == "s2d" else dst
-        bin_deg = max(1.0, 2.0 * 360.0 / max(pool.n_x, 1))
+        bin_deg = max(1.0, 2.0 * 360.0 / max(pool_grid.n_x, 1))
 
+    need = _points(need_grid, "n")
+    pool = _points(pool_grid, "p")
+    pairs = _argmin_join(need, pool, strategy, bin_deg)
     if direction == "s2d":
-        need = dp.select(F.col("d_id").alias("n_id"), F.col("d_lon").alias("n_lon"), F.col("d_lat").alias("n_lat"))
-        pool = sp.select(F.col("s_id").alias("p_id"), F.col("s_lon").alias("p_lon"), F.col("s_lat").alias("p_lat"))
-        pairs = _argmin_join(need, pool, strategy, bin_deg)
         return pairs.select(
             F.col("n_id").alias("row"), F.col("p_id").alias("col"), F.lit(1.0).alias("S")
         )
-    elif direction == "d2s":
-        need = sp.select(F.col("s_id").alias("n_id"), F.col("s_lon").alias("n_lon"), F.col("s_lat").alias("n_lat"))
-        pool = dp.select(F.col("d_id").alias("p_id"), F.col("d_lon").alias("p_lon"), F.col("d_lat").alias("p_lat"))
-        pairs = _argmin_join(need, pool, strategy, bin_deg)
-        return pairs.select(
-            F.col("p_id").alias("row"), F.col("n_id").alias("col"), F.lit(1.0).alias("S")
-        )
-    raise ValueError(f"direction must be 's2d' or 'd2s', got {direction!r}")
+    return pairs.select(
+        F.col("p_id").alias("row"), F.col("n_id").alias("col"), F.lit(1.0).alias("S")
+    )
