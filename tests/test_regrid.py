@@ -204,3 +204,35 @@ def test_bilinear_locstream_per_point_brackets(spark, g_in):
     rows = {(r.row, divmod(r.col, g_in.n_x)[0]) for r in w.collect()}
     assert {sj for (r, sj) in rows if r == 0} == {4, 5}
     assert {sj for (r, sj) in rows if r == 1} == {9, 10}
+
+
+def test_smm_apply_scans_field_once(spark, g_in, g_out, tmp_path):
+    """The extra-dim combo base must come from the aggregate (tiny), not
+    a second scan of the field — at 100-TB field scale a second scan
+    doubles the read just to enumerate (time, lev)."""
+    import contextlib
+    import io
+
+    from xesmf_spark.apply import smm_apply
+    from xesmf_spark.grids import wave_smooth
+    from xesmf_spark.weights import conservative_weights
+
+    path = str(tmp_path / "field.parquet")
+    (
+        g_in.df.select("cell_id", wave_smooth().alias("value"))
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("time")))
+        .write.parquet(path)
+    )
+    field = spark.read.parquet(path)
+    w = conservative_weights(g_in, g_out)
+    out = smm_apply(field, w, g_out, extra_keys=("time",), attach_coords=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # one DISTINCT parquet scan node (each scan node gets its own
+    # "Location:" details block; a second scan of the field would add a
+    # second block) — the combo base reads the cached aggregate instead
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    # and the result is still complete: every (cell, time) slot present
+    assert out.count() == g_out.n_cells * 3

@@ -39,6 +39,7 @@ def smm_apply(
     cell_col: str = "cell_id",
     broadcast_weights: bool = True,
     attach_coords: bool = True,
+    extra_combos: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a sparse weight matrix to a long-format field.
 
@@ -58,6 +59,13 @@ def smm_apply(
     Multi-variable apply shares a single join and a single shuffle —
     the relational analogue of the reference looping ``regrid_dataarray``
     per variable but strictly better (one pass over the field).
+
+    ``extra_combos``: the distinct extra-dim combinations (a dimension
+    table). When omitted it is derived from the aggregated result
+    (output-sized, persisted once) — NOT from a second scan of the
+    field, which at 100-TB field scale would double the read just to
+    enumerate (time, lev). Pass it explicitly when you have it (the
+    usual case: the combos are known upstream).
     """
     dest_df = dest_grid.df if isinstance(dest_grid, Grid) else dest_grid
     w = F.broadcast(weights) if broadcast_weights else weights
@@ -71,27 +79,40 @@ def smm_apply(
         .groupBy(*extra, "row")
         .agg(*aggs)
     )
+    if extra and extra_combos is None:
+        # derive combos from the (small) aggregate, and persist it so
+        # the field is scanned exactly once — a dense field's combos
+        # all survive the inner join (reference contract smm.py:77-86)
+        applied = applied.persist()
+        extra_combos = applied.select(*extra).distinct()
 
     # base = dest cells x distinct extra-dim combos (so unmapped cells and
-    # empty groups still appear, with 0.0 — hash-match with the oracle)
+    # empty groups still appear, with 0.0 — hash-match with the oracle).
+    # String aliases qualify the (possibly self-referencing) join: when
+    # combos derive from `applied`, both join sides share lineage.
     if attach_coords:
         base = dest_df.select(F.col("cell_id"), "lon", "lat")
     else:
         base = dest_df.select("cell_id")
     if extra:
-        combos = field.select(*extra).distinct()
-        base = base.crossJoin(F.broadcast(combos))
+        base = base.crossJoin(F.broadcast(extra_combos))
+    base = base.alias("__b")
+    applied = applied.alias("__a")
 
-    out = base.join(applied, (base["cell_id"] == applied["row"]) if not extra else (
-        (base["cell_id"] == applied["row"])
-        & _and_all([base[k].eqNullSafe(applied[k]) for k in extra])
-    ), "left")
+    cond = F.col("__b.cell_id") == F.col("__a.row")
+    if extra:
+        cond = cond & _and_all(
+            [F.col(f"__b.{k}").eqNullSafe(F.col(f"__a.{k}")) for k in extra]
+        )
+    out = base.join(applied, cond, "left")
 
-    sel = [base["cell_id"]]
+    sel = [F.col("__b.cell_id")]
     if attach_coords:
-        sel += [base["lon"], base["lat"]]
-    sel += [base[k] for k in extra]
-    sel += [F.coalesce(applied[f"__agg_{v}"], F.lit(0.0)).alias(v) for v in value_cols]
+        sel += [F.col("__b.lon"), F.col("__b.lat")]
+    sel += [F.col(f"__b.{k}") for k in extra]
+    sel += [
+        F.coalesce(F.col(f"__a.__agg_{v}"), F.lit(0.0)).alias(v) for v in value_cols
+    ]
     return out.select(*sel)
 
 

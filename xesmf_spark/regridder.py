@@ -28,6 +28,26 @@ from xesmf_spark.weights import (
 )
 
 
+#: weights with more triplets than this are NOT broadcast by default —
+#: nnz ~ n_src for nearest_d2s can exceed executor memory at the scales
+#: this module targets (a broadcast table is materialized per executor)
+BROADCAST_NNZ_LIMIT = 10_000_000
+
+
+def _grid_extent_hash(grid: Grid) -> str:
+    """Short digest of the grid's geometry (shape + lon/lat extents) for
+    the weight-cache key: shapes alone collide — two different grid
+    pairs with equal shapes would silently reuse each other's weights
+    from the shared cache dir."""
+    import hashlib
+
+    ext = grid.df.agg(
+        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
+    ).collect()[0]
+    raw = f"{grid.shape}|{tuple(round(v, 9) if v is not None else None for v in ext)}"
+    return hashlib.md5(raw.encode()).hexdigest()[:8]
+
+
 class Regridder:
     def __init__(
         self,
@@ -78,20 +98,26 @@ class Regridder:
         self.n_in = grid_in.n_cells
         self.n_out = grid_out.n_cells
         self.reuse_weights = reuse_weights
-        # cache key mirrors _get_default_filename (frontend.py:251-262)
+        # cache key mirrors _get_default_filename (frontend.py:251-262),
+        # extended with a geometry digest: shapes alone under-determine
+        # the grid pair and reuse_weights=True would silently load
+        # mismatched weights from the shared cache dir
         if filename is None:
-            filename = "{}_{}x{}_{}x{}{}.parquet".format(
+            filename = "{}_{}x{}_{}x{}{}_{}_{}.parquet".format(
                 method,
                 grid_in.n_y,
                 grid_in.n_x,
                 grid_out.n_y,
                 grid_out.n_x,
                 "_peri" if self.periodic else "",
+                _grid_extent_hash(grid_in),
+                _grid_extent_hash(grid_out),
             )
         self.filename = os.path.join(weights_dir, filename)
 
         self._write_weights()
         self.weights = spark.read.parquet(self.filename)
+        self.nnz = self.weights.count()  # parquet metadata count — cheap
 
     # -- weight lifecycle (frontend.py:264-293) --------------------------
 
@@ -131,18 +157,30 @@ class Regridder:
         field: DataFrame,
         extra_keys: tuple[str, ...] = (),
         value_cols: tuple[str, ...] = ("value",),
+        broadcast_weights: bool | None = None,
+        extra_combos: DataFrame | None = None,
     ) -> DataFrame:
         """Regrid a long-format field DataFrame
         ``[*extra_keys, cell_id, *value_cols]`` → same layout on the
         destination grid (with dest lon/lat attached, the analogue of the
         coord attach at frontend.py:432-439).
+
+        ``broadcast_weights=None`` (auto) broadcasts only while the
+        triplet count stays under ``BROADCAST_NNZ_LIMIT`` — nearest_d2s
+        weights have nnz = n_src, which at target scale would blow the
+        per-executor broadcast; past the limit the apply falls back to a
+        shuffle hash join on ``col``.
         """
+        if broadcast_weights is None:
+            broadcast_weights = self.nnz <= BROADCAST_NNZ_LIMIT
         return smm_apply(
             field,
             self.weights,
             self.grid_out,
             extra_keys=extra_keys,
             value_cols=value_cols,
+            broadcast_weights=broadcast_weights,
+            extra_combos=extra_combos,
         )
 
     def __repr__(self) -> str:
