@@ -181,6 +181,81 @@ def grid_global(spark: SparkSession, d_lon: float, d_lat: float, periodic: bool 
     return grid_2d(spark, -180.0, 180.0, d_lon, -90.0, 90.0, d_lat, periodic=periodic)
 
 
+def grid_from_arrays(
+    spark: SparkSession,
+    lon,
+    lat,
+    lon_b=None,
+    lat_b=None,
+    periodic: bool = False,
+) -> Grid:
+    """Rectilinear grid from plain 1-D coordinate arrays (+ optional
+    bounds arrays of length n+1) — the ingestion analogue of the
+    reference accepting plain dicts (xesmf/frontend.py:58-60,
+    tests/test_frontend.py:105-113). Without bounds the grid supports
+    bilinear/nearest but not conservative (which needs cell corners —
+    same gate as the reference, frontend.py:165-167).
+    """
+    lon = [float(v) for v in lon]
+    lat = [float(v) for v in lat]
+    has_bounds = lon_b is not None and lat_b is not None
+    if (lon_b is None) != (lat_b is None):
+        raise ValueError("provide both lon_b and lat_b, or neither")
+
+    def axis_rows(centers, bounds, idx_name):
+        if bounds is not None:
+            bounds = [float(v) for v in bounds]
+            if len(bounds) != len(centers) + 1:
+                raise ValueError(
+                    f"{idx_name}-bounds must have len(centers)+1 entries "
+                    f"(got {len(bounds)} for {len(centers)})"
+                )
+            return [
+                (k, bounds[k], bounds[k + 1], centers[k]) for k in range(len(centers))
+            ]
+        return [(k, None, None, centers[k]) for k in range(len(centers))]
+
+    schema = "{} bigint, lo double, hi double, c double"
+    lon_ax = spark.createDataFrame(axis_rows(lon, lon_b, "lon"), schema.format("i"))
+    lat_ax = spark.createDataFrame(axis_rows(lat, lat_b, "lat"), schema.format("j"))
+    n_x, n_y = len(lon), len(lat)
+    cells = (
+        lat_ax.select(
+            F.col("j"),
+            F.col("lo").alias("lat_lo"),
+            F.col("hi").alias("lat_hi"),
+            F.col("c").alias("lat"),
+        )
+        .crossJoin(
+            lon_ax.select(
+                F.col("i"),
+                F.col("lo").alias("lon_lo"),
+                F.col("hi").alias("lon_hi"),
+                F.col("c").alias("lon"),
+            )
+        )
+        .select(
+            (F.col("j") * F.lit(n_x) + F.col("i")).alias("cell_id"),
+            "j",
+            "i",
+            "lon",
+            "lat",
+            "lon_lo",
+            "lon_hi",
+            "lat_lo",
+            "lat_hi",
+        )
+    )
+    return Grid(
+        df=cells,
+        shape=(n_y, n_x),
+        periodic=periodic,
+        has_bounds=has_bounds,
+        lon_axis=lon_ax,
+        lat_axis=lat_ax,
+    )
+
+
 def locstream(spark: SparkSession, lons: list[float], lats: list[float]) -> Grid:
     """Point list ("LocStream", xesmf/frontend.py:75-102) as a Grid of
     shape (1, n) with no bounds — matches the reference's shape hack at

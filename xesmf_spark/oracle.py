@@ -345,6 +345,30 @@ FROM pts p LEFT JOIN agg a ON p.pid = a.row
 """
 
 
+def regrid_multivar_oracle_sql() -> str:
+    """Dataset multi-variable oracle: two value columns through one
+    shared join (engine: apply.py value_cols)."""
+    src, dst = G_IN, G_OUT
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+{grid_ctes(dst, 'dst')},
+{conservative_weights_ctes(src, dst)},
+field AS (
+  SELECT cell_id, {WAVE} AS va, ({WAVE}) * lat AS vb FROM src_cells
+),
+agg AS (
+  SELECT w.row, SUM(w.S * f.va) AS va, SUM(w.S * f.vb) AS vb
+  FROM w JOIN field f ON w.col = f.cell_id
+  GROUP BY w.row
+)
+SELECT d.cell_id,
+       ROUND(COALESCE(a.va, 0.0), {ROUND}) AS va,
+       ROUND(COALESCE(a.vb, 0.0), {ROUND}) AS vb
+FROM dst_cells d LEFT JOIN agg a ON d.cell_id = a.row
+"""
+
+
 def regrid_4d_oracle_sql(n_time: int = 3, n_lev: int = 2) -> str:
     """Conservative 4-D broadcast oracle: data4D = time*lev*wave."""
     src, dst = G_IN, G_OUT

@@ -111,6 +111,26 @@ def regrid_bilinear_locstream(spark, sf_dir, n_pts: int = 49):
     )
 
 
+def regrid_dataset_multivar(spark, sf_dir):
+    """Dataset-style multi-variable regrid: two value columns regridded
+    through ONE shared join+aggregate (the relational upgrade over the
+    reference looping regrid_dataarray per variable,
+    frontend.py:448-511)."""
+    g_in, g_out = _fixture_grids(spark)
+    w = conservative_weights(g_in, g_out)
+    field = g_in.df.select(
+        "cell_id",
+        wave_smooth().alias("va"),
+        (wave_smooth() * F.col("lat")).alias("vb"),
+    )
+    out = smm_apply(field, w, g_out, value_cols=("va", "vb"), attach_coords=False)
+    return out.select(
+        "cell_id",
+        F.round("va", ROUND).alias("va"),
+        F.round("vb", ROUND).alias("vb"),
+    )
+
+
 def regrid_conservative_4d(spark, sf_dir, n_time: int = 3, n_lev: int = 2):
     """4-D broadcast apply: extra dims are plain group-by keys (the
     relational form of the reference's smm.py:89 flatten-and-batch)."""

@@ -14,7 +14,8 @@ Methods (xesmf/backend.py:241-246):
 
 from xesmf_spark.weights.conservative import conservative_weights
 from xesmf_spark.weights.bilinear import bilinear_weights
-from xesmf_spark.weights.nearest import nearest_weights
+from xesmf_spark.weights.nearest import nearest_weights, knn_join
+from xesmf_spark.weights.io import read_weights_netcdf, write_weights_netcdf
 
 METHODS = ("bilinear", "conservative", "nearest_s2d", "nearest_d2s", "patch")
 
@@ -22,5 +23,8 @@ __all__ = [
     "conservative_weights",
     "bilinear_weights",
     "nearest_weights",
+    "knn_join",
+    "read_weights_netcdf",
+    "write_weights_netcdf",
     "METHODS",
 ]
