@@ -46,6 +46,10 @@ def main():
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop caches left by operators that persist intermediates
+        # (minhash shingles, nearest hit-sets, apply combos): accumulated
+        # storage from prior queries must not bleed into the next timing
+        spark.catalog.clearCache()
 
     # --- canonical grid pair (BASELINE.md / Backend.ipynb cell 5) --------
     g_in = grid_2d(spark, -120, 120, 0.4, -60, 60, 0.3)    # 400 x 600
@@ -111,14 +115,21 @@ def main():
     timings["apply_vectorized_GBps"] = round(gb / timings["apply_vectorized_0.96GB"], 3)
 
     # --- relational apply on a 12M-row long field -------------------------
+    lon_sql = f"-120.0 + (CAST(cell_id % {n_x} AS DOUBLE) + 0.5) * 0.4"
+    lat_sql = f"-60.0 + (CAST(cell_id DIV {n_x} AS DOUBLE) + 0.5) * 0.3"
+    wave_sql = f"2.0 + POW(COS(RADIANS({lat_sql})), 2.0) * COS(2.0 * RADIANS({lon_sql}))"
     long_field = (
         spark.range(n_in).select(F.col("id").alias("cell_id"))
         .crossJoin(spark.range(1, 51).select(F.col("id").alias("slice")))
-        .select("slice", "cell_id", F.expr(f"CAST(slice AS DOUBLE) * ({wave.replace('i %', 'cell_id %').replace('i DIV', 'cell_id DIV')})").alias("value"))
+        .select("slice", "cell_id", F.expr(f"CAST(slice AS DOUBLE) * ({wave_sql})").alias("value"))
     )
+    slices = spark.range(1, 51).select(F.col("id").alias("slice"))
     timed(
         "apply_relational_12Mrows",
-        lambda: smm_apply(long_field, w_bl, g_out, extra_keys=("slice",), attach_coords=False)
+        lambda: smm_apply(
+            long_field, w_bl, g_out, extra_keys=("slice",), attach_coords=False,
+            extra_combos=slices,  # dimension table known upstream — no derive
+        )
         .select(F.sum("value"))
         .collect(),
     )
@@ -132,6 +143,12 @@ def main():
         "tpch_q5_local_supplier",
         "events_sessionize",
         "events_hourly",
+        "pipeline_minhash_dedup",
+        "pipeline_text_stats",
+        "ann_cosine_top3",
+        "ann_ivf_top3",
+        "knn_top3",
+        "multimodal_features",
     ):
         fn = getattr(Q, name)
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())

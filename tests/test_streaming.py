@@ -1,0 +1,93 @@
+"""Streaming-vs-batch parity tests (Structured Streaming surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xesmf_spark import streaming as ST
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_stream_hourly_matches_batch(spark, tmp_path):
+    """The windowed streaming aggregate over the full (finite) input
+    must equal the batch groupBy — append mode emits every window once
+    the availableNow run drains the source."""
+    import shutil
+
+    # file stream sources read DIRECTORIES; stage the single-file table
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(EVENTS, src_dir / "part-000.parquet")
+    ev = ST.events_stream(spark, str(src_dir))
+    out = ST.run_to_memory(
+        ST.stream_hourly_events(ev), "hourly_test", output_mode="append"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in out.collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(EVENTS)
+        .withColumn("event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+        .groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    # watermark may hold back the final (open) window in append mode;
+    # every emitted window must match batch exactly and cover ~all of it
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    # windows still inside the watermark horizon are held back in append
+    # mode — bounded by windows-in-flight x event types, not data volume
+    assert len(got) >= len(want) - 20
+
+
+def test_regrid_stream_matches_batch(spark, tmp_path):
+    """Streaming weight application == batch join-agg on the same
+    (finite) field stream."""
+    from xesmf_spark.grids import grid_global, wave_smooth
+    from xesmf_spark.weights import conservative_weights
+
+    g_in = grid_global(spark, 20, 12)
+    g_out = grid_global(spark, 15, 9)
+    w = conservative_weights(g_in, g_out)
+    w.persist().count()
+
+    # finite field "stream": 3 hourly slices of the wave field
+    field_dir = str(tmp_path / "field_stream")
+    (
+        g_in.df.select("cell_id", wave_smooth().alias("value"))
+        .crossJoin(
+            spark.range(3).select(
+                F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 3600).alias(
+                    "event_ts"
+                )
+            )
+        )
+        .select("event_ts", "cell_id", "value")
+        .write.parquet(field_dir)
+    )
+    static = spark.read.parquet(field_dir)
+    stream = spark.readStream.schema(static.schema).parquet(field_dir)
+    # zero watermark: the finite fixture spans only 3 hours, so any
+    # horizon >= the span would hold back every window in append mode
+    out = ST.run_to_memory(
+        ST.regrid_stream(stream, w, g_out, watermark="0 seconds"),
+        "regrid_stream_test",
+    )
+    got = {(r.window_start, r.row): r.value for r in out.collect()}
+    batch = (
+        static.join(w, F.col("cell_id") == F.col("col"))
+        .groupBy(F.window("event_ts", "1 hour").alias("wd"), "row")
+        .agg(F.sum(F.col("S") * F.col("value")).alias("value"))
+        .select(F.col("wd.start").alias("window_start"), "row", "value")
+    )
+    want = {(r.window_start, r.row): r.value for r in batch.collect()}
+    assert got
+    for k, v in got.items():
+        assert abs(want[k] - v) < 1e-12
+    assert len(got) >= len(want) - g_out.n_cells  # last window may be held

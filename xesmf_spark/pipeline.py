@@ -180,17 +180,30 @@ def minhash_dedup_pairs(
     shingle-set Jaccard (no false positives — LSH only bounds recall).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
 
-    The verify join touches only candidate pairs' shingle sets: shingle
-    lists re-derived for the candidate ids (a semi-join-pruned scan),
-    intersection via explode + join, union by inclusion-exclusion.
+    The verify join touches only candidate pairs' shingle sets, and the
+    shingle table is computed ONCE (persisted) and shared between the
+    signature aggregation and the verification join — shingling (regex +
+    tokenize + n-gram) is the expensive map-side step and must not run
+    per consumer.
     """
-    sigs = minhash_signatures(df, id_col, text_col)
-    cand = lsh_candidate_pairs(sigs, id_col)
-
-    sh = df.select(
-        F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("sh_set")
-    ).withColumn("n_sh", F.size("sh_set"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("sh_set")
+        )
+        .withColumn("n_sh", F.size("sh_set"))
+        .persist()
+    )
     ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
+
+    hashed = ex.select(
+        F.col("sid").alias(id_col), base_hash(F.col("shingle")).alias("hb")
+    )
+    aggs = [
+        F.min((F.lit(_a(i)) * F.col("hb") + F.lit(_b(i))) % P).alias(f"sig_{i}")
+        for i in range(K_HASHES)
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    cand = lsh_candidate_pairs(sigs, id_col)
 
     inter = (
         cand.join(ex.alias("ea"), F.col("id_a") == F.col("ea.sid"))

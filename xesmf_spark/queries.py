@@ -151,7 +151,14 @@ def regrid_conservative_4d(spark, sf_dir, n_time: int = 3, n_lev: int = 2):
             ),
         )
     )
-    out = smm_apply(field, w, g_out, extra_keys=("time", "lev"), attach_coords=False)
+    out = smm_apply(
+        field,
+        w,
+        g_out,
+        extra_keys=("time", "lev"),
+        attach_coords=False,
+        extra_combos=times.crossJoin(levs),
+    )
     return out.select("cell_id", "time", "lev", F.round("value", ROUND).alias("value"))
 
 
@@ -264,8 +271,19 @@ def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
 # ---------------------------------------------------------------------------
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small-file table across the cluster: a table read from
+    one or two parquet files plans 1-2 tasks, serializing every
+    downstream stage. At real scale inputs arrive pre-partitioned and
+    this is a no-op."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return _t(spark, sf_dir, "documents")
+    return _par(spark, _t(spark, sf_dir, "documents"))
 
 
 def _docs_with_dups(docs):
@@ -386,7 +404,7 @@ def ann_cosine_top3(spark, sf_dir):
     correctness baseline for similarity search (O(n^2), broadcast)."""
     from xesmf_spark import similarity as SIM
 
-    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    return SIM.cosine_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
 def ann_ivf_top3(spark, sf_dir):
@@ -394,7 +412,7 @@ def ann_ivf_top3(spark, sf_dir):
     centroid cell ids — the 100-TB shape (probe cost, never all-pairs)."""
     from xesmf_spark import similarity as SIM
 
-    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    return SIM.ivf_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
 def events_hourly(spark, sf_dir):

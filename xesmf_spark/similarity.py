@@ -38,7 +38,11 @@ ROUND_ORD = 6  #: cosine rounding used in ordering + output
 
 def _dot(a, b):
     """Sequential left-to-right dot product of two float arrays as
-    DOUBLE — bit-matches DuckDB's list_sum(list_transform(...))."""
+    DOUBLE — bit-matches DuckDB's list_sum(list_transform(...)).
+
+    Measured note: this zip_with+aggregate fold IS the fast form — an
+    unrolled 64-term element_at chain was 7x slower (the giant codegen
+    expression tree defeats JIT), so don't "optimize" it that way."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -130,10 +134,14 @@ def ivf_topk(
     (query_id, neighbor_id, cosine, rank). Approximate: a true neighbor
     assigned to an unprobed cell is missed — the classic IVF recall
     trade; raise ``n_probe`` to trade cost for recall."""
-    pool = ivf_assignments(df, n_centroids, id_col, vec_col, n_probe=1).select(
+    # one assignment pass serves both roles: pool membership is the
+    # rank-1 cell, probes are the top n_probe cells (persisted — the
+    # |vecs| x |centroids| window runs once)
+    assign = ivf_assignments(df, n_centroids, id_col, vec_col, n_probe=n_probe).persist()
+    pool = assign.filter(F.col("crank") == 1).select(
         F.col("cell"), F.col("id").alias("pid"), F.col("v").alias("pv"), F.col("nrm").alias("pnrm")
     )
-    probes = ivf_assignments(df, n_centroids, id_col, vec_col, n_probe=n_probe).select(
+    probes = assign.select(
         F.col("cell"),
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),

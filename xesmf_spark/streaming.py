@@ -1,0 +1,119 @@
+"""Structured Streaming forms of the engine's aggregations.
+
+The reference is batch-only (dask is lazy batch — SURVEY.md §2C), but
+the engine's two core shapes both stream naturally because their state
+is bounded and key-partitioned:
+
+- ``stream_hourly_events``: the events tumbling-window aggregate under
+  ``readStream`` with a watermark — late rows beyond the watermark are
+  dropped, state is per (window, event_type), and the sink sees appends
+  once windows close.
+- ``regrid_stream``: weight application over a STREAM of field rows.
+  The weights are a static DataFrame, so the join is a stream-static
+  broadcast join (no stream-stream state), and the per-(window, row)
+  sum is an ordinary windowed aggregation. Weights being data-independent
+  (the reference's central premise, Reuse_regridder.ipynb c21-22) is
+  exactly what makes online regridding a safe streaming query.
+
+Scale notes: state size = windows-in-flight x destination cells (or
+event types) — independent of stream volume; watermark bounds the
+windows in flight. At 100-TB/day rates the pre-aggregation into
+(window, cell) partials happens map-side before the shuffle, same as
+the batch apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
+    """File-source stream over the driver's events parquet layout
+    (``ts`` is INT64 nanoseconds; converted to a real timestamp here)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    raw = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000))
+    )
+
+
+def stream_hourly_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with late-data watermark —
+    the streaming twin of queries.events_hourly."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def regrid_stream(
+    field_stream: DataFrame,
+    weights: DataFrame,
+    dest_grid,
+    time_col: str = "event_ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    cell_col: str = "cell_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming weight application: stream-static broadcast join with
+    the (static) weight triplets + windowed per-destination-cell sum.
+
+    Returns (window_start, row, value) — unmapped destination cells are
+    NOT zero-filled here (that needs the closed set of windows, a batch
+    concept); consumers needing dense output left-join the dest grid
+    per closed window downstream.
+    """
+    w = F.broadcast(weights)
+    return (
+        field_stream.withWatermark(time_col, watermark)
+        .join(w, F.col(cell_col) == F.col("col"), "inner")
+        .groupBy(
+            F.window(F.col(time_col), window_duration).alias("w"),
+            F.col("row"),
+        )
+        .agg(F.sum(F.col("S") * F.col(value_col)).alias(value_col))
+        .select(F.col("w.start").alias("window_start"), "row", value_col)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drive a streaming query to completion over the currently
+    available input (availableNow trigger) into an in-memory sink and
+    return the result as a DataFrame — the test/verification harness
+    for the streaming operators."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
