@@ -81,6 +81,9 @@ class Grid:
     shape: tuple[int, int]
     periodic: bool = False
     has_bounds: bool = True
+    #: True when lon/lat are full 2-D fields (no separable axes) —
+    #: weight builders must not derive 1-D axis tables from the cells
+    curvilinear: bool = False
     # optional cached 1-D axis tables for rectilinear grids (tiny)
     lon_axis: DataFrame | None = dc_field(default=None, repr=False)
     lat_axis: DataFrame | None = dc_field(default=None, repr=False)
@@ -253,6 +256,32 @@ def grid_from_arrays(
         has_bounds=has_bounds,
         lon_axis=lon_ax,
         lat_axis=lat_ax,
+    )
+
+
+def grid_from_2d_arrays(spark: SparkSession, lon2d, lat2d, periodic: bool = False) -> Grid:
+    """CURVILINEAR grid from full 2-D lon/lat coordinate arrays (nested
+    sequences or numpy), shape (n_y, n_x) — the reference's general
+    2-D-mesh ingestion (xesmf/frontend.py:33-72 passes 2-D arrays to
+    ESMF unchanged). No bounds: bilinear (point-in-quad) and nearest
+    work; conservative needs corners and is gated by the Regridder."""
+    lon2d = [[float(v) for v in row] for row in lon2d]
+    lat2d = [[float(v) for v in row] for row in lat2d]
+    n_y, n_x = len(lon2d), len(lon2d[0])
+    if len(lat2d) != n_y or any(len(r) != n_x for r in lon2d + lat2d):
+        raise ValueError("lon2d and lat2d must be equal-shaped 2-D arrays")
+    rows = [
+        (j * n_x + i, j, i, lon2d[j][i], lat2d[j][i])
+        for j in range(n_y)
+        for i in range(n_x)
+    ]
+    df = spark.createDataFrame(
+        rows, "cell_id bigint, j bigint, i bigint, lon double, lat double"
+    )
+    for c in ("lon_lo", "lon_hi", "lat_lo", "lat_hi"):
+        df = df.withColumn(c, F.lit(None).cast("double"))
+    return Grid(
+        df=df, shape=(n_y, n_x), periodic=periodic, has_bounds=False, curvilinear=True
     )
 
 

@@ -345,6 +345,123 @@ FROM pts p LEFT JOIN agg a ON p.pid = a.row
 """
 
 
+def bilinear_curvilinear_oracle_sql(n_y: int = 20, n_x: int = 30, n_pts: int = 64) -> str:
+    """Oracle for bilinear over a CURVILINEAR mesh: the sheared mesh is
+    pure arithmetic (bit-identical across engines); point-in-quad cross
+    products, the inverse-bilinear quadratic, branch selections and
+    clamps mirror weights/curvilinear.py operation-for-operation. The
+    candidate set here is the plain cross join — the engine's bin join
+    is an optimization that never drops a containing quad."""
+    return f"""
+WITH
+mesh AS (
+  SELECT j, i,
+         -30.0 + 60.0 * CAST(i AS DOUBLE) / {float(n_x - 1)!r} AS x,
+         -20.0 + 40.0 * CAST(j AS DOUBLE) / {float(n_y - 1)!r} AS y
+  FROM range({n_y}) t(j) CROSS JOIN range({n_x}) s(i)
+),
+src_cells AS (
+  SELECT j * {n_x} + i AS cell_id, j, i,
+         x + 0.25 * y + 0.004 * x * y AS lon,
+         y + 0.15 * x - 0.003 * x * y AS lat
+  FROM mesh
+),
+pts AS (
+  SELECT k AS pid,
+         -18.0 + CAST(k % 8 AS DOUBLE) * 5.0 + CAST(k // 8 AS DOUBLE) * 0.37 AS px,
+         -13.0 + CAST(k // 8 AS DOUBLE) * 3.5 + CAST(k % 8 AS DOUBLE) * 0.21 AS py
+  FROM range({n_pts}) t(k)
+),
+quads AS (
+  SELECT a.j, a.i,
+         a.cell_id AS id00, a.lon AS x00, a.lat AS y00,
+         b.cell_id AS id10, b.lon AS x10, b.lat AS y10,
+         c.cell_id AS id01, c.lon AS x01, c.lat AS y01,
+         d.cell_id AS id11, d.lon AS x11, d.lat AS y11
+  FROM src_cells a
+  JOIN src_cells b ON b.j = a.j AND b.i = a.i + 1
+  JOIN src_cells c ON c.j = a.j + 1 AND c.i = a.i
+  JOIN src_cells d ON d.j = a.j + 1 AND d.i = a.i + 1
+),
+hits AS (
+  SELECT * FROM (
+    SELECT p.pid, p.px, p.py, q.*,
+           ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY q.j, q.i) AS _rk
+    FROM pts p CROSS JOIN quads q
+    WHERE (
+      ((q.x10 - q.x00) * (p.py - q.y00) - (q.y10 - q.y00) * (p.px - q.x00) >= 0 AND
+       (q.x11 - q.x10) * (p.py - q.y10) - (q.y11 - q.y10) * (p.px - q.x10) >= 0 AND
+       (q.x01 - q.x11) * (p.py - q.y11) - (q.y01 - q.y11) * (p.px - q.x11) >= 0 AND
+       (q.x00 - q.x01) * (p.py - q.y01) - (q.y00 - q.y01) * (p.px - q.x01) >= 0)
+      OR
+      ((q.x10 - q.x00) * (p.py - q.y00) - (q.y10 - q.y00) * (p.px - q.x00) <= 0 AND
+       (q.x11 - q.x10) * (p.py - q.y10) - (q.y11 - q.y10) * (p.px - q.x10) <= 0 AND
+       (q.x01 - q.x11) * (p.py - q.y11) - (q.y01 - q.y11) * (p.px - q.x11) <= 0 AND
+       (q.x00 - q.x01) * (p.py - q.y01) - (q.y00 - q.y01) * (p.px - q.x01) <= 0)
+    )
+  ) WHERE _rk = 1
+),
+solved AS (
+  SELECT pid, id00, id10, id01, id11,
+         LEAST(GREATEST(CASE WHEN ABS(den_x) >= ABS(den_y)
+                             THEN (qx - cx * v0) / den_x
+                             ELSE (qy - cy * v0) / den_y END, 0.0), 1.0) AS u,
+         LEAST(GREATEST(v0, 0.0), 1.0) AS v
+  FROM (
+    SELECT *,
+           bx + dx * v0 AS den_x,
+           by + dy * v0 AS den_y
+    FROM (
+      SELECT *,
+             CASE WHEN ABS(aa) < 1e-12 THEN -1.0 * cc / bb
+                  ELSE CASE WHEN ((-1.0 * bb + sq) / (2.0 * aa)) >= -1e-9
+                             AND ((-1.0 * bb + sq) / (2.0 * aa)) <= 1.0 + 1e-9
+                            THEN (-1.0 * bb + sq) / (2.0 * aa)
+                            ELSE (-1.0 * bb - sq) / (2.0 * aa) END
+             END AS v0
+      FROM (
+        SELECT *,
+               SQRT(GREATEST(bb * bb - 4.0 * aa * cc, 0.0)) AS sq
+        FROM (
+          SELECT pid, id00, id10, id01, id11, bx, by, cx, cy, dx, dy, qx, qy,
+                 cy * dx - cx * dy AS aa,
+                 qx * dy - qy * dx + bx * cy - by * cx AS bb,
+                 qx * by - qy * bx AS cc
+          FROM (
+            SELECT pid, id00, id10, id01, id11,
+                   x10 - x00 AS bx, y10 - y00 AS by,
+                   x01 - x00 AS cx, y01 - y00 AS cy,
+                   x11 - x10 - x01 + x00 AS dx,
+                   y11 - y10 - y01 + y00 AS dy,
+                   px - x00 AS qx, py - y00 AS qy
+            FROM hits
+          )
+        )
+      )
+    )
+  )
+),
+w AS (
+  SELECT pid AS row, id00 AS col, (1.0 - u) * (1.0 - v) AS S FROM solved
+  UNION ALL SELECT pid, id10, u * (1.0 - v) FROM solved
+  UNION ALL SELECT pid, id01, (1.0 - u) * v FROM solved
+  UNION ALL SELECT pid, id11, u * v FROM solved
+),
+w_nz AS (SELECT * FROM w WHERE S > 0.0),
+field AS (SELECT cell_id, {WAVE} AS value FROM src_cells),
+agg AS (
+  SELECT w_nz.row, SUM(w_nz.S * f.value) AS v
+  FROM w_nz JOIN field f ON w_nz.col = f.cell_id
+  GROUP BY w_nz.row
+)
+SELECT p.pid AS cell_id,
+       ROUND(p.px, {ROUND}) AS lon,
+       ROUND(p.py, {ROUND}) AS lat,
+       ROUND(COALESCE(a.v, 0.0), {ROUND}) AS value
+FROM pts p LEFT JOIN agg a ON p.pid = a.row
+"""
+
+
 def regrid_multivar_oracle_sql() -> str:
     """Dataset multi-variable oracle: two value columns through one
     shared join (engine: apply.py value_cols)."""

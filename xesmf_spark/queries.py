@@ -111,6 +111,51 @@ def regrid_bilinear_locstream(spark, sf_dir, n_pts: int = 49):
     )
 
 
+def regrid_bilinear_curvilinear(spark, sf_dir, n_y: int = 20, n_x: int = 30):
+    """Bilinear from a CURVILINEAR source mesh (sheared/stretched by a
+    pure-arithmetic deformation — reproducible bit-for-bit in SQL) onto
+    a deterministic interior point set. Exercises the point-in-quad
+    bin join + inverse-bilinear quadratic (weights/curvilinear.py)."""
+    from xesmf_spark.grids import Grid, grid_from_2d_arrays
+
+    lon2d, lat2d = [], []
+    for j in range(n_y):
+        lon_row, lat_row = [], []
+        for i in range(n_x):
+            x = -30.0 + 60.0 * i / (n_x - 1)
+            y = -20.0 + 40.0 * j / (n_y - 1)
+            lon_row.append(x + 0.25 * y + 0.004 * x * y)
+            lat_row.append(y + 0.15 * x - 0.003 * x * y)
+        lon2d.append(lon_row)
+        lat2d.append(lat_row)
+    src = grid_from_2d_arrays(spark, lon2d, lat2d)
+
+    n_pts = 64
+    pts = spark.range(n_pts).select(
+        F.col("id").alias("cell_id"),
+        F.lit(0).cast("bigint").alias("j"),
+        F.col("id").alias("i"),
+        (F.lit(-18.0) + (F.col("id") % 8).cast("double") * F.lit(5.0)
+         + (F.col("id") / 8).cast("long").cast("double") * F.lit(0.37)).alias("lon"),
+        (F.lit(-13.0) + (F.col("id") / 8).cast("long").cast("double") * F.lit(3.5)
+         + (F.col("id") % 8).cast("double") * F.lit(0.21)).alias("lat"),
+        F.lit(None).cast("double").alias("lon_lo"),
+        F.lit(None).cast("double").alias("lon_hi"),
+        F.lit(None).cast("double").alias("lat_lo"),
+        F.lit(None).cast("double").alias("lat_hi"),
+    )
+    dst = Grid(df=pts, shape=(1, n_pts), periodic=False, has_bounds=False)
+    w = bilinear_weights(src, dst)
+    field = src.df.select("cell_id", wave_smooth().alias("value"))
+    out = smm_apply(field, w, dst)
+    return out.select(
+        "cell_id",
+        F.round("lon", ROUND).alias("lon"),
+        F.round("lat", ROUND).alias("lat"),
+        F.round("value", ROUND).alias("value"),
+    )
+
+
 def regrid_dataset_multivar(spark, sf_dir):
     """Dataset-style multi-variable regrid: two value columns regridded
     through ONE shared join+aggregate (the relational upgrade over the

@@ -114,6 +114,12 @@ def bilinear_weights(src: Grid, dst: Grid, periodic: bool | None = None) -> Data
     """
     if periodic is None:
         periodic = src.periodic
+    if src.curvilinear:
+        # 2-D mesh source: no separable axes — point-in-quad search +
+        # inverse bilinear map (curvilinear.py)
+        from xesmf_spark.weights.curvilinear import bilinear_weights_curvilinear
+
+        return bilinear_weights_curvilinear(src, dst)
     src_lon = src.get_lon_axis()
     src_lat = src.get_lat_axis()
     if not dst.has_bounds:

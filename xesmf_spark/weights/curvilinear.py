@@ -1,0 +1,179 @@
+"""Bilinear weights for CURVILINEAR source grids (2-D lon/lat arrays).
+
+The reference accepts any 2-D mesh (xesmf/frontend.py:33-72 passes 2-D
+coordinate arrays straight to ESMF; ``as_2d_mesh`` only broadcasts 1-D
+axes up). The rectilinear builder (bilinear.py) exploits separable
+axes; a curvilinear mesh (ocean/regional models: rotated poles,
+stretched tripolar grids) has none, so bilinear interpolation becomes:
+
+1. QUAD LOCATION — find the cell of the source CENTER mesh (the quad
+   spanned by centers (j,i),(j,i+1),(j+1,i+1),(j+1,i)) containing each
+   destination point. Spark plan: a spatial-bin EQUI-join — each quad
+   is exploded to the coarse lat/lon bins its bounding box overlaps,
+   each destination point hashes to its bin, candidates join on the bin
+   key and are filtered by an exact point-in-quad test. Never all-pairs
+   — the same 100-TB shape as the bucketed nearest join.
+2. INVERSE BILINEAR MAP — solve P = (1-u)(1-v)*P00 + u(1-v)*P10 +
+   (1-u)v*P01 + uv*P11 for (u, v) in the unit square: eliminating u
+   gives a QUADRATIC in v (closed form, pure Column arithmetic — no
+   iteration, no UDF); weights are the four bilinear products.
+
+Limitations (documented, mirroring SURVEY.md §7 phase-7 scope):
+- planar approximation in lon/lat space (adequate away from poles and
+  the grid's 360° seam for meshes whose cells are small relative to
+  curvature — the usual regional-model regime);
+- destination points outside the center mesh get no weights → 0 on
+  apply (unmapped_action=IGNORE semantics, xesmf/backend.py:275-279);
+- conservative curvilinear (spherical polygon clipping) remains out of
+  scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xesmf_spark.grids import Grid
+
+#: |a| below this -> the quad is a parallelogram and the quadratic
+#: degenerates to the linear case
+_EPS = 1e-12
+
+
+def _quads(src: Grid) -> DataFrame:
+    """Center-mesh quads: one row per (j, i) with the four corner
+    CENTERS as columns. Built with two self-joins on the cell table
+    (equi-joins on (j, i+1), (j+1, i), (j+1, i+1)) — shuffle-partitioned
+    by grid index, no driver materialization."""
+    c = src.df.select("j", "i", "cell_id", "lon", "lat")
+    p00 = c.select(
+        "j", "i",
+        F.col("cell_id").alias("id00"), F.col("lon").alias("x00"), F.col("lat").alias("y00"),
+    )
+    p10 = c.select(
+        "j", (F.col("i") - 1).alias("i"),
+        F.col("cell_id").alias("id10"), F.col("lon").alias("x10"), F.col("lat").alias("y10"),
+    )
+    p01 = c.select(
+        (F.col("j") - 1).alias("j"), "i",
+        F.col("cell_id").alias("id01"), F.col("lon").alias("x01"), F.col("lat").alias("y01"),
+    )
+    p11 = c.select(
+        (F.col("j") - 1).alias("j"), (F.col("i") - 1).alias("i"),
+        F.col("cell_id").alias("id11"), F.col("lon").alias("x11"), F.col("lat").alias("y11"),
+    )
+    return p00.join(p10, ["j", "i"]).join(p01, ["j", "i"]).join(p11, ["j", "i"])
+
+
+def _bin_id(lon_col, lat_col, bin_deg: float):
+    nlon = max(1, int(round(360.0 / bin_deg)))
+    blat = F.floor((lat_col + F.lit(90.0)) / F.lit(bin_deg)).cast("long")
+    blon = F.floor((lon_col + F.lit(180.0)) / F.lit(bin_deg)).cast("long")
+    return blat * F.lit(nlon * 4) + blon  # *4: slack for out-of-range lon
+
+
+def bilinear_weights_curvilinear(
+    src: Grid, dst: Grid, bin_deg: float | None = None
+) -> DataFrame:
+    """COO triplets for bilinear regridding FROM a curvilinear source
+    mesh onto any destination point set (grid cells or locstream).
+    Returns (row, col, S) with row = destination cell_id."""
+    if bin_deg is None:
+        # ~2 source cells per bin: the quad bbox then overlaps O(1) bins
+        bin_deg = max(0.5, 2.0 * 360.0 / max(src.n_x, 1))
+
+    quads = _quads(src)
+    # explode each quad into every bin its bbox overlaps
+    qx_min = F.least("x00", "x10", "x01", "x11")
+    qx_max = F.greatest("x00", "x10", "x01", "x11")
+    qy_min = F.least("y00", "y10", "y01", "y11")
+    qy_max = F.greatest("y00", "y10", "y01", "y11")
+    nlon = max(1, int(round(360.0 / bin_deg)))
+    quads = (
+        quads.withColumn("bx0", F.floor((qx_min + 180.0) / bin_deg).cast("long"))
+        .withColumn("bx1", F.floor((qx_max + 180.0) / bin_deg).cast("long"))
+        .withColumn("by0", F.floor((qy_min + 90.0) / bin_deg).cast("long"))
+        .withColumn("by1", F.floor((qy_max + 90.0) / bin_deg).cast("long"))
+        .withColumn("bx", F.explode(F.sequence("bx0", "bx1")))
+        .withColumn("by", F.explode(F.sequence("by0", "by1")))
+        .withColumn("bin", F.col("by") * F.lit(nlon * 4) + F.col("bx"))
+        .drop("bx0", "bx1", "by0", "by1", "bx", "by")
+    )
+    pts = dst.df.select(
+        F.col("cell_id").alias("pid"),
+        F.col("lon").alias("px"),
+        F.col("lat").alias("py"),
+    ).withColumn("bin", _bin_id(F.col("px"), F.col("py"), bin_deg))
+
+    cand = pts.join(quads, "bin").drop("bin")
+
+    # exact point-in-quad: the point is inside (or on the boundary of)
+    # the quad iff it is left-of (or on) every edge traversed in a
+    # consistent winding — sign of the 2-D cross product per edge.
+    def cross(ax, ay, bx, by, px, py):
+        return (F.col(bx) - F.col(ax)) * (py - F.col(ay)) - (F.col(by) - F.col(ay)) * (
+            px - F.col(ax)
+        )
+
+    px, py = F.col("px"), F.col("py")
+    c1 = cross("x00", "y00", "x10", "y10", px, py)
+    c2 = cross("x10", "y10", "x11", "y11", px, py)
+    c3 = cross("x11", "y11", "x01", "y01", px, py)
+    c4 = cross("x01", "y01", "x00", "y00", px, py)
+    inside = ((c1 >= 0) & (c2 >= 0) & (c3 >= 0) & (c4 >= 0)) | (
+        (c1 <= 0) & (c2 <= 0) & (c3 <= 0) & (c4 <= 0)
+    )
+    hits = cand.filter(inside)
+    # boundary points can match two adjacent quads — keep one per point
+    hits = hits.withColumn(
+        "_rk", F.row_number().over(Window.partitionBy("pid").orderBy("j", "i"))
+    ).filter(F.col("_rk") == 1)
+
+    # inverse bilinear map: with A = P00, b = P10-P00, c = P01-P00,
+    # d = P11-P10-P01+P00 and q = P-A, solve q = u*b + v*c + u*v*d.
+    bx_, by_ = F.col("x10") - F.col("x00"), F.col("y10") - F.col("y00")
+    cx_, cy_ = F.col("x01") - F.col("x00"), F.col("y01") - F.col("y00")
+    dx_ = F.col("x11") - F.col("x10") - F.col("x01") + F.col("x00")
+    dy_ = F.col("y11") - F.col("y10") - F.col("y01") + F.col("y00")
+    qx_, qy_ = px - F.col("x00"), py - F.col("y00")
+
+    # eliminating u from the pair of scalar equations yields the
+    # quadratic a*v^2 + bq*v + cq = 0 with:
+    a_ = cy_ * dx_ - cx_ * dy_
+    bq = qx_ * dy_ - qy_ * dx_ + bx_ * cy_ - by_ * cx_
+    cq = qx_ * by_ - qy_ * bx_
+    disc = bq * bq - F.lit(4.0) * a_ * cq
+    sq = F.sqrt(F.greatest(disc, F.lit(0.0)))
+    v_quad_1 = (F.lit(-1.0) * bq + sq) / (F.lit(2.0) * a_)
+    v_quad_2 = (F.lit(-1.0) * bq - sq) / (F.lit(2.0) * a_)
+    v_lin = F.lit(-1.0) * cq / bq  # parallelogram: a ~ 0
+    in01 = lambda e: (e >= F.lit(-1e-9)) & (e <= F.lit(1.0 + 1e-9))
+    v = F.when(F.abs(a_) < _EPS, v_lin).otherwise(
+        F.when(in01(v_quad_1), v_quad_1).otherwise(v_quad_2)
+    )
+    # back-substitute u from whichever component is better conditioned
+    den_x = bx_ + dx_ * v
+    den_y = by_ + dy_ * v
+    u = F.when(
+        F.abs(den_x) >= F.abs(den_y), (qx_ - cx_ * v) / den_x
+    ).otherwise((qy_ - cy_ * v) / den_y)
+    u = F.least(F.greatest(u, F.lit(0.0)), F.lit(1.0))
+    v = F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
+
+    solved = hits.select(
+        "pid", "id00", "id10", "id01", "id11", u.alias("u"), v.alias("v")
+    )
+    w = solved.select(
+        "pid",
+        F.array(
+            F.struct(F.col("id00").alias("col"), ((1 - F.col("u")) * (1 - F.col("v"))).alias("S")),
+            F.struct(F.col("id10").alias("col"), (F.col("u") * (1 - F.col("v"))).alias("S")),
+            F.struct(F.col("id01").alias("col"), ((1 - F.col("u")) * F.col("v")).alias("S")),
+            F.struct(F.col("id11").alias("col"), (F.col("u") * F.col("v")).alias("S")),
+        ).alias("ws"),
+    )
+    return (
+        w.select("pid", F.explode("ws").alias("w"))
+        .select(F.col("pid").alias("row"), F.col("w.col").alias("col"), F.col("w.S").alias("S"))
+        .filter(F.col("S") > 0.0)
+    )
