@@ -95,22 +95,27 @@ def main():
             rows_per_group=(500 + n_files - 1) // n_files,  # 1 RG per file
         )
 
-    def apply_vec():
-        shutil.rmtree(out_dir, ignore_errors=True)
+    trial_dirs = [f"{out_dir}_{k}" for k in range(4)]
+    for d in trial_dirs:
+        shutil.rmtree(d, ignore_errors=True)  # cleanup OUTSIDE timing
+
+    def apply_vec(d):
         smm_apply_files(
-            spark, in_dir, w_bl, out_dir, n_in=n_in, n_out=n_out,
+            spark, in_dir, w_bl, d, n_in=n_in, n_out=n_out,
             extra_cols=("time", "lev"),
         )
 
     # cold once, then best-of-3 steady state (the baseline 0.62 s is a
     # %timeit steady-state best; executor pools warm across runs)
-    timed("apply_vectorized_cold", apply_vec)
+    timed("apply_vectorized_cold", lambda: apply_vec(trial_dirs[0]))
     best = float("inf")
-    for _ in range(3):
+    for d in trial_dirs[1:]:
         t0 = time.perf_counter()
-        apply_vec()
+        apply_vec(d)
         best = min(best, time.perf_counter() - t0)
     timings["apply_vectorized_0.96GB"] = round(best, 3)
+    for d in trial_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     gb = 500 * n_in * 8 / 1e9
     timings["apply_vectorized_GBps"] = round(gb / timings["apply_vectorized_0.96GB"], 3)
 

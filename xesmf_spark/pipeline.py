@@ -119,17 +119,31 @@ def minhash_signatures(
 
     h_i(s) = (a_i * H(s) + b_i) mod P with H the md5-derived base hash —
     H is reduced mod P FIRST so a_i * H never overflows BIGINT (ANSI
-    mode). Explode + hash is map-side; the only shuffle is the k-way min
-    agg keyed by doc id (partial aggregation makes it tiny).
+    mode). Computed as a PURE PROJECTION (``array_min`` over the shingle
+    hash array) — no explode, no shuffle, embarrassingly parallel; the
+    base hashes are materialized once per document and reused by all k
+    permutations.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
-    ).withColumn("hb", base_hash(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(_a(i)) * F.col("hb") + F.lit(_b(i))) % P).alias(f"sig_{i}")
+    return _signatures_from_sets(
+        df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh_set")),
+        id_col,
+        k,
+    )
+
+
+def _signatures_from_sets(sh: DataFrame, id_col: str, k: int = K_HASHES) -> DataFrame:
+    """(id, sh_set array<string>) -> (id, sig_0..sig_{k-1})."""
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform(F.col("sh_set"), lambda s: base_hash(s)).alias("hs"),
+    )
+    sigs = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(_a(i)) * h + F.lit(_b(i))) % P)
+        ).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
@@ -195,14 +209,9 @@ def minhash_dedup_pairs(
     )
     ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
 
-    hashed = ex.select(
-        F.col("sid").alias(id_col), base_hash(F.col("shingle")).alias("hb")
+    sigs = _signatures_from_sets(
+        sh.select(F.col("sid").alias(id_col), "sh_set"), id_col
     )
-    aggs = [
-        F.min((F.lit(_a(i)) * F.col("hb") + F.lit(_b(i))) % P).alias(f"sig_{i}")
-        for i in range(K_HASHES)
-    ]
-    sigs = hashed.groupBy(id_col).agg(*aggs)
     cand = lsh_candidate_pairs(sigs, id_col)
 
     inter = (

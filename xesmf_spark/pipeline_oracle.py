@@ -85,15 +85,22 @@ GROUP BY content_key
 
 
 def _sig_select() -> str:
+    """Signatures as a pure projection over the shingle-hash list —
+    mirrors pipeline._signatures_from_sets (array_min over transform)."""
     mins = ",\n         ".join(
-        f"MIN(({_a(i)} * hb + {_b(i)}) % {P}) AS sig_{i}" for i in range(K_HASHES)
+        f"list_min(list_transform(hs, h -> ({_a(i)} * h + {_b(i)}) % {P})) AS sig_{i}"
+        for i in range(K_HASHES)
     )
     return f"""
+shhl AS (
+  SELECT doc_id,
+         list_transform(sh_set, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {P}) AS hs
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM shh
-  GROUP BY doc_id
+  FROM shhl
 )"""
 
 
