@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_fingerprint": Q.pipeline_fingerprint,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
+        "ann_embedding_dedup": Q.ann_embedding_dedup,
         "multimodal_features": Q.multimodal_features,
         "knn_top3": Q.knn_top3,
     }
@@ -159,6 +160,7 @@ GROUP BY 1, 2
         "pipeline_fingerprint": PO.fingerprint_sql(),
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),
+        "ann_embedding_dedup": PO.embedding_dedup_sql(),
         "multimodal_features": PO.multimodal_features_sql(),
         "knn_top3": O.knn_topk_oracle_sql(),
     }

@@ -91,3 +91,66 @@ def test_regrid_stream_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert abs(want[k] - v) < 1e-12
     assert len(got) >= len(want) - g_out.n_cells  # last window may be held
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: emitted (closed) sessions
+    must equal the batch lag-based sessionization minus each user's
+    final (still-open) session."""
+    import shutil
+
+    src_dir = tmp_path / "ev_sess"
+    src_dir.mkdir()
+    shutil.copy(EVENTS, src_dir / "part-000.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(str(src_dir))
+    # split into several files so the run spans multiple micro-batches
+    # (state must carry across batches)
+    multi_dir = tmp_path / "ev_sess_multi"
+    static.orderBy("ts").coalesce(1).limit(3000).write.parquet(str(multi_dir))
+    static.orderBy("ts").exceptAll(static.orderBy("ts").limit(3000)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(multi_dir))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(multi_dir))
+    )
+    out = ST.run_to_memory(
+        ST.sessionize_stream(stream, gap_minutes=30), "sessionize_state_test"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total_value, 6))
+        for r in out.collect()
+    }
+
+    # batch truth: lag-based session assembly, drop each user's last
+    from pyspark.sql import Window
+
+    gap_ns = 30 * 60 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        spark.read.parquet(str(multi_dir))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull() | (F.col("ts") - F.lag("ts").over(w) > gap_ns), 1
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    closed = sess.join(last_sid, "user_id").filter(F.col("sid") != F.col("max_sid"))
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total_value, 6))
+        for r in closed.collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -324,6 +324,23 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash of the NORMALIZED text (classic Rabin-
+    Karp form, base 131 mod P) — an order-sensitive content digest
+    (anagram-proof, unlike bag-of-token hashes). Pure Column fold."""
+    return F.aggregate(
+        F.split(normalize_text(col), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % P,
+    )
+
+
+#: BPE-ish pre-tokenization pattern over normalized text: letter runs,
+#: digit runs, and single punctuation marks (the usual byte-pair
+#: pre-split shape, minus byte-level fallback)
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def text_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -352,9 +369,13 @@ def text_stats(
         F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
         + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
     )
+    n_bpe = F.size(
+        F.regexp_extract_all(normalize_text(F.col(text_col)), F.lit(BPE_ISH), 0)
+    )
     return df.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         n_chars.cast("long").alias("n_chars"),
         mean_tok_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),
@@ -376,7 +397,11 @@ def doc_fingerprint(
     sorted and digested — a compact document identity robust to small
     edits (shares the MinHash estimator family). Returns
     (id, fingerprint hex string)."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    sh = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col)).alias("sh"),
+        rolling_hash(F.col(text_col)).alias("content_hash"),
+    )
     hashes = F.array_sort(F.transform(F.col("sh"), lambda s: base_hash(s)))
     bottom = F.slice(hashes, 1, k)
     return sh.select(
@@ -384,4 +409,5 @@ def doc_fingerprint(
         F.md5(F.encode(F.concat_ws("_", *[bottom[i].cast("string") for i in range(k)]), "utf-8")).alias(
             "fingerprint"
         ),
+        "content_hash",
     )

@@ -211,6 +211,7 @@ WITH
 {NORM_CTE}
 SELECT d.doc_id,
        len(tk.t) AS n_tokens,
+       len(regexp_extract_all(n.ntext, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
        length(d.text) AS n_chars,
        ROUND(CAST(list_sum(list_transform(tk.t, x -> length(x))) AS DOUBLE)
              / CAST(len(tk.t) AS DOUBLE), {ROUND}) AS mean_token_len,
@@ -224,7 +225,9 @@ SELECT d.doc_id,
        ROUND(least(CAST(len(tk.t) AS DOUBLE) / 64.0, 1.0) * 0.5
              + least(CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
                      / CAST(len(tk.t) AS DOUBLE) * 10.0, 1.0) * 0.5, {ROUND}) AS quality
-FROM docs d JOIN toks tk ON d.doc_id = tk.doc_id
+FROM docs d
+JOIN toks tk ON d.doc_id = tk.doc_id
+JOIN norm n ON d.doc_id = n.doc_id
 """
 
 
@@ -287,6 +290,47 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_VEC_DUPS_CTE = """
+embx AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x * 1.02 AS FLOAT))
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+v AS (
+  SELECT vec_id AS id, embedding AS v,
+         sqrt(list_sum(list_transform(range(len(embedding)),
+              i -> embedding[i + 1]::DOUBLE * embedding[i + 1]::DOUBLE))) AS nrm
+  FROM embx
+)"""
+
+
+def embedding_dedup_sql(
+    threshold: float = 0.98, n_centroids: int = 8, n_probe: int = 2
+) -> str:
+    cdot = _DOT.format(a="x", b="c")
+    qdot = _DOT.format(a="q", b="p")
+    return f"""
+WITH
+{_VEC_DUPS_CTE},
+cents AS (SELECT id AS cell, v, nrm FROM v WHERE id < {n_centroids}),
+assign AS (
+  SELECT x.id, x.v, x.nrm, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY x.id
+           ORDER BY ROUND({cdot} / (x.nrm * c.nrm), 6) DESC, c.cell ASC) AS crank
+  FROM v x CROSS JOIN cents c
+),
+aa AS (SELECT cell, id, v, nrm FROM assign WHERE crank <= {n_probe}),
+bb AS (SELECT cell, id, v, nrm FROM assign WHERE crank = 1)
+SELECT DISTINCT q.id AS id_a, p.id AS id_b,
+       ROUND({qdot} / (q.nrm * p.nrm), 6) AS cosine
+FROM aa q JOIN bb p ON q.cell = p.cell
+WHERE q.id < p.id
+  AND ROUND({qdot} / (q.nrm * p.nrm), 6) >= {threshold}
+"""
+
+
 def ann_ivf_topk_sql(k: int = 3, n_centroids: int = 8, n_probe: int = 2) -> str:
     cdot = _DOT.format(a="x", b="c")
     qdot = _DOT.format(a="q", b="p")
@@ -327,8 +371,17 @@ hashes AS (
          list_sort(list_transform(sh_set,
            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {P})) AS hs
   FROM sh
+),
+rh AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(ntext, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % {P}) AS content_hash
+  FROM norm
 )
-SELECT doc_id,
-       md5(array_to_string(hs[1 : {k}], '_')) AS fingerprint
-FROM hashes
+SELECT h.doc_id,
+       md5(array_to_string(h.hs[1 : {k}], '_')) AS fingerprint,
+       r.content_hash
+FROM hashes h JOIN rh r ON h.doc_id = r.doc_id
 """

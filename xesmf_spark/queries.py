@@ -401,6 +401,7 @@ def pipeline_text_stats(spark, sf_dir):
     return s.select(
         "doc_id",
         "n_tokens",
+        "n_bpe_tokens",
         "n_chars",
         F.round("mean_token_len", ROUND).alias("mean_token_len"),
         F.round("stopword_ratio", ROUND).alias("stopword_ratio"),
@@ -442,6 +443,29 @@ def multimodal_features(spark, sf_dir):
         "width",
         "payload_md5",
     )
+
+
+def _emb_with_dups(spark, sf_dir):
+    """embeddings + planted near-duplicates: scaled copies (cosine to
+    everything is scale-invariant -> planted cosine ~1.0), mirrored in
+    the oracle SQL."""
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    dup = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.02)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return emb.unionByName(dup)
+
+
+def ann_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dedup via IVF cell candidates (equi-join,
+    never all-pairs), exact-cosine verified."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.embedding_dedup_pairs(_emb_with_dups(spark, sf_dir), threshold=0.98)
 
 
 def ann_cosine_top3(spark, sf_dir):

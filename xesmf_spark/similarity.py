@@ -120,6 +120,38 @@ def ivf_assignments(
     )
 
 
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from shared
+    IVF cells (equi-join — never all-pairs), kept when cosine >=
+    ``threshold``. Returns (id_a < id_b, cosine). The scale shape of
+    embedding dedup: cell-join cost, exact cosine verification, and a
+    scaled copy of a vector always lands in the same cell as the
+    original (cosine to every centroid is scale-invariant), so true
+    duplicates cannot be missed by the bucketing."""
+    assign = ivf_assignments(df, n_centroids, id_col, vec_col, n_probe=n_probe)
+    a = assign.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = assign.filter(F.col("crank") == 1).select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, ROUND_ORD).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,

@@ -97,6 +97,78 @@ def regrid_stream(
     )
 
 
+SESSION_OUT_SCHEMA = "user_id bigint, session_start bigint, session_end bigint, n_events bigint, total_value double"
+SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint, v double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the arbitrary-state API — sessions
+    cannot be expressed as a windowed aggregate because their extent
+    depends on the data). State per user = the open session
+    (start, last, count, value-sum); a CLOSED session row is emitted
+    whenever a new event arrives more than ``gap_minutes`` after the
+    previous one. Timestamps are the driver's raw INT64 nanoseconds
+    (exact integer arithmetic — same semantics as the batch
+    queries.events_sessionize).
+
+    State size: one small tuple per ACTIVE user — bounded by user
+    cardinality, not stream volume; the open session at stream end
+    stays in state (no synthetic close), matching what a perpetual
+    stream means.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        ev = pd.concat(list(pdfs))
+        if len(ev) == 0:
+            return
+        ev = ev.sort_values(ts_col)
+        if state.exists:
+            start, last, n, v = state.get
+        else:
+            start = last = None
+            n, v = 0, 0.0
+        (uid,) = key
+        closed = []
+        for ts, val in zip(ev[ts_col], ev[value_col]):
+            ts = int(ts)
+            if last is not None and ts - last > gap_ns:
+                closed.append((uid, start, last, n, v))
+                start, n, v = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            v += float(val)
+        state.update((start, last, n, v))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     query_name: str,
