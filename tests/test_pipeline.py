@@ -90,3 +90,32 @@ def test_fingerprint_stable_under_whitespace(spark, docs):
     # bottom-k is a similarity sketch, not a unique id: docs sharing
     # their k smallest shingle hashes collide (tiny shared vocab here)
     assert a.select("fa").distinct().count() >= 0.9 * docs.count()
+
+
+def test_cosine_topk_gemm_matches_fold(spark):
+    """The GEMM physical strategy must return EXACTLY the fold path's
+    rows — same neighbors, same rounded cosines, same tie resolution
+    (ordering is by rounded-6 cosine + neighbor id in both)."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    fold = SIM.cosine_topk(emb, k=3, strategy="fold").collect()
+    gemm = SIM.cosine_topk(emb, k=3, strategy="gemm").collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+    assert sorted(map(key, fold)) == sorted(map(key, gemm))
+    assert len(fold) > 0
+
+
+def test_ivf_topk_gemm_matches_fold(spark):
+    """Per-cell GEMM scoring + gemm codebook assignment must reproduce
+    the fold path exactly (same cells, same candidates, same ranks)."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    fold = SIM.ivf_topk(emb, strategy="fold").collect()
+    gemm = SIM.ivf_topk(emb, strategy="gemm").collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+    assert sorted(map(key, fold)) == sorted(map(key, gemm))
+    assert len(fold) > 0
