@@ -132,9 +132,14 @@ def _argmin_agg(cand: DataFrame) -> DataFrame:
     )
 
 
-def _bin_candidates(need: DataFrame, pool: DataFrame, bin_deg: float) -> DataFrame:
+def _bin_candidates(
+    need: DataFrame, pool: DataFrame, bin_deg: float, join_type: str = "inner"
+) -> DataFrame:
     """Candidate pairs from the coarse-bin equi-join (3x3 neighborhood,
-    longitude wraps modulo the bin count)."""
+    longitude wraps modulo the bin count). ``join_type="left"`` keeps
+    needles whose neighborhood is empty (null pool columns) so
+    downstream logic sees every needle IN BAND instead of needing an
+    anti-join to find the absentees."""
     nbins_lon = max(1, int(round(360.0 / bin_deg)))
     binned_pool = pool.withColumn(
         "blat", F.floor((F.degrees("p_lat") + F.lit(90.0)) / F.lit(bin_deg)).cast("int")
@@ -171,7 +176,7 @@ def _bin_candidates(need: DataFrame, pool: DataFrame, bin_deg: float) -> DataFra
             ),
         )
     )
-    return binned_need.join(binned_pool, ["blat", "blon"], "inner").drop("blat", "blon")
+    return binned_need.join(binned_pool, ["blat", "blon"], join_type).drop("blat", "blon")
 
 
 def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float) -> DataFrame:
@@ -181,22 +186,42 @@ def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float
     if strategy == "broadcast":
         return _argmin_agg(need.crossJoin(F.broadcast(pool))).select("n_id", "p_id")
 
-    hit = _argmin_agg(_bin_candidates(need, pool, bin_deg))
+    # ONE aggregation does everything: the bin join is LEFT OUTER (so a
+    # needle with an empty 3x3 neighborhood is still present, with a
+    # null candidate) and the argmin groups by the FULL needle tuple
+    # (same cardinality as n_id — the extra key columns ride along in
+    # the hash key). No join against `need` afterwards: the exactness
+    # check reads n_lat straight from the aggregate, and the miss set
+    # already carries the trig columns the rescue pass needs.
+    n_cols = ["n_id", "n_lon", "n_lat", "n_cla", "n_sla", "n_clo", "n_slo"]
+    cand = _bin_candidates(need, pool, bin_deg, join_type="left")
+    enc = (
+        F.round(_dist2("n", "p") * F.lit(1e9)).cast("long") * F.lit(_ID_SHIFT)
+        + F.col("p_id")
+    ).alias("enc")
+    hit = (
+        cand.select(*n_cols, enc)
+        .groupBy(*n_cols)
+        .agg(F.min("enc").alias("enc"))  # min() skips null candidates
+        .select(
+            *n_cols,
+            (F.col("enc") % _ID_SHIFT).alias("p_id"),
+            (F.floor(F.col("enc") / _ID_SHIFT).cast("double") / 1e9).alias("d2r"),
+        )
+    )
     # exactness bound (see module docstring): a winner farther than the
     # closest possible out-of-neighborhood point cannot be trusted
     bin_rad = math.radians(bin_deg)
     phi_max = F.least(F.lit(math.pi / 2), F.abs(F.col("n_lat")) + F.lit(2 * bin_rad))
     bound = F.lit(2.0) * F.cos(phi_max) * F.lit(math.sin(bin_rad / 2.0))
-    checked = (
-        hit.join(need, "n_id")
-        .withColumn("_ok", F.col("d2r") <= bound * bound)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    checked = hit.withColumn(
+        "_ok", F.col("p_id").isNotNull() & (F.col("d2r") <= bound * bound)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ok = checked.filter("_ok").select("n_id", "p_id")
     # rescue: empty neighborhoods + out-of-bound winners, resolved
     # EXACTLY by broadcasting the (small) miss set against the
     # distributed pool — the pool side is never collected
-    missed = need.join(checked.filter("_ok").select("n_id"), "n_id", "left_anti")
+    missed = checked.filter(~F.col("_ok")).select(*n_cols)
     rescue = _argmin_agg(pool.crossJoin(F.broadcast(missed))).select("n_id", "p_id")
     return ok.unionByName(rescue)
 
