@@ -68,6 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "multimodal_features": Q.multimodal_features,
         "knn_top3": Q.knn_top3,
+        # rows-only (non-SQL-expressible: Structured Streaming; batch
+        # parity is pytest-verified in tests/test_streaming.py)
+        "stream_hourly": Q.stream_hourly,
+        "stream_sessionize": Q.stream_sessionize,
     }
 
 

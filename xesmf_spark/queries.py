@@ -498,3 +498,59 @@ def events_hourly(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+def _stage_stream_dir(spark, sf_dir, table="events"):
+    """File stream sources read DIRECTORIES; stage the single-file
+    table into a per-sf tmp dir once (idempotent, content-addressed by
+    sf dir name)."""
+    import os
+    import shutil
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    d = f"/tmp/xesmf_stream_src_{table}_{tag}"
+    if not os.path.isdir(d) or not os.listdir(d):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(f"{sf_dir}/{table}.parquet", f"{d}/part-000.parquet")
+    return d
+
+
+def stream_hourly(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregate (watermarked,
+    append mode) driven to completion with availableNow. Rows-only
+    driver check: append mode legitimately HOLDS BACK windows still
+    inside the watermark horizon, so the emitted set is a prefix of the
+    batch result (the equality modulo held windows is pytest-verified
+    in tests/test_streaming.py)."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_stream_dir(spark, sf_dir)
+    ev = ST.events_stream(spark, d)
+    return ST.run_to_memory(
+        ST.stream_hourly_events(ev), f"q_stream_hourly_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState
+    sessionization) driven to completion. Rows-only driver check
+    (arbitrary-state streaming is not SQL-expressible; cross-micro-batch
+    parity with the batch lag-based sessionizer is pytest-verified in
+    tests/test_streaming.py)."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_stream_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return ST.run_to_memory(
+        ST.sessionize_stream(stream), f"q_stream_sess_{uuid.uuid4().hex[:8]}"
+    )
