@@ -236,3 +236,21 @@ def test_smm_apply_scans_field_once(spark, g_in, g_out, tmp_path):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     # and the result is still complete: every (cell, time) slot present
     assert out.count() == g_out.n_cells * 3
+
+
+def test_knn_join_bucketed_matches_broadcast(spark):
+    """The bucketed k-NN (bin equi-join + windowed rank + in-band trust
+    check + rescue) must reproduce the exact broadcast result,
+    including near-pole needles whose 3x3 neighborhood can't be
+    trusted (the exactness bound collapses there, forcing the rescue
+    pass)."""
+    from xesmf_spark.grids import grid_2d, grid_global
+    from xesmf_spark.weights.nearest import knn_join
+
+    g_pool = grid_global(spark, 10.0, 6.0)     # coarse global incl. poles
+    g_need = grid_2d(spark, -180, 180, 15.0, -88, 88, 11.0)
+    bb = knn_join(g_need, g_pool, k=3, strategy="broadcast").collect()
+    bk = knn_join(g_need, g_pool, k=3, strategy="bucketed", bin_deg=12.0).collect()
+    key = lambda r: (r.left_id, r.rank, r.right_id, r.dist2)
+    assert sorted(map(key, bb)) == sorted(map(key, bk))
+    assert len(bb) > 0

@@ -273,23 +273,46 @@ def knn_join(
             "dist2",
         )
 
-    hit = topk(_bin_candidates(need, pool, bin_deg)).persist(StorageLevel.MEMORY_AND_DISK)
+    # single-pass bucketed plan (same shape as _argmin_join): LEFT
+    # OUTER bin join keeps empty-neighborhood needles in band, and the
+    # trust check (found k candidates AND the k-th beats the
+    # out-of-neighborhood bound) is computed by window aggregates over
+    # the SAME partitioning as the rank — no per-needle groupBy, no
+    # semi/anti joins, no persist
+    n_cols = ["n_id", "n_lon", "n_lat", "n_cla", "n_sla", "n_clo", "n_slo"]
+    cand = _bin_candidates(need, pool, bin_deg, join_type="left")
+    w_ord = Window.partitionBy("n_id").orderBy(
+        F.col("qd").asc_nulls_last(), F.col("p_id").asc_nulls_last()
+    )
+    w_all = Window.partitionBy("n_id")
     bin_rad = math.radians(bin_deg)
     phi_max = F.least(F.lit(math.pi / 2), F.abs(F.col("n_lat")) + F.lit(2 * bin_rad))
     bound = F.lit(2.0) * F.cos(phi_max) * F.lit(math.sin(bin_rad / 2.0))
-    # a needle is trustworthy only if it found k candidates AND its k-th
-    # distance beats the out-of-neighborhood bound
-    per_needle = hit.groupBy("n_id").agg(
-        F.count(F.lit(1)).alias("n_found"),
-        F.max("dist2").alias("d_kth"),
-        F.first(F.pow(bound, 2)).alias("b2"),
+    ranked = (
+        cand.select(*n_cols, "p_id", qd)
+        .withColumn("rank", F.row_number().over(w_ord))
+        .withColumn("n_found", F.count("p_id").over(w_all))
+        .withColumn(
+            "d_kth",
+            F.max(F.when(F.col("rank") <= k, F.col("qd"))).over(w_all).cast("double")
+            / F.lit(1e9),
+        )
+        .withColumn(
+            "_ok",
+            F.col("p_id").isNotNull()
+            & (F.col("n_found") >= k)
+            & (F.col("d_kth") <= bound * bound),
+        )
     )
-    ok_ids = per_needle.filter((F.col("n_found") >= k) & (F.col("d_kth") <= F.col("b2"))).select("n_id")
-    ok = hit.join(ok_ids, "n_id", "left_semi")
-    missed = need.join(ok_ids, "n_id", "left_anti")
+    ok = (
+        ranked.filter(F.col("_ok") & (F.col("rank") <= k))
+        .withColumn("dist2", F.col("qd").cast("double") / F.lit(1e9))
+        .select("n_id", "p_id", "rank", "dist2")
+    )
+    missed = ranked.filter((F.col("rank") == 1) & ~F.col("_ok")).select(*n_cols)
     rescue = topk(pool.crossJoin(F.broadcast(missed)))
     return (
-        ok.unionByName(rescue)
+        ok.unionByName(rescue.select("n_id", "p_id", "rank", "dist2"))
         .select(
             F.col("n_id").alias("left_id"),
             F.col("p_id").alias("right_id"),
