@@ -254,3 +254,27 @@ def test_knn_join_bucketed_matches_broadcast(spark):
     key = lambda r: (r.left_id, r.rank, r.right_id, r.dist2)
     assert sorted(map(key, bb)) == sorted(map(key, bk))
     assert len(bb) > 0
+
+
+def test_finalize_releases_persisted_intermediates(spark, g_in, g_out):
+    """Regridder.finalize must unpersist the extra-combo intermediates
+    smm_apply pins (esmf_regrid_finalize analogue, backend.py:333-350),
+    and the regridder must stay usable afterwards."""
+    from pyspark.sql import functions as F
+
+    from xesmf_spark.grids import wave_smooth
+    from xesmf_spark.regridder import Regridder
+
+    n_persisted = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    before = n_persisted()   # other fixtures may hold persists of their own
+    with Regridder(spark, g_in, g_out, "conservative") as rg:
+        field = (
+            g_in.df.select("cell_id", wave_smooth().alias("value"))
+            .crossJoin(spark.range(2, 7).select(F.col("id").alias("t_fin")))
+        )   # unique range bounds => unique CANONICAL plan (the cache
+            # manager dedupes canonicalized plans, ignoring names)
+        rg(field, extra_keys=("t_fin",)).count()   # derives combos -> persists
+        assert n_persisted() > before
+    assert n_persisted() == before
+    # still usable after finalize
+    assert rg(g_in.df.select("cell_id", wave_smooth().alias("value"))).count() > 0

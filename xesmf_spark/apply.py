@@ -29,6 +29,23 @@ from pyspark.sql import functions as F
 
 from xesmf_spark.grids import Grid
 
+#: DataFrames persisted by smm_apply (the derived extra-combos cache).
+#: Spark evicts them LRU, but long-lived sessions applying many
+#: regridders should release them deterministically — see
+#: :func:`release_persisted` / ``Regridder.finalize`` (the analogue of
+#: esmf_regrid_finalize's destroy() chain, xesmf/backend.py:333-350).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate smm_apply pinned in executor caches;
+    returns how many were released."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def smm_apply(
     field: DataFrame,
@@ -84,6 +101,7 @@ def smm_apply(
         # the field is scanned exactly once — a dense field's combos
         # all survive the inner join (reference contract smm.py:77-86)
         applied = applied.persist()
+        _PERSISTED.append(applied)
         extra_combos = applied.select(*extra).distinct()
 
     # base = dest cells x distinct extra-dim combos (so unmapped cells and

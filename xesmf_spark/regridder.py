@@ -143,6 +143,27 @@ class Regridder:
         if os.path.exists(self.filename):
             shutil.rmtree(self.filename, ignore_errors=True)
 
+    def finalize(self, clean_weights: bool = False) -> None:
+        """Release engine-side resources — the analogue of
+        ``esmf_regrid_finalize``'s destroy() chain
+        (xesmf/backend.py:333-350): unpersist every intermediate the
+        apply path pinned in executor caches, and optionally delete the
+        weight cache file. The Regridder stays usable afterwards (the
+        weights re-read from parquet) — unlike ESMF, Spark state is
+        rebuildable, so "finalized" here means "holding no cluster
+        memory", not "destroyed"."""
+        from xesmf_spark.apply import release_persisted
+
+        release_persisted()
+        if clean_weights:
+            self.clean_weight_file()
+
+    def __enter__(self) -> "Regridder":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.finalize()
+
     @property
     def A(self) -> DataFrame:  # deprecated alias (frontend.py:238-249)
         import warnings
