@@ -160,6 +160,7 @@ def main():
         "events_sessionize",
         "events_hourly",
         "pipeline_minhash_dedup",
+        "pipeline_simhash",
         "pipeline_text_stats",
         "ann_cosine_top3",
         "ann_ivf_top3",

@@ -62,8 +62,27 @@ def test_simhash_close_for_neardups(spark, docs):
     far = [ham(sh[i], sh[j]) for i in range(5) for j in range(5) if i < j]
     # the synthetic corpus shares a tiny vocabulary, so even unrelated
     # docs have overlapping token SETS — compare relatively
-    assert max(near) <= 6
+    assert max(near) <= 8  # of 32 honest bits (was <=6 of an effective 30)
     assert sum(far) / len(far) > 2 * sum(near) / len(near)
+
+
+def test_simhash_all_bits_vary(spark):
+    """No fingerprint bit may be structurally constant (the old mod-P
+    hash pinned bits 30-31 to 0). Single-token docs make the fingerprint
+    equal the token's hash bits, so over a few hundred tokens every one
+    of the 32 positions must take both values."""
+    docs1 = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("tok"), F.col("id")).alias("text")
+    )
+    fps = [r.simhash for r in PL.simhash(docs1).collect()]
+    ones = 0
+    zeros = 0
+    for fp in fps:
+        ones |= fp
+        zeros |= ~fp
+    mask = (1 << 32) - 1
+    assert ones & mask == mask, f"stuck-at-0 bits: {bin(~ones & mask)}"
+    assert zeros & mask == mask, f"stuck-at-1 bits: {bin(~zeros & mask)}"
 
 
 def test_text_stats_ranges(spark, docs):

@@ -70,6 +70,14 @@ def base_hash(col: Column) -> Column:
     )
 
 
+def wide_hash(col: Column) -> Column:
+    """String -> BIGINT in [0, 2^60): first 15 md5 hex chars, UN-reduced.
+    Use when the bits themselves matter (simhash votes) — the mod-P
+    reduction in :func:`base_hash` exists only to keep subsequent
+    multiplications ANSI-safe and would leave bits >= 30 biased."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast("long")
+
+
 def shingles(col: Column, n: int = SHINGLE) -> Column:
     """Distinct token n-grams (as strings) of the normalized text."""
     t = tokens(col)
@@ -249,29 +257,40 @@ def simhash(
     few bits (Hamming distance), enabling radius search by fingerprint
     prefix buckets.
 
-    Shape: explode tokens (map-side) x ``bits`` vote rows via a
-    broadcast-range cross join, then ONE partial+final hash agg keyed by
-    (doc, bit) and a second tiny agg keyed by doc.
+    Shape: a PURE PROJECTION — the distinct-token hash array is built
+    once per document and each bit's vote is an ``aggregate()`` fold
+    over it (the same no-explode pattern as ``minhash_signatures``).
+    Zero shuffle, embarrassingly parallel at any scale.
+
+    Votes use :func:`wide_hash` (un-reduced 60-bit md5 prefix), so all
+    ``bits`` positions (up to 60) genuinely vary — the earlier mod-P
+    hash left bits >= 30 constant. The +1/-1 vote sum per bit b equals
+    ``2*S_b - n`` with ``S_b`` the popcount of bit b over n tokens, so
+    "sum > 0" is tested as ``2*S_b > n`` with one popcount fold per bit.
     """
-    spark = df.sparkSession
-    tok = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
-        .withColumn("hb", base_hash(F.col("tok")))
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash bits must be in [1, 60]")
+    hs = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: wide_hash(t)
     )
-    bitsdf = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
-    votes = tok.crossJoin(F.broadcast(bitsdf)).select(
-        id_col,
-        "bit",
-        (F.expr("shiftright(hb, bit) % 2") * 2 - 1).alias("vote"),
-    )
-    per_bit = votes.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
+    hashed = df.select(F.col(id_col), hs.alias("hs"), F.size(hs).alias("n"))
+    terms = [
+        F.when(
+            F.aggregate(
+                F.col("hs"),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
             )
-        ).alias("simhash")
-    )
+            * 2
+            > F.col("n"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    fingerprint = terms[0]
+    for t in terms[1:]:
+        fingerprint = fingerprint + t
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

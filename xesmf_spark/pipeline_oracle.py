@@ -149,27 +149,28 @@ WHERE CAST(i.n_inter AS DOUBLE)
 
 
 def simhash_sql(bits: int = 32) -> str:
+    """Mirrors pipeline.simhash's pure-projection shape: one wide-hash
+    list per doc, one popcount fold per bit (vote sum > 0 <=> 2*S_b > n),
+    every term CAST to BIGINT (DuckDB list_sum returns HUGEINT)."""
+    terms = "\n     + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) > n"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
     return f"""
 WITH
 {_docs_cte(False)},
 {NORM_CTE},
-tok AS (
-  SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks
-),
-th AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {P} AS hb FROM tok
-),
-votes AS (
-  SELECT doc_id, b.bit, (((hb >> b.bit) % 2) * 2 - 1) AS vote
-  FROM th CROSS JOIN (SELECT unnest(range({bits})) AS bit) b
-),
-per_bit AS (
-  SELECT doc_id, bit, SUM(vote) AS v FROM votes GROUP BY doc_id, bit
+hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(t),
+                        tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs,
+         len(list_distinct(t)) AS n
+  FROM toks
 )
 SELECT doc_id,
-       SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
-FROM per_bit
-GROUP BY doc_id
+       CAST({terms} AS BIGINT) AS simhash
+FROM hashed
 """
 
 
