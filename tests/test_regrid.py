@@ -262,19 +262,28 @@ def test_finalize_releases_persisted_intermediates(spark, g_in, g_out):
     and the regridder must stay usable afterwards."""
     from pyspark.sql import functions as F
 
+    from xesmf_spark import apply as apply_mod
     from xesmf_spark.grids import wave_smooth
     from xesmf_spark.regridder import Regridder
 
-    n_persisted = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    before = n_persisted()   # other fixtures may hold persists of their own
+    # assert on the SPECIFIC intermediate smm_apply pins, not the global
+    # persistent-RDD count: Spark's cache manager dedupes canonicalized
+    # plans, so an earlier test's persist can absorb this one and make a
+    # count-based assertion order-dependent (flaked in full-suite order)
+    already = set(map(id, apply_mod._PERSISTED))
     with Regridder(spark, g_in, g_out, "conservative") as rg:
         field = (
             g_in.df.select("cell_id", wave_smooth().alias("value"))
             .crossJoin(spark.range(2, 7).select(F.col("id").alias("t_fin")))
-        )   # unique range bounds => unique CANONICAL plan (the cache
-            # manager dedupes canonicalized plans, ignoring names)
+        )
         rg(field, extra_keys=("t_fin",)).count()   # derives combos -> persists
-        assert n_persisted() > before
-    assert n_persisted() == before
+        pinned = [d for d in apply_mod._PERSISTED if id(d) not in already]
+        assert len(pinned) == 1
+        lvl = pinned[0].storageLevel
+        assert lvl.useMemory or lvl.useDisk
+    # finalize released it (and emptied the registry entry)
+    lvl = pinned[0].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert all(id(d) in already for d in apply_mod._PERSISTED)
     # still usable after finalize
     assert rg(g_in.df.select("cell_id", wave_smooth().alias("value"))).count() > 0
