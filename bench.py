@@ -129,6 +129,14 @@ def main():
     shutil.rmtree(out_dir, ignore_errors=True)
     gb = 500 * n_in * 8 / 1e9
     timings["apply_vectorized_GBps"] = round(gb / timings["apply_vectorized_0.96GB"], 3)
+    # decomposition: kernel-only throughput over the parallel critical
+    # path (slowest task's SpMV time, from the per-task phase manifest)
+    # — separates the compute from the parquet scan/sink the baseline's
+    # in-RAM 0.62 s number does not pay
+    from xesmf_spark import vectorized as V
+
+    k_sec = max(r.kernel_ms for r in V.LAST_MANIFEST) / 1000.0
+    timings["apply_kernel_GBps"] = round(gb / max(k_sec, 1e-9), 3)
 
     # --- relational apply on a 12M-row long field -------------------------
     lon_sql = f"-120.0 + (CAST(cell_id % {n_x} AS DOUBLE) + 0.5) * 0.4"

@@ -149,11 +149,27 @@ WHERE CAST(i.n_inter AS DOUBLE)
 
 
 def simhash_sql(bits: int = 32) -> str:
-    """Mirrors pipeline.simhash's pure-projection shape: one wide-hash
-    list per doc, one popcount fold per bit (vote sum > 0 <=> 2*S_b > n),
-    every term CAST to BIGINT (DuckDB list_sum returns HUGEINT)."""
+    """Mirrors pipeline.simhash's SWAR-packed pure projection: one
+    wide-hash list per doc, one popcount-pack sum per 4-bit group
+    (spread-multiply places bits 0..3 at positions 0/15/30/45, so one
+    sum yields four 15-bit counters), then a flat per-doc extraction
+    (vote sum > 0 <=> 2*S_b > n). Every value CAST to BIGINT (DuckDB
+    SUM/list_sum yield HUGEINT, which the typed hasher digests
+    differently); docs with >32767 distinct tokens are NULL both sides.
+    """
+    MUL = 1 | (1 << 14) | (1 << 28) | (1 << 42)
+    MSK = 1 | (1 << 15) | (1 << 30) | (1 << 45)
+    pack_cols = []
+    for g in range(0, bits, 4):
+        width = min(4, bits - g)
+        gm = (1 << width) - 1
+        pack_cols.append(
+            f"CAST(list_sum(list_transform(hs,"
+            f" h -> (((h >> {g}) & {gm}) * {MUL}) & {MSK}))"
+            f" AS BIGINT) AS pack_{g // 4}"
+        )
     terms = "\n     + ".join(
-        f"CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) > n"
+        f"CASE WHEN ((pack_{b // 4} >> {15 * (b % 4)}) & 32767) * 2 > n"
         f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(bits)
     )
@@ -167,10 +183,14 @@ hashed AS (
                         tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs,
          len(list_distinct(t)) AS n
   FROM toks
+),
+packed AS (
+  SELECT doc_id, n, {", ".join(pack_cols)}
+  FROM hashed
 )
 SELECT doc_id,
-       CAST({terms} AS BIGINT) AS simhash
-FROM hashed
+       CASE WHEN n <= 32767 THEN CAST({terms} AS BIGINT) END AS simhash
+FROM packed
 """
 
 
