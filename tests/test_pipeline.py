@@ -66,6 +66,25 @@ def test_simhash_close_for_neardups(spark, docs):
     assert sum(far) / len(far) > 2 * sum(near) / len(near)
 
 
+def test_dedup_groups_transitive(spark):
+    """A~B and B~C (without A~C as a pair) must collapse into ONE
+    component keeping the smallest id; isolated docs keep themselves."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 20)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20, 30, 99)], ["doc_id"])
+    got = {r.doc_id: r.keep_id for r in PL.dedup_groups(pairs, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 30: 20, 99: 99}
+
+
+def test_dedup_groups_long_chain_converges(spark):
+    """A path graph is the worst case for min-label propagation (round
+    count = diameter); a 12-node chain must still fully converge."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    got = {r.doc_id: r.keep_id for r in PL.dedup_groups(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
 def test_simhash_all_bits_vary(spark):
     """No fingerprint bit may be structurally constant (the old mod-P
     hash pinned bits 30-31 to 0). Single-token docs make the fingerprint

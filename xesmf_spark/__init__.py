@@ -20,6 +20,7 @@ from xesmf_spark.grids import Grid, grid_1d, grid_2d, grid_global, locstream, wa
 from xesmf_spark.apply import smm_apply
 from xesmf_spark.regridder import Regridder
 from xesmf_spark.pipeline import (
+    dedup_groups,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -38,6 +39,7 @@ __all__ = [
     "wave_smooth",
     "smm_apply",
     "Regridder",
+    "dedup_groups",
     "exact_dedup",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

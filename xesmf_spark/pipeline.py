@@ -315,6 +315,82 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-duplicate pair graph -> per-document keep verdicts:
+    connected components by iterative min-label propagation, emitting
+    (doc_id, keep_id = smallest id in the component). This is what a
+    corpus pipeline actually consumes — pairs alone aren't actionable
+    (A~B, B~C must collapse to one kept document, transitively).
+
+    ``pairs``: (id_a, id_b) rows (any extra columns ignored).
+    ``nodes``: optional (id_col) universe; documents in no pair appear
+    with keep_id = their own id (singleton components).
+
+    Scale shape: each round is ONE equi-join of the label table against
+    the edge list plus a min-aggregate — O(|E|) shuffle per round, all
+    keyed joins (never all-pairs). Round count equals the component
+    DIAMETER, which for dedup graphs is small by construction (LSH
+    clusters are near-cliques; the planted corpus converges in 2). The
+    O(log n)-round alternating star-contraction of Kiveris et al.
+    ("Connected Components in MapReduce", SOCC'14) is the drop-in
+    upgrade if adversarial long-chain graphs ever matter. The driver
+    loop runs Spark JOBS per round (a convergence count), never
+    collects data rows.
+    """
+    from xesmf_spark.apply import _PERSISTED
+
+    half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # localCheckpoint (not persist) each round: persist keeps the FULL
+    # logical plan, which nests once per round and grows exponentially
+    # with the convergence-check join (a 12-round chain OOMed the
+    # planner); checkpointing truncates lineage so every round plans
+    # against a flat materialized table — the standard shape for
+    # iterative Spark algorithms
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    _PERSISTED.append(edges)
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select(F.col("node"), F.col("lbl").alias("keep_id"))
+    if nodes is None:
+        return comp.select(F.col("node").alias(id_col), "keep_id")
+    return (
+        nodes.select(id_col)
+        .join(comp, nodes[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -115,10 +115,11 @@ def _bands_cte() -> str:
     return "buckets AS (\n  " + "\n  UNION ALL\n  ".join(selects) + "\n)"
 
 
-def minhash_dedup_sql(threshold: float = 0.5) -> str:
-    return f"""
-WITH
-{_docs_cte(True)},
+def _pair_ctes(threshold: float) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jac)`` — the verified
+    near-dup pairs at ``threshold`` (shared by the pair query and the
+    connected-components grouping query)."""
+    return f"""{_docs_cte(True)},
 {NORM_CTE},
 {SHINGLE_CTE},
 {SHINGLE_HASH_CTE},
@@ -136,15 +137,48 @@ inter AS (
   JOIN shx ea ON c.id_a = ea.doc_id
   JOIN shx eb ON c.id_b = eb.doc_id AND ea.shingle = eb.shingle
   GROUP BY c.id_a, c.id_b
-)
-SELECT i.id_a, i.id_b,
-       ROUND(CAST(i.n_inter AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), {ROUND}) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.id_a = sa.doc_id
-JOIN sizes sb ON i.id_b = sb.doc_id
-WHERE CAST(i.n_inter AS DOUBLE)
-      / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+),
+pairs AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jac
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+)"""
+
+
+def minhash_dedup_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH
+{_pair_ctes(threshold)}
+SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM pairs
+"""
+
+
+def dedup_groups_sql(threshold: float = 0.5) -> str:
+    """Transitive keep verdicts over the near-dup pair graph: a
+    recursive CTE computes, per node, every reachable node's id; the
+    component's keep_id is the MIN. Docs in no pair keep themselves.
+    Mirrors pipeline.dedup_groups (min-label propagation)."""
+    return f"""
+WITH RECURSIVE
+{_pair_ctes(threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS keep FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.keep, d.doc_id) AS keep_id
+FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 

@@ -378,6 +378,17 @@ def pipeline_minhash_dedup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
 
 
+def pipeline_dedup_groups(spark, sf_dir):
+    """Transitive dedup verdicts: near-dup pairs (MinHash-LSH + exact
+    Jaccard) -> connected components -> one keep_id per document
+    (docs in no pair keep themselves)."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    pairs = PL.minhash_dedup_pairs(docs, threshold=0.5)
+    return PL.dedup_groups(pairs, nodes=docs)
+
+
 def pipeline_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (bit-majority over token hashes)."""
     from xesmf_spark import pipeline as PL
