@@ -145,6 +145,38 @@ def test_cosine_topk_gemm_matches_fold(spark):
     assert len(fold) > 0
 
 
+def test_cosine_topk_gemm_disjoint_pool_matches_fold(spark):
+    """With an explicit pool DISJOINT from the queries and k >= pool
+    size, gemm must return all n pool neighbors like fold (a blanket
+    n-1 candidate count dropped one)."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    queries = emb.filter(F.col("vec_id") < 20)
+    pool = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103))
+    fold = SIM.cosine_topk(queries, k=5, pool=pool, strategy="fold").collect()
+    gemm = SIM.cosine_topk(queries, k=5, pool=pool, strategy="gemm").collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.cosine)
+    assert sorted(map(key, fold)) == sorted(map(key, gemm))
+    assert len(gemm) == 20 * 3  # every query gets ALL 3 pool neighbors
+
+
+def test_knn_join_bucketed_wide_bins_match_broadcast(spark):
+    """bin_deg > 120 makes nbins_lon < 3, so wrapped longitude offsets
+    collide; duplicate bins must not double-rank the same neighbor."""
+    from xesmf_spark.grids import grid_2d, grid_global
+    from xesmf_spark.weights.nearest import knn_join
+
+    g_pool = grid_global(spark, 30.0, 18.0)
+    g_need = grid_2d(spark, -180, 180, 45.0, -80, 80, 40.0)
+    bb = knn_join(g_need, g_pool, k=3, strategy="broadcast").collect()
+    bk = knn_join(g_need, g_pool, k=3, strategy="bucketed", bin_deg=150.0).collect()
+    key = lambda r: (r.left_id, r.rank, r.right_id, r.dist2)
+    assert sorted(map(key, bb)) == sorted(map(key, bk))
+    assert len(bb) > 0
+
+
 def test_ivf_topk_gemm_matches_fold(spark):
     """Per-cell GEMM scoring + gemm codebook assignment must reproduce
     the fold path exactly (same cells, same candidates, same ranks)."""

@@ -83,6 +83,15 @@ def smm_apply(
     field, which at 100-TB field scale would double the read just to
     enumerate (time, lev). Pass it explicitly when you have it (the
     usual case: the combos are known upstream).
+
+    BEHAVIORAL REQUIREMENT of the derive-from-aggregate default: the
+    field must be DENSE over the weighted source cells — every extra
+    combo must have at least one row surviving the weight join
+    (the reference's N-D array contract, smm.py:77-86, guarantees
+    exactly this). A combo whose rows ALL miss the join (sparse field +
+    weights not covering it) would vanish from the output instead of
+    appearing zero-filled; callers with sparse fields MUST pass
+    ``extra_combos`` explicitly to keep the zero-fill contract.
     """
     dest_df = dest_grid.df if isinstance(dest_grid, Grid) else dest_grid
     w = F.broadcast(weights) if broadcast_weights else weights

@@ -35,16 +35,26 @@ BROADCAST_NNZ_LIMIT = 10_000_000
 
 
 def _grid_extent_hash(grid: Grid) -> str:
-    """Short digest of the grid's geometry (shape + lon/lat extents) for
-    the weight-cache key: shapes alone collide — two different grid
-    pairs with equal shapes would silently reuse each other's weights
-    from the shared cache dir."""
+    """Short digest of the grid's FULL geometry for the weight-cache
+    key: an order-insensitive hash over every (cell_id, lon, lat
+    [, bounds]) row, rounded to 9 decimals. Shape + bounding box alone
+    under-determine a grid — Gaussian vs uniform latitudes, or a
+    curvilinear vs rectilinear mesh, share both — and reuse_weights=True
+    would then silently load the wrong cached weights. Cost: ONE
+    aggregate over the cell table (same shape as the min/max collect it
+    replaces; md5 per cell of an O(cells) table is noise next to the
+    weight build itself)."""
     import hashlib
 
-    ext = grid.df.agg(
-        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
-    ).collect()[0]
-    raw = f"{grid.shape}|{tuple(round(v, 9) if v is not None else None for v in ext)}"
+    cols = [F.col("cell_id").cast("string")]
+    for c in ("lon", "lat", "lon_lo", "lon_hi", "lat_lo", "lat_hi"):
+        if c in grid.df.columns:
+            cols.append(F.round(F.col(c), 9).cast("string"))
+    row_h = F.conv(
+        F.substring(F.md5(F.encode(F.concat_ws(",", *cols), "utf-8")), 1, 15), 16, 10
+    ).cast("long")
+    digest = grid.df.agg(F.sum(row_h % 1_000_000_007)).collect()[0][0]
+    raw = f"{grid.shape}|{digest}"
     return hashlib.md5(raw.encode()).hexdigest()[:8]
 
 

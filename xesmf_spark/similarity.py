@@ -140,7 +140,6 @@ def _cosine_topk_gemm(
 
         ids_p, Pm, pn = bc.value
         n = len(ids_p)
-        kk = min(k, n - 1)
         for b in pdfs:
             if len(b) == 0:
                 continue
@@ -155,23 +154,35 @@ def _cosine_topk_gemm(
             pos = np.searchsorted(ids_p, q_ids)
             hit = (pos < n) & (ids_p[np.minimum(pos, n - 1)] == q_ids)
             C[np.nonzero(hit)[0], pos[hit]] = -np.inf
-            out_q = np.empty(len(q_ids) * kk, np.int64)
-            out_p = np.empty(len(q_ids) * kk, np.int64)
-            out_c = np.empty(len(q_ids) * kk, np.float64)
+            # per-query candidate count AFTER self-exclusion: a query
+            # absent from an explicit pool keeps all n candidates (the
+            # fold path returns n there; a blanket n-1 dropped one)
+            kks = np.minimum(k, n - hit.astype(np.int64))
+            offs = np.concatenate(([0], np.cumsum(kks)))
+            total = int(offs[-1])
+            out_q = np.empty(total, np.int64)
+            out_p = np.empty(total, np.int64)
+            out_c = np.empty(total, np.float64)
+            out_r = np.empty(total, np.int32)
             for i in range(len(q_ids)):
+                kki = int(kks[i])
+                if kki <= 0:
+                    continue
                 r = C[i]
-                kth = np.partition(r, n - kk)[n - kk]  # kth-largest rounded
+                kth = np.partition(r, n - kki)[n - kki]  # kth-largest rounded
                 cand = np.nonzero(r >= kth)[0]  # top-k plus rounded ties
-                best = cand[np.lexsort((ids_p[cand], -r[cand]))[:kk]]
-                out_q[i * kk : (i + 1) * kk] = q_ids[i]
-                out_p[i * kk : (i + 1) * kk] = ids_p[best]
-                out_c[i * kk : (i + 1) * kk] = r[best]
+                best = cand[np.lexsort((ids_p[cand], -r[cand]))[:kki]]
+                lo, hi = offs[i], offs[i + 1]
+                out_q[lo:hi] = q_ids[i]
+                out_p[lo:hi] = ids_p[best]
+                out_c[lo:hi] = r[best]
+                out_r[lo:hi] = np.arange(1, kki + 1)
             yield pd.DataFrame(
                 {
                     "query_id": out_q,
                     "neighbor_id": out_p,
                     "cosine": out_c,
-                    "rank": np.tile(np.arange(1, kk + 1), len(q_ids)),
+                    "rank": out_r,
                 }
             )
 

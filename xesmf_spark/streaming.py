@@ -186,6 +186,15 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # stop the still-running query and fail LOUDLY: returning the
+        # partially-populated memory table would make parity tests
+        # compare against an incomplete sink
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish within "
+            f"{timeout_sec}s (availableNow run incomplete)"
+        )
     spark = stream_df.sparkSession
     return spark.table(query_name)

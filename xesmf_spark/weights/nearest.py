@@ -150,9 +150,27 @@ def _bin_candidates(
             % F.lit(nbins_lon)
         ),
     )
-    offs = F.explode(
-        F.array(*[F.struct(F.lit(a).alias("da"), F.lit(b).alias("db")) for a in (-1, 0, 1) for b in (-1, 0, 1)])
-    ).alias("off")
+    # the 3x3 neighborhood is built as WRAPPED (blat, blon) pairs and
+    # array_distinct-ed BEFORE the explode: with nbins_lon < 3
+    # (bin_deg > 120) the longitude wrap makes offsets collide, and
+    # duplicate bins would emit duplicate candidate pairs (harmless for
+    # the min-argmin, but knn_join's row_number would rank the same
+    # neighbor twice)
+    wrapped_bins = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("blat0") + F.lit(a)).alias("blat"),
+                    (
+                        ((F.col("blon0") + F.lit(b)) % F.lit(nbins_lon) + F.lit(nbins_lon))
+                        % F.lit(nbins_lon)
+                    ).alias("blon"),
+                )
+                for a in (-1, 0, 1)
+                for b in (-1, 0, 1)
+            ]
+        )
+    )
     binned_need = (
         need.withColumn(
             "blat0", F.floor((F.degrees("n_lat") + F.lit(90.0)) / F.lit(bin_deg)).cast("int")
@@ -161,7 +179,7 @@ def _bin_candidates(
             "blon0",
             F.floor((F.degrees("n_lon") + F.lit(180.0)) / F.lit(bin_deg)).cast("int"),
         )
-        .select("*", offs)
+        .select("*", F.explode(wrapped_bins).alias("off"))
         .select(
             "n_id",
             "n_lon",
@@ -170,10 +188,8 @@ def _bin_candidates(
             "n_sla",
             "n_clo",
             "n_slo",
-            (F.col("blat0") + F.col("off.da")).alias("blat"),
-            (((F.col("blon0") + F.col("off.db")) % F.lit(nbins_lon) + F.lit(nbins_lon)) % F.lit(nbins_lon)).alias(
-                "blon"
-            ),
+            F.col("off.blat").alias("blat"),
+            F.col("off.blon").alias("blon"),
         )
     )
     return binned_need.join(binned_pool, ["blat", "blon"], join_type).drop("blat", "blon")
