@@ -160,8 +160,15 @@ def main():
     w_bl.unpersist()
 
     # --- sf-dir queries ----------------------------------------------------
+    # regrid_conservative is timed cold + steady like the weight builds:
+    # it is the only query in this loop whose plan (conservative weight
+    # build + apply) shares no codegen with anything timed before it, so
+    # a single-shot number is dominated by one-time JIT (r01's bench ran
+    # the whole regrid family back-to-back, which warmed it; r02's
+    # apparent 2x "regression" to 2.45 s was exactly that warm-up moving
+    # into the measured window, not a plan change)
+    timed2("regrid_conservative", lambda: Q.regrid_conservative(spark, sf_dir).collect())
     for name in (
-        "regrid_conservative",
         "tpch_q1",
         "tpch_q3_top10",
         "tpch_q5_local_supplier",
