@@ -191,6 +191,92 @@ def _cosine_topk_gemm(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic spherical k-means codebook for the IVF operators.
+
+    Lloyd iterations with the cosine metric: vectors are L2-normalized
+    once, each iteration assigns every unit vector to its highest-dot
+    centroid (ties to the lower cell id, same rule as
+    :func:`ivf_assignments`) and replaces each centroid with the
+    normalized mean of its members. Returns ``(cell_ids, C)`` — ids are
+    dense ``0..n_centroids-1`` and ``C`` is a unit-row float64 matrix —
+    directly accepted by the ``centroids=`` parameter of
+    :func:`ivf_assignments` / :func:`ivf_topk` /
+    :func:`embedding_dedup_pairs`.
+
+    Determinism: init is the seed subset (``id < n_centroids``, id
+    order — the same codebook the seed default uses), iteration count is
+    fixed, and each pass reduces per-batch partial sums on the driver in
+    collect order; empty cells keep their previous centroid. No RNG
+    anywhere.
+
+    Scale shape: one narrow ``mapInPandas`` pass per iteration — each
+    Arrow batch emits at most ``n_centroids`` partial-sum rows
+    (cell, count, sum-vector), so the driver collects
+    O(batches * n_centroids) tiny rows and never the vectors themselves.
+    At 100 TB you train on a sample (``df.sample(...)``) — centroid
+    quality needs representative data, not all of it — and the operator
+    is exactly as distributed as the corpus scan.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    cpdf = df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
+    c_ids = cpdf[id_col].to_numpy(np.int64)
+    Cm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
+    Cm = np.ascontiguousarray(Cm[np.argsort(c_ids, kind="stable")])
+    Cm /= np.linalg.norm(Cm, axis=1, keepdims=True)
+    k = len(Cm)
+
+    vecs = df.select(vec_col)
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(Cm)
+
+        def partials(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            C = bc.value
+            for b in pdfs:
+                if len(b) == 0:
+                    continue
+                V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                V /= np.linalg.norm(V, axis=1, keepdims=True)
+                # stable argsort of -S resolves dot ties to the lower
+                # cell id — the ivf_assignments ordering rule
+                cell = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, 0]
+                cells, inv = np.unique(cell, return_inverse=True)
+                sums = np.zeros((len(cells), V.shape[1]))
+                np.add.at(sums, inv, V)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype(np.int64),
+                        "n": np.bincount(inv).astype(np.int64),
+                        "s": list(sums),
+                    }
+                )
+
+        rows = vecs.mapInPandas(
+            partials, "cell long, n long, s array<double>"
+        ).collect()
+        counts = np.zeros(k)
+        sums = np.zeros_like(Cm)
+        for r in rows:  # collect order: deterministic driver-side reduce
+            counts[r.cell] += r.n
+            sums[r.cell] += np.asarray(r.s)
+        nonempty = counts > 0
+        Cm = np.where(nonempty[:, None], sums, Cm)  # empty cell: keep old
+        Cm /= np.linalg.norm(Cm, axis=1, keepdims=True)
+        bc.destroy()
+    return np.arange(k, dtype=np.int64), Cm
+
+
 def ivf_assignments(
     df: DataFrame,
     n_centroids: int = 8,
@@ -198,10 +284,14 @@ def ivf_assignments(
     vec_col: str = "embedding",
     n_probe: int = 1,
     strategy: str = "gemm",
+    centroids=None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroid cells by
-    cosine. Centroids are the vectors with ``id < n_centroids`` (a
-    deterministic seed-subset codebook). Returns (id, v, nrm, cell,
+    cosine. Default centroids are the vectors with ``id < n_centroids``
+    (a deterministic seed-subset codebook, fully oracle-checkable);
+    pass ``centroids=(cell_ids, matrix)`` — e.g. from
+    :func:`kmeans_centroids` — for a trained codebook with better cell
+    balance/recall on clustered corpora. Returns (id, v, nrm, cell,
     crank).
 
     Default strategy "gemm": the codebook is collected once (it is by
@@ -215,13 +305,17 @@ def ivf_assignments(
         import numpy as np
 
         spark = df.sparkSession
-        cpdf = (
-            df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
-        )
-        c_ids = cpdf[id_col].to_numpy(np.int64)
-        Cm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
-        order = np.argsort(c_ids, kind="stable")
-        c_ids, Cm = c_ids[order], np.ascontiguousarray(Cm[order])
+        if centroids is not None:
+            c_ids = np.asarray(centroids[0], np.int64)
+            Cm = np.ascontiguousarray(np.asarray(centroids[1], np.float64))
+        else:
+            cpdf = (
+                df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
+            )
+            c_ids = cpdf[id_col].to_numpy(np.int64)
+            Cm = np.stack(cpdf[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(c_ids, kind="stable")
+            c_ids, Cm = c_ids[order], np.ascontiguousarray(Cm[order])
         c_nrm = np.sqrt(np.einsum("ij,ij->i", Cm, Cm))
         bc = spark.sparkContext.broadcast((c_ids, Cm, c_nrm))
         probe = min(n_probe, len(c_ids))
@@ -257,9 +351,21 @@ def ivf_assignments(
             fn, "id long, v array<float>, nrm double, cell long, crank int"
         )
     vecs = with_norm(df, id_col, vec_col)
-    cents = vecs.filter(F.col("id") < n_centroids).select(
-        F.col("id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    if centroids is not None:
+        spark = df.sparkSession
+        crows = [
+            (int(i), [float(x) for x in vrow])
+            for i, vrow in zip(centroids[0], centroids[1])
+        ]
+        cents = with_norm(
+            spark.createDataFrame(crows, "vec_id long, embedding array<double>")
+        ).select(
+            F.col("id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    else:
+        cents = vecs.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     w = Window.partitionBy("id").orderBy(
         F.round(cos, ROUND_ORD).desc(), F.col("cell").asc()
@@ -279,6 +385,7 @@ def embedding_dedup_pairs(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from shared
     IVF cells (equi-join — never all-pairs), kept when cosine >=
@@ -287,7 +394,9 @@ def embedding_dedup_pairs(
     scaled copy of a vector always lands in the same cell as the
     original (cosine to every centroid is scale-invariant), so true
     duplicates cannot be missed by the bucketing."""
-    assign = ivf_assignments(df, n_centroids, id_col, vec_col, n_probe=n_probe)
+    assign = ivf_assignments(
+        df, n_centroids, id_col, vec_col, n_probe=n_probe, centroids=centroids
+    )
     a = assign.select(
         "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -312,6 +421,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "gemm",
+    centroids=None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF cells: pool vectors
     live in their single nearest cell, queries probe their ``n_probe``
@@ -334,7 +444,8 @@ def ivf_topk(
     6-decimal rounding quantum used for ordering).
     """
     assign = ivf_assignments(
-        df, n_centroids, id_col, vec_col, n_probe=n_probe, strategy=strategy
+        df, n_centroids, id_col, vec_col, n_probe=n_probe, strategy=strategy,
+        centroids=centroids,
     )
     if strategy == "gemm":
         import numpy as np
