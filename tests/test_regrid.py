@@ -287,3 +287,66 @@ def test_finalize_releases_persisted_intermediates(spark, g_in, g_out):
     assert all(id(d) in already for d in apply_mod._PERSISTED)
     # still usable after finalize
     assert rg(g_in.df.select("cell_id", wave_smooth().alias("value"))).count() > 0
+
+
+def test_call_metadata_facade(spark, g_in, g_out):
+    """The frontend.py:424-441 metadata layer: output dim-index columns
+    carry the OUTPUT grid's dim names, dest lon/lat coords are attached
+    (test_frontend.py:163-165), extra broadcast dims survive untouched
+    (test_frontend.py:202-203), and the result is stamped with
+    regrid_method / keep_attrs semantics (frontend.py:420,441)."""
+    import dataclasses
+
+    g_named = dataclasses.replace(g_out, dims=("lat_dim", "lon_dim"))
+    rg = Regridder(spark, g_in, g_named, "conservative")
+    field = (
+        _field(g_in)
+        .crossJoin(spark.range(1, 3).select(F.col("id").alias("time")))
+        .select("time", "cell_id", "value")
+    )
+    out = rg(
+        field,
+        extra_keys=("time",),
+        keep_attrs=True,
+        field_attrs={"units": "K"},
+        attach_dims=True,
+    )
+    # attrs: input attrs kept underneath the regrid_method stamp
+    assert out.attrs == {"units": "K", "regrid_method": "conservative"}
+    rows = out.filter(F.col("time") == 1).collect()
+    assert len(rows) == g_named.n_cells
+    # dim rename analogue: index columns named by the OUTPUT grid's dims
+    expect = {
+        (r.cell_id, r.j, r.i, round(r.lon, 9), round(r.lat, 9))
+        for r in g_named.df.select("cell_id", "j", "i", "lon", "lat").collect()
+    }
+    got = {
+        (r.cell_id, r.lat_dim, r.lon_dim, round(r.lon, 9), round(r.lat, 9))
+        for r in rows
+    }
+    assert got == expect  # coords match dest grid (test_frontend.py:163-165)
+    # broadcast dim preserved with its values (test_frontend.py:202-203)
+    assert {r.time for r in out.select("time").distinct().collect()} == {1, 2}
+    # default: no attrs kept, no dim columns
+    out2 = rg(_field(g_in))
+    assert out2.attrs == {"regrid_method": "conservative"}
+    assert "lat_dim" not in out2.columns
+    rg.clean_weight_file()
+
+
+def test_locstream_out_dims_and_repr(spark, g_in):
+    """Point destinations report ('locations',) — the post-squeeze
+    horizontal shape (frontend.py:443-444) — and attach a single
+    locations index column."""
+    pts = locstream(
+        spark,
+        [(-150.0 + 7.0 * k) for k in range(40)],
+        [(-80.0 + 4.0 * k) for k in range(40)],
+    )
+    rg = Regridder(spark, g_in, pts, "nearest_s2d")
+    assert rg.out_horiz_dims == ("locations",)
+    assert "('locations',)" in repr(rg)
+    out = rg(_field(g_in), attach_dims=True)
+    rows = out.collect()
+    assert {r.locations for r in rows} == {r.cell_id for r in rows}
+    rg.clean_weight_file()

@@ -84,6 +84,11 @@ class Grid:
     #: True when lon/lat are full 2-D fields (no separable axes) —
     #: weight builders must not derive 1-D axis tables from the cells
     curvilinear: bool = False
+    #: horizontal dimension names, (y-like, x-like) — the analogue of
+    #: the xarray dims the reference renames outputs to
+    #: (xesmf/frontend.py:424-430); carried as metadata and used by the
+    #: Regridder facade to name attached dim-index columns
+    dims: tuple[str, str] = ("y", "x")
     # optional cached 1-D axis tables for rectilinear grids (tiny)
     lon_axis: DataFrame | None = dc_field(default=None, repr=False)
     lat_axis: DataFrame | None = dc_field(default=None, repr=False)

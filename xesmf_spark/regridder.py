@@ -103,6 +103,8 @@ class Regridder:
         self.spark = spark
         self.grid_in = grid_in
         self.grid_out = grid_out
+        self.locstream_in = locstream_in
+        self.locstream_out = locstream_out
         self.method = method
         self.periodic = periodic and not locstream_in
         self.n_in = grid_in.n_cells
@@ -175,6 +177,16 @@ class Regridder:
         self.finalize()
 
     @property
+    def out_horiz_dims(self) -> tuple[str, ...]:
+        """Output horizontal dimension names — ``('locations',)`` for a
+        point destination (the reference's locstream squeeze leaves one
+        horizontal dim, frontend.py:443-444), else the destination
+        grid's dims (the rename target at frontend.py:424-430)."""
+        if self.locstream_out:
+            return ("locations",)
+        return tuple(self.grid_out.dims)
+
+    @property
     def A(self) -> DataFrame:  # deprecated alias (frontend.py:238-249)
         import warnings
 
@@ -190,6 +202,9 @@ class Regridder:
         value_cols: tuple[str, ...] = ("value",),
         broadcast_weights: bool | None = None,
         extra_combos: DataFrame | None = None,
+        keep_attrs: bool = False,
+        field_attrs: dict | None = None,
+        attach_dims: bool = False,
     ) -> DataFrame:
         """Regrid a long-format field DataFrame
         ``[*extra_keys, cell_id, *value_cols]`` → same layout on the
@@ -201,10 +216,29 @@ class Regridder:
         weights have nnz = n_src, which at target scale would blow the
         per-executor broadcast; past the limit the apply falls back to a
         shuffle hash join on ``col``.
+
+        Metadata facade (the frontend.py:424-441 layer, re-expressed for
+        DataFrames):
+
+        - ``attach_dims=True`` adds the destination grid's dim-index
+          columns, NAMED by the output grid's dims — the relational
+          analogue of the reference's dim rename to ``out_horiz_dims``
+          (frontend.py:424-430). Derived arithmetically from ``cell_id``
+          (row-major flatten, smm.py:89): zero extra joins. A point
+          destination gets a single ``locations`` index (the
+          post-squeeze shape, frontend.py:443-444).
+        - the returned DataFrame carries ``result.attrs``, a plain dict
+          stamped with ``regrid_method`` (frontend.py:441); with
+          ``keep_attrs=True`` the caller's ``field_attrs`` propagate
+          underneath it (the ``keep_attrs`` switch at frontend.py:420).
+          DataFrames have no native attrs, so this is instance-level
+          metadata — it does not survive further transformations, same
+          as xarray attrs don't survive most operations without
+          keep_attrs.
         """
         if broadcast_weights is None:
             broadcast_weights = self.nnz <= BROADCAST_NNZ_LIMIT
-        return smm_apply(
+        out = smm_apply(
             field,
             self.weights,
             self.grid_out,
@@ -213,6 +247,21 @@ class Regridder:
             broadcast_weights=broadcast_weights,
             extra_combos=extra_combos,
         )
+        if attach_dims:
+            dims = self.out_horiz_dims
+            if self.locstream_out:
+                out = out.select(F.col("cell_id").alias(dims[0]), "*")
+            else:
+                n_x = self.grid_out.n_x
+                out = out.select(
+                    (F.col("cell_id") / n_x).cast("bigint").alias(dims[0]),
+                    (F.col("cell_id") % n_x).alias(dims[1]),
+                    "*",
+                )
+        attrs = dict(field_attrs or {}) if keep_attrs else {}
+        attrs["regrid_method"] = self.method
+        out.attrs = attrs
+        return out
 
     def __repr__(self) -> str:
         return (
@@ -221,6 +270,6 @@ class Regridder:
             f"Weight filename:            {self.filename}\n"
             f"Input grid shape:           {self.grid_in.shape}\n"
             f"Output grid shape:          {self.grid_out.shape}\n"
-            f"Output grid dimension name: ('y', 'x')\n"
+            f"Output grid dimension name: {self.out_horiz_dims}\n"
             f"Periodic in longitude?      {self.periodic}"
         )
