@@ -55,3 +55,34 @@ def test_fake_decode_shapes():
     assert MM._fake_decode(b"x" * 160).shape == (10, 16)
     assert MM._fake_decode(b"x" * 7).shape == (1, 16)
     assert MM._fake_decode(b"x" * 170).shape == (10, 16)  # truncates remainder
+
+
+def test_binaryfile_source_into_extract_features(spark, tmp_path):
+    """The real object-store ingestion path: spark.read.format
+    ('binaryFile') over a directory of media blobs, doc ids carved from
+    the file path JVM-side, content wired straight into the
+    extract_features mapInPandas kernel — the no-shuffle scan+featurize
+    stage the module doc promises."""
+    import hashlib
+
+    blobs = {i: bytes([i * 7 % 256]) * (50 + 13 * i) for i in range(8)}
+    for i, b in blobs.items():
+        (tmp_path / f"doc-{i:04d}.bin").write_bytes(b)
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+        .select(
+            F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    got = {r.doc_id: r for r in MM.extract_features(src).collect()}
+    assert set(got) == set(blobs)
+    for i, b in blobs.items():
+        assert got[i].n_bytes == len(b)
+        assert got[i].payload_md5 == hashlib.md5(b).hexdigest()
+        assert got[i].byte_sum == sum(b)
