@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "regrid_conservative": Q.regrid_conservative,
+        "regrid_conservative_clip": Q.regrid_conservative_clip,
         "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
         "regrid_nearest_s2d": Q.regrid_nearest_s2d,
@@ -79,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "regrid_conservative": O.regrid_oracle_sql("conservative"),
+        # the general polygon-clipping builder on the same fixture pair —
+        # identical closed-form oracle (same spherical-area measure)
+        "regrid_conservative_clip": O.regrid_oracle_sql("conservative"),
         "regrid_bilinear_periodic": O.regrid_oracle_sql("bilinear", periodic=True),
         "regrid_bilinear_noperiodic": O.regrid_oracle_sql("bilinear", periodic=False),
         "regrid_nearest_s2d": O.regrid_oracle_sql("nearest_s2d"),

@@ -91,3 +91,144 @@ def test_weights_rows_sum_to_one(spark):
     sums = w.groupBy("row").agg(F.sum("S").alias("s"))
     bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-9).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# conservative on arbitrary meshes (weights/conservative_clip.py)
+# ---------------------------------------------------------------------------
+
+
+def _rotated_nodes(n_y, n_x, angle_deg, shift_lat=10.0):
+    """Corner-NODE arrays (n_y+1, n_x+1) of a rotated regional mesh,
+    plus cell-center arrays (node-ring averages)."""
+    th = math.radians(angle_deg)
+    lonb = [[0.0] * (n_x + 1) for _ in range(n_y + 1)]
+    latb = [[0.0] * (n_x + 1) for _ in range(n_y + 1)]
+    for j in range(n_y + 1):
+        for i in range(n_x + 1):
+            u = -40.0 + 80.0 * i / n_x
+            v = -30.0 + 60.0 * j / n_y
+            lonb[j][i] = u * math.cos(th) - v * math.sin(th)
+            latb[j][i] = u * math.sin(th) + v * math.cos(th) + shift_lat
+    lonc = [
+        [(lonb[j][i] + lonb[j][i + 1] + lonb[j + 1][i + 1] + lonb[j + 1][i]) / 4.0
+         for i in range(n_x)]
+        for j in range(n_y)
+    ]
+    latc = [
+        [(latb[j][i] + latb[j][i + 1] + latb[j + 1][i + 1] + latb[j + 1][i]) / 4.0
+         for i in range(n_x)]
+        for j in range(n_y)
+    ]
+    return lonc, latc, lonb, latb
+
+
+def test_conservative_clip_matches_axis_on_rectilinear(spark):
+    """On a rectilinear pair the polygon clipper and the axis
+    decomposition compute the SAME spherical-area overlaps — identical
+    sparsity pattern, weights equal to fp round-off."""
+    from xesmf_spark.weights import conservative_weights, conservative_weights_clip
+
+    g_in = grid_global(spark, 20, 12)
+    g_out = grid_global(spark, 15, 9)
+    ax = {(r.row, r.col): r.S for r in conservative_weights(g_in, g_out).collect()}
+    cl = {(r.row, r.col): r.S for r in conservative_weights_clip(g_in, g_out).collect()}
+    assert set(ax) == set(cl)
+    assert max(abs(ax[k] - cl[k]) for k in ax) < 1e-12
+
+
+def test_conservative_curvilinear_partition_of_unity(spark):
+    """A rotated source mesh covering the destination region: every
+    dest cell's weights must sum to 1 (dstarea normalization, full
+    coverage), and a constant field must regrid to the same constant —
+    the defining property of conservative remapping."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import conservative_weights
+
+    lonc, latc, lonb, latb = _rotated_nodes(15, 20, 15.0)
+    src = grid_from_2d_arrays(spark, lonc, latc, lon_b=lonb, lat_b=latb)
+    assert src.has_bounds and src.curvilinear
+    dst = grid_2d(spark, -20, 20, 4.0, -5, 25, 3.0)
+    w = conservative_weights(src, dst)  # auto-dispatch to the clipper
+    sums = {
+        r.row: r.s
+        for r in w.groupBy("row").agg(F.sum("S").alias("s")).collect()
+    }
+    assert len(sums) == dst.n_cells  # full coverage
+    assert max(abs(s - 1.0) for s in sums.values()) < 1e-9
+
+    field = src.df.select("cell_id", F.lit(3.5).alias("value"))
+    out = smm_apply(field, w, dst, attach_coords=False)
+    vals = [r.value for r in out.collect()]
+    assert len(vals) == dst.n_cells
+    assert max(abs(v - 3.5) for v in vals) < 1e-9
+
+
+def test_conservative_curvilinear_partial_coverage_and_identity(spark):
+    """(a) Dest cells only partly under the source mesh get partial row
+    sums (never > 1); (b) a mesh regridded onto ITSELF is the identity:
+    each cell overlaps only itself, S = 1 on the diagonal."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import conservative_weights
+
+    lonc, latc, lonb, latb = _rotated_nodes(12, 16, 20.0)
+    src = grid_from_2d_arrays(spark, lonc, latc, lon_b=lonb, lat_b=latb)
+    # dst extends far beyond the rotated mesh -> edge cells partial
+    dst = grid_2d(spark, -80, 80, 10.0, -60, 70, 10.0)
+    w = conservative_weights(src, dst)
+    sums = [r.s for r in w.groupBy("row").agg(F.sum("S").alias("s")).collect()]
+    assert max(sums) < 1.0 + 1e-9
+    assert min(sums) < 0.999  # genuinely partial edge cells exist
+    assert len(sums) < dst.n_cells  # and some dest cells are untouched
+
+    w_id = conservative_weights(src, src)
+    rows = w_id.collect()
+    assert len(rows) == src.n_cells
+    assert all(r.row == r.col for r in rows)
+    assert max(abs(r.S - 1.0) for r in rows) < 1e-9
+
+
+def test_conservative_curvilinear_integral_conservation(spark):
+    """Total integral (sum of value * spherical cell area) is conserved
+    when the destination fully covers the source mesh — first-order
+    conservation, the property the method is named for. Uses dstarea
+    row sums as the area-weighted accounting identity."""
+    import math as m
+
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import conservative_weights
+
+    lonc, latc, lonb, latb = _rotated_nodes(10, 14, 25.0)
+    src = grid_from_2d_arrays(spark, lonc, latc, lon_b=lonb, lat_b=latb)
+    dst = grid_2d(spark, -90, 90, 6.0, -60, 75, 5.0)  # covers the mesh
+
+    # dest cell areas (rect): dlon_rad * d(sin lat)
+    dst_rows = dst.df.select("cell_id", "lon_lo", "lon_hi", "lat_lo", "lat_hi").collect()
+    dst_area = {
+        r.cell_id: m.radians(r.lon_hi - r.lon_lo)
+        * (m.sin(m.radians(r.lat_hi)) - m.sin(m.radians(r.lat_lo)))
+        for r in dst_rows
+    }
+    # source cell areas: shoelace in (radians(lon), sin(lat)) over the ring
+    src_rows = src.df.select(
+        "cell_id", *[f"c{ax}{k}" for k in range(4) for ax in ("lon", "lat")]
+    ).collect()
+
+    def ring_area(r):
+        xs = [m.radians(getattr(r, f"clon{k}")) for k in range(4)]
+        ys = [m.sin(m.radians(getattr(r, f"clat{k}"))) for k in range(4)]
+        return abs(
+            sum(xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4))
+        ) / 2.0
+
+    src_area = {r.cell_id: ring_area(r) for r in src_rows}
+
+    field = src.df.select("cell_id", wave_smooth().alias("value"))
+    fvals = {r.cell_id: r.value for r in field.collect()}
+    w = conservative_weights(src, dst)
+    out = smm_apply(field, w, dst, attach_coords=False)
+    ovals = {r.cell_id: r.value for r in out.collect()}
+
+    int_src = sum(src_area[c] * fvals[c] for c in fvals)
+    int_dst = sum(dst_area[c] * ovals[c] for c in ovals)
+    assert abs(int_src - int_dst) / abs(int_src) < 1e-9

@@ -264,29 +264,58 @@ def grid_from_arrays(
     )
 
 
-def grid_from_2d_arrays(spark: SparkSession, lon2d, lat2d, periodic: bool = False) -> Grid:
+def grid_from_2d_arrays(
+    spark: SparkSession, lon2d, lat2d, lon_b=None, lat_b=None, periodic: bool = False
+) -> Grid:
     """CURVILINEAR grid from full 2-D lon/lat coordinate arrays (nested
     sequences or numpy), shape (n_y, n_x) — the reference's general
     2-D-mesh ingestion (xesmf/frontend.py:33-72 passes 2-D arrays to
-    ESMF unchanged). No bounds: bilinear (point-in-quad) and nearest
-    work; conservative needs corners and is gated by the Regridder."""
+    ESMF unchanged).
+
+    ``lon_b``/``lat_b``: optional CORNER-NODE arrays of shape
+    (n_y+1, n_x+1) — the reference's curvilinear bounds convention
+    (xesmf/backend.py:101-114 ``add_corner``). With corners the grid
+    supports conservative regridding (polygon clipping); each cell
+    carries its 4-corner ring ``clon0..3 / clat0..3`` in node order
+    (j,i) → (j,i+1) → (j+1,i+1) → (j+1,i). Without bounds: bilinear
+    (point-in-quad) and nearest only, gated by the Regridder."""
     lon2d = [[float(v) for v in row] for row in lon2d]
     lat2d = [[float(v) for v in row] for row in lat2d]
     n_y, n_x = len(lon2d), len(lon2d[0])
     if len(lat2d) != n_y or any(len(r) != n_x for r in lon2d + lat2d):
         raise ValueError("lon2d and lat2d must be equal-shaped 2-D arrays")
-    rows = [
-        (j * n_x + i, j, i, lon2d[j][i], lat2d[j][i])
-        for j in range(n_y)
-        for i in range(n_x)
-    ]
-    df = spark.createDataFrame(
-        rows, "cell_id bigint, j bigint, i bigint, lon double, lat double"
-    )
+    has_corners = lon_b is not None and lat_b is not None
+    if (lon_b is None) != (lat_b is None):
+        raise ValueError("provide both lon_b and lat_b, or neither")
+    if has_corners:
+        lon_b = [[float(v) for v in row] for row in lon_b]
+        lat_b = [[float(v) for v in row] for row in lat_b]
+        if len(lon_b) != n_y + 1 or any(len(r) != n_x + 1 for r in lon_b + lat_b):
+            raise ValueError(
+                "corner arrays lon_b/lat_b must have shape (n_y+1, n_x+1)"
+            )
+    rows = []
+    for j in range(n_y):
+        for i in range(n_x):
+            r = [j * n_x + i, j, i, lon2d[j][i], lat2d[j][i]]
+            if has_corners:
+                for jj, ii in ((j, i), (j, i + 1), (j + 1, i + 1), (j + 1, i)):
+                    r += [lon_b[jj][ii], lat_b[jj][ii]]
+            rows.append(tuple(r))
+    schema = "cell_id bigint, j bigint, i bigint, lon double, lat double"
+    if has_corners:
+        schema += "".join(
+            f", clon{k} double, clat{k} double" for k in range(4)
+        )
+    df = spark.createDataFrame(rows, schema)
     for c in ("lon_lo", "lon_hi", "lat_lo", "lat_hi"):
         df = df.withColumn(c, F.lit(None).cast("double"))
     return Grid(
-        df=df, shape=(n_y, n_x), periodic=periodic, has_bounds=False, curvilinear=True
+        df=df,
+        shape=(n_y, n_x),
+        periodic=periodic,
+        has_bounds=has_corners,
+        curvilinear=True,
     )
 
 

@@ -156,6 +156,26 @@ def regrid_bilinear_curvilinear(spark, sf_dir, n_y: int = 20, n_x: int = 30):
     )
 
 
+def regrid_conservative_clip(spark, sf_dir):
+    """Conservative via the GENERAL polygon-clipping builder
+    (weights/conservative_clip.py: bin equi-join candidates + vectorized
+    Sutherland-Hodgman), forced onto the rectilinear fixture pair where
+    its spherical-area measure coincides exactly with the axis
+    decomposition — so the closed-form interval-overlap SQL oracle
+    checks the clipper's full path (binning, owner-bin dedup, clip
+    kernel, area ratio) to the value hash."""
+    g_in, g_out = _fixture_grids(spark)
+    w = conservative_weights(g_in, g_out, strategy="clip")
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+    out = smm_apply(field, w, g_out)
+    return out.select(
+        "cell_id",
+        F.round("lon", ROUND).alias("lon"),
+        F.round("lat", ROUND).alias("lat"),
+        F.round("value", ROUND).alias("value"),
+    )
+
+
 def regrid_dataset_multivar(spark, sf_dir):
     """Dataset-style multi-variable regrid: two value columns regridded
     through ONE shared join+aggregate (the relational upgrade over the

@@ -47,7 +47,9 @@ def _grid_extent_hash(grid: Grid) -> str:
     import hashlib
 
     cols = [F.col("cell_id").cast("string")]
-    for c in ("lon", "lat", "lon_lo", "lon_hi", "lat_lo", "lat_hi"):
+    geom_cols = ["lon", "lat", "lon_lo", "lon_hi", "lat_lo", "lat_hi"]
+    geom_cols += [f"c{ax}{k}" for k in range(4) for ax in ("lon", "lat")]
+    for c in geom_cols:
         if c in grid.df.columns:
             cols.append(F.round(F.col(c), 9).cast("string"))
     row_h = F.conv(

@@ -13,6 +13,7 @@ Methods (xesmf/backend.py:241-246):
 """
 
 from xesmf_spark.weights.conservative import conservative_weights
+from xesmf_spark.weights.conservative_clip import conservative_weights_clip
 from xesmf_spark.weights.bilinear import bilinear_weights
 from xesmf_spark.weights.nearest import nearest_weights, knn_join
 from xesmf_spark.weights.io import read_weights_netcdf, write_weights_netcdf
@@ -21,6 +22,7 @@ METHODS = ("bilinear", "conservative", "nearest_s2d", "nearest_d2s", "patch")
 
 __all__ = [
     "conservative_weights",
+    "conservative_weights_clip",
     "bilinear_weights",
     "nearest_weights",
     "knn_join",

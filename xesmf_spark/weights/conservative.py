@@ -69,14 +69,26 @@ def _axis_overlap(src_ax: DataFrame, dst_ax: DataFrame, idx_src: str, idx_dst: s
     )
 
 
-def conservative_weights(src: Grid, dst: Grid) -> DataFrame:
-    """COO weight triplets for first-order conservative regridding
-    between two rectilinear grids.
+def conservative_weights(src: Grid, dst: Grid, strategy: str | None = None) -> DataFrame:
+    """COO weight triplets for first-order conservative regridding.
+
+    ``strategy=None`` auto-dispatches: the axis-decomposed plan below
+    for rectilinear pairs, the general polygon-clipping builder
+    (conservative_clip.py) when either mesh is curvilinear. ``"clip"``
+    forces the general builder on rectilinear pairs too (differential /
+    oracle checking — both compute spherical area in the same
+    (radians(lon), sin(lat)) measure, so they agree exactly there).
 
     Unmapped destination cells simply get no rows — the apply's left
     join + coalesce(., 0.0) reproduces ``unmapped_action=IGNORE``
     (xesmf/backend.py:275-279).
     """
+    if strategy is None:
+        strategy = "clip" if (src.curvilinear or dst.curvilinear) else "axis"
+    if strategy == "clip":
+        from xesmf_spark.weights.conservative_clip import conservative_weights_clip
+
+        return conservative_weights_clip(src, dst)
     if not src.has_bounds or not dst.has_bounds:
         # mirrors the reference's hard requirement: conservative needs
         # corner bounds (xesmf/backend.py:254-260 -> KeyError upstream)

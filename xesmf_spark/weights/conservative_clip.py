@@ -1,0 +1,236 @@
+"""First-order conservative weights for ARBITRARY quad meshes
+(curvilinear included) via polygon clipping — SURVEY.md §7's last
+out-of-scope item, now in scope.
+
+The reference supports conservative regridding on any 2-D mesh because
+ESMF clips cell polygons in Fortran (xesmf/backend.py:242 with corners,
+backend.py:254-260). The rectilinear builder (conservative.py) exploits
+separable axes; a curvilinear mesh (rotated pole, stretched ocean grid)
+has none, so the general form is computed here:
+
+    S(d, s) = area(s ∩ d) / area(d)        [dstarea normalization]
+
+AREA MEASURE — cells are treated as quadrilaterals whose edges are
+straight in the equal-area map ``(x, y) = (radians(lon), sin(lat))``
+(Lambert cylindrical). Planar area in that map IS spherical area (the
+Jacobian is 1), so for rectilinear grids — whose edges follow meridians
+and parallels, which the map keeps straight — the weights are EXACTLY
+the axis-decomposed ``conservative.py`` weights (differential-tested,
+and oracle-checked against the same closed-form SQL). For curvilinear
+edges, "straight in the map" differs from ESMF's great-circle edges by
+O(edge_length²) — the usual small-cell regime of regional models; same
+planar-approximation contract as ``curvilinear.py``, and like there the
+±180° seam and pole caps are out of scope.
+
+Spark plan (the 100-TB shape, same skeleton as the other bucketed
+builders):
+
+1. CANDIDATES — each cell explodes to the coarse lat/lon bins its
+   corner bbox overlaps; source and destination join on the bin key
+   (EQUI-join — never all-pairs). A pair sharing several bins is kept
+   only in the "owner" bin containing the min-corner of the two bboxes'
+   intersection — pure arithmetic dedup, no distinct shuffle.
+2. CLIP — one Arrow-batched ``mapInPandas`` kernel Sutherland-Hodgman
+   clips each source quad against each (convex) destination quad,
+   fully vectorized over the batch: 4 clip edges x <=8 vertex slots of
+   numpy passes, no per-row Python. Iterative clipping is the one step
+   Spark's built-in Column algebra genuinely cannot express.
+3. WEIGHT — shoelace area ratio; zero-area overlaps dropped, so grazing
+   candidates cost nothing downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xesmf_spark.grids import Grid
+
+#: corner columns carried by curvilinear grids built with corner bounds
+#: (grids.grid_from_2d_arrays(lon_b=..., lat_b=...)); order is the node
+#: ring (j,i) -> (j,i+1) -> (j+1,i+1) -> (j+1,i)
+CORNER_COLS = tuple(f"c{ax}{k}" for k in range(4) for ax in ("lon", "lat"))
+
+#: overlap fractions below this are clipping noise, not weights
+_MIN_S = 1e-12
+
+
+def cell_quads(g: Grid, prefix: str) -> DataFrame:
+    """Per-cell corner ring as 8 columns ``{prefix}x0..3, {prefix}y0..3``
+    (degrees, ring order) plus ``{prefix}id``. Rectilinear grids derive
+    the ring from their interval bounds; curvilinear grids must carry
+    ``CORNER_COLS`` (ingested corner nodes)."""
+    p = prefix
+    if all(c in g.df.columns for c in CORNER_COLS):
+        sel = [F.col("cell_id").alias(f"{p}id")]
+        for k in range(4):
+            sel.append(F.col(f"clon{k}").alias(f"{p}x{k}"))
+            sel.append(F.col(f"clat{k}").alias(f"{p}y{k}"))
+        return g.df.select(*sel)
+    if not g.has_bounds:
+        raise KeyError(
+            "conservative method requires cell corners: interval bounds "
+            "(rectilinear) or corner arrays lon_b/lat_b (curvilinear)"
+        )
+    lo, hi, alo, ahi = F.col("lon_lo"), F.col("lon_hi"), F.col("lat_lo"), F.col("lat_hi")
+    ring = [(lo, alo), (hi, alo), (hi, ahi), (lo, ahi)]
+    sel = [F.col("cell_id").alias(f"{p}id")]
+    for k, (x, y) in enumerate(ring):
+        sel.append(x.alias(f"{p}x{k}"))
+        sel.append(y.alias(f"{p}y{k}"))
+    return g.df.select(*sel)
+
+
+def _binned(quads: DataFrame, p: str, bin_deg: float, nlon: int) -> DataFrame:
+    """Explode each quad to every (by, bx) bin its corner bbox overlaps;
+    keep the bbox-min bin coords for the owner-bin dedup."""
+    xs = [F.col(f"{p}x{k}") for k in range(4)]
+    ys = [F.col(f"{p}y{k}") for k in range(4)]
+    q = (
+        quads.withColumn("_xmin", F.least(*xs))
+        .withColumn("_xmax", F.greatest(*xs))
+        .withColumn("_ymin", F.least(*ys))
+        .withColumn("_ymax", F.greatest(*ys))
+    )
+    bx0 = F.floor((F.col("_xmin") + 180.0) / bin_deg).cast("long")
+    bx1 = F.floor((F.col("_xmax") + 180.0) / bin_deg).cast("long")
+    by0 = F.floor((F.col("_ymin") + 90.0) / bin_deg).cast("long")
+    by1 = F.floor((F.col("_ymax") + 90.0) / bin_deg).cast("long")
+    return (
+        q.withColumn("_bx", F.explode(F.sequence(bx0, bx1)))
+        .withColumn("_by", F.explode(F.sequence(by0, by1)))
+        .withColumn("bin", F.col("_by") * F.lit(nlon * 4) + F.col("_bx"))
+        .withColumnRenamed("_xmin", f"{p}xmin")
+        .withColumnRenamed("_ymin", f"{p}ymin")
+        .withColumnRenamed("_xmax", f"{p}xmax")
+        .withColumnRenamed("_ymax", f"{p}ymax")
+    )
+
+
+def _clip_kernel_factory(cols_s, cols_d):
+    """Vectorized Sutherland-Hodgman over a candidate batch: subject =
+    source quad, clip = destination quad (convex), coordinates mapped to
+    the equal-area plane (radians(lon), sin(lat)) so shoelace area IS
+    spherical area."""
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            SX = np.radians(pdf[[c for c in cols_s[::2]]].to_numpy(np.float64))
+            SY = np.sin(np.radians(pdf[[c for c in cols_s[1::2]]].to_numpy(np.float64)))
+            DX = np.radians(pdf[[c for c in cols_d[::2]]].to_numpy(np.float64))
+            DY = np.sin(np.radians(pdf[[c for c in cols_d[1::2]]].to_numpy(np.float64)))
+
+            def shoelace4(X, Y):
+                return 0.5 * sum(
+                    X[:, k] * Y[:, (k + 1) % 4] - X[:, (k + 1) % 4] * Y[:, k]
+                    for k in range(4)
+                )
+
+            area_d = shoelace4(DX, DY)
+            # canonicalize the clip ring to CCW (inside = left of edges)
+            flip = area_d < 0
+            DX[flip] = DX[flip][:, ::-1]
+            DY[flip] = DY[flip][:, ::-1]
+
+            MAXV = 16  # quad clipped by 4 half-planes has <= 8 vertices
+            P = np.zeros((n, MAXV, 2))
+            P[:, :4, 0] = SX
+            P[:, :4, 1] = SY
+            cnt = np.full(n, 4, np.int64)
+            idx = np.arange(MAXV)[None, :]
+            for e in range(4):
+                ax, ay = DX[:, e, None], DY[:, e, None]
+                ex = DX[:, (e + 1) % 4, None] - ax
+                ey = DY[:, (e + 1) % 4, None] - ay
+                valid = idx < cnt[:, None]
+                pidx = (idx - 1) % np.maximum(cnt, 1)[:, None]
+                prv = np.take_along_axis(P, pidx[:, :, None].repeat(2, 2), axis=1)
+                cur = P
+                cin = ex * (cur[:, :, 1] - ay) - ey * (cur[:, :, 0] - ax) >= 0.0
+                pin = ex * (prv[:, :, 1] - ay) - ey * (prv[:, :, 0] - ax) >= 0.0
+                seg = cur - prv
+                denom = ex * seg[:, :, 1] - ey * seg[:, :, 0]
+                cp = ex * (prv[:, :, 1] - ay) - ey * (prv[:, :, 0] - ax)
+                t = -cp / np.where(denom == 0.0, 1.0, denom)
+                X = prv + t[:, :, None] * seg
+                emit_int = valid & (cin != pin)
+                emit_cur = valid & cin
+                n_emit = emit_int.astype(np.int64) + emit_cur
+                pos_end = np.cumsum(n_emit, axis=1)
+                pos0 = pos_end - n_emit
+                newP = np.zeros_like(P)
+                ri, ci = np.nonzero(emit_int)
+                newP[ri, pos0[ri, ci]] = X[ri, ci]
+                rc, cc = np.nonzero(emit_cur)
+                newP[rc, pos0[rc, cc] + emit_int[rc, cc]] = P[rc, cc]
+                P = newP
+                cnt = pos_end[:, -1]
+            valid = idx < cnt[:, None]
+            nxt = (idx + 1) % np.maximum(cnt, 1)[:, None]
+            Pn = np.take_along_axis(P, nxt[:, :, None].repeat(2, 2), axis=1)
+            a_ov = 0.5 * np.abs(
+                np.sum(
+                    np.where(valid, P[:, :, 0] * Pn[:, :, 1] - Pn[:, :, 0] * P[:, :, 1], 0.0),
+                    axis=1,
+                )
+            )
+            S = a_ov / np.abs(area_d)
+            keep = S > _MIN_S
+            yield pd.DataFrame(
+                {
+                    "row": pdf["did"].to_numpy(np.int64)[keep],
+                    "col": pdf["sid"].to_numpy(np.int64)[keep],
+                    "S": S[keep],
+                }
+            )
+
+    return kernel
+
+
+def conservative_weights_clip(
+    src: Grid, dst: Grid, bin_deg: float | None = None
+) -> DataFrame:
+    """COO weight triplets (row, col, S) for first-order conservative
+    regridding between arbitrary quad meshes (either side rectilinear or
+    curvilinear-with-corners). Unmapped destination cells get no rows —
+    the apply's zero-fill reproduces unmapped_action=IGNORE
+    (xesmf/backend.py:275-279)."""
+    if bin_deg is None:
+        # ~2 cells of the COARSER grid per bin: each quad bbox then
+        # overlaps O(1) bins and a bin holds O(1) cells of either grid
+        bin_deg = max(0.5, 2.0 * 360.0 / max(min(src.n_x, dst.n_x), 1))
+    nlon = max(1, int(round(360.0 / bin_deg)))
+
+    sq = _binned(cell_quads(src, "s"), "s", bin_deg, nlon)
+    dq = _binned(cell_quads(dst, "d"), "d", bin_deg, nlon)
+
+    cand = sq.join(dq, "bin")
+    # bbox prefilter: cheap reject before the kernel sees the pair
+    cand = cand.filter(
+        (F.col("sxmin") < F.col("dxmax"))
+        & (F.col("sxmax") > F.col("dxmin"))
+        & (F.col("symin") < F.col("dymax"))
+        & (F.col("symax") > F.col("dymin"))
+    )
+    # owner-bin dedup: a pair sharing k bins survives only in the bin
+    # holding the intersection bbox's min corner (covered by both
+    # bboxes by construction) — arithmetic, no distinct shuffle
+    ix = F.greatest("sxmin", "dxmin")
+    iy = F.greatest("symin", "dymin")
+    own = (
+        F.floor((iy + 90.0) / bin_deg).cast("long") * F.lit(nlon * 4)
+        + F.floor((ix + 180.0) / bin_deg).cast("long")
+    )
+    cand = cand.filter(F.col("bin") == own)
+
+    cols_s = [f"s{ax}{k}" for k in range(4) for ax in ("x", "y")]
+    cols_d = [f"d{ax}{k}" for k in range(4) for ax in ("x", "y")]
+    cand = cand.select("sid", "did", *cols_s, *cols_d)
+    return cand.mapInPandas(
+        _clip_kernel_factory(cols_s, cols_d), "row long, col long, S double"
+    )
