@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_conservative_clip": Q.regrid_conservative_clip,
         "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
+        "regrid_patch": Q.regrid_patch,
         "regrid_nearest_s2d": Q.regrid_nearest_s2d,
         "regrid_nearest_d2s": Q.regrid_nearest_d2s,
         "regrid_bilinear_locstream": Q.regrid_bilinear_locstream,
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "regrid_conservative_clip": O.regrid_oracle_sql("conservative"),
         "regrid_bilinear_periodic": O.regrid_oracle_sql("bilinear", periodic=True),
         "regrid_bilinear_noperiodic": O.regrid_oracle_sql("bilinear", periodic=False),
+        "regrid_patch": O.regrid_oracle_sql("patch", periodic=True),
         "regrid_nearest_s2d": O.regrid_oracle_sql("nearest_s2d"),
         "regrid_nearest_d2s": O.regrid_oracle_sql("nearest_d2s"),
         "regrid_bilinear_locstream": O.bilinear_locstream_oracle_sql(),

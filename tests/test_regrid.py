@@ -159,9 +159,63 @@ def test_conservative_without_bounds_raises(spark, g_in):
         Regridder(spark, g_in, g_locs, "conservative")
 
 
-def test_patch_unsupported(spark, g_in, g_out):
+def test_patch_reproduces_quadratics_exactly(spark):
+    """The defining property of patch recovery: any quadratic field is
+    regridded EXACTLY on interior destinations (per-corner biquadratic
+    patches blended bilinearly reproduce degree <= 2 in each axis)."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import patch_weights
+
+    g_src = grid_2d(spark, -100, 100, 5.0, -60, 60, 4.0)
+    g_dst = grid_2d(spark, -80, 80, 7.0, -45, 45, 5.0)  # strictly interior
+    quad = (
+        F.lit(1.0) + 2.0 * F.col("lon") + 3.0 * F.col("lat")
+        + 0.1 * F.col("lon") ** 2
+        + 0.05 * F.col("lon") * F.col("lat")
+        + 0.2 * F.col("lat") ** 2
+    )
+    w = patch_weights(g_src, g_dst)
+    # weights per dest: <= 16 nnz, summing to exactly 1 (affine blend of
+    # Lagrange bases); negative entries are legitimate for quadratics
+    per = w.groupBy("row").agg(F.count("*").alias("n"), F.sum("S").alias("s")).collect()
+    assert len(per) == g_dst.n_cells
+    assert max(r.n for r in per) <= 16
+    assert max(abs(r.s - 1.0) for r in per) < 1e-12
+    field = g_src.df.select("cell_id", quad.alias("value"))
+    out = smm_apply(field, w, g_dst, attach_coords=False)
+    exp = {r.cell_id: r.v for r in g_dst.df.select("cell_id", quad.alias("v")).collect()}
+    got = {r.cell_id: r.value for r in out.collect()}
+    assert max(abs(got[k] - exp[k]) for k in exp) < 1e-9
+
+
+def test_patch_beats_bilinear_on_smooth_field(spark, g_in, g_out):
+    """Higher-order convergence in practice: on wave_smooth the patch
+    Regridder's max relative error must be well under bilinear's
+    (measured: 0.0037 vs 0.060 on the fixture pair)."""
+
+    def max_rel_err(method):
+        rg = Regridder(spark, g_in, g_out, method, periodic=True)
+        out = rg(_field(g_in))
+        ref = {r.cell_id: r.v for r in g_out.df.select("cell_id", wave_smooth().alias("v")).collect()}
+        err = max(
+            abs(r.value - ref[r.cell_id]) / abs(ref[r.cell_id]) for r in out.collect()
+        )
+        rg.clean_weight_file()
+        return err
+
+    assert max_rel_err("patch") < 0.25 * max_rel_err("bilinear")
+
+
+def test_patch_curvilinear_gated(spark, g_out):
+    """Curvilinear patch recovery is a documented scope gate."""
+    from xesmf_spark.grids import grid_from_2d_arrays
+    from xesmf_spark.weights import patch_weights
+
+    lon2d = [[float(i * 3) for i in range(5)] for _ in range(5)]
+    lat2d = [[float(j * 3) for i in range(5)] for j in range(5)]
+    src = grid_from_2d_arrays(spark, lon2d, lat2d)
     with pytest.raises(NotImplementedError):
-        Regridder(spark, g_in, g_out, "patch")
+        patch_weights(src, g_out)
 
 
 def test_repr(spark, g_in, g_out):

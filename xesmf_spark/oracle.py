@@ -172,6 +172,126 @@ w AS (
 )"""
 
 
+def _axis_patch_ctes(prefix: str, axis: str, idx: str, dst_idx: str, periodic: bool) -> str:
+    """Per-axis patch-weight CTEs mirroring weights/patch.py::_axis_patch:
+    3-point corner stencils (edge-shifted) + bracketing + Lagrange
+    quadratic evaluation + corner blend, summed per source index.
+    Emits ``{prefix}_w({dst_idx}, s{idx}, w_{prefix})``."""
+    if periodic:
+        ext = (
+            f"SELECT {idx} AS k, c FROM src_{axis} "
+            f"UNION ALL SELECT {idx} AS k, c - 360.0 FROM src_{axis} "
+            f"UNION ALL SELECT {idx} AS k, c + 360.0 FROM src_{axis}"
+        )
+    else:
+        ext = f"SELECT {idx} AS k, c FROM src_{axis}"
+    p = prefix
+    return f"""
+{p}_ext AS ({ext}),
+{p}_stn AS (
+  SELECT k, c,
+    CASE WHEN km1 IS NULL THEN k  WHEN kp1 IS NULL THEN km2 ELSE km1 END AS ka,
+    CASE WHEN km1 IS NULL THEN c  WHEN kp1 IS NULL THEN cm2 ELSE cm1 END AS ca,
+    CASE WHEN km1 IS NULL THEN kp1 WHEN kp1 IS NULL THEN km1 ELSE k  END AS kb,
+    CASE WHEN km1 IS NULL THEN cp1 WHEN kp1 IS NULL THEN cm1 ELSE c  END AS cb,
+    CASE WHEN km1 IS NULL THEN kp2 WHEN kp1 IS NULL THEN k   ELSE kp1 END AS kc,
+    CASE WHEN km1 IS NULL THEN cp2 WHEN kp1 IS NULL THEN c   ELSE cp1 END AS cc
+  FROM (
+    SELECT k, c,
+      LAG(k, 1) OVER (ORDER BY c) AS km1, LAG(c, 1) OVER (ORDER BY c) AS cm1,
+      LAG(k, 2) OVER (ORDER BY c) AS km2, LAG(c, 2) OVER (ORDER BY c) AS cm2,
+      LEAD(k, 1) OVER (ORDER BY c) AS kp1, LEAD(c, 1) OVER (ORDER BY c) AS cp1,
+      LEAD(k, 2) OVER (ORDER BY c) AS kp2, LEAD(c, 2) OVER (ORDER BY c) AS cp2
+    FROM {p}_ext
+  )
+),
+{p}_pairs AS (
+  SELECT k AS k_lo, c AS c_lo, LEAD(k) OVER (ORDER BY c) AS k_hi, LEAD(c) OVER (ORDER BY c) AS c_hi
+  FROM {p}_ext QUALIFY k_hi IS NOT NULL
+),
+{p}_brk AS (
+  SELECT d.{idx} AS {dst_idx}, d.c AS x, q.k_lo, q.c_lo, q.k_hi, q.c_hi
+  FROM dst_{axis} d JOIN {p}_pairs q ON d.c >= q.c_lo AND d.c <= q.c_hi
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.{idx} ORDER BY q.c_lo) = 1
+),
+{p}_corner AS (
+  SELECT {dst_idx}, x, k_lo AS ck, c_lo AS cco, 1.0 - (x - c_lo) / (c_hi - c_lo) AS b FROM {p}_brk
+  UNION ALL
+  SELECT {dst_idx}, x, k_hi, c_hi, (x - c_lo) / (c_hi - c_lo) FROM {p}_brk
+),
+{p}_lag AS (
+  SELECT {dst_idx}, st.ka AS k,
+         b * ((x - st.cb) * (x - st.cc)) / ((st.ca - st.cb) * (st.ca - st.cc)) AS w
+  FROM {p}_corner jc JOIN {p}_stn st ON jc.ck = st.k AND jc.cco = st.c
+  UNION ALL
+  SELECT {dst_idx}, st.kb,
+         b * ((x - st.ca) * (x - st.cc)) / ((st.cb - st.ca) * (st.cb - st.cc))
+  FROM {p}_corner jc JOIN {p}_stn st ON jc.ck = st.k AND jc.cco = st.c
+  UNION ALL
+  SELECT {dst_idx}, st.kc,
+         b * ((x - st.ca) * (x - st.cb)) / ((st.cc - st.ca) * (st.cc - st.cb))
+  FROM {p}_corner jc JOIN {p}_stn st ON jc.ck = st.k AND jc.cco = st.c
+),
+{p}_w AS (
+  SELECT {dst_idx}, k AS s{idx}, SUM(w) AS w_{p}
+  FROM {p}_lag GROUP BY {dst_idx}, k HAVING SUM(w) <> 0.0
+)"""
+
+
+def patch_weights_ctes(src: GridSpec, dst: GridSpec, periodic: bool) -> str:
+    """CTE `w(row, col, S)` — mirrors weights/patch.py (tensor product
+    of per-axis Lagrange patch weights; ALLAVG virtual-pole rows when
+    periodic, identical to the bilinear pole treatment)."""
+    axes = (
+        _axis_patch_ctes("plon", "lon", "i", "di", periodic)
+        + ","
+        + _axis_patch_ctes("plat", "lat", "j", "dj", False)
+    )
+    if not periodic:
+        return axes + f""",
+w AS (
+  SELECT dj * {dst.n_x} + di AS row, sj * {src.n_x} + si AS col, w_plat * w_plon AS S
+  FROM plat_w CROSS JOIN plon_w
+)"""
+    return axes + f""",
+lat_ext_mm AS (
+  SELECT MAX(c) AS c_top, MIN(c) AS c_bot, ARG_MAX(j, c) AS k_top, ARG_MIN(j, c) AS k_bot FROM src_lat
+),
+pole_w AS (
+  SELECT d.j AS dj, e.k_top AS sj, 1.0 - (d.c - e.c_top) / (90.0 - e.c_top) AS w_plat
+    FROM dst_lat d, lat_ext_mm e WHERE d.c > e.c_top
+  UNION ALL
+  SELECT d.j, {src.n_y}, (d.c - e.c_top) / (90.0 - e.c_top)
+    FROM dst_lat d, lat_ext_mm e WHERE d.c > e.c_top
+  UNION ALL
+  SELECT d.j, e.k_bot, 1.0 - (e.c_bot - d.c) / (e.c_bot - (-90.0))
+    FROM dst_lat d, lat_ext_mm e WHERE d.c < e.c_bot
+  UNION ALL
+  SELECT d.j, -1, (e.c_bot - d.c) / (e.c_bot - (-90.0))
+    FROM dst_lat d, lat_ext_mm e WHERE d.c < e.c_bot
+),
+pole_w_nz AS (SELECT * FROM pole_w WHERE w_plat > 0.0),
+lat_all AS (
+  SELECT * FROM plat_w
+  UNION ALL SELECT dj, sj, w_plat FROM pole_w_nz WHERE sj >= 0 AND sj < {src.n_y}
+),
+w_interior AS (
+  SELECT dj * {dst.n_x} + di AS row, sj * {src.n_x} + si AS col, w_plat * w_plon AS S
+  FROM lat_all CROSS JOIN plon_w
+),
+w_pole AS (
+  SELECT p.dj * {dst.n_x} + d.i AS row,
+         (CASE WHEN p.sj < 0 THEN 0 ELSE {src.n_y - 1} END) * {src.n_x} + s.i AS col,
+         p.w_plat / {float(src.n_x)!r} AS S
+  FROM (SELECT * FROM pole_w_nz WHERE sj < 0 OR sj >= {src.n_y}) p
+  CROSS JOIN dst_lon d CROSS JOIN src_lon s
+),
+w AS (
+  SELECT * FROM w_interior
+  UNION ALL SELECT * FROM w_pole
+)"""
+
+
 #: squared chord distance in the engine's EXPANDED trig form (see
 #: weights/nearest.py::_dist2) — same op order, so doubles agree
 _D2_EXPANDED = (
@@ -228,6 +348,8 @@ def regrid_oracle_sql(method: str, periodic: bool = False,
         wcte = bilinear_weights_ctes(src, dst, periodic)
     elif method in ("nearest_s2d", "nearest_d2s"):
         wcte = nearest_weights_ctes(src, dst, method[-3:])
+    elif method == "patch":
+        wcte = patch_weights_ctes(src, dst, periodic)
     else:
         raise ValueError(method)
     return f"""

@@ -47,6 +47,10 @@ def _regrid(spark: SparkSession, method: str, periodic: bool = False) -> DataFra
         w = nearest_weights(g_in, g_out, direction="s2d")
     elif method == "nearest_d2s":
         w = nearest_weights(g_in, g_out, direction="d2s")
+    elif method == "patch":
+        from xesmf_spark.weights import patch_weights
+
+        w = patch_weights(g_in, g_out, periodic=periodic)
     else:
         raise ValueError(method)
     field = g_in.df.select("cell_id", wave_smooth().alias("value"))
@@ -69,6 +73,13 @@ def regrid_bilinear_periodic(spark, sf_dir):
 
 def regrid_bilinear_noperiodic(spark, sf_dir):
     return _regrid(spark, "bilinear", periodic=False)
+
+
+def regrid_patch(spark, sf_dir):
+    """Patch-recovery (higher-order) regridding on the periodic fixture
+    pair — exercises the Lagrange stencil build, the ±360 wrap, and the
+    ALLAVG virtual-pole rows (weights/patch.py)."""
+    return _regrid(spark, "patch", periodic=True)
 
 
 def regrid_nearest_s2d(spark, sf_dir):

@@ -25,6 +25,7 @@ from xesmf_spark.weights import (
     bilinear_weights,
     conservative_weights,
     nearest_weights,
+    patch_weights,
 )
 
 
@@ -74,13 +75,6 @@ class Regridder:
     ):
         if method not in METHODS:
             raise ValueError(f"method should be one of {METHODS}, got {method!r}")
-        if method == "patch":
-            # no self-contained spec in the reference; its own tests skip
-            # it as too slow (tests/test_frontend.py:49) — fail loudly,
-            # mirroring the reference's method-gating style.
-            raise NotImplementedError(
-                "'patch' (ESMF patch recovery) is not supported by this engine"
-            )
 
         locstream_in = not grid_in.has_bounds and grid_in.n_y == 1
         locstream_out = not grid_out.has_bounds and grid_out.n_y == 1
@@ -144,6 +138,8 @@ class Regridder:
             return nearest_weights(self.grid_in, self.grid_out, direction="s2d")
         if self.method == "nearest_d2s":
             return nearest_weights(self.grid_in, self.grid_out, direction="d2s")
+        if self.method == "patch":
+            return patch_weights(self.grid_in, self.grid_out, periodic=self.periodic)
         raise AssertionError(self.method)
 
     def _write_weights(self) -> None:
