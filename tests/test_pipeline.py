@@ -236,3 +236,23 @@ def test_ivf_assignments_fold_accepts_trained_centroids(spark):
     fk = sorted((r.id, r.crank, r.cell) for r in f.collect())
     assert gk == fk
     emb.unpersist()
+
+
+def test_cosine_topk_blocked_matches_fold(spark):
+    """The beyond-broadcast blocked-GEMM strategy (cogroup 2-D matmul,
+    no driver collect) must reproduce fold exactly — self-join AND
+    explicit-pool forms."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+    fold = key(SIM.cosine_topk(emb, k=3, strategy="fold").collect())
+    blk = key(SIM.cosine_topk(emb, k=3, strategy="blocked").collect())
+    assert fold == blk and len(blk) > 0
+    queries = emb.filter(F.col("vec_id") < 50)
+    pool = emb.filter(F.col("vec_id") >= 100)
+    fold_p = key(SIM.cosine_topk(queries, k=4, pool=pool, strategy="fold").collect())
+    blk_p = key(SIM.cosine_topk(queries, k=4, pool=pool, strategy="blocked").collect())
+    assert fold_p == blk_p and len(blk_p) > 0
+    emb.unpersist()
