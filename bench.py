@@ -71,6 +71,16 @@ def main():
         "weight_nearest_s2d_bucketed_240k_to_120k",
         lambda: nearest_weights(g_in, g_out, direction="s2d", strategy="bucketed").count(),
     )
+    # the general (curvilinear-capable) builders on the same pair: the
+    # polygon clipper forced onto the rectilinear grids, and the
+    # Lagrange patch tensor build
+    from xesmf_spark.weights import conservative_weights_clip, patch_weights
+
+    timed2(
+        "weight_conservative_clip_240k_to_120k",
+        lambda: conservative_weights_clip(g_in, g_out).count(),
+    )
+    timed2("weight_patch_240k_to_120k", lambda: patch_weights(g_in, g_out).count())
 
     # --- vectorized apply on the 0.96 GB field (10 time x 50 lev) --------
     # The dense-field fast path: the field lives in parquet (as a 100-TB

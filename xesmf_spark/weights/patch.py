@@ -123,31 +123,38 @@ def _axis_patch(
     )
     b_hi = (F.col("x") - F.col("c_lo")) / (F.col("c_hi") - F.col("c_lo"))
 
-    def corner(which: str, blend):
-        kcol, ccol = (f"k_{which}", f"c_{which}")
-        joined = br.join(
-            F.broadcast(st),
-            (F.col(kcol) == F.col("k")) & (F.col(ccol) == F.col("c")),
-        )
-        x = F.col("x")
-        la = ((x - F.col("cb")) * (x - F.col("cc"))) / (
-            (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cc"))
-        )
-        lb = ((x - F.col("ca")) * (x - F.col("cc"))) / (
-            (F.col("cb") - F.col("ca")) * (F.col("cb") - F.col("cc"))
-        )
-        lc = ((x - F.col("ca")) * (x - F.col("cb"))) / (
-            (F.col("cc") - F.col("ca")) * (F.col("cc") - F.col("cb"))
-        )
-        rows = None
-        for kk, ll in (("ka", la), ("kb", lb), ("kc", lc)):
-            r = joined.select(idx_dst, F.col(kk).alias("k"), (blend * ll).alias("w"))
-            rows = r if rows is None else rows.unionByName(r)
-        return rows
+    # both corners' stencils attach with two broadcast joins, then ONE
+    # projection emits all 6 (index, blend * Lagrange) entries as an
+    # array + explode — a 6-way union here would re-evaluate the
+    # bracket join per branch (measured ~2.5x slower steady-state)
+    st_lo = st.select(*[F.col(c).alias(f"{c}_l") for c in st.columns])
+    st_hi = st.select(*[F.col(c).alias(f"{c}_h") for c in st.columns])
+    joined = br.join(
+        F.broadcast(st_lo),
+        (F.col("k_lo") == F.col("k_l")) & (F.col("c_lo") == F.col("c_l")),
+    ).join(
+        F.broadcast(st_hi),
+        (F.col("k_hi") == F.col("k_h")) & (F.col("c_hi") == F.col("c_h")),
+    )
+    x = F.col("x")
 
-    out = corner("lo", F.lit(1.0) - b_hi).unionByName(corner("hi", b_hi))
+    def lagrange(suffix: str, blend):
+        ca, cb, cc = (F.col(f"c{t}_{suffix}") for t in ("a", "b", "c"))
+        ka, kb, kc = (F.col(f"k{t}_{suffix}") for t in ("a", "b", "c"))
+        return [
+            F.struct(ka.alias("k"), (blend * ((x - cb) * (x - cc)) / ((ca - cb) * (ca - cc))).alias("w")),
+            F.struct(kb.alias("k"), (blend * ((x - ca) * (x - cc)) / ((cb - ca) * (cb - cc))).alias("w")),
+            F.struct(kc.alias("k"), (blend * ((x - ca) * (x - cb)) / ((cc - ca) * (cc - cb))).alias("w")),
+        ]
+
+    entries = F.array(*lagrange("l", F.lit(1.0) - b_hi), *lagrange("h", b_hi))
+    out = (
+        joined.select(idx_dst, F.explode(entries).alias("e"))
+        .select(idx_dst, F.col("e.k").alias("k"), F.col("e.w").alias("w"))
+        .groupBy(idx_dst, "k")
+        .agg(F.sum("w").alias("w"))
+    )
     # a stencil index reached via both corners merges; exact zeros drop
-    out = out.groupBy(idx_dst, "k").agg(F.sum("w").alias("w"))
     return out.filter(F.col("w") != 0.0)
 
 
