@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity is pytest-verified in tests/test_streaming.py)
         "stream_hourly": Q.stream_hourly,
         "stream_sessionize": Q.stream_sessionize,
+        "stream_dedup": Q.stream_dedup,
     }
 
 

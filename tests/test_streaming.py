@@ -154,3 +154,53 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_dedup_stream_matches_batch_digests(spark, tmp_path):
+    """Streaming exact dedup must keep exactly ONE row per normalized
+    content digest — the same digest set as the batch exact_dedup, and
+    the survivor must be a genuine member of its duplicate group.
+    (WITHIN a micro-batch the survivor is whichever arrival the state
+    store sees first — partition order, not event time — so the test
+    asserts group membership, not a specific id.)"""
+    import shutil
+
+    from xesmf_spark import pipeline as PL
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select("doc_id", "text")
+    # planted duplicates arriving LATER (higher doc_id -> later event_ts)
+    dup = docs.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    both = base.unionByName(dup)
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    both.coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    static = spark.read.parquet(str(d))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("event_ts", F.timestamp_seconds(F.col("doc_id")))
+    )
+    out = ST.run_to_memory(
+        ST.dedup_stream(stream).select("doc_id", "content_key"),
+        "q_dedup_parity",
+    )
+    got = {r.content_key: r.doc_id for r in out.collect()}
+
+    batch = PL.exact_dedup(both)
+    groups = {
+        r.content_key: (
+            {r.keep_id, r.keep_id + 100000} if r.n_docs == 2 else {r.keep_id}
+        )
+        for r in batch.collect()
+    }
+    assert set(got) == set(groups)  # same digest universe
+    assert len(got) == base.count()  # every duplicate digest collapsed
+    assert all(got[key] in members for key, members in groups.items())
+    # the 20 planted digests really had 2 members (the dedup did work)
+    assert sum(1 for m in groups.values() if len(m) == 2) == 20

@@ -596,3 +596,25 @@ def stream_sessionize(spark, sf_dir):
     return ST.run_to_memory(
         ST.sessionize_stream(stream), f"q_stream_sess_{uuid.uuid4().hex[:8]}"
     )
+
+
+def stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup (dropDuplicatesWithinWatermark keyed by the
+    normalized-content digest) over a documents stream with planted
+    duplicates. Rows-only driver check (streaming state semantics are
+    not SQL-expressible; first-arrival parity with the batch
+    exact_dedup is pytest-verified in tests/test_streaming.py)."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_stream_dir(spark, sf_dir, table="documents")
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("event_ts", F.timestamp_seconds(F.col("doc_id")))
+    )
+    out = ST.dedup_stream(stream).select("doc_id", "content_key")
+    return ST.run_to_memory(out, f"q_stream_dedup_{uuid.uuid4().hex[:8]}")

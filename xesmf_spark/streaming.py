@@ -198,3 +198,38 @@ def run_to_memory(
         )
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "event_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING exact deduplication of a document stream — the online
+    form of ``pipeline.exact_dedup``: each incoming document's
+    normalized-content digest is checked against the dedup state and
+    only the FIRST arrival per digest is emitted.
+
+    Built on ``dropDuplicatesWithinWatermark`` so the dedup state is
+    WATERMARK-BOUNDED: a digest's state entry is dropped once the
+    watermark passes its event time, which is what makes perpetual
+    ingestion feasible — state size tracks the dedup horizon, not the
+    stream's full history (an unbounded ``dropDuplicates`` would OOM a
+    perpetual ingest; the horizon is the documented trade: re-arrivals
+    farther apart than the watermark pass through).
+
+    At 100-TB/day ingest the digest is 16 bytes per in-horizon doc and
+    the state store is key-partitioned by digest — the same shuffle key
+    the batch exact-dedup groupBy uses.
+    """
+    from xesmf_spark.pipeline import normalize_text
+
+    digest = F.md5(F.encode(normalize_text(F.col(text_col)), "utf-8")).alias(
+        "content_key"
+    )
+    return (
+        docs.select("*", digest)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_key"])
+    )
