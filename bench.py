@@ -30,26 +30,70 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
     from xesmf_spark.session import get_spark
-    from xesmf_spark.grids import grid_2d
-    from xesmf_spark.weights import bilinear_weights, conservative_weights, nearest_weights
-    from xesmf_spark.vectorized import smm_apply_files, write_wide_parquet
-    from xesmf_spark.apply import smm_apply
-    from xesmf_spark import queries as Q
 
     spark = get_spark("xesmf_spark_bench")
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
 
     def timed(name, fn):
+        # per-query fault isolation: one failing workload records an
+        # "err" entry and the run continues — the driver must ALWAYS
+        # get the JSON line with whatever did complete (round 3's
+        # events_sessionize analysis error aborted the whole bench and
+        # left the round with zero timing data)
         t0 = time.perf_counter()
-        fn()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            timings[name] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
+            return
+        finally:
+            # drop caches left by operators that persist intermediates
+            # (minhash shingles, nearest hit-sets, apply combos):
+            # accumulated storage must not bleed into the next timing
+            spark.catalog.clearCache()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # drop caches left by operators that persist intermediates
-        # (minhash shingles, nearest hit-sets, apply combos): accumulated
-        # storage from prior queries must not bleed into the next timing
-        spark.catalog.clearCache()
+
+    # everything below runs inside one guard: a failure in the glue
+    # BETWEEN timed sections (fixture write, persist, …) must still
+    # leave the driver a JSON line with whatever did complete
+    try:
+        _run_workloads(spark, sf_dir, timings, timed)
+    except Exception as e:  # noqa: BLE001
+        timings["harness_err"] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
+
+    total = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if isinstance(v, (int, float)) and not k.endswith("GBps")
+        ),
+        3,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _run_workloads(spark, sf_dir, timings, timed):
+    import time
+
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import bilinear_weights, conservative_weights, nearest_weights
+    from xesmf_spark.vectorized import smm_apply_files, write_wide_parquet
+    from xesmf_spark.apply import smm_apply
+    from xesmf_spark import queries as Q
 
     # --- canonical grid pair (BASELINE.md / Backend.ipynb cell 5) --------
     g_in = grid_2d(spark, -120, 120, 0.4, -60, 60, 0.3)    # 400 x 600
@@ -130,23 +174,27 @@ def main():
     # %timeit steady-state best; executor pools warm across runs, and
     # one extra trial rides out transient page-cache writeback stalls)
     timed("apply_vectorized_cold", apply_vec)
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        apply_vec()
-        best = min(best, time.perf_counter() - t0)
-    timings["apply_vectorized_0.96GB"] = round(best, 3)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    gb = 500 * n_in * 8 / 1e9
-    timings["apply_vectorized_GBps"] = round(gb / timings["apply_vectorized_0.96GB"], 3)
-    # decomposition: kernel-only throughput over the parallel critical
-    # path (slowest task's SpMV time, from the per-task phase manifest)
-    # — separates the compute from the parquet scan/sink the baseline's
-    # in-RAM 0.62 s number does not pay
-    from xesmf_spark import vectorized as V
+    try:
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            apply_vec()
+            best = min(best, time.perf_counter() - t0)
+        timings["apply_vectorized_0.96GB"] = round(best, 3)
+        gb = 500 * n_in * 8 / 1e9
+        timings["apply_vectorized_GBps"] = round(gb / best, 3)
+        # decomposition: kernel-only throughput over the parallel
+        # critical path (slowest task's SpMV time, from the per-task
+        # phase manifest) — separates the compute from the parquet
+        # scan/sink the baseline's in-RAM 0.62 s number does not pay
+        from xesmf_spark import vectorized as V
 
-    k_sec = max(r.kernel_ms for r in V.LAST_MANIFEST) / 1000.0
-    timings["apply_kernel_GBps"] = round(gb / max(k_sec, 1e-9), 3)
+        k_sec = max(r.kernel_ms for r in V.LAST_MANIFEST) / 1000.0
+        timings["apply_kernel_GBps"] = round(gb / max(k_sec, 1e-9), 3)
+    except Exception as e:  # noqa: BLE001
+        timings["apply_vectorized_0.96GB"] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     # --- relational apply on a 12M-row long field -------------------------
     lon_sql = f"-120.0 + (CAST(cell_id % {n_x} AS DOUBLE) + 0.5) * 0.4"
@@ -194,20 +242,6 @@ def main():
     ):
         fn = getattr(Q, name)
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
-
-    total = round(sum(v for k, v in timings.items() if not k.endswith("GBps")), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -25,10 +25,12 @@ def test_stream_hourly_matches_batch(spark, tmp_path):
     got = {
         (r.window_start, r.event_type): (r.n, r.sum_value) for r in out.collect()
     }
+    from xesmf_spark.tables import event_time_col, normalize_events
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(EVENTS)
-        .withColumn("event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000)))
+        normalize_events(spark.read.parquet(EVENTS))
+        .withColumn("event_ts", event_time_col("ts"))
         .groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
@@ -99,11 +101,16 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     final (still-open) session."""
     import shutil
 
+    from xesmf_spark.tables import normalize_events
+
     src_dir = tmp_path / "ev_sess"
     src_dir.mkdir()
     shutil.copy(EVENTS, src_dir / "part-000.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(str(src_dir))
+    # normalize to contract nanos BEFORE staging, so the staged stream
+    # carries the logical schema (drift handling itself is covered by
+    # test_tables.py)
+    static = normalize_events(spark.read.parquet(str(src_dir)))
     # split into several files so the run spans multiple micro-batches
     # (state must carry across batches)
     multi_dir = tmp_path / "ev_sess_multi"

@@ -24,13 +24,12 @@ ROUND = 7
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
-        # vectorized reader rejects; read the raw nanos and keep them as
-        # BIGINT — downstream queries do exact integer arithmetic on
-        # them (no session-timezone dependence, exact DuckDB parity).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # all physical-encoding drift (e.g. events.ts INT64-nanos vs
+    # timestamp[us]) is absorbed in ONE place; downstream queries code
+    # against the logical contract (events.ts = BIGINT epoch ns)
+    from xesmf_spark.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _fixture_grids(spark: SparkSession):
@@ -585,10 +584,12 @@ def stream_sessionize(spark, sf_dir):
 
     from xesmf_spark import streaming as ST
 
+    from xesmf_spark.tables import normalize_events
+
     d = _stage_stream_dir(spark, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(d)
-    stream = (
+    stream = normalize_events(
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)

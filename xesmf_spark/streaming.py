@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 
 
 def events_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
-    """File-source stream over the driver's events parquet layout
-    (``ts`` is INT64 nanoseconds; converted to a real timestamp here)."""
+    """File-source stream over the driver's events parquet layout.
+    Physical ``ts`` encoding (INT64 nanos or timestamp[us]) is absorbed
+    by the xesmf_spark.tables contract: downstream sees ``ts`` as
+    BIGINT epoch ns plus a TIMESTAMP ``event_ts`` for watermarking."""
+    from xesmf_spark.tables import event_time_col, normalize_events
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(path)
     raw = (
@@ -40,9 +44,7 @@ def events_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFr
         .option("maxFilesPerTrigger", max_files)
         .parquet(path)
     )
-    return raw.withColumn(
-        "event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000))
-    )
+    return normalize_events(raw).withColumn("event_ts", event_time_col("ts"))
 
 
 def stream_hourly_events(
@@ -114,9 +116,9 @@ def sessionize_stream(
     depends on the data). State per user = the open session
     (start, last, count, value-sum); a CLOSED session row is emitted
     whenever a new event arrives more than ``gap_minutes`` after the
-    previous one. Timestamps are the driver's raw INT64 nanoseconds
-    (exact integer arithmetic — same semantics as the batch
-    queries.events_sessionize).
+    previous one. Timestamps are contract BIGINT epoch nanoseconds
+    (xesmf_spark.tables — exact integer arithmetic, same semantics as
+    the batch queries.events_sessionize).
 
     State size: one small tuple per ACTIVE user — bounded by user
     cardinality, not stream volume; the open session at stream end
