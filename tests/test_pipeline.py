@@ -256,3 +256,69 @@ def test_cosine_topk_blocked_matches_fold(spark):
     blk_p = key(SIM.cosine_topk(queries, k=4, pool=pool, strategy="blocked").collect())
     assert fold_p == blk_p and len(blk_p) > 0
     emb.unpersist()
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """Skew valve: a corpus where thousands of documents share one
+    signature (the boilerplate/empty-doc case every real corpus has)
+    must NOT generate the quadratic candidate set — oversized buckets
+    are dropped before the self-join, so the run completes with zero
+    candidates from them. (Identical docs are exact_dedup's job.)"""
+    n = 5000
+    ident = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lorem ipsum boilerplate footer text repeated everywhere").alias("text"),
+    )
+    # two genuine near-dup docs must still come through (their buckets
+    # are tiny and unaffected by the cap)
+    extra = spark.createDataFrame(
+        [
+            (900001, "the quick brown fox jumps over the lazy dog again and again"),
+            (900002, "the quick brown fox jumps over the lazy dog again and"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = PL.minhash_dedup_pairs(ident.unionByName(extra), threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (900001, 900002) in got
+    # no pair from the degenerate bucket survived (5000^2/2 pairs would
+    # have been generated without the cap)
+    assert all(a >= 900000 for a, b in got)
+
+
+def test_lsh_bucket_cap_noop_on_small_buckets(spark, docs):
+    """With every bucket under the cap, capped and uncapped candidate
+    generation must be identical (the valve is invisible off-skew)."""
+    base = docs.limit(60).select("doc_id", "text")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in PL.minhash_dedup_pairs(base, threshold=0.3).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in PL.minhash_dedup_pairs(base, threshold=0.3, max_bucket=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """Stop-shingle hygiene: a shingle present in every doc of a block
+    must be excluded from the intersection join when its DF exceeds
+    max_df — scores drop accordingly (denominator stays full), and the
+    join never multiplies the stop-shingle's DF^2 rows."""
+    import itertools
+
+    # 30 docs in one block, all sharing the prefix "common header line"
+    # (2 shingles with DF=30), each with distinct tails
+    rows = [
+        (i, f"common header line unique tail {i} alpha beta gamma", "en", "web")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    capped = PL.ngram_jaccard_pairs(docs, threshold=-1.0, max_df=5)
+    # with the shared prefix excluded, no pair intersects at all ->
+    # every pairwise jaccard is 0 and filtered by threshold > 0
+    assert PL.ngram_jaccard_pairs(docs, threshold=0.0, max_df=5).count() == 0
+    # uncapped, every pair shares the 2 prefix shingles
+    uncapped = PL.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None)
+    assert uncapped.count() == len(list(itertools.combinations(range(30), 2)))

@@ -43,6 +43,24 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 SHINGLE = 3  #: tokens per shingle
 K_HASHES = 16  #: minhash signature length
 BANDS = 4  #: LSH bands (rows per band = K_HASHES // BANDS)
+#: skew valve: LSH buckets larger than this are dropped from candidate
+#: generation. A real corpus always has a degenerate bucket (empty and
+#: boilerplate documents share one signature), and a single bucket of m
+#: docs costs m^2/2 candidate pairs — one 1M-doc boilerplate bucket is
+#: 5e11 pairs, which no amount of cluster survives. Dropping the bucket
+#: is safe for DEDUP because its members are (near-)identical to each
+#: other in the degenerate way exact_dedup already catches with one
+#: 24-byte-row shuffle; run exact dedup first (as pipeline docs say).
+MAX_LSH_BUCKET = 1000
+#: skew valve: shingles whose within-block document frequency exceeds
+#: this are excluded from the n-gram intersection join (standard
+#: plagiarism-detection hygiene): a stop-shingle present in every doc
+#: of a block makes the shingle self-join quadratic in the block size.
+#: Dropping it removes ~no information (a shingle shared by everyone
+#: distinguishes nothing) but undercounts the intersection slightly —
+#: the Jaccard denominator keeps the FULL set sizes, so capped scores
+#: only ever decrease (conservative for a >= threshold filter).
+MAX_SHINGLE_DF = 64
 
 
 def let(value: Column, body) -> Column:
@@ -197,13 +215,16 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     k: int = K_HASHES,
     bands: int = BANDS,
+    max_bucket: int | None = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Banded LSH: equal band-signature => candidate pair.
 
     Each doc emits ``bands`` rows keyed by (band_id, md5 of the band's
     signature slice); a self-equi-join on that key yields candidates.
     This is the bucket-join that keeps near-dedup scalable: cost follows
-    bucket sizes, never |docs|^2. Returns distinct (id_a < id_b) pairs.
+    bucket sizes, never |docs|^2 — with buckets above ``max_bucket``
+    excluded entirely (see :data:`MAX_LSH_BUCKET`). Returns distinct
+    (id_a < id_b) pairs.
     """
     rows = k // bands
     band_cols = []
@@ -218,7 +239,7 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    return _pairs_from_buckets(buckets, id_col)
+    return _pairs_from_buckets(buckets, id_col, max_bucket=max_bucket)
 
 
 def _buckets_from_sig_array(
@@ -242,7 +263,39 @@ def _buckets_from_sig_array(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
-def _pairs_from_buckets(buckets: DataFrame, id_col: str) -> DataFrame:
+def _pairs_from_buckets(
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Self-equi-join the (band, bh) bucket rows into candidate pairs,
+    with the :data:`MAX_LSH_BUCKET` skew valve: oversized buckets are
+    excluded BEFORE the join (the size pre-aggregate shuffles on the
+    same key the join does — no extra exchange shape, and AQE sees the
+    real sizes). ``log_drops`` triggers one extra small job counting
+    the dropped buckets (callers should only ask when the upstream
+    signature table is persisted, else the count recomputes it)."""
+    if max_bucket is not None:
+        sz = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
+        if log_drops:
+            import logging
+
+            over = sz.filter(F.col("bucket_n") > max_bucket)
+            n_over = over.count()
+            if n_over:
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropping %d bucket(s) larger than "
+                    "%d docs (degenerate/boilerplate content — run "
+                    "exact_dedup first; pairs inside them are not emitted)",
+                    n_over,
+                    max_bucket,
+                )
+        buckets = (
+            buckets.join(sz, ["band", "bh"])
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -260,6 +313,7 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_bucket: int | None = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates VERIFIED with exact
     shingle-set Jaccard (no false positives — LSH only bounds recall).
@@ -287,7 +341,12 @@ def minhash_dedup_pairs(
     sigs = sh.select(
         F.col("sid").alias(id_col), _sig_array(F.col("sh_set")).alias("sig")
     ).persist()
-    cand = _pairs_from_buckets(_buckets_from_sig_array(sigs, id_col), id_col)
+    cand = _pairs_from_buckets(
+        _buckets_from_sig_array(sigs, id_col),
+        id_col,
+        max_bucket=max_bucket,
+        log_drops=True,  # sigs is persisted — the drop count is cheap
+    )
 
     inter = (
         cand.join(ex.alias("ea"), F.col("id_a") == F.col("ea.sid"))
@@ -484,11 +543,19 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     n: int = SHINGLE,
     threshold: float = 0.0,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard for every pair WITHIN a blocking key
     (e.g. same lang+source). Blocking turns the quadratic all-pairs into
     a per-bucket join — the classic scalable shape when a natural
     partition key exists; use MinHash-LSH when it doesn't.
+
+    Shingles with within-block document frequency above ``max_df`` are
+    excluded from the intersection join (see :data:`MAX_SHINGLE_DF`):
+    the intersection join's cost is sum over shingles of DF^2, so one
+    stop-shingle in an m-doc block alone costs m^2 — the quadratic
+    blow-up blocking was supposed to prevent. Set sizes (the Jaccard
+    denominator) stay uncapped, so capped scores only decrease.
     """
     sh = df.select(
         *[F.col(c) for c in block_cols],
@@ -496,6 +563,17 @@ def ngram_jaccard_pairs(
         shingles(F.col(text_col), n).alias("sh_set"),
     ).withColumn("n_sh", F.size("sh_set"))
     ex = sh.select(*block_cols, "sid", F.explode("sh_set").alias("shingle"))
+    if max_df is not None:
+        # DF pre-aggregate shuffles on the same (block, shingle) key the
+        # intersection join uses — no new exchange shape
+        dfc = ex.groupBy(*block_cols, "shingle").agg(
+            F.count(F.lit(1)).alias("df_n")
+        )
+        ex = (
+            ex.join(dfc, [*block_cols, "shingle"])
+            .filter(F.col("df_n") <= max_df)
+            .drop("df_n")
+        )
     inter = (
         ex.alias("ea")
         .join(

@@ -10,7 +10,17 @@ operator; the Spark side is the distributed implementation.
 
 from __future__ import annotations
 
-from xesmf_spark.pipeline import BANDS, K_HASHES, P, SHINGLE, STOPWORDS, _a, _b
+from xesmf_spark.pipeline import (
+    BANDS,
+    K_HASHES,
+    MAX_LSH_BUCKET,
+    MAX_SHINGLE_DF,
+    P,
+    SHINGLE,
+    STOPWORDS,
+    _a,
+    _b,
+)
 
 ROUND = 7
 
@@ -125,9 +135,15 @@ def _pair_ctes(threshold: float) -> str:
 {SHINGLE_HASH_CTE},
 {_sig_select()},
 {_bands_cte()},
+bsz AS (SELECT band, bh, COUNT(*) AS bucket_n FROM buckets GROUP BY band, bh),
+bkept AS (
+  SELECT b.doc_id, b.band, b.bh
+  FROM buckets b JOIN bsz z ON b.band = z.band AND b.bh = z.bh
+  WHERE z.bucket_n <= {MAX_LSH_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+  FROM bkept a JOIN bkept b ON a.band = b.band AND a.bh = b.bh
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, len(sh_set) AS n_sh FROM sh),
@@ -241,9 +257,19 @@ blocked AS (
 ex AS (
   SELECT lang, source, sid, unnest(sh_set) AS shingle FROM blocked
 ),
+dfc AS (
+  SELECT lang, source, shingle, COUNT(*) AS df_n
+  FROM ex GROUP BY lang, source, shingle
+),
+exk AS (
+  SELECT e.lang, e.source, e.sid, e.shingle
+  FROM ex e JOIN dfc d
+    ON e.lang = d.lang AND e.source = d.source AND e.shingle = d.shingle
+  WHERE d.df_n <= {MAX_SHINGLE_DF}
+),
 inter AS (
   SELECT ea.sid AS id_a, eb.sid AS id_b, COUNT(*) AS n_inter
-  FROM ex ea JOIN ex eb
+  FROM exk ea JOIN exk eb
     ON ea.lang = eb.lang AND ea.source = eb.source AND ea.shingle = eb.shingle
   WHERE ea.sid < eb.sid
   GROUP BY ea.sid, eb.sid
