@@ -310,6 +310,30 @@ def test_knn_join_bucketed_matches_broadcast(spark):
     assert len(bb) > 0
 
 
+def test_knn_join_auto_runs_no_job(spark):
+    """strategy='auto' must pick its path from metadata/Catalyst stats,
+    not a count() job — an extra Spark job per knn_join call is a full
+    pass over the pool at scale. Plan construction (no action) must
+    leave the job counter untouched, for Grid AND DataFrame pools."""
+    from pyspark.sql import functions as F
+
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights.nearest import knn_join
+
+    g_need = grid_2d(spark, -60, 60, 20.0, -30, 30, 15.0)
+    g_pool = grid_2d(spark, -60, 60, 10.0, -30, 30, 10.0)
+    pool_df = g_pool.df.select("cell_id", "lon", "lat").filter(F.col("lat") > -90)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    df1 = knn_join(g_need, g_pool, k=2, strategy="auto")
+    df2 = knn_join(g_need, pool_df, k=2, strategy="auto")
+    after = len(tracker.getJobIdsForGroup())
+    assert after == before, "auto strategy selection launched a Spark job"
+    # the plans still execute correctly afterwards
+    assert df1.count() > 0 and df2.count() > 0
+
+
 def test_finalize_releases_persisted_intermediates(spark, g_in, g_out):
     """Regridder.finalize must unpersist the extra-combo intermediates
     smm_apply pins (esmf_regrid_finalize analogue, backend.py:333-350),

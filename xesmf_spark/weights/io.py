@@ -32,8 +32,12 @@ def read_weights_netcdf(
             f"{path}: indices outside shape ({n_out}, {n_in}) — shape metadata "
             "must be supplied explicitly (xesmf/smm.py:20-27)"
         )
-    rows = [(int(r), int(c), float(s)) for r, c, s in zip(row, col, S)]
-    return spark.createDataFrame(rows, "row bigint, col bigint, S double")
+    import pandas as pd
+
+    # Arrow path: the numpy triplet arrays go to the JVM as one Arrow
+    # batch — no per-element Python row materialization
+    pdf = pd.DataFrame({"row": row, "col": col, "S": S})
+    return spark.createDataFrame(pdf, "row bigint, col bigint, S double")
 
 
 def write_weights_netcdf(weights: DataFrame, path: str) -> None:

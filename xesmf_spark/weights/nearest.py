@@ -242,6 +242,21 @@ def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float
     return ok.unionByName(rescue)
 
 
+def _est_rows(g: "Grid | DataFrame") -> int:
+    """Row-count estimate for strategy auto-selection WITHOUT running a
+    job: Grid metadata when available, else Catalyst's optimized-plan
+    statistics (rowCount if known, else sizeInBytes over a minimum
+    24-byte row). Overestimation is safe — it only tips the choice
+    toward the bucketed path, which is correct at every size."""
+    if isinstance(g, Grid):
+        return g.n_cells
+    stats = g._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // 24
+
+
 def knn_join(
     left: DataFrame | Grid,
     right: DataFrame | Grid,
@@ -263,8 +278,7 @@ def knn_join(
     need = _points(left, "n")
     pool = _points(right, "p")
     if strategy == "auto":
-        pool_n = pool.count()
-        strategy = "broadcast" if pool_n <= BROADCAST_LIMIT else "bucketed"
+        strategy = "broadcast" if _est_rows(right) <= BROADCAST_LIMIT else "bucketed"
 
     # quantized ordering key (same 1e-9 grid as _argmin_agg, so ties
     # break identically in Spark and the DuckDB oracle)
