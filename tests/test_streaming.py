@@ -18,12 +18,21 @@ def test_stream_hourly_matches_batch(spark, tmp_path):
     src_dir = tmp_path / "events_stream"
     src_dir.mkdir()
     shutil.copy(EVENTS, src_dir / "part-000.parquet")
+    # final-window flush: far-future sentinel advances the closing
+    # watermark past every real window
+    ST.stage_flush_sentinel(
+        str(src_dir),
+        offset_ns=24 * 3600 * 1_000_000_000,
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
     ev = ST.events_stream(spark, str(src_dir))
     out = ST.run_to_memory(
         ST.stream_hourly_events(ev), "hourly_test", output_mode="append"
     )
     got = {
-        (r.window_start, r.event_type): (r.n, r.sum_value) for r in out.collect()
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in out.collect()
+        if r.event_type != ST.FLUSH_MARKER
     }
     from xesmf_spark.tables import event_time_col, normalize_events
 
@@ -38,14 +47,10 @@ def test_stream_hourly_matches_batch(spark, tmp_path):
     want = {
         (r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
     }
-    # watermark may hold back the final (open) window in append mode;
-    # every emitted window must match batch exactly and cover ~all of it
-    assert got
-    for k, v in got.items():
-        assert want[k] == v
-    # windows still inside the watermark horizon are held back in append
-    # mode — bounded by windows-in-flight x event types, not data volume
-    assert len(got) >= len(want) - 20
+    # with the sentinel flush the finite-input stream equals batch
+    # EXACTLY — no held-back windows, no slack
+    assert got == want
+    assert len(got) > 0
 
 
 def test_regrid_stream_matches_batch(spark, tmp_path):
@@ -74,6 +79,14 @@ def test_regrid_stream_matches_batch(spark, tmp_path):
         .write.parquet(field_dir)
     )
     static = spark.read.parquet(field_dir)
+    # flush sentinel: cell_id -1 matches no weight row, so it only
+    # advances the watermark (the watermark node sits BEFORE the join)
+    ST.stage_flush_sentinel(
+        field_dir,
+        offset_ns=6 * 3600 * 1_000_000_000,
+        ts_col="event_ts",
+        overrides={"cell_id": -1, "value": 0.0},
+    )
     stream = spark.readStream.schema(static.schema).parquet(field_dir)
     # zero watermark: the finite fixture spans only 3 hours, so any
     # horizon >= the span would hold back every window in append mode
@@ -89,10 +102,10 @@ def test_regrid_stream_matches_batch(spark, tmp_path):
         .select(F.col("wd.start").alias("window_start"), "row", "value")
     )
     want = {(r.window_start, r.row): r.value for r in batch.collect()}
-    assert got
+    # sentinel flush: every window (including the last) must be emitted
+    assert set(got) == set(want)
     for k, v in got.items():
         assert abs(want[k] - v) < 1e-12
-    assert len(got) >= len(want) - g_out.n_cells  # last window may be held
 
 
 def test_sessionize_stream_matches_batch(spark, tmp_path):
@@ -118,6 +131,14 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     static.orderBy("ts").exceptAll(static.orderBy("ts").limit(3000)).coalesce(1).write.mode(
         "append"
     ).parquet(str(multi_dir))
+    # per-user flush sentinels: every user's final session closes, so
+    # the stream emits the FULL batch session list
+    ST.stage_flush_sentinel(
+        str(multi_dir),
+        offset_ns=24 * 3600 * 1_000_000_000,
+        user_col="user_id",
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -131,13 +152,15 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         for r in out.collect()
     }
 
-    # batch truth: lag-based session assembly, drop each user's last
+    # batch truth: lag-based session assembly over the REAL events —
+    # with the sentinel flush, ALL sessions are expected (no minus-last)
     from pyspark.sql import Window
 
     gap_ns = 30 * 60 * 1_000_000_000
     w = Window.partitionBy("user_id").orderBy("ts")
     sess = (
         spark.read.parquet(str(multi_dir))
+        .filter(F.col("event_type") != ST.FLUSH_MARKER)
         .withColumn(
             "new_s",
             F.when(
@@ -153,11 +176,9 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
             F.sum("value").alias("total_value"),
         )
     )
-    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
-    closed = sess.join(last_sid, "user_id").filter(F.col("sid") != F.col("max_sid"))
     want = {
         (r.user_id, r.session_start): (r.session_end, r.n_events, round(r.total_value, 6))
-        for r in closed.collect()
+        for r in sess.collect()
     }
     assert got == want
     assert len(got) > 0

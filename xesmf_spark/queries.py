@@ -558,20 +558,32 @@ def _stage_stream_dir(spark, sf_dir, table="events"):
 
 def stream_hourly(spark, sf_dir):
     """Structured Streaming tumbling-window aggregate (watermarked,
-    append mode) driven to completion with availableNow. Rows-only
-    driver check: append mode legitimately HOLDS BACK windows still
-    inside the watermark horizon, so the emitted set is a prefix of the
-    batch result (the equality modulo held windows is pytest-verified
-    in tests/test_streaming.py)."""
+    append mode) driven to completion with availableNow, PLUS the
+    final-window flush: a staged far-future sentinel advances the last
+    no-data micro-batch's watermark past every real window, so the
+    finite-input stream equals the batch aggregate EXACTLY (asserted in
+    tests/test_streaming.py). Rows-only driver check (streaming
+    semantics are not SQL-expressible)."""
     import uuid
 
     from xesmf_spark import streaming as ST
 
     d = _stage_stream_dir(spark, sf_dir)
+    # per-user sentinels at +24 h: the staged events dir is SHARED with
+    # stream_sessionize (sentinel staging is idempotent), and the
+    # per-user form serves both — any far-future event advances the
+    # hourly watermark, and each user's sentinel closes their session
+    ST.stage_flush_sentinel(
+        d,
+        offset_ns=24 * 3600 * 1_000_000_000,
+        user_col="user_id",
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
     ev = ST.events_stream(spark, d)
-    return ST.run_to_memory(
+    out = ST.run_to_memory(
         ST.stream_hourly_events(ev), f"q_stream_hourly_{uuid.uuid4().hex[:8]}"
     )
+    return out.filter(F.col("event_type") != ST.FLUSH_MARKER)
 
 
 def stream_sessionize(spark, sf_dir):
@@ -587,6 +599,16 @@ def stream_sessionize(spark, sf_dir):
     from xesmf_spark.tables import normalize_events
 
     d = _stage_stream_dir(spark, sf_dir)
+    # per-user sentinels: each user's open session is closed by a
+    # later-than-gap event for THAT user, so the finite-input run emits
+    # every real session (the sentinels' own sessions stay in state and
+    # are never emitted — no output filtering needed)
+    ST.stage_flush_sentinel(
+        d,
+        offset_ns=24 * 3600 * 1_000_000_000,
+        user_col="user_id",
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(d)
     stream = normalize_events(

@@ -24,6 +24,7 @@ the batch apply.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,6 +170,103 @@ def sessionize_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+#: event_type / marker value identifying flush-sentinel rows — filtered
+#: from query output by the callers that stage them
+FLUSH_MARKER = "__flush__"
+
+
+def stage_flush_sentinel(
+    src_dir: str,
+    offset_ns: int,
+    ts_col: str = "ts",
+    user_col: str | None = None,
+    overrides: dict[str, object] | None = None,
+) -> None:
+    """Write a far-future sentinel parquet file into a (staged, writable)
+    file-stream source directory so a finite availableNow run FLUSHES its
+    final windows/state.
+
+    Append-mode watermarked aggregations hold back every window still
+    inside the watermark horizon when the input ends — the stream's
+    answer is a prefix of the batch answer. A sentinel event at
+    ``max(ts) + offset_ns`` advances the final no-data micro-batch's
+    watermark past every real window, closing them all, which is exactly
+    the emit-on-close finalize a finite input wants. With ``user_col``,
+    one sentinel per distinct user is staged instead (the arbitrary-state
+    sessionizer closes sessions per key, so each key needs its own
+    later-than-gap event; the sentinel's own opened session stays in
+    state and is never emitted).
+
+    The sentinel file is written once (idempotent re-stage) with the SAME
+    physical arrow schema as the source files, and its later mtime sorts
+    it into the final micro-batch. Callers filter sentinel rows from the
+    output via ``overrides`` markers (e.g. event_type=FLUSH_MARKER).
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_path = os.path.join(src_dir, "zz-flush-sentinel.parquet")
+    if os.path.exists(out_path):
+        return
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(src_dir, "*.parquet"))
+        if not f.endswith("zz-flush-sentinel.parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files to flush in {src_dir}")
+
+    cols = [ts_col] + ([user_col] if user_col else [])
+    stats = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+    ts_type = stats.schema.field(ts_col).type
+    if pa.types.is_integer(ts_type):
+        # contract BIGINT epoch ns — passthrough
+        max_raw = max(c.as_py() for c in stats[ts_col] if c.is_valid)
+        sent_raw, out_ts_type = max_raw + offset_ns, ts_type
+    elif pa.types.is_timestamp(ts_type):
+        # ALWAYS write the sentinel as timestamp[us]: Spark reads INT64
+        # TIMESTAMP_MICROS as TIMESTAMP under every config, whereas a
+        # nanos sentinel would read back as LONG when the session's
+        # legacy nanosAsLong flag is on (set by the events contract)
+        to_us = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[ts_type.unit]
+        raw = max(c.value for c in stats[ts_col] if c.is_valid)
+        max_us = raw // 1000 if to_us is None else raw * to_us
+        sent_raw = max_us + max(offset_ns // 1_000, 1)
+        out_ts_type = pa.timestamp("us", tz=ts_type.tz)
+    else:
+        raise TypeError(f"{ts_col}: unsupported sentinel ts type {ts_type}")
+
+    users = (
+        sorted(stats[user_col].unique().to_pylist()) if user_col else [None]
+    )
+    n = len(users)
+
+    # full-schema template: first row of the first file
+    first = pa.Table.from_batches(
+        [next(pq.ParquetFile(files[0]).iter_batches(batch_size=1))]
+    )
+    overrides = overrides or {}
+    schema = pq.read_schema(files[0])
+    idx = schema.get_field_index(ts_col)
+    schema = schema.set(
+        idx, pa.field(ts_col, out_ts_type, schema.field(idx).nullable)
+    )
+    arrays = []
+    for field in schema:
+        if field.name == ts_col:
+            arrays.append(pa.array([sent_raw] * n).cast(field.type))
+        elif user_col is not None and field.name == user_col:
+            arrays.append(pa.array(users).cast(field.type))
+        elif field.name in overrides:
+            arrays.append(pa.array([overrides[field.name]] * n).cast(field.type))
+        else:
+            tmpl = first.column(field.name)[0].as_py()
+            arrays.append(pa.array([tmpl] * n, type=field.type))
+    pq.write_table(pa.table(arrays, schema=schema), out_path)
 
 
 def run_to_memory(
