@@ -232,3 +232,65 @@ def test_conservative_curvilinear_integral_conservation(spark):
     int_src = sum(src_area[c] * fvals[c] for c in fvals)
     int_dst = sum(dst_area[c] * ovals[c] for c in ovals)
     assert abs(int_src - int_dst) / abs(int_src) < 1e-9
+
+
+def test_ignore_degenerate_gate(spark):
+    """Degenerate cells (lines/triangles) in a conservative build:
+    raise by default, regrid cleanly with ignore_degenerate=True —
+    mirroring xesmf/frontend.py:148-150. The collapsed cells get no
+    weights (zero area contributes nothing) and every emitted weight is
+    finite."""
+    import pytest
+
+    from xesmf_spark.grids import count_degenerate_cells, grid_2d, grid_from_2d_arrays
+    from xesmf_spark.regridder import Regridder
+
+    # 2x3-cell curvilinear mesh whose BOTTOM row of cells is collapsed
+    # to zero-height lines (first two corner-node rows coincide)
+    lonb = [[0.0, 1.0, 2.0, 3.0]] * 4
+    lonb = [list(r) for r in lonb]
+    latb = [
+        [0.0, 0.0, 0.0, 0.0],   # node row 0
+        [0.0, 0.0, 0.0, 0.0],   # node row 1 == row 0 -> row-0 cells are lines
+        [1.0, 1.0, 1.0, 1.0],
+        [2.0, 2.0, 2.0, 2.0],
+    ]
+    lonc = [
+        [(lonb[j][i] + lonb[j][i + 1]) / 2.0 for i in range(3)] for j in range(3)
+    ]
+    latc = [
+        [(latb[j][i] + latb[j + 1][i]) / 2.0 for i in range(3)] for j in range(3)
+    ]
+    src = grid_from_2d_arrays(spark, lonc, latc, lon_b=lonb, lat_b=latb)
+    assert count_degenerate_cells(src) == 3
+    dst = grid_2d(spark, 0.0, 3.0, 1.0, 0.0, 2.0, 1.0)
+
+    with pytest.raises(ValueError, match="degenerate"):
+        Regridder(spark, src, dst, "conservative")
+
+    rg = Regridder(spark, src, dst, "conservative", ignore_degenerate=True)
+    w = rg.weights.collect()
+    import math as m
+
+    assert len(w) > 0
+    assert all(m.isfinite(r.S) and 0.0 < r.S <= 1.0 + 1e-12 for r in w)
+    # no weight references a collapsed source cell (ids 0..2)
+    assert all(r.col >= 3 for r in w)
+    rg.clean_weight_file()
+
+
+def test_degenerate_check_rectilinear_bounds(spark):
+    """The interval-bounds form of the degeneracy check: a rectilinear
+    grid is degenerate iff a bound collapses."""
+    from xesmf_spark.grids import count_degenerate_cells, grid_2d
+
+    g = grid_2d(spark, 0.0, 4.0, 1.0, 0.0, 2.0, 1.0)
+    assert count_degenerate_cells(g) == 0
+    bad = g.df.withColumn(
+        "lat_hi",
+        F.when(F.col("cell_id") == 0, F.col("lat_lo")).otherwise(F.col("lat_hi")),
+    )
+    from xesmf_spark.grids import Grid
+
+    gbad = Grid(df=bad, shape=g.shape, periodic=g.periodic, has_bounds=True)
+    assert count_degenerate_cells(gbad) == 1

@@ -353,6 +353,41 @@ def wave_smooth(lon: Column | str = "lon", lat: Column | str = "lat") -> Column:
     )
 
 
+def count_degenerate_cells(grid: Grid) -> int:
+    """Number of DEGENERATE cells — "triangles or lines, instead of
+    quadrilaterals" (xesmf/frontend.py:148-150): a corner ring with
+    fewer than 4 distinct nodes, or (near-)zero area in the equal-area
+    map ``(radians(lon), sin(lat))`` the conservative builders measure
+    in. Rectilinear grids are degenerate iff an interval bound
+    collapses. One aggregate over the cell table — same O(cells) shape
+    as the geometry digest the cache key already pays."""
+    df = grid.df
+    corner_cols = [f"c{ax}{k}" for k in range(4) for ax in ("lon", "lat")]
+    if all(c in df.columns for c in corner_cols):
+        ring = F.array(
+            *[
+                F.struct(
+                    F.round(F.col(f"clon{k}"), 12).alias("x"),
+                    F.round(F.col(f"clat{k}"), 12).alias("y"),
+                )
+                for k in range(4)
+            ]
+        )
+        xs = [F.radians(F.col(f"clon{k}")) for k in range(4)]
+        ys = [F.sin(F.radians(F.col(f"clat{k}"))) for k in range(4)]
+        area2 = sum(
+            xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4)
+        )
+        deg = (F.size(F.array_distinct(ring)) < 4) | (F.abs(area2) < F.lit(1e-16))
+    elif grid.has_bounds:
+        deg = (F.col("lon_hi") == F.col("lon_lo")) | (
+            F.col("lat_hi") == F.col("lat_lo")
+        )
+    else:
+        return 0
+    return df.filter(deg).count()
+
+
 def validate_lat_range(grid: Grid) -> None:
     """Warn if any |lat| > 90 (xesmf/backend.py:40-52 ``warn_lat_range``)."""
     bad = grid.df.filter(~F.col("lat").between(-90.0, 90.0)).limit(1).count()

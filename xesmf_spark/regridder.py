@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xesmf_spark.apply import smm_apply
-from xesmf_spark.grids import Grid, validate_lat_range
+from xesmf_spark.grids import Grid, count_degenerate_cells, validate_lat_range
 from xesmf_spark.weights import (
     METHODS,
     bilinear_weights,
@@ -71,6 +71,7 @@ class Regridder:
         periodic: bool = False,
         filename: str | None = None,
         reuse_weights: bool = False,
+        ignore_degenerate: bool = False,
         weights_dir: str = "/tmp/xesmf_spark_weights",
     ):
         if method not in METHODS:
@@ -92,9 +93,24 @@ class Regridder:
             if not (grid_in.has_bounds and grid_out.has_bounds):
                 raise KeyError("conservative method requires cell bounds on both grids")
             periodic = False  # frontend.py:165-167
+            # degenerate-cell gate (frontend.py:148-150 ignore_degenerate:
+            # ESMF raises on triangles/lines during the conservative
+            # build unless flagged; checked HERE because only the
+            # corner-consuming builders care)
+            if not ignore_degenerate:
+                for g, side in ((grid_in, "input"), (grid_out, "output")):
+                    ndeg = count_degenerate_cells(g)
+                    if ndeg:
+                        raise ValueError(
+                            f"{side} grid contains {ndeg} degenerate cell(s) "
+                            "(triangles or lines, instead of quadrilaterals) — "
+                            "pass ignore_degenerate=True to skip them "
+                            "(xesmf/frontend.py:148-150)"
+                        )
 
         validate_lat_range(grid_in)
         validate_lat_range(grid_out)
+        self.ignore_degenerate = ignore_degenerate
 
         self.spark = spark
         self.grid_in = grid_in

@@ -179,8 +179,13 @@ def _clip_kernel_factory(cols_s, cols_d):
                     axis=1,
                 )
             )
-            S = a_ov / np.abs(area_d)
-            keep = S > _MIN_S
+            # degenerate (zero-area) destination quads get NO weights —
+            # the guarded divide keeps them finite so `keep` drops them
+            # (ignore_degenerate=True semantics; the Regridder raises on
+            # them by default before this kernel ever runs)
+            abs_d = np.abs(area_d)
+            S = a_ov / np.where(abs_d == 0.0, 1.0, abs_d)
+            keep = (S > _MIN_S) & (abs_d > 0.0)
             yield pd.DataFrame(
                 {
                     "row": pdf["did"].to_numpy(np.int64)[keep],
