@@ -294,3 +294,109 @@ def test_degenerate_check_rectilinear_bounds(spark):
 
     gbad = Grid(df=bad, shape=g.shape, periodic=g.periodic, has_bounds=True)
     assert count_degenerate_cells(gbad) == 1
+
+
+# ---------------------------------------------------------------------------
+# ±180° seam (antimeridian) handling
+# ---------------------------------------------------------------------------
+
+
+def _wrap_deg(v):
+    """[-180, 180) wrap of a longitude in degrees."""
+    return v - 360.0 * math.floor((v + 180.0) / 360.0)
+
+
+def _seam_mesh(n_y, n_x, angle_deg, wrap):
+    """Rotated curvilinear mesh CENTERED ON THE ±180° SEAM: centers and
+    corner nodes span lon ~150..210. ``wrap=True`` returns the wrapped
+    (±180-convention) representation whose cells straddle the seam;
+    ``wrap=False`` the continuous 0..360-style representation (ground
+    truth: contiguous coordinates, no seam in sight)."""
+    th = math.radians(angle_deg)
+
+    def node(j, i, n_jj, n_ii):
+        u = -25.0 + 50.0 * i / n_ii
+        v = -20.0 + 40.0 * j / n_jj
+        lon = 180.0 + u * math.cos(th) - v * math.sin(th)
+        lat = u * math.sin(th) + v * math.cos(th)
+        return (_wrap_deg(lon) if wrap else lon), lat
+
+    lonb = [[0.0] * (n_x + 1) for _ in range(n_y + 1)]
+    latb = [[0.0] * (n_x + 1) for _ in range(n_y + 1)]
+    for j in range(n_y + 1):
+        for i in range(n_x + 1):
+            lonb[j][i], latb[j][i] = node(j, i, n_y, n_x)
+    # centers = ring averages of the CONTINUOUS nodes, then wrapped
+    lonc = [[0.0] * n_x for _ in range(n_y)]
+    latc = [[0.0] * n_x for _ in range(n_y)]
+    for j in range(n_y):
+        for i in range(n_x):
+            us = [node(jj, ii, n_y, n_x) for jj, ii in
+                  ((j, i), (j, i + 1), (j + 1, i + 1), (j + 1, i))]
+            if wrap:
+                # average in the continuous frame, wrap after
+                base = 180.0 + (-25.0 + 50.0 * (i + 0.5) / n_x) * math.cos(th) \
+                    - (-20.0 + 40.0 * (j + 0.5) / n_y) * math.sin(th)
+                lonc[j][i] = _wrap_deg(base)
+            else:
+                lonc[j][i] = sum(u[0] for u in us) / 4.0
+            latc[j][i] = sum(u[1] for u in us) / 4.0
+    return lonc, latc, lonb, latb
+
+
+def test_conservative_clip_across_seam_matches_continuous(spark):
+    """DIFFERENTIAL seam test: the wrapped (±180-convention, seam-
+    straddling) representation of a rotated mesh must produce the SAME
+    conservative weights as the continuous (0..360-style) representation
+    of the same geometry — same sparsity, same values to fp round-off."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import conservative_weights_clip
+
+    lonc_w, latc, lonb_w, latb = _seam_mesh(6, 8, 12.0, wrap=True)
+    lonc_c, _, lonb_c, _ = _seam_mesh(6, 8, 12.0, wrap=False)
+    src_w = grid_from_2d_arrays(spark, lonc_w, latc, lon_b=lonb_w, lat_b=latb)
+    src_c = grid_from_2d_arrays(spark, lonc_c, latc, lon_b=lonb_c, lat_b=latb)
+    # dst spans the seam too, expressed CONTINUOUSLY (165..195)
+    dst = grid_2d(spark, 165.0, 195.0, 3.0, -12.0, 12.0, 3.0)
+
+    ww = {(r.row, r.col): r.S for r in conservative_weights_clip(src_w, dst).collect()}
+    wc = {(r.row, r.col): r.S for r in conservative_weights_clip(src_c, dst).collect()}
+    assert len(wc) > 0
+    assert set(ww) == set(wc)
+    assert max(abs(ww[k] - wc[k]) for k in wc) < 1e-9
+    # partition of unity on every interior destination cell: the dst
+    # grid sits strictly inside the source mesh, so each row sums to 1
+    sums = {}
+    for (row, _c), s in ww.items():
+        sums[row] = sums.get(row, 0.0) + s
+    n_dst = dst.n_cells
+    full = [r for r, s in sums.items() if abs(s - 1.0) < 1e-9]
+    assert len(full) == n_dst, f"{n_dst - len(full)} dst cells not fully covered"
+
+
+def test_bilinear_curvilinear_across_seam_matches_continuous(spark):
+    """Same differential contract for the curvilinear bilinear builder:
+    wrapped and continuous representations of one rotated seam-centered
+    mesh give identical weights for destination points across the seam
+    (in either point convention)."""
+    from xesmf_spark.grids import grid_2d
+
+    lonc_w, latc, _, _ = _seam_mesh(8, 10, 12.0, wrap=True)
+    lonc_c, _, _, _ = _seam_mesh(8, 10, 12.0, wrap=False)
+    src_w = grid_from_2d_arrays(spark, lonc_w, latc)
+    src_c = grid_from_2d_arrays(spark, lonc_c, latc)
+    dst = grid_2d(spark, 170.0, 190.0, 2.0, -8.0, 8.0, 2.0)
+
+    ww = {(r.row, r.col): r.S
+          for r in bilinear_weights_curvilinear(src_w, dst).collect()}
+    wc = {(r.row, r.col): r.S
+          for r in bilinear_weights_curvilinear(src_c, dst).collect()}
+    assert len(wc) > 0
+    assert set(ww) == set(wc)
+    assert max(abs(ww[k] - wc[k]) for k in wc) < 1e-9
+    # every interior destination point found a quad (weights sum to 1)
+    sums = {}
+    for (row, _c), s in ww.items():
+        sums[row] = sums.get(row, 0.0) + s
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+    assert len(sums) == dst.n_cells

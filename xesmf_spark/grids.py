@@ -353,6 +353,15 @@ def wave_smooth(lon: Column | str = "lon", lat: Column | str = "lat") -> Column:
     )
 
 
+def wrap_lon(c: Column) -> Column:
+    """Longitude wrapped into [-180, 180) — pure Column arithmetic.
+    ``wrap_lon(x - ref) + ref`` localizes ``x`` into the frame of
+    ``ref`` (within ±180°), the idiom the seam-aware builders use so a
+    cell straddling the ±180° antimeridian stays CONTIGUOUS instead of
+    exploding into a 360°-wide bbox."""
+    return c - F.lit(360.0) * F.floor((c + F.lit(180.0)) / F.lit(360.0))
+
+
 def count_degenerate_cells(grid: Grid) -> int:
     """Number of DEGENERATE cells — "triangles or lines, instead of
     quadrilaterals" (xesmf/frontend.py:148-150): a corner ring with

@@ -19,8 +19,13 @@ the axis-decomposed ``conservative.py`` weights (differential-tested,
 and oracle-checked against the same closed-form SQL). For curvilinear
 edges, "straight in the map" differs from ESMF's great-circle edges by
 O(edge_length²) — the usual small-cell regime of regional models; same
-planar-approximation contract as ``curvilinear.py``, and like there the
-±180° seam and pole caps are out of scope.
+planar-approximation contract as ``curvilinear.py``. The ±180° seam is
+handled by mod-360 localization (quad corners wrapped into the first
+corner's frame, bin indices wrapped mod nlon, candidate pairs re-shifted
+into a common frame before clipping) — the reference gets this for free
+from ESMF's 3-D Cartesian internals (xesmf/backend.py:44-45). Pole-cap
+cells remain planar-approximate (the equal-area map is exact for
+meridian/parallel edges, approximate for slanted edges near the pole).
 
 Spark plan (the 100-TB shape, same skeleton as the other bucketed
 builders):
@@ -84,12 +89,26 @@ def cell_quads(g: Grid, prefix: str) -> DataFrame:
 
 
 def _binned(quads: DataFrame, p: str, bin_deg: float, nlon: int) -> DataFrame:
-    """Explode each quad to every (by, bx) bin its corner bbox overlaps;
-    keep the bbox-min bin coords for the owner-bin dedup."""
+    """SEAM-AWARE bin explode: corner lons are first LOCALIZED around the
+    quad's first corner (``wrap_lon(xk - x0) + wrap_lon(x0)``), so a
+    quad straddling the ±180° antimeridian keeps a contiguous, cell-width
+    bbox instead of a 360°-wide one; the bbox's lon-bin range is then
+    wrapped mod ``nlon`` so seam-crossing quads land in the bins on both
+    sides of the seam. (Assumes cells narrower than 180° — any physical
+    mesh.) Keeps the localized bbox coords for the owner-bin dedup."""
+    from xesmf_spark.grids import wrap_lon
+
+    ref = wrap_lon(F.col(f"{p}x0"))
+    q = quads.withColumns(
+        {
+            f"{p}x{k}": ref + wrap_lon(F.col(f"{p}x{k}") - F.col(f"{p}x0"))
+            for k in (1, 2, 3)
+        }
+    ).withColumn(f"{p}x0", ref)
     xs = [F.col(f"{p}x{k}") for k in range(4)]
     ys = [F.col(f"{p}y{k}") for k in range(4)]
     q = (
-        quads.withColumn("_xmin", F.least(*xs))
+        q.withColumn("_xmin", F.least(*xs))
         .withColumn("_xmax", F.greatest(*xs))
         .withColumn("_ymin", F.least(*ys))
         .withColumn("_ymax", F.greatest(*ys))
@@ -101,7 +120,9 @@ def _binned(quads: DataFrame, p: str, bin_deg: float, nlon: int) -> DataFrame:
     return (
         q.withColumn("_bx", F.explode(F.sequence(bx0, bx1)))
         .withColumn("_by", F.explode(F.sequence(by0, by1)))
-        .withColumn("bin", F.col("_by") * F.lit(nlon * 4) + F.col("_bx"))
+        .withColumn(
+            "bin", F.col("_by") * F.lit(nlon) + F.pmod(F.col("_bx"), F.lit(nlon))
+        )
         .withColumnRenamed("_xmin", f"{p}xmin")
         .withColumnRenamed("_ymin", f"{p}ymin")
         .withColumnRenamed("_xmax", f"{p}xmax")
@@ -215,6 +236,14 @@ def conservative_weights_clip(
     dq = _binned(cell_quads(dst, "d"), "d", bin_deg, nlon)
 
     cand = sq.join(dq, "bin")
+    # PAIR re-localization: each quad was localized around its OWN first
+    # corner, so two quads meeting in a wrapped seam bin can sit in lon
+    # frames 360° apart — shift the source quad by the whole number of
+    # turns separating the two frames before any comparison
+    shift = F.lit(360.0) * F.round((F.col("sx0") - F.col("dx0")) / F.lit(360.0), 0)
+    cand = cand.withColumns(
+        {c: F.col(c) - shift for c in ["sxmin", "sxmax"] + [f"sx{k}" for k in range(4)]}
+    )
     # bbox prefilter: cheap reject before the kernel sees the pair
     cand = cand.filter(
         (F.col("sxmin") < F.col("dxmax"))
@@ -224,12 +253,14 @@ def conservative_weights_clip(
     )
     # owner-bin dedup: a pair sharing k bins survives only in the bin
     # holding the intersection bbox's min corner (covered by both
-    # bboxes by construction) — arithmetic, no distinct shuffle
+    # bboxes by construction) — arithmetic, no distinct shuffle; the
+    # lon owner index wraps mod nlon exactly like the explode above, so
+    # the pair-frame coordinate (possibly outside ±180) maps to the
+    # same wrapped bin every row of the pair computes
     ix = F.greatest("sxmin", "dxmin")
     iy = F.greatest("symin", "dymin")
-    own = (
-        F.floor((iy + 90.0) / bin_deg).cast("long") * F.lit(nlon * 4)
-        + F.floor((ix + 180.0) / bin_deg).cast("long")
+    own = F.floor((iy + 90.0) / bin_deg).cast("long") * F.lit(nlon) + F.pmod(
+        F.floor((ix + 180.0) / bin_deg).cast("long"), F.lit(nlon)
     )
     cand = cand.filter(F.col("bin") == own)
 

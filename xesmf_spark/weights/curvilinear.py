@@ -18,14 +18,21 @@ stretched tripolar grids) has none, so bilinear interpolation becomes:
    gives a QUADRATIC in v (closed form, pure Column arithmetic — no
    iteration, no UDF); weights are the four bilinear products.
 
+Seam handling: quads and destination points are LOCALIZED mod 360
+(corner lons wrapped into the first corner's frame, bin indices wrapped
+mod nlon, the point shifted by whole turns into the quad's frame), so
+meshes straddling the ±180° antimeridian — global tripolar/rotated
+grids — regrid correctly in either lon convention (±180 or 0..360).
+The reference gets this for free from ESMF's 3-D Cartesian internals
+(xesmf/backend.py:44-45); here the wrap arithmetic mirrors the
+bucketed-nearest builder's wrapped neighborhoods (nearest.py).
+
 Limitations (documented, mirroring SURVEY.md §7 phase-7 scope):
-- planar approximation in lon/lat space (adequate away from poles and
-  the grid's 360° seam for meshes whose cells are small relative to
-  curvature — the usual regional-model regime);
+- planar approximation in lon/lat space (adequate away from the poles
+  for meshes whose cells are small relative to curvature — the usual
+  regional/global-model regime); cells must be narrower than 180°;
 - destination points outside the center mesh get no weights → 0 on
-  apply (unmapped_action=IGNORE semantics, xesmf/backend.py:275-279);
-- conservative curvilinear (spherical polygon clipping) remains out of
-  scope.
+  apply (unmapped_action=IGNORE semantics, xesmf/backend.py:275-279).
 """
 
 from __future__ import annotations
@@ -66,10 +73,18 @@ def _quads(src: Grid) -> DataFrame:
 
 
 def _bin_id(lon_col, lat_col, bin_deg: float):
+    """Seam-aware bin key: lon is wrapped into [-180, 180) first and the
+    lon-bin index wrapped mod nlon, so any input convention (0..360,
+    ±180) hashes to the same geographic bin."""
+    from xesmf_spark.grids import wrap_lon
+
     nlon = max(1, int(round(360.0 / bin_deg)))
     blat = F.floor((lat_col + F.lit(90.0)) / F.lit(bin_deg)).cast("long")
-    blon = F.floor((lon_col + F.lit(180.0)) / F.lit(bin_deg)).cast("long")
-    return blat * F.lit(nlon * 4) + blon  # *4: slack for out-of-range lon
+    blon = F.pmod(
+        F.floor((wrap_lon(lon_col) + F.lit(180.0)) / F.lit(bin_deg)).cast("long"),
+        F.lit(nlon),
+    )
+    return blat * F.lit(nlon) + blon
 
 
 def bilinear_weights_curvilinear(
@@ -82,8 +97,18 @@ def bilinear_weights_curvilinear(
         # ~2 source cells per bin: the quad bbox then overlaps O(1) bins
         bin_deg = max(0.5, 2.0 * 360.0 / max(src.n_x, 1))
 
+    from xesmf_spark.grids import wrap_lon
+
     quads = _quads(src)
-    # explode each quad into every bin its bbox overlaps
+    # SEAM-AWARE localization: corner lons wrapped into the frame of the
+    # (wrapped) first corner, so a quad straddling the ±180° seam keeps a
+    # contiguous cell-width bbox (assumes cells narrower than 180°)
+    ref = wrap_lon(F.col("x00"))
+    quads = quads.withColumns(
+        {c: ref + wrap_lon(F.col(c) - F.col("x00")) for c in ("x10", "x01", "x11")}
+    ).withColumn("x00", ref)
+    # explode each quad into every bin its bbox overlaps, lon-bin index
+    # wrapped mod nlon so seam-crossing quads land on both sides
     qx_min = F.least("x00", "x10", "x01", "x11")
     qx_max = F.greatest("x00", "x10", "x01", "x11")
     qy_min = F.least("y00", "y10", "y01", "y11")
@@ -96,7 +121,9 @@ def bilinear_weights_curvilinear(
         .withColumn("by1", F.floor((qy_max + 90.0) / bin_deg).cast("long"))
         .withColumn("bx", F.explode(F.sequence("bx0", "bx1")))
         .withColumn("by", F.explode(F.sequence("by0", "by1")))
-        .withColumn("bin", F.col("by") * F.lit(nlon * 4) + F.col("bx"))
+        .withColumn(
+            "bin", F.col("by") * F.lit(nlon) + F.pmod(F.col("bx"), F.lit(nlon))
+        )
         .drop("bx0", "bx1", "by0", "by1", "bx", "by")
     )
     pts = dst.df.select(
@@ -106,6 +133,14 @@ def bilinear_weights_curvilinear(
     ).withColumn("bin", _bin_id(F.col("px"), F.col("py"), bin_deg))
 
     cand = pts.join(quads, "bin").drop("bin")
+    # localize the point into the quad's lon frame (whole turns only):
+    # a point at -179.9 tests against a quad whose localized corners sit
+    # around +179.9 as 180.1 — the same geographic position
+    cand = cand.withColumn(
+        "px",
+        F.col("px")
+        - F.lit(360.0) * F.round((F.col("px") - F.col("x00")) / F.lit(360.0), 0),
+    )
 
     # exact point-in-quad: the point is inside (or on the boundary of)
     # the quad iff it is left-of (or on) every edge traversed in a
