@@ -400,3 +400,65 @@ def test_bilinear_curvilinear_across_seam_matches_continuous(spark):
         sums[row] = sums.get(row, 0.0) + s
     assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
     assert len(sums) == dst.n_cells
+
+
+# ---------------------------------------------------------------------------
+# patch recovery on curvilinear sources (weights/patch_curvilinear.py)
+# ---------------------------------------------------------------------------
+
+
+def test_patch_curvilinear_quadratic_exact(spark):
+    """The defining patch contract on a general mesh: an arbitrary full
+    2-D quadratic field is reproduced to machine precision on interior
+    destination points, and weights form a partition of unity."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import patch_weights
+
+    lon2d, lat2d = _rotated_mesh(14, 18, 20.0)
+    src = grid_from_2d_arrays(spark, lon2d, lat2d)
+    dst = grid_2d(spark, -14.0, 14.0, 2.0, -9.0, 9.0, 2.0)
+
+    def quad(lon, lat):
+        return 1.5 + 0.3 * lon - 0.2 * lat + 0.01 * lon * lon \
+            - 0.015 * lon * lat + 0.02 * lat * lat
+
+    w = patch_weights(src, dst)
+    rows = w.collect()
+    assert len(rows) > 0
+    sums = {}
+    for r in rows:
+        sums[r.row] = sums.get(r.row, 0.0) + r.S
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+    assert len(sums) == dst.n_cells  # dst strictly inside the mesh
+
+    field = src.df.select(
+        "cell_id", quad(F.col("lon"), F.col("lat")).alias("value")
+    )
+    out = smm_apply(field, w, dst, attach_coords=False)
+    got = {r.cell_id: r.value for r in out.collect()}
+    want = {
+        r.cell_id: quad(r.lon, r.lat)
+        for r in dst.df.select("cell_id", "lon", "lat").collect()
+    }
+    err = max(abs(got[k] - want[k]) for k in got)
+    assert err < 1e-9, f"patch not quadratic-exact: max err {err}"
+
+
+def test_patch_curvilinear_across_seam_matches_continuous(spark):
+    """Differential seam contract for the curvilinear patch builder:
+    wrapped and continuous representations of one rotated seam-centered
+    mesh give identical weights."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights.patch_curvilinear import patch_weights_curvilinear
+
+    lonc_w, latc, _, _ = _seam_mesh(9, 11, 12.0, wrap=True)
+    lonc_c, _, _, _ = _seam_mesh(9, 11, 12.0, wrap=False)
+    src_w = grid_from_2d_arrays(spark, lonc_w, latc)
+    src_c = grid_from_2d_arrays(spark, lonc_c, latc)
+    dst = grid_2d(spark, 172.0, 188.0, 2.0, -6.0, 6.0, 2.0)
+
+    ww = {(r.row, r.col): r.S for r in patch_weights_curvilinear(src_w, dst).collect()}
+    wc = {(r.row, r.col): r.S for r in patch_weights_curvilinear(src_c, dst).collect()}
+    assert len(wc) > 0
+    assert set(ww) == set(wc)
+    assert max(abs(ww[k] - wc[k]) for k in wc) < 1e-9

@@ -206,16 +206,24 @@ def test_patch_beats_bilinear_on_smooth_field(spark, g_in, g_out):
     assert max_rel_err("patch") < 0.25 * max_rel_err("bilinear")
 
 
-def test_patch_curvilinear_gated(spark, g_out):
-    """Curvilinear patch recovery is a documented scope gate."""
+def test_patch_curvilinear_dispatches(spark, g_out):
+    """patch_weights on a curvilinear source dispatches to the
+    general-mesh builder (the former scope gate is lifted): weights
+    exist and form a partition of unity on mapped destinations.
+    Numerical contract (quadratic exactness, seam) is pinned in
+    tests/test_curvilinear.py."""
     from xesmf_spark.grids import grid_from_2d_arrays
     from xesmf_spark.weights import patch_weights
 
-    lon2d = [[float(i * 3) for i in range(5)] for _ in range(5)]
-    lat2d = [[float(j * 3) for i in range(5)] for j in range(5)]
+    lon2d = [[float(i * 3) for i in range(8)] for _ in range(8)]
+    lat2d = [[float(j * 3) for i in range(8)] for j in range(8)]
     src = grid_from_2d_arrays(spark, lon2d, lat2d)
-    with pytest.raises(NotImplementedError):
-        patch_weights(src, g_out)
+    w = patch_weights(src, g_out).collect()
+    assert len(w) > 0
+    sums = {}
+    for r in w:
+        sums[r.row] = sums.get(r.row, 0.0) + r.S
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
 
 
 def test_repr(spark, g_in, g_out):

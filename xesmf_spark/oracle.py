@@ -632,3 +632,26 @@ SELECT d.cell_id, t.time, l.lev, ROUND(COALESCE(a.v, 0.0), {ROUND}) AS value
 FROM dst_cells d CROSS JOIN times t CROSS JOIN levs l
 LEFT JOIN agg a ON d.cell_id = a.row AND a.time = t.time AND a.lev = l.lev
 """
+
+
+def patch_curvilinear_oracle_sql(n_pts: int = 64) -> str:
+    """Identity oracle for curvilinear patch recovery: the method's
+    defining contract is EXACT reproduction of quadratic fields
+    (weights/patch_curvilinear.py, pytest-verified to ~1e-11), so the
+    oracle evaluates the query's quadratic analytically at the
+    deterministic destination points — a full value check at reduced
+    rounding (engine vs analytic differ only by LS round-off)."""
+    return f"""
+WITH pts AS (
+  SELECT k AS cell_id,
+         -18.0 + CAST(k % 8 AS DOUBLE) * 5.0 + CAST(k // 8 AS DOUBLE) * 0.37 AS px,
+         -13.0 + CAST(k // 8 AS DOUBLE) * 3.5 + CAST(k % 8 AS DOUBLE) * 0.21 AS py
+  FROM range({n_pts}) t(k)
+)
+SELECT cell_id,
+       ROUND(px, 5) AS lon,
+       ROUND(py, 5) AS lat,
+       ROUND(1.5 + 0.3 * px - 0.2 * py + 0.01 * px * px
+             - 0.015 * px * py + 0.02 * py * py, 5) AS value
+FROM pts
+"""

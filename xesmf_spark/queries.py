@@ -166,6 +166,68 @@ def regrid_bilinear_curvilinear(spark, sf_dir, n_y: int = 20, n_x: int = 30):
     )
 
 
+#: rounding for the patch identity oracle: the engine value differs from
+#: the analytic quadratic by LS round-off (~1e-11), so compare at fewer
+#: decimals than the bit-identical oracles use
+PATCH_CURV_ROUND = 5
+
+
+def regrid_patch_curvilinear(spark, sf_dir, n_y: int = 20, n_x: int = 30):
+    """Patch recovery from a CURVILINEAR source mesh (the same sheared
+    arithmetic mesh as regrid_bilinear_curvilinear) onto its interior
+    point set, applied to an exactly-QUADRATIC field. Oracle strategy:
+    the method's defining contract is quadratic exactness, so the
+    DuckDB twin computes the quadratic analytically at the destination
+    points — a full value check without replicating the least-squares
+    solves in SQL (weights/patch_curvilinear.py)."""
+    from xesmf_spark.grids import Grid, grid_from_2d_arrays
+    from xesmf_spark.weights import patch_weights
+
+    lon2d, lat2d = [], []
+    for j in range(n_y):
+        lon_row, lat_row = [], []
+        for i in range(n_x):
+            x = -30.0 + 60.0 * i / (n_x - 1)
+            y = -20.0 + 40.0 * j / (n_y - 1)
+            lon_row.append(x + 0.25 * y + 0.004 * x * y)
+            lat_row.append(y + 0.15 * x - 0.003 * x * y)
+        lon2d.append(lon_row)
+        lat2d.append(lat_row)
+    src = grid_from_2d_arrays(spark, lon2d, lat2d)
+
+    n_pts = 64
+    pts = spark.range(n_pts).select(
+        F.col("id").alias("cell_id"),
+        F.lit(0).cast("bigint").alias("j"),
+        F.col("id").alias("i"),
+        (F.lit(-18.0) + (F.col("id") % 8).cast("double") * F.lit(5.0)
+         + (F.col("id") / 8).cast("long").cast("double") * F.lit(0.37)).alias("lon"),
+        (F.lit(-13.0) + (F.col("id") / 8).cast("long").cast("double") * F.lit(3.5)
+         + (F.col("id") % 8).cast("double") * F.lit(0.21)).alias("lat"),
+        F.lit(None).cast("double").alias("lon_lo"),
+        F.lit(None).cast("double").alias("lon_hi"),
+        F.lit(None).cast("double").alias("lat_lo"),
+        F.lit(None).cast("double").alias("lat_hi"),
+    )
+    dst = Grid(df=pts, shape=(1, n_pts), periodic=False, has_bounds=False)
+    w = patch_weights(src, dst)  # dispatches to the curvilinear builder
+    quad = (
+        F.lit(1.5)
+        + F.lit(0.3) * F.col("lon") - F.lit(0.2) * F.col("lat")
+        + F.lit(0.01) * F.col("lon") * F.col("lon")
+        - F.lit(0.015) * F.col("lon") * F.col("lat")
+        + F.lit(0.02) * F.col("lat") * F.col("lat")
+    )
+    field = src.df.select("cell_id", quad.alias("value"))
+    out = smm_apply(field, w, dst)
+    return out.select(
+        "cell_id",
+        F.round("lon", PATCH_CURV_ROUND).alias("lon"),
+        F.round("lat", PATCH_CURV_ROUND).alias("lat"),
+        F.round("value", PATCH_CURV_ROUND).alias("value"),
+    )
+
+
 def regrid_conservative_clip(spark, sf_dir):
     """Conservative via the GENERAL polygon-clipping builder
     (weights/conservative_clip.py: bin equi-join candidates + vectorized

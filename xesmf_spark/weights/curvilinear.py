@@ -87,12 +87,12 @@ def _bin_id(lon_col, lat_col, bin_deg: float):
     return blat * F.lit(nlon) + blon
 
 
-def bilinear_weights_curvilinear(
-    src: Grid, dst: Grid, bin_deg: float | None = None
-) -> DataFrame:
-    """COO triplets for bilinear regridding FROM a curvilinear source
-    mesh onto any destination point set (grid cells or locstream).
-    Returns (row, col, S) with row = destination cell_id."""
+def locate_points(src: Grid, dst: Grid, bin_deg: float | None = None) -> DataFrame:
+    """QUAD LOCATION + INVERSE BILINEAR MAP, shared by the curvilinear
+    bilinear and patch builders: for every destination point, the source
+    center-mesh quad containing it and the unit-square coordinates.
+    Returns (pid, px, py, j, i, id00, id10, id01, id11, u, v) — px
+    localized into the quad's lon frame (seam-safe)."""
     if bin_deg is None:
         # ~2 source cells per bin: the quad bbox then overlaps O(1) bins
         bin_deg = max(0.5, 2.0 * 360.0 / max(src.n_x, 1))
@@ -195,9 +195,19 @@ def bilinear_weights_curvilinear(
     u = F.least(F.greatest(u, F.lit(0.0)), F.lit(1.0))
     v = F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
 
-    solved = hits.select(
-        "pid", "id00", "id10", "id01", "id11", u.alias("u"), v.alias("v")
+    return hits.select(
+        "pid", "px", "py", "j", "i",
+        "id00", "id10", "id01", "id11", u.alias("u"), v.alias("v"),
     )
+
+
+def bilinear_weights_curvilinear(
+    src: Grid, dst: Grid, bin_deg: float | None = None
+) -> DataFrame:
+    """COO triplets for bilinear regridding FROM a curvilinear source
+    mesh onto any destination point set (grid cells or locstream).
+    Returns (row, col, S) with row = destination cell_id."""
+    solved = locate_points(src, dst, bin_deg)
     w = solved.select(
         "pid",
         F.array(

@@ -27,9 +27,9 @@ Reproduces any quadratic field exactly on interior destinations
 (tested), degrades to the bilinear ALLAVG virtual-pole treatment
 poleward of the outermost source row (periodic grids), and yields
 unmapped-zero outside the source mesh — the same boundary semantics as
-bilinear.py. Curvilinear sources are out of scope (the reference gets
-them from ESMF; this engine's curvilinear path covers bilinear /
-nearest / conservative).
+bilinear.py. Curvilinear sources dispatch to the general-mesh form
+(patch_curvilinear.py: per-corner 3x3 least-squares quadratic patches
+blended over the located quad — same defining contract).
 """
 
 from __future__ import annotations
@@ -166,10 +166,12 @@ def patch_weights(src: Grid, dst: Grid, periodic: bool | None = None) -> DataFra
     if periodic is None:
         periodic = src.periodic
     if src.curvilinear:
-        raise NotImplementedError(
-            "'patch' requires a rectilinear source mesh in this engine "
-            "(curvilinear patch recovery is out of scope; see module doc)"
-        )
+        # general-mesh form: per-corner 3x3 LS quadratic patches blended
+        # bilinearly over the located quad (patch_curvilinear.py) — same
+        # defining contract (quadratic-exact, C0, partition of unity)
+        from xesmf_spark.weights.patch_curvilinear import patch_weights_curvilinear
+
+        return patch_weights_curvilinear(src, dst)
     if src.n_x < 3 or src.n_y < 3:
         raise ValueError("patch needs >= 3 source centers per axis")
     src_lon, src_lat = src.get_lon_axis(), src.get_lat_axis()
