@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_bilinear_locstream": Q.regrid_bilinear_locstream,
         "regrid_bilinear_curvilinear": Q.regrid_bilinear_curvilinear,
         "regrid_patch_curvilinear": Q.regrid_patch_curvilinear,
+        "stream_regrid": Q.stream_regrid,
         "regrid_dataset_multivar": Q.regrid_dataset_multivar,
         "regrid_conservative_4d": Q.regrid_conservative_4d,
         "tpch_q1": Q.tpch_q1,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "regrid_bilinear_locstream": O.bilinear_locstream_oracle_sql(),
         "regrid_bilinear_curvilinear": O.bilinear_curvilinear_oracle_sql(),
         "regrid_patch_curvilinear": O.patch_curvilinear_oracle_sql(),
+        "stream_regrid": O.stream_regrid_oracle_sql(),
         "regrid_dataset_multivar": O.regrid_multivar_oracle_sql(),
         "regrid_conservative_4d": O.regrid_4d_oracle_sql(),
         "tpch_q1": """

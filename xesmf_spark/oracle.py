@@ -655,3 +655,29 @@ SELECT cell_id,
              - 0.015 * px * py + 0.02 * py * py, 5) AS value
 FROM pts
 """
+
+
+def stream_regrid_oracle_sql(src: GridSpec = G_IN, dst: GridSpec = G_OUT) -> str:
+    """Oracle for the STREAMING weight application: the finite stream
+    (3 hourly slices of (hour+1) x wave_smooth, sentinel-flushed) must
+    equal the batch join-agg per window — weights from the same
+    interval-overlap CTEs as regrid_conservative, aggregated per hour.
+    Window starts are the UTC hour floors of base = 1_700_000_000
+    (base mod 3600 = 800 -> first window start 1_699_999_200)."""
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+{grid_ctes(dst, 'dst')},
+{conservative_weights_ctes(src, dst)},
+hours AS (SELECT CAST(h AS BIGINT) AS h FROM range(3) t(h)),
+field AS (
+  SELECT h, cell_id, CAST(h + 1 AS DOUBLE) * ({WAVE}) AS value
+  FROM src_cells CROSS JOIN hours
+),
+agg AS (
+  SELECT f.h, w.row, SUM(w.S * f.value) AS v
+  FROM w JOIN field f ON w.col = f.cell_id
+  GROUP BY f.h, w.row
+)
+SELECT 1699999200 + h * 3600 AS ws, row, ROUND(v, {ROUND}) AS value FROM agg
+"""

@@ -683,6 +683,62 @@ def stream_sessionize(spark, sf_dir):
     )
 
 
+def stream_regrid(spark, sf_dir):
+    """STREAMING weight application (stream-static broadcast join with
+    the conservative weight triplets + watermarked 1-hour windowed
+    per-destination-cell sums), driven to completion with the sentinel
+    flush. FULL DuckDB oracle: the fixture field is closed-form
+    ((hour+1) x wave_smooth on the canonical grid pair), so the oracle
+    rebuilds the same weights from the interval-overlap CTEs and
+    aggregates per hour — a value-checked streaming query."""
+    import os
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    # window alignment is session-tz dependent; pin UTC so the epoch
+    # window starts match the oracle's constants on any driver box
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    g_in, g_out = _fixture_grids(spark)
+    w = conservative_weights(g_in, g_out)
+
+    d = "/tmp/xesmf_stream_src_regrid_field"
+    if not os.path.isdir(d) or not os.listdir(d):
+        base = 1_700_000_000
+        for h in range(3):
+            (
+                g_in.df.select(
+                    F.timestamp_seconds(F.lit(base + h * 3600)).alias("event_ts"),
+                    "cell_id",
+                    (F.lit(float(h + 1)) * wave_smooth()).alias("value"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(d)
+            )
+    ST.stage_flush_sentinel(
+        d,
+        offset_ns=6 * 3600 * 1_000_000_000,
+        ts_col="event_ts",
+        overrides={"cell_id": -1, "value": 0.0},
+    )
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = ST.run_to_memory(
+        ST.regrid_stream(stream, w, g_out),
+        f"q_stream_regrid_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "row",
+        F.round("value", ROUND).alias("value"),
+    )
+
+
 def stream_dedup(spark, sf_dir):
     """STREAMING exact dedup (dropDuplicatesWithinWatermark keyed by the
     normalized-content digest) over a documents stream with planted
