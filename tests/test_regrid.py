@@ -436,3 +436,18 @@ def test_locstream_out_dims_and_repr(spark, g_in):
     rows = out.collect()
     assert {r.locations for r in rows} == {r.cell_id for r in rows}
     rg.clean_weight_file()
+
+
+def test_unmapped_cells_diagnostic(spark, g_in, g_out):
+    """unmapped_cells = dest cells with no weight rows: non-periodic
+    bilinear leaves the strip beyond the last source column unmapped
+    (the reference asserts rel-err exactly 1.0 there,
+    tests/test_frontend.py:116-127); global conservative maps all."""
+    rg = Regridder(spark, g_in, g_out, "bilinear", periodic=False)
+    un = rg.unmapped_cells().collect()
+    mapped = {r.row for r in rg.weights.select("row").distinct().collect()}
+    assert {r.cell_id for r in un} == set(range(g_out.n_cells)) - mapped
+    assert len(un) > 0  # the non-periodic edge strip exists
+
+    rg2 = Regridder(spark, g_in, g_out, "conservative")
+    assert rg2.unmapped_cells().count() == 0

@@ -279,35 +279,46 @@ def grid_from_2d_arrays(
     carries its 4-corner ring ``clon0..3 / clat0..3`` in node order
     (j,i) → (j,i+1) → (j+1,i+1) → (j+1,i). Without bounds: bilinear
     (point-in-quad) and nearest only, gated by the Regridder."""
-    lon2d = [[float(v) for v in row] for row in lon2d]
-    lat2d = [[float(v) for v in row] for row in lat2d]
-    n_y, n_x = len(lon2d), len(lon2d[0])
-    if len(lat2d) != n_y or any(len(r) != n_x for r in lon2d + lat2d):
+    import numpy as np
+    import pandas as pd
+
+    lon2d = np.asarray(lon2d, dtype=np.float64)
+    lat2d = np.asarray(lat2d, dtype=np.float64)
+    if lon2d.ndim != 2 or lon2d.shape != lat2d.shape:
         raise ValueError("lon2d and lat2d must be equal-shaped 2-D arrays")
+    n_y, n_x = lon2d.shape
     has_corners = lon_b is not None and lat_b is not None
     if (lon_b is None) != (lat_b is None):
         raise ValueError("provide both lon_b and lat_b, or neither")
     if has_corners:
-        lon_b = [[float(v) for v in row] for row in lon_b]
-        lat_b = [[float(v) for v in row] for row in lat_b]
-        if len(lon_b) != n_y + 1 or any(len(r) != n_x + 1 for r in lon_b + lat_b):
+        lon_b = np.asarray(lon_b, dtype=np.float64)
+        lat_b = np.asarray(lat_b, dtype=np.float64)
+        if lon_b.shape != (n_y + 1, n_x + 1) or lat_b.shape != lon_b.shape:
             raise ValueError(
                 "corner arrays lon_b/lat_b must have shape (n_y+1, n_x+1)"
             )
-    rows = []
-    for j in range(n_y):
-        for i in range(n_x):
-            r = [j * n_x + i, j, i, lon2d[j][i], lat2d[j][i]]
-            if has_corners:
-                for jj, ii in ((j, i), (j, i + 1), (j + 1, i + 1), (j + 1, i)):
-                    r += [lon_b[jj][ii], lat_b[jj][ii]]
-            rows.append(tuple(r))
+    # vectorized assembly + ONE Arrow batch to the JVM — no per-cell
+    # Python row list on the driver (a 1Mx-cell mesh would otherwise
+    # materialize millions of tuples here)
+    jj, ii = np.divmod(np.arange(n_y * n_x, dtype=np.int64), n_x)
+    cols = {
+        "cell_id": np.arange(n_y * n_x, dtype=np.int64),
+        "j": jj,
+        "i": ii,
+        "lon": lon2d.ravel(),
+        "lat": lat2d.ravel(),
+    }
     schema = "cell_id bigint, j bigint, i bigint, lon double, lat double"
     if has_corners:
+        # node ring (j,i) -> (j,i+1) -> (j+1,i+1) -> (j+1,i)
+        ring = ((0, 0), (0, 1), (1, 1), (1, 0))
+        for k, (dj, di) in enumerate(ring):
+            cols[f"clon{k}"] = lon_b[dj : dj + n_y, di : di + n_x].ravel()
+            cols[f"clat{k}"] = lat_b[dj : dj + n_y, di : di + n_x].ravel()
         schema += "".join(
             f", clon{k} double, clat{k} double" for k in range(4)
         )
-    df = spark.createDataFrame(rows, schema)
+    df = spark.createDataFrame(pd.DataFrame(cols), schema)
     for c in ("lon_lo", "lon_hi", "lat_lo", "lat_hi"):
         df = df.withColumn(c, F.lit(None).cast("double"))
     return Grid(

@@ -165,6 +165,20 @@ class Regridder:
             self.clean_weight_file()
         self._build_weights().write.mode("overwrite").parquet(self.filename)
 
+    def unmapped_cells(self) -> DataFrame:
+        """Destination cells that receive NO weights — the cells the
+        reference's ``unmapped_action=IGNORE`` silently zero-fills
+        (xesmf/backend.py:275-279; its test asserts rel-err exactly 1.0
+        beyond a non-periodic grid's last column,
+        tests/test_frontend.py:116-127). One LEFT ANTI join against the
+        distinct weight rows — the diagnostic the reference cannot
+        offer without densifying the sparse matrix."""
+        return self.grid_out.df.select("cell_id", "lon", "lat").join(
+            self.weights.select(F.col("row").alias("cell_id")).distinct(),
+            "cell_id",
+            "left_anti",
+        )
+
     def clean_weight_file(self) -> None:
         if os.path.exists(self.filename):
             shutil.rmtree(self.filename, ignore_errors=True)
