@@ -1,0 +1,127 @@
+"""Plan-shape regression tests — the scale contract, codified.
+
+Correctness tests prove the engine computes the right answer at sf0.01;
+these prove the PLANS stay the shapes that survive a 100-TB cluster:
+dimension joins broadcast, filters reach the parquet scan, pure
+projections stay exchange-free, the vectorized hot paths stay inside
+whole-stage codegen. A regression here is invisible to value checks but
+turns into the bottleneck at 1000 executors.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_tpch_q3_broadcasts_dims_and_pushes_filters(spark):
+    """The 3-way join must broadcast the (filtered, small) customer dim,
+    and the date/segment predicates must reach the parquet scans as
+    pushed filters — not post-scan Filter nodes over full reads."""
+    from xesmf_spark import queries as Q
+
+    plan = _plan(Q.tpch_q3_top10(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [" in plan
+    # at least one scan pushes an IsNotNull+comparison on the date cols
+    assert "o_orderdate" in plan.split("PushedFilters")[1] or any(
+        "o_orderdate" in seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ), plan
+
+
+def test_tpch_q1_column_pruning(spark):
+    """q1 reads 7 of lineitem's 16 columns — the scan's ReadSchema must
+    NOT contain untouched wide columns (l_comment, l_shipinstruct)."""
+    from xesmf_spark import queries as Q
+
+    plan = _plan(Q.tpch_q1(spark, SF))
+    scan = plan[plan.index("ReadSchema") :]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    assert "l_comment" not in head and "l_shipinstruct" not in head, head
+
+
+def test_pipeline_text_stats_is_pure_projection(spark):
+    """text_stats must stay a map-side projection: no Exchange (shuffle)
+    anywhere in its plan."""
+    from xesmf_spark import pipeline as PL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(PL.text_stats(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_is_pure_projection(spark):
+    from xesmf_spark import pipeline as PL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(PL.simhash(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_smm_apply_broadcasts_small_weights(spark):
+    """The core apply: a small weight table must broadcast against the
+    field (one shuffle-free join), not sort-merge."""
+    from xesmf_spark.apply import smm_apply
+    from xesmf_spark.grids import grid_global, wave_smooth
+    from xesmf_spark.weights import conservative_weights
+
+    g_in, g_out = grid_global(spark, 20, 12), grid_global(spark, 15, 9)
+    w = conservative_weights(g_in, g_out)
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+    df = smm_apply(field, w, g_out, attach_coords=False)
+    plan = _plan(df)
+    # the field-x-weights join (the one that carries data volume) must
+    # be a BroadcastHashJoin; the dest-grid zero-fill LEFT join is
+    # dest-sized and AQE localizes it at runtime
+    assert "BroadcastHashJoin" in plan, plan
+    # after execution, the AQE final plan must not leave a sort-merge
+    # join on the data path either
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """Exact dedup is ONE hash-aggregate shuffle on the digest: the plan
+    holds exactly one Exchange, with partial aggregation map-side."""
+    from xesmf_spark import pipeline as PL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(PL.exact_dedup(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_events_hourly_partial_agg_before_shuffle(spark):
+    """The windowed count/sum must pre-aggregate map-side (two
+    HashAggregate levels around one Exchange) — at 100 TB/day the
+    shuffle carries (window, type) partials, not raw events."""
+    from xesmf_spark import queries as Q
+
+    df = Q.events_hourly(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial + final
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_lsh_bucket_join_no_cartesian(spark):
+    """The LSH candidate self-join must be an equi-join on (band, bh) —
+    never a cartesian/broadcast-nested-loop product."""
+    from xesmf_spark import pipeline as PL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    pairs = PL.minhash_dedup_pairs(docs.select("doc_id", "text"), threshold=0.5)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

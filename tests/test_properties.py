@@ -1,0 +1,120 @@
+"""Property-based fuzz of the geometry core (hypothesis).
+
+Deterministic tests pin specific meshes; these fuzz the mesh parameters
+(rotation, shear, seam offset) and assert the ALGEBRAIC contracts that
+must hold for any mesh: bilinear reproduces linear fields exactly,
+weights form a partition of unity, wrap_lon is a congruence into
+[-180, 180). Few examples, batched per Spark job."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=64))
+def test_wrap_lon_congruence(spark, lons):
+    from xesmf_spark.grids import wrap_lon
+
+    df = spark.createDataFrame([(v,) for v in lons], "lon double")
+    rows = df.select("lon", wrap_lon(F.col("lon")).alias("w")).collect()
+    for r in rows:
+        assert -180.0 <= r.w < 180.0 or math.isclose(r.w, 180.0, abs_tol=1e-9)
+        # congruent mod 360 (fp tolerance scales with magnitude)
+        k = round((r.lon - r.w) / 360.0)
+        assert abs(r.lon - r.w - 360.0 * k) < 1e-6 * max(1.0, abs(r.lon))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    angle=st.floats(-40.0, 40.0),
+    shear=st.floats(-0.3, 0.3),
+    lon0=st.floats(-180.0, 180.0),
+)
+def test_curvilinear_bilinear_linear_exact(spark, angle, shear, lon0):
+    """For ANY rotated/sheared mesh placed anywhere on the sphere
+    (including across the seam), bilinear weights reproduce a linear
+    field exactly on interior points and sum to 1 per point."""
+    from xesmf_spark.grids import Grid, grid_from_2d_arrays
+    from xesmf_spark.weights.curvilinear import bilinear_weights_curvilinear
+
+    th = math.radians(angle)
+    n_y, n_x = 7, 9
+
+    def wrapd(v):
+        return v - 360.0 * math.floor((v + 180.0) / 360.0)
+
+    # continuous construction, wrapped representation (the hard case)
+    lon2d, lat2d = [], []
+    for j in range(n_y):
+        lr, tr = [], []
+        for i in range(n_x):
+            u = -20.0 + 40.0 * i / (n_x - 1)
+            v = -15.0 + 30.0 * j / (n_y - 1)
+            lon = lon0 + u * math.cos(th) - v * math.sin(th) + shear * u * v / 20.0
+            lat = u * math.sin(th) + v * math.cos(th)
+            lr.append(wrapd(lon))
+            tr.append(max(-89.9, min(89.9, lat)))
+        lon2d.append(lr)
+        lat2d.append(tr)
+    src = grid_from_2d_arrays(spark, lon2d, lat2d)
+
+    # interior points: cell centers of the middle of the mesh, averaged
+    # in the CONTINUOUS frame then wrapped
+    pts = []
+    pid = 0
+    for j in range(2, n_y - 2):
+        for i in range(2, n_x - 2):
+            u = -20.0 + 40.0 * (i + 0.4) / (n_x - 1)
+            v = -15.0 + 30.0 * (j + 0.6) / (n_y - 1)
+            lon = lon0 + u * math.cos(th) - v * math.sin(th) + shear * u * v / 20.0
+            lat = u * math.sin(th) + v * math.cos(th)
+            pts.append((pid, wrapd(lon), lat))
+            pid += 1
+    dst_df = spark.createDataFrame(
+        pts, "cell_id long, lon double, lat double"
+    ).select(
+        "cell_id",
+        F.lit(0).cast("bigint").alias("j"),
+        F.col("cell_id").alias("i"),
+        "lon",
+        "lat",
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("lon_lo", "lon_hi", "lat_lo", "lat_hi")],
+    )
+    dst = Grid(df=dst_df, shape=(1, len(pts)), periodic=False, has_bounds=False)
+
+    w = bilinear_weights_curvilinear(src, dst)
+    rows = w.collect()
+    assert rows, "no interior point found its quad"
+
+    # partition of unity per mapped point
+    sums = {}
+    for r in rows:
+        sums[r.row] = sums.get(r.row, 0.0) + r.S
+    assert all(abs(s - 1.0) < 1e-8 for s in sums.values()), sums
+    assert len(sums) == len(pts)
+
+    # linear-exactness in the mesh's CONTINUOUS (u, v) parameter frame:
+    # f = 2 + 0.05 u + 0.03 v is linear over each quad's parameters up
+    # to the mesh's mild shear; bilinear in (u, v) reproduces it.
+    # Evaluate per source cell from its (j, i) indices.
+    src_vals = {}
+    for j in range(n_y):
+        for i in range(n_x):
+            u = -20.0 + 40.0 * i / (n_x - 1)
+            v = -15.0 + 30.0 * j / (n_y - 1)
+            src_vals[j * n_x + i] = 2.0 + 0.05 * u + 0.03 * v
+    want = {}
+    for p, (pidx, _, _) in enumerate(pts):
+        j = 2 + (p // (n_x - 4))
+        i = 2 + (p % (n_x - 4))
+        u = -20.0 + 40.0 * (i + 0.4) / (n_x - 1)
+        v = -15.0 + 30.0 * (j + 0.6) / (n_y - 1)
+        want[pidx] = 2.0 + 0.05 * u + 0.03 * v
+    got = {}
+    for r in rows:
+        got[r.row] = got.get(r.row, 0.0) + r.S * src_vals[r.col]
+    err = max(abs(got[k] - want[k]) for k in got)
+    assert err < 1e-7, err
