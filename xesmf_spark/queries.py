@@ -605,16 +605,28 @@ def events_hourly(spark, sf_dir):
 
 def _stage_stream_dir(spark, sf_dir, table="events"):
     """File stream sources read DIRECTORIES; stage the single-file
-    table into a per-sf tmp dir once (idempotent, content-addressed by
-    sf dir name)."""
+    table into a per-sf tmp dir (content-addressed by sf dir name).
+    STALENESS GUARD: if the source parquet changed (size or mtime —
+    e.g. the driver regenerated testdata between rounds), the staged
+    copy AND any flush sentinel are rebuilt, so streaming queries never
+    silently run on a previous round's data."""
     import os
     import shutil
 
+    src = f"{sf_dir}/{table}.parquet"
     tag = sf_dir.rstrip("/").replace("/", "_")
     d = f"/tmp/xesmf_stream_src_{table}_{tag}"
-    if not os.path.isdir(d) or not os.listdir(d):
+    staged = f"{d}/part-000.parquet"
+    st = os.stat(src)
+    fresh = (
+        os.path.isfile(staged)
+        and os.path.getsize(staged) == st.st_size
+        and abs(os.path.getmtime(staged) - st.st_mtime) < 1e-6
+    )
+    if not fresh:
+        shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        shutil.copy(f"{sf_dir}/{table}.parquet", f"{d}/part-000.parquet")
+        shutil.copy2(src, staged)  # copy2 preserves mtime for the check
     return d
 
 
