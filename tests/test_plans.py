@@ -125,3 +125,30 @@ def test_lsh_bucket_join_no_cartesian(spark):
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_and_knn_joins_never_cartesian(spark):
+    """The candidate generation for IVF ANN and bucketed k-NN must stay
+    equi-joins on cell/bin keys — a cartesian or nested-loop product
+    here is the classic all-pairs scale killer."""
+    from xesmf_spark import similarity as SIM
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights.nearest import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    ivf = SIM.ivf_topk(emb, k=3, n_centroids=8, n_probe=2)
+    plan = _plan(ivf)
+    assert "CartesianProduct" not in plan, plan
+
+    g_need = grid_2d(spark, -60, 60, 10.0, -30, 30, 10.0)
+    g_pool = grid_2d(spark, -60, 60, 5.0, -30, 30, 5.0)
+    kj = knn_join(g_need, g_pool, k=2, strategy="bucketed", bin_deg=12.0)
+    plan2 = _plan(kj)
+    # no unkeyed product between the two point relations (the axis
+    # cross-joins inside grid construction are tiny Ranges and fine);
+    # the candidate path must carry a keyed hash join on the bin key
+    assert "CartesianProduct" not in plan2, plan2
+    # the candidate join is keyed on the (blat, blon) bin columns
+    assert "BroadcastHashJoin [blat#" in plan2 or "SortMergeJoin [blat#" in plan2 or (
+        "ShuffledHashJoin [blat#" in plan2
+    ), plan2
