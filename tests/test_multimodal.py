@@ -86,3 +86,26 @@ def test_binaryfile_source_into_extract_features(spark, tmp_path):
         assert got[i].n_bytes == len(b)
         assert got[i].payload_md5 == hashlib.md5(b).hexdigest()
         assert got[i].byte_sum == sum(b)
+
+
+def test_resize_images_shapes_and_determinism(spark):
+    """resize_images: every output buffer is exactly out_h*out_w bytes,
+    deterministic, and equals the numpy nearest-neighbor resample of the
+    stand-in decode computed locally."""
+    import numpy as np
+
+    from xesmf_spark import multimodal as MM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    pay = MM.attach_payload(docs)
+    out = {r.doc_id: r for r in MM.resize_images(pay, out_h=6, out_w=5).collect()}
+    src = {r.doc_id: bytes(r.payload) for r in pay.collect()}
+    assert set(out) == set(src)
+    for did, r in out.items():
+        assert (r.height, r.width) == (6, 5)
+        assert len(bytes(r.pixels)) == 30
+        img = MM._fake_decode(src[did])
+        h, w = img.shape
+        ri = np.minimum((np.arange(6) * h) // 6, h - 1)
+        ci = np.minimum((np.arange(5) * w) // 5, w - 1)
+        assert bytes(r.pixels) == img[np.ix_(ri, ci)].tobytes()

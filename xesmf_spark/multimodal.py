@@ -176,3 +176,54 @@ def sample_frames(
     return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
         kernel, FRAME_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize each payload's image to (out_h, out_w) via Arrow-batched
+    ``mapInPandas`` — the normalize-resolution stage of an image
+    pipeline. Decode uses the real codec when present (PIL) and the
+    deterministic stand-in otherwise; the RESAMPLE itself is real math
+    either way: vectorized nearest-neighbor index sampling (one fancy
+    index per image, no per-pixel Python). Emits the resized pixel
+    buffer as row-major bytes with its dims — a map-only stage that
+    fuses behind the scan, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, bufs = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                img = decode_image(b) if HAVE_PIL else _fake_decode(b)
+                if img.ndim == 3:  # pragma: no cover - real-codec path
+                    img = img.mean(axis=2).astype(np.uint8)
+                h, w = img.shape
+                ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                small = img[np.ix_(ri, ci)]
+                ids.append(int(did))
+                hs.append(out_h)
+                ws.append(out_w)
+                bufs.append(small.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "height": hs, "width": ws, "pixels": bufs}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
+        kernel, RESIZE_SCHEMA
+    )
