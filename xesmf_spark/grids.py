@@ -409,7 +409,13 @@ def count_degenerate_cells(grid: Grid) -> int:
 
 
 def validate_lat_range(grid: Grid) -> None:
-    """Warn if any |lat| > 90 (xesmf/backend.py:40-52 ``warn_lat_range``)."""
-    bad = grid.df.filter(~F.col("lat").between(-90.0, 90.0)).limit(1).count()
+    """Warn if any |lat| > 90 (xesmf/backend.py:40-52 ``warn_lat_range``).
+    Memoized per Grid object — geometry is immutable once built, and the
+    probe is a Spark job; re-running it on every Regridder construction
+    dominated the cached-weights reuse latency."""
+    bad = getattr(grid, "_lat_range_bad", None)
+    if bad is None:
+        bad = grid.df.filter(~F.col("lat").between(-90.0, 90.0)).limit(1).count()
+        object.__setattr__(grid, "_lat_range_bad", bad)
     if bad:
         warnings.warn("Latitude is out of range [-90, 90]. Results are likely wrong.")

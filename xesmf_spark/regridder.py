@@ -36,6 +36,22 @@ BROADCAST_NNZ_LIMIT = 10_000_000
 
 
 def _grid_extent_hash(grid: Grid) -> str:
+    """Memoized per Grid OBJECT: grid geometry is immutable once built,
+    and re-running the digest aggregate made every reuse_weights
+    Regridder construction pay two Spark jobs (~1 s) against the
+    reference's 36 ms cached-construction baseline
+    (Reuse_regridder.ipynb cell 30). First construction still pays —
+    the digest is what makes the shared cache dir SAFE (shape-only keys
+    silently load wrong weights for same-shape different-geometry
+    grids)."""
+    cached = getattr(grid, "_extent_hash", None)
+    if cached is None:
+        cached = _grid_extent_hash_uncached(grid)
+        object.__setattr__(grid, "_extent_hash", cached)
+    return cached
+
+
+def _grid_extent_hash_uncached(grid: Grid) -> str:
     """Short digest of the grid's FULL geometry for the weight-cache
     key: an order-insensitive hash over every (cell_id, lon, lat
     [, bounds]) row, rounded to 9 decimals. Shape + bounding box alone
@@ -141,7 +157,18 @@ class Regridder:
 
         self._write_weights()
         self.weights = spark.read.parquet(self.filename)
-        self.nnz = self.weights.count()  # parquet metadata count — cheap
+        # nnz from the parquet FOOTERS, driver-side (milliseconds) — a
+        # count() here was a full Spark job per construction, the bulk
+        # of the cached-construction latency the reference does in 36 ms
+        # (Reuse_regridder.ipynb cell 30)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        self.nnz = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(self.filename, "*.parquet"))
+        )
 
     # -- weight lifecycle (frontend.py:264-293) --------------------------
 
