@@ -152,3 +152,43 @@ def test_ann_and_knn_joins_never_cartesian(spark):
     assert "BroadcastHashJoin [blat#" in plan2 or "SortMergeJoin [blat#" in plan2 or (
         "ShuffledHashJoin [blat#" in plan2
     ), plan2
+
+
+def test_prepared_regridder_skips_weights_shuffle(spark):
+    """Repeated-apply regime: after Regridder.prepare(), the cached
+    repartition('col') exposes its HashPartitioning, so a non-broadcast
+    apply exchanges ONE fewer relation than the unprepared plan (only
+    the field side shuffles), and results are identical."""
+    from xesmf_spark import Regridder, grid_global, wave_smooth
+
+    g_in, g_out = grid_global(spark, 20, 12), grid_global(spark, 15, 9)
+    rg = Regridder(spark, g_in, g_out, "conservative")
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+
+    # the regime prepare() targets is weights too big to broadcast; the
+    # fixture weights would auto-broadcast, so disable the threshold to
+    # surface the shuffle-join shape the 1e9-nnz case hits
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def ensure_exchanges(df):
+            # planner-inserted exchanges only — the cached repartition
+            # inside the InMemoryRelation shows as REPARTITION_BY_NUM
+            return _plan(df).count("ENSURE_REQUIREMENTS")
+
+        before = ensure_exchanges(rg(field, broadcast_weights=False))
+        rg.prepare()
+        after_df = rg(field, broadcast_weights=False)
+        plan_after = _plan(after_df)
+        after = plan_after.count("ENSURE_REQUIREMENTS")
+        assert "InMemoryTableScan" in plan_after, plan_after
+        assert after == before - 1, f"{before} -> {after}\n{plan_after}"
+
+        a = sorted((r.cell_id, round(r.value, 9)) for r in after_df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    rg.finalize()
+    b = sorted((r.cell_id, round(r.value, 9)) for r in rg(field).collect())
+    assert a == b
+    rg.clean_weight_file()

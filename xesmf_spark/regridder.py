@@ -157,6 +157,8 @@ class Regridder:
 
         self._write_weights()
         self.weights = spark.read.parquet(self.filename)
+        #: set by :meth:`prepare` — weights pinned partitioned-by-col
+        self._prepared: DataFrame | None = None
         # nnz from the parquet FOOTERS, driver-side (milliseconds) — a
         # count() here was a full Spark job per construction, the bulk
         # of the cached-construction latency the reference does in 36 ms
@@ -210,6 +212,29 @@ class Regridder:
         if os.path.exists(self.filename):
             shutil.rmtree(self.filename, ignore_errors=True)
 
+    def prepare(self, num_partitions: int | None = None) -> "Regridder":
+        """Pin the weight triplets in executor memory HASH-PARTITIONED
+        BY THE JOIN KEY (``col``) for the repeated-apply regime — the
+        engine's analogue of the reference keeping the scipy COO in RAM
+        across fields (Reuse_regridder.ipynb's whole premise).
+
+        Why it matters at scale: weights too large to broadcast
+        (nnz > BROADCAST_NNZ_LIMIT, e.g. nearest_d2s at n_src ~ 1e9)
+        make the apply a shuffle join — and WITHOUT preparation every
+        apply re-shuffles the weights side. A cached repartition('col')
+        exposes its HashPartitioning to the planner, so subsequent
+        applies exchange only the field side. No-op win when the
+        weights broadcast anyway. Released by :meth:`finalize`."""
+        if self._prepared is None:
+            # match the session shuffle-partition count so the planner
+            # aligns the field-side exchange to the cached distribution
+            n = num_partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            self._prepared = self.weights.repartition(n, "col").persist()
+            self._prepared.count()
+        return self
+
     def finalize(self, clean_weights: bool = False) -> None:
         """Release engine-side resources — the analogue of
         ``esmf_regrid_finalize``'s destroy() chain
@@ -222,6 +247,9 @@ class Regridder:
         from xesmf_spark.apply import release_persisted
 
         release_persisted()
+        if self._prepared is not None:
+            self._prepared.unpersist()
+            self._prepared = None
         if clean_weights:
             self.clean_weight_file()
 
@@ -295,7 +323,7 @@ class Regridder:
             broadcast_weights = self.nnz <= BROADCAST_NNZ_LIMIT
         out = smm_apply(
             field,
-            self.weights,
+            self._prepared if self._prepared is not None else self.weights,
             self.grid_out,
             extra_keys=extra_keys,
             value_cols=value_cols,
