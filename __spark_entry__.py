@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_exact_dedup": Q.pipeline_exact_dedup,
         "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
         "pipeline_dedup_groups": Q.pipeline_dedup_groups,
+        "pipeline_clean_corpus": Q.pipeline_clean_corpus,
         "pipeline_simhash": Q.pipeline_simhash,
         "pipeline_ngram_jaccard": Q.pipeline_ngram_jaccard,
         "pipeline_text_stats": Q.pipeline_text_stats,
@@ -171,6 +172,7 @@ GROUP BY 1, 2
         "pipeline_exact_dedup": PO.exact_dedup_sql(),
         "pipeline_minhash_dedup": PO.minhash_dedup_sql(),
         "pipeline_dedup_groups": PO.dedup_groups_sql(),
+        "pipeline_clean_corpus": PO.clean_corpus_sql(),
         "pipeline_simhash": PO.simhash_sql(),
         "pipeline_ngram_jaccard": PO.ngram_jaccard_sql(),
         "pipeline_text_stats": PO.text_stats_sql(),

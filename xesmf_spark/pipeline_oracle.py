@@ -130,7 +130,14 @@ def _pair_ctes(threshold: float) -> str:
     near-dup pairs at ``threshold`` (shared by the pair query and the
     connected-components grouping query)."""
     return f"""{_docs_cte(True)},
-{NORM_CTE},
+{_pair_chain(threshold)}"""
+
+
+def _pair_chain(threshold: float) -> str:
+    """The pair chain WITHOUT the base docs CTE — composable over any
+    upstream ``docs(doc_id, text)`` definition (used by the end-to-end
+    clean-corpus oracle, which interposes exact dedup first)."""
+    return f"""{NORM_CTE},
 {SHINGLE_CTE},
 {SHINGLE_HASH_CTE},
 {_sig_select()},
@@ -465,4 +472,52 @@ SELECT h.doc_id,
        md5(array_to_string(h.hs[1 : {k}], '_')) AS fingerprint,
        r.content_hash
 FROM hashes h JOIN rh r ON h.doc_id = r.doc_id
+"""
+
+
+def clean_corpus_sql(threshold: float = 0.5, min_quality: float = 0.5,
+                     min_tokens: int = 5) -> str:
+    """End-to-end corpus cleaning, composed from the per-operator CTEs:
+    exact dedup -> near-dup connected components over the exact
+    survivors -> quality/length filter -> per-survivor stats. The SQL is
+    the same chain the Spark query runs (pipeline.exact_dedup ->
+    minhash_dedup_pairs -> dedup_groups -> text_stats), so value parity
+    checks the COMPOSITION, not just each stage."""
+    return f"""
+WITH RECURSIVE
+{_docs_cte(True).replace("docs AS (", "base AS (", 1)},
+bnorm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  FROM base
+),
+ek AS (SELECT MIN(doc_id) AS keep FROM bnorm GROUP BY md5(ntext)),
+docs AS (SELECT b.doc_id, b.text FROM base b JOIN ek ON b.doc_id = ek.keep),
+{_pair_chain(threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS keep FROM reach GROUP BY node),
+survivors AS (
+  SELECT d.doc_id, d.text FROM docs d
+  LEFT JOIN comp c ON d.doc_id = c.node
+  WHERE COALESCE(c.keep, d.doc_id) = d.doc_id
+)
+SELECT s.doc_id,
+       len(tk.t) AS n_tokens,
+       ROUND(least(CAST(len(tk.t) AS DOUBLE) / 64.0, 1.0) * 0.5
+             + least(CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+                     / CAST(len(tk.t) AS DOUBLE) * 10.0, 1.0) * 0.5, {ROUND}) AS quality
+FROM survivors s
+JOIN toks tk ON s.doc_id = tk.doc_id
+WHERE len(tk.t) >= {min_tokens}
+  AND least(CAST(len(tk.t) AS DOUBLE) / 64.0, 1.0) * 0.5
+      + least(CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+              / CAST(len(tk.t) AS DOUBLE) * 10.0, 1.0) * 0.5 >= {min_quality}
 """

@@ -481,6 +481,34 @@ def pipeline_dedup_groups(spark, sf_dir):
     return PL.dedup_groups(pairs, nodes=docs)
 
 
+def pipeline_clean_corpus(spark, sf_dir):
+    """END-TO-END corpus cleaning — the operators COMPOSED as one plan,
+    the way a training-data pipeline actually runs them:
+    exact dedup -> MinHash-LSH near-dup connected components over the
+    exact survivors -> quality/length filter -> per-survivor stats.
+    The DuckDB oracle chains the same per-operator CTEs, so the value
+    hash checks the composition, not just each stage. 100-TB shape:
+    each stage's shuffle keys (digest, bucket, component label) are
+    unchanged by the composition — no extra exchanges appear."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    ek = PL.exact_dedup(docs)
+    s1 = docs.join(
+        ek.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    pairs = PL.minhash_dedup_pairs(s1, threshold=0.5)
+    groups = PL.dedup_groups(pairs, nodes=s1)
+    s2 = s1.join(
+        groups.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
+        "doc_id",
+    )
+    stats = PL.text_stats(s2)
+    return stats.filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    ).select("doc_id", "n_tokens", F.round("quality", ROUND).alias("quality"))
+
+
 def pipeline_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (bit-majority over token hashes)."""
     from xesmf_spark import pipeline as PL
