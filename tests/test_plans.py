@@ -192,3 +192,48 @@ def test_prepared_regridder_skips_weights_shuffle(spark):
     b = sorted((r.cell_id, round(r.value, 9)) for r in rg(field).collect())
     assert a == b
     rg.clean_weight_file()
+
+
+def test_bucketed_weights_skip_shuffle(spark, tmp_path):
+    """save_bucketed: a bucketed weights scan is pre-co-located on the
+    join key, so the non-broadcast apply plan exchanges only the field
+    side — the cross-session counterpart of prepare()."""
+    from xesmf_spark import Regridder, grid_global, wave_smooth
+    from xesmf_spark.apply import smm_apply
+
+    g_in, g_out = grid_global(spark, 20, 12), grid_global(spark, 15, 9)
+    rg = Regridder(spark, g_in, g_out, "conservative")
+    field = g_in.df.select("cell_id", wave_smooth().alias("value"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = _plan(
+            smm_apply(field, rg.weights, g_out,
+                      broadcast_weights=False, attach_coords=False)
+        ).count("ENSURE_REQUIREMENTS")
+        wb = rg.save_bucketed("w_bucketed_test", buckets=8)
+        plan_b = _plan(
+            smm_apply(field, wb, g_out,
+                      broadcast_weights=False, attach_coords=False)
+        )
+        bucketed = plan_b.count("ENSURE_REQUIREMENTS")
+        assert "SelectedBucketsCount" in plan_b, plan_b
+        assert bucketed == plain - 1, f"{plain} -> {bucketed}\n{plan_b}"
+        # values identical through the bucketed path
+        a = sorted(
+            (r.cell_id, round(r.value, 9))
+            for r in smm_apply(field, wb, g_out, broadcast_weights=False,
+                               attach_coords=False).collect()
+        )
+        b = sorted(
+            (r.cell_id, round(r.value, 9))
+            for r in smm_apply(field, rg.weights, g_out,
+                               broadcast_weights=False,
+                               attach_coords=False).collect()
+        )
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS w_bucketed_test")
+    rg.clean_weight_file()

@@ -235,6 +235,27 @@ class Regridder:
             self._prepared.count()
         return self
 
+    def save_bucketed(self, table: str, buckets: int = 32) -> DataFrame:
+        """Persist the weights as a BUCKETED table (``bucketBy(col)``,
+        sorted within buckets) — the disk-resident, cross-session
+        counterpart of :meth:`prepare`. A bucketed scan exposes its hash
+        distribution to the planner, so any later apply joining on
+        ``col`` reads the weights pre-co-located and shuffles only the
+        field side — for weights past the broadcast limit this removes
+        the weights-side exchange from EVERY future apply against disk,
+        not just within one session. (Catalog persistence across
+        processes needs an external metastore; with the in-memory
+        catalog the table and its bucketing metadata live for the
+        session.) Returns the bucketed table's DataFrame."""
+        (
+            self.weights.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "col")
+            .sortBy("col")
+            .saveAsTable(table)
+        )
+        return self.spark.table(table)
+
     def finalize(self, clean_weights: bool = False) -> None:
         """Release engine-side resources — the analogue of
         ``esmf_regrid_finalize``'s destroy() chain
