@@ -670,6 +670,9 @@ def stream_hourly(spark, sf_dir):
 
     from xesmf_spark import streaming as ST
 
+    # window alignment is session-tz dependent; pin UTC for
+    # deterministic epoch-hour window starts on any driver box
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     d = _stage_stream_dir(spark, sf_dir)
     # per-user sentinels at +24 h: the staged events dir is SHARED with
     # stream_sessionize (sentinel staging is idempotent), and the

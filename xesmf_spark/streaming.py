@@ -245,12 +245,18 @@ def stage_flush_sentinel(
     )
     n = len(users)
 
-    # full-schema template: first row of the first file
-    first = pa.Table.from_batches(
-        [next(pq.ParquetFile(files[0]).iter_batches(batch_size=1))]
-    )
+    # full-schema template: first row of the first NON-EMPTY file
+    # (Spark writes can emit zero-row part files)
+    first = schema = None
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows > 0:
+            first = pa.Table.from_batches([next(pf.iter_batches(batch_size=1))])
+            schema = pf.schema_arrow
+            break
+    if first is None:
+        raise FileNotFoundError(f"all parquet files in {src_dir} are empty")
     overrides = overrides or {}
-    schema = pq.read_schema(files[0])
     idx = schema.get_field_index(ts_col)
     schema = schema.set(
         idx, pa.field(ts_col, out_ts_type, schema.field(idx).nullable)
