@@ -259,6 +259,27 @@ def _run_workloads(spark, sf_dir, timings, timed):
     # apparent 2x "regression" to 2.45 s was exactly that warm-up moving
     # into the measured window, not a plan change)
     timed2("regrid_conservative", lambda: Q.regrid_conservative(spark, sf_dir).collect())
+    # adaptive contention defense for the single-shot queries: a first
+    # run over ~2 s gets two more trials and records the MEDIAN — an
+    # external load spike during one window must not fabricate a 2-4x
+    # "regression" in the round record (observed: minhash 16.6 s under
+    # load-11 vs 4.5 s isolated, same code)
+    def timed_med(name, fn, threshold=2.0):
+        timed(name, fn)
+        t = timings.get(name)
+        if isinstance(t, (int, float)) and t > threshold:
+            trials = [t]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    fn()
+                    trials.append(time.perf_counter() - t0)
+                except Exception:  # noqa: BLE001
+                    break
+                finally:
+                    spark.catalog.clearCache()
+            timings[name] = round(sorted(trials)[len(trials) // 2], 3)
+
     for name in (
         "tpch_q1",
         "tpch_q3_top10",
@@ -274,7 +295,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "multimodal_features",
     ):
         fn = getattr(Q, name)
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+        timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
 
 if __name__ == "__main__":
