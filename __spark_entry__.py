@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_simhash": Q.pipeline_simhash,
         "pipeline_ngram_jaccard": Q.pipeline_ngram_jaccard,
         "pipeline_text_stats": Q.pipeline_text_stats,
+        "pipeline_langid": Q.pipeline_langid,
         "pipeline_fingerprint": Q.pipeline_fingerprint,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
@@ -176,6 +177,7 @@ GROUP BY 1, 2
         "pipeline_simhash": PO.simhash_sql(),
         "pipeline_ngram_jaccard": PO.ngram_jaccard_sql(),
         "pipeline_text_stats": PO.text_stats_sql(),
+        "pipeline_langid": PO.langid_ngram_sql(),
         "pipeline_fingerprint": PO.fingerprint_sql(),
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),

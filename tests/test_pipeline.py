@@ -339,3 +339,22 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # uncapped, every pair shares the 2 prefix shingles
     uncapped = PL.ngram_jaccard_pairs(docs, threshold=0.0, max_df=None)
     assert uncapped.count() == len(list(itertools.combinations(range(30), 2)))
+
+
+def test_langid_ngram_discriminates_languages(spark):
+    """The trigram-profile classifier must identify clear samples of
+    each embedded language and say 'unknown' for non-text."""
+    samples = [
+        (1, "the quick brown fox is running to the house and the dog is "
+            "waiting in the garden of the old man with the red coat"),
+        (2, "der schnelle braune fuchs springt ueber den faulen hund und "
+            "die kinder spielen in dem garten mit einem kleinen ball"),
+        (3, "le renard brun rapide saute par dessus le chien paresseux et "
+            "les enfants jouent dans le jardin avec une balle rouge"),
+        (4, "el zorro marron rapido salta sobre el perro perezoso y los "
+            "ninos juegan en el jardin con una pelota roja que es buena"),
+        (5, "qqq zzz xxx www kkk jjj qqq zzz xxx www kkk jjj"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in PL.langid_ngram(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}, got

@@ -668,6 +668,74 @@ def text_stats(
     )
 
 
+#: tiny embedded character-trigram profiles (top trigrams per language,
+#: ASCII only) — the classic Cavnar-Trenkle n-gram language-ID reduced
+#: to a fixed profile-hit rate. Order matters: ties resolve in this
+#: priority order in BOTH engines.
+LANG_TRIGRAMS = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
+           "ng ", " to", "to ", "ion", " in", "ed ", "er ", " is", "is ",
+           "at ", "es ", "tio", "ent", " co", "on ", "re "),
+    "de": ("en ", "er ", " de", "der", "ie ", " di", "die", "sch", "ein",
+           "ich", "nde", " un", "und", "che", "ung", "gen", " ge", "ten",
+           " ei", "cht", "das", " da", "ber", "ver", "ht "),
+    "fr": (" de", "de ", "es ", " le", "le ", "ent", "nt ", "et ", " et",
+           "la ", " la", "ion", "re ", " pa", "que", " qu", "ue ", "ais",
+           "ur ", "eur", "our", "les", "des", " un", "ons"),
+    "es": (" de", "de ", "la ", " la", "os ", "el ", " el", "en ", " en",
+           "que", " qu", "ue ", "as ", "ion", "es ", " es", "ado", " co",
+           "con", "nte", "ien", "cio", " se", "los", "dos"),
+}
+
+#: below this best profile-hit rate the prediction is 'unknown'
+LANGID_MIN_SCORE = 0.05
+
+
+def langid_ngram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-n-gram language ID: the normalized text (padded with
+    spaces so word boundaries count) is cut into overlapping trigrams;
+    each language scores the fraction of trigrams hitting its embedded
+    profile; argmax wins, 'unknown' below :data:`LANGID_MIN_SCORE`.
+    Returns (id, score_<lang>..., lang_pred).
+
+    Pure Column projection — the trigram array is let-bound (computed
+    once, filtered per language), zero shuffle; the DuckDB oracle
+    mirrors the same list ops and the same tie-break CASE order.
+    """
+    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    n = F.length(padded)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: padded.substr(i, F.lit(3)),
+    )
+
+    def scores(trv: Column) -> Column:
+        fields = []
+        for lang, prof in LANG_TRIGRAMS.items():
+            parr = F.array(*[F.lit(g) for g in prof])
+            hits = F.size(F.filter(trv, lambda x: F.array_contains(parr, x)))
+            fields.append(
+                (hits.cast("double") / F.size(trv).cast("double")).alias(
+                    f"score_{lang}"
+                )
+            )
+        return F.struct(*fields)
+
+    out = df.select(F.col(id_col), let(tri, scores).alias("s"))
+    score_cols = [F.col(f"s.score_{lang}") for lang in LANG_TRIGRAMS]
+    best = F.greatest(*score_cols)
+    pred = F.when(best < F.lit(LANGID_MIN_SCORE), F.lit("unknown"))
+    for lang in LANG_TRIGRAMS:  # tie-break = dict order, same as oracle
+        pred = pred.when(F.col(f"s.score_{lang}") == best, F.lit(lang))
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"s.score_{lang}").alias(f"score_{lang}") for lang in LANG_TRIGRAMS],
+        pred.alias("lang_pred"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -521,3 +521,51 @@ WHERE len(tk.t) >= {min_tokens}
       + least(CAST(len(list_filter(tk.t, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
               / CAST(len(tk.t) AS DOUBLE) * 10.0, 1.0) * 0.5 >= {min_quality}
 """
+
+
+def langid_ngram_sql() -> str:
+    """Mirror of pipeline.langid_ngram: same padded-trigram list, same
+    profile-hit fractions, same GREATEST + CASE tie-break order."""
+    from xesmf_spark.pipeline import LANG_TRIGRAMS, LANGID_MIN_SCORE
+
+    score_cols, case_arms = [], []
+    for lang, prof in LANG_TRIGRAMS.items():
+        plist = "[" + ", ".join(f"'{g}'" for g in prof) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter(tri, x -> list_contains({plist}, x))) AS DOUBLE)"
+            f" / CAST(len(tri) AS DOUBLE) AS score_{lang}"
+        )
+        case_arms.append(f"WHEN score_{lang} = best THEN '{lang}'")
+    greatest = "GREATEST(" + ", ".join(f"score_{l}" for l in LANG_TRIGRAMS) + ")"
+    rounded = ",\n       ".join(
+        f"ROUND(score_{l}, {ROUND}) AS score_{l}" for l in LANG_TRIGRAMS
+    )
+    return f"""
+WITH
+{_docs_cte(False)},
+padded AS (
+  SELECT doc_id,
+         ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p
+  FROM docs
+),
+trig AS (
+  SELECT doc_id,
+         list_transform(range(greatest(length(p) - 2, 1)),
+                        i -> substr(p, i + 1, 3)) AS tri
+  FROM padded
+),
+scored AS (
+  SELECT doc_id,
+         {", ".join(score_cols)}
+  FROM trig
+),
+best AS (
+  SELECT *, {greatest} AS best FROM scored
+)
+SELECT doc_id,
+       {rounded},
+       CASE WHEN best < {LANGID_MIN_SCORE} THEN 'unknown'
+            {" ".join(case_arms)}
+       END AS lang_pred
+FROM best
+"""

@@ -542,6 +542,24 @@ def pipeline_text_stats(spark, sf_dir):
     )
 
 
+def pipeline_langid(spark, sf_dir):
+    """Character-n-gram language ID (Cavnar-Trenkle-style profile hit
+    rates over padded trigrams, 4 embedded ASCII profiles + unknown
+    floor) — pure projection, oracle mirrors the list ops and tie-break
+    order exactly."""
+    from xesmf_spark import pipeline as PL
+
+    out = PL.langid_ngram(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        *[
+            F.round(f"score_{lang}", ROUND).alias(f"score_{lang}")
+            for lang in PL.LANG_TRIGRAMS
+        ],
+        "lang_pred",
+    )
+
+
 def pipeline_fingerprint(spark, sf_dir):
     """Bottom-k sketch document fingerprints."""
     from xesmf_spark import pipeline as PL
