@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_embedding_dedup": Q.ann_embedding_dedup,
+        "ann_lsh_dedup": Q.ann_lsh_dedup,
         "multimodal_features": Q.multimodal_features,
         "knn_top3": Q.knn_top3,
         # rows-only (non-SQL-expressible: Structured Streaming; batch
@@ -182,6 +183,7 @@ GROUP BY 1, 2
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),
         "ann_embedding_dedup": PO.embedding_dedup_sql(),
+        "ann_lsh_dedup": PO.lsh_dedup_sql(),
         "multimodal_features": PO.multimodal_features_sql(),
         "knn_top3": O.knn_topk_oracle_sql(),
     }

@@ -358,3 +358,32 @@ def test_langid_ngram_discriminates_languages(spark):
     df = spark.createDataFrame(samples, "doc_id long, text string")
     got = {r.doc_id: r.lang_pred for r in PL.langid_ngram(df).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}, got
+
+
+def test_lsh_dedup_catches_scaled_copies(spark):
+    """Sign-LSH is scale-invariant: a scaled copy shares every sign bit
+    with its original, so all planted scaled duplicates must be found
+    with cosine ~1.0 — matching the IVF-cell dedup's pair set exactly
+    on this fixture."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.02).cast("float")).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(dup)
+    got = {(r.id_a, r.id_b) for r in SIM.lsh_dedup_pairs(both, threshold=0.95).collect()}
+    planted = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb.filter(F.col("vec_id") % 4 == 0).collect()
+    }
+    assert planted <= got, f"missing {planted - got}"
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_dedup_pairs(both, threshold=0.95).collect()
+    }
+    # both bucketings verify with the same exact cosine, so any
+    # difference is pure candidate-recall; the planted pairs are in both
+    assert planted <= ivf

@@ -569,3 +569,43 @@ SELECT doc_id,
        END AS lang_pred
 FROM best
 """
+
+
+def lsh_dedup_sql(threshold: float = 0.95, dim: int = 64) -> str:
+    """Mirror of similarity.lsh_dedup_pairs: the SAME md5-derived ±1
+    hyperplanes (shared Python generator), same band-bucket packing,
+    same candidate equi-join + exact-cosine verify over the planted-dup
+    embedding fixture."""
+    from xesmf_spark.similarity import LSH_BANDS, LSH_BITS, lsh_hyperplanes
+
+    planes = lsh_hyperplanes(dim)
+    per_band = LSH_BITS // LSH_BANDS
+
+    def plane_lit(p):
+        return "[" + ", ".join(str(x) for x in p) + "]"
+
+    bit_exprs = [
+        f"CASE WHEN list_sum(list_transform(range({dim}), "
+        f"j -> v[j + 1]::DOUBLE * ({plane_lit(p)})[j + 1])) >= 0.0 "
+        f"THEN 1 ELSE 0 END"
+        for p in planes
+    ]
+    band_selects = []
+    for b in range(LSH_BANDS):
+        bucket = " + ".join(
+            f"({bit_exprs[b * per_band + j]}) * {1 << j}" for j in range(per_band)
+        )
+        band_selects.append(f"SELECT id, v, nrm, {b} AS band, {bucket} AS bkt FROM v")
+    dot = _DOT.format(a="a", b="b")
+    return f"""
+WITH
+{_VEC_DUPS_CTE},
+tagged AS (
+  {" UNION ALL ".join(band_selects)}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine
+FROM tagged a JOIN tagged b ON a.band = b.band AND a.bkt = b.bkt
+WHERE a.id < b.id
+  AND ROUND({dot} / (a.nrm * b.nrm), 6) >= {threshold}
+"""

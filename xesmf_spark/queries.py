@@ -617,6 +617,17 @@ def ann_embedding_dedup(spark, sf_dir):
     return SIM.embedding_dedup_pairs(_emb_with_dups(spark, sf_dir), threshold=0.98)
 
 
+def ann_lsh_dedup(spark, sf_dir):
+    """Embedding-cosine near-dedup via SIGN-LSH band buckets — the
+    LSH-bucketed alternative scale path to the IVF cells (same planted
+    duplicates, same exact-cosine verification; the hyperplane
+    constants are one shared Python generator embedded as literals in
+    both engines)."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.lsh_dedup_pairs(_emb_with_dups(spark, sf_dir), threshold=0.95)
+
+
 def ann_cosine_top3(spark, sf_dir):
     """Exact brute-force cosine top-3 over the embeddings table — the
     correctness baseline for similarity search (O(n^2), broadcast)."""

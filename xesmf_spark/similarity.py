@@ -654,3 +654,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection LSH (the bucketed ALTERNATIVE to IVF)
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 16   #: hyperplanes (sign bits) per vector
+LSH_BANDS = 2   #: bands (bits/bands bits per band-bucket)
+
+
+def lsh_hyperplanes(dim: int, k: int = LSH_BITS) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5 — computed in
+    Python ONCE and embedded as literals in BOTH the Spark plan and the
+    DuckDB oracle, so the two engines share the exact constants.
+    Rademacher (±1) entries are a standard choice for sign-random-
+    projection (Achlioptas-style sparse projections)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"lshplane:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(k)
+    ]
+
+
+def lsh_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via SIGN-LSH — the bucketed
+    alternative to :func:`embedding_dedup_pairs`'s IVF cells: each
+    vector's sign pattern under ``LSH_BITS`` fixed hyperplanes is cut
+    into ``LSH_BANDS`` band-buckets; a pair sharing ANY band-bucket is
+    a candidate (equi-join on (band, bucket) — never all-pairs), kept
+    when exact cosine >= ``threshold``. Returns (id_a < id_b, cosine).
+
+    Scale/recall shape: P[bit agrees] = 1 - angle/pi, so a cosine-0.95
+    pair agrees per bit with p ~ 0.9 and per 8-bit band with p ~ 0.43 —
+    two bands put pair recall near 0.68 per band-set; like all banded
+    LSH this trades recall for never materializing |pairs|. Sign bits
+    are SCALE-INVARIANT (sign(dot) ignores vector length), so a scaled
+    copy always lands in the same buckets as the original — the exact
+    duplicates that matter for dedup cannot be missed."""
+    planes = lsh_hyperplanes(dim)
+    vecs = with_norm(df, id_col, vec_col)
+    bits = [
+        F.when(_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0.0, 1).otherwise(0)
+        for p in planes
+    ]
+    per_band = LSH_BITS // LSH_BANDS
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bucket = sum(
+            (bits[b * per_band + j] * F.lit(1 << j) for j in range(per_band)),
+            start=F.lit(0),
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bkt"))
+        )
+    tagged = vecs.select(
+        "id", "v", "nrm", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt"))
+
+    a = tagged.select(
+        "band", "bkt", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b_ = tagged.select(
+        "band", "bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b_, ["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, ROUND_ORD).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
