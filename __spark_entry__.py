@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
+        "events_props_stats": Q.events_props_stats,
         "pipeline_exact_dedup": Q.pipeline_exact_dedup,
         "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
         "pipeline_dedup_groups": Q.pipeline_dedup_groups,
@@ -170,6 +171,15 @@ SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
        ROUND(SUM(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+        "events_props_stats": """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 7) AS avg_k,
+       ROUND(SUM(value * CAST(props->>'$.k' AS DOUBLE)), 4) AS weighted_value
+FROM events
+GROUP BY event_type
 """,
         "pipeline_exact_dedup": PO.exact_dedup_sql(),
         "pipeline_minhash_dedup": PO.minhash_dedup_sql(),

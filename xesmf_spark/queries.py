@@ -644,6 +644,28 @@ def ann_ivf_top3(spark, sf_dir):
     return SIM.ivf_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
+def events_props_stats(spark, sf_dir):
+    """JSON-path extraction over the events ``props`` column
+    (semi-structured payloads are §2C's array/map/JSON category):
+    parse ``$.k`` and aggregate per event type. The JSON parse is a
+    JVM-side expression fused into the scan — at 100 TB this is the
+    map-side projection shape, one partial+final agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), ROUND).alias("avg_k"),
+            F.round(F.sum(F.col("value") * F.col("k").cast("double")), 4).alias(
+                "weighted_value"
+            ),
+        )
+    )
+
+
 def events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch analogue of the streaming
     windowed agg; see xesmf_spark.streaming for the readStream form)."""
