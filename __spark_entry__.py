@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_conservative_clip": Q.regrid_conservative_clip,
         "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
+        "regrid_unmapped": Q.regrid_unmapped,
         "regrid_patch": Q.regrid_patch,
         "regrid_nearest_s2d": Q.regrid_nearest_s2d,
         "regrid_nearest_d2s": Q.regrid_nearest_d2s,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "regrid_conservative_clip": O.regrid_oracle_sql("conservative"),
         "regrid_bilinear_periodic": O.regrid_oracle_sql("bilinear", periodic=True),
         "regrid_bilinear_noperiodic": O.regrid_oracle_sql("bilinear", periodic=False),
+        "regrid_unmapped": O.unmapped_cells_oracle_sql(),
         "regrid_patch": O.regrid_oracle_sql("patch", periodic=True),
         "regrid_nearest_s2d": O.regrid_oracle_sql("nearest_s2d"),
         "regrid_nearest_d2s": O.regrid_oracle_sql("nearest_d2s"),

@@ -681,3 +681,21 @@ agg AS (
 )
 SELECT 1699999200 + h * 3600 AS ws, row, ROUND(v, {ROUND}) AS value FROM agg
 """
+
+
+def unmapped_cells_oracle_sql(src: GridSpec = G_IN, dst: GridSpec = G_OUT) -> str:
+    """Oracle for the unmapped-cell diagnostic: destination cells with
+    NO weight rows under non-periodic bilinear (the strip beyond the
+    last source column that unmapped_action=IGNORE silently zero-fills
+    — the reference asserts rel-err exactly 1.0 there,
+    tests/test_frontend.py:116-127). An ANTI join against the weight
+    rows on both engines."""
+    return f"""
+WITH
+{grid_ctes(src, 'src')},
+{grid_ctes(dst, 'dst')},
+{bilinear_weights_ctes(src, dst, periodic=False)}
+SELECT d.cell_id, ROUND(d.lon, {ROUND}) AS lon, ROUND(d.lat, {ROUND}) AS lat
+FROM dst_cells d
+WHERE d.cell_id NOT IN (SELECT row FROM w)
+"""

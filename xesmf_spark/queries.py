@@ -81,6 +81,23 @@ def regrid_patch(spark, sf_dir):
     return _regrid(spark, "patch", periodic=True)
 
 
+def regrid_unmapped(spark, sf_dir):
+    """Unmapped-cell diagnostic as a first-class query: destination
+    cells receiving no weights under NON-periodic bilinear (the edge
+    strip the reference's unmapped_action=IGNORE silently zero-fills) —
+    a LEFT ANTI join against the weight rows, mirrored by a NOT IN
+    oracle (Regridder.unmapped_cells)."""
+    from xesmf_spark.regridder import Regridder
+
+    g_in, g_out = _fixture_grids(spark)
+    rg = Regridder(spark, g_in, g_out, "bilinear", periodic=False, reuse_weights=True)
+    return rg.unmapped_cells().select(
+        "cell_id",
+        F.round("lon", ROUND).alias("lon"),
+        F.round("lat", ROUND).alias("lat"),
+    )
+
+
 def regrid_nearest_s2d(spark, sf_dir):
     return _regrid(spark, "nearest_s2d")
 
