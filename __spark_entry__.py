@@ -175,12 +175,19 @@ FROM events
 GROUP BY 1, 2
 """,
         "events_props_stats": """
+WITH kx AS (
+  -- TRY_CAST + single integer extraction so non-integral or malformed
+  -- k degrade to NULL exactly like Spark's get_json_object + cast,
+  -- and weighted_value uses the SAME truncated integer k as sum_k
+  SELECT event_type, value, TRY_CAST(props->>'$.k' AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-       ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 7) AS avg_k,
-       ROUND(SUM(value * CAST(props->>'$.k' AS DOUBLE)), 4) AS weighted_value
-FROM events
+       SUM(k) AS sum_k,
+       ROUND(AVG(k), 7) AS avg_k,
+       ROUND(SUM(value * CAST(k AS DOUBLE)), 4) AS weighted_value
+FROM kx
 GROUP BY event_type
 """,
         "pipeline_exact_dedup": PO.exact_dedup_sql(),

@@ -274,11 +274,18 @@ def _run_workloads(spark, sf_dir, timings, timed):
                 try:
                     fn()
                     trials.append(time.perf_counter() - t0)
-                except Exception:  # noqa: BLE001
-                    break
+                except Exception as e:  # noqa: BLE001
+                    # a reproducible failure must not hide behind a
+                    # "de-noised" number from the surviving trials
+                    timings[name] = {
+                        "err": f"retrial {type(e).__name__}: {str(e)[:300]}"
+                    }
+                    return
                 finally:
                     spark.catalog.clearCache()
-            timings[name] = round(sorted(trials)[len(trials) // 2], 3)
+            # lower-middle for even-length lists: with 2 trials the
+            # smaller is the de-noised pick (the larger may be the spike)
+            timings[name] = round(sorted(trials)[(len(trials) - 1) // 2], 3)
 
     for name in (
         "tpch_q1",

@@ -462,3 +462,39 @@ def test_patch_curvilinear_across_seam_matches_continuous(spark):
     assert len(wc) > 0
     assert set(ww) == set(wc)
     assert max(abs(ww[k] - wc[k]) for k in wc) < 1e-9
+
+
+def test_seam_with_non_divisor_bin_width(spark):
+    """Regression: the default bin width (2 cells of an ODD-n_x grid)
+    does not divide 360, which used to break the mod-nlon wrap (a 360°
+    shift became a fractional number of bins — seam quads landed in the
+    wrong bucket and points silently got zero weights). The width is now
+    snapped so nlon*bin_deg == 360; the wrapped representation must
+    still match the continuous one for both general-mesh builders."""
+    from xesmf_spark.grids import grid_2d
+    from xesmf_spark.weights import conservative_weights_clip
+    from xesmf_spark.weights.curvilinear import bilinear_weights_curvilinear
+
+    # n_x = 15 cells -> default bin_deg = 48 (nlon would be 7.5 bins/turn)
+    lonc_w, latc, lonb_w, latb = _seam_mesh(7, 15, 9.0, wrap=True)
+    lonc_c, _, lonb_c, _ = _seam_mesh(7, 15, 9.0, wrap=False)
+    dst = grid_2d(spark, 170.0, 190.0, 2.5, -8.0, 8.0, 2.5)
+
+    src_w = grid_from_2d_arrays(spark, lonc_w, latc)
+    src_c = grid_from_2d_arrays(spark, lonc_c, latc)
+    bw = {(r.row, r.col): r.S for r in bilinear_weights_curvilinear(src_w, dst).collect()}
+    bc = {(r.row, r.col): r.S for r in bilinear_weights_curvilinear(src_c, dst).collect()}
+    assert len(bc) > 0 and set(bw) == set(bc)
+    assert max(abs(bw[k] - bc[k]) for k in bc) < 1e-9
+    sums = {}
+    for (row, _c), s in bw.items():
+        sums[row] = sums.get(row, 0.0) + s
+    assert len(sums) == dst.n_cells  # nothing silently unmapped
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+    srcq_w = grid_from_2d_arrays(spark, lonc_w, latc, lon_b=lonb_w, lat_b=latb)
+    srcq_c = grid_from_2d_arrays(spark, lonc_c, latc, lon_b=lonb_c, lat_b=latb)
+    cw = {(r.row, r.col): r.S for r in conservative_weights_clip(srcq_w, dst).collect()}
+    cc = {(r.row, r.col): r.S for r in conservative_weights_clip(srcq_c, dst).collect()}
+    assert len(cc) > 0 and set(cw) == set(cc)
+    assert max(abs(cw[k] - cc[k]) for k in cc) < 1e-9

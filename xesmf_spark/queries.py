@@ -90,7 +90,11 @@ def regrid_unmapped(spark, sf_dir):
     from xesmf_spark.regridder import Regridder
 
     g_in, g_out = _fixture_grids(spark)
-    rg = Regridder(spark, g_in, g_out, "bilinear", periodic=False, reuse_weights=True)
+    # build fresh like every other oracle-checked regrid query: the
+    # persistent /tmp weight cache's key encodes geometry but not
+    # builder-code version, so reuse here could serve a previous round's
+    # weights against the current oracle
+    rg = Regridder(spark, g_in, g_out, "bilinear", periodic=False)
     return rg.unmapped_cells().select(
         "cell_id",
         F.round("lon", ROUND).alias("lon"),
@@ -668,7 +672,10 @@ def events_props_stats(spark, sf_dir):
     JVM-side expression fused into the scan — at 100 TB this is the
     map-side projection shape, one partial+final agg shuffle."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast: non-integral / malformed k degrades to NULL (excluded
+    # from the aggregates) instead of an ANSI cast error — mirrored by
+    # TRY_CAST in the oracle
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         ev.select("event_type", k.alias("k"), "value")
         .groupBy("event_type")
@@ -815,6 +822,13 @@ def stream_regrid(spark, sf_dir):
 
     d = "/tmp/xesmf_stream_src_regrid_field"
     if not os.path.isdir(d) or not os.listdir(d):
+        # stage into a temp dir and atomically rename: a run killed
+        # between the three hourly writes must not leave a partial dir
+        # that every later run would mistake for a complete fixture
+        import shutil
+        import uuid
+
+        tmp = f"{d}.tmp.{uuid.uuid4().hex[:8]}"
         base = 1_700_000_000
         for h in range(3):
             (
@@ -825,8 +839,12 @@ def stream_regrid(spark, sf_dir):
                 )
                 .coalesce(1)
                 .write.mode("append")
-                .parquet(d)
+                .parquet(tmp)
             )
+        try:
+            os.rename(tmp, d)
+        except OSError:  # lost the race to a concurrent stage — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     ST.stage_flush_sentinel(
         d,
         offset_ns=6 * 3600 * 1_000_000_000,

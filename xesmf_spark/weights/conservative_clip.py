@@ -230,7 +230,14 @@ def conservative_weights_clip(
         # ~2 cells of the COARSER grid per bin: each quad bbox then
         # overlaps O(1) bins and a bin holds O(1) cells of either grid
         bin_deg = max(0.5, 2.0 * 360.0 / max(min(src.n_x, dst.n_x), 1))
-    nlon = max(1, int(round(360.0 / bin_deg)))
+    # snap the width so nlon * bin_deg == 360 EXACTLY: the mod-nlon bin
+    # wrap (and the owner-bin arithmetic on pair-frame coordinates) is
+    # only a congruence when the bin width divides 360 — a non-divisor
+    # width makes a 360° shift a fractional number of bins and drops
+    # seam-straddling candidate pairs silently
+    from xesmf_spark.weights.curvilinear import _snap_bins
+
+    nlon, bin_deg = _snap_bins(bin_deg)
 
     sq = _binned(cell_quads(src, "s"), "s", bin_deg, nlon)
     dq = _binned(cell_quads(dst, "d"), "d", bin_deg, nlon)

@@ -72,13 +72,26 @@ def _quads(src: Grid) -> DataFrame:
     return p00.join(p10, ["j", "i"]).join(p01, ["j", "i"]).join(p11, ["j", "i"])
 
 
+def _snap_bins(bin_deg: float) -> tuple[int, float]:
+    """(nlon, effective bin_deg) with ``nlon * bin_deg == 360`` EXACTLY.
+    The mod-nlon wrap of lon-bin indices is only a congruence when the
+    bin width divides 360 — with a non-divisor width (e.g. the
+    2-cells-per-bin default on an odd n_x) a 360° shift is a fractional
+    number of bins and seam-straddling quads land in the wrong wrapped
+    bin. Snapping the width to 360/nlon preserves the ~requested
+    granularity and restores the identity."""
+    nlon = max(1, int(round(360.0 / bin_deg)))
+    return nlon, 360.0 / nlon
+
+
 def _bin_id(lon_col, lat_col, bin_deg: float):
     """Seam-aware bin key: lon is wrapped into [-180, 180) first and the
     lon-bin index wrapped mod nlon, so any input convention (0..360,
-    ±180) hashes to the same geographic bin."""
+    ±180) hashes to the same geographic bin. ``bin_deg`` must already be
+    snapped via :func:`_snap_bins`."""
     from xesmf_spark.grids import wrap_lon
 
-    nlon = max(1, int(round(360.0 / bin_deg)))
+    nlon, bin_deg = _snap_bins(bin_deg)
     blat = F.floor((lat_col + F.lit(90.0)) / F.lit(bin_deg)).cast("long")
     blon = F.pmod(
         F.floor((wrap_lon(lon_col) + F.lit(180.0)) / F.lit(bin_deg)).cast("long"),
@@ -96,6 +109,8 @@ def locate_points(src: Grid, dst: Grid, bin_deg: float | None = None) -> DataFra
     if bin_deg is None:
         # ~2 source cells per bin: the quad bbox then overlaps O(1) bins
         bin_deg = max(0.5, 2.0 * 360.0 / max(src.n_x, 1))
+    # snap so nlon * bin_deg == 360 exactly (seam-wrap congruence)
+    nlon, bin_deg = _snap_bins(bin_deg)
 
     from xesmf_spark.grids import wrap_lon
 

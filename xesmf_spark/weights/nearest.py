@@ -245,16 +245,20 @@ def _argmin_join(need: DataFrame, pool: DataFrame, strategy: str, bin_deg: float
 def _est_rows(g: "Grid | DataFrame") -> int:
     """Row-count estimate for strategy auto-selection WITHOUT running a
     job: Grid metadata when available, else Catalyst's optimized-plan
-    statistics (rowCount if known, else sizeInBytes over a minimum
-    24-byte row). Overestimation is safe — it only tips the choice
-    toward the bucketed path, which is correct at every size."""
+    statistics (rowCount if known, else sizeInBytes over a LOWER bound
+    on compressed bytes/row). Overestimation is safe — it only tips the
+    choice toward the bucketed path, which is correct at every size —
+    which is why the divisor is 4, not the ~24 in-memory bytes/row:
+    parquet with delta/RLE-encoded ids and gridded coords compresses
+    far below the logical width, and dividing by the logical width
+    would UNDERestimate rows and broadcast an oversized pool."""
     if isinstance(g, Grid):
         return g.n_cells
     stats = g._jdf.queryExecution().optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():
         return int(str(rc.get()))
-    return int(str(stats.sizeInBytes())) // 24
+    return int(str(stats.sizeInBytes())) // 4
 
 
 def knn_join(
