@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": Q.tpch_q1,
         "tpch_q3_top10": Q.tpch_q3_top10,
         "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
+        "tpch_q6_forecast": Q.tpch_q6_forecast,
+        "tpch_q10_returned": Q.tpch_q10_returned,
+        "events_asof_join": Q.events_asof_join,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
         "events_props_stats": Q.events_props_stats,
@@ -146,6 +149,50 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+""",
+        "tpch_q6_forecast": """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24.0
+""",
+        "tpch_q10_returned": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        "events_asof_join": """
+WITH ev AS (
+  SELECT event_id, user_id, EPOCH_NS(ts) AS tns, event_type, value FROM events
+),
+clicks AS (
+  -- equal-(user, ts) clicks collapse to the max event_id (same
+  -- deterministic tie rule as the Spark side)
+  SELECT user_id, tns, MAX(event_id) AS click_id
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, tns
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, tns, value
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       p.tns - c.tns AS lag_ns,
+       p.value AS value
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.tns >= c.tns
 """,
         "events_sessionize": """
 WITH base AS (

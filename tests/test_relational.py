@@ -1,0 +1,110 @@
+"""asof_join semantics: backward/forward, exact-ts inclusion, LEFT
+OUTER nulls, multi-column keys, and the one-shuffle plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xesmf_spark.relational import asof_join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, px): the right side of the classic trades/quotes as-of
+    return spark.createDataFrame(
+        [
+            ("a", 10, 1.0),
+            ("a", 20, 2.0),
+            ("a", 30, 3.0),
+            ("b", 15, 9.0),
+        ],
+        "sym string, ts long, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 5, 100),   # before any quote
+            ("a", 20, 101),  # exactly on a quote
+            ("a", 25, 102),  # between quotes
+            ("a", 99, 103),  # after the last quote
+            ("b", 14, 104),  # just before b's only quote
+            ("c", 50, 105),  # key with no quotes at all
+        ],
+        "sym string, ts long, trade_id int",
+    )
+
+
+def _rows(df):
+    return {
+        r["trade_id"]: (r["ts_r"], r["px_r"]) for r in df.collect()
+    }
+
+
+def test_backward(spark, trades, quotes):
+    got = _rows(asof_join(trades, quotes, on="sym", ts="ts", direction="backward"))
+    assert got == {
+        100: (None, None),   # nothing at-or-before ts=5
+        101: (20, 2.0),      # exact ts matches
+        102: (20, 2.0),      # most recent prior
+        103: (30, 3.0),      # carries past the last quote
+        104: (None, None),   # b's quote is later
+        105: (None, None),   # unmatched key stays (LEFT OUTER)
+    }
+
+
+def test_forward(spark, trades, quotes):
+    got = _rows(asof_join(trades, quotes, on="sym", ts="ts", direction="forward"))
+    assert got == {
+        100: (10, 1.0),      # earliest at-or-after
+        101: (20, 2.0),      # exact ts matches in forward too
+        102: (30, 3.0),
+        103: (None, None),   # nothing after the last quote
+        104: (15, 9.0),
+        105: (None, None),
+    }
+
+
+def test_left_rows_preserved_exactly_once(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="sym", ts="ts")
+    assert out.count() == trades.count()
+    assert sorted(r["trade_id"] for r in out.collect()) == [100, 101, 102, 103, 104, 105]
+
+
+def test_multi_key(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 50, 1), ("a", 2, 50, 2)], "k1 string, k2 long, ts long, lid int"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 40, 7.0), ("a", 2, 60, 8.0)], "k1 string, k2 long, ts long, v double"
+    )
+    got = {
+        r["lid"]: r["v_r"]
+        for r in asof_join(left, right, on=["k1", "k2"], ts="ts").collect()
+    }
+    assert got == {1: 7.0, 2: None}
+
+
+def test_suffix_and_columns(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="sym", ts="ts", suffix="_q")
+    assert out.columns == ["sym", "ts", "trade_id", "ts_q", "px_q"]
+
+
+def test_bad_direction(spark, trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", ts="ts", direction="nearest")
+
+
+def test_one_shuffle_plan(spark, trades, quotes):
+    """The as-of plan must shuffle each side ONCE on the key (the
+    window's hashpartitioning) — no range-join candidate explosion, no
+    extra exchange after the union."""
+    plan = (
+        asof_join(trades, quotes, on="sym", ts="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one Exchange per union branch feeding the window, nothing more
+    assert plan.count("Exchange hashpartitioning") <= 2

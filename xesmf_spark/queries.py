@@ -401,6 +401,91 @@ def tpch_q5_local_supplier(spark, sf_dir):
     )
 
 
+def tpch_q6_forecast(spark, sf_dir):
+    """Forecasting-revenue-change: pure filter + single global agg.
+    The showcase for predicate pushdown / column pruning: all three
+    predicates and the 2-column projection reach the parquet scan
+    (PushedFilters), so at 100 TB the scan reads only the row groups
+    whose min/max straddle the ship-date year."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= F.lit(0.05))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < F.lit(24.0))
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def tpch_q10_returned(spark, sf_dir):
+    """Returned-item reporting: fact-fact join + broadcast dim + grouped
+    agg + deterministic top-20. The two big tables shuffle on the order
+    key once; nation broadcasts; the top-k is a partial-per-partition
+    TakeOrdered, never a full sort of the aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def events_asof_join(spark, sf_dir):
+    """As-of join — the classic time-series operator Spark has no
+    built-in for: every 'purchase' event matched to the MOST RECENT
+    'click' by the same user at-or-before the purchase instant.
+
+    Spark-first plan: NOT a range join (candidate blow-up) — a UNION of
+    the two tagged streams + ONE window pass per user ordered by
+    (ts, kind), carrying the last seen click forward with
+    last(..., ignorenulls=True) over an unbounded-preceding row frame.
+    One shuffle on user_id, linear work per partition, state = one row
+    — the sort-merge as-of shape that survives 100 TB (skewed users
+    stay a single sorted run, no pair materialization).
+
+    Tie semantics: a click at exactly the purchase ts counts (kind
+    orders clicks first); equal-(user, ts) clicks collapse to the max
+    event_id so both engines agree. Oracle: DuckDB's native ASOF LEFT
+    JOIN on the epoch-ns key.
+    """
+    from xesmf_spark.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    joined = asof_join(purch, clicks, on="user_id", ts="ts", direction="backward")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id_r").alias("click_id"),
+        (F.col("ts") - F.col("ts_r")).alias("lag_ns"),
+        "value",
+    )
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     """Sessionization via lag window: a new session starts when the gap
     from the previous event (per user) exceeds ``gap_minutes``."""

@@ -1,0 +1,99 @@
+"""Generic relational operators Spark lacks as built-ins.
+
+``asof_join`` — the time-series point-in-time join. The reference
+engine has no explicit as-of operator (its nearest_s2d is the spatial
+analogue: each destination keyed to its single nearest source,
+/root/reference/xesmf/backend.py:244-245); large-scale event pipelines
+need the temporal form constantly (fills, point-in-time features,
+last-known-state lookups).
+
+Scale shape: NOT a range join — a range join materializes candidate
+pairs (every right row within the horizon of every left row) and then
+prunes, which is quadratic in dense keys. This implementation is a
+UNION of the two tagged inputs + ONE window pass per key ordered by
+(ts, kind): carry the most recent right payload forward with
+last(..., ignorenulls=True) over an unbounded-preceding row frame.
+One shuffle on the key, linear scan per partition, O(1) state per row.
+At 100 TB both inputs shuffle once on the join key and stream through
+a sort — the same physical shape as a sort-merge join, with no pair
+blow-up even for a key holding millions of rows on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right.ts <= left.ts`` (``backward``) or the least
+    ``right.ts >= left.ts`` (``forward``), within matching ``on`` keys.
+
+    Output: all left columns, plus every non-key right column renamed
+    ``<name><suffix>`` (the right's ``ts`` becomes ``<ts><suffix>``).
+    Unmatched left rows keep NULLs — LEFT OUTER semantics, matching
+    DuckDB's ``ASOF LEFT JOIN``.
+
+    A right row at exactly ``left.ts`` matches in both directions.
+    Determinism: rows that are equal on ``(on, ts)`` on the RIGHT side
+    are ambiguous (any engine picks one arbitrarily) — collapse them
+    before the call (e.g. ``groupBy(on, ts).agg(max(...))``) if the
+    input can contain such ties.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    payload_cols = [c for c in right.columns if c not in keys and c != ts]
+
+    # one struct column carries the right row through the window pass;
+    # ts is included so the caller gets the matched instant back
+    r_tagged = right.select(
+        *keys,
+        F.col(ts),
+        F.struct(F.col(ts).alias(ts), *[F.col(c) for c in payload_cols]).alias("__asof_payload"),
+        F.lit(0).alias("__asof_kind"),
+    )
+    l_tagged = left.select(
+        *left.columns,
+        F.lit(None).cast(r_tagged.schema["__asof_payload"].dataType).alias("__asof_payload"),
+        F.lit(1).alias("__asof_kind"),
+    )
+    # align schemas: right side gets NULLs for left-only columns
+    left_only = [c for c in left.columns if c not in keys and c != ts]
+    r_aligned = r_tagged.select(
+        *keys,
+        F.col(ts),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        "__asof_payload",
+        "__asof_kind",
+    )
+    l_aligned = l_tagged.select(*keys, F.col(ts), *left_only, "__asof_payload", "__asof_kind")
+    unioned = r_aligned.unionByName(l_aligned)
+
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col("__asof_kind").asc()]
+    else:
+        # forward: scan time DESCENDING so "last seen right row" is the
+        # least right.ts >= left.ts; kind still orders right-before-left
+        # at equal ts so exact matches count
+        order = [F.col(ts).desc(), F.col("__asof_kind").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__asof_match.{ts}").alias(f"{ts}{suffix}"))
+    out_cols.extend(F.col(f"__asof_match.{c}").alias(f"{c}{suffix}") for c in payload_cols)
+    return carried.filter(F.col("__asof_kind") == 1).select(*out_cols)
