@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q10_returned": Q.tpch_q10_returned,
         "events_asof_join": Q.events_asof_join,
+        "events_cube": Q.events_cube,
+        "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
         "events_props_stats": Q.events_props_stats,
@@ -193,6 +195,22 @@ SELECT p.purchase_id, p.user_id, c.click_id,
        p.value AS value
 FROM purch p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.tns >= c.tns
+""",
+        "events_cube": """
+WITH base AS (
+  SELECT event_type, EPOCH_NS(ts) // 86400000000000 AS epoch_day, value FROM events
+)
+SELECT event_type, epoch_day,
+       CAST(GROUPING(event_type, epoch_day) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM base
+GROUP BY CUBE (event_type, epoch_day)
+""",
+        "customers_semi_open_orders": """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
 """,
         "events_sessionize": """
 WITH base AS (

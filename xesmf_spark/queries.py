@@ -486,6 +486,36 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+def events_cube(spark, sf_dir):
+    """CUBE aggregation over (event_type, epoch_day) with grouping_id:
+    the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
+    One pass: Spark expands the cube into grouping sets inside a single
+    partial+final hash agg — 4x the group cardinality, not 4x the scan,
+    which is what makes it viable over a 100 TB fact table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.expr("ts DIV 86400000000000").alias("epoch_day"), "value")
+        .cube("event_type", "epoch_day")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def customers_semi_open_orders(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): customers holding at least one open
+    order. The semi join never materializes the match multiplicity —
+    orders is reduced to a distinct-key probe side, so the output stays
+    bounded by the customer table regardless of order fan-out."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust["c_custkey"] == open_orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
 def events_sessionize(spark, sf_dir, gap_minutes: int = 30):
     """Sessionization via lag window: a new session starts when the gap
     from the previous event (per user) exceeds ``gap_minutes``."""
