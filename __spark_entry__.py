@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q10_returned": Q.tpch_q10_returned,
         "events_asof_join": Q.events_asof_join,
+        "events_interval_join": Q.events_interval_join,
+        "stream_interval_join": Q.stream_interval_join,
         "events_cube": Q.events_cube,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_sessionize": Q.events_sessionize,
@@ -195,6 +197,33 @@ SELECT p.purchase_id, p.user_id, c.click_id,
        p.value AS value
 FROM purch p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.tns >= c.tns
+""",
+        "events_interval_join": """
+WITH ev AS (
+  SELECT event_id, user_id, EPOCH_NS(ts) AS tns, event_type FROM events
+),
+purch AS (SELECT event_id AS purchase_id, user_id, tns FROM ev WHERE event_type = 'purchase'),
+clicks AS (SELECT event_id AS click_id, user_id, tns FROM ev WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id, p.tns - c.tns AS lag_ns
+FROM purch p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.tns >= p.tns - 3600000000000
+ AND c.tns <= p.tns
+""",
+        "stream_interval_join": """
+WITH ev AS (
+  -- the stream joins on event-time TIMESTAMPs at microsecond grain
+  -- (contract ns // 1000), so the bound applies at µs; lag stays exact ns
+  SELECT event_id, user_id, EPOCH_NS(ts) AS tns, EPOCH_NS(ts) // 1000 AS tus, event_type
+  FROM events
+),
+purch AS (SELECT event_id AS purchase_id, user_id, tns, tus FROM ev WHERE event_type = 'purchase'),
+clicks AS (SELECT event_id AS click_id, user_id, tns, tus FROM ev WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id, p.tns - c.tns AS lag_ns
+FROM purch p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.tus >= p.tus - 3600000000
+ AND c.tus <= p.tus
 """,
         "events_cube": """
 WITH base AS (

@@ -291,8 +291,14 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "tpch_q1",
         "tpch_q3_top10",
         "tpch_q5_local_supplier",
+        "tpch_q6_forecast",
+        "tpch_q10_returned",
+        "customers_semi_open_orders",
         "events_sessionize",
         "events_hourly",
+        "events_asof_join",
+        "events_interval_join",
+        "events_cube",
         "pipeline_minhash_dedup",
         "pipeline_simhash",
         "pipeline_text_stats",

@@ -1,10 +1,11 @@
-"""asof_join semantics: backward/forward, exact-ts inclusion, LEFT
-OUTER nulls, multi-column keys, and the one-shuffle plan shape."""
+"""asof_join / interval_join semantics: backward/forward, exact-ts and
+boundary inclusion, LEFT OUTER nulls, multi-column keys, exactly-once
+pairs across bucket edges, and the plan shapes."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from xesmf_spark.relational import asof_join
+from xesmf_spark.relational import asof_join, interval_join
 
 
 @pytest.fixture(scope="module")
@@ -94,6 +95,51 @@ def test_suffix_and_columns(spark, trades, quotes):
 def test_bad_direction(spark, trades, quotes):
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="sym", ts="ts", direction="nearest")
+
+
+def test_interval_join_pairs(spark, trades, quotes):
+    """All pairs with quote in [trade.ts - 10, trade.ts]; bounds
+    inclusive; every matching pair exactly once even when the window
+    straddles a bucket edge."""
+    out = interval_join(trades, quotes, on="sym", ts="ts", lower=-10, upper=0)
+    got = sorted((r["trade_id"], r["ts_r"]) for r in out.collect())
+    # 101 (a@20): quotes 10 (exact lower bound) and 20 (exact ts);
+    # 102 (a@25): quote 20; 100/103: none in window; 104 (b@14): b's
+    # quote is at 15 > 14; 105: key with no quotes
+    assert got == [(101, 10), (101, 20), (102, 20)]
+
+
+def test_interval_join_forward_window(spark, trades, quotes):
+    out = interval_join(trades, quotes, on="sym", ts="ts", lower=0, upper=10)
+    got = sorted((r["trade_id"], r["ts_r"]) for r in out.collect())
+    assert got == [(100, 10), (101, 20), (101, 30), (102, 30), (104, 15)]
+
+
+def test_interval_join_negative_ts(spark):
+    """Floor-division bucketing must be exact for negative timestamps
+    (Spark's div truncates toward zero — the operator must not)."""
+    left = spark.createDataFrame([("k", -5, 1)], "k string, ts long, lid int")
+    right = spark.createDataFrame(
+        [("k", -14, 7.0), ("k", -15, 8.0), ("k", -4, 9.0)], "k string, ts long, v double"
+    )
+    out = interval_join(left, right, on="k", ts="ts", lower=-10, upper=0)
+    got = sorted(r["v_r"] for r in out.collect())
+    # window [-15, -5]: -14 inside, -15 at the inclusive bound, -4 outside
+    assert got == [7.0, 8.0]
+
+
+def test_interval_join_bad_bounds(spark, trades, quotes):
+    with pytest.raises(ValueError):
+        interval_join(trades, quotes, on="sym", ts="ts", lower=5, upper=5)
+
+
+def test_interval_join_no_cartesian(spark, trades, quotes):
+    plan = (
+        interval_join(trades, quotes, on="sym", ts="ts", lower=-10, upper=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_one_shuffle_plan(spark, trades, quotes):

@@ -486,6 +486,76 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+def events_interval_join(spark, sf_dir):
+    """Interval (range) join via the BUCKETED equi-join operator
+    (relational.interval_join): every (purchase, click) pair by the same
+    user with the click at most 1 hour before the purchase. The bucket
+    key bounds candidates per row by the match horizon — a hot user
+    never materializes its full history cross-product (the raw theta
+    join would). Oracle: the plain SQL range join."""
+    from xesmf_spark.relational import interval_join
+
+    HOUR_NS = 3_600_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = interval_join(purch, clicks, on="user_id", ts="ts", lower=-HOUR_NS, upper=0)
+    return j.select(
+        "purchase_id",
+        F.col("click_id_r").alias("click_id"),
+        "user_id",
+        (F.col("ts") - F.col("ts_r")).alias("lag_ns"),
+    )
+
+
+def stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM interval join (purchases x clicks within 1 hour,
+    same user) driven to completion — inner joins emit each match as
+    soon as both rows arrive, so the finite run equals the batch range
+    join exactly and the query gets a FULL DuckDB oracle. The join
+    condition compares event-time TIMESTAMPs (microsecond grain — the
+    contract ns truncate exactly), so the oracle bounds at µs while
+    lag_ns stays exact ns."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_stream_dir(spark, sf_dir)
+    ev = ST.events_stream(spark, d)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_ts").alias("p_event_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_ts").alias("c_event_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = ST.interval_join_stream(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="p_event_ts",
+        right_ts="c_event_ts",
+        lower_sec=-3600,
+        upper_sec=0,
+    )
+    res = ST.run_to_memory(out, f"q_stream_ij_{uuid.uuid4().hex[:8]}")
+    return res.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("p_ts") - F.col("c_ts")).alias("lag_ns"),
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).

@@ -25,6 +25,79 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floor_div(x, span: int):
+    """Exact floor division for BIGINT columns (Spark's ``div`` truncates
+    toward zero, and double division rounds above 2^53 — epoch-ns values
+    are ~1.7e18, so both are wrong for negative or large operands)."""
+    pmod = ((x % span) + span) % span
+    return ((x - pmod) / F.lit(span)).cast("long")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str,
+    lower: int,
+    upper: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Range (interval) join: every (left, right) pair with matching
+    ``on`` keys and ``left.ts + lower <= right.ts <= left.ts + upper``
+    (``ts`` integer-typed, e.g. contract epoch ns; bounds inclusive).
+    Output: left columns + right's non-key columns suffixed (right's
+    ``ts`` becomes ``<ts><suffix>``). INNER semantics — unmatched left
+    rows drop.
+
+    Scale shape: a raw theta-join on the time predicate is a pair
+    blow-up (Spark plans the non-equi part as a post-join filter, so a
+    hot key materializes |L|x|R| candidates). This implementation
+    BUCKETIZES time into the equi-join key: right rows land in bucket
+    floor(ts/span) with span = upper - lower; each left row covers at
+    most 2 consecutive buckets (its window is exactly span long), so it
+    explodes to <= 2 rows and the join runs as a plain equi-join on
+    (key..., bucket) with the exact BETWEEN as a residual filter.
+    Candidates per left row are bounded by the rows in 2 buckets —
+    proportional to the match horizon, never to the key's total
+    history. Each matching pair appears exactly once (a right row has
+    one bucket; the left row lists that bucket once).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if upper <= lower:
+        raise ValueError(f"need upper > lower, got [{lower}, {upper}]")
+    span = upper - lower
+    payload_cols = [c for c in right.columns if c not in keys and c != ts]
+
+    r_b = right.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        _floor_div(F.col(ts), span).alias("__bucket"),
+    )
+    l_b = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                _floor_div(F.col(ts) + F.lit(lower), span),
+                _floor_div(F.col(ts) + F.lit(upper), span),
+            )
+        ),
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (l_b[k] == r_b[f"__r_{k}"])
+    cond = cond & (l_b["__bucket"] == r_b["__bucket"])
+    rts = F.col(f"{ts}{suffix}")
+    joined = l_b.join(r_b, cond, "inner").filter(
+        (rts >= F.col(ts) + F.lit(lower)) & (rts <= F.col(ts) + F.lit(upper))
+    )
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        rts,
+        *[F.col(f"{c}{suffix}") for c in payload_cols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -306,6 +306,38 @@ def run_to_memory(
     return spark.table(query_name)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner interval join: pairs with matching ``on`` key
+    and ``left_ts + lower_sec <= right_ts <= left_ts + upper_sec``
+    (event-time TIMESTAMP columns; column names must not collide apart
+    from the key, which must be named the same on both sides).
+
+    Inner stream-stream joins emit each match as soon as both rows have
+    arrived, so a finite availableNow run produces EXACTLY the batch
+    range join — no flush sentinel needed (watermarks here only bound
+    the buffered state: each side retains rows until the other side's
+    watermark passes the join horizon, so state tracks the horizon, not
+    stream history — the property that makes this viable perpetually).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(on, f"__r_{on}")
+    cond = (
+        (F.col(on) == F.col(f"__r_{on}"))
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower_sec} SECOND"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_sec} SECOND"))
+    )
+    return l.join(r, cond, "inner").drop(f"__r_{on}")
+
+
 def dedup_stream(
     docs: DataFrame,
     ts_col: str = "event_ts",
