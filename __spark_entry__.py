@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
         "events_cube": Q.events_cube,
+        "events_percentiles": Q.events_percentiles,
+        "orders_rank_in_customer": Q.orders_rank_in_customer,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
@@ -235,6 +237,24 @@ SELECT event_type, epoch_day,
        ROUND(SUM(value), 4) AS sum_value
 FROM base
 GROUP BY CUBE (event_type, epoch_day)
+""",
+        "events_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+        "orders_rank_in_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+  FROM orders
+)
+WHERE rnk <= 2
 """,
         "customers_semi_open_orders": """
 SELECT c_custkey, c_name, c_acctbal, c_mktsegment

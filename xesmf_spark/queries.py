@@ -556,6 +556,35 @@ def stream_interval_join(spark, sf_dir):
     )
 
 
+def events_percentiles(spark, sf_dir):
+    """EXACT percentiles (p50/p95/p99) of event value per type — the
+    ordered-statistics aggregation category. Exact percentile buffers a
+    group's values, which is fine for bounded group counts (5 types
+    here); the 100-TB path for high-cardinality groups is
+    approx_percentile (t-digest, mergeable map-side) — exact is used
+    where the oracle demands bit-parity."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def orders_rank_in_customer(spark, sf_dir):
+    """Ranking window (dense_rank): each customer's top-2 orders by
+    price. One shuffle on the partition key; rank ties keep every tied
+    row identically in both engines (no arbitrary row_number pick)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
