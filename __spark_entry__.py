@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "ann_lsh_dedup": Q.ann_lsh_dedup,
         "multimodal_features": Q.multimodal_features,
+        "multimodal_audio_windows": Q.multimodal_audio_windows,
         "knn_top3": Q.knn_top3,
         # rows-only (non-SQL-expressible: Structured Streaming; batch
         # parity is pytest-verified in tests/test_streaming.py)
@@ -318,5 +319,31 @@ GROUP BY event_type
         "ann_embedding_dedup": PO.embedding_dedup_sql(),
         "ann_lsh_dedup": PO.lsh_dedup_sql(),
         "multimodal_features": PO.multimodal_features_sql(),
+        "multimodal_audio_windows": """
+WITH s AS (
+  -- byte pairs as PCM16 LE: ASCII corpus, so ord(char) == byte value
+  SELECT doc_id, k,
+         ord(substr(text, CAST(2*k+1 AS INT), 1))
+           + 256 * ord(substr(text, CAST(2*k+2 AS INT), 1)) AS u
+  FROM documents, UNNEST(generate_series(0, length(text)//2 - 1)) AS t(k)
+),
+sg AS (
+  SELECT doc_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s
+),
+w AS (SELECT doc_id, CAST(k // 32 AS INT) AS window_idx, k, x FROM sg),
+lagged AS (
+  SELECT doc_id, window_idx, x,
+         LAG(x) OVER (PARTITION BY doc_id, window_idx ORDER BY k) AS px
+  FROM w
+)
+SELECT doc_id, window_idx,
+       COUNT(*) AS n_samples,
+       ROUND(SQRT(AVG(CAST(x AS DOUBLE) * x)), 6) AS rms,
+       ROUND(COALESCE(AVG(CASE WHEN px IS NULL THEN NULL
+                               WHEN (x >= 0) != (px >= 0) THEN 1.0
+                               ELSE 0.0 END), 0.0), 6) AS zcr
+FROM lagged
+GROUP BY doc_id, window_idx
+""",
         "knn_top3": O.knn_topk_oracle_sql(),
     }

@@ -137,6 +137,74 @@ def extract_features(
     )
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+
+def audio_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window: int = 256,
+) -> DataFrame:
+    """Windowed audio features over an opaque payload column: the
+    payload is interpreted as PCM16 little-endian mono (the raw-audio
+    contract; compressed codecs would decode upstream of this operator
+    and are gated like ``decode_image``), split into fixed ``window``-
+    sample windows (tail kept short), and each window yields RMS energy
+    and zero-crossing rate — the standard first-stage audio features of
+    a training-data pipeline (silence trim, speech/music heuristics).
+
+    Shape: one Arrow-batched ``mapInPandas`` pass, per-payload work is
+    a numpy reshape + two vectorized reductions; output is the
+    explode-shaped one-row-per-window table. Map-only — fuses into the
+    binaryFile scan with no shuffle at any scale.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, rms, zcr = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                x = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2").astype(
+                    np.float64
+                )
+                if len(x) == 0:
+                    continue
+                for w in range(0, len(x), window):
+                    seg = x[w : w + window]
+                    ids.append(int(did))
+                    widx.append(w // window)
+                    ns.append(len(seg))
+                    rms.append(float(np.sqrt(np.mean(seg * seg))))
+                    # sign changes between consecutive samples (zeros
+                    # count as non-negative), per window
+                    s = seg >= 0
+                    zcr.append(
+                        float(np.mean(s[1:] != s[:-1])) if len(seg) > 1 else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zcr": pd.Series(zcr, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
+        kernel, AUDIO_WINDOW_SCHEMA
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -585,6 +585,27 @@ def orders_rank_in_customer(spark, sf_dir):
     )
 
 
+def multimodal_audio_windows(spark, sf_dir):
+    """Windowed audio-feature extraction over opaque binary payloads
+    (multimodal.audio_window_stats): payloads are the utf-8 bytes of
+    document text (the demo media stand-in), interpreted per the PCM16
+    little-endian contract and reduced to per-window RMS / zero-crossing
+    rate in one Arrow-batched map-only pass. The oracle rebuilds the
+    byte-pair int16 interpretation in SQL (ord-of-substr arithmetic —
+    ASCII corpus, so chars == bytes)."""
+    from xesmf_spark.multimodal import attach_payload, audio_window_stats
+
+    docs = _docs(spark, sf_dir)
+    out = audio_window_stats(attach_payload(docs), window=32)
+    return out.select(
+        "doc_id",
+        "window_idx",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).

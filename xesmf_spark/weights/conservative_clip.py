@@ -98,13 +98,16 @@ def _binned(quads: DataFrame, p: str, bin_deg: float, nlon: int) -> DataFrame:
     mesh.) Keeps the localized bbox coords for the owner-bin dedup."""
     from xesmf_spark.grids import wrap_lon
 
-    ref = wrap_lon(F.col(f"{p}x0"))
-    q = quads.withColumns(
+    # materialize the wrapped reference corner once: inlining it into
+    # all four corner projections quadruples the codegen surface (JIT
+    # warm-up of this stage dominates cold build time)
+    q = quads.withColumn("_ref", wrap_lon(F.col(f"{p}x0")))
+    q = q.withColumns(
         {
-            f"{p}x{k}": ref + wrap_lon(F.col(f"{p}x{k}") - F.col(f"{p}x0"))
+            f"{p}x{k}": F.col("_ref") + wrap_lon(F.col(f"{p}x{k}") - F.col(f"{p}x0"))
             for k in (1, 2, 3)
         }
-    ).withColumn(f"{p}x0", ref)
+    ).withColumn(f"{p}x0", F.col("_ref")).drop("_ref")
     xs = [F.col(f"{p}x{k}") for k in range(4)]
     ys = [F.col(f"{p}y{k}") for k in range(4)]
     q = (
@@ -243,14 +246,28 @@ def conservative_weights_clip(
     dq = _binned(cell_quads(dst, "d"), "d", bin_deg, nlon)
 
     cand = sq.join(dq, "bin")
+    # WIDEN before the heavy per-pair arithmetic: the bin join's output
+    # is small in bytes, so AQE coalesces it to a handful of partitions
+    # — which would run the re-localization/filters AND the clip kernel
+    # at a fraction of cluster width. One cheap round-robin shuffle puts
+    # the compute-bound tail at full parallelism (measured 2-3x on the
+    # bench pair; at real scale the join output is large and AQE leaves
+    # it wide, making this a near-no-op safety net).
+    cand = cand.repartition(sq.sparkSession.sparkContext.defaultParallelism)
     # PAIR re-localization: each quad was localized around its OWN first
     # corner, so two quads meeting in a wrapped seam bin can sit in lon
     # frames 360° apart — shift the source quad by the whole number of
     # turns separating the two frames before any comparison
-    shift = F.lit(360.0) * F.round((F.col("sx0") - F.col("dx0")) / F.lit(360.0), 0)
-    cand = cand.withColumns(
-        {c: F.col(c) - shift for c in ["sxmin", "sxmax"] + [f"sx{k}" for k in range(4)]}
+    cand = cand.withColumn(
+        "_shift",
+        F.lit(360.0) * F.round((F.col("sx0") - F.col("dx0")) / F.lit(360.0), 0),
     )
+    cand = cand.withColumns(
+        {
+            c: F.col(c) - F.col("_shift")
+            for c in ["sxmin", "sxmax"] + [f"sx{k}" for k in range(4)]
+        }
+    ).drop("_shift")
     # bbox prefilter: cheap reject before the kernel sees the pair
     cand = cand.filter(
         (F.col("sxmin") < F.col("dxmax"))
