@@ -49,6 +49,38 @@ def test_tpch_q1_column_pruning(spark):
     assert "l_comment" not in head and "l_shipinstruct" not in head, head
 
 
+def test_tpch_q6_full_pushdown(spark):
+    """q6 is the pushdown showcase: every predicate reaches the scan
+    (PushedFilters carries shipdate bounds, discount bounds, quantity)
+    and the ReadSchema holds exactly the 4 touched columns."""
+    from xesmf_spark import queries as Q
+
+    plan = _plan(Q.tpch_q6_forecast(spark, SF))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    scan = plan[plan.index("ReadSchema") :]
+    head = scan[: scan.index("\n")] if "\n" in scan else scan
+    assert "l_extendedprice" in head and "l_returnflag" not in head, head
+
+
+def test_tpch_q10_broadcasts_nation_and_takeordered(spark):
+    """q10's nation dim must broadcast and the top-20 must plan as
+    TakeOrderedAndProject, not a global sort of the aggregate."""
+    from xesmf_spark import queries as Q
+
+    plan = _plan(Q.tpch_q10_returned(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_join_plans_as_left_semi(spark):
+    from xesmf_spark import queries as Q
+
+    plan = _plan(Q.customers_semi_open_orders(spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
 def test_pipeline_text_stats_is_pure_projection(spark):
     """text_stats must stay a map-side projection: no Exchange (shuffle)
     anywhere in its plan."""
