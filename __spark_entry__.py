@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_text_stats": Q.pipeline_text_stats,
         "pipeline_langid": Q.pipeline_langid,
         "pipeline_fingerprint": Q.pipeline_fingerprint,
+        "pipeline_split": Q.pipeline_split,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_embedding_dedup": Q.ann_embedding_dedup,
@@ -314,6 +315,18 @@ GROUP BY event_type
         "pipeline_text_stats": PO.text_stats_sql(),
         "pipeline_langid": PO.langid_ngram_sql(),
         "pipeline_fingerprint": PO.fingerprint_sql(),
+        "pipeline_split": """
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM s
+GROUP BY split, lang
+""",
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),
         "ann_embedding_dedup": PO.embedding_dedup_sql(),

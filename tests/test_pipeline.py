@@ -387,3 +387,49 @@ def test_lsh_dedup_catches_scaled_copies(spark):
     # both bucketings verify with the same exact cosine, so any
     # difference is pure candidate-recall; the planted pairs are in both
     assert planted <= ivf
+
+
+def test_assign_split_stable_and_partitioned(spark):
+    """Splits must be (a) a partition of the corpus with roughly the
+    requested proportions, (b) identical under repartition/reorder, and
+    (c) zero-shuffle (pure projection)."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    out = PL.assign_split(docs)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # stability under reshuffle: same doc -> same split
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in PL.assign_split(docs.repartition(7).sort(F.desc("doc_id"))).collect()
+    }
+    assert a == b
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_deterministic_sample_is_subset_and_nested(spark):
+    """sample(f1) ⊆ sample(f2) for f1 < f2 (threshold nesting), and the
+    same rows come back on every call."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    s10 = {r["doc_id"] for r in PL.deterministic_sample(docs, 0.1).collect()}
+    s30 = {r["doc_id"] for r in PL.deterministic_sample(docs, 0.3).collect()}
+    assert s10 and s10 < s30
+    assert abs(len(s30) / 2000 - 0.3) < 0.05
+    assert s10 == {r["doc_id"] for r in PL.deterministic_sample(docs, 0.1).collect()}
+
+
+def test_assign_split_validates(spark):
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(10).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError):
+        PL.assign_split(docs, weights=(0.5, 0.2), names=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        PL.deterministic_sample(docs, 1.5)

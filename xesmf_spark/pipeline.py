@@ -760,3 +760,48 @@ def doc_fingerprint(
         ),
         "content_hash",
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the hold-out primitive
+    of a training-data pipeline. The split must be (a) stable under
+    reshuffles/repartitions/re-runs, (b) independent of row order, and
+    (c) reproducible by OTHER engines auditing the corpus, so it hashes
+    the ID with md5 and compares the first 8 hex chars against hex
+    thresholds LEXICOGRAPHICALLY: pure string comparison, no float
+    arithmetic to drift between engines (DuckDB mirrors it verbatim).
+
+    Pure projection — zero shuffle at any scale. Returns df + 'split'.
+    """
+    if len(weights) != len(names) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights {weights} must match names and sum to 1")
+    h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        bounds.append(format(int(acc * 16**8), "08x"))
+    expr = None
+    for name, b in zip(names[:-1], bounds):
+        cond = h8 < F.lit(b)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reshuffle-stable ~``fraction`` sample by the same md5-hex
+    threshold mechanism as :func:`assign_split` (content-independent,
+    engine-portable, zero shuffle). Unlike ``df.sample`` this keeps the
+    SAME rows across runs, partitionings, and engines — what a
+    reproducible eval subset needs."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    b = format(int(fraction * 16**8), "08x")
+    return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(b))

@@ -486,6 +486,24 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+def pipeline_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (pipeline.assign_split)
+    plus a per-(split, lang) audit aggregate — reshuffle-stable,
+    engine-portable hold-out splits via md5-hex thresholds (pure string
+    comparison; the oracle mirrors it verbatim)."""
+    from xesmf_spark.pipeline import assign_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        assign_split(docs)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def events_interval_join(spark, sf_dir):
     """Interval (range) join via the BUCKETED equi-join operator
     (relational.interval_join): every (purchase, click) pair by the same
