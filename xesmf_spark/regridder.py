@@ -156,7 +156,10 @@ class Regridder:
         self.filename = os.path.join(weights_dir, filename)
 
         self._write_weights()
-        self.weights = spark.read.parquet(self.filename)
+        #: lazy — see :attr:`weights`; eager spark.read.parquet cost
+        #: ~90 ms of JVM relation resolution per construction, 2.5x the
+        #: reference's entire 36 ms cached re-construction
+        self._weights: DataFrame | None = None
         #: set by :meth:`prepare` — weights pinned partitioned-by-col
         self._prepared: DataFrame | None = None
         # nnz from the parquet FOOTERS, driver-side (milliseconds) — a
@@ -171,6 +174,19 @@ class Regridder:
             pq.read_metadata(f).num_rows
             for f in glob.glob(os.path.join(self.filename, "*.parquet"))
         )
+
+    @property
+    def weights(self) -> DataFrame:
+        """The (row, col, S) triplet DataFrame, resolved LAZILY on first
+        access with an explicit schema: construction from a warm cache
+        then costs only the geometry digest + footer nnz (no JVM file
+        listing / schema inference until a query actually needs the
+        weights)."""
+        if self._weights is None:
+            self._weights = self.spark.read.schema(
+                "row BIGINT, col BIGINT, S DOUBLE"
+            ).parquet(self.filename)
+        return self._weights
 
     # -- weight lifecycle (frontend.py:264-293) --------------------------
 
