@@ -299,6 +299,10 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_asof_join",
         "events_interval_join",
         "events_cube",
+        "events_percentiles",
+        "orders_rank_in_customer",
+        "pipeline_split",
+        "multimodal_audio_windows",
         "pipeline_minhash_dedup",
         "pipeline_simhash",
         "pipeline_text_stats",
