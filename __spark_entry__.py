@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
         "events_cube": Q.events_cube,
+        "events_user_setops": Q.events_user_setops,
         "events_percentiles": Q.events_percentiles,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
@@ -239,6 +240,17 @@ SELECT event_type, epoch_day,
        ROUND(SUM(value), 4) AS sum_value
 FROM base
 GROUP BY CUBE (event_type, epoch_day)
+""",
+        "events_user_setops": """
+WITH t0 AS (SELECT MIN(EPOCH_NS(ts)) AS t0 FROM events)
+SELECT user_id FROM events, t0
+WHERE event_type = 'click' AND EPOCH_NS(ts) < t0 + 172800000000000
+INTERSECT
+SELECT user_id FROM events, t0
+WHERE event_type = 'purchase' AND EPOCH_NS(ts) < t0 + 172800000000000
+EXCEPT
+SELECT user_id FROM events, t0
+WHERE event_type = 'error' AND EPOCH_NS(ts) < t0 + 43200000000000
 """,
         "events_percentiles": """
 SELECT event_type,

@@ -624,6 +624,29 @@ def multimodal_audio_windows(spark, sf_dir):
     )
 
 
+def events_user_setops(spark, sf_dir):
+    """Set operations (§2C): users who clicked AND purchased within the
+    stream's first 48 hours (INTERSECT) minus users who errored within
+    the first 12 (EXCEPT) — windows chosen relative to min(ts) so the
+    three sets are non-trivial at any sf. Spark plans set ops as
+    aggregates/joins on the full row — one shuffle each on the user
+    key, no distinct-then-join detour."""
+    HOUR_NS = 3_600_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("t0"))
+    evb = ev.join(F.broadcast(t0))
+
+    def users(t, hours):
+        return evb.filter(
+            (F.col("event_type") == t)
+            & (F.col("ts") < F.col("t0") + F.lit(hours * HOUR_NS))
+        ).select("user_id")
+
+    return users("click", 48).intersect(users("purchase", 48)).subtract(
+        users("error", 12)
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
