@@ -92,6 +92,33 @@ def test_suffix_and_columns(spark, trades, quotes):
     assert out.columns == ["sym", "ts", "trade_id", "ts_q", "px_q"]
 
 
+def test_tie_break_picks_greatest_in_one_pass(spark):
+    """Right rows tied on (key, ts) resolve to the max tie_break value,
+    in both directions, without a pre-aggregate shuffle."""
+    left = spark.createDataFrame(
+        [("k", 20, 1), ("k", 5, 2)], "sym string, ts long, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100, 1.0), ("k", 10, 300, 3.0), ("k", 10, 200, 2.0)],
+        "sym string, ts long, rid long, px double",
+    )
+    back = asof_join(left, right, on="sym", ts="ts", tie_break="rid")
+    got = {r["lid"]: (r["rid_r"], r["px_r"]) for r in back.collect()}
+    assert got == {1: (300, 3.0), 2: (None, None)}
+    fwd = asof_join(
+        left, right, on="sym", ts="ts", direction="forward", tie_break="rid"
+    )
+    got_f = {r["lid"]: r["rid_r"] for r in fwd.collect()}
+    assert got_f == {1: None, 2: 300}
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # one per branch
+
+
+def test_tie_break_must_be_right_column(spark, trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", ts="ts", tie_break="nope")
+
+
 def test_bad_direction(spark, trades, quotes):
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="sym", ts="ts", direction="nearest")

@@ -461,22 +461,26 @@ def events_asof_join(spark, sf_dir):
     stay a single sorted run, no pair materialization).
 
     Tie semantics: a click at exactly the purchase ts counts (kind
-    orders clicks first); equal-(user, ts) clicks collapse to the max
-    event_id so both engines agree. Oracle: DuckDB's native ASOF LEFT
-    JOIN on the epoch-ns key.
+    orders clicks first); equal-(user, ts) clicks resolve to the max
+    event_id via the operator's tie_break sort key — inside the single
+    window pass, so the clicks table shuffles ONCE (the pre-aggregate
+    alternative paid a second shuffle on (user, ts)). Oracle: DuckDB's
+    native ASOF LEFT JOIN on the epoch-ns key, ties pre-collapsed the
+    same way.
     """
     from xesmf_spark.relational import asof_join
 
     ev = _t(spark, sf_dir, "events")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
     )
-    joined = asof_join(purch, clicks, on="user_id", ts="ts", direction="backward")
+    joined = asof_join(
+        purch, clicks, on="user_id", ts="ts", direction="backward",
+        tie_break="click_id",
+    )
     return joined.select(
         "purchase_id",
         "user_id",

@@ -105,6 +105,7 @@ def asof_join(
     ts: str,
     direction: str = "backward",
     suffix: str = "_r",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the greatest
     ``right.ts <= left.ts`` (``backward``) or the least
@@ -116,14 +117,19 @@ def asof_join(
     DuckDB's ``ASOF LEFT JOIN``.
 
     A right row at exactly ``left.ts`` matches in both directions.
-    Determinism: rows that are equal on ``(on, ts)`` on the RIGHT side
-    are ambiguous (any engine picks one arbitrarily) — collapse them
-    before the call (e.g. ``groupBy(on, ts).agg(max(...))``) if the
-    input can contain such ties.
+    Determinism: rows equal on ``(on, ts)`` on the RIGHT side are
+    ambiguous. Pass ``tie_break`` (a right column name) to resolve such
+    ties to the row with the GREATEST tie value inside the same single
+    window pass — a free extra sort key, NOT an extra shuffle (the
+    pre-aggregate alternative, ``groupBy(on, ts).agg(max(...))``,
+    shuffles the right side twice: once on (on, ts), then again on
+    ``on`` for the window).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if tie_break is not None and tie_break not in right.columns:
+        raise ValueError(f"tie_break {tie_break!r} is not a right column")
     payload_cols = [c for c in right.columns if c not in keys and c != ts]
 
     # one struct column carries the right row through the window pass;
@@ -158,6 +164,11 @@ def asof_join(
         # least right.ts >= left.ts; kind still orders right-before-left
         # at equal ts so exact matches count
         order = [F.col(ts).desc(), F.col("__asof_kind").asc()]
+    if tie_break is not None:
+        # among right rows tied on (ts, kind), the LAST in frame wins —
+        # ascending puts the greatest tie value last; left rows carry
+        # NULL here, nulls-first keeps them from outranking real ties
+        order.append(F.col("__asof_payload")[tie_break].asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
