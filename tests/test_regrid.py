@@ -132,6 +132,33 @@ def test_nearest_s2d_to_locstream(spark, g_in):
     rg.clean_weight_file()
 
 
+def test_nearest_s2d_from_locstream(spark, g_out):
+    """locstream INPUT (frontend.py:178-184 — nearest-only): a point
+    cloud as the SOURCE; every destination cell must key to its exact
+    chord-nearest point (cross-checked against a numpy argmin)."""
+    import numpy as np
+
+    pts_lon = [-120.0, -40.0, 10.0, 75.0, 160.0]
+    pts_lat = [-60.0, 10.0, 45.0, -20.0, 70.0]
+    pts = locstream(spark, pts_lon, pts_lat)
+    rg = Regridder(spark, pts, g_out, "nearest_s2d")
+    w = rg.weights
+    assert w.count() == g_out.n_cells  # every dest mapped, S=1 rows
+    assert w.filter(F.col("S") != 1.0).count() == 0
+
+    got = {r["row"]: r["col"] for r in w.collect()}
+    cells = g_out.df.select("cell_id", "lon", "lat").collect()
+    plon, plat = np.radians(pts_lon), np.radians(pts_lat)
+    px = np.cos(plat) * np.cos(plon)
+    py = np.cos(plat) * np.sin(plon)
+    pz = np.sin(plat)
+    for c in cells:
+        lo, la = np.radians(c["lon"]), np.radians(c["lat"])
+        d2 = (np.cos(la) * np.cos(lo) - px) ** 2 + (np.cos(la) * np.sin(lo) - py) ** 2 + (np.sin(la) - pz) ** 2
+        assert got[c["cell_id"]] == int(np.argmin(d2)), c
+    rg.clean_weight_file()
+
+
 def test_nearest_d2s(spark, g_in, g_out):
     rg = Regridder(spark, g_out, g_in, "nearest_d2s")  # fine grid -> coarse
     w = rg.weights
