@@ -169,6 +169,64 @@ def test_interval_join_no_cartesian(spark, trades, quotes):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_fuzz_vs_bruteforce(spark):
+    """Randomized differential: asof_join backward/forward vs a python
+    brute force over every (left, right) pair. Deterministic seed."""
+    import random
+
+    rnd = random.Random(42)
+    keys = ["a", "b", "c"]
+    left = [(rnd.choice(keys), rnd.randrange(0, 100), i) for i in range(60)]
+    right = [(rnd.choice(keys), rnd.randrange(0, 100), 1000 + i) for i in range(60)]
+    # no (key, ts) ties on the right -> fully deterministic without tie_break
+    seen, rdedup = set(), []
+    for k, t, rid in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rdedup.append((k, t, rid))
+    ldf = spark.createDataFrame(left, "k string, ts long, lid int")
+    rdf = spark.createDataFrame(rdedup, "k string, ts long, rid int")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(ldf, rdf, on="k", ts="ts", direction=direction).collect()
+        }
+        for k, t, lid in left:
+            if direction == "backward":
+                cand = [(rt, rid) for rk, rt, rid in rdedup if rk == k and rt <= t]
+                want = max(cand)[1] if cand else None
+            else:
+                cand = [(rt, rid) for rk, rt, rid in rdedup if rk == k and rt >= t]
+                want = min(cand)[1] if cand else None
+            assert got[lid] == want, (direction, k, t, lid)
+
+
+def test_interval_fuzz_vs_bruteforce(spark):
+    """Randomized differential: interval_join vs the brute-force pair
+    set, window straddling many bucket widths."""
+    import random
+
+    rnd = random.Random(7)
+    keys = ["a", "b"]
+    left = [(rnd.choice(keys), rnd.randrange(0, 200), i) for i in range(50)]
+    right = [(rnd.choice(keys), rnd.randrange(0, 200), 1000 + i) for i in range(50)]
+    ldf = spark.createDataFrame(left, "k string, ts long, lid int")
+    rdf = spark.createDataFrame(right, "k string, ts long, rid int")
+    for lo, hi in ((-13, 0), (-7, 5), (0, 29)):
+        got = {
+            (r["lid"], r["rid_r"])
+            for r in interval_join(ldf, rdf, on="k", ts="ts", lower=lo, upper=hi).collect()
+        }
+        want = {
+            (lid, rid)
+            for lk, lt, lid in left
+            for rk, rt, rid in right
+            if lk == rk and lt + lo <= rt <= lt + hi
+        }
+        assert got == want, (lo, hi)
+
+
 def test_one_shuffle_plan(spark, trades, quotes):
     """The as-of plan must shuffle each side ONCE on the key (the
     window's hashpartitioning) — no range-join candidate explosion, no
