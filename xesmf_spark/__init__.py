@@ -19,8 +19,11 @@ n-gram-Jaccard dedup, text stats, fingerprints).
 from xesmf_spark.grids import Grid, grid_1d, grid_2d, grid_global, locstream, wave_smooth
 from xesmf_spark.apply import smm_apply
 from xesmf_spark.regridder import Regridder
+from xesmf_spark.relational import asof_join, interval_join
 from xesmf_spark.pipeline import (
+    assign_split,
     dedup_groups,
+    deterministic_sample,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -39,6 +42,10 @@ __all__ = [
     "wave_smooth",
     "smm_apply",
     "Regridder",
+    "asof_join",
+    "interval_join",
+    "assign_split",
+    "deterministic_sample",
     "dedup_groups",
     "exact_dedup",
     "minhash_dedup_pairs",
