@@ -239,3 +239,15 @@ def test_one_shuffle_plan(spark, trades, quotes):
     assert "BroadcastNestedLoopJoin" not in plan
     # one Exchange per union branch feeding the window, nothing more
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_output_collision_raises(spark, trades, quotes):
+    """A left column named like a suffixed right column must be caught
+    (it would produce duplicate output names)."""
+    left_bad = trades.withColumn("px_r", F.lit(0.0))
+    with pytest.raises(ValueError):
+        asof_join(left_bad, quotes, on="sym", ts="ts")
+    with pytest.raises(ValueError):
+        interval_join(left_bad, quotes, on="sym", ts="ts", lower=-5, upper=0)
+    # a different suffix resolves it
+    assert asof_join(left_bad, quotes, on="sym", ts="ts", suffix="_q").count() == 6

@@ -167,6 +167,8 @@ def audio_window_stats(
     explode-shaped one-row-per-window table. Map-only — fuses into the
     binaryFile scan with no shuffle at any scale.
     """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

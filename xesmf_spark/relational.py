@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_output_collisions(
+    left_cols: list[str], right_out: list[str], suffix: str
+) -> None:
+    """The suffixed right columns must not shadow a left column (the
+    output would carry duplicate names, corrupting downstream selects)."""
+    clash = [c for c in right_out if f"{c}{suffix}" in left_cols]
+    if clash:
+        raise ValueError(
+            f"left already has column(s) {[f'{c}{suffix}' for c in clash]}; "
+            f"rename them or pass a different suffix"
+        )
+
+
 def _floor_div(x, span: int):
     """Exact floor division for BIGINT columns (Spark's ``div`` truncates
     toward zero, and double division rounds above 2^53 — epoch-ns values
@@ -67,6 +80,7 @@ def interval_join(
         raise ValueError(f"need upper > lower, got [{lower}, {upper}]")
     span = upper - lower
     payload_cols = [c for c in right.columns if c not in keys and c != ts]
+    _check_output_collisions(left.columns, [ts] + payload_cols, suffix)
 
     r_b = right.select(
         *[F.col(k).alias(f"__r_{k}") for k in keys],
@@ -131,6 +145,7 @@ def asof_join(
     if tie_break is not None and tie_break not in right.columns:
         raise ValueError(f"tie_break {tie_break!r} is not a right column")
     payload_cols = [c for c in right.columns if c not in keys and c != ts]
+    _check_output_collisions(left.columns, [ts] + payload_cols, suffix)
 
     # one struct column carries the right row through the window pass;
     # ts is included so the caller gets the matched instant back
