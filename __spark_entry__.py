@@ -90,8 +90,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": Q.multimodal_features,
         "multimodal_audio_windows": Q.multimodal_audio_windows,
         "knn_top3": Q.knn_top3,
-        # rows-only (non-SQL-expressible: Structured Streaming; batch
-        # parity is pytest-verified in tests/test_streaming.py)
+        # stream_sessionize and stream_hourly carry FULL oracles (the
+        # sentinel flush makes each finite run equal its SQL-expressible
+        # batch twin exactly); stream_dedup stays rows-only — its
+        # watermark-horizon re-emission semantics are arrival-dependent
+        # and not faithfully SQL-expressible (batch parity is
+        # pytest-verified in tests/test_streaming.py)
         "stream_hourly": Q.stream_hourly,
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
@@ -371,4 +375,34 @@ FROM lagged
 GROUP BY doc_id, window_idx
 """,
         "knn_top3": O.knn_topk_oracle_sql(),
+        "stream_hourly": """
+SELECT (EPOCH_NS(ts) // 3600000000000) * 3600 AS epoch_sec,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "stream_sessionize": """
+WITH base AS (SELECT user_id, EPOCH_NS(ts) AS tns, value FROM events),
+flagged AS (
+  SELECT user_id, tns, value,
+         CASE WHEN LAG(tns) OVER w IS NULL OR tns - LAG(tns) OVER w > 1800000000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tns)
+),
+sess AS (
+  SELECT user_id, tns, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(tns) AS session_start,
+       MAX(tns) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess
+GROUP BY user_id, sid
+""",
     }

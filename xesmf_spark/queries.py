@@ -1043,15 +1043,27 @@ def stream_hourly(spark, sf_dir):
     out = ST.run_to_memory(
         ST.stream_hourly_events(ev), f"q_stream_hourly_{uuid.uuid4().hex[:8]}"
     )
-    return out.filter(F.col("event_type") != ST.FLUSH_MARKER)
+    # epoch-seconds window start (UTC pinned above) makes the output
+    # directly hashable against the DuckDB oracle — with the sentinel
+    # flush the finite stream equals the batch hourly agg EXACTLY, so
+    # this query carries a FULL value oracle
+    return out.filter(F.col("event_type") != ST.FLUSH_MARKER).select(
+        F.unix_timestamp("window_start").alias("epoch_sec"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
 
 
 def stream_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState
-    sessionization) driven to completion. Rows-only driver check
-    (arbitrary-state streaming is not SQL-expressible; cross-micro-batch
-    parity with the batch lag-based sessionizer is pytest-verified in
-    tests/test_streaming.py)."""
+    sessionization) driven to completion. FULL DuckDB oracle: the
+    per-user flush sentinels close every real session, so the emitted
+    set equals the batch lag-based session assembly exactly — which IS
+    SQL-expressible (lag flag → cumulative-sum session ids → grouped
+    min/max/count/sum). total_value rounds to 4 on both sides (session
+    sums of 2-decimal values sit ≥ 5e-3 from any rounding boundary, so
+    accumulation-order float noise cannot flip the hash)."""
     import uuid
 
     from xesmf_spark import streaming as ST
@@ -1076,8 +1088,15 @@ def stream_sessionize(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    return ST.run_to_memory(
+    out = ST.run_to_memory(
         ST.sessionize_stream(stream), f"q_stream_sess_{uuid.uuid4().hex[:8]}"
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
     )
 
 
