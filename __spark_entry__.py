@@ -61,7 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": Q.tpch_q3_top10,
         "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
+        "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q10_returned": Q.tpch_q10_returned,
+        "tpch_q14_promo": Q.tpch_q14_promo,
         "events_asof_join": Q.events_asof_join,
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
@@ -172,6 +174,33 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount >= CAST(0.05 AS DOUBLE)
   AND l_discount <= CAST(0.07 AS DOUBLE)
   AND l_quantity < 24.0
+""",
+        "tpch_q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "tpch_q14_promo": """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
 """,
         "tpch_q10_returned": """
 SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -292,7 +292,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "tpch_q3_top10",
         "tpch_q5_local_supplier",
         "tpch_q6_forecast",
+        "tpch_q7_volume_shipping",
         "tpch_q10_returned",
+        "tpch_q14_promo",
         "customers_semi_open_orders",
         "events_sessionize",
         "events_hourly",

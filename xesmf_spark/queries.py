@@ -447,6 +447,66 @@ def tpch_q10_returned(spark, sf_dir):
     )
 
 
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """Volume shipping between a nation pair: two broadcast copies of
+    the nation dim aliased to the supplier and customer sides, symmetric
+    pair filter, grouped by (supp_nation, cust_nation, ship year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = "NATION_1", "NATION_2"
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def tpch_q14_promo(spark, sf_dir):
+    """Promotion-effect: CONDITIONAL aggregation (CASE inside SUM) over
+    one month of shipments — the numerator and denominator come out of a
+    single scan+join pass, no second aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join — the classic time-series operator Spark has no
     built-in for: every 'purchase' event matched to the MOST RECENT
