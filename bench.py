@@ -207,6 +207,29 @@ def _run_workloads(spark, sf_dir, timings, timed):
     # %timeit steady-state best; executor pools warm across runs, and
     # one extra trial rides out transient page-cache writeback stalls)
     timed("apply_vectorized_cold", apply_vec)
+
+    # apples-to-apples with the baseline's in-RAM scipy timing
+    # (Backend.ipynb c33 materializes a numpy array, persists nothing):
+    # same scan + kernel + output assembly, durable write skipped
+    def apply_vec_inram():
+        smm_apply_files(
+            spark, in_dir, w_bl, out_dir, n_in=n_in, n_out=n_out,
+            extra_cols=("time", "lev"), sink="discard",
+        )
+
+    try:
+        apply_vec_inram()
+        best_ir = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            apply_vec_inram()
+            best_ir = min(best_ir, time.perf_counter() - t0)
+        timings["apply_vectorized_inram_equiv"] = round(best_ir, 3)
+        timings["apply_vectorized_inram_GBps"] = round(500 * n_in * 8 / 1e9 / best_ir, 3)
+    except Exception as e:  # noqa: BLE001
+        timings["apply_vectorized_inram_equiv"] = {
+            "err": f"{type(e).__name__}: {str(e)[:300]}"
+        }
     try:
         best = float("inf")
         for _ in range(4):

@@ -226,7 +226,8 @@ def smm_apply_files(
     value_col: str = "values",
     tasks: int | None = None,
     part_naming: str = "unique",
-) -> DataFrame:
+    sink: str = "parquet",
+) -> DataFrame | None:
     """Parquet-to-parquet distributed SpMV — the dense-field scale path.
 
     Spark schedules (file, row-group) splits; each task reads its splits
@@ -248,7 +249,15 @@ def smm_apply_files(
     steady-state shape of a periodically re-materialized dataset).
     Caller owns directory hygiene in "task" mode: stale parts from a
     run with a different task count are not cleaned up.
+
+    ``sink="discard"`` computes the full result (scan + kernel +
+    output-table assembly) but skips the durable parquet write and
+    returns ``None`` — the apples-to-apples twin of an in-RAM consumer
+    (e.g. the reference's scipy timing, which materializes a numpy
+    array but persists nothing).
     """
+    if sink not in ("parquet", "discard"):
+        raise ValueError(f"sink must be 'parquet' or 'discard', got {sink!r}")
     bc = _csr_broadcast(spark, weights, n_in, n_out)
     extra_cols = list(extra_cols)
 
@@ -316,6 +325,18 @@ def smm_apply_files(
             [tb.column(e).combine_chunks() for e in extra_cols] + [_matrix_to_list(Y)],
             schema=out_schema,
         )
+        if sink == "discard":
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(["<discarded>"]),
+                    pa.array([len(ot)], pa.int64()),
+                    pa.array([int((t1 - t0) * 1000)], pa.int64()),
+                    pa.array([int((t2 - t1) * 1000)], pa.int64()),
+                    pa.array([0], pa.int64()),
+                ],
+                ["part", "rows", "read_ms", "kernel_ms", "write_ms"],
+            )
+            return
         if part_naming == "task":
             part = os.path.join(output_path, f"part-{min(tids):04d}.parquet")
         else:
@@ -352,6 +373,8 @@ def smm_apply_files(
     manifest = sdf.mapInArrow(task, manifest_schema)
     global LAST_MANIFEST
     LAST_MANIFEST = manifest.collect()  # run the job (commit point)
+    if sink == "discard":
+        return None
     return spark.read.parquet(output_path)
 
 
