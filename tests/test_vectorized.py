@@ -69,3 +69,39 @@ def test_vectorized_shape_check(spark):
     )
     with pytest.raises(ValueError):
         smm_apply_vectorized(wide, w, n_in=10, n_out=5, extra_cols=("time",))
+
+
+def test_smm_apply_files_discard_sink(spark, tmp_path):
+    """sink='discard' must run the full scan+kernel (manifest populated,
+    write_ms 0, no output files) and return None; results parity is
+    covered by the parquet-sink differential above."""
+    import os
+
+    import xesmf_spark.vectorized as V
+    from xesmf_spark.vectorized import smm_apply_files, write_wide_parquet
+
+    g_in = grid_global(spark, 20, 12)
+    g_out = grid_global(spark, 15, 9)
+    w = conservative_weights(g_in, g_out)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    import numpy as np
+
+    write_wide_parquet(
+        [(t,) for t in range(1, 4)], in_dir, g_in.n_cells,
+        lambda e: np.full(g_in.n_cells, float(e[0])), extra_names=("time",), files=2,
+    )
+    res = smm_apply_files(
+        spark, in_dir, w, out_dir, n_in=g_in.n_cells, n_out=g_out.n_cells,
+        extra_cols=("time",), sink="discard",
+    )
+    assert res is None
+    assert sum(r.rows for r in V.LAST_MANIFEST) == 3
+    assert all(r.write_ms == 0 and r.part == "<discarded>" for r in V.LAST_MANIFEST)
+    assert not [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        smm_apply_files(
+            spark, in_dir, w, out_dir, n_in=g_in.n_cells, n_out=g_out.n_cells,
+            extra_cols=("time",), sink="s3",
+        )
