@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": Q.events_percentiles,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
+        "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
         "events_props_stats": Q.events_props_stats,
@@ -293,6 +294,14 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
+""",
+        "orders_above_customer_avg": """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND((SELECT AVG(o2.o_totalprice) FROM orders o2
+              WHERE o2.o_custkey = o1.o_custkey), 4) AS cust_avg
+FROM orders o1
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o1.o_custkey)
 """,
         "orders_rank_in_customer": """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk

@@ -729,6 +729,27 @@ def events_cube(spark, sf_dir):
     )
 
 
+def orders_above_customer_avg(spark, sf_dir):
+    """The correlated-scalar-subquery shape (each order vs ITS
+    customer's average price), decorrelated the Spark-native way: one
+    window average over the customer partition + a filter — a single
+    shuffle on the correlation key instead of a per-row subquery. The
+    oracle keeps the correlated form so both phrasings are proven
+    equivalent."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("cust_avg", 4).alias("cust_avg"),
+        )
+    )
+
+
 def customers_semi_open_orders(spark, sf_dir):
     """LEFT SEMI join (EXISTS): customers holding at least one open
     order. The semi join never materializes the match multiplicity —
