@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
+        "events_geomean_udaf": Q.events_geomean_udaf,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
         "events_props_stats": Q.events_props_stats,
@@ -291,6 +292,13 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.95), 6) AS p95,
        ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+        "events_geomean_udaf": """
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geomean_value,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type

@@ -729,6 +729,39 @@ def events_cube(spark, sf_dir):
     )
 
 
+def events_geomean_udaf(spark, sf_dir):
+    """The UDAF surface (§2C), exercised honestly: a GROUPED_AGG
+    pandas_udf computing the per-type geometric mean — Arrow ships each
+    group to the worker as one pandas Series (vectorized numpy inside,
+    never row-at-a-time Python). Scale note: GROUPED_AGG has no partial
+    aggregation, so at 100 TB an algebraically decomposable aggregate
+    like this one belongs in built-ins (exp(avg(ln))) — the pandas_udf
+    form is for genuinely non-decomposable custom aggregates; the
+    oracle uses the decomposed form, proving the equivalence."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module's
+    # `from __future__ import annotations` stringifies type hints, which
+    # defeats pandas_udf's signature-based eval-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        return float(np.exp(np.mean(np.log(v.to_numpy()))))
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg, so the row count is a (trivial) second pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean_value"),
+        n_rows("value").alias("n"),
+    )
+
+
 def orders_above_customer_avg(spark, sf_dir):
     """The correlated-scalar-subquery shape (each order vs ITS
     customer's average price), decorrelated the Spark-native way: one
