@@ -325,7 +325,10 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_interval_join",
         "events_cube",
         "events_percentiles",
+        "events_user_setops",
+        "events_geomean_udaf",
         "orders_rank_in_customer",
+        "orders_above_customer_avg",
         "pipeline_split",
         "multimodal_audio_windows",
         "pipeline_minhash_dedup",
