@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q10_returned": Q.tpch_q10_returned,
         "tpch_q14_promo": Q.tpch_q14_promo,
+        "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
+        "tpch_q18_large_orders": Q.tpch_q18_large_orders,
         "events_asof_join": Q.events_asof_join,
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
@@ -203,6 +205,29 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+        "tpch_q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+        "tpch_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 4) > 150.0
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
         "tpch_q10_returned": """
 SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -318,6 +318,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "tpch_q7_volume_shipping",
         "tpch_q10_returned",
         "tpch_q14_promo",
+        "tpch_q15_top_supplier",
+        "tpch_q18_large_orders",
         "customers_semi_open_orders",
         "events_sessionize",
         "events_hourly",

@@ -483,6 +483,50 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     )
 
 
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Top supplier: the aggregate-of-aggregate shape — per-supplier
+    quarterly revenue, then keep the supplier(s) hitting the global max.
+    Spark: one grouped agg + a 1-row max broadcast-joined back (the
+    decorrelated HAVING revenue = (SELECT MAX ...)); ties all kept,
+    deterministically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev["total_revenue"] == top["max_rev"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def tpch_q18_large_orders(spark, sf_dir):
+    """Large-volume customers: HAVING on a grouped sum + join back to
+    the order/customer detail — the classic aggregate-filter-then-
+    enrich shape. The heavy agg shuffles lineitem once on the order
+    key; the (small) surviving key set joins back broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(150.0))
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 def tpch_q14_promo(spark, sf_dir):
     """Promotion-effect: CONDITIONAL aggregation (CASE inside SUM) over
     one month of shipments — the numerator and denominator come out of a
