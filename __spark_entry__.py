@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_split": Q.pipeline_split,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
+        "ann_ivf_recall": Q.ann_ivf_recall,
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "ann_lsh_dedup": Q.ann_lsh_dedup,
         "multimodal_features": Q.multimodal_features,
@@ -416,6 +417,19 @@ GROUP BY split, lang
 """,
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),
+        "ann_ivf_recall": f"""
+WITH exact_q AS ({PO.ann_cosine_topk_sql()}),
+approx_q AS ({PO.ann_ivf_topk_sql()}),
+m AS (
+  SELECT COUNT(*) AS n_matched
+  FROM exact_q e JOIN approx_q a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+e AS (SELECT COUNT(*) AS n_exact FROM exact_q)
+SELECT ROUND(CAST(n_matched AS DOUBLE) / n_exact, 6) AS recall_at_3,
+       n_exact, n_matched
+FROM e, m
+""",
         "ann_embedding_dedup": PO.embedding_dedup_sql(),
         "ann_lsh_dedup": PO.lsh_dedup_sql(),
         "multimodal_features": PO.multimodal_features_sql(),

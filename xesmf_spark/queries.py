@@ -1103,6 +1103,26 @@ def ann_ivf_top3(spark, sf_dir):
     return SIM.ivf_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@3 of the IVF approximate search against the exact
+    brute-force baseline — the approximation-quality audit every ANN
+    deployment needs, expressed as a join of the two searches (matched
+    pairs / exact pairs). Both engines run both searches, so the oracle
+    checks the recall NUMBER itself, not just each search separately."""
+    exact = ann_cosine_top3(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_top3(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = exact.join(approx, ["query_id", "neighbor_id"])
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return n_e.crossJoin(n_m).select(
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_3"),
+        "n_exact",
+        "n_matched",
+    )
+
+
 def events_props_stats(spark, sf_dir):
     """JSON-path extraction over the events ``props`` column
     (semi-structured payloads are §2C's array/map/JSON category):
