@@ -327,6 +327,7 @@ SELECT event_type,
        ROUND(EXP(AVG(LN(value))), 6) AS geomean_value,
        COUNT(*) AS n
 FROM events
+WHERE value > 0
 GROUP BY event_type
 """,
         "orders_above_customer_avg": """

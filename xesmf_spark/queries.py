@@ -799,7 +799,10 @@ def events_geomean_udaf(spark, sf_dir):
     def n_rows(v):
         return len(v)
 
-    ev = _t(spark, sf_dir, "events")
+    # geometric mean is defined on positive values only — sf0.1 events
+    # contain value = 0.0 rows (DuckDB's LN(0) errors; np.log(0) silently
+    # yields -inf), so the domain restriction is part of the query
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         F.round(geomean("value"), 6).alias("geomean_value"),
         n_rows("value").alias("n"),
