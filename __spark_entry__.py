@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_langid": Q.pipeline_langid,
         "pipeline_fingerprint": Q.pipeline_fingerprint,
         "pipeline_split": Q.pipeline_split,
+        "pipeline_token_freq": Q.pipeline_token_freq,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -415,6 +416,17 @@ WITH s AS (
 SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
 FROM s
 GROUP BY split, lang
+""",
+        "pipeline_token_freq": r"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
 """,
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),

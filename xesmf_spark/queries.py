@@ -755,6 +755,23 @@ def events_user_setops(spark, sf_dir):
     )
 
 
+def pipeline_token_freq(spark, sf_dir):
+    """Corpus token frequencies — the explode/lateral-view shape
+    (§2C array functions): one generator pass flattens each document's
+    token array, partial-aggregated map-side before the single shuffle;
+    deterministic top-20 via (count desc, token asc)."""
+    from xesmf_spark.pipeline import tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
