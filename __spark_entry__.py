@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_fingerprint": Q.pipeline_fingerprint,
         "pipeline_split": Q.pipeline_split,
         "pipeline_token_freq": Q.pipeline_token_freq,
+        "pipeline_chunks": Q.pipeline_chunks,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -427,6 +428,23 @@ FROM (
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20
+""",
+        "pipeline_chunks": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, k, t[CAST(k*12+1 AS INT) : CAST(k*12+16 AS INT)] AS ct
+  FROM base, UNNEST(range((n - 1) // 12 + 1)) AS u(k)
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       len(ct) AS n_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM ch
 """,
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),

@@ -433,3 +433,39 @@ def test_assign_split_validates(spark):
         PL.assign_split(docs, weights=(0.5, 0.2), names=("a", "b", "c"))
     with pytest.raises(ValueError):
         PL.deterministic_sample(docs, 1.5)
+
+
+def test_chunk_tokens_windows(spark):
+    """Window coverage: k*stride starts, chunk-length slices, short
+    tail kept, single-window short docs, overlap contract."""
+    import xesmf_spark.pipeline as PL
+
+    toks = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = PL.chunk_tokens(docs, chunk=16, overlap=4)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: 30 tokens, stride 12 -> starts 0, 12, 24
+    assert got[(1, 0)] == (16, " ".join(toks[0:16]))
+    assert got[(1, 1)] == (16, " ".join(toks[12:28]))
+    assert got[(1, 2)] == (6, " ".join(toks[24:30]))   # short tail kept
+    assert got[(2, 0)] == (2, "a b")
+    assert got[(3, 0)] == (1, "solo")
+    assert len(got) == 5
+    # consecutive windows overlap by exactly `overlap` tokens
+    assert got[(1, 0)][1].split()[-4:] == got[(1, 1)][1].split()[:4]
+
+
+def test_chunk_tokens_validates(spark):
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        PL.chunk_tokens(docs, chunk=4, overlap=4)
+    with pytest.raises(ValueError):
+        PL.chunk_tokens(docs, chunk=0, overlap=0)

@@ -805,3 +805,41 @@ def deterministic_sample(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     b = format(int(fraction * 16**8), "08x")
     return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(b))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Context-window document chunking — the transform every LLM
+    training pipeline runs last: each document's token stream becomes
+    overlapping fixed-size windows (``chunk`` tokens, stepping by
+    ``chunk - overlap``), one output row per window with its token count
+    and re-joined text. Deterministic: window k covers tokens
+    [k*stride, k*stride + chunk); the final window keeps its natural
+    (shorter) length.
+
+    Shape: tokenize + one explode over the window-index sequence + a
+    per-row slice — pure Column ops (JVM codegen), map-side only; the
+    explode fan-out is len(tokens)/stride rows per doc, the same output
+    volume any chunker must emit.
+    """
+    if overlap >= chunk or chunk < 1 or overlap < 0:
+        raise ValueError(f"need 0 <= overlap < chunk, got chunk={chunk} overlap={overlap}")
+    stride = chunk - overlap
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("t")
+    ).withColumn("n", F.size("t"))
+    ex = base.filter(F.col("n") > 0).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {stride}")))
+    )
+    ct = F.expr(f"slice(t, chunk_idx * {stride} + 1, {chunk})")
+    return ex.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(ct).alias("n_tokens"),
+        F.concat_ws(" ", ct).alias("chunk_text"),
+    )

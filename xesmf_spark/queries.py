@@ -772,6 +772,16 @@ def pipeline_token_freq(spark, sf_dir):
     )
 
 
+def pipeline_chunks(spark, sf_dir):
+    """Context-window chunking of the corpus (pipeline.chunk_tokens:
+    16-token windows, 4-token overlap) — the last-mile LLM
+    training-data transform. The oracle mirrors the windowing with
+    DuckDB list slicing over the same token arrays."""
+    from xesmf_spark.pipeline import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir))
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
