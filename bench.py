@@ -332,6 +332,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "orders_rank_in_customer",
         "orders_above_customer_avg",
         "pipeline_split",
+        "pipeline_token_freq",
+        "pipeline_chunks",
+        "ann_ivf_recall",
         "multimodal_audio_windows",
         "pipeline_minhash_dedup",
         "pipeline_simhash",
