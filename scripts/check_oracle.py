@@ -23,17 +23,53 @@ TABLES = (
 
 
 def canon(rows, cols):
-    """Sort columns by name, then rows; normalize floats for compare."""
+    """Sort columns by name, then rows; compare values at FULL repr
+    precision with a python-type tag. The driver's hash is type-tagged
+    and exact — r5's %.9g smoothing masked a last-ulp double divergence
+    (local PASS, driver FAIL), so no float rounding here."""
     order = sorted(range(len(cols)), key=lambda k: cols[k])
 
     def norm(v):
         if isinstance(v, float):
             if math.isnan(v):
-                return "nan"
-            return f"{v:.9g}"
-        return str(v)
+                return "f:nan"
+            return f"f:{v!r}"
+        if isinstance(v, bool):
+            return f"b:{v}"
+        if isinstance(v, int):
+            return f"i:{v}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return f"{type(v).__name__[:1]}:{v}"
 
     return sorted(tuple(norm(r[k]) for k in order) for r in rows)
+
+
+# DuckDB result types that hash differently from the Spark type even when
+# every value is numerically identical (the driver's hash is type-tagged).
+# SUM(BIGINT) silently returns HUGEINT in DuckDB — r5 lost two queries to
+# exactly this; oracles must CAST such aggregates back.
+def typeof_audit(con, sql, spark_dtypes):
+    """Return [(col, duck_type, spark_type)] for type pairings the
+    driver would hash-mismatch on."""
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    sd = dict(spark_dtypes)
+    bad = []
+    for col, dtype, *_ in rows:
+        st = sd.get(col, "?")
+        d = dtype.upper()
+        # int WIDTH differences are fine — the driver normalizes them
+        # (r5 evidence: INTEGER-vs-bigint and BIGINT-vs-int queries were
+        # driver-green). Only flag types whose pandas/arrow VALUE
+        # representation changes: HUGEINT lands as float64, DECIMAL as
+        # object, FLOAT truncates to 32-bit.
+        if "HUGEINT" in d and not st.startswith("decimal"):
+            bad.append((col, dtype, st))
+        elif d.startswith("DECIMAL") and not st.startswith("decimal"):
+            bad.append((col, dtype, st))
+        elif d == "FLOAT" and st == "double":
+            bad.append((col, dtype, st))
+    return bad
 
 
 def main():
@@ -68,13 +104,16 @@ def main():
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = canon(srows, scols) == canon(drows, dcols) if ok_cols and ok_count else False
-        status = "PASS" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        type_bad = typeof_audit(con, os_[name], sdf.dtypes) if ok_cols else []
+        status = "PASS" if (ok_cols and ok_count and ok_vals and not type_bad) else "FAIL"
         if status == "PASS":
             n_pass += 1
         else:
             n_fail += 1
         print(f"  {name}: {status} rows={len(srows)}/{len(drows)} cols_ok={ok_cols} vals_ok={ok_vals}")
         if status == "FAIL":
+            for col, dt, st in type_bad:
+                print(f"    TYPE: {col} duck={dt} spark={st} (hash would be type-tagged)")
             if not ok_cols:
                 print(f"    spark cols: {sorted(scols)}\n    duck  cols: {sorted(dcols)}")
             elif ok_count:

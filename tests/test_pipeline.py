@@ -435,6 +435,31 @@ def test_assign_split_validates(spark):
         PL.deterministic_sample(docs, 1.5)
 
 
+def test_deterministic_sample_boundary_fractions(spark):
+    """fraction=1.0 must keep EVERY row (r5 ADVICE: the 9-char hex
+    bound '100000000' compared lexicographically against 8-char digests
+    kept only '0…' prefixes, ~1/16 of rows) and fraction=0.0 none."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(500).selectExpr("id AS doc_id")
+    assert PL.deterministic_sample(docs, 1.0).count() == 500
+    assert PL.deterministic_sample(docs, 0.0).count() == 0
+
+
+def test_assign_split_trailing_zero_weight(spark):
+    """Cumulative weight hitting 1.0 before the last name: earlier
+    splits must still partition the corpus; zero-weight tails get
+    nothing (same 9-char-bound edge as sample(1.0))."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(1000).selectExpr("id AS doc_id")
+    out = PL.assign_split(docs, weights=(0.5, 0.5, 0.0), names=("a", "b", "c"))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("c", 0) == 0
+    assert sum(counts.values()) == 1000
+    assert abs(counts["a"] / 1000 - 0.5) < 0.06 and abs(counts["b"] / 1000 - 0.5) < 0.06
+
+
 def test_chunk_tokens_windows(spark):
     """Window coverage: k*stride starts, chunk-length slices, short
     tail kept, single-window short docs, overlap contract."""

@@ -155,6 +155,31 @@ def test_interval_join_negative_ts(spark):
     assert got == [7.0, 8.0]
 
 
+def test_interval_join_epoch_ns_magnitude(spark):
+    """Bucketing must be exact ABOVE 2^53: the r5 double-division
+    _floor_div could round epoch-ns values (~1.7e18) into the previous
+    bucket and silently drop true matches. Place a right row exactly at
+    a left row's inclusive lower bound, at realistic epoch-ns, adjacent
+    to a span boundary."""
+    from xesmf_spark.relational import _floor_div
+
+    span = 10_000_000_000  # 10 s in ns
+    t = 1_700_000_003_333_333_333  # not a multiple of span, > 2^53
+    left = spark.createDataFrame([("k", t, 1)], "k string, ts long, lid int")
+    right = spark.createDataFrame(
+        [("k", t - span, 1.0), ("k", t - span - 1, 2.0), ("k", t, 3.0)],
+        "k string, ts long, v double",
+    )
+    out = interval_join(left, right, on="k", ts="ts", lower=-span, upper=0)
+    assert sorted(r["v_r"] for r in out.collect()) == [1.0, 3.0]
+    # and the bucketing primitive itself matches python floor-div at
+    # adversarial magnitudes (exact multiples, +/-1, Long.MAX)
+    vals = [t, t - 1, t + 1, (t // span) * span, 2**62 + 7, 9223372036854775807, -t]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = [r["q"] for r in df.select(_floor_div(F.col("x"), span).alias("q")).collect()]
+    assert got == [v // span for v in vals]
+
+
 def test_interval_join_bad_bounds(spark, trades, quotes):
     with pytest.raises(ValueError):
         interval_join(trades, quotes, on="sym", ts="ts", lower=5, upper=5)

@@ -784,7 +784,12 @@ def assign_split(
     bounds, acc = [], 0.0
     for w in weights[:-1]:
         acc += w
-        bounds.append(format(int(acc * 16**8), "08x"))
+        # A cumulative weight that reaches 1.0 before the last name
+        # yields bound 16**8 = '100000000' (9 hex chars), and the
+        # LEXICOGRAPHIC compare against an 8-char digest would then
+        # keep only ~1/16 of rows ('0…' prefixes) instead of all —
+        # clamp to the max 8-char bound, which every digest satisfies.
+        bounds.append(format(min(int(acc * 16**8), 16**8 - 1), "08x") if acc < 1.0 else "g")
     expr = None
     for name, b in zip(names[:-1], bounds):
         cond = h8 < F.lit(b)
@@ -803,7 +808,13 @@ def deterministic_sample(
     reproducible eval subset needs."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    b = format(int(fraction * 16**8), "08x")
+    bound = int(fraction * 16**8)
+    if bound >= 16**8:
+        # fraction == 1.0: format(16**8) is the 9-char '100000000', and
+        # the lexicographic compare would keep only '0…' digests (~1/16
+        # of rows) instead of everything — short-circuit to identity.
+        return df
+    b = format(bound, "08x")
     return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(b))
 
 

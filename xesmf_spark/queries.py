@@ -839,20 +839,36 @@ def events_geomean_udaf(spark, sf_dir):
 def orders_above_customer_avg(spark, sf_dir):
     """The correlated-scalar-subquery shape (each order vs ITS
     customer's average price), decorrelated the Spark-native way: one
-    window average over the customer partition + a filter — a single
+    window sum+count over the customer partition + a filter — a single
     shuffle on the correlation key instead of a per-row subquery. The
     oracle keeps the correlated form so both phrasings are proven
-    equivalent."""
+    equivalent.
+
+    The mean is ORDER-INDEPENDENT and the rounding ENGINE-INDEPENDENT:
+    o_totalprice carries exactly 2 decimal digits, so it converts to
+    integer cents losslessly and the window sum is an exact bigint under
+    any accumulation order (a double sum is not — r5's hash fail was a
+    last-ulp divergence on rounding-boundary averages; the follow-up
+    fix attempt died on ROUND itself: Spark rounds the shortest decimal
+    repr of the double, DuckDB rounds the binary value). Here
+    round_half_up(S/(100n), 4) is computed purely in integer math as
+    (200S + n) div (2n), then one correctly-rounded double division by
+    10^4 — bit-identical on both engines. The filter multiplies through
+    by the count so it never divides at all."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
-        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        orders.withColumn(
+            "cents", F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .withColumn("s", F.sum("cents").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
         .select(
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round("cust_avg", 4).alias("cust_avg"),
+            (F.expr("(200 * s + n) DIV (2 * n)") / F.lit(10000.0)).alias("cust_avg"),
         )
     )
 
@@ -903,7 +919,15 @@ def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
     downstream stage. At real scale inputs arrive pre-partitioned and
     this is a no-op."""
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    # df.inputFiles() probes the file listing only — the old
+    # df.rdd.getNumPartitions() materialized the scan as an RDD (an
+    # extra job per query); at real scale inputs have many files and
+    # this branch never fires.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: leave partitioning alone
+        return df
+    if 0 < n_files < want:
         return df.repartition(want)
     return df
 

@@ -41,9 +41,16 @@ def _check_output_collisions(
 def _floor_div(x, span: int):
     """Exact floor division for BIGINT columns (Spark's ``div`` truncates
     toward zero, and double division rounds above 2^53 — epoch-ns values
-    are ~1.7e18, so both are wrong for negative or large operands)."""
+    are ~1.7e18, so both are wrong for negative or large operands).
+
+    x - pmod is an exact multiple of span, but dividing it in DOUBLE
+    loses up to 128 ns at epoch-ns magnitude and the subsequent cast
+    can truncate the quotient to N-1, silently mis-bucketing the row
+    (r5 ADVICE). DECIMAL(38,0) division keeps the quotient exact at any
+    BIGINT magnitude; the result is integral so the final cast is
+    lossless."""
     pmod = ((x % span) + span) % span
-    return ((x - pmod) / F.lit(span)).cast("long")
+    return ((x - pmod).cast("decimal(38,0)") / F.lit(span)).cast("long")
 
 
 def interval_join(
