@@ -230,9 +230,13 @@ def conservative_weights_clip(
     the apply's zero-fill reproduces unmapped_action=IGNORE
     (xesmf/backend.py:275-279)."""
     if bin_deg is None:
-        # ~2 cells of the COARSER grid per bin: each quad bbox then
-        # overlaps O(1) bins and a bin holds O(1) cells of either grid
-        bin_deg = max(0.5, 2.0 * 360.0 / max(min(src.n_x, dst.n_x), 1))
+        # ~3/4 of a COARSER-grid cell per bin: each quad bbox still
+        # overlaps O(1) bins (<= 2-3 per axis) while a bin holds only a
+        # handful of cells of either grid, so the bin join emits ~1-2
+        # candidates per surviving pair instead of the ~13x fan-out the
+        # old 2-cell bins produced (measured: 7.5M joined rows pruned
+        # to 585k at 2-cell bins on the 240k->120k bench pair)
+        bin_deg = max(0.5, 0.75 * 360.0 / max(min(src.n_x, dst.n_x), 1))
     # snap the width so nlon * bin_deg == 360 EXACTLY: the mod-nlon bin
     # wrap (and the owner-bin arithmetic on pair-frame coordinates) is
     # only a congruence when the bin width divides 360 — a non-divisor
@@ -245,15 +249,20 @@ def conservative_weights_clip(
     sq = _binned(cell_quads(src, "s"), "s", bin_deg, nlon)
     dq = _binned(cell_quads(dst, "d"), "d", bin_deg, nlon)
 
+    # PRE-PARTITION both sides by the join key at full cluster width:
+    # the join reuses these exchanges (HashPartitioning(bin, N) matches
+    # its requirement — no extra shuffle), the EXPLICIT partition count
+    # pins the stage width so AQE cannot coalesce the compute-bound
+    # probe+clip tail to a few fat partitions, and — unlike the old
+    # post-join round-robin repartition — the wide candidate rows are
+    # never shuffled at all: the bbox/owner filters run during the join
+    # probe and the Arrow kernel maps directly over the join output
+    # (the old shape pushed ALL joined pairs — 13x the survivors —
+    # through a second full shuffle before pruning them).
+    width = sq.sparkSession.sparkContext.defaultParallelism
+    sq = sq.repartition(width, "bin")
+    dq = dq.repartition(width, "bin")
     cand = sq.join(dq, "bin")
-    # WIDEN before the heavy per-pair arithmetic: the bin join's output
-    # is small in bytes, so AQE coalesces it to a handful of partitions
-    # — which would run the re-localization/filters AND the clip kernel
-    # at a fraction of cluster width. One cheap round-robin shuffle puts
-    # the compute-bound tail at full parallelism (measured 2-3x on the
-    # bench pair; at real scale the join output is large and AQE leaves
-    # it wide, making this a near-no-op safety net).
-    cand = cand.repartition(sq.sparkSession.sparkContext.defaultParallelism)
     # PAIR re-localization: each quad was localized around its OWN first
     # corner, so two quads meeting in a wrapped seam bin can sit in lon
     # frames 360° apart — shift the source quad by the whole number of
