@@ -97,12 +97,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": Q.multimodal_features,
         "multimodal_audio_windows": Q.multimodal_audio_windows,
         "knn_top3": Q.knn_top3,
-        # stream_sessionize and stream_hourly carry FULL oracles (the
-        # sentinel flush makes each finite run equal its SQL-expressible
-        # batch twin exactly); stream_dedup stays rows-only — its
-        # watermark-horizon re-emission semantics are arrival-dependent
-        # and not faithfully SQL-expressible (batch parity is
-        # pytest-verified in tests/test_streaming.py)
+        # all five streaming queries carry FULL oracles: the sentinel
+        # flush makes the windowed aggregates equal their batch twins
+        # exactly, and stream_dedup (r6) projects the deterministic
+        # emitted-key set (single-batch staging => DISTINCT digests);
+        # the non-SQL-expressible parts — first-arrival representative
+        # choice, watermark-horizon re-emission — are pytest-verified
+        # over controlled multi-batch streams in tests/test_streaming.py
         "stream_hourly": Q.stream_hourly,
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
@@ -544,5 +545,14 @@ SELECT user_id,
        ROUND(SUM(value), 4) AS total_value
 FROM sess
 GROUP BY user_id, sid
+""",
+        "stream_dedup": """
+-- the staged source is one file => one micro-batch starting at
+-- watermark 0, so dropDuplicatesWithinWatermark emits exactly one row
+-- per distinct normalized-content digest (no late drops, no state
+-- expiry mid-run); the emitted key set is deterministic even though
+-- the surviving representative row is engine-internal
+SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_key
+FROM documents
 """,
     }

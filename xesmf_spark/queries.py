@@ -1401,10 +1401,20 @@ def stream_regrid(spark, sf_dir):
 
 def stream_dedup(spark, sf_dir):
     """STREAMING exact dedup (dropDuplicatesWithinWatermark keyed by the
-    normalized-content digest) over a documents stream with planted
-    duplicates. Rows-only driver check (streaming state semantics are
-    not SQL-expressible; first-arrival parity with the batch
-    exact_dedup is pytest-verified in tests/test_streaming.py)."""
+    normalized-content digest) over a documents stream.
+
+    FULL value oracle (upgraded from rows-only in r6): the staged
+    source is ONE file, so the whole table arrives in a single
+    micro-batch whose starting watermark is 0 — no row is late-dropped
+    and no state entry expires mid-run, hence the operator emits
+    EXACTLY one row per distinct digest. That emitted KEY SET is
+    deterministic and equals ``SELECT DISTINCT md5(normalized text)``;
+    only WHICH duplicate row survives as the representative is
+    engine-internal (partition visit order inside the batch), so the
+    query projects the digest alone. The arrival-order first-wins
+    semantics and the watermark-horizon re-emission — the parts that
+    genuinely are not SQL-expressible — stay pytest-verified over
+    controlled multi-batch streams in tests/test_streaming.py."""
     import uuid
 
     from xesmf_spark import streaming as ST
@@ -1415,7 +1425,12 @@ def stream_dedup(spark, sf_dir):
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
-        .withColumn("event_ts", F.timestamp_seconds(F.col("doc_id")))
+        # realistic time base: doc_id=0 at epoch 0 coincides with the
+        # operator's INITIAL watermark and is dropped as late — an
+        # artifact of synthetic 1970 timestamps, not of the operator
+        .withColumn(
+            "event_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
     )
-    out = ST.dedup_stream(stream).select("doc_id", "content_key")
+    out = ST.dedup_stream(stream).select("content_key")
     return ST.run_to_memory(out, f"q_stream_dedup_{uuid.uuid4().hex[:8]}")
