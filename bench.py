@@ -347,6 +347,37 @@ def _run_workloads(spark, sf_dir, timings, timed):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
+    # --- ANN scale path with TRAINED centroids ---------------------------
+    # the registered ann_ivf_* queries use the seed codebook (query
+    # determinism for the oracle); the production path trains one with
+    # kmeans_centroids. Prove the trained codebook (a) keeps the keyed
+    # cell-join plan (same ivf_topk code path, centroids just a
+    # parameter), (b) reaches >= seed recall@3 at the same query cost.
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    trained = {}
+    timed("ann_kmeans_train", lambda: trained.setdefault(
+        "cb", SIM.kmeans_centroids(emb, n_centroids=8, n_iters=5)
+    ))
+
+    def _recall(centroids=None):
+        exact = SIM.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
+        approx = SIM.ivf_topk(emb, k=3, centroids=centroids).select(
+            "query_id", "neighbor_id"
+        )
+        n_e = exact.count()
+        n_m = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        return round(n_m / n_e, 6)
+
+    timed_med(
+        "ann_ivf_top3_trained",
+        lambda: SIM.ivf_topk(emb, k=3, centroids=trained["cb"]).collect(),
+    )
+    timings["ann_ivf_recall_at3_seed"] = _recall(None)
+    timings["ann_ivf_recall_at3_trained"] = _recall(trained["cb"])
+
 
 if __name__ == "__main__":
     main()
