@@ -45,25 +45,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only (CORRECTNESS_r05 truncated at 50 in dict order).
     # Round-6 rotation (tracked in SURVEY.md §2E): the 9 entries that
-    # had no driver verdict in r5 (ann_ivf_recall … stream_dedup) move
-    # inside the window; 9 rock-stable queries — green in BOTH r4 and
-    # r5, code untouched this round — rotate to the tail. Every query
-    # whose implementation changed this round stays inside the window.
+    # had no driver verdict in r5 (ann_ivf_recall … stream_dedup) and
+    # the 8 NEW r6 TPC-H-shape queries sit inside the window; queries
+    # green in BOTH r4 and r5 with code untouched this round rotate to
+    # the tail. Every query whose implementation changed this round
+    # stays inside the window.
     return {
-        "regrid_conservative": Q.regrid_conservative,
         "regrid_conservative_clip": Q.regrid_conservative_clip,
-        "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
-        "regrid_unmapped": Q.regrid_unmapped,
-        "regrid_nearest_s2d": Q.regrid_nearest_s2d,
         "regrid_bilinear_curvilinear": Q.regrid_bilinear_curvilinear,
         "regrid_patch_curvilinear": Q.regrid_patch_curvilinear,
         "stream_regrid": Q.stream_regrid,
         "regrid_dataset_multivar": Q.regrid_dataset_multivar,
         "regrid_conservative_4d": Q.regrid_conservative_4d,
-        "tpch_q1": Q.tpch_q1,
-        "tpch_q3_top10": Q.tpch_q3_top10,
-        "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
-        "tpch_q6_forecast": Q.tpch_q6_forecast,
+        "tpch_q4_priority": Q.tpch_q4_priority,
+        "tpch_q8_market_share": Q.tpch_q8_market_share,
+        "tpch_q9_product_type": Q.tpch_q9_product_type,
+        "tpch_q12_priority_class": Q.tpch_q12_priority_class,
+        "tpch_q13_order_distribution": Q.tpch_q13_order_distribution,
+        "tpch_q17_small_qty": Q.tpch_q17_small_qty,
+        "tpch_q19_disjunctive": Q.tpch_q19_disjunctive,
+        "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "events_asof_join": Q.events_asof_join,
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
@@ -108,10 +109,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # --- rotation tail: stable two-round-green queries (see §2E) ---
+        "regrid_conservative": Q.regrid_conservative,
+        "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
+        "regrid_unmapped": Q.regrid_unmapped,
         "regrid_patch": Q.regrid_patch,
+        "regrid_nearest_s2d": Q.regrid_nearest_s2d,
         "regrid_nearest_d2s": Q.regrid_nearest_d2s,
         "regrid_bilinear_locstream": Q.regrid_bilinear_locstream,
+        "tpch_q1": Q.tpch_q1,
+        "tpch_q3_top10": Q.tpch_q3_top10,
+        "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
+        "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q10_returned": Q.tpch_q10_returned,
         "tpch_q14_promo": Q.tpch_q14_promo,
@@ -240,6 +249,100 @@ SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
 FROM orders
 JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+        "tpch_q4_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "tpch_q8_market_share": """
+SELECT year(o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n_name = 'NATION_1'
+                      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+GROUP BY 1
+""",
+        "tpch_q9_product_type": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+        "tpch_q12_priority_class": """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus
+""",
+        "tpch_q13_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+        "tpch_q17_small_qty": """
+WITH li3 AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+),
+wa AS (SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM li3 GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             / 700.0, 4) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM li3 JOIN wa USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+        "tpch_q19_disjunctive": """
+SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "tpch_q22_inactive_customers": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n FROM c WHERE c_acctbal > 0.0)
+SELECT c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS totacctbal
+FROM c, t
+WHERE cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= '2000-07-01')
+GROUP BY c_nationkey
 """,
         "tpch_q10_returned": """
 SELECT c_custkey, c_name, c_acctbal, n_name,
