@@ -68,10 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": Q.events_asof_join,
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
-        "events_cube": Q.events_cube,
         "events_user_setops": Q.events_user_setops,
-        "events_percentiles": Q.events_percentiles,
-        "orders_rank_in_customer": Q.orders_rank_in_customer,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_geomean_udaf": Q.events_geomean_udaf,
@@ -90,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_split": Q.pipeline_split,
         "pipeline_token_freq": Q.pipeline_token_freq,
         "pipeline_chunks": Q.pipeline_chunks,
+        "pipeline_scrub_pii": Q.pipeline_scrub_pii,
+        "pipeline_repetition": Q.pipeline_repetition,
+        "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # --- rotation tail: stable two-round-green queries (see §2E) ---
+        "events_cube": Q.events_cube,
+        "events_percentiles": Q.events_percentiles,
+        "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_conservative": Q.regrid_conservative,
         "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
@@ -545,6 +548,64 @@ WITH s AS (
 SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM s
 GROUP BY split, lang
+""",
+        "pipeline_scrub_pii": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id || '@example.com at 10.0.'
+                        || (doc_id % 256) || '.7 call 555-867-5309'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_key
+FROM planted
+""",
+        "pipeline_repetition": r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+  FROM documents
+),
+tk AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM norm),
+base AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+wb AS (
+  SELECT doc_id, t, n,
+         list_transform(generate_series(1, n - 1), i -> t[i] || ' ' || t[i + 1]) AS bg
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(len(list_distinct(t)) / CAST(n AS DOUBLE), 6) AS distinct_ratio,
+       ROUND(list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x)))) / CAST(n AS DOUBLE), 6)
+         AS top_token_frac,
+       CASE WHEN n >= 2
+            THEN ROUND(list_max(list_transform(list_distinct(bg),
+                     x -> len(list_filter(bg, y -> y = x)))) / CAST(n - 1 AS DOUBLE), 6)
+            ELSE NULL END AS top_bigram_frac
+FROM wb
+""",
+        "pipeline_stratified_sample": """
+WITH s AS (
+  SELECT lang, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8,
+         CASE lang WHEN 'en' THEN '80000000'
+                   WHEN 'fr' THEN 'g'
+                   WHEN 'zh' THEN '33333333'
+                   ELSE '19999999' END AS bound
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s
+WHERE h8 < bound
+GROUP BY lang
 """,
         "pipeline_token_freq": r"""
 SELECT token, COUNT(*) AS n

@@ -494,3 +494,72 @@ def test_chunk_tokens_validates(spark):
         PL.chunk_tokens(docs, chunk=4, overlap=4)
     with pytest.raises(ValueError):
         PL.chunk_tokens(docs, chunk=0, overlap=0)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Emails, IPs, and phones are replaced with sentinels, counts are
+    measured on the original text, and clean text passes untouched."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@corp.example.org or 192.168.1.77 ok"),
+            (2, "call 555-123-4567 and 555-999-0000 today"),
+            (3, "no pii here at all"),
+            (4, "a@b.io 10.0.0.1 555-000-1111"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in PL.scrub_pii(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1 and out[1]["n_phones"] == 0
+    assert out[1]["text"] == "reach me at <EMAIL> or <IP> ok"
+    assert out[2]["n_phones"] == 2 and "<PHONE>" in out[2]["text"]
+    assert out[3]["text"] == "no pii here at all"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+    assert out[4]["text"] == "<EMAIL> <IP> <PHONE>"
+
+
+def test_repetition_stats_values(spark):
+    """Hand-computed ratios: 'a a a b' -> 4 tokens, 2 distinct, top
+    token 3/4, top bigram 'a a' 2/3; single-token doc -> NULL bigram."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in PL.repetition_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["distinct_ratio"] == 0.5
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert out[2]["n_tokens"] == 1 and out[2]["top_bigram_frac"] is None
+
+
+def test_stratified_sample_nesting_and_bounds(spark):
+    """Per-stratum thresholds: fraction 1.0 keeps the stratum whole,
+    0.0 drops it, fractions nest within a stratum, and the kept set is
+    reshuffle-stable."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(3000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' ELSE 'zh' END AS lang"
+    )
+    kept_all = PL.stratified_sample(docs, {"en": 1.0, "fr": 0.0}, default=0.3)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept_all.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == 1000
+    assert "fr" not in by_lang
+    assert abs(by_lang["zh"] / 1000 - 0.3) < 0.06
+    small = {
+        r["doc_id"]
+        for r in PL.stratified_sample(docs, {"en": 0.2}, default=0.0).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in PL.stratified_sample(docs, {"en": 0.6}, default=0.0).collect()
+    }
+    assert small and small < big
+    with pytest.raises(ValueError):
+        PL.stratified_sample(docs, {"en": 1.2})

@@ -854,3 +854,119 @@ def chunk_tokens(
         F.size(ct).alias("n_tokens"),
         F.concat_ws(" ", ct).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, repetition-quality stats, stratified sampling (round 6)
+# ---------------------------------------------------------------------------
+
+#: conservative PII patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): no lookarounds, ASCII word boundaries only
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction: emails, dotted-quad IPs, and
+    NANP-style phone numbers are replaced with ``<EMAIL>``/``<IP>``/
+    ``<PHONE>`` sentinels, with per-document match counts kept for
+    audit. Patterns are deliberately lookaround-free so the exact same
+    regexes run under Java regex and RE2 — an external auditor (or the
+    DuckDB oracle) reproduces the redaction byte-for-byte.
+
+    Replacement order matters and is part of the contract: emails
+    first (their domains contain dots but can't be mistaken for IPs
+    afterwards), then IPs, then phones. Counts are measured on the
+    ORIGINAL text. Pure projection — zero shuffle at any scale."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)),
+            "n_ips": F.regexp_count(c, F.lit(PII_IP)),
+            "n_phones": F.regexp_count(c, F.lit(PII_PHONE)),
+            text_col: scrubbed,
+        }
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters a
+    pretraining corpus is cleaned with): distinct-token ratio, most-
+    frequent-token fraction, and most-frequent-bigram fraction, per
+    document.
+
+    Pure projection — the per-token counting runs INSIDE the row via
+    higher-order array functions (size/filter/transform), so there is
+    no explode and no shuffle; cost is O(tokens * distinct) per doc,
+    map-side, which is the right trade for web-scale docs (hundreds of
+    tokens) because it keeps the operator embarrassingly parallel.
+    Ratios divide exact integers, so both engines produce bit-identical
+    doubles before the 6-decimal round."""
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("t")).withColumn("n", F.size("t"))
+    base = base.filter(F.col("n") > 0)
+    top_tok = F.expr(
+        "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
+    )
+    # guard n=1: Spark's sequence(1, 0) is the DESCENDING [1, 0], so an
+    # unguarded transform would index element_at(t, 2) on a 1-token doc
+    bigrams = F.expr(
+        "CASE WHEN n >= 2 THEN "
+        "transform(sequence(1, n - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    base = base.withColumn("bg", bigrams)
+    top_bg = F.expr(
+        "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))"
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("t")) / F.col("n"), 6).alias("distinct_ratio"),
+        F.round(top_tok / F.col("n"), 6).alias("top_token_frac"),
+        F.when(F.col("n") >= 2, F.round(top_bg / (F.col("n") - 1), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("top_bigram_frac"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-balancing
+    primitive (e.g. downsample dominant languages, keep low-resource
+    ones whole). Same md5-hex threshold mechanism as
+    :func:`deterministic_sample`, with the bound chosen per stratum:
+    reshuffle-stable, engine-portable, zero shuffle, and NESTED across
+    fractions (raising a stratum's fraction only ADDS rows).
+
+    Strata absent from ``fractions`` use ``default``. fraction >= 1.0
+    keeps the stratum whole (same 9-hex-char clamp as assign_split);
+    0.0 drops it."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], got {default}")
+
+    def bound(frac: float) -> str:
+        b = int(frac * 16**8)
+        return "g" if b >= 16**8 else format(b, "08x")
+
+    expr = F.lit(bound(default))
+    for k, v in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == k, F.lit(bound(v))).otherwise(expr)
+    h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.filter(h8 < expr)

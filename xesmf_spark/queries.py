@@ -812,6 +812,67 @@ def pipeline_split(spark, sf_dir):
     )
 
 
+def pipeline_scrub_pii(spark, sf_dir):
+    """PII redaction audit (pipeline.scrub_pii): deterministic synthetic
+    PII (email + IP + phone) is planted on every third document —
+    identically in the oracle — then scrubbed; the output carries the
+    per-doc match counts and the md5 of the scrubbed text, so the
+    redaction RESULT is value-checked byte-for-byte, not just counted."""
+    from xesmf_spark.pipeline import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 555-867-5309"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = scrub_pii(planted)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("scrubbed_key"),
+    )
+
+
+def pipeline_repetition(spark, sf_dir):
+    """Repetition-quality signals (pipeline.repetition_stats): distinct-
+    token ratio and top token/bigram fractions per document — the
+    Gopher-style filters, computed entirely inside the row (no explode,
+    no shuffle)."""
+    from xesmf_spark.pipeline import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def pipeline_stratified_sample(spark, sf_dir):
+    """Corpus balancing (pipeline.stratified_sample): per-language
+    deterministic sampling (en halved, zh at 20%, fr kept whole, rest
+    at the 10% default) + a per-language audit aggregate. Same md5
+    threshold mechanism as the split/sample operators; the oracle
+    mirrors the hex bounds verbatim."""
+    from xesmf_spark.pipeline import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(
+        docs, {"en": 0.5, "fr": 1.0, "zh": 0.2}, default=0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def events_interval_join(spark, sf_dir):
     """Interval (range) join via the BUCKETED equi-join operator
     (relational.interval_join): every (purchase, click) pair by the same
