@@ -68,8 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": Q.events_asof_join,
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
-        "events_user_setops": Q.events_user_setops,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
+        "events_sketch_accuracy": Q.events_sketch_accuracy,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_geomean_udaf": Q.events_geomean_udaf,
         "events_sessionize": Q.events_sessionize,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # --- rotation tail: stable two-round-green queries (see §2E) ---
+        "events_user_setops": Q.events_user_setops,
         "events_cube": Q.events_cube,
         "events_percentiles": Q.events_percentiles,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
@@ -548,6 +549,17 @@ WITH s AS (
 SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM s
 GROUP BY split, lang
+""",
+        "events_sketch_accuracy": """
+-- sketch values are engine-specific; the CONTRACT is value-checked:
+-- exact distinct count must match, and the accuracy booleans must be
+-- TRUE on the Spark side (the oracle asserts them as literals)
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events
+GROUP BY event_type
 """,
         "pipeline_scrub_pii": r"""
 WITH planted AS (

@@ -320,6 +320,14 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "tpch_q14_promo",
         "tpch_q15_top_supplier",
         "tpch_q18_large_orders",
+        "tpch_q4_priority",
+        "tpch_q8_market_share",
+        "tpch_q9_product_type",
+        "tpch_q12_priority_class",
+        "tpch_q13_order_distribution",
+        "tpch_q17_small_qty",
+        "tpch_q19_disjunctive",
+        "tpch_q22_inactive_customers",
         "customers_semi_open_orders",
         "events_sessionize",
         "events_hourly",
@@ -328,6 +336,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_cube",
         "events_percentiles",
         "events_user_setops",
+        "events_sketch_accuracy",
         "events_geomean_udaf",
         "orders_rank_in_customer",
         "orders_above_customer_avg",
@@ -339,6 +348,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_minhash_dedup",
         "pipeline_simhash",
         "pipeline_text_stats",
+        "pipeline_scrub_pii",
+        "pipeline_repetition",
+        "pipeline_stratified_sample",
         "ann_cosine_top3",
         "ann_ivf_top3",
         "knn_top3",

@@ -812,6 +812,39 @@ def pipeline_split(spark, sf_dir):
     )
 
 
+def events_sketch_accuracy(spark, sf_dir):
+    """Approximate-aggregate accuracy audit — the sketches a 100-TB
+    engine actually runs (exact COUNT(DISTINCT) needs a full shuffle of
+    every key; HyperLogLog++ is one pass + mergeable 1-KB state;
+    approx_percentile likewise replaces a full sort). Sketch VALUES are
+    engine-specific, so the query value-checks the accuracy CONTRACT
+    instead: per event type it outputs the exact distinct-user count
+    plus booleans asserting the HLL estimate is within 5% and the
+    approximate median within 1% of the exact median — deterministic
+    TRUE on both engines when the sketches honor their bounds."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            / F.abs(F.col("p50_exact"))
+            <= 0.01
+        ).alias("p50_ok"),
+    )
+
+
 def pipeline_scrub_pii(spark, sf_dir):
     """PII redaction audit (pipeline.scrub_pii): deterministic synthetic
     PII (email + IP + phone) is planted on every third document —
