@@ -276,3 +276,28 @@ def test_output_collision_raises(spark, trades, quotes):
         interval_join(left_bad, quotes, on="sym", ts="ts", lower=-5, upper=0)
     # a different suffix resolves it
     assert asof_join(left_bad, quotes, on="sym", ts="ts", suffix="_q").count() == 6
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: same rows (with
+    multiplicity) as the plain equi-join, for inner and left joins,
+    on skewed data with duplicates on both sides."""
+    from xesmf_spark.relational import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("cold", i) for i in range(5)] + [("orphan", 1)],
+        "k string, lv int",
+    )
+    right = spark.createDataFrame(
+        [("hot", "a"), ("hot", "b"), ("cold", "c"), ("unused", "z")],
+        "k string, rv string",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+        salted = sorted(tuple(r) for r in salted_join(left, right, "k", how, salt=8).collect())
+        assert salted == plain, how
+    # validation
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+    with pytest.raises(KeyError):
+        salted_join(left, right, "missing")

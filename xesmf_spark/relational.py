@@ -203,3 +203,52 @@ def asof_join(
     out_cols.append(F.col(f"__asof_match.{ts}").alias(f"{ts}{suffix}"))
     out_cols.extend(F.col(f"__asof_match.{c}").alias(f"{c}{suffix}") for c in payload_cols)
     return carried.filter(F.col("__asof_kind") == 1).select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with EXPLICIT key salting for skew: the left (large,
+    skewed) side scatters each row into one of ``salt`` sub-keys via a
+    deterministic hash of the whole row; the right side replicates every
+    row ``salt`` times; the join runs on ``(keys..., salt)``. A key
+    holding p% of the left rows then occupies ``salt`` partitions
+    instead of one straggler.
+
+    When to use: AQE's skew-join split (on by default in
+    ``session.get_spark``) already handles most skew at runtime by
+    splitting oversized partitions, and should be the first choice.
+    Explicit salting remains the deterministic fallback for (a) plans
+    AQE cannot split (e.g. a skewed partition feeding a stateful or
+    order-sensitive downstream op), (b) engines/configs without AQE,
+    and (c) pipelines that must produce identical task layouts run to
+    run. Cost: the right side's shuffle volume multiplies by ``salt`` —
+    keep the replicated side the SMALL one.
+
+    Supports ``inner`` and ``left`` joins (semantics preserved exactly:
+    each left row carries ONE salt value, so match multiplicity is
+    unchanged; an unmatched left row in a left join still emits its
+    single null-padded row). Row-identity hash uses the left row's full
+    column list, so duplicate rows land on the same replica —
+    deterministic across runs and partitionings.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
+    if salt < 2:
+        raise ValueError(f"salt must be >= 2, got {salt}")
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise KeyError(f"join key {k!r} missing from one side")
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l.join(r, keys + ["__salt"], how)
+    return out.drop("__salt")
