@@ -1,0 +1,52 @@
+"""JSONL / CSV source-sink adapters: round-trips, corrupt-line
+quarantine, explicit-schema discipline."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xesmf_spark import sources as SRC
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    SRC.write_documents_jsonl(docs, out, compression="gzip")
+    back = SRC.read_documents_jsonl(spark, out)
+    assert back.schema == docs.schema or set(back.columns) == set(docs.columns)
+    a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
+    b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    rows = [
+        json.dumps({"doc_id": 1, "text": "ok one", "lang": "en", "source": "s", "n_chars": 6}),
+        "{not valid json at all",
+        json.dumps({"doc_id": 2, "text": "ok two", "lang": "fr", "source": "s", "n_chars": 6}),
+        '{"doc_id": "NOT_A_NUMBER", "text": 3}',
+    ]
+    p.write_text("\n".join(rows) + "\n")
+    clean = SRC.read_documents_jsonl(spark, str(p))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    # Spark disallows corrupt-column-only queries on a raw JSON scan —
+    # persist first (the documented quarantine pattern)
+    kept = SRC.read_documents_jsonl(spark, str(p), keep_corrupt=True).cache()
+    try:
+        bad = kept.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 2  # both malformed lines quarantined
+    finally:
+        kept.unpersist()
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, 'quoted "x"', -0.25)], "id long, s string, v double"
+    )
+    out = str(tmp_path / "csv_out")
+    SRC.write_csv_table(df, out)
+    back = SRC.read_csv_table(spark, out, "id long, s string, v double")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())

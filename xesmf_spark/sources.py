@@ -1,0 +1,106 @@
+"""Source/sink adapters beyond parquet.
+
+Parquet is the primary at-rest format (columnar, predicate pushdown,
+row-group splits). Real corpora additionally arrive as JSONL — the
+interchange format of every web-scale text pipeline — and tabular
+sidecars arrive as CSV. These readers make the formats first-class
+WITHOUT giving up scale discipline:
+
+- **explicit schema, never inference** — schema inference reads the
+  whole input once before the real job (a second 100-TB scan);
+- **permissive corrupt handling** — a malformed line must not kill a
+  million-file ingest; it lands in ``_corrupt_record`` for quarantine;
+- **gzip/zstd transparency** — Spark decompresses ``*.jsonl.gz``
+  per-file; NOTE a gzipped file is one split (no parallelism inside),
+  so at scale prefer many medium files over few huge ones (the
+  docstring is the contract: this module does not try to out-smart the
+  container format).
+
+The reference engine has exactly one interchange format (netCDF weight
+files, handled in ``weights.io``); this module is the beyond-reference
+pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the canonical documents schema (mirrors testdata documents.parquet)
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read a JSONL document corpus with an EXPLICIT schema and
+    PERMISSIVE corrupt-line handling.
+
+    Malformed lines parse to all-null rows with the raw line preserved
+    in ``_corrupt_record``; by default they are dropped (quarantine
+    them yourself with ``keep_corrupt=True`` → filter on
+    ``_corrupt_record IS NOT NULL`` and sink to a dead-letter path).
+    NOTE Spark disallows a query that references ONLY the internal
+    corrupt column of a raw JSON scan — persist the parsed frame (or
+    select at least one data column alongside) before a
+    corrupt-records-only count/sink.
+    Scale shape: line-delimited JSON splits by line across tasks (for
+    uncompressed/zstd input; gzip is one split per file)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+
+
+def write_documents_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """Sink a corpus as JSONL (optionally compressed). One file per
+    partition — repartition upstream to control file count/size (the
+    many-medium-files shape gzip needs for parallel re-reads)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV sidecar reader — explicit schema only (no inference pass),
+    PERMISSIVE mode, standard quoting. For big tabular data prefer
+    parquet; CSV is for interchange with external tooling."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_csv_table(df: DataFrame, path: str, header: bool = True) -> None:
+    w = df.write.mode("overwrite").option("header", str(header).lower())
+    w.csv(path)
