@@ -8,11 +8,14 @@ compute runs in Arrow-batched Python (``mapInPandas``) — the payloads
 never pass through row-at-a-time Python, and the JVM treats them as
 opaque byte arrays (no codec work JVM-side).
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
-environment, so ``decode_image`` is gated: it uses the real library
-when importable and otherwise raises — while ``_fake_decode`` provides
-a deterministic stand-in so the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+Codec support is layered: uncompressed 24-bit BMP decodes NATIVELY
+(pure numpy — no library needed, so one real interchange format works
+everywhere, round-trip tested via ``encode_bmp``); other formats
+dispatch to PIL when importable and raise otherwise (PIL/librosa/
+ffmpeg are absent in this container). ``_fake_decode`` remains the
+deterministic stand-in so the Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) is testable even for
+gated formats.
 
 Operators:
 - ``attach_payload``    — demo payload column from a text column
@@ -47,13 +50,62 @@ except ImportError:
     HAVE_PIL = False
 
 
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows, 4-byte row padding).
+    Pure numpy + struct — the test/fixture twin of the BMP branch in
+    :func:`decode_image`."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"need (H, W, 3) uint8, got {a.shape}")
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    img[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an image payload to an (H, W, C) uint8 array. Real codec
-    only — raises when PIL is unavailable (this container)."""
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    Uncompressed 24-bit BMP decodes NATIVELY (pure numpy — header
+    parse, bottom-up row unflip, BGR→RGB, padding strip), so one real
+    interchange format works without any codec library. Everything
+    else dispatches to PIL when importable and raises otherwise (this
+    container has no codecs)."""
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        import struct
+
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP core header (size {hdr_size})")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp != 24:
+            raise NotImplementedError(
+                f"native BMP path handles uncompressed 24-bit only "
+                f"(got bpp={bpp}, compression={compression})"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3
+        img = np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=offset)
+        img = img.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            img = img[::-1]
+        return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decoding requires PIL; this environment has no codecs — "
-            "use _fake_decode for plumbing tests"
+            "non-BMP image decoding requires PIL; this environment has no "
+            "codecs — use encode_bmp/_fake_decode for tests"
         )
     import io
 
@@ -279,14 +331,13 @@ def resize_images(
             ids, hs, ws, bufs = [], [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if HAVE_PIL:  # pragma: no cover - real-codec path
-                    try:
-                        img = decode_image(b)
-                    except Exception:  # noqa: BLE001 - not a real image
-                        img = _fake_decode(b)
-                else:
+                try:
+                    # real decode: native BMP path always available,
+                    # other formats via PIL when present
+                    img = decode_image(b)
+                except Exception:  # noqa: BLE001 - not a decodable image
                     img = _fake_decode(b)
-                if img.ndim == 3:  # pragma: no cover - real-codec path
+                if img.ndim == 3:
                     img = img.mean(axis=2).astype(np.uint8)
                 h, w = img.shape
                 ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
