@@ -106,4 +106,9 @@ def conservative_weights(src: Grid, dst: Grid, strategy: str | None = None) -> D
         (F.col("sj") * F.lit(n_x_src) + F.col("si")).alias("col"),
         (F.col("frac_lat") * F.col("frac_lon")).alias("S"),
     )
-    return w.filter(F.col("S") > 0.0)
+    # threshold matches the clip builder's _MIN_S: boundary-coincident
+    # intervals produce fp-dust overlaps (1e-29..1e-14 measured on the
+    # bench pair — 104k of 584k rows, 18% of the weight table!) that
+    # contribute nothing (< 1e-12 of a cell is sub-micrometer on Earth)
+    # but bloat every downstream apply join at scale
+    return w.filter(F.col("S") > 1e-12)

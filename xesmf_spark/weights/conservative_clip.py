@@ -299,6 +299,41 @@ def conservative_weights_clip(
 
     cols_s = [f"s{ax}{k}" for k in range(4) for ax in ("x", "y")]
     cols_d = [f"d{ax}{k}" for k in range(4) for ax in ("x", "y")]
+
+    # STATIC physical-strategy split. When BOTH grids are rectilinear
+    # every candidate pair is a pair of AXIS-ALIGNED rectangles by
+    # construction (cell_quads derives the ring from interval bounds),
+    # and rect∩rect area in the equal-area map is a closed form over
+    # the bboxes (monotone per-axis maps keep rectangles rectangles):
+    # the whole build stays in JVM Column arithmetic — no Python
+    # workers, no Arrow transfer of 18 corner doubles per pair, and no
+    # fp-dust weights from grazing contacts (the bbox prefilter's
+    # strict inequalities already dropped them). The split is decided
+    # from grid METADATA, not per row — a per-row filter split would
+    # execute the candidate join once per branch. Curvilinear input on
+    # either side routes every pair through the S-H kernel unchanged.
+    if not src.curvilinear and not dst.curvilinear:
+
+        def _X(c):
+            return F.radians(F.col(c))
+
+        def _Y(c):
+            return F.sin(F.radians(F.col(c)))
+
+        ox = F.least(_X("sxmax"), _X("dxmax")) - F.greatest(_X("sxmin"), _X("dxmin"))
+        oy = F.least(_Y("symax"), _Y("dymax")) - F.greatest(_Y("symin"), _Y("dymin"))
+        area_d = (_X("dxmax") - _X("dxmin")) * (_Y("dymax") - _Y("dymin"))
+        s_expr = (F.greatest(F.lit(0.0), ox) * F.greatest(F.lit(0.0), oy)) / area_d
+        return (
+            cand.filter(area_d > F.lit(0.0))
+            .select(
+                F.col("did").alias("row"),
+                F.col("sid").alias("col"),
+                s_expr.alias("S"),
+            )
+            .filter(F.col("S") > F.lit(_MIN_S))
+        )
+
     cand = cand.select("sid", "did", *cols_s, *cols_d)
     return cand.mapInPandas(
         _clip_kernel_factory(cols_s, cols_d), "row long, col long, S double"
