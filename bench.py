@@ -144,6 +144,18 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "weight_conservative_clip_240k_to_120k",
         lambda: conservative_weights_clip(g_in, g_out).count(),
     )
+    # the same pair FORCED through the general Sutherland-Hodgman
+    # kernel (curvilinear metadata flag): the rectilinear bench pair
+    # otherwise takes the closed-form JVM path, and the honest general
+    # path must stay measured
+    from dataclasses import replace as _dc_replace
+
+    g_in_c = _dc_replace(g_in, curvilinear=True)
+    g_out_c = _dc_replace(g_out, curvilinear=True)
+    timed2(
+        "weight_conservative_clip_kernel_240k_to_120k",
+        lambda: conservative_weights_clip(g_in_c, g_out_c).count(),
+    )
     timed2("weight_patch_240k_to_120k", lambda: patch_weights(g_in, g_out).count())
 
     # --- Regridder re-construction from cached weights -------------------
