@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": Q.events_asof_join,
         "events_interval_join": Q.events_interval_join,
         "stream_interval_join": Q.stream_interval_join,
-        "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_sketch_accuracy": Q.events_sketch_accuracy,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_geomean_udaf": Q.events_geomean_udaf,
@@ -90,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_scrub_pii": Q.pipeline_scrub_pii,
         "pipeline_repetition": Q.pipeline_repetition,
         "pipeline_stratified_sample": Q.pipeline_stratified_sample,
+        "pipeline_curate": Q.pipeline_curate,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # --- rotation tail: stable two-round-green queries (see §2E) ---
+        "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_user_setops": Q.events_user_setops,
         "events_cube": Q.events_cube,
         "events_percentiles": Q.events_percentiles,
@@ -603,6 +604,62 @@ SELECT doc_id,
                      x -> len(list_filter(bg, y -> y = x)))) / CAST(n - 1 AS DOUBLE), 6)
             ELSE NULL END AS top_bigram_frac
 FROM wb
+""",
+        "pipeline_curate": r"""
+-- the composed curation chain: plant -> scrub -> repetition stats on
+-- the SCRUBBED text -> quality gate -> stratified sample -> audit agg.
+-- aggregates are order-independent (counts, exact bigint sums, min/max
+-- of already-rounded ratios) — no AVG of doubles (r5 lesson)
+WITH planted AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id || '@example.com at 10.0.'
+                        || (doc_id % 256) || '.7 call 555-867-5309'
+              ELSE text END AS text
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS stext,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_pii
+  FROM planted
+),
+tk AS (
+  SELECT doc_id, lang, n_pii,
+         string_split(lower(trim(regexp_replace(stext, '\s+', ' ', 'g'))), ' ') AS t
+  FROM scrub
+),
+base AS (SELECT doc_id, lang, n_pii, t, len(t) AS n FROM tk WHERE len(t) > 0),
+rep AS (
+  SELECT doc_id, lang, n_pii,
+         CAST(n AS BIGINT) AS n_tokens,
+         ROUND(len(list_distinct(t)) / CAST(n AS DOUBLE), 6) AS dr,
+         ROUND(list_max(list_transform(list_distinct(t),
+                  x -> len(list_filter(t, y -> y = x)))) / CAST(n AS DOUBLE), 6) AS tf
+  FROM base
+),
+kept AS (SELECT * FROM rep WHERE dr >= 0.4 AND tf <= 0.12),
+samp AS (
+  SELECT * FROM kept
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE lang WHEN 'en' THEN '80000000'
+                  WHEN 'fr' THEN 'g'
+                  WHEN 'zh' THEN '33333333'
+                  ELSE '19999999' END
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(dr) AS min_distinct,
+       MAX(tf) AS max_topfrac,
+       CAST(SUM(n_pii) AS BIGINT) AS sum_pii
+FROM samp
+GROUP BY lang
 """,
         "pipeline_stratified_sample": """
 WITH s AS (

@@ -845,16 +845,10 @@ def events_sketch_accuracy(spark, sf_dir):
     )
 
 
-def pipeline_scrub_pii(spark, sf_dir):
-    """PII redaction audit (pipeline.scrub_pii): deterministic synthetic
-    PII (email + IP + phone) is planted on every third document —
-    identically in the oracle — then scrubbed; the output carries the
-    per-doc match counts and the md5 of the scrubbed text, so the
-    redaction RESULT is value-checked byte-for-byte, not just counted."""
-    from xesmf_spark.pipeline import scrub_pii
-
-    docs = _docs(spark, sf_dir)
-    planted = docs.withColumn(
+def _with_planted_pii(docs):
+    """Deterministic synthetic PII (email + IP + phone) appended to
+    every third document — mirrored verbatim in the oracle CTEs."""
+    return docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -868,6 +862,17 @@ def pipeline_scrub_pii(spark, sf_dir):
             ),
         ).otherwise(F.col("text")),
     )
+
+
+def pipeline_scrub_pii(spark, sf_dir):
+    """PII redaction audit (pipeline.scrub_pii): deterministic synthetic
+    PII (email + IP + phone) is planted on every third document —
+    identically in the oracle — then scrubbed; the output carries the
+    per-doc match counts and the md5 of the scrubbed text, so the
+    redaction RESULT is value-checked byte-for-byte, not just counted."""
+    from xesmf_spark.pipeline import scrub_pii
+
+    planted = _with_planted_pii(_docs(spark, sf_dir))
     out = scrub_pii(planted)
     return out.select(
         "doc_id",
@@ -886,6 +891,42 @@ def pipeline_repetition(spark, sf_dir):
     from xesmf_spark.pipeline import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+def pipeline_curate(spark, sf_dir):
+    """END-TO-END curation composing the r6 operators: plant PII →
+    scrub (pipeline.scrub_pii) → repetition-quality stats on the
+    SCRUBBED text → quality gate (distinct_ratio >= 0.4 AND
+    top_token_frac <= 0.12, thresholds at the corpus median so the gate
+    genuinely splits) → per-language stratified sample → per-language
+    audit aggregate. The oracle replays the identical CTE chain, so
+    what is value-checked is the COMPOSITION — operator order,
+    scrub-before-tokenize, gate-before-sample — not just each stage.
+    Every stage is a pure projection or a map-side filter; the single
+    shuffle is the final aggregate."""
+    from xesmf_spark.pipeline import repetition_stats, scrub_pii, stratified_sample
+
+    scrubbed = scrub_pii(_with_planted_pii(_docs(spark, sf_dir)))
+    rep = repetition_stats(scrubbed)
+    enriched = rep.join(
+        scrubbed.select(
+            "doc_id",
+            "lang",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+        ),
+        "doc_id",
+    )
+    kept = enriched.filter(
+        (F.col("distinct_ratio") >= 0.4) & (F.col("top_token_frac") <= 0.12)
+    )
+    sampled = stratified_sample(kept, {"en": 0.5, "fr": 1.0, "zh": 0.2}, default=0.1)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("distinct_ratio").alias("min_distinct"),
+        F.max("top_token_frac").alias("max_topfrac"),
+        F.sum("n_pii").cast("long").alias("sum_pii"),
+    )
 
 
 def pipeline_stratified_sample(spark, sf_dir):
