@@ -118,3 +118,77 @@ def test_curvilinear_bilinear_linear_exact(spark, angle, shear, lon0):
         got[r.row] = got.get(r.row, 0.0) + r.S * src_vals[r.col]
     err = max(abs(got[k] - want[k]) for k in got)
     assert err < 1e-7, err
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scrub_pii_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x): the sentinels contain no '@' and no
+    digits, so no replacement can create a new match — redaction is a
+    fixed point after one pass, for ARBITRARY printable input."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = PL.scrub_pii(docs).select("doc_id", "text")
+    twice = PL.scrub_pii(once).select("doc_id", "text")
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.floats(0.0, 1.0),
+    st.floats(0.0, 1.0),
+)
+def test_stratified_sample_subset_and_nesting(spark, f1, f2):
+    """For any fractions: the sample is a subset of the corpus, and the
+    smaller fraction's rows nest inside the larger's (same stratum)."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang"
+    )
+    lo, hi = sorted((f1, f2))
+    small = {r["doc_id"] for r in PL.stratified_sample(docs, {"en": lo}, default=0.0).collect()}
+    big = {r["doc_id"] for r in PL.stratified_sample(docs, {"en": hi}, default=0.0).collect()}
+    assert small <= big
+    assert all(d % 2 == 0 for d in big)  # default=0.0 drops 'fr' entirely
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=1, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_repetition_stats_ranges(spark, texts):
+    """Ratios always in (0, 1]; n_tokens positive; bigram fraction NULL
+    only for single-token docs — for arbitrary token soups."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in PL.repetition_stats(docs).collect():
+        assert r["n_tokens"] >= 1
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        assert 0.0 < r["top_token_frac"] <= 1.0
+        if r["n_tokens"] == 1:
+            assert r["top_bigram_frac"] is None
+        else:
+            assert 0.0 < r["top_bigram_frac"] <= 1.0
