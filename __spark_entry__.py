@@ -70,7 +70,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": Q.stream_interval_join,
         "events_sketch_accuracy": Q.events_sketch_accuracy,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
-        "events_geomean_udaf": Q.events_geomean_udaf,
         "events_sessionize": Q.events_sessionize,
         "events_hourly": Q.events_hourly,
         "events_props_stats": Q.events_props_stats,
@@ -90,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_repetition": Q.pipeline_repetition,
         "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "pipeline_curate": Q.pipeline_curate,
+        "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # --- rotation tail: stable two-round-green queries (see §2E) ---
+        "events_geomean_udaf": Q.events_geomean_udaf,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_user_setops": Q.events_user_setops,
         "events_cube": Q.events_cube,
@@ -604,6 +605,23 @@ SELECT doc_id,
                      x -> len(list_filter(bg, y -> y = x)))) / CAST(n - 1 AS DOUBLE), 6)
             ELSE NULL END AS top_bigram_frac
 FROM wb
+""",
+        "pipeline_editdist_dedup": f"""
+WITH
+{PO._docs_cte(True)},
+nrm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  FROM docs
+),
+blk AS (SELECT doc_id, ntext, substr(ntext, 1, 24) AS block FROM nrm)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.ntext, b.ntext) AS dist,
+       ROUND(levenshtein(a.ntext, b.ntext)
+             / CAST(GREATEST(len(a.ntext), len(b.ntext)) AS DOUBLE), 6) AS rel_dist
+FROM blk a
+JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE ROUND(levenshtein(a.ntext, b.ntext)
+            / CAST(GREATEST(len(a.ntext), len(b.ntext)) AS DOUBLE), 6) <= 0.2
 """,
         "pipeline_curate": r"""
 -- the composed curation chain: plant -> scrub -> repetition stats on

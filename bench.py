@@ -371,6 +371,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_repetition",
         "pipeline_stratified_sample",
         "pipeline_curate",
+        "pipeline_editdist_dedup",
         "ann_cosine_top3",
         "ann_ivf_top3",
         "knn_top3",

@@ -563,3 +563,26 @@ def test_stratified_sample_nesting_and_bounds(spark):
     assert small and small < big
     with pytest.raises(ValueError):
         PL.stratified_sample(docs, {"en": 1.2})
+
+
+def test_editdist_dedup_pairs(spark):
+    """Exact copies -> distance 0; a small edit within the relative
+    bound is caught; head edits escape the prefix block (documented
+    recall bound); unrelated texts never pair."""
+    import xesmf_spark.pipeline as PL
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.upper() + "  "),              # normalizes identical -> dist 0
+        (3, base[:-6] + "cat"),                # small tail edit
+        (4, "x" + base),                       # head edit: different prefix block
+        (5, "completely different content that shares no prefix at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in PL.editdist_dedup_pairs(docs).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and 0 < got[(1, 3)] <= 6
+    assert all(4 not in p and 5 not in p for p in got)
+    with pytest.raises(ValueError):
+        PL.editdist_dedup_pairs(docs, prefix=0)

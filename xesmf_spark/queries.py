@@ -893,6 +893,18 @@ def pipeline_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def pipeline_editdist_dedup(spark, sf_dir):
+    """Character-level near-dup pairs (pipeline.editdist_dedup_pairs):
+    normalized-prefix blocking + exact Levenshtein verification over
+    the corpus with planted duplicates — catches the exact copies and
+    case/whitespace variants (distance 0) and the small-edit pairs
+    token-set methods miss. Both engines compute the same unit-cost
+    Levenshtein, so the pair list AND distances are value-checked."""
+    from xesmf_spark.pipeline import editdist_dedup_pairs
+
+    return editdist_dedup_pairs(_docs_with_dups(_docs(spark, sf_dir)))
+
+
 def pipeline_curate(spark, sf_dir):
     """END-TO-END curation composing the r6 operators: plant PII →
     scrub (pipeline.scrub_pii) → repetition-quality stats on the
