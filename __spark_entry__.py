@@ -71,7 +71,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_accuracy": Q.events_sketch_accuracy,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_sessionize": Q.events_sessionize,
-        "events_hourly": Q.events_hourly,
         "events_props_stats": Q.events_props_stats,
         "pipeline_exact_dedup": Q.pipeline_exact_dedup,
         "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
@@ -90,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "pipeline_curate": Q.pipeline_curate,
         "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
+        "documents_quality_tiers": Q.documents_quality_tiers,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # --- rotation tail: stable two-round-green queries (see §2E) ---
+        "events_hourly": Q.events_hourly,
         "events_geomean_udaf": Q.events_geomean_udaf,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_user_setops": Q.events_user_setops,
@@ -605,6 +606,22 @@ SELECT doc_id,
                      x -> len(list_filter(bg, y -> y = x)))) / CAST(n - 1 AS DOUBLE), 6)
             ELSE NULL END AS top_bigram_frac
 FROM wb
+""",
+        "documents_quality_tiers": f"""
+WITH ts AS ({PO.text_stats_sql()}),
+ranked AS (
+  SELECT doc_id, quality,
+         NTILE(4) OVER (ORDER BY quality ASC, doc_id ASC) AS tier,
+         PERCENT_RANK() OVER (ORDER BY quality ASC, doc_id ASC) AS pr
+  FROM ts
+)
+SELECT CAST(tier AS INT) AS tier,
+       COUNT(*) AS n_docs,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality,
+       ROUND(MAX(pr), 6) AS max_pct_rank
+FROM ranked
+GROUP BY tier
 """,
         "pipeline_editdist_dedup": f"""
 WITH

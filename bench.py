@@ -372,6 +372,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_stratified_sample",
         "pipeline_curate",
         "pipeline_editdist_dedup",
+        "documents_quality_tiers",
         "ann_cosine_top3",
         "ann_ivf_top3",
         "knn_top3",

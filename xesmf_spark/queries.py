@@ -893,6 +893,38 @@ def pipeline_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def documents_quality_tiers(spark, sf_dir):
+    """Quality-tier bucketing via NTILE + PERCENT_RANK — the two
+    ranking window functions not yet exercised elsewhere: documents
+    rank globally by (rounded quality, doc_id) — a TOTAL order, so tile
+    assignment and rank positions are engine-deterministic — and each
+    quartile reports its population and quality envelope.
+
+    Scale note: a global (unpartitioned) window is a total sort — fine
+    for a corpus audit report (tiny output), but the 100-TB bucketing
+    path is approx_percentile cutoffs + a map-side CASE, which avoids
+    the global sort entirely (events_sketch_accuracy covers that
+    operator family)."""
+    from xesmf_spark.pipeline import text_stats
+
+    st = text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("quality", ROUND).alias("q")
+    )
+    w = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    ranked = st.select(
+        "doc_id",
+        "q",
+        F.ntile(4).over(w).alias("tier"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+        F.round(F.max("pr"), 6).alias("max_pct_rank"),
+    )
+
+
 def pipeline_editdist_dedup(spark, sf_dir):
     """Character-level near-dup pairs (pipeline.editdist_dedup_pairs):
     normalized-prefix blocking + exact Levenshtein verification over
