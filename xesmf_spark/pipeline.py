@@ -897,7 +897,12 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Repetition-based quality signals (the Gopher-style filters a
     pretraining corpus is cleaned with): distinct-token ratio, most-
     frequent-token fraction, and most-frequent-bigram fraction, per
@@ -909,9 +914,15 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     map-side, which is the right trade for web-scale docs (hundreds of
     tokens) because it keeps the operator embarrassingly parallel.
     Ratios divide exact integers, so both engines produce bit-identical
-    doubles before the 6-decimal round."""
+    doubles before the 6-decimal round.
+
+    ``carry_cols`` pass through unchanged — a composing pipeline stays
+    ONE projection instead of re-joining (and re-scrubbing) the source
+    to recover its metadata columns."""
     t = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), t.alias("t")).withColumn("n", F.size("t"))
+    base = df.select(F.col(id_col), *[F.col(c) for c in carry_cols], t.alias("t")).withColumn(
+        "n", F.size("t")
+    )
     base = base.filter(F.col("n") > 0)
     top_tok = F.expr(
         "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
@@ -929,6 +940,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("n").cast("long").alias("n_tokens"),
         F.round(F.size(F.array_distinct("t")) / F.col("n"), 6).alias("distinct_ratio"),
         F.round(top_tok / F.col("n"), 6).alias("top_token_frac"),

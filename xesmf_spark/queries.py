@@ -950,16 +950,12 @@ def pipeline_curate(spark, sf_dir):
     shuffle is the final aggregate."""
     from xesmf_spark.pipeline import repetition_stats, scrub_pii, stratified_sample
 
-    scrubbed = scrub_pii(_with_planted_pii(_docs(spark, sf_dir)))
-    rep = repetition_stats(scrubbed)
-    enriched = rep.join(
-        scrubbed.select(
-            "doc_id",
-            "lang",
-            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
-        ),
-        "doc_id",
+    scrubbed = scrub_pii(_with_planted_pii(_docs(spark, sf_dir))).withColumn(
+        "n_pii", F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
     )
+    # carry_cols keeps the whole chain ONE projection — the previous
+    # self-join recomputed the scrub regex pass on both branches
+    enriched = repetition_stats(scrubbed, carry_cols=("lang", "n_pii"))
     kept = enriched.filter(
         (F.col("distinct_ratio") >= 0.4) & (F.col("top_token_frac") <= 0.12)
     )
