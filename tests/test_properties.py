@@ -192,3 +192,74 @@ def test_repetition_stats_ranges(spark, texts):
             assert r["top_bigram_frac"] is None
         else:
             assert 0.0 < r["top_bigram_frac"] <= 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_interval_join_matches_bruteforce(spark, lrows, rrows):
+    """The bucketed interval join must emit EXACTLY the pairs a naive
+    theta join produces, for arbitrary keys/timestamps (duplicates,
+    negatives, boundary hits included)."""
+    from xesmf_spark.relational import interval_join
+
+    lo, hi = -7, 12
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k string, ts long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rrows)], "k string, ts long, rid int"
+    )
+    got = sorted(
+        (r["lid"], r["rid_r"]) for r in interval_join(left, right, on="k", ts="ts", lower=lo, upper=hi).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(lrows)
+        for j, (rk, rt) in enumerate(rrows)
+        if lk == rk and lt + lo <= rt <= lt + hi
+    )
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """Backward as-of must attach, per left row, the max right.ts <=
+    left.ts within the key (ties on ts resolved by the rid tie-break),
+    for arbitrary inputs — including unmatched keys (NULL carry)."""
+    from xesmf_spark.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "sym string, ts long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rrows)], "sym string, ts long, rid long"
+    )
+    out = asof_join(left, right, on="sym", ts="ts", tie_break="rid")
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+    for i, (lk, lt) in enumerate(lrows):
+        cands = [(rt, j) for j, (rk, rt) in enumerate(rrows) if rk == lk and rt <= lt]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, lk, lt, cands)
