@@ -263,3 +263,28 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
         cands = [(rt, j) for j, (rk, rt) in enumerate(rrows) if rk == lk and rt <= lt]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, lk, lt, cands)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.sampled_from(["tok%d" % i for i in range(9)]), min_size=1, max_size=60)
+)
+def test_chunk_tokens_reconstructs_document(spark, toks):
+    """Lossless-coverage invariant: taking the first `stride` tokens of
+    every chunk plus the remainder of the last chunk reproduces the
+    original token stream exactly — no token lost or duplicated by the
+    windowing, for any document length vs chunk/overlap geometry."""
+    import xesmf_spark.pipeline as PL
+
+    chunk, overlap = 16, 4
+    stride = chunk - overlap
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        PL.chunk_tokens(docs, chunk=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = []
+    for i, r in enumerate(rows):
+        ts = r["chunk_text"].split(" ")
+        rebuilt.extend(ts if i == len(rows) - 1 else ts[:stride])
+    assert rebuilt == toks
