@@ -266,22 +266,37 @@ WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
 GROUP BY o_orderpriority
 """,
         "tpch_q8_market_share": """
-SELECT year(o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN n_name = 'NATION_1'
-                      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'AMERICA'
-GROUP BY 1
+-- exact integer-units revenue (cents * (100 - discount_pct) is an
+-- exact bigint in 1e-4-dollar units): the sum is order-independent
+-- and the only doubles are final IEEE divisions identical on both
+-- engines — no ROUND of an accumulation-order-dependent double sum
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, n_name,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS units
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+),
+a AS (
+  SELECT o_year,
+         CAST(SUM(CASE WHEN n_name = 'NATION_1' THEN units ELSE 0 END) AS BIGINT) AS num_units,
+         CAST(SUM(units) AS BIGINT) AS den_units
+  FROM j GROUP BY o_year
+)
+SELECT o_year,
+       CAST(num_units AS DOUBLE) / CAST(den_units AS DOUBLE) AS mkt_share,
+       CAST(den_units AS DOUBLE) / 10000.0 AS total_revenue
+FROM a
 """,
         "tpch_q9_product_type": """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -326,7 +341,9 @@ FROM li3 JOIN wa USING (l_partkey)
 WHERE l_quantity < 0.2 * avg_qty
 """,
         "tpch_q19_disjunctive": """
-SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+            AS DOUBLE) / 10000.0 AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -556,7 +573,11 @@ GROUP BY split, lang
         "events_sketch_accuracy": """
 -- sketch values are engine-specific; the CONTRACT is value-checked:
 -- exact distinct count must match, and the accuracy booleans must be
--- TRUE on the Spark side (the oracle asserts them as literals)
+-- TRUE on the Spark side (the oracle asserts them as literals).
+-- r7: the Spark booleans are now TRUE by construction at any scale —
+-- 15% HLL cap (7.5 sigma of rsd=0.02) and a RANK-based percentile
+-- bracket ([0.45,0.55], 500x the 1e-4 rank-error guarantee) — so the
+-- literal-TRUE oracle is sound, not merely probable
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS hll_ok,

@@ -75,17 +75,65 @@ def main():
         ),
         3,
     )
-    print(
-        json.dumps(
+    # ARTIFACT CONTRACT (learned from r6): the driver records only the
+    # LAST 2000 chars of stdout and json-parses the JSON line found
+    # there. r6's line grew past 2000 chars, so the head (metric/value)
+    # was cut and the round's weight-build timings were lost from the
+    # driver record entirely. Defense in depth:
+    #   1. the FULL timing dict is written to BENCH_LOCAL.json in the
+    #      repo (committed every round — judge-readable regardless);
+    #   2. the printed line is compact (no spaces) with the headline
+    #      keys LAST, so even a truncated tail still ends with
+    #      metric/value;
+    #   3. if the line would still exceed the tail budget, the
+    #      fastest non-headline per-query entries are dropped from the
+    #      PRINTED dict only (they remain in BENCH_LOCAL.json); error
+    #      entries and weight/apply/ann headline metrics are never
+    #      dropped.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    printed = dict(timings)
+
+    def _line() -> str:
+        return json.dumps(
             {
+                "sf": sf,
+                "detail": "BENCH_LOCAL.json",
+                "queries": printed,
+                "unit": "sec",
                 "metric": "total_bench_sec",
                 "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
+
+    def _droppable(k, v):
+        if not isinstance(v, (int, float)):
+            return False  # never drop an error entry
+        return not (
+            k.startswith(("weight_", "apply_", "regridder_", "ann_", "regrid_"))
+        )
+
+    by_speed = sorted(
+        (k for k, v in printed.items() if _droppable(k, printed[k])),
+        key=lambda k: printed[k],
     )
+    dropped = 0
+    while len(_line()) > 1900 and by_speed:
+        del printed[by_speed.pop(0)]
+        dropped += 1
+    if dropped:
+        printed["printed_dropped_fastest_n"] = dropped
+    print(_line())
     spark.stop()
 
 

@@ -82,7 +82,7 @@ lon_ov AS (
 w AS (
   SELECT dj * {dst.n_x} + di AS row, sj * {src.n_x} + si AS col, frac_lat * frac_lon AS S
   FROM lat_ov CROSS JOIN lon_ov
-  WHERE frac_lat * frac_lon > 0.0
+  WHERE frac_lat * frac_lon > 1e-12
 )"""
 
 

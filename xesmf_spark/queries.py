@@ -586,13 +586,23 @@ def tpch_q8_market_share(spark, sf_dir):
     aggregation over a star join (numerator and denominator from ONE
     pass, no second scan). Adapted to customer nation (no supplier cost
     chain in this schema): NATION_1's share of AMERICA-region revenue
-    per order year."""
+    per order year.
+
+    Revenue uses the repo's integer-units discipline (r6 advice: a
+    double SUM then ROUND is accumulation-order-dependent — the exact
+    hash-flip class that bit r5): price has 2 decimals and discount 2
+    decimals, so cents * (100 - discount_pct) is an EXACT bigint in
+    1e-4-dollar units; the sum is order-independent and the only
+    doubles are two final IEEE divisions identical on both engines."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    units = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"
+    )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -600,12 +610,17 @@ def tpch_q8_market_share(spark, sf_dir):
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_1", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                6,
+            F.sum(
+                F.when(F.col("n_name") == "NATION_1", units).otherwise(F.lit(0))
+            ).alias("num_units"),
+            F.sum(units).alias("den_units"),
+        )
+        .select(
+            "o_year",
+            (
+                F.col("num_units").cast("double") / F.col("den_units").cast("double")
             ).alias("mkt_share"),
-            F.round(F.sum(rev), 4).alias("total_revenue"),
+            (F.col("den_units").cast("double") / F.lit(10000.0)).alias("total_revenue"),
         )
     )
 
@@ -614,20 +629,24 @@ def tpch_q9_product_type(spark, sf_dir):
     """q9 shape — profit by nation and year through a 4-way star
     (lineitem-part-supplier-nation + orders for the year). Adapted:
     revenue instead of profit (no partsupp.supplycost in this schema),
-    PROMO parts only. One shuffle per join key; nation broadcast."""
+    PROMO parts only. One shuffle per join key; nation broadcast.
+    Revenue via the exact integer-units sum (see tpch_q8 docstring)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    units = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"
+    )
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .agg((F.sum(units).cast("double") / F.lit(10000.0)).alias("revenue"))
     )
 
 
@@ -711,10 +730,13 @@ def tpch_q19_disjunctive(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
            & F.col("l_quantity").between(20, 30))
     )
+    units = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"
+    )
+    # exact integer-units revenue (see tpch_q8 docstring)
     return j.filter(band).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        (F.sum(units).cast("double") / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -819,29 +841,48 @@ def events_sketch_accuracy(spark, sf_dir):
     approx_percentile likewise replaces a full sort). Sketch VALUES are
     engine-specific, so the query value-checks the accuracy CONTRACT
     instead: per event type it outputs the exact distinct-user count
-    plus booleans asserting the HLL estimate is within 5% and the
-    approximate median within 1% of the exact median — deterministic
-    TRUE on both engines when the sketches honor their bounds."""
+    plus booleans asserting the sketches honor bounds that are TRUE by
+    construction, not merely probable (r6 advice: the old 5% HLL cap
+    was only ~2.5 sigma of rsd=0.02, and the old 1% check bounded VALUE
+    error when approx_percentile guarantees only RANK error):
+      - hll_ok: |hll - exact| / exact <= 0.15 — 7.5 sigma of the
+        requested rsd, far past HLL++'s worst observed tail;
+      - p50_ok: RANK-based — the returned element's rank fraction must
+        sit in [0.45, 0.55], a 500x margin over the 1e-4 rank-error
+        guarantee of accuracy=10000, robust to small-group tie
+        discretization at any scale."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
-        F.expr("percentile(value, 0.5)").alias("p50_exact"),
     )
-    return agg.select(
+    # rank audit: one broadcast of the tiny per-type sketch row back
+    # onto the events scan — fraction of values <= / < the sketch's
+    # returned element brackets its true rank
+    rank = (
+        ev.join(F.broadcast(agg.select("event_type", "p50_approx")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("p50_approx")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("frac_le"),
+            (
+                F.sum((F.col("value") < F.col("p50_approx")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("frac_lt"),
+        )
+    )
+    return agg.join(rank, "event_type").select(
         "event_type",
         "exact_users",
         (
             F.abs(F.col("hll_users") - F.col("exact_users"))
             / F.col("exact_users")
-            <= 0.05
+            <= 0.15
         ).alias("hll_ok"),
-        (
-            F.abs(F.col("p50_approx") - F.col("p50_exact"))
-            / F.abs(F.col("p50_exact"))
-            <= 0.01
-        ).alias("p50_ok"),
+        ((F.col("frac_le") >= 0.45) & (F.col("frac_lt") <= 0.55)).alias("p50_ok"),
     )
 
 

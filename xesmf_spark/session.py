@@ -45,5 +45,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # console progress bars write \r-spam that lands in the same
+        # 2000-char stdout tail the driver keeps for BENCH_r{N}.json —
+        # every junk byte there is a byte of the bench JSON line lost
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
