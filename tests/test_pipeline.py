@@ -586,3 +586,81 @@ def test_editdist_dedup_pairs(spark):
     assert all(4 not in p and 5 not in p for p in got)
     with pytest.raises(ValueError):
         PL.editdist_dedup_pairs(docs, prefix=0)
+
+
+def test_editdist_empty_docs_pair(spark):
+    """Two whitespace-only documents normalize to empty strings — exact
+    duplicates, rel_dist 0.0 (the unguarded NULL division silently
+    dropped them, r6 advice)."""
+    import xesmf_spark.pipeline as PL
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "\t \n"), (3, "real content here")],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["rel_dist"] for r in PL.editdist_dedup_pairs(docs).collect()}
+    assert rows == {(1, 2): 0.0}
+
+
+def test_editdist_block_valve(spark):
+    """A planted boilerplate-prefix block larger than max_block is
+    dropped BEFORE the self-join (no pairs emitted from it), while
+    normal-size blocks still pair — the same skew-valve contract as
+    MAX_LSH_BUCKET."""
+    import xesmf_spark.pipeline as PL
+
+    banner = "copyright acme corporation all rights reserved document "
+    rows = [(i, banner + f"unique body {i}") for i in range(10)]
+    rows += [
+        (100, "short document alpha beta one"),
+        (101, "short document alpha beta two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = PL.editdist_dedup_pairs(docs, max_block=5, log_drops=True).collect()
+    ids = {i for r in capped for i in (r["id_a"], r["id_b"])}
+    assert ids == {100, 101}  # boilerplate block (10 docs > cap 5) dropped
+
+    uncapped = PL.editdist_dedup_pairs(docs, max_block=None, max_rel_dist=0.5).collect()
+    assert any(r["id_a"] < 100 for r in uncapped)  # without the valve they pair
+
+
+def test_quality_tiers_approx_matches_ntile(spark):
+    """Differential: the approx_percentile+CASE scale path assigns the
+    same tier as NTILE(4) for every row whose value is strictly away
+    from the cutoff elements (at a cutoff the two conventions may
+    legitimately split a tie); with distinct values and N divisible by
+    4 the boundary set is exactly the three cutoff elements."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import xesmf_spark.pipeline as PL
+
+    # 80 distinct, deterministically shuffled values
+    rows = [(i, ((i * 37) % 80) / 80.0 + i * 1e-6) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+
+    approx = PL.quality_tiers_approx(df, q_col="q")
+    w = Window.orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    exact = df.select("doc_id", F.ntile(4).over(w).alias("ntile_tier"))
+
+    j = approx.join(exact, "doc_id")
+    cuts = sorted(r["q"] for r in df.collect())
+    boundary = {cuts[19], cuts[39], cuts[59], cuts[20], cuts[40], cuts[60]}
+    mism = j.filter(
+        (F.col("tier") != F.col("ntile_tier")) & ~F.col("q").isin(*boundary)
+    ).collect()
+    assert mism == []
+    # partition property: every row got exactly one tier in 1..4
+    tiers = {r["tier"] for r in approx.collect()}
+    assert tiers <= {1, 2, 3, 4} and approx.count() == 80
+
+
+def test_quality_tiers_approx_validates(spark):
+    import pytest
+
+    import xesmf_spark.pipeline as PL
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, q double")
+    with pytest.raises(ValueError):
+        PL.quality_tiers_approx(df, q_col="q", n_tiers=1)

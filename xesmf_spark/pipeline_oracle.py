@@ -96,7 +96,7 @@ GROUP BY content_key
 
 def _sig_select() -> str:
     """Signatures as a pure projection over the shingle-hash list —
-    mirrors pipeline._signatures_from_sets (array_min over transform)."""
+    mirrors pipeline._sig_array (array_min over transform)."""
     mins = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({_a(i)} * h + {_b(i)}) % {P})) AS sig_{i}"
         for i in range(K_HASHES)

@@ -966,6 +966,150 @@ def documents_quality_tiers(spark, sf_dir):
     )
 
 
+def pipeline_jsonl_roundtrip(spark, sf_dir):
+    """JSONL ingest round-trip (sources.write/read_documents_jsonl):
+    the corpus is staged as gzip JSONL part files PLUS a planted
+    corrupt part (three malformed lines); the explicit-schema
+    PERMISSIVE reader must quarantine exactly the corrupt lines and
+    reproduce every document byte-for-byte. Value check: per-language
+    count, char sum, and an exact mod-P text-hash SUM against the
+    parquet source — any lost, duplicated, or mangled text flips the
+    hash sum. The staging write is part of the query (it replaces an
+    upstream corpus drop); gzip parts are one split each, which is the
+    documented many-medium-files contract of the reader."""
+    import hashlib
+    import os
+
+    from xesmf_spark.pipeline import base_hash
+    from xesmf_spark.sources import read_documents_jsonl, write_documents_jsonl
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/xesmf_jsonl_{tag}"
+    write_documents_jsonl(docs.repartition(4), path, compression="gzip")
+    with open(os.path.join(path, "corrupt-extra.json"), "w") as f:
+        f.write('{"doc_id": broken}\nnot json at all\n{"unclosed": 1\n')
+    back = read_documents_jsonl(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+    )
+
+
+def salted_join_skew(spark, sf_dir):
+    """Explicit skew-salted equi-join (relational.salted_join) on a
+    deliberately skewed key: every 50th customer key collapses onto hot
+    key 0 on BOTH sides, so the hot key alone carries ~2% x ~2% of the
+    cross space while every other key stays 1:1. The ORACLE is the
+    PLAIN join — value-equality of the salted plan against unsalted
+    join semantics is exactly the operator's contract (each left row
+    carries ONE salt, the right side replicates x salt, multiplicity
+    preserved). Exact cents sums keep the audit order-independent."""
+    from xesmf_spark.relational import salted_join
+
+    skew_o = F.when(F.col("o_custkey") % 50 == 0, F.lit(0)).otherwise(
+        F.col("o_custkey")
+    )
+    skew_c = F.when(F.col("c_custkey") % 50 == 0, F.lit(0)).otherwise(
+        F.col("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        skew_o.alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").select(skew_c.alias("k"), "c_nationkey")
+    j = salted_join(orders, cust, on="k", how="inner", salt=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def multimodal_image_resize(spark, sf_dir):
+    """Image decode + nearest-neighbor resize through the REAL codec
+    path: 48 deterministic 16x16 RGB BMPs (pixel (r,c,ch) =
+    (doc_id + 7r + 13c + 29ch) mod 256) are encoded with the native
+    BMP writer, decoded by multimodal.decode_image inside the
+    Arrow-batched resize_images kernel, grayscaled (truncated channel
+    mean) and sampled down to 8x8. The oracle recomputes every output
+    byte arithmetically, so the whole decode->gray->resample chain is
+    value-checked byte-for-byte (sum/min/max per image pin the buffer).
+    Fixture generation is driver-side — 48 tiny payloads, the same
+    adapter role as the reference's in-RAM test arrays."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import encode_bmp, resize_images
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    rows = [
+        (d, bytearray(encode_bmp(((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8))))
+        for d in range(48)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    resized = resize_images(df, out_h=8, out_w=8).withColumn("hx", F.hex("pixels"))
+    bvals = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(F.col("hx").substr(i * 2 + F.lit(1), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    return resized.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate(bvals, F.lit(0).cast("long"), lambda a, x: a + x).alias("byte_sum"),
+        F.array_min(bvals).alias("byte_min"),
+        F.array_max(bvals).alias("byte_max"),
+    )
+
+
+def documents_quality_tiers_approx(spark, sf_dir):
+    """The SCALE path for quality bucketing (pipeline.quality_tiers_approx):
+    approx_percentile quartile cutoffs broadcast onto a map-side CASE —
+    no global-sort window anywhere in the plan (contrast
+    documents_quality_tiers, the NTILE audit, whose unpartitioned
+    window funnels the corpus through one task).
+
+    Cutoff VALUES are sketch/engine-specific, so like
+    events_sketch_accuracy this value-checks the CONTRACT:
+      - total_docs: exact corpus count routed through the tier
+        assignment (partition property — every doc lands in exactly
+        one tier);
+      - tiers_ok: at most 4 tiers and tier ids within 1..4 — true by
+        construction of the CASE;
+      - frac_ok: every tier holds 25% +- 15 points of the corpus. The
+        rank-error guarantee is 1e-4 and the largest single-value tie
+        mass measured on this corpus family is ~5% (q=1.0 cap bucket),
+        so 15 points is a 3x margin over the worst structural
+        deviation, not a tuned constant."""
+    from xesmf_spark.pipeline import quality_tiers_approx, text_stats
+
+    st = text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("quality", ROUND).alias("q")
+    )
+    tiers = quality_tiers_approx(st, q_col="q")
+    per = tiers.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    # the audit agg runs over <= 4 rows — the single-partition window
+    # here is over the TIER SUMMARY, not the corpus
+    per = per.withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    return per.agg(
+        F.max("tot").alias("total_docs"),
+        (
+            (F.count(F.lit(1)) <= 4)
+            & (F.min("tier") >= 1)
+            & (F.max("tier") <= 4)
+        ).alias("tiers_ok"),
+        (
+            F.max(F.abs(F.col("n") / F.col("tot") - 0.25)) <= 0.15
+        ).alias("frac_ok"),
+    )
+
+
 def pipeline_editdist_dedup(spark, sf_dir):
     """Character-level near-dup pairs (pipeline.editdist_dedup_pairs):
     normalized-prefix blocking + exact Levenshtein verification over
@@ -1571,6 +1715,21 @@ def ann_ivf_top3(spark, sf_dir):
     from xesmf_spark import similarity as SIM
 
     return SIM.ivf_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
+
+
+def ann_ivf_multiprobe(spark, sf_dir):
+    """Finer-codebook multi-probe IVF (16 cells x 5 probes): the knob
+    that actually buys recall at a fixed candidate budget is cell
+    granularity, not Lloyd iterations (measured at sf0.1:
+    8 cells x 2 probes -> 0.50 recall@3, 64 x 16 -> 0.72, both ~25% of
+    the pool per query). Same keyed cell-join plan as ann_ivf_top3 —
+    probing is extra rows in the query-side assignment explode, never a
+    widened join."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.ivf_topk(
+        _par(spark, _t(spark, sf_dir, "embeddings")), k=3, n_centroids=16, n_probe=5
+    )
 
 
 def ann_ivf_recall(spark, sf_dir):
