@@ -127,11 +127,12 @@ def main():
         (k for k, v in printed.items() if _droppable(k, printed[k])),
         key=lambda k: printed[k],
     )
+    # budget 1700 of the 2000-char tail: leaves headroom for stray
+    # log lines sharing the tail AND for the drop-counter key itself
     dropped = 0
-    while len(_line()) > 1900 and by_speed:
+    while len(_line()) > 1700 and by_speed:
         del printed[by_speed.pop(0)]
         dropped += 1
-    if dropped:
         printed["printed_dropped_fastest_n"] = dropped
     print(_line())
     spark.stop()

@@ -54,6 +54,10 @@ ALLOW = {
     # (event types), the sort is per-group in the agg buffer
     "events_percentiles": {"SortAggregate"},
     "knn_top3": {"BroadcastNestedLoopJoin"},
+    # the quartile-cutoff sketch result is ONE broadcast row crossed
+    # onto the corpus scan — replacing the global-sort window is the
+    # whole point of this query's plan
+    "documents_quality_tiers_approx": {"BroadcastNestedLoopJoin"},
     # the recall ratio crosses two 1-row count aggregates (1x1 join)
     "ann_ivf_recall": {"BroadcastNestedLoopJoin"},
     # the global-average threshold is a 1-row scalar broadcast crossed

@@ -288,3 +288,81 @@ def test_chunk_tokens_reconstructs_document(spark, toks):
         ts = r["chunk_text"].split(" ")
         rebuilt.extend(ts if i == len(rows) - 1 else ts[:stride])
     assert rebuilt == toks
+
+
+# adversarial PII fragments: adjacency, almost-matches, digit runs,
+# multi-PII lines — the classes the planted-oracle driver query never
+# exercises (r6 advice)
+_PII_FRAGMENTS = (
+    "plain words here",
+    "user7@example.com",
+    "a.b@c-d.co",
+    "not-an-email@@x.com",
+    "10.0.0.1",
+    "999.999.999.999",
+    "1.2.3.4.5",
+    "12345678901234",
+    "555-867-5309",
+    "1555-867-53090",
+    "call 555-867-5309.",
+    "a@b.com10.0.0.1",
+    "john..doe@x..com",
+    "+1 555-867-5309 ext 22",
+    "v1.2.33.444.",
+    "12.34",
+    "dot.end.",
+    "@lonely.at",
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_PII_FRAGMENTS), min_size=1, max_size=6),
+            st.sampled_from(["", " ", ",", "\t", "--"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_scrub_pii_matches_duckdb_adversarial(spark, rows):
+    """Byte-identical redaction between Spark (Java regex) and DuckDB
+    (RE2) on adversarial compositions: emails butted against IPs,
+    phone-shaped substrings inside longer digit runs, repeated dots,
+    multi-PII lines, empty-joiner adjacency. The patterns are
+    deliberately lookaround-free so both engines implement identical
+    leftmost-first semantics — this test is the proof."""
+    import duckdb
+    import pandas as pd
+
+    import xesmf_spark.pipeline as PL
+
+    texts = [joiner.join(frags) for frags, joiner in rows]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_emails"], r["n_ips"], r["n_phones"])
+        for r in PL.scrub_pii(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')),
+       len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+FROM d
+"""
+        ).fetchall()
+    }
+    assert got == exp
