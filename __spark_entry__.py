@@ -76,6 +76,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_skew": Q.salted_join_skew,
         "multimodal_image_resize": Q.multimodal_image_resize,
         "ann_ivf_multiprobe": Q.ann_ivf_multiprobe,
+        "tpch_q2_min_cost_supplier": Q.tpch_q2_min_cost_supplier,
+        "tpch_q11_important_parts": Q.tpch_q11_important_parts,
+        "tpch_q16_supplier_count": Q.tpch_q16_supplier_count,
+        "tpch_q20_excess_shippers": Q.tpch_q20_excess_shippers,
+        "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
+        "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
+        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q12_priority_class": Q.tpch_q12_priority_class,
@@ -99,18 +107,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_geomean_udaf": Q.events_geomean_udaf,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_user_setops": Q.events_user_setops,
-        "events_cube": Q.events_cube,
-        "events_percentiles": Q.events_percentiles,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
+        "ann_ivf_top3": Q.ann_ivf_top3,
+        # --- rotation tail: >= 2 lifetime greens, code untouched, OR
+        # single-green bumped by the 5 new-in-r7 TPC-H shapes (new
+        # queries with ZERO driver greens outrank second-greens for the
+        # 50 window slots; the bumped five are re-verified in this
+        # round's committed CORRECTNESS_FULL record) ---
+        "tpch_q10_returned": Q.tpch_q10_returned,
+        "events_cube": Q.events_cube,
+        "events_percentiles": Q.events_percentiles,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
-        "tpch_q10_returned": Q.tpch_q10_returned,
         "tpch_q14_promo": Q.tpch_q14_promo,
         "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
         "tpch_q18_large_orders": Q.tpch_q18_large_orders,
-        "ann_ivf_top3": Q.ann_ivf_top3,
-        # --- rotation tail: >= 2 lifetime greens, code untouched ---
         "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
         "regrid_patch": Q.regrid_patch,
@@ -387,6 +399,106 @@ WHERE l_returnflag = 'R'
   AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+        # q2 shape: the oracle states the CORRELATED scalar-min subquery
+        # verbatim; the Spark side decorrelates it into one window MIN —
+        # the hash-compare proves the rewrite equivalent. cost is a
+        # stored 2-decimal double MIN (no accumulation), bit-exact on
+        # both engines; (s_acctbal, partkey, s_name) is a total order so
+        # LIMIT 100 is deterministic.
+        "tpch_q2_min_cost_supplier": """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name AS nation,
+       p_partkey AS partkey, p_name, cost
+FROM offers o
+JOIN supplier ON o.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON o.l_partkey = p_partkey
+WHERE cost = (SELECT MIN(cost) FROM offers i WHERE i.l_partkey = o.l_partkey)
+ORDER BY s_acctbal DESC, partkey ASC, s_name ASC
+LIMIT 100
+""",
+        # q11 shape: HAVING vs a global scalar subquery; qty * cents is
+        # an exact BIGINT so both sums are order-independent and the
+        # threshold comparison multiplies through (never divides)
+        "tpch_q11_important_parts": """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS u
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(u AS DOUBLE) / 100.0 AS part_value
+FROM per_part
+WHERE u * 1000 > (SELECT SUM(u) FROM per_part)
+""",
+        # q16 shape: NOT IN subquery (key is non-nullable, so the Spark
+        # LEFT ANTI join is exactly equivalent) + COUNT(DISTINCT) per group
+        "tpch_q16_supplier_count": """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'STANDARD'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+""",
+        # q20 shape: nested IN subqueries + correlated 20%-of-total
+        # threshold; quantity is integer-valued so q_ps * 5 > q_p is exact
+        "tpch_q20_excess_shippers": """
+WITH ship AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+),
+per_ps AS (SELECT l_partkey, l_suppkey, SUM(qty) AS q_ps FROM ship GROUP BY 1, 2),
+per_p AS (SELECT l_partkey, SUM(qty) AS q_p FROM ship GROUP BY 1)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+  AND s_suppkey IN (SELECT l_suppkey FROM per_ps
+                    JOIN per_p USING (l_partkey)
+                    WHERE q_ps * 5 > q_p)
+""",
+        # q21 shape: the oracle states the textbook EXISTS / NOT EXISTS
+        # self-joins verbatim; the Spark side decorrelates both into
+        # per-order distinct-supplier counts — the hash-compare proves
+        # the rewrite. (numwait, s_name) is a total order (s_name is the
+        # group key) so LIMIT 20 is deterministic.
+        "tpch_q21_waiting_suppliers": """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_7'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
 LIMIT 20
 """,
         "events_asof_join": """
@@ -799,6 +911,37 @@ SELECT lang,
          AS text_hash_sum
 FROM documents
 GROUP BY lang
+""",
+        "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
+        "pipeline_csv_roundtrip": """
+-- the CSV staging round-trip must reproduce the parquet corpus
+-- exactly (planted corrupt rows quarantined via the null-field
+-- filter), so the oracle audits the SOURCE directly — same exact
+-- mod-P text-hash-sum audit as the JSONL round-trip
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY lang
+""",
+        "multimodal_frame_sample": """
+-- substring replay of the fixed-stride chunker: payload bytes are the
+-- utf-8 text (ASCII corpus, chars == bytes), frames are every 4th
+-- 64-byte chunk, short tail only when the doc is shorter than one
+-- frame (n_frames = greatest(1, len // 64) full chunks otherwise)
+WITH fr AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         substr(text, CAST(k * 64 + 1 AS INT), 64) AS frame
+  FROM documents,
+       UNNEST(generate_series(0, greatest(1, length(text) // 64) - 1)) AS t(k)
+  WHERE k % 4 = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS BIGINT) AS n_bytes,
+       md5(frame) AS frame_md5
+FROM fr
 """,
         "salted_join_skew": """
 -- oracle = the PLAIN (unsalted) join: the salted plan's contract is

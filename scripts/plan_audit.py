@@ -63,6 +63,9 @@ ALLOW = {
     # the global-average threshold is a 1-row scalar broadcast crossed
     # into customer (the q22 correlated-scalar decorrelation)
     "tpch_q22_inactive_customers": {"BroadcastNestedLoopJoin"},
+    # the global-total threshold is a 1-row scalar broadcast crossed
+    # into the per-part aggregate (the q11 HAVING-vs-total decorrelation)
+    "tpch_q11_important_parts": {"BroadcastNestedLoopJoin"},
     **{q: {"BroadcastNestedLoopJoin"} for q in _REGRID_AXIS_BNLJ},
 }
 

@@ -104,6 +104,55 @@ def test_simhash_all_bits_vary(spark):
     assert zeros & mask == mask, f"stuck-at-1 bits: {bin(~zeros & mask)}"
 
 
+def test_simhash_pairs_exact_at_radius(spark, docs):
+    """The banded candidate join must be EXACT at the Hamming radius
+    (pigeonhole: n_bands = radius+1), so its output must equal the
+    brute-force all-pairs popcount-of-XOR filter — no missed pair, no
+    false positive, correct distances."""
+    both = docs.select("doc_id", "text").unionByName(
+        docs.limit(8).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in PL.simhash_pairs(both, bits=60, radius=3, n_bands=4).collect()
+    }
+    sh = {r.doc_id: r.simhash for r in PL.simhash(both, bits=60).collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    # the planted case/whitespace variants normalize identically ->
+    # Hamming 0 pairs must be present
+    assert sum(1 for v in got.values() if v == 0) >= 8
+
+
+def test_simhash_pairs_bucket_valve(spark):
+    """A degenerate corpus (many identical docs -> one fingerprint ->
+    every band bucket holds all of them) must be dropped entirely by
+    the skew valve when the bucket cap is exceeded — no pairs emitted,
+    no quadratic join."""
+    many = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    assert PL.simhash_pairs(many, max_bucket=10).count() == 0
+    # and with the valve off the quadratic result comes back
+    assert PL.simhash_pairs(many, max_bucket=None).count() == 50 * 49 // 2
+
+
+def test_simhash_pairs_rejects_bad_banding(spark, docs):
+    with pytest.raises(ValueError):
+        PL.simhash_pairs(docs, bits=32, radius=3, n_bands=3)  # < radius+1
+    with pytest.raises(ValueError):
+        PL.simhash_pairs(docs, bits=32, n_bands=5)  # not divisible
+
+
 def test_text_stats_ranges(spark, docs):
     s = PL.text_stats(docs)
     bad = s.filter(

@@ -28,6 +28,7 @@ from xesmf_spark.pipeline import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
     text_stats,
 )
 
@@ -51,5 +52,6 @@ __all__ = [
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_pairs",
     "text_stats",
 ]

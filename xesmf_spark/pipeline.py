@@ -527,6 +527,93 @@ def simhash(
     return df.select(F.col(id_col), let(hs, _body).alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    radius: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the banded
+    radius search that turns fingerprint dedup into equi-joins.
+
+    EXACTNESS (pigeonhole): with ``n_bands = radius + 1`` bands, any
+    pair within Hamming ``radius`` differs in at most ``radius`` bit
+    positions, which can touch at most ``radius`` bands — so at least
+    one band is IDENTICAL and the pair lands in a shared bucket. The
+    banded equi-join therefore has 100%% recall at the radius (unlike
+    MinHash-LSH's probabilistic recall); candidates are then verified
+    with the exact popcount-of-XOR distance, so precision is exact too.
+
+    Scale shape: fingerprints are a pure projection (see
+    :func:`simhash`); banding explodes ``n_bands`` small rows per doc;
+    the candidate join is an equi-join on (band, value) with the SAME
+    :data:`MAX_LSH_BUCKET` skew valve as MinHash (oversized buckets —
+    e.g. all empty/boilerplate docs collapsing to fingerprint 0 —
+    are dropped BEFORE the join; run exact dedup first). With 32-bit
+    prints and 4 bands a band is 8 bits (256 bucket values) — fine up
+    to ~10^5 docs per corpus-shard; at 100 TB use ``bits=60,
+    n_bands=4`` so each 15-bit band yields 32k buckets, keeping the
+    same plan shape. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if bits % n_bands != 0:
+        raise ValueError("bits must divide evenly into n_bands")
+    if n_bands < radius + 1:
+        raise ValueError(
+            "n_bands must be >= radius + 1 for exact recall at the radius"
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).filter(
+        F.col("simhash").isNotNull()
+    )
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("band"),
+                        F.shiftright("simhash", g * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for g in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket is not None:
+        sz = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
+        bands = (
+            bands.join(sz, ["band", "bh"])
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

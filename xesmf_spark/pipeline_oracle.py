@@ -205,15 +205,15 @@ FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
-def simhash_sql(bits: int = 32) -> str:
-    """Mirrors pipeline.simhash's SWAR-packed pure projection: one
-    wide-hash list per doc, one popcount-pack sum per 4-bit group
-    (spread-multiply places bits 0..3 at positions 0/15/30/45, so one
-    sum yields four 15-bit counters), then a flat per-doc extraction
-    (vote sum > 0 <=> 2*S_b > n). Every value CAST to BIGINT (DuckDB
-    SUM/list_sum yield HUGEINT, which the typed hasher digests
-    differently); docs with >32767 distinct tokens are NULL both sides.
-    """
+def _simhash_ctes(with_dups: bool, bits: int = 32) -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — mirrors
+    pipeline.simhash's SWAR-packed pure projection: one wide-hash list
+    per doc, one popcount-pack sum per 4-bit group (spread-multiply
+    places bits 0..3 at positions 0/15/30/45, so one sum yields four
+    15-bit counters), then a flat per-doc extraction (vote sum > 0 <=>
+    2*S_b > n). Every value CAST to BIGINT (DuckDB SUM/list_sum yield
+    HUGEINT, which the typed hasher digests differently); docs with
+    >32767 distinct tokens are NULL both sides."""
     MUL = 1 | (1 << 14) | (1 << 28) | (1 << 42)
     MSK = 1 | (1 << 15) | (1 << 30) | (1 << 45)
     pack_cols = []
@@ -230,9 +230,7 @@ def simhash_sql(bits: int = 32) -> str:
         f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(bits)
     )
-    return f"""
-WITH
-{_docs_cte(False)},
+    return f"""{_docs_cte(with_dups)},
 {NORM_CTE},
 hashed AS (
   SELECT doc_id,
@@ -244,10 +242,59 @@ hashed AS (
 packed AS (
   SELECT doc_id, n, {", ".join(pack_cols)}
   FROM hashed
+),
+sim AS (
+  SELECT doc_id,
+         CASE WHEN n <= 32767 THEN CAST({terms} AS BIGINT) END AS simhash
+  FROM packed
+)"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    return f"""
+WITH
+{_simhash_ctes(False, bits)}
+SELECT doc_id, simhash FROM sim
+"""
+
+
+def simhash_pairs_sql(
+    bits: int = 32,
+    radius: int = 3,
+    n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> str:
+    """Mirrors pipeline.simhash_pairs: band the fingerprints, drop
+    oversized buckets (same valve), equi-join candidates, verify with
+    the exact popcount-of-XOR Hamming distance. Because
+    n_bands >= radius + 1, the banded join is EXACT at the radius
+    (pigeonhole) — the oracle states the banding explicitly so the
+    valve semantics match the engine's bucket drops bit-for-bit."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    return f"""
+WITH
+{_simhash_ctes(True, bits)},
+bands AS (
+  SELECT doc_id, simhash, CAST(g AS INT) AS band,
+         (simhash >> (CAST(g AS INT) * {width})) & {mask} AS bh
+  FROM sim CROSS JOIN range({n_bands}) AS t(g)
+  WHERE simhash IS NOT NULL
+),
+ok AS (
+  SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING COUNT(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN ok USING (band, bh)
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
-SELECT doc_id,
-       CASE WHEN n <= 32767 THEN CAST({terms} AS BIGINT) END AS simhash
-FROM packed
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {radius}
 """
 
 

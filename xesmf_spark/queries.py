@@ -773,6 +773,214 @@ def tpch_q22_inactive_customers(spark, sf_dir):
     )
 
 
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """q2 shape — correlated MIN subquery over a multi-dim join + top-k:
+    for each ECONOMY part, the EUROPE-region supplier(s) whose best
+    (minimum) offer price equals the regional minimum for that part.
+    Adapted to this schema (no partsupp): the part-supplier offer
+    relation is derived from lineitem, cost = MIN(l_extendedprice) per
+    (part, supplier) — a stored 2-decimal double, so MIN is bit-exact
+    and order-independent on both engines (no accumulation).
+
+    Spark-first decorrelation: the correlated scalar subquery
+    ``cost = (SELECT MIN(cost) ... WHERE l_partkey = p_partkey)``
+    becomes ONE window MIN over the correlation key — the offers table
+    shuffles once on l_partkey and never joins against a second
+    aggregate of itself (same single-shuffle discipline as tpch_q17).
+    Region/nation/part dims broadcast. Top-100 by (s_acctbal desc,
+    part, supplier) is a TakeOrdered, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part")),
+            best["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            "cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def tpch_q11_important_parts(spark, sf_dir):
+    """q11 shape — grouped aggregate filtered by a GLOBAL scalar
+    subquery (HAVING SUM(...) > fraction * total): parts whose inventory
+    value from NATION_3 suppliers exceeds 0.1% of that nation's total.
+    Adapted value (no partsupp.availqty): SUM(l_quantity *
+    l_extendedprice) over the nation's lineitems.
+
+    Exactness: quantity is integer-valued and price has 2 decimals, so
+    qty * cents is an exact BIGINT — both the per-part sum and the
+    grand total are order-independent, and the HAVING comparison is
+    multiplied through (units * 1000 > total) so no engine ever
+    divides. One shuffle on l_partkey; the 1-row total broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    units = F.expr(
+        "CAST(l_quantity AS BIGINT)"
+        " * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    per_part = (
+        li.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    supp["s_nationkey"] == nation["n_nationkey"],
+                    "left_semi",
+                )
+            ),
+            li["l_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(units).alias("u"))
+    )
+    total = per_part.agg(F.sum("u").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("u") * 1000 > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("u").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+def tpch_q16_supplier_count(spark, sf_dir):
+    """q16 shape — NOT IN subquery + COUNT(DISTINCT) per group: how many
+    distinct suppliers can provide each (brand, type, size) combination,
+    excluding one brand, one type, and blacklisted suppliers. Adapted:
+    the part-supplier relation comes from lineitem (no partsupp) and the
+    blacklist is negative-balance suppliers (no s_comment to grep).
+
+    Spark-first: NOT IN over a non-nullable key is a LEFT ANTI join
+    (broadcast — the blacklist is tiny); the distinct-supplier count is
+    one shuffle on the group key with map-side partial distinct. The
+    part dim broadcasts into the bridge join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "STANDARD")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    blacklist = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(blacklist), li["l_suppkey"] == blacklist["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q20_excess_shippers(spark, sf_dir):
+    """q20 shape — nested IN subqueries + correlated aggregate
+    threshold: NATION_5 suppliers who, for SOME red part, shipped more
+    than 20% of that part's total 1997 volume. Adapted (no
+    partsupp.availqty): the correlated scalar ``0.5 * SUM(l_quantity)``
+    becomes the part's own total shipped quantity, threshold 20%.
+
+    Spark-first: the part IN-list broadcasts as a semi-join; the
+    per-(part,supplier) and per-part aggregates come from ONE shuffled
+    pass each over the SAME filtered scan (Catalyst reuses the
+    exchange); the 5*q_ps > q_p comparison is exact integer (quantity
+    is integer-valued). The outer ``s_suppkey IN (...)`` is a semi-join
+    onto the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"], "left_semi"
+    )
+    ship = li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+    qty = F.col("l_quantity").cast("bigint")
+    per_ps = ship.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("q_ps"))
+    per_p = ship.groupBy("l_partkey").agg(F.sum(qty).alias("q_p"))
+    qualifying = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("q_ps") * 5 > F.col("q_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp["s_suppkey"] == qualifying["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """q21 shape — EXISTS + NOT EXISTS self-joins on the fact table:
+    NATION_7 suppliers whose 'R'-returned line items sit on finalized
+    multi-supplier orders where THEIRS was the only supplier with a
+    return. Adapted markers (no l_commitdate/l_receiptdate):
+    'kept waiting' = l_returnflag = 'R' on an o_orderstatus = 'F' order.
+
+    Spark-first decorrelation: both the EXISTS (another supplier on the
+    order) and the NOT EXISTS (no OTHER supplier with a return) reduce
+    to per-order distinct-supplier counts — ONE grouped pass over the
+    filtered fact instead of two correlated self-joins:
+    EXISTS  <=> n_supps >= 2;  NOT EXISTS <=> n_ret_supps = 1 (the
+    candidate's own return is the only returning supplier). The oracle
+    states the textbook EXISTS/NOT EXISTS form verbatim — the driver's
+    hash-compare proves the decorrelation equivalent. One shuffle on
+    l_orderkey, supplier/nation broadcast, top-20 TakeOrdered."""
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").join(
+        orders_f, F.col("l_orderkey") == orders_f["o_orderkey"], "left_semi"
+    )
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supps"),
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"], "left_semi"
+    )
+    cand = li.filter(F.col("l_returnflag") == "R").join(
+        F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"]
+    )
+    return (
+        cand.join(
+            ordstats.filter((F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join — the classic time-series operator Spark has no
     built-in for: every 'purchase' event matched to the MOST RECENT
@@ -990,6 +1198,43 @@ def pipeline_jsonl_roundtrip(spark, sf_dir):
     with open(os.path.join(path, "corrupt-extra.json"), "w") as f:
         f.write('{"doc_id": broken}\nnot json at all\n{"unclosed": 1\n')
     back = read_documents_jsonl(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+    )
+
+
+def pipeline_csv_roundtrip(spark, sf_dir):
+    """CSV ingest round-trip (sources.write/read_csv_table): the corpus
+    is staged as headered CSV part files PLUS a planted corrupt part
+    (unparseable doc_id / truncated row / bad n_chars). The
+    explicit-schema PERMISSIVE reader parses bad fields to NULL; the
+    quarantine filter (null key or null count — impossible in the real
+    corpus) must drop exactly the planted rows and reproduce every
+    document byte-for-byte. Same exact text-hash-sum audit as the JSONL
+    round-trip, same oracle (the parquet source is the ground truth).
+    Scale shape: uncompressed CSV splits by line across tasks; the
+    staging write is one file per partition."""
+    import hashlib
+    import os
+
+    from xesmf_spark.pipeline import base_hash
+    from xesmf_spark.sources import DOCUMENTS_SCHEMA, read_csv_table, write_csv_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source", "n_chars")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/xesmf_csv_{tag}"
+    write_csv_table(docs.repartition(4), path, header=True)
+    with open(os.path.join(path, "corrupt-extra.csv"), "w") as f:
+        # header line first: the reader skips line 1 of EVERY file
+        f.write("doc_id,text,lang,source,n_chars\n")
+        f.write("notanumber,some text,en,web,12\n")
+        f.write("99999,truncated row\n")
+        f.write("12345,bad count,en,web,notanumber\n")
+    back = read_csv_table(spark, path, DOCUMENTS_SCHEMA, header=True).filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -1292,6 +1537,31 @@ def multimodal_audio_windows(spark, sf_dir):
     )
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Fixed-stride frame sampling over opaque binary payloads
+    (multimodal.sample_frames): every 4th 64-byte chunk of each payload
+    becomes its own row — the explode-shaped media op (video
+    frame-sample). Payloads are the utf-8 bytes of document text (the
+    demo media stand-in; ASCII corpus, so chars == bytes), and each
+    emitted frame is pinned by its exact md5 plus length, so the
+    chunk arithmetic (offsets, stride, short-tail handling) is
+    value-checked byte-for-byte against the oracle's substring replay.
+    Scale shape: Arrow-batched mapInPandas fused behind the scan, no
+    shuffle; output rows >> input rows, so at scale follow with a
+    repartition before expensive per-frame work."""
+    from xesmf_spark.multimodal import attach_payload, sample_frames
+
+    fr = sample_frames(
+        attach_payload(_docs(spark, sf_dir)), frame_bytes=64, stride=4
+    )
+    return fr.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def events_user_setops(spark, sf_dir):
     """Set operations (§2C): users who clicked AND purchased within the
     stream's first 48 hours (INTERSECT) minus users who errored within
@@ -1587,6 +1857,24 @@ def pipeline_simhash(spark, sf_dir):
     from xesmf_spark import pipeline as PL
 
     return PL.simhash(_docs(spark, sf_dir))
+
+
+def pipeline_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-radius near-dup pairs (pipeline.simhash_pairs)
+    at the documented scale config: 60-bit fingerprints banded into
+    4 x 15-bit bands (32k bucket values per band), equi-join
+    shared-band candidates (bucket skew valve identical to
+    MinHash-LSH), verify with exact popcount-of-XOR distance <= 3.
+    With n_bands = radius+1 the banded join is pigeonhole-EXACT at the
+    radius, and the oracle replays the same banding + valve so both
+    engines agree on dropped buckets. Runs on the planted-duplicates
+    corpus (exact copies and case/whitespace variants land at Hamming
+    0, truncations nearby); 60 bits keeps unrelated short docs apart
+    where 32-bit prints collide."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    return PL.simhash_pairs(docs, bits=60, radius=3, n_bands=4)
 
 
 def pipeline_ngram_jaccard(spark, sf_dir):
