@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
         "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
+        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
+        "pipeline_decontaminate": Q.pipeline_decontaminate,
+        "orders_rollup": Q.orders_rollup,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q12_priority_class": Q.tpch_q12_priority_class,
@@ -104,9 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
         # (d) single-green r5 — rotated back in
-        "events_geomean_udaf": Q.events_geomean_udaf,
-        "customers_semi_open_orders": Q.customers_semi_open_orders,
-        "events_user_setops": Q.events_user_setops,
+
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
         "ann_ivf_top3": Q.ann_ivf_top3,
@@ -118,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned": Q.tpch_q10_returned,
         "events_cube": Q.events_cube,
         "events_percentiles": Q.events_percentiles,
+        "customers_semi_open_orders": Q.customers_semi_open_orders,
+        "events_user_setops": Q.events_user_setops,
+        "events_geomean_udaf": Q.events_geomean_udaf,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q14_promo": Q.tpch_q14_promo,
@@ -548,6 +552,19 @@ FROM purch p JOIN clicks c
  AND c.tus >= p.tus - 3600000000
  AND c.tus <= p.tus
 """,
+        "orders_rollup": """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_year, o_orderpriority,
+       CAST(GROUPING(o_year, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM base
+GROUP BY ROLLUP (o_year, o_orderpriority)
+""",
         "events_cube": """
 WITH base AS (
   SELECT event_type, EPOCH_NS(ts) // 86400000000000 AS epoch_day, value FROM events
@@ -913,6 +930,8 @@ FROM documents
 GROUP BY lang
 """,
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
+        "pipeline_unigram_quality": PO.unigram_logprob_sql(),
+        "pipeline_decontaminate": PO.decontaminate_sql(),
         "pipeline_csv_roundtrip": """
 -- the CSV staging round-trip must reproduce the parquet corpus
 -- exactly (planted corrupt rows quarantined via the null-field

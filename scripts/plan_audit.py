@@ -66,6 +66,9 @@ ALLOW = {
     # the global-total threshold is a 1-row scalar broadcast crossed
     # into the per-part aggregate (the q11 HAVING-vs-total decorrelation)
     "tpch_q11_important_parts": {"BroadcastNestedLoopJoin"},
+    # the corpus token total is a 1-row scalar broadcast crossed into
+    # the token-frequency join (the LM normalization constant)
+    "pipeline_unigram_quality": {"BroadcastNestedLoopJoin"},
     **{q: {"BroadcastNestedLoopJoin"} for q in _REGRID_AXIS_BNLJ},
 }
 

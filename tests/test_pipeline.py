@@ -153,6 +153,59 @@ def test_simhash_pairs_rejects_bad_banding(spark, docs):
         PL.simhash_pairs(docs, bits=32, n_bands=5)  # not divisible
 
 
+def test_unigram_logprob_matches_python_lm(spark):
+    """The micro-nat-floored score must equal a Python replay of the
+    same unigram LM exactly (integer space — no tolerance), and a doc
+    of corpus-rare tokens must score below a doc of corpus-common
+    ones."""
+    import math
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the mat"),
+        (2, "zyx qwv unique singleton tokens here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in PL.unigram_logprob_score(df).collect()}
+    toks = {i: t.lower().split() for i, t in rows}
+    from collections import Counter
+
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cnt.values())
+    for i, ts in toks.items():
+        want = sum(math.floor(1_000_000 * math.log(cnt[t] / total)) for t in ts)
+        assert got[i].sum_lp_micro == want
+        assert got[i].n_tokens == len(ts)
+    assert got[2].avg_logprob < got[0].avg_logprob
+    assert got[2].avg_logprob < got[1].avg_logprob
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc sharing a 13-gram with the eval set must be
+    flagged (verbatim copy -> frac 1.0); disjoint docs must not appear;
+    short eval docs match via the whole-text convention."""
+    words = " ".join(f"w{i}" for i in range(20))
+    eval_df = spark.createDataFrame(
+        [(100, words), (101, "short eval item")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, words),  # verbatim copy -> every gram contaminated
+            (2, " ".join(f"x{i}" for i in range(20))),  # disjoint
+            (3, "prefix words then short eval item"),  # no shared 13-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in PL.decontaminate(train, eval_df, n=13).collect()}
+    assert set(got) == {1}
+    assert got[1].contaminated_frac == 1.0
+    # the short eval doc's whole text IS its gram: a verbatim short copy
+    # in train must match
+    train2 = spark.createDataFrame([(7, "short eval item")], ["doc_id", "text"])
+    got2 = PL.decontaminate(train2, eval_df, n=13).collect()
+    assert [(r.doc_id, r.contaminated_frac) for r in got2] == [(7, 1.0)]
+
+
 def test_text_stats_ranges(spark, docs):
     s = PL.text_stats(docs)
     bad = s.filter(

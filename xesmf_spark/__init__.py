@@ -22,6 +22,7 @@ from xesmf_spark.regridder import Regridder
 from xesmf_spark.relational import asof_join, interval_join
 from xesmf_spark.pipeline import (
     assign_split,
+    decontaminate,
     dedup_groups,
     deterministic_sample,
     exact_dedup,
@@ -30,6 +31,7 @@ from xesmf_spark.pipeline import (
     simhash,
     simhash_pairs,
     text_stats,
+    unigram_logprob_score,
 )
 
 __version__ = "0.2.0"
@@ -46,6 +48,8 @@ __all__ = [
     "asof_join",
     "interval_join",
     "assign_split",
+    "decontaminate",
+    "unigram_logprob_score",
     "deterministic_sample",
     "dedup_groups",
     "exact_dedup",

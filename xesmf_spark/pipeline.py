@@ -840,6 +840,108 @@ def doc_fingerprint(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-unigram language-model quality score — the
+    perplexity-filtering primitive of a pretraining pipeline (CCNet /
+    Gopher style: docs whose tokens are improbable under a corpus LM
+    are noise; docs that are all stop-words are boilerplate). The LM
+    is the corpus itself: P(tok) = count(tok) / total, and each doc is
+    scored by its mean token log-probability.
+
+    EXACT cross-engine arithmetic (the r5 hash-flip class): a raw
+    SUM/AVG of ln() doubles is accumulation-order-dependent, so each
+    per-token log-prob is floored to an integer number of MICRO-nats
+    FIRST — ``lp_micro = FLOOR(micro * ln(cnt/total))`` — making the
+    per-doc sum an order-independent exact BIGINT; the only double ops
+    are one IEEE division + one ln() per DISTINCT (cnt,total) value
+    (identical operand bits on both engines) and the final
+    sum/(micro*n) division. A last-ulp libm divergence would have to
+    land within 1 ulp of a micro-nat boundary to flip a value
+    (~1e-10/token — strictly tighter than the repo's geomean-UDAF
+    precedent, which rounds an accumulated double).
+
+    Scale shape: one explode + count shuffle builds the frequency
+    table (vocabulary-sized — Zipf keeps it << corpus size); scoring
+    is an equi-join on the token key (NOT a broadcast: a 100-TB
+    corpus's vocab can exceed driver memory) + one per-doc agg
+    shuffle. The 1-row total broadcasts. Returns
+    (id, n_tokens, sum_lp_micro, avg_logprob)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lp_micro = F.floor(
+        F.lit(micro)
+        * F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    ).cast("long")
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lp_micro.alias("lp_micro"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / (F.lit(float(micro)) * F.col("n_tokens").cast("double")),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Exact n-gram benchmark decontamination — flag training documents
+    that share any token ``n``-gram with an evaluation/benchmark set
+    (the GPT-3/Llama-style exact-match contamination check that MUST
+    run before a corpus is declared training-safe). Documents shorter
+    than ``n`` tokens contribute their whole normalized text as the
+    single "gram" (the :func:`shingles` short-doc convention), so short
+    eval items still match verbatim copies.
+
+    Scale shape: the eval side is distinct-exploded once (benchmark
+    sets are tiny relative to the corpus but NOT assumed
+    broadcast-able — the join is a keyed equi-join on the gram string,
+    so a 100-TB corpus vs a million-item benchmark stays a plain
+    shuffle join with map-side partial distinct); the train side is
+    one explode. All-integer outputs: (id, n_contaminated_ngrams,
+    n_doc_ngrams, contaminated_frac) with one final exact division.
+    Only contaminated docs are returned — feed to an anti-join to
+    drop them."""
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("ngram")
+    )
+    per_doc = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc_ngrams"))
+    hits = (
+        tr.join(ev, "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        hits.join(per_doc, id_col)
+        .withColumn(
+            "contaminated_frac",
+            F.col("n_contaminated_ngrams").cast("double")
+            / F.col("n_doc_ngrams").cast("double"),
+        )
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",

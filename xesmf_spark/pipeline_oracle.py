@@ -298,6 +298,77 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {radius}
 """
 
 
+def unigram_logprob_sql(micro: int = 1_000_000) -> str:
+    """Mirrors pipeline.unigram_logprob_score: per-token log-probs
+    floored to integer micro-nats before the (exact BIGINT) per-doc
+    sum; the only doubles are the identical-operand cnt/total division,
+    one ln() per distinct value, and the final mean division."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+lp AS (
+  SELECT doc_id,
+         CAST(FLOOR({micro} * LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+              AS BIGINT) AS lp_micro
+  FROM tok JOIN freq USING (token), tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+       CAST(SUM(lp_micro) AS DOUBLE) / ({micro}.0 * COUNT(*)) AS avg_logprob
+FROM lp
+GROUP BY doc_id
+"""
+
+
+def _gram_ctes(src: str, prefix: str, n: int) -> str:
+    """norm/tokens/distinct-n-gram CTE chain over an aliased doc source
+    (same normalization + short-doc convention as SHINGLE_CTE)."""
+    return f"""{prefix}_norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  FROM {src}
+),
+{prefix}_toks AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM {prefix}_norm),
+{prefix}_grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(greatest(len(t) - {n}, 0) + 1),
+                i -> array_to_string(t[i + 1 : i + {n}], ' ')))) AS ngram
+  FROM {prefix}_toks
+)"""
+
+
+def decontaminate_sql(n: int = 13) -> str:
+    """Mirrors pipeline.decontaminate on the planted-duplicates corpus:
+    eval = base docs with doc_id %% 7 == 0, train = the rest; distinct
+    eval grams equi-joined against exploded train grams; all-integer
+    counts + one exact final division."""
+    return f"""
+WITH
+{_docs_cte(True)},
+ev0 AS (SELECT doc_id, text FROM docs WHERE doc_id < 100000 AND doc_id % 7 = 0),
+tr0 AS (SELECT doc_id, text FROM docs WHERE NOT (doc_id < 100000 AND doc_id % 7 = 0)),
+{_gram_ctes('ev0', 'ev', n)},
+{_gram_ctes('tr0', 'tr', n)},
+evg AS (SELECT DISTINCT ngram FROM ev_grams),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_doc_ngrams
+  FROM tr_grams GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+  FROM tr_grams JOIN evg USING (ngram) GROUP BY doc_id
+)
+SELECT h.doc_id, n_contaminated_ngrams, n_doc_ngrams,
+       CAST(n_contaminated_ngrams AS DOUBLE) / CAST(n_doc_ngrams AS DOUBLE)
+         AS contaminated_frac
+FROM hits h JOIN per_doc USING (doc_id)
+"""
+
+
 def ngram_jaccard_sql(threshold: float = 0.05) -> str:
     return f"""
 WITH

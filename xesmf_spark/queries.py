@@ -905,10 +905,12 @@ def tpch_q20_excess_shippers(spark, sf_dir):
     becomes the part's own total shipped quantity, threshold 20%.
 
     Spark-first: the part IN-list broadcasts as a semi-join; the
-    per-(part,supplier) and per-part aggregates come from ONE shuffled
-    pass each over the SAME filtered scan (Catalyst reuses the
-    exchange); the 5*q_ps > q_p comparison is exact integer (quantity
-    is integer-valued). The outer ``s_suppkey IN (...)`` is a semi-join
+    filtered fact is scanned ONCE — the per-part total is a window SUM
+    over the already-reduced per-(part,supplier) aggregate (per-part
+    rows, not fact rows, cross the second exchange), so the correlated
+    scalar costs one extra small shuffle instead of a second scan +
+    join; the 5*q_ps > q_p comparison is exact integer (quantity is
+    integer-valued). The outer ``s_suppkey IN (...)`` is a semi-join
     onto the supplier dim."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -922,9 +924,10 @@ def tpch_q20_excess_shippers(spark, sf_dir):
     ship = li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
     qty = F.col("l_quantity").cast("bigint")
     per_ps = ship.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("q_ps"))
-    per_p = ship.groupBy("l_partkey").agg(F.sum(qty).alias("q_p"))
     qualifying = (
-        per_ps.join(per_p, "l_partkey")
+        per_ps.withColumn(
+            "q_p", F.sum("q_ps").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("q_ps") * 5 > F.col("q_p"))
         .select("l_suppkey")
         .distinct()
@@ -944,36 +947,41 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
 
     Spark-first decorrelation: both the EXISTS (another supplier on the
     order) and the NOT EXISTS (no OTHER supplier with a return) reduce
-    to per-order distinct-supplier counts — ONE grouped pass over the
-    filtered fact instead of two correlated self-joins:
+    to per-order distinct-supplier counts, computed as collect_set
+    WINDOW aggregates over the order key so the filtered fact is
+    scanned ONCE and shuffled ONCE (orders have bounded line counts,
+    so the per-order set state is tiny):
     EXISTS  <=> n_supps >= 2;  NOT EXISTS <=> n_ret_supps = 1 (the
     candidate's own return is the only returning supplier). The oracle
     states the textbook EXISTS/NOT EXISTS form verbatim — the driver's
-    hash-compare proves the decorrelation equivalent. One shuffle on
-    l_orderkey, supplier/nation broadcast, top-20 TakeOrdered."""
+    hash-compare proves the decorrelation equivalent. Supplier/nation
+    broadcast, top-20 TakeOrdered."""
     orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem").join(
         orders_f, F.col("l_orderkey") == orders_f["o_orderkey"], "left_semi"
     )
-    ordstats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supps"),
+    w = Window.partitionBy("l_orderkey")
+    li = li.withColumn(
+        "n_supps", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_ret_supps",
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ),
     )
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"], "left_semi"
     )
-    cand = li.filter(F.col("l_returnflag") == "R").join(
-        F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"]
-    )
     return (
-        cand.join(
-            ordstats.filter((F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1)),
-            "l_orderkey",
-            "left_semi",
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_ret_supps") == 1)
         )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -1630,6 +1638,27 @@ def events_cube(spark, sf_dir):
     )
 
 
+def orders_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (§2C grouping sets — the drill-down
+    sibling of events_cube's CUBE): order counts and exact integer-cents
+    revenue by (year, priority), per-year subtotals, and the grand
+    total in ONE partial+final hash-agg pass — grouping-set expansion
+    multiplies group cardinality, never the scan. The cents sum is an
+    order-independent BIGINT (no double ROUND)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return orders.rollup("o_year", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
 def events_geomean_udaf(spark, sf_dir):
     """The UDAF surface (§2C), exercised honestly: a GROUPED_AGG
     pandas_udf computing the per-type geometric mean — Arrow ships each
@@ -1875,6 +1904,35 @@ def pipeline_simhash_pairs(spark, sf_dir):
 
     docs = _docs_with_dups(_docs(spark, sf_dir))
     return PL.simhash_pairs(docs, bits=60, radius=3, n_bands=4)
+
+
+def pipeline_unigram_quality(spark, sf_dir):
+    """Corpus-unigram LM quality scoring (pipeline.unigram_logprob_score)
+    — perplexity-style filtering: each doc's mean token log-probability
+    under the corpus's own unigram distribution. Per-token log-probs
+    are floored to integer micro-nats BEFORE summation, so the per-doc
+    sum is an exact order-independent BIGINT on both engines (no
+    accumulated-double ROUND). Vocabulary join is a keyed equi-join,
+    not a broadcast — the 100-TB-vocab shape."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.unigram_logprob_score(_docs(spark, sf_dir))
+
+
+def pipeline_decontaminate(spark, sf_dir):
+    """Exact 13-gram benchmark decontamination (pipeline.decontaminate):
+    eval set = base docs with doc_id % 7 == 0; train = everything else
+    in the planted-duplicates corpus, so the planted exact copies
+    (+200000), truncations (+100000, %35 ids) and case variants
+    (+300000, %77 ids) of eval docs MUST surface as contaminated with
+    all-integer gram counts and an exact final fraction. The gram join
+    is a keyed shuffle equi-join on the gram string — benchmark sets
+    are small but never assumed broadcast-able."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    is_eval = (F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 0)
+    return PL.decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=13)
 
 
 def pipeline_ngram_jaccard(spark, sf_dir):
