@@ -87,17 +87,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_unigram_quality": Q.pipeline_unigram_quality,
         "pipeline_decontaminate": Q.pipeline_decontaminate,
         "orders_rollup": Q.orders_rollup,
+        "events_pivot": Q.events_pivot,
+        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
+        "events_hourly_gapfill": Q.events_hourly_gapfill,
+        "ann_pq_top3": Q.ann_pq_top3,
+        "ann_pq_recall": Q.ann_pq_recall,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
-        "tpch_q12_priority_class": Q.tpch_q12_priority_class,
-        "tpch_q13_order_distribution": Q.tpch_q13_order_distribution,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_props_stats": Q.events_props_stats,
-        "pipeline_split": Q.pipeline_split,
-        "pipeline_scrub_pii": Q.pipeline_scrub_pii,
-        "pipeline_repetition": Q.pipeline_repetition,
         "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "pipeline_curate": Q.pipeline_curate,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_user_setops": Q.events_user_setops,
         "events_geomean_udaf": Q.events_geomean_udaf,
+        "tpch_q12_priority_class": Q.tpch_q12_priority_class,
+        "tpch_q13_order_distribution": Q.tpch_q13_order_distribution,
+        "pipeline_split": Q.pipeline_split,
+        "pipeline_scrub_pii": Q.pipeline_scrub_pii,
+        "pipeline_repetition": Q.pipeline_repetition,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q14_promo": Q.tpch_q14_promo,
@@ -552,6 +557,48 @@ FROM purch p JOIN clicks c
  AND c.tus >= p.tus - 3600000000
  AND c.tus <= p.tus
 """,
+        "events_pivot": """
+-- long-to-wide with an explicit value list; COUNT(*) FILTER yields 0
+-- for missing (hour, type) cells, matching the Spark-side coalesce
+SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY 1
+""",
+        "events_clicks_errors_full_outer": """
+WITH c AS (
+  SELECT EPOCH_NS(ts) // 3600000000000 AS hr, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+e AS (
+  SELECT EPOCH_NS(ts) // 3600000000000 AS hr, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT COALESCE(c.hr, e.hr) AS epoch_hour, n_clicks, n_errors
+FROM c FULL OUTER JOIN e ON c.hr = e.hr
+""",
+        "events_hourly_gapfill": """
+WITH b AS (
+  SELECT MIN(EPOCH_NS(ts) // 3600000000000) AS h0,
+         MAX(EPOCH_NS(ts) // 3600000000000) AS h1
+  FROM events
+),
+axis AS (SELECT UNNEST(generate_series(h0, h1)) AS epoch_hour FROM b),
+kinds AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.epoch_hour, k.event_type, COALESCE(n, 0) AS n
+FROM axis a
+CROSS JOIN kinds k
+LEFT JOIN counts c ON c.epoch_hour = a.epoch_hour AND c.event_type = k.event_type
+""",
         "orders_rollup": """
 WITH base AS (
   SELECT year(o_orderdate) AS o_year, o_orderpriority,
@@ -932,6 +979,20 @@ GROUP BY lang
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),
         "pipeline_decontaminate": PO.decontaminate_sql(),
+        "ann_pq_top3": PO.ann_pq_topk_sql(),
+        "ann_pq_recall": f"""
+WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
+approx_q AS ({PO.ann_pq_topk_sql()}),
+m AS (
+  SELECT COUNT(*) AS n_matched
+  FROM exact_q e JOIN approx_q a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+e AS (SELECT COUNT(*) AS n_exact FROM exact_q)
+SELECT ROUND(CAST(n_matched AS DOUBLE) / n_exact, 6) AS recall_at_3,
+       n_exact, n_matched
+FROM e, m
+""",
         "pipeline_csv_roundtrip": """
 -- the CSV staging round-trip must reproduce the parquet corpus
 -- exactly (planted corrupt rows quarantined via the null-field

@@ -421,7 +421,16 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_stratified_sample",
         "pipeline_curate",
         "pipeline_editdist_dedup",
+        "pipeline_simhash_pairs",
+        "pipeline_unigram_quality",
+        "pipeline_decontaminate",
         "documents_quality_tiers",
+        "documents_quality_tiers_approx",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q16_supplier_count",
+        "tpch_q20_excess_shippers",
+        "tpch_q21_waiting_suppliers",
+        "orders_rollup",
         "ann_cosine_top3",
         "ann_ivf_top3",
         "knn_top3",
@@ -472,6 +481,47 @@ def _run_workloads(spark, sf_dir, timings, timed):
     timings["ann_ivf_recall_at3_trained"] = _recall(
         trained["cb"], n_centroids=NC, n_probe=NPROBE
     )
+
+    # --- PQ compressed search: ADC throughput + recall vs exact -----------
+    # recall ground truth is the exact EUCLIDEAN top-3 (PQ quantizes
+    # squared L2, so it is audited on its own metric) computed by a
+    # driver-side numpy replay on the collected vectors — the audit
+    # reference, not a scale path
+    timed_med("ann_pq_top3", lambda: SIM.pq_topk(emb, k=3).collect())
+
+    def _pq_exact_euclid():
+        import numpy as np
+
+        pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n2 = (X * X).sum(1)
+        exact = set()
+        for i in range(len(X)):
+            d2 = n2 + n2[i] - 2.0 * (X @ X[i])
+            others = np.nonzero(ids != ids[i])[0]
+            best = others[np.lexsort((ids[others], d2[others]))[:3]]
+            exact.update((int(ids[i]), int(ids[j])) for j in best)
+        return exact
+
+    def _pq_recall(exact, codebooks=None):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.pq_topk(emb, k=3, codebooks=codebooks).collect()
+        }
+        return round(len(exact & approx) / len(exact), 6)
+
+    pq_exact = _pq_exact_euclid()
+    timings["ann_pq_recall_at3_seed"] = _pq_recall(pq_exact)
+    pq_tr = {}
+    timed("ann_pq_train", lambda: pq_tr.setdefault(
+        "cb", SIM.pq_train_codebooks(emb, n_iters=5)
+    ))
+    timed_med(
+        "ann_pq_top3_trained",
+        lambda: SIM.pq_topk(emb, k=3, codebooks=pq_tr["cb"]).collect(),
+    )
+    timings["ann_pq_recall_at3_trained"] = _pq_recall(pq_exact, pq_tr["cb"])
 
 
 if __name__ == "__main__":

@@ -60,6 +60,9 @@ ALLOW = {
     "documents_quality_tiers_approx": {"BroadcastNestedLoopJoin"},
     # the recall ratio crosses two 1-row count aggregates (1x1 join)
     "ann_ivf_recall": {"BroadcastNestedLoopJoin"},
+    # same 1x1 recall-ratio cross, plus euclid_topk's broadcast cross
+    # join — the documented exact AUDIT reference, not a scale path
+    "ann_pq_recall": {"BroadcastNestedLoopJoin"},
     # the global-average threshold is a 1-row scalar broadcast crossed
     # into customer (the q22 correlated-scalar decorrelation)
     "tpch_q22_inactive_customers": {"BroadcastNestedLoopJoin"},
@@ -69,6 +72,9 @@ ALLOW = {
     # the corpus token total is a 1-row scalar broadcast crossed into
     # the token-frequency join (the LM normalization constant)
     "pipeline_unigram_quality": {"BroadcastNestedLoopJoin"},
+    # the dense grid is generated-axis x distinct-types — both bounded
+    # by construction (span hours / type cardinality), never fact-volume
+    "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},
     **{q: {"BroadcastNestedLoopJoin"} for q in _REGRID_AXIS_BNLJ},
 }
 

@@ -232,6 +232,94 @@ def test_fingerprint_stable_under_whitespace(spark, docs):
     assert a.select("fa").distinct().count() >= 0.9 * docs.count()
 
 
+def test_pq_topk_matches_numpy_replay(spark):
+    """The full PQ chain (seed codebooks -> integer-floored encode ->
+    ADC top-k) must equal an independent numpy replay of the same
+    integer arithmetic EXACTLY — codes, neighbors, ranks, and the
+    micro-unit distances."""
+    import numpy as np
+
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m, ksub = SIM.PQ_M, SIM.PQ_KSUB
+    dsub = X.shape[1] // m
+    C = X[ids < ksub].reshape(ksub, m, dsub).transpose(1, 0, 2)
+    Xs = X.reshape(len(X), m, dsub)
+    codes = np.empty((len(X), m), dtype=np.int64)
+    lut = np.empty((len(X), m, ksub), dtype=np.int64)
+    for s in range(m):
+        D = Xs[:, s, None, :] - C[s][None, :, :]
+        d2u = np.floor(1_000_000 * (D * D).sum(-1)).astype(np.int64)
+        codes[:, s] = np.argmin(d2u, axis=1)
+        lut[:, s, :] = d2u
+    d2 = np.zeros((len(X), len(X)), dtype=np.int64)
+    for s in range(m):
+        d2 += lut[:, s, codes[:, s]]
+    want = set()
+    for i in range(len(X)):
+        row = d2[i]
+        others = np.nonzero(ids != ids[i])[0]
+        best = others[np.lexsort((ids[others], row[others]))[:3]]
+        for r, j in enumerate(best, 1):
+            want.add((int(ids[i]), r, int(ids[j]), int(row[j])))
+    got = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3).collect()
+    }
+    assert got == want
+    # and the encoder's codes agree with the replay
+    enc = {r.id: list(r.codes) for r in SIM.pq_encode(emb).collect()}
+    assert enc == {int(i): list(map(int, c)) for i, c in zip(ids, codes)}
+
+
+def test_pq_training_reduces_distortion(spark):
+    """Lloyd iterations must not increase total quantization error
+    (sum over vectors/subspaces of the chosen centroid's micro
+    distance) vs the seed codebook, and the trained codebook must plug
+    into the same topk path."""
+    import numpy as np
+
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+
+    def distortion(codebooks):
+        pdf = emb.toPandas()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        C = (
+            np.asarray(codebooks, np.float64)
+            if codebooks is not None
+            else SIM._pq_seed_codebooks(emb, SIM.PQ_M, SIM.PQ_KSUB, "vec_id", "embedding")
+        )
+        Xs = X.reshape(len(X), len(C), C.shape[2])
+        tot = 0
+        for s in range(len(C)):
+            tot += int(SIM._pq_dist_micro(Xs[:, s, :], C[s]).min(axis=1).sum())
+        return tot
+
+    cb = SIM.pq_train_codebooks(emb, n_iters=3)
+    assert distortion(cb) <= distortion(None)
+    assert SIM.pq_topk(emb, k=3, codebooks=cb).count() > 0
+
+
+def test_pq_encode_rejects_bad_split(spark):
+    import pytest as _pytest
+
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 10) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        SIM.pq_encode(emb, m=8).collect()  # 10 dims not divisible by 8
+
+
 def test_cosine_topk_gemm_matches_fold(spark):
     """The GEMM physical strategy must return EXACTLY the fold path's
     rows — same neighbors, same rounded cosines, same tie resolution

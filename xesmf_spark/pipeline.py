@@ -566,8 +566,13 @@ def simhash_pairs(
         )
     width = bits // n_bands
     mask = (1 << width) - 1
-    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).filter(
-        F.col("simhash").isNotNull()
+    # persist the fingerprint table (2 longs/doc): the valve sizing, the
+    # a-side and the b-side of the candidate join all read it — without
+    # this the md5 fingerprint pass runs 3x over the corpus
+    sh = (
+        simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+        .filter(F.col("simhash").isNotNull())
+        .persist()
     )
     bands = sh.select(
         F.col(id_col),
@@ -922,22 +927,30 @@ def decontaminate(
     ev = (
         eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     tr = train.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("ngram")
     )
-    per_doc = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc_ngrams"))
-    hits = (
-        tr.join(ev, "ngram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
-    )
+    # ONE pass over the exploded train grams: LEFT join against the
+    # distinct eval grams (no row multiplication) tags matches, then a
+    # single per-doc agg counts total and matched grams together — the
+    # naive per_doc/hits two-aggregate shape scans the explode twice
     return (
-        hits.join(per_doc, id_col)
+        tr.join(ev, "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("hit").alias("n_contaminated_ngrams"),
+            F.count(F.lit(1)).alias("n_doc_ngrams"),
+        )
+        .filter(F.col("n_contaminated_ngrams") > 0)
         .withColumn(
             "contaminated_frac",
             F.col("n_contaminated_ngrams").cast("double")
             / F.col("n_doc_ngrams").cast("double"),
+        )
+        .select(
+            id_col, "n_contaminated_ngrams", "n_doc_ngrams", "contaminated_frac"
         )
     )
 

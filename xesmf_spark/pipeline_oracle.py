@@ -537,6 +537,82 @@ WHERE q.id < p.id
 """
 
 
+def ann_pq_topk_sql(
+    k: int = 3, m: int = 16, ksub: int = 256, dsub: int = 4
+) -> str:
+    """Mirrors similarity.pq_topk (seed codebooks): subvector split,
+    encode-time argmin over micro-floored integer distances (tie to the
+    lower code), ADC = exact BIGINT sum of m lookup-table entries, and
+    the (distance, neighbor) row-number top-k. Every compared or summed
+    value is an exact integer; the pre-floor doubles are sequential
+    left-to-right folds over identical operands on both engines."""
+    return f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+sub AS (
+  SELECT vec_id, CAST(s AS INT) AS s,
+         list_transform(embedding[CAST(s * {dsub} + 1 AS INT) : CAST(s * {dsub} + {dsub} AS INT)],
+                        x -> CAST(x AS DOUBLE)) AS xs
+  FROM emb CROSS JOIN range({m}) AS t(s)
+),
+cb AS (SELECT s, vec_id AS code, xs AS cs FROM sub WHERE vec_id < {ksub}),
+d AS (
+  SELECT sub.vec_id, sub.s, cb.code,
+         CAST(FLOOR({1_000_000} * list_sum(list_transform(range({dsub}),
+              i -> (sub.xs[CAST(i + 1 AS INT)] - cb.cs[CAST(i + 1 AS INT)])
+                 * (sub.xs[CAST(i + 1 AS INT)] - cb.cs[CAST(i + 1 AS INT)]))))
+              AS BIGINT) AS d2u
+  FROM sub JOIN cb ON sub.s = cb.s
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2u ASC, code ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(lut.d2u) AS BIGINT) AS approx_d2_micro
+  FROM (SELECT vec_id FROM emb) q
+  JOIN enc e ON e.vec_id <> q.vec_id
+  JOIN d lut ON lut.vec_id = q.vec_id AND lut.s = e.s AND lut.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, approx_d2_micro FROM (
+  SELECT query_id, neighbor_id, approx_d2_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2_micro ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def ann_euclid_topk_sql(k: int = 3, dim: int = 64) -> str:
+    """Mirrors similarity.euclid_topk: sequential (x-y)^2 list fold,
+    rounded-6 ordering, neighbor-id tie-break."""
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range({dim}),
+               i -> (a.vv[CAST(i + 1 AS INT)] - b.vv[CAST(i + 1 AS INT)])
+                  * (a.vv[CAST(i + 1 AS INT)] - b.vv[CAST(i + 1 AS INT)]))), 6) AS d2
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 def ann_ivf_topk_sql(k: int = 3, n_centroids: int = 8, n_probe: int = 2) -> str:
     cdot = _DOT.format(a="x", b="c")
     qdot = _DOT.format(a="q", b="p")

@@ -1659,6 +1659,83 @@ def orders_rollup(spark, sf_dir):
     )
 
 
+def events_pivot(spark, sf_dir):
+    """PIVOT (§2C): hourly event counts spread into one column per
+    event type — long-to-wide with an EXPLICIT value list (never
+    inferred: value inference is an extra full scan AND makes the
+    output schema data-dependent, which breaks at 100 TB). Spark plans
+    this as one partial+final hash agg over (hour) with CASE-style
+    pivot aggregates — a single shuffle, no join. Missing (hour, type)
+    cells are 0 via coalesce (the oracle's COUNT FILTER agrees)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select(F.expr("ts DIV 3600000000000").alias("epoch_hour"), "event_type")
+        .groupBy("epoch_hour")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "epoch_hour", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+def events_clicks_errors_full_outer(spark, sf_dir):
+    """FULL OUTER join (§2C — the one outer-join flavor not yet
+    covered): hourly click counts against hourly error counts; ~40
+    hours exist on only one side at sf0.01, so both null wings are
+    exercised. One shuffle per side on the hour key; the join key is
+    COALESCEd into a single column (the standard full-outer idiom)."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr("ts DIV 3600000000000")
+
+    def hourly(kind, out):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(hr.alias("hr"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    c = hourly("click", "n_clicks")
+    e = hourly("error", "n_errors")
+    return (
+        c.join(e, "hr", "full_outer")
+        .select(F.col("hr").alias("epoch_hour"), "n_clicks", "n_errors")
+    )
+
+
+def events_hourly_gapfill(spark, sf_dir):
+    """Time-series resample / gap-fill (§2D pipeline shape): a dense
+    (hour x event_type) grid over the stream's observed span,
+    zero-filling the ~35-50 empty hours per type — the densification
+    step every downstream windowed model needs. The axis is GENERATED
+    (sequence + explode over the 1-row min/max bounds), never
+    collected to the driver; the grid is axis x distinct-types (both
+    bounded — hours in span, type cardinality), then ONE left join
+    against the hourly counts on the composite key. At 100 TB the
+    fact-side agg is the only big shuffle; the grid side is thousands
+    of rows regardless of fact volume."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.expr("ts DIV 3600000000000")
+    bounds = ev.agg(F.min(hr).alias("h0"), F.max(hr).alias("h1"))
+    axis = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("epoch_hour")
+    )
+    kinds = ev.select("event_type").distinct()
+    counts = ev.groupBy(hr.alias("epoch_hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        axis.crossJoin(F.broadcast(kinds))
+        .join(counts, ["epoch_hour", "event_type"], "left")
+        .select(
+            "epoch_hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
 def events_geomean_udaf(spark, sf_dir):
     """The UDAF surface (§2C), exercised honestly: a GROUPED_AGG
     pandas_udf computing the per-type geometric mean — Arrow ships each
@@ -2061,6 +2138,43 @@ def ann_ivf_top3(spark, sf_dir):
     from xesmf_spark import similarity as SIM
 
     return SIM.ivf_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
+
+
+def ann_pq_top3(spark, sf_dir):
+    """Product-quantization approximate top-3 (similarity.pq_topk):
+    the pool exists only as 4-bit-per-subspace PQ codes (64x
+    compression) and each query scores every code with 8 integer table
+    lookups — the compressed-memory ANN scale path beside IVF's
+    bounded-probe path. Every compared value is an exact BIGINT
+    (micro-floored squared distances), so the full
+    encode -> LUT -> ADC -> top-k chain is hash-identical to the SQL
+    replay."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.pq_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
+
+
+def ann_pq_recall(spark, sf_dir):
+    """Recall@3 of the PQ compressed search against the exact EUCLIDEAN
+    baseline (similarity.euclid_topk — PQ quantizes squared L2, so the
+    audit runs on its own metric). Both engines run both searches and
+    the oracle checks the recall NUMBER — same composed shape as
+    ann_ivf_recall."""
+    from xesmf_spark import similarity as SIM
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = SIM.pq_topk(emb, k=3).select("query_id", "neighbor_id")
+    matched = exact.join(approx, ["query_id", "neighbor_id"])
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return n_e.crossJoin(n_m).select(
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_3"),
+        "n_exact",
+        "n_matched",
+    )
 
 
 def ann_ivf_multiprobe(spark, sf_dir):
