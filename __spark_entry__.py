@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_gapfill": Q.events_hourly_gapfill,
         "ann_pq_top3": Q.ann_pq_top3,
         "ann_pq_recall": Q.ann_pq_recall,
+        "customers_upsert": Q.customers_upsert,
+        "ann_ivfpq_top3": Q.ann_ivfpq_top3,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
@@ -101,8 +103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "pipeline_curate": Q.pipeline_curate,
         "ann_ivf_recall": Q.ann_ivf_recall,
-        "ann_lsh_dedup": Q.ann_lsh_dedup,
-        "multimodal_audio_windows": Q.multimodal_audio_windows,
         "stream_hourly": Q.stream_hourly,
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_split": Q.pipeline_split,
         "pipeline_scrub_pii": Q.pipeline_scrub_pii,
         "pipeline_repetition": Q.pipeline_repetition,
+        "multimodal_audio_windows": Q.multimodal_audio_windows,
+        "ann_lsh_dedup": Q.ann_lsh_dedup,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q14_promo": Q.tpch_q14_promo,
@@ -557,6 +559,31 @@ FROM purch p JOIN clicks c
  AND c.tus >= p.tus - 3600000000
  AND c.tus <= p.tus
 """,
+        "customers_upsert": """
+-- MERGE semantics stated directly: updated keys replaced wholesale,
+-- untouched keys kept, new key inserted; cents cast AFTER the +100.00
+-- (same double add on both engines)
+WITH up AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal,
+         'UPGRADED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 99999999, 'Customer#new', 0, 123.45, 'UPGRADED'
+),
+m AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM up)
+  UNION ALL
+  SELECT * FROM up
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM m
+GROUP BY c_mktsegment
+""",
         "events_pivot": """
 -- long-to-wide with an explicit value list; COUNT(*) FILTER yields 0
 -- for missing (hour, type) cells, matching the Spark-side coalesce
@@ -980,6 +1007,7 @@ GROUP BY lang
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "ann_pq_top3": PO.ann_pq_topk_sql(),
+        "ann_ivfpq_top3": PO.ann_ivfpq_topk_sql(),
         "ann_pq_recall": f"""
 WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
 approx_q AS ({PO.ann_pq_topk_sql()}),

@@ -522,6 +522,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         lambda: SIM.pq_topk(emb, k=3, codebooks=pq_tr["cb"]).collect(),
     )
     timings["ann_pq_recall_at3_trained"] = _pq_recall(pq_exact, pq_tr["cb"])
+    timed_med("ann_ivfpq_top3", lambda: SIM.ivfpq_topk(emb, k=3).collect())
 
 
 if __name__ == "__main__":

@@ -308,6 +308,54 @@ def test_pq_training_reduces_distortion(spark):
     assert SIM.pq_topk(emb, k=3, codebooks=cb).count() > 0
 
 
+def test_ivfpq_candidates_respect_cells_and_adc(spark):
+    """Every IVFPQ result pair must (a) lie in a cell the query
+    probed (neighbor's home cell ∈ query's probe set), (b) carry
+    EXACTLY the flat-PQ ADC distance for that pair, and (c) be ranked
+    (distance, neighbor) within the query."""
+    import numpy as np
+
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    res = SIM.ivfpq_topk(emb, k=3, n_centroids=8, n_probe=2).collect()
+    assert len(res) > 0
+    assign = SIM.ivf_assignments(emb, 8, n_probe=2).select("id", "cell", "crank")
+    home = {r.id: r.cell for r in assign.filter(F.col("crank") == 1).collect()}
+    probes = {}
+    for r in assign.collect():
+        probes.setdefault(r.id, set()).add(r.cell)
+    # independent flat ADC distances (numpy replay, exact integers)
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    C = SIM._pq_seed_codebooks(emb, SIM.PQ_M, SIM.PQ_KSUB, "vec_id", "embedding")
+    Xs = X.reshape(len(X), len(C), C.shape[2])
+    codes = np.empty((len(X), len(C)), dtype=np.int64)
+    lut = np.empty((len(X), len(C), C.shape[1]), dtype=np.int64)
+    for s in range(len(C)):
+        d2u = SIM._pq_dist_micro(Xs[:, s, :], C[s])
+        codes[:, s] = d2u.argmin(1)
+        lut[:, s, :] = d2u
+    idx = {int(v): i for i, v in enumerate(ids)}
+    by_q = {}
+    for r in res:
+        assert home[r.neighbor_id] in probes[r.query_id]
+        d = int(
+            sum(
+                lut[idx[r.query_id], s, codes[idx[r.neighbor_id], s]]
+                for s in range(len(C))
+            )
+        )
+        assert r.approx_d2_micro == d
+        by_q.setdefault(r.query_id, []).append((r.rank, r.approx_d2_micro, r.neighbor_id))
+    for rows in by_q.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows == sorted(rows, key=lambda t: (t[1], t[2]))
+
+
 def test_pq_encode_rejects_bad_split(spark):
     import pytest as _pytest
 

@@ -301,3 +301,25 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(left, right, "k", how="full")
     with pytest.raises(KeyError):
         salted_join(left, right, "missing")
+
+
+def test_merge_upsert_semantics(spark):
+    """Updated keys replaced wholesale, untouched keys kept verbatim,
+    new keys appended; schema mismatch and missing key rejected."""
+    from xesmf_spark.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    got = {r.k: (r.v, r.x) for r in merge_upsert(base, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        merge_upsert(base, updates.withColumnRenamed("k", "kk"), "k")
+    with _pytest.raises(ValueError):
+        merge_upsert(base, updates.drop("x"), "k")

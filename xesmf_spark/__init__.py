@@ -19,7 +19,7 @@ n-gram-Jaccard dedup, text stats, fingerprints).
 from xesmf_spark.grids import Grid, grid_1d, grid_2d, grid_global, locstream, wave_smooth
 from xesmf_spark.apply import smm_apply
 from xesmf_spark.regridder import Regridder
-from xesmf_spark.relational import asof_join, interval_join
+from xesmf_spark.relational import asof_join, interval_join, merge_upsert, salted_join
 from xesmf_spark.pipeline import (
     assign_split,
     decontaminate,
@@ -47,6 +47,8 @@ __all__ = [
     "Regridder",
     "asof_join",
     "interval_join",
+    "merge_upsert",
+    "salted_join",
     "assign_split",
     "decontaminate",
     "unigram_logprob_score",

@@ -609,13 +609,17 @@ def simhash_pairs(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
     )
+    # verify with the exact Hamming distance BEFORE deduplicating: the
+    # popcount is a cheap map-side projection, and filtering first
+    # shrinks the distinct's shuffle from ALL shared-band candidates
+    # (each pair up to n_bands times) to only the within-radius pairs
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

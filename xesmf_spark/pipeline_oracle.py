@@ -537,17 +537,13 @@ WHERE q.id < p.id
 """
 
 
-def ann_pq_topk_sql(
-    k: int = 3, m: int = 16, ksub: int = 256, dsub: int = 4
-) -> str:
-    """Mirrors similarity.pq_topk (seed codebooks): subvector split,
-    encode-time argmin over micro-floored integer distances (tie to the
-    lower code), ADC = exact BIGINT sum of m lookup-table entries, and
-    the (distance, neighbor) row-number top-k. Every compared or summed
-    value is an exact integer; the pre-floor doubles are sequential
-    left-to-right folds over identical operands on both engines."""
-    return f"""
-WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+def _pq_ctes(m: int, ksub: int, dsub: int) -> str:
+    """CTE chain ``emb/sub/cb/d/enc`` shared by the PQ oracles:
+    subvector split, seed codebooks (vec_id < ksub), micro-floored
+    integer distances ``d`` (doubling as every query's ADC lookup
+    table), and the per-(vector, subspace) argmin encoding ``enc``
+    (tie to the lower code)."""
+    return f"""emb AS (SELECT vec_id, embedding FROM embeddings),
 sub AS (
   SELECT vec_id, CAST(s AS INT) AS s,
          list_transform(embedding[CAST(s * {dsub} + 1 AS INT) : CAST(s * {dsub} + {dsub} AS INT)],
@@ -570,13 +566,75 @@ enc AS (
                               ORDER BY d2u ASC, code ASC) AS rn
     FROM d
   ) WHERE rn = 1
-),
+)"""
+
+
+def ann_pq_topk_sql(
+    k: int = 3, m: int = 16, ksub: int = 256, dsub: int = 4
+) -> str:
+    """Mirrors similarity.pq_topk (seed codebooks): subvector split,
+    encode-time argmin over micro-floored integer distances (tie to the
+    lower code), ADC = exact BIGINT sum of m lookup-table entries, and
+    the (distance, neighbor) row-number top-k. Every compared or summed
+    value is an exact integer; the pre-floor doubles are sequential
+    left-to-right folds over identical operands on both engines."""
+    return f"""
+WITH {_pq_ctes(m, ksub, dsub)},
 adc AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          CAST(SUM(lut.d2u) AS BIGINT) AS approx_d2_micro
   FROM (SELECT vec_id FROM emb) q
   JOIN enc e ON e.vec_id <> q.vec_id
   JOIN d lut ON lut.vec_id = q.vec_id AND lut.s = e.s AND lut.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, approx_d2_micro FROM (
+  SELECT query_id, neighbor_id, approx_d2_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2_micro ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivfpq_topk_sql(
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 16,
+    ksub: int = 256,
+    dsub: int = 4,
+) -> str:
+    """Mirrors similarity.ivfpq_topk — the composed IVF+PQ index: seed
+    IVF cells bound WHICH candidates a query touches (cosine
+    assignment, rounded-6 + cell tie-break, n_probe cells per query);
+    seed PQ codes bound what each candidate COSTS (exact-integer ADC).
+    Each pool vector lives in exactly one cell, so (query, candidate)
+    pairs are unique and the ADC GROUP BY sums exactly m BIGINTs."""
+    cdot = _DOT.format(a="x", b="c")
+    return f"""
+WITH
+{_VEC_CTE},
+cents AS (SELECT id AS cell, v, nrm FROM v WHERE id < {n_centroids}),
+assign AS (
+  SELECT x.id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY x.id
+           ORDER BY ROUND({cdot} / (x.nrm * c.nrm), 6) DESC, c.cell ASC) AS crank
+  FROM v x CROSS JOIN cents c
+),
+pool0 AS (SELECT cell, id FROM assign WHERE crank = 1),
+probes AS (SELECT cell, id FROM assign WHERE crank <= {n_probe}),
+{_pq_ctes(m, ksub, dsub)},
+poolc AS (
+  SELECT p.cell, e.vec_id, e.s, e.code
+  FROM pool0 p JOIN enc e ON e.vec_id = p.id
+),
+adc AS (
+  SELECT q.id AS query_id, pc.vec_id AS neighbor_id,
+         CAST(SUM(lut.d2u) AS BIGINT) AS approx_d2_micro
+  FROM probes q
+  JOIN poolc pc ON pc.cell = q.cell AND pc.vec_id <> q.id
+  JOIN d lut ON lut.vec_id = q.id AND lut.s = pc.s AND lut.code = pc.code
   GROUP BY 1, 2
 )
 SELECT query_id, rank, neighbor_id, approx_d2_micro FROM (

@@ -1736,6 +1736,42 @@ def events_hourly_gapfill(spark, sf_dir):
     )
 
 
+def customers_upsert(spark, sf_dir):
+    """MERGE/upsert simulation (relational.merge_upsert — the CDC
+    apply step every lakehouse pipeline needs on immutable parquet):
+    every 10th customer receives an update row (+100.00 balance, moved
+    to an 'UPGRADED' segment) and one brand-new customer appends; the
+    merged table must contain exactly the updated rows for touched
+    keys, untouched rows otherwise, and the insert. Audited per
+    segment with exact integer-cents sums (the +100.00 addition is the
+    same double op on both engines, cast to cents AFTER)."""
+    from xesmf_spark.relational import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    new_row = spark.createDataFrame(
+        [(99999999, "Customer#new", 0, 123.45, "UPGRADED")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    merged = merge_upsert(
+        cust.select(*new_row.columns),
+        updates.unionByName(new_row),
+        "c_custkey",
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(
+            F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("sum_cents"),
+    )
+
+
 def events_geomean_udaf(spark, sf_dir):
     """The UDAF surface (§2C), exercised honestly: a GROUPED_AGG
     pandas_udf computing the per-type geometric mean — Arrow ships each
@@ -2175,6 +2211,19 @@ def ann_pq_recall(spark, sf_dir):
         "n_exact",
         "n_matched",
     )
+
+
+def ann_ivfpq_top3(spark, sf_dir):
+    """IVF + PQ composed index (similarity.ivfpq_topk) — bounded
+    candidates x compressed scoring, the production billion-vector
+    shape: queries probe 2 of 8 seed cells and score only those cells'
+    4-bit-code candidates with exact-integer ADC. Both bounds (probe
+    fraction, 16x compression) compose; the whole chain is
+    seed-derivable, so the oracle replays assignment, encoding, and
+    ADC end-to-end."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.ivfpq_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
 def ann_ivf_multiprobe(spark, sf_dir):

@@ -252,3 +252,32 @@ def salted_join(
     )
     out = l.join(r, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: str | list[str]
+) -> DataFrame:
+    """Key-level MERGE (upsert) over immutable storage — the
+    "UPDATE or INSERT" primitive parquet lacks (table formats like
+    Delta/Iceberg implement exactly this underneath): every key present
+    in ``updates`` is replaced wholesale by the update row; keys absent
+    from ``updates`` keep their base row; brand-new keys append.
+
+    Plan shape: ONE left-anti equi-join on the key (base rows whose key
+    has an update are dropped) + a union — at scale the anti-join
+    broadcasts when updates are small (the common CDC case), else it
+    is a single keyed shuffle; the union is free (no shuffle). Schemas
+    must match by name (``unionByName``). Multi-row-per-key updates are
+    passed through as-is — dedup upstream if last-writer-wins is
+    needed.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for k in keys:
+        if k not in base.columns or k not in updates.columns:
+            raise KeyError(f"merge key {k!r} missing from one side")
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: base has {sorted(base.columns)}, "
+            f"updates has {sorted(updates.columns)}"
+        )
+    return base.join(updates, keys, "left_anti").unionByName(updates)

@@ -1072,3 +1072,128 @@ def euclid_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "d2", "rank")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF + PQ composed — the production big-index shape (what
+    FAISS-style IVFPQ deploys at billion-vector scale): IVF cells bound
+    WHICH candidates a query touches (``n_probe`` cells, never the
+    whole pool); PQ codes bound what each candidate COSTS (m integer
+    table lookups against a 16x-compressed code, never a float dot
+    product). The two bounds compose multiplicatively: probe_fraction
+    x compression is the end-to-end cost reduction vs brute force.
+
+    Plan shape: pool vectors shuffle ONCE to their single nearest cell
+    carrying only (id, codes); queries replicate to their n_probe
+    cells; ``applyInPandas`` per cell scores the batch with one LUT
+    per query (built from the query's full-precision vector) + integer
+    ADC over the cell's codes, emitting per-cell top-k only — the
+    global rank window then carries O(queries x n_probe x k) rows.
+    Refinement not implemented here (documented trade): classic IVFPQ
+    encodes RESIDUALS (x - centroid) for tighter quantization; this
+    operator encodes raw vectors so the code table is shared with the
+    flat-PQ path and the whole chain stays seed-derivable for the SQL
+    oracle. Same determinism contract as pq_topk: every compared or
+    summed value is an exact micro-floored BIGINT.
+
+    Returns (query_id, rank, neighbor_id, approx_d2_micro). Doubly
+    approximate (cell misses + quantization error) — audit with the
+    recall queries."""
+    import numpy as np
+    import pandas as pd
+
+    C = (
+        np.ascontiguousarray(np.asarray(codebooks, np.float64))
+        if codebooks is not None
+        else _pq_seed_codebooks(df, m, ksub, id_col, vec_col)
+    )
+    dsub = C.shape[2]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    assign = ivf_assignments(
+        df, n_centroids, id_col, vec_col, n_probe=n_probe, centroids=centroids
+    )
+    codes = pq_encode(df, m, ksub, id_col, vec_col, codebooks=C).withColumnRenamed(
+        "id", "cid"
+    )
+    # pool rows carry codes only (the compressed index); probe rows
+    # carry the query's full-precision vector for LUT construction
+    grouped = assign.join(codes, assign["id"] == codes["cid"]).select(
+        "cell", "id", "v", "crank", "codes"
+    )
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "approx_d2_micro": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "approx_d2_micro": "int64"}
+        )
+        pool = pdf[pdf["crank"] == 1]
+        if len(pool) == 0 or len(pdf) == 0:
+            return empty
+        CB = bc.value
+        mm = len(CB)
+        pids = pool["id"].to_numpy(np.int64)
+        order = np.argsort(pids, kind="stable")
+        pids = pids[order]
+        pcodes = np.stack(pool["codes"].to_numpy())[order].astype(np.int64)
+        Q = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        Qs = Q.reshape(len(Q), mm, dsub)
+        qids = pdf["id"].to_numpy(np.int64)
+        lut = np.empty((len(Q), mm, CB.shape[1]), dtype=np.int64)
+        for s in range(mm):
+            lut[:, s, :] = _pq_dist_micro(Qs[:, s, :], CB[s])
+        d2u = np.zeros((len(Q), len(pids)), dtype=np.int64)
+        for s in range(mm):
+            d2u += lut[:, s, pcodes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        kk_target = min(k, len(pids))
+        for i in range(len(Q)):
+            row = d2u[i]
+            ridx = np.nonzero(pids != qids[i])[0]
+            if len(ridx) == 0:
+                continue
+            kk = min(kk_target, len(ridx))
+            rm = row[ridx]
+            kth = (
+                np.partition(rm, kk - 1)[kk - 1]
+                if len(rm) > kk
+                else np.iinfo(np.int64).max
+            )
+            cand = ridx[rm <= kth]
+            best = cand[np.lexsort((pids[cand], row[cand]))[:kk]]
+            out_q.append(np.full(len(best), qids[i]))
+            out_n.append(pids[best])
+            out_d.append(row[best])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "approx_d2_micro": np.concatenate(out_d),
+            }
+        )
+
+    cand = grouped.groupBy("cell").applyInPandas(
+        score, "query_id long, neighbor_id long, approx_d2_micro long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_d2_micro")
+    )
