@@ -523,6 +523,17 @@ def _run_workloads(spark, sf_dir, timings, timed):
     )
     timings["ann_pq_recall_at3_trained"] = _pq_recall(pq_exact, pq_tr["cb"])
     timed_med("ann_ivfpq_top3", lambda: SIM.ivfpq_topk(emb, k=3).collect())
+    timings["ann_ivfpq_recall_at3"] = round(
+        len(
+            pq_exact
+            & {
+                (r.query_id, r.neighbor_id)
+                for r in SIM.ivfpq_topk(emb, k=3).collect()
+            }
+        )
+        / len(pq_exact),
+        6,
+    )
 
 
 if __name__ == "__main__":

@@ -99,6 +99,30 @@ def test_simhash_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_q20_q21_scan_lineitem_once(spark):
+    """The window-decorrelated q20/q21 must read the fact table ONCE:
+    their correlated totals come from window aggregates over the single
+    filtered scan, not a second scan + self-join (the regression this
+    guards: two scans double the 100-TB I/O)."""
+    import __spark_entry__ as E
+
+    for name in ("tpch_q20_excess_shippers", "tpch_q21_waiting_suppliers"):
+        plan = _plan(E.queries()[name](spark, SF))
+        n_li = plan.count("lineitem.parquet")
+        assert n_li == 1, f"{name}: lineitem scanned {n_li}x\n{plan}"
+
+
+def test_merge_upsert_broadcasts_small_updates(spark):
+    """The CDC shape: a small updates side must plan as a broadcast
+    anti-join against base — no shuffle of the big side."""
+    from xesmf_spark.relational import merge_upsert
+
+    base = spark.read.parquet(f"{SF}/customer.parquet")
+    updates = base.limit(5)
+    plan = _plan(merge_upsert(base, updates, "c_custkey"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_smm_apply_broadcasts_small_weights(spark):
     """The core apply: a small weight table must broadcast against the
     field (one shuffle-free join), not sort-merge."""

@@ -1104,8 +1104,13 @@ def ivfpq_topk(
     encodes RESIDUALS (x - centroid) for tighter quantization; this
     operator encodes raw vectors so the code table is shared with the
     flat-PQ path and the whole chain stays seed-derivable for the SQL
-    oracle. Same determinism contract as pq_topk: every compared or
-    summed value is an exact micro-floored BIGINT.
+    oracle. Measured on this corpus (sf0.01, numpy replay): residual
+    encoding lifts recall@3 only 0.357 -> 0.367 — near-random synthetic
+    embeddings give centroids little signal to subtract — so the
+    shared-code-table simplicity wins here; on clustered real
+    embeddings revisit residuals first. Same determinism contract as
+    pq_topk: every compared or summed value is an exact micro-floored
+    BIGINT.
 
     Returns (query_id, rank, neighbor_id, approx_d2_micro). Doubly
     approximate (cell misses + quantization error) — audit with the
