@@ -293,3 +293,21 @@ def test_bucketed_weights_skip_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS w_bucketed_test")
     rg.clean_weight_file()
+
+
+def test_driver_entry_contract(spark):
+    """The driver smoke-runs entry(spark) and requires a stable schema
+    with >= 0 rows; every queries() key must have a callable, and
+    oracle_sql() must cover every key (the repo's stated bar: no
+    rows-only checks)."""
+    import __spark_entry__ as E
+
+    out = E.entry(spark)
+    assert out.columns == ["cell_id", "lon", "lat", "value"]
+    assert out.count() > 0
+    q = E.queries()
+    o = E.oracle_sql()
+    assert len(q) >= 97
+    missing = [n for n in q if n not in o]
+    assert missing == [], f"queries without oracles: {missing}"
+    assert all(callable(f) for f in q.values())
