@@ -902,3 +902,27 @@ def test_quality_tiers_approx_validates(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc_id long, q double")
     with pytest.raises(ValueError):
         PL.quality_tiers_approx(df, q_col="q", n_tiers=1)
+
+
+def test_unigram_logprob_degenerate_docs(spark):
+    """Single-doc corpus: every token of the only doc has P=count/total,
+    and an empty text tokenizes to the one '' token with P=1 -> score
+    exactly 0 (the ln(1) fixed point, no NULL/NaN leak)."""
+    one = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+    row = PL.unigram_logprob_score(one).collect()[0]
+    assert (row.n_tokens, row.sum_lp_micro, row.avg_logprob) == (1, 0, 0.0)
+
+    rep = spark.createDataFrame([(1, "a a a a")], ["doc_id", "text"])
+    row = PL.unigram_logprob_score(rep).collect()[0]
+    assert row.n_tokens == 4 and row.sum_lp_micro == 0  # P(a) = 1
+
+def test_decontaminate_no_eval_overlap_empty(spark):
+    """Disjoint eval set -> zero contaminated rows (no spurious joins
+    through the short-doc whole-text convention)."""
+    train = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], ["doc_id", "text"]
+    )
+    eval_df = spark.createDataFrame(
+        [(9, " ".join(f"z{i}" for i in range(30)))], ["doc_id", "text"]
+    )
+    assert PL.decontaminate(train, eval_df, n=13).count() == 0

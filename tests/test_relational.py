@@ -323,3 +323,15 @@ def test_merge_upsert_semantics(spark):
         merge_upsert(base, updates.withColumnRenamed("k", "kk"), "k")
     with _pytest.raises(ValueError):
         merge_upsert(base, updates.drop("x"), "k")
+
+
+def test_merge_upsert_composite_key(spark):
+    """Composite-key upserts replace only exact key matches."""
+    from xesmf_spark.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0)], "a long, b string, v double"
+    )
+    updates = spark.createDataFrame([(1, "y", 99.0)], "a long, b string, v double")
+    got = {(r.a, r.b): r.v for r in merge_upsert(base, updates, ["a", "b"]).collect()}
+    assert got == {(1, "x"): 10.0, (1, "y"): 99.0, (2, "x"): 30.0}
