@@ -94,13 +94,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": Q.ann_pq_recall,
         "customers_upsert": Q.customers_upsert,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
+        "events_continuous_rollup": Q.events_continuous_rollup,
+        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_props_stats": Q.events_props_stats,
-        "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "pipeline_curate": Q.pipeline_curate,
         "ann_ivf_recall": Q.ann_ivf_recall,
         "stream_hourly": Q.stream_hourly,
@@ -110,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
-        "ann_ivf_top3": Q.ann_ivf_top3,
         # --- rotation tail: >= 2 lifetime greens, code untouched, OR
         # single-green bumped by the 5 new-in-r7 TPC-H shapes (new
         # queries with ZERO driver greens outrank second-greens for the
@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_split": Q.pipeline_split,
         "pipeline_scrub_pii": Q.pipeline_scrub_pii,
         "pipeline_repetition": Q.pipeline_repetition,
+        "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "multimodal_audio_windows": Q.multimodal_audio_windows,
         "ann_lsh_dedup": Q.ann_lsh_dedup,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_freq": Q.pipeline_token_freq,
         "pipeline_chunks": Q.pipeline_chunks,
         "ann_cosine_top3": Q.ann_cosine_top3,
+        "ann_ivf_top3": Q.ann_ivf_top3,
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "knn_top3": Q.knn_top3,
         "multimodal_features": Q.multimodal_features,
@@ -558,6 +560,19 @@ FROM purch p JOIN clicks c
   ON p.user_id = c.user_id
  AND c.tus >= p.tus - 3600000000
  AND c.tus <= p.tus
+""",
+        "events_continuous_rollup": """
+-- the continuous-aggregate invariant: the oracle aggregates everything
+-- FROM SCRATCH; the engine refreshes incrementally (two partial states
+-- merged) — the hash-compare proves incremental == full recompute.
+-- Exact integer partials (count + cents), one final division.
+SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
 """,
         "customers_upsert": """
 -- MERGE semantics stated directly: updated keys replaced wholesale,
@@ -986,6 +1001,39 @@ SELECT doc_id,
        len(ct) AS n_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM ch
+""",
+        "pipeline_pack_contexts": r"""
+-- concat-and-chop packing replayed from first principles: same
+-- md5-derived shard + order, same running-offset window, same
+-- spanned-context explode. Every output column is an integer count.
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+  FROM documents
+  WHERE text IS NOT NULL
+),
+c AS (
+  SELECT shard, doc_id, n,
+         -- windowed SUM(BIGINT) is HUGEINT in DuckDB: cast back
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS cum
+  FROM base
+),
+x AS (
+  SELECT shard, doc_id, n, cum,
+         unnest(generate_series(cum // 64, (cum + n - 1) // 64)) AS ctx
+  FROM c
+)
+SELECT shard,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(MAX(ctx) + 1 AS BIGINT) AS n_contexts,
+       CAST(SUM(least((ctx + 1) * 64, cum + n) - greatest(ctx * 64, cum)) AS BIGINT)
+         AS packed_tokens,
+       COUNT(*) - COUNT(DISTINCT doc_id) AS span_crossings
+FROM x
+GROUP BY shard
 """,
         "ann_cosine_top3": PO.ann_cosine_topk_sql(),
         "ann_ivf_top3": PO.ann_ivf_topk_sql(),

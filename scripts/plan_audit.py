@@ -75,6 +75,11 @@ ALLOW = {
     # the dense grid is generated-axis x distinct-types — both bounded
     # by construction (span hours / type cardinality), never fact-volume
     "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},
+    # the delta-split midpoint is a 1-row (min+max)/2 scalar broadcast
+    # crossed onto the events scan; in production the split is a
+    # partition boundary, not a computed scalar — the cross exists only
+    # so the test derives the split from the data itself
+    "events_continuous_rollup": {"BroadcastNestedLoopJoin"},
     **{q: {"BroadcastNestedLoopJoin"} for q in _REGRID_AXIS_BNLJ},
 }
 

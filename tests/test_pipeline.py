@@ -926,3 +926,60 @@ def test_decontaminate_no_eval_overlap_empty(spark):
         [(9, " ".join(f"z{i}" for i in range(30)))], ["doc_id", "text"]
     )
     assert PL.decontaminate(train, eval_df, n=13).count() == 0
+
+
+def test_pack_contexts_conservation_and_spans(spark):
+    """Concat-and-chop invariants: (1) per-shard token conservation —
+    the per-context slices partition each doc's tokens exactly; (2) a
+    doc spans ceil boundaries correctly (single-token docs never span);
+    (3) contexts are dense 0..max within a shard; (4) deterministic
+    across re-runs. One shard forces a known layout."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(1 + (i * 7) % 23))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = PL.pack_contexts(docs, capacity=16, n_shards=1).collect()
+    n_by_doc = {}
+    for r in out:
+        assert r.shard == 0
+        assert 1 <= r.tokens_in_ctx <= 16
+        n_by_doc.setdefault(r.doc_id, []).append((r.ctx, r.tokens_in_ctx))
+    # conservation: slices sum to the doc's own token count
+    doc_n = {r.doc_id: r.n_tokens for r in out}
+    for d, parts in n_by_doc.items():
+        assert sum(p for _, p in parts) == doc_n[d]
+        ctxs = sorted(c for c, _ in parts)
+        assert ctxs == list(range(ctxs[0], ctxs[-1] + 1))  # contiguous span
+    # global: every context except possibly the last is exactly full
+    total = sum(doc_n.values())
+    per_ctx = {}
+    for r in out:
+        per_ctx[r.ctx] = per_ctx.get(r.ctx, 0) + r.tokens_in_ctx
+    assert sorted(per_ctx) == list(range(len(per_ctx)))
+    for c, tok in per_ctx.items():
+        assert tok == 16 or c == max(per_ctx)
+    assert sum(per_ctx.values()) == total
+    # determinism
+    again = PL.pack_contexts(docs, capacity=16, n_shards=1).collect()
+    key = lambda r: (r.shard, r.ctx, r.doc_id, r.n_tokens, r.tokens_in_ctx)
+    assert sorted(map(key, again)) == sorted(map(key, out))
+
+
+def test_pack_contexts_sharding_and_validation(spark):
+    """Multi-shard: every doc lands in exactly one shard, offsets are
+    per-shard (each shard restarts at context 0), NULL text is dropped,
+    and bad parameters are rejected loudly."""
+    rows = [(i, "a b c") for i in range(30)] + [(99, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = PL.pack_contexts(docs, capacity=4, n_shards=4).collect()
+    assert {r.doc_id for r in out} == set(range(30))  # NULL dropped
+    shards = {r.shard for r in out}
+    assert shards <= set(range(4)) and len(shards) > 1
+    for s in shards:
+        assert min(r.ctx for r in out if r.shard == s) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PL.pack_contexts(docs, capacity=0)
+    with _pytest.raises(ValueError):
+        PL.pack_contexts(docs, capacity=4, n_shards=0)

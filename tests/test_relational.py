@@ -335,3 +335,35 @@ def test_merge_upsert_composite_key(spark):
     updates = spark.createDataFrame([(1, "y", 99.0)], "a long, b string, v double")
     got = {(r.a, r.b): r.v for r in merge_upsert(base, updates, ["a", "b"]).collect()}
     assert got == {(1, "x"): 10.0, (1, "y"): 99.0, (2, "x"): 30.0}
+
+
+def test_continuous_rollup_matches_from_scratch(spark):
+    """The continuous-aggregate invariant: splitting a stream into N
+    arbitrary deltas, partial-aggregating each, and merging must equal
+    the from-scratch rollup exactly (integer partials — no tolerance).
+    Schema mismatch and single-state merges are rejected."""
+    from pyspark.sql import functions as F
+
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    ev = spark.createDataFrame(
+        [(i, 1_000_000 * (i % 7), f"t{i % 3}", i * 10) for i in range(200)],
+        "event_id long, ts long, event_type string, cents long",
+    )
+    aggs = {"n": F.count(F.lit(1)), "sum_cents": F.sum("cents")}
+    full = rollup_delta(ev, 2_000_000, ["event_type"], agg_exprs=aggs)
+    parts = [
+        rollup_delta(ev.filter(F.col("event_id") % 3 == r), 2_000_000,
+                     ["event_type"], agg_exprs=aggs)
+        for r in range(3)
+    ]
+    merged = merge_rollups(*parts)
+    key = lambda r: (r.bucket, r.event_type, r.n, r.sum_cents)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_rollups(full)
+    with _pytest.raises(ValueError):
+        merge_rollups(full, full.withColumnRenamed("n", "m"))

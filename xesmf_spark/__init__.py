@@ -19,10 +19,18 @@ n-gram-Jaccard dedup, text stats, fingerprints).
 from xesmf_spark.grids import Grid, grid_1d, grid_2d, grid_global, locstream, wave_smooth
 from xesmf_spark.apply import smm_apply
 from xesmf_spark.regridder import Regridder
-from xesmf_spark.relational import asof_join, interval_join, merge_upsert, salted_join
+from xesmf_spark.relational import (
+    asof_join,
+    interval_join,
+    merge_rollups,
+    merge_upsert,
+    rollup_delta,
+    salted_join,
+)
 from xesmf_spark.pipeline import (
     assign_split,
     decontaminate,
+    pack_contexts,
     dedup_groups,
     deterministic_sample,
     exact_dedup,
@@ -47,10 +55,13 @@ __all__ = [
     "Regridder",
     "asof_join",
     "interval_join",
+    "merge_rollups",
     "merge_upsert",
+    "rollup_delta",
     "salted_join",
     "assign_split",
     "decontaminate",
+    "pack_contexts",
     "unigram_logprob_score",
     "deterministic_sample",
     "dedup_groups",

@@ -32,7 +32,7 @@ Scale notes (the 100-TB shapes):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: modulus keeping all hash arithmetic < 2^60 (ANSI-safe in both engines)
@@ -1050,6 +1050,67 @@ def chunk_tokens(
         "chunk_idx",
         F.size(ct).alias("n_tokens"),
         F.concat_ws(" ", ct).alias("chunk_text"),
+    )
+
+
+def pack_contexts(
+    df: DataFrame,
+    capacity: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chop context packing — how LLM training actually fills
+    fixed-length contexts: within each shard, documents are laid end to
+    end in a deterministic order and the token stream is chopped into
+    consecutive ``capacity``-token contexts; a document whose tokens
+    straddle a chop point spans two (or more) contexts. One output row
+    per (document, context) incidence with the token count that lands in
+    that context — the map a packed-attention loader needs to mask
+    cross-document attention.
+
+    Determinism: shard = 60-bit md5 of the id mod ``n_shards``; order
+    within a shard is the md5 hex of the id (id as tiebreak) — both are
+    engine-portable, so the layout is reproducible run-to-run and
+    machine-to-machine (a requirement for resumable training jobs).
+
+    Scale shape: packing is embarrassingly parallel per shard — ONE
+    window pass partitioned by shard (the running token offset), then a
+    map-side explode over the spanned-context range. No global sort:
+    the widest window partition is corpus/n_shards, and n_shards scales
+    with the cluster. Aggregates over the output stay integer-exact
+    (token counts).
+    """
+    if capacity < 1 or n_shards < 1:
+        raise ValueError(f"need capacity >= 1 and n_shards >= 1, got {capacity}, {n_shards}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n"),
+        (wide_hash(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+        F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")).alias("ord_key"),
+    )
+    # split() of any non-NULL string yields >= 1 token; the filter drops
+    # only NULL-text rows (size() = -1), which would otherwise corrupt
+    # the running offset — mirrored in the oracle (len(NULL) IS NULL).
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    c = base.filter(F.col("n") >= 1).withColumn(
+        "cum", F.sum("n").over(w) - F.col("n")
+    )
+    ex = c.withColumn(
+        "ctx",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum DIV {capacity}"),
+                F.expr(f"(cum + n - 1) DIV {capacity}"),
+            )
+        ),
+    )
+    tok_in = F.least(
+        (F.col("ctx") + 1) * capacity, F.col("cum") + F.col("n")
+    ) - F.greatest(F.col("ctx") * capacity, F.col("cum"))
+    return ex.select(
+        "shard", "ctx", "doc_id", F.col("n").alias("n_tokens"),
+        tok_in.alias("tokens_in_ctx"),
     )
 
 

@@ -1620,6 +1620,27 @@ def pipeline_chunks(spark, sf_dir):
     return chunk_tokens(_docs(spark, sf_dir))
 
 
+def pipeline_pack_contexts(spark, sf_dir):
+    """Concat-and-chop context packing (pipeline.pack_contexts): the
+    corpus token stream is laid out deterministically within 8 shards
+    and chopped into 64-token training contexts; the per-shard audit
+    proves the layout end-to-end — document count, context count,
+    packed-token conservation (sum of per-context slices == sum of doc
+    token counts), and how many (doc, context) incidences cross a chop
+    boundary. All columns are integer-exact counts, so the hash compare
+    is deterministic. One window pass per shard + a map-side explode —
+    no global sort (the 100-TB layout shape)."""
+    from xesmf_spark.pipeline import pack_contexts
+
+    packed = pack_contexts(_docs(spark, sf_dir), capacity=64, n_shards=8)
+    return packed.groupBy("shard").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.max("ctx") + 1).alias("n_contexts"),
+        F.sum("tokens_in_ctx").alias("packed_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("span_crossings"),
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
@@ -1769,6 +1790,46 @@ def customers_upsert(spark, sf_dir):
         F.sum(
             F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
         ).alias("sum_cents"),
+    )
+
+
+def events_continuous_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (relational.rollup_delta +
+    merge_rollups): the hourly rollup is refreshed INCREMENTALLY — the
+    stream is split at its midpoint, each half partial-aggregated
+    separately, and the two states merged by summing partials. The
+    oracle is the from-scratch aggregation of everything, so the
+    hash-compare proves the continuous-aggregate invariant
+    (incremental refresh == full recompute) exactly. All partials are
+    exact integers (count + cents), so merge order cannot drift; the
+    final division to dollars is the only double. At 100 TB/day the
+    refresh aggregates ONLY the new partition and merges against
+    rollup-sized state."""
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    HOUR_NS = 3_600_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min("ts") + F.max("ts")) / 2).cast("long").alias("mid")
+    )
+    evb = ev.join(F.broadcast(mid))
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "sum_cents": F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ),
+    }
+    old = rollup_delta(
+        evb.filter(F.col("ts") < F.col("mid")), HOUR_NS, ["event_type"], agg_exprs=aggs
+    )
+    new = rollup_delta(
+        evb.filter(F.col("ts") >= F.col("mid")), HOUR_NS, ["event_type"], agg_exprs=aggs
+    )
+    return merge_rollups(old, new).select(
+        F.col("bucket").alias("epoch_hour"),
+        "event_type",
+        "n",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
     )
 
 

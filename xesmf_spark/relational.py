@@ -281,3 +281,66 @@ def merge_upsert(
             f"updates has {sorted(updates.columns)}"
         )
     return base.join(updates, keys, "left_anti").unionByName(updates)
+
+
+def rollup_delta(
+    events: DataFrame,
+    bucket_ns: int,
+    keys: list[str],
+    ts_col: str = "ts",
+    agg_exprs: dict | None = None,
+) -> DataFrame:
+    """Partial (MERGEABLE) rollup of one delta batch — the building
+    block of a continuous aggregate (TimescaleDB-style hypertable
+    rollup): time is bucketized into the group key and every aggregate
+    is a monoid (count, sum) whose partials merge exactly, so a
+    materialized rollup refreshes by aggregating ONLY new data and
+    merging (:func:`merge_rollups`) — never rescanning history.
+
+    ``agg_exprs`` maps output column -> aggregate Column; default is
+    ``n`` (count). Keep every aggregate mergeable: count/sum/min/max
+    merge by themselves, avg must be carried as (sum, count) parts —
+    derive the ratio at read time."""
+    if agg_exprs is None:
+        from pyspark.sql import functions as _F
+
+        agg_exprs = {"n": _F.count(_F.lit(1))}
+    # integral DIV, not divide-then-cast (which truncates toward zero
+    # and mis-buckets negative timestamps)
+    bucket = F.expr(f"{ts_col} DIV {bucket_ns}")
+    return events.groupBy(bucket.alias("bucket"), *keys).agg(
+        *[c.alias(name) for name, c in agg_exprs.items()]
+    )
+
+
+def merge_rollups(*states: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge partial rollup states: union + one re-aggregation summing
+    every non-key column (all columns beyond the group keys must be
+    sum-mergeable partials). ``keys`` defaults to ``["bucket"]`` plus
+    every string-typed column (the rollup_delta convention); pass it
+    explicitly when a group key is numeric. The merge touches only
+    STATE rows — O(buckets x keys), independent of raw event volume —
+    which is the entire point of a continuous aggregate at 100 TB/day:
+    the refresh cost tracks the delta, the merge cost tracks the
+    rollup's own (small) cardinality."""
+    if len(states) < 2:
+        raise ValueError("merge_rollups needs at least two states")
+    cols = states[0].columns
+    for s in states[1:]:
+        if s.columns != cols:
+            raise ValueError(f"state schema mismatch: {cols} vs {s.columns}")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    if keys is None:
+        from pyspark.sql import types as T
+
+        keys = [
+            f.name
+            for f in u.schema.fields
+            if f.name == "bucket" or isinstance(f.dataType, T.StringType)
+        ]
+    agg_cols = [c for c in cols if c not in keys]
+    if not agg_cols:
+        raise ValueError("no aggregate partial columns to merge")
+    return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in agg_cols])
