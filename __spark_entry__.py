@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
         "events_continuous_rollup": Q.events_continuous_rollup,
         "pipeline_pack_contexts": Q.pipeline_pack_contexts,
+        "stream_rollup": Q.stream_rollup,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
@@ -109,7 +110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": Q.stream_dedup,
         # (d) single-green r5 — rotated back in
 
-        "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
         # --- rotation tail: >= 2 lifetime greens, code untouched, OR
         # single-green bumped by the 5 new-in-r7 TPC-H shapes (new
@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 window slots; the bumped five are re-verified in this
         # round's committed CORRECTNESS_FULL record) ---
         "tpch_q10_returned": Q.tpch_q10_returned,
+        "orders_rank_in_customer": Q.orders_rank_in_customer,
         "events_cube": Q.events_cube,
         "events_percentiles": Q.events_percentiles,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
@@ -566,6 +567,20 @@ FROM purch p JOIN clicks c
 -- FROM SCRATCH; the engine refreshes incrementally (two partial states
 -- merged) — the hash-compare proves incremental == full recompute.
 -- Exact integer partials (count + cents), one final division.
+SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "stream_rollup": """
+-- the STREAMING form of the continuous-aggregate invariant: the engine
+-- maintained the rollup across 4 checkpointed micro-batches
+-- (foreachBatch partial-agg + merge into versioned parquet state); the
+-- oracle aggregates everything from scratch — the hash-compare proves
+-- N-batch streaming maintenance == batch recompute exactly.
 SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
        event_type,
        COUNT(*) AS n,

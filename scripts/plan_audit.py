@@ -28,7 +28,7 @@ SF = "/root/testdata/sf0.001"
 
 #: queries whose construction executes a streaming job
 SKIP = {"stream_hourly", "stream_sessionize", "stream_dedup", "stream_regrid",
-        "stream_interval_join"}
+        "stream_interval_join", "stream_rollup"}
 
 #: red flags that are deliberate & bounded where they appear.
 #: BroadcastNestedLoopJoin is allowlisted ONLY where its broadcast side

@@ -367,3 +367,34 @@ def test_continuous_rollup_matches_from_scratch(spark):
         merge_rollups(full)
     with _pytest.raises(ValueError):
         merge_rollups(full, full.withColumnRenamed("n", "m"))
+
+
+def test_merge_rollups_min_max_partials(spark):
+    """min/max partials merge with their own monoid: splitting the rows
+    arbitrarily and merging must reproduce the from-scratch min/max/sum;
+    unknown merge fns and non-partial columns are rejected."""
+    from pyspark.sql import functions as F
+
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    ev = spark.createDataFrame(
+        [(1_000_000 * (i % 5), f"t{i % 2}", (i * 37) % 101) for i in range(100)],
+        "ts long, event_type string, v long",
+    )
+    aggs = {"lo": F.min("v"), "hi": F.max("v"), "s": F.sum("v")}
+    full = rollup_delta(ev, 2_000_000, ["event_type"], agg_exprs=aggs)
+    parts = [
+        rollup_delta(ev.filter(F.col("v") % 3 == r), 2_000_000,
+                     ["event_type"], agg_exprs=aggs)
+        for r in range(3)
+    ]
+    merged = merge_rollups(*parts, merge={"lo": "min", "hi": "max"})
+    key = lambda r: (r.bucket, r.event_type, r.lo, r.hi, r.s)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_rollups(full, full, merge={"lo": "median"})
+    with _pytest.raises(ValueError):
+        merge_rollups(full, full, merge={"bucket": "min"})

@@ -232,3 +232,37 @@ def test_dedup_stream_matches_batch_digests(spark, tmp_path):
     assert all(got[key] in members for key, members in groups.items())
     # the 20 planted digests really had 2 members (the dedup did work)
     assert sum(1 for m in groups.values() if len(m) == 2) == 20
+
+
+def test_rollup_stream_matches_batch(spark, tmp_path):
+    """Streaming continuous-aggregate maintenance: N single-file
+    micro-batches partial-aggregated and merged into versioned parquet
+    state must equal the from-scratch batch rollup EXACTLY (integer
+    partials), and stale state versions must be pruned to the last 2."""
+    import os
+
+    from xesmf_spark.relational import rollup_delta
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from xesmf_spark.tables import normalize_events
+
+    ev_batch = normalize_events(spark.read.parquet(EVENTS))
+    # stage 3 ts-range slabs -> 3 real micro-batches
+    src_dir = tmp_path / "events_split"
+    ev_batch.repartitionByRange(3, "ts").write.parquet(str(src_dir))
+    stream = ST.events_stream(spark, str(src_dir), max_files=1)
+
+    HOUR_NS = 3_600_000_000_000
+    aggs = {"n": F.count(F.lit(1)), "sum_cents": F.sum(F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))}
+    state_dir = str(tmp_path / "rollup_state")
+    final = ST.rollup_stream(
+        stream, state_dir, HOUR_NS, ["event_type"], aggs,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
+    key = lambda r: (r.bucket, r.event_type, r.n, r.sum_cents)
+    assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))
+    # version pruning: at most the last two state versions survive
+    versions = [e for e in os.listdir(state_dir) if e.startswith("v")]
+    assert 1 <= len(versions) <= 2

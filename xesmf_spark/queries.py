@@ -2390,6 +2390,75 @@ def _stage_stream_dir(spark, sf_dir, table="events"):
     return d
 
 
+def _stage_split_stream_dir(spark, sf_dir, n_parts=4, table="events"):
+    """Stage the single-file table as ``n_parts`` ts-range-split parquet
+    files so an availableNow run with maxFilesPerTrigger=1 sequences
+    REAL multi-batch progress (each micro-batch a contiguous time slab).
+    Same staleness guard as _stage_stream_dir: a marker records the
+    source's size+mtime and the split is rebuilt when they change."""
+    import json
+    import os
+    import shutil
+
+    src = f"{sf_dir}/{table}.parquet"
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    d = f"/tmp/xesmf_stream_split_{table}_{tag}_{n_parts}"
+    marker = os.path.join(d, ".staged.json")
+    st = os.stat(src)
+    want = {"size": st.st_size, "mtime": st.st_mtime}
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            if json.load(f) == want:
+                return os.path.join(d, "data")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(src)
+    df.repartitionByRange(n_parts, "ts").write.mode("overwrite").parquet(
+        os.path.join(d, "data")
+    )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return os.path.join(d, "data")
+
+
+def stream_rollup(spark, sf_dir):
+    """STREAMING continuous-aggregate maintenance
+    (streaming.rollup_stream): events arrive as 4 time-slab
+    micro-batches (maxFilesPerTrigger=1 over a ts-range-split staging
+    dir); each batch is partial-aggregated (relational.rollup_delta)
+    and merged into the persistent versioned rollup state
+    (relational.merge_rollups) inside foreachBatch — the production
+    refresh loop of a hypertable continuous aggregate, driven by the
+    real streaming engine with checkpointed batch sequencing. The
+    oracle aggregates ALL events from scratch, so the FULL value oracle
+    proves 4-batch incremental maintenance == batch recompute exactly
+    (count + cents integer partials; the only double is the final
+    division to dollars)."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    HOUR_NS = 3_600_000_000_000
+    d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
+    run = uuid.uuid4().hex[:8]
+    state_dir = f"/tmp/xesmf_rollup_state_{run}"
+    ev = ST.events_stream(spark, d, max_files=1)
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "sum_cents": F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ),
+    }
+    final = ST.rollup_stream(ev, state_dir, HOUR_NS, ["event_type"], aggs)
+    return final.select(
+        F.col("bucket").alias("epoch_hour"),
+        "event_type",
+        "n",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
 def stream_hourly(spark, sf_dir):
     """Structured Streaming tumbling-window aggregate (watermarked,
     append mode) driven to completion with availableNow, PLUS the

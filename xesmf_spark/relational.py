@@ -313,16 +313,27 @@ def rollup_delta(
     )
 
 
-def merge_rollups(*states: DataFrame, keys: list[str] | None = None) -> DataFrame:
-    """Merge partial rollup states: union + one re-aggregation summing
-    every non-key column (all columns beyond the group keys must be
-    sum-mergeable partials). ``keys`` defaults to ``["bucket"]`` plus
-    every string-typed column (the rollup_delta convention); pass it
-    explicitly when a group key is numeric. The merge touches only
-    STATE rows — O(buckets x keys), independent of raw event volume —
-    which is the entire point of a continuous aggregate at 100 TB/day:
-    the refresh cost tracks the delta, the merge cost tracks the
-    rollup's own (small) cardinality."""
+#: merge functions usable per partial column (each is a monoid whose
+#: merge over partials equals the aggregate over raw rows)
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_rollups(
+    *states: DataFrame,
+    keys: list[str] | None = None,
+    merge: dict[str, str] | None = None,
+) -> DataFrame:
+    """Merge partial rollup states: union + one re-aggregation of every
+    non-key column with its merge monoid — ``sum`` by default, or
+    ``min``/``max`` per column via ``merge`` (e.g. ``{"lo": "min",
+    "hi": "max"}``); count merges as sum, avg must be carried as
+    (sum, count) partials and divided at read time. ``keys`` defaults
+    to ``["bucket"]`` plus every string-typed column (the rollup_delta
+    convention); pass it explicitly when a group key is numeric. The
+    merge touches only STATE rows — O(buckets x keys), independent of
+    raw event volume — which is the entire point of a continuous
+    aggregate at 100 TB/day: the refresh cost tracks the delta, the
+    merge cost tracks the rollup's own (small) cardinality."""
     if len(states) < 2:
         raise ValueError("merge_rollups needs at least two states")
     cols = states[0].columns
@@ -343,4 +354,12 @@ def merge_rollups(*states: DataFrame, keys: list[str] | None = None) -> DataFram
     agg_cols = [c for c in cols if c not in keys]
     if not agg_cols:
         raise ValueError("no aggregate partial columns to merge")
-    return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in agg_cols])
+    merge = merge or {}
+    bad = {c: m for c, m in merge.items() if m not in _MERGE_FNS or c not in agg_cols}
+    if bad:
+        raise ValueError(
+            f"merge must map partial columns to one of {sorted(_MERGE_FNS)}, got {bad}"
+        )
+    return u.groupBy(*keys).agg(
+        *[_MERGE_FNS[merge.get(c, "sum")](c).alias(c) for c in agg_cols]
+    )

@@ -306,6 +306,93 @@ def run_to_memory(
     return spark.table(query_name)
 
 
+def latest_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the newest rollup-state version under ``state_dir`` (written
+    by :func:`rollup_stream`), or None if no state exists yet."""
+    import re
+
+    if not os.path.isdir(state_dir):
+        return None
+    vs = [e for e in os.listdir(state_dir) if re.fullmatch(r"v\d+", e)]
+    if not vs:
+        return None
+    latest = max(vs, key=lambda e: int(e[1:]))
+    return spark.read.parquet(os.path.join(state_dir, latest))
+
+
+def rollup_stream(
+    events: DataFrame,
+    state_dir: str,
+    bucket_ns: int,
+    keys: Sequence[str],
+    agg_exprs: dict,
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """STREAMING continuous-aggregate maintenance — the refresh loop of
+    a hypertable rollup under Structured Streaming: every micro-batch is
+    partial-aggregated (``relational.rollup_delta``) and merged into the
+    persistent rollup state (``relational.merge_rollups``) inside
+    ``foreachBatch``, then the state is re-published as a new immutable
+    version directory. Drives the stream to completion (availableNow)
+    and returns the FINAL state as a batch DataFrame.
+
+    Why foreachBatch and not a built-in streaming agg: the rollup must
+    live OUTSIDE the stream (queryable by anyone, survivable across
+    stream restarts via the checkpoint), and its merge must stay exact —
+    all ``agg_exprs`` must be sum-mergeable integer partials, so
+    N-batch maintenance is bit-identical to a from-scratch batch
+    aggregate regardless of how the input was sliced into batches.
+
+    Scale/safety shape: each refresh aggregates ONLY the new batch and
+    merges against rollup-sized state (O(buckets x keys), never event
+    volume). State versions are immutable dirs ``v{batch_id}``; the last
+    two are retained (a retried batch after a partial write can rebuild
+    from the previous version — the poor-man's transaction; production
+    would use a transactional table format) and older versions pruned.
+    """
+    import shutil
+
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        delta = rollup_delta(
+            batch_df, bucket_ns, list(keys), ts_col=ts_col, agg_exprs=dict(agg_exprs)
+        )
+        prev = latest_rollup_state(batch_df.sparkSession, state_dir)
+        merged = merge_rollups(prev, delta) if prev is not None else delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id:09d}")
+        )
+        import re
+
+        vs = sorted(
+            (e for e in os.listdir(state_dir) if re.fullmatch(r"v\d+", e)),
+            key=lambda e: int(e[1:]),
+        )
+        for stale in vs[:-2]:
+            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+    q = (
+        events.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir or state_dir + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"rollup_stream did not finish within {timeout_sec}s "
+            "(availableNow run incomplete)"
+        )
+    final = latest_rollup_state(events.sparkSession, state_dir)
+    if final is None:
+        raise RuntimeError(f"rollup_stream produced no state under {state_dir}")
+    return final
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,
