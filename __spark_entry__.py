@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_continuous_rollup": Q.events_continuous_rollup,
         "pipeline_pack_contexts": Q.pipeline_pack_contexts,
         "stream_rollup": Q.stream_rollup,
+        "documents_segments_udtf": Q.documents_segments_udtf,
         # (c) single-green r6 — second green needed
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
@@ -110,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": Q.stream_dedup,
         # (d) single-green r5 — rotated back in
 
-        "regrid_unmapped": Q.regrid_unmapped,
         # --- rotation tail: >= 2 lifetime greens, code untouched, OR
         # single-green bumped by the 5 new-in-r7 TPC-H shapes (new
         # queries with ZERO driver greens outrank second-greens for the
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round's committed CORRECTNESS_FULL record) ---
         "tpch_q10_returned": Q.tpch_q10_returned,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
+        "regrid_unmapped": Q.regrid_unmapped,
         "events_cube": Q.events_cube,
         "events_percentiles": Q.events_percentiles,
         "customers_semi_open_orders": Q.customers_semi_open_orders,
@@ -588,6 +589,24 @@ SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
          / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+        "documents_segments_udtf": r"""
+-- the UDTF's row-fan-out replayed with list functions: same
+-- delimiter (standalone-'a' stopword — the synthetic corpus has no
+-- sentence punctuation), same empty-segment filter, same dense
+-- 0-based seg_idx, same single-space token count
+WITH p AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ ]a[ ]'),
+                     x -> x <> '') AS parts
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS seg_idx,
+       parts[i] AS segment,
+       CAST(len(string_split(parts[i], ' ')) AS INT) AS n_tokens
+FROM p, UNNEST(range(1, len(parts) + 1)) AS u(i)
 """,
         "customers_upsert": """
 -- MERGE semantics stated directly: updated keys replaced wholesale,

@@ -435,6 +435,11 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "ann_ivf_top3",
         "knn_top3",
         "multimodal_features",
+        "events_continuous_rollup",
+        "pipeline_pack_contexts",
+        "documents_segments_udtf",
+        "customers_upsert",
+        "events_hourly_gapfill",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

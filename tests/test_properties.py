@@ -366,3 +366,36 @@ FROM d
         ).fetchall()
     }
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ns=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    capacity=st.integers(1, 64),
+    n_shards=st.integers(1, 4),
+)
+def test_pack_contexts_partitions_token_stream(spark, ns, capacity, n_shards):
+    """For ANY doc-length multiset, capacity, and shard count: the
+    per-(doc, context) slices partition each document's tokens exactly
+    (conservation), every context except each shard's last is exactly
+    full, and contexts are dense from 0 within a shard."""
+    from xesmf_spark.pipeline import pack_contexts
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(ns)],
+        "doc_id long, text string",
+    )
+    out = pack_contexts(docs, capacity=capacity, n_shards=n_shards).collect()
+    by_doc, by_shard_ctx = {}, {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += r.tokens_in_ctx
+        by_shard_ctx.setdefault(r.shard, {}).setdefault(r.ctx, 0)
+        by_shard_ctx[r.shard][r.ctx] += r.tokens_in_ctx
+    assert by_doc == {i: n for i, n in enumerate(ns)}
+    for shard, per_ctx in by_shard_ctx.items():
+        ctxs = sorted(per_ctx)
+        assert ctxs == list(range(len(ctxs)))
+        for c in ctxs[:-1]:
+            assert per_ctx[c] == capacity
+        assert 1 <= per_ctx[ctxs[-1]] <= capacity

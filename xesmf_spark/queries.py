@@ -1641,6 +1641,31 @@ def pipeline_pack_contexts(spark, sf_dir):
     )
 
 
+def documents_segments_udtf(spark, sf_dir):
+    """The Python UDTF surface (§2C UDx row 3): a table-valued function
+    invoked through SQL LATERAL — each document fans out to its
+    delimiter-bounded segments with dense seg_idx and per-segment token
+    counts (udtfs.SplitSegments). The synthetic corpus has no sentence
+    punctuation, so the delimiter here is the standalone 'a' stopword
+    (real multi-row fan-out); sentences are the same operator with
+    udtfs.SENT_SPLIT. Like the UDAF query, the UDTF is the API-surface
+    form with the oracle proving its semantics; the JVM-side twin
+    (udtfs.split_segments_expr, regexp split + posexplode inside
+    whole-stage codegen) is the 100-TB path, differential-tested equal
+    in pytest. The pattern avoids constructs where Python re / Java
+    regex / RE2 semantics diverge."""
+    from xesmf_spark import udtfs
+
+    udtfs.register_split_segments(spark, "split_segments_q")
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_idx, s.segment, s.n_tokens
+        FROM docs_udtf_src d, LATERAL split_segments_q(d.text, '[ ]a[ ]') s
+        """
+    )
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
