@@ -98,9 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_contexts": Q.pipeline_pack_contexts,
         "stream_rollup": Q.stream_rollup,
         "documents_segments_udtf": Q.documents_segments_udtf,
+        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
+        "events_partitioned_scan": Q.events_partitioned_scan,
         # (c) single-green r6 — second green needed
-        "tpch_q4_priority": Q.tpch_q4_priority,
-        "tpch_q17_small_qty": Q.tpch_q17_small_qty,
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_props_stats": Q.events_props_stats,
@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 window slots; the bumped five are re-verified in this
         # round's committed CORRECTNESS_FULL record) ---
         "tpch_q10_returned": Q.tpch_q10_returned,
+        "tpch_q4_priority": Q.tpch_q4_priority,
+        "tpch_q17_small_qty": Q.tpch_q17_small_qty,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
         "events_cube": Q.events_cube,
@@ -1084,6 +1086,33 @@ SELECT lang,
          AS text_hash_sum
 FROM documents
 GROUP BY lang
+""",
+        "pipeline_orc_roundtrip": """
+-- the ORC staging round-trip must reproduce the parquet corpus
+-- exactly, so the oracle audits the SOURCE directly (same audit as
+-- the JSONL/CSV round-trips)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_hash_sum
+FROM documents
+GROUP BY lang
+""",
+        "events_partitioned_scan": """
+-- the Hive-partitioned staging layout must round-trip values exactly:
+-- the oracle slices the UNPARTITIONED source with the same two-type +
+-- first-day predicate. Integer-exact hourly aggregate (count + cents).
+SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_value
+FROM events
+WHERE event_type IN ('click', 'error')
+  AND EPOCH_NS(ts) < (SELECT MIN(EPOCH_NS(ts)) FROM events)
+                     + 24 * 3600000000000
+GROUP BY 1, 2
 """,
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),

@@ -311,3 +311,19 @@ def test_driver_entry_contract(spark):
     missing = [n for n in q if n not in o]
     assert missing == [], f"queries without oracles: {missing}"
     assert all(callable(f) for f in q.values())
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The Hive-partitioned events layout must prune at PLANNING time:
+    the event_type predicate appears as PartitionFilters on the scan
+    (whole directories skipped — no file opened), and the ts range
+    additionally reaches PushedFilters (row-group stats)."""
+    from xesmf_spark import queries as Q
+
+    plan = _plan(Q.events_partitioned_scan(spark, SF))
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in pf, plan
+    assert any(
+        "ts" in seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ), plan

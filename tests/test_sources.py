@@ -50,3 +50,40 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     SRC.write_csv_table(df, out)
     back = SRC.read_csv_table(spark, out, "id long, s string, v double")
     assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink + source reproduce rows and schema exactly (footer
+    schema, no inference)."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta  sp", -0.25), (3, None, 0.0)],
+        "id long, s string, v double",
+    )
+    out = str(tmp_path / "orc_out")
+    SRC.write_orc_table(df.repartition(2), out)
+    back = SRC.read_orc_table(spark, out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    """Hive-partitioned layout: values round-trip exactly (partition
+    column reconstructed from dir names), and a partition-column filter
+    shows up as PartitionFilters, not a post-scan Filter."""
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3], i * 1.0) for i in range(30)],
+        "id long, cat string, v double",
+    )
+    out = str(tmp_path / "part_out")
+    SRC.write_partitioned_parquet(df, out, ["cat"])
+    back = SRC.read_partitioned_parquet(spark, out)
+    assert sorted((r.id, r.cat, r.v) for r in back.collect()) == sorted(
+        (r.id, r.cat, r.v) for r in df.collect()
+    )
+    sliced = back.filter(back.cat == "y")
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cat" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert sliced.count() == 10

@@ -1641,6 +1641,81 @@ def pipeline_pack_contexts(spark, sf_dir):
     )
 
 
+def pipeline_orc_roundtrip(spark, sf_dir):
+    """ORC ingest round-trip (sources.write/read_orc_table): the corpus
+    is staged as snappy ORC part files and read back; the reader must
+    reproduce every document byte-for-byte. Same exact per-language
+    count / char-sum / mod-P text-hash-sum audit as the JSONL and CSV
+    round-trips, same oracle (the parquet source is ground truth).
+    ORC completes the columnar interchange matrix (parquet native,
+    ORC for Hive/Trino ecosystems): footer-embedded schema (no
+    inference scan), stripe-statistics pushdown like parquet."""
+    import hashlib
+
+    from xesmf_spark.pipeline import base_hash
+    from xesmf_spark.sources import read_orc_table, write_orc_table
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/xesmf_orc_{tag}"
+    write_orc_table(docs.repartition(4), path)
+    back = read_orc_table(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+    )
+
+
+def events_partitioned_scan(spark, sf_dir):
+    """Hive-partitioned layout + partition pruning
+    (sources.write/read_partitioned_parquet): events are staged
+    partitioned BY event_type (the 100-TB fact-table layout), then a
+    two-type + time-range slice is aggregated hourly. The partition
+    filter prunes whole directories at PLANNING time (PartitionFilters
+    in the scan — asserted in tests/test_plans.py), so the scan never
+    opens the other types' files; the ts predicate additionally pushes
+    into row-group stats. Integer-exact aggregate (count + cents).
+    Oracle: the same slice straight off the unpartitioned source —
+    proving the layout round-trips values exactly."""
+    import hashlib
+    import os
+
+    from xesmf_spark.sources import read_partitioned_parquet, write_partitioned_parquet
+    from xesmf_spark.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/xesmf_events_part_{tag}"
+    src = f"{sf_dir}/events.parquet"
+    marker = os.path.join(path, "_staged_src_stat")
+    st = os.stat(src)
+    want = f"{st.st_size}:{st.st_mtime}"
+    if not (os.path.isfile(marker) and open(marker).read() == want):
+        write_partitioned_parquet(
+            load_table(spark, sf_dir, "events"), path, ["event_type"]
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    ev = read_partitioned_parquet(spark, path)
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    hi = lo + 24 * 3_600_000_000_000  # first day only
+    return (
+        ev.filter(F.col("event_type").isin("click", "error") & (F.col("ts") < hi))
+        .groupBy(
+            F.expr("ts DIV 3600000000000").alias("epoch_hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+    )
+
+
 def documents_segments_udtf(spark, sf_dir):
     """The Python UDTF surface (§2C UDx row 3): a table-valued function
     invoked through SQL LATERAL — each document fans out to its

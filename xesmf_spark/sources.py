@@ -104,3 +104,36 @@ def read_csv_table(
 def write_csv_table(df: DataFrame, path: str, header: bool = True) -> None:
     w = df.write.mode("overwrite").option("header", str(header).lower())
     w.csv(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — the other columnar interchange format (Hive/Trino
+    ecosystems). ORC embeds its schema in the file footer, so no
+    inference scan happens; predicate pushdown and column pruning work
+    the same as parquet (min/max stripe statistics)."""
+    return spark.read.orc(path)
+
+
+def write_orc_table(df: DataFrame, path: str, compression: str = "snappy") -> None:
+    """Sink as ORC — one file per partition, same file-count discipline
+    as the other sinks."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet layout — THE at-rest layout for a
+    100-TB fact table: a filter on a partition column prunes entire
+    directories at planning time (``PartitionFilters`` in the scan, no
+    file even opened), independent of row-group statistics. Choose
+    low-cardinality, always-filtered columns (date, category); never
+    high-cardinality keys (one dir per value = small-files death)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout back; partition columns are
+    reconstructed from directory names (string-typed unless the session
+    enables partition-column type inference — filters still prune)."""
+    return spark.read.parquet(path)
