@@ -100,9 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_segments_udtf": Q.documents_segments_udtf,
         "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
         "events_partitioned_scan": Q.events_partitioned_scan,
+        "events_hll_merge": Q.events_hll_merge,
         # (c) single-green r6 — second green needed
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
-        "orders_above_customer_avg": Q.orders_above_customer_avg,
         "events_props_stats": Q.events_props_stats,
         "pipeline_curate": Q.pipeline_curate,
         "ann_ivf_recall": Q.ann_ivf_recall,
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned": Q.tpch_q10_returned,
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
+        "orders_above_customer_avg": Q.orders_above_customer_avg,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
         "events_cube": Q.events_cube,
@@ -1113,6 +1114,19 @@ WHERE event_type IN ('click', 'error')
   AND EPOCH_NS(ts) < (SELECT MIN(EPOCH_NS(ts)) FROM events)
                      + 24 * 3600000000000
 GROUP BY 1, 2
+""",
+        "events_hll_merge": """
+-- sketch values are engine-specific; the value-checked CONTRACT is:
+-- exact distincts (exact), merged-vs-direct estimates within 5% of
+-- each other (the union gadget diverges from the direct sketch, so
+-- identity would be a false guarantee), and a many-sigma accuracy
+-- bound on the merged estimate
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_consistent,
+       TRUE AS hll_merged_ok
+FROM events
+GROUP BY event_type
 """,
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),

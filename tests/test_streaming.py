@@ -266,3 +266,49 @@ def test_rollup_stream_matches_batch(spark, tmp_path):
     # version pruning: at most the last two state versions survive
     versions = [e for e in os.listdir(state_dir) if e.startswith("v")]
     assert 1 <= len(versions) <= 2
+
+
+def test_rollup_stream_checkpoint_resume(spark, tmp_path):
+    """The production claim of the maintenance loop: a SECOND
+    availableNow run against the same checkpoint processes ONLY files
+    that arrived since the first run, merging on top of the existing
+    state — and the final state still equals the from-scratch batch
+    rollup over everything."""
+    import shutil
+
+    from xesmf_spark.relational import rollup_delta
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from xesmf_spark.tables import normalize_events
+
+    ev_batch = normalize_events(spark.read.parquet(EVENTS))
+    halves = ev_batch.randomSplit([0.5, 0.5], seed=7)
+    src_dir = tmp_path / "events_resume"
+    src_dir.mkdir()
+    HOUR_NS = 3_600_000_000_000
+    aggs = {"n": F.count(F.lit(1)), "sum_cents": F.sum(F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))}
+    state_dir, cp = str(tmp_path / "state"), str(tmp_path / "cp")
+
+    # first arrival: half the stream
+    halves[0].coalesce(1).write.parquet(str(tmp_path / "h0"))
+    for f in (tmp_path / "h0").glob("part-*.parquet"):
+        shutil.copy(f, src_dir / "batch0.parquet")
+    stream = ST.events_stream(spark, str(src_dir), max_files=1)
+    mid = ST.rollup_stream(stream, state_dir, HOUR_NS, ["event_type"], aggs,
+                           checkpoint_dir=cp)
+    want_mid = rollup_delta(normalize_events(spark.read.parquet(str(src_dir))),
+                            HOUR_NS, ["event_type"], agg_exprs=aggs)
+    key = lambda r: (r.bucket, r.event_type, r.n, r.sum_cents)
+    assert sorted(map(key, mid.collect())) == sorted(map(key, want_mid.collect()))
+
+    # late arrival: the other half lands; SAME checkpoint — only the new
+    # file is processed, merged onto the persisted state
+    halves[1].coalesce(1).write.parquet(str(tmp_path / "h1"))
+    for f in (tmp_path / "h1").glob("part-*.parquet"):
+        shutil.copy(f, src_dir / "batch1.parquet")
+    stream2 = ST.events_stream(spark, str(src_dir), max_files=1)
+    final = ST.rollup_stream(stream2, state_dir, HOUR_NS, ["event_type"], aggs,
+                             checkpoint_dir=cp)
+    want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
+    assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))

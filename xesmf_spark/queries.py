@@ -1102,6 +1102,50 @@ def events_sketch_accuracy(spark, sf_dir):
     )
 
 
+def events_hll_merge(spark, sf_dir):
+    """Mergeable-sketch distincts — the 100-TB rollup shape for
+    COUNT(DISTINCT): per-(type, day) Datasketches HLL sketches built in
+    one pass, then UNIONED across days (hll_union_agg) — the state a
+    continuous aggregate would persist instead of raw user ids. The
+    value-checked contract (same discipline as events_sketch_accuracy):
+    exact_users is exact; merge_consistent bounds the unioned-daily
+    estimate within 5% (relative to exact) of the direct single-shot
+    estimate — NOT exact identity: the union path estimates through the
+    HLL_8 union gadget and measurably diverges from the direct sketch
+    once estimation kicks in (observed 1488 vs 1494 on 1500 at sf0.1),
+    so equality would be the same false "by construction" claim the r6
+    advice flagged; hll_merged_ok bounds the merged estimate within 15%
+    of exact (many sigma past the lgK=12 sketch's tail)."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", F.expr("ts DIV 86400000000000").alias("epoch_day"), "user_id"
+    )
+    daily = keyed.groupBy("event_type", "epoch_day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = keyed.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("merge_consistent"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.15
+        ).alias("hll_merged_ok"),
+    )
+
+
 def _with_planted_pii(docs):
     """Deterministic synthetic PII (email + IP + phone) appended to
     every third document — mirrored verbatim in the oracle CTEs."""
