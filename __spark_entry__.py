@@ -101,11 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
         "events_partitioned_scan": Q.events_partitioned_scan,
         "events_hll_merge": Q.events_hll_merge,
+        "events_trailing_window": Q.events_trailing_window,
         # (c) single-green r6 — second green needed
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "events_props_stats": Q.events_props_stats,
         "pipeline_curate": Q.pipeline_curate,
-        "ann_ivf_recall": Q.ann_ivf_recall,
         "stream_hourly": Q.stream_hourly,
         "stream_sessionize": Q.stream_sessionize,
         "stream_dedup": Q.stream_dedup,
@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunks": Q.pipeline_chunks,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
+        "ann_ivf_recall": Q.ann_ivf_recall,
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "knn_top3": Q.knn_top3,
         "multimodal_features": Q.multimodal_features,
@@ -1127,6 +1128,29 @@ SELECT event_type,
        TRUE AS hll_merged_ok
 FROM events
 GROUP BY event_type
+""",
+        "events_trailing_window": """
+-- RANGE frame keyed by VALUE distance on the integer day — correct
+-- across calendar gaps where a ROWS frame would over-reach. Same
+-- integer-partials discipline; the windowed BIGINT sums come back
+-- HUGEINT in DuckDB, so cast.
+WITH daily AS (
+  SELECT EPOCH_NS(ts) // 86400000000000 AS epoch_day,
+         event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT epoch_day,
+       event_type,
+       n,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(cents) OVER w AS BIGINT) / 100.0 AS sum_value_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),

@@ -440,6 +440,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "documents_segments_udtf",
         "customers_upsert",
         "events_hourly_gapfill",
+        "events_hll_merge",
+        "events_trailing_window",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -1146,6 +1146,37 @@ def events_hll_merge(spark, sf_dir):
     )
 
 
+def events_trailing_window(spark, sf_dir):
+    """RANGE-frame windowed aggregate — the frame semantics ROWS can't
+    express: a 7-day trailing sum over the DAILY rollup that stays
+    correct across calendar gaps (a missing day must shrink the sum;
+    a ROWS frame would silently reach 7 rows back regardless).
+    rangeBetween(-6, 0) on the integer epoch_day keys the frame by
+    VALUE distance. Exact integer partials (count + cents), division
+    to dollars only at the end. Scale shape: the window runs over the
+    per-(type, day) rollup — cardinality days x types, never event
+    volume — partitioned by type (no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("ts DIV 86400000000000").alias("epoch_day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("epoch_day").rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "epoch_day",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("n_7d"),
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias("sum_value_7d"),
+    )
+
+
 def _with_planted_pii(docs):
     """Deterministic synthetic PII (email + IP + phone) appended to
     every third document — mirrored verbatim in the oracle CTEs."""
