@@ -983,3 +983,23 @@ def test_pack_contexts_sharding_and_validation(spark):
         PL.pack_contexts(docs, capacity=0)
     with _pytest.raises(ValueError):
         PL.pack_contexts(docs, capacity=4, n_shards=0)
+
+
+def test_pack_contexts_duplicate_ids_conserve(spark):
+    """Duplicate doc_ids tie on the sort key; the ROWS frame (not the
+    default RANGE, which would give tied rows one shared offset and
+    overlap their contexts) still packs a valid layout: per-context
+    totals fill to capacity and the total token count is conserved."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e f g"), (2, "h i")],
+        "doc_id long, text string",
+    )
+    out = PL.pack_contexts(docs, capacity=4, n_shards=1).collect()
+    total = sum(r.tokens_in_ctx for r in out)
+    assert total == 9  # 3 + 4 + 2 — nothing lost or double-assigned
+    per_ctx = {}
+    for r in out:
+        per_ctx[r.ctx] = per_ctx.get(r.ctx, 0) + r.tokens_in_ctx
+    assert sorted(per_ctx) == list(range(len(per_ctx)))
+    for c, tok in per_ctx.items():
+        assert tok == 4 or c == max(per_ctx)

@@ -312,3 +312,57 @@ def test_rollup_stream_checkpoint_resume(spark, tmp_path):
                              checkpoint_dir=cp)
     want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
     assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))
+
+
+def test_rollup_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch must merge onto
+    the version written by a STRICTLY EARLIER batch — never the version
+    it wrote itself on a failed attempt (double-count). Simulated by
+    invoking the version-selection helper directly."""
+    from xesmf_spark.relational import rollup_delta
+
+    ev = spark.createDataFrame(
+        [(1_000_000 * (i % 5), f"t{i % 2}", i) for i in range(50)],
+        "ts long, event_type string, v long",
+    )
+    aggs = {"n": F.count(F.lit(1))}
+    state_dir = str(tmp_path / "state")
+    d0 = rollup_delta(ev, 2_000_000, ["event_type"], agg_exprs=aggs)
+    d0.write.parquet(state_dir + "/v000000000")
+    # batch 0 replay: its own v0 must be invisible
+    assert ST._state_before(spark, state_dir, 0) is None
+    # batch 1 sees v0
+    prev = ST._state_before(spark, state_dir, 1)
+    key = lambda r: (r.bucket, r.event_type, r.n)
+    assert sorted(map(key, prev.collect())) == sorted(map(key, d0.collect()))
+    # batch 1 wrote v1 then crashed pre-commit: its replay still sees v0
+    d0.write.parquet(state_dir + "/v000000001")
+    again = ST._state_before(spark, state_dir, 1)
+    assert sorted(map(key, again.collect())) == sorted(map(key, d0.collect()))
+
+
+def test_rollup_stream_forwards_merge_monoids(spark, tmp_path):
+    """min/max partials survive the streaming maintenance loop end to
+    end when the merge map is forwarded."""
+    from xesmf_spark.relational import rollup_delta
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from xesmf_spark.tables import normalize_events
+
+    ev_batch = normalize_events(spark.read.parquet(EVENTS))
+    src_dir = tmp_path / "events_mm"
+    ev_batch.repartitionByRange(2, "ts").write.parquet(str(src_dir))
+    stream = ST.events_stream(spark, str(src_dir), max_files=1)
+    HOUR_NS = 3_600_000_000_000
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "lo": F.min(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+        "hi": F.max(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+    }
+    final = ST.rollup_stream(
+        stream, str(tmp_path / "state"), HOUR_NS, ["event_type"], aggs,
+        checkpoint_dir=str(tmp_path / "cp"), merge={"lo": "min", "hi": "max"},
+    )
+    want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
+    key = lambda r: (r.bucket, r.event_type, r.n, r.lo, r.hi)
+    assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))

@@ -1092,7 +1092,15 @@ def pack_contexts(
     # split() of any non-NULL string yields >= 1 token; the filter drops
     # only NULL-text rows (size() = -1), which would otherwise corrupt
     # the running offset — mirrored in the oracle (len(NULL) IS NULL).
-    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    # ROWS frame, not the default RANGE: RANGE sums over ALL rows tied
+    # on the sort key, so duplicate ids would share one offset and
+    # overlap their contexts; with ROWS each row gets its own slot
+    # (duplicate ids still pack validly, in engine-chosen tie order).
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     c = base.filter(F.col("n") >= 1).withColumn(
         "cum", F.sum("n").over(w) - F.col("n")
     )

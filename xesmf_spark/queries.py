@@ -2610,14 +2610,21 @@ def stream_rollup(spark, sf_dir):
     proves 4-batch incremental maintenance == batch recompute exactly
     (count + cents integer partials; the only double is the final
     division to dollars)."""
-    import uuid
+    import hashlib
+    import shutil
 
     from xesmf_spark import streaming as ST
 
     HOUR_NS = 3_600_000_000_000
     d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
-    run = uuid.uuid4().hex[:8]
-    state_dir = f"/tmp/xesmf_rollup_state_{run}"
+    # content-addressed state/checkpoint paths, wiped per run: a fresh
+    # checkpoint must accompany fresh state (a reused checkpoint would
+    # mark every file already-processed), and the fixed path means at
+    # most one leftover copy per sf instead of a leak per invocation
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = f"/tmp/xesmf_rollup_state_{tag}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir + "_cp", ignore_errors=True)
     ev = ST.events_stream(spark, d, max_files=1)
     aggs = {
         "n": F.count(F.lit(1)),

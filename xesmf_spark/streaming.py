@@ -320,6 +320,28 @@ def latest_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame | None
     return spark.read.parquet(os.path.join(state_dir, latest))
 
 
+def _state_before(spark: SparkSession, state_dir: str, batch_id: int) -> DataFrame | None:
+    """The newest state version written by a batch STRICTLY BEFORE
+    ``batch_id`` — the replay-safe predecessor: foreachBatch is
+    at-least-once, so a replayed batch must NOT see the version it
+    wrote itself on the failed attempt (merging onto it would
+    double-count, and overwriting a directory the lazy plan reads
+    from is rejected by Spark anyway)."""
+    import re
+
+    if not os.path.isdir(state_dir):
+        return None
+    vs = [
+        e
+        for e in os.listdir(state_dir)
+        if re.fullmatch(r"v\d+", e) and int(e[1:]) < batch_id
+    ]
+    if not vs:
+        return None
+    latest = max(vs, key=lambda e: int(e[1:]))
+    return spark.read.parquet(os.path.join(state_dir, latest))
+
+
 def rollup_stream(
     events: DataFrame,
     state_dir: str,
@@ -329,6 +351,8 @@ def rollup_stream(
     ts_col: str = "ts",
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
+    merge: dict[str, str] | None = None,
+    merge_keys: list[str] | None = None,
 ) -> DataFrame:
     """STREAMING continuous-aggregate maintenance — the refresh loop of
     a hypertable rollup under Structured Streaming: every micro-batch is
@@ -345,12 +369,21 @@ def rollup_stream(
     N-batch maintenance is bit-identical to a from-scratch batch
     aggregate regardless of how the input was sliced into batches.
 
+    ``merge`` (per-column min/max monoids) and ``merge_keys`` (explicit
+    group keys for numeric-keyed rollups) forward to
+    :func:`relational.merge_rollups` — without them min/max partials or
+    numeric keys would be silently summed by the default.
+
     Scale/safety shape: each refresh aggregates ONLY the new batch and
     merges against rollup-sized state (O(buckets x keys), never event
-    volume). State versions are immutable dirs ``v{batch_id}``; the last
-    two are retained (a retried batch after a partial write can rebuild
-    from the previous version — the poor-man's transaction; production
-    would use a transactional table format) and older versions pruned.
+    volume). State versions are immutable dirs ``v{batch_id}``, and a
+    batch always merges onto the newest version written by a STRICTLY
+    EARLIER batch (:func:`_state_before`): foreachBatch is
+    at-least-once, so a replayed batch overwrites its own failed
+    ``v{batch_id}`` idempotently instead of double-counting it. The
+    last two versions are retained (the replayed batch's predecessor
+    must survive — the poor-man's transaction; production would use a
+    transactional table format) and older versions pruned.
     """
     import shutil
 
@@ -360,8 +393,12 @@ def rollup_stream(
         delta = rollup_delta(
             batch_df, bucket_ns, list(keys), ts_col=ts_col, agg_exprs=dict(agg_exprs)
         )
-        prev = latest_rollup_state(batch_df.sparkSession, state_dir)
-        merged = merge_rollups(prev, delta) if prev is not None else delta
+        prev = _state_before(batch_df.sparkSession, state_dir, batch_id)
+        merged = (
+            merge_rollups(prev, delta, keys=merge_keys, merge=merge)
+            if prev is not None
+            else delta
+        )
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id:09d}")
         )
