@@ -399,3 +399,38 @@ def test_pack_contexts_partitions_token_stream(spark, ns, capacity, n_shards):
         for c in ctxs[:-1]:
             assert per_ctx[c] == capacity
         assert 1 <= per_ctx[ctxs[-1]] <= capacity
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    assign=st.lists(st.integers(0, 3), min_size=10, max_size=60),
+    bucket_ns=st.sampled_from([1_000_000, 2_000_000, 7_000_000]),
+)
+def test_rollup_merge_monoid_law(spark, assign, bucket_ns):
+    """The continuous-aggregate invariant as a law: for ANY partition
+    of the rows into up to 4 delta states and ANY bucket width,
+    merging the per-state partials (sum for counts, min/max monoids)
+    equals the from-scratch rollup exactly."""
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    rows = [
+        (i * 997_000 % 13_000_000, f"t{i % 2}", (i * 31) % 100, g)
+        for i, g in enumerate(assign)
+    ]
+    ev = spark.createDataFrame(rows, "ts long, event_type string, v long, g int")
+    aggs = {"n": F.count(F.lit(1)), "s": F.sum("v"),
+            "lo": F.min("v"), "hi": F.max("v")}
+    full = rollup_delta(ev, bucket_ns, ["event_type"], agg_exprs=aggs)
+    groups = sorted(set(assign))
+    parts = [
+        rollup_delta(ev.filter(F.col("g") == g), bucket_ns,
+                     ["event_type"], agg_exprs=aggs)
+        for g in groups
+    ]
+    merged = (
+        parts[0]
+        if len(parts) == 1
+        else merge_rollups(*parts, merge={"lo": "min", "hi": "max"})
+    )
+    key = lambda r: (r.bucket, r.event_type, r.n, r.s, r.lo, r.hi)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
