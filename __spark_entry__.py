@@ -102,8 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partitioned_scan": Q.events_partitioned_scan,
         "events_hll_merge": Q.events_hll_merge,
         "events_trailing_window": Q.events_trailing_window,
+        "pipeline_token_budget": Q.pipeline_token_budget,
         # (c) single-green r6 — second green needed
-        "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "events_props_stats": Q.events_props_stats,
         "pipeline_curate": Q.pipeline_curate,
         "stream_hourly": Q.stream_hourly,
@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": Q.stream_dedup,
         # (d) single-green r5 — rotated back in
 
+        "pipeline_weighted_sample": Q.pipeline_weighted_sample,
+        "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         # --- rotation tail: >= 2 lifetime greens, code untouched, OR
         # single-green bumped by the 5 new-in-r7 TPC-H shapes (new
         # queries with ZERO driver greens outrank second-greens for the
@@ -1151,6 +1153,51 @@ SELECT epoch_day,
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+        "pipeline_weighted_sample": r"""
+-- quality-weighted keep: md5 uniform (micro-units) vs the integer
+-- distinct-token-ratio score, replayed verbatim
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST((1000000 * len(list_distinct(
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))))
+              // len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+           AS BIGINT) AS qm_micro,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id, lang, qm_micro FROM q WHERE u < qm_micro
+""",
+        "pipeline_token_budget": r"""
+-- highest-quality strict prefix per shard until budget/n_shards
+-- (20000/4 = 5000) tokens: same deterministic ordering, same ROWS
+-- running total, windowed SUM cast back from HUGEINT
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+  WHERE text IS NOT NULL
+),
+base AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CAST((1000000 * len(list_distinct(t))) // len(t) AS BIGINT) AS qm_micro,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM toks
+),
+c AS (
+  SELECT shard, doc_id, qm_micro, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard
+                                  ORDER BY qm_micro DESC, ord_key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM base
+  WHERE n_tokens >= 1
+)
+SELECT shard, doc_id, qm_micro, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= 5000
 """,
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),

@@ -442,6 +442,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_hourly_gapfill",
         "events_hll_merge",
         "events_trailing_window",
+        "pipeline_weighted_sample",
+        "pipeline_token_budget",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

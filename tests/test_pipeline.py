@@ -1003,3 +1003,53 @@ def test_pack_contexts_duplicate_ids_conserve(spark):
     assert sorted(per_ctx) == list(range(len(per_ctx)))
     for c, tok in per_ctx.items():
         assert tok == 4 or c == max(per_ctx)
+
+
+def test_weighted_sample_law(spark):
+    """Keep-probability law: score 1e6 (all-distinct tokens) is ALWAYS
+    kept (u < 1e6 holds for every md5 draw), score ~0 (one token
+    repeated) is essentially never kept, and the draw is deterministic
+    across invocations. NULL text is dropped."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(50)]
+        + [(100 + i, "x " * 200) for i in range(50)]
+        + [(999, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.qm_micro for r in PL.weighted_sample(docs).collect()}
+    assert set(range(50)) <= set(out)          # qm = 1e6 -> certain keep
+    assert all(out[i] == 1_000_000 for i in range(50))
+    low_kept = [d for d in out if d >= 100 and d != 999]
+    assert len(low_kept) <= 2                  # qm ~ 5000 -> ~0.5% keep rate
+    assert 999 not in out
+    again = {r.doc_id: r.qm_micro for r in PL.weighted_sample(docs).collect()}
+    assert again == out
+
+
+def test_select_token_budget_prefix(spark):
+    """Budget respected per shard; cum totals are a strict prefix (no
+    doc admitted after the first overflow); validation rejects
+    nonsense parameters."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 13 + j) % (3 + i % 7)}" for j in range(12)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = PL.select_token_budget(docs, budget_tokens=120, n_shards=2).collect()
+    assert out, "budget should admit at least one doc"
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r)
+    for s, rows in per_shard.items():
+        assert max(r.cum_tokens for r in rows) <= 60  # 120 DIV 2
+        cums = sorted(r.cum_tokens for r in rows)
+        ns = {r.cum_tokens: r.n_tokens for r in rows}
+        # strict prefix: consecutive cums differ by exactly the doc size
+        for a, b in zip(cums, cums[1:]):
+            assert b - a == ns[b]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PL.select_token_budget(docs, budget_tokens=0)
+    with _pytest.raises(ValueError):
+        PL.select_token_budget(docs, budget_tokens=10, n_shards=0)

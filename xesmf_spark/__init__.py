@@ -31,6 +31,8 @@ from xesmf_spark.pipeline import (
     assign_split,
     decontaminate,
     pack_contexts,
+    select_token_budget,
+    weighted_sample,
     dedup_groups,
     deterministic_sample,
     exact_dedup,
@@ -62,6 +64,8 @@ __all__ = [
     "assign_split",
     "decontaminate",
     "pack_contexts",
+    "select_token_budget",
+    "weighted_sample",
     "unigram_logprob_score",
     "deterministic_sample",
     "dedup_groups",

@@ -1122,6 +1122,94 @@ def pack_contexts(
     )
 
 
+def quality_micro(text: Column) -> Column:
+    """Integer quality score in micro-units [0, 1e6]: the distinct-token
+    ratio (the strongest single Gopher-style repetition signal) as
+    ``FLOOR((1e6 * n_distinct) / n_tokens)`` — exact: the numerator
+    stays far below 2^52, so the double division is correctly rounded
+    and its floor equals the integer quotient (a non-exact quotient
+    sits >= 1/n from the next integer, >> one ulp at this magnitude);
+    DuckDB mirrors it with integer ``//``. Every engine computes the
+    identical score and downstream comparisons stay in the
+    integer-exactness playbook."""
+    t = tokens(text)
+    return F.floor(
+        (F.lit(1_000_000) * F.size(F.array_distinct(t))) / F.size(t)
+    ).cast("long")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_micro: Column | None = None,
+) -> DataFrame:
+    """Quality-WEIGHTED corpus sampling: keep each document with
+    probability proportional to its quality score — the curation move
+    between hard filtering (lose all low-quality diversity) and uniform
+    sampling (keep all the junk). Deterministic and reshuffle-stable:
+    keep iff ``md5-hash(id) % 1e6 < weight_micro`` — both sides integer,
+    both engines identical, no float RNG anywhere. ``weight_micro``
+    defaults to :func:`quality_micro` of the text; pass any integer
+    micro-unit Column (a model score, a composite) to change the
+    sampling law. Pure projection + filter: zero shuffle at any scale.
+    """
+    w = quality_micro(F.col(text_col)) if weight_micro is None else weight_micro
+    u = wide_hash(F.col(id_col).cast("string")) % 1_000_000
+    # NULL text would score NULL in DuckDB but -1/-1 via Spark's
+    # size() convention — drop it explicitly in both engines
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select("*", w.alias("qm_micro"))
+        .filter(u < F.col("qm_micro"))
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data selection under a token budget: take the HIGHEST-QUALITY
+    prefix of the corpus until the budget is spent — the op behind
+    "train on the best B tokens" pipelines. Within each md5-derived
+    shard, documents are ordered by quality (desc, deterministic md5 +
+    id tiebreaks) and a running token total admits the strict prefix
+    with ``cum <= budget/n_shards``.
+
+    Scale shape: per-shard budgets make the selection embarrassingly
+    parallel — ONE window pass per shard over (id, n_tokens, quality)
+    rows, no global sort; shards scale with the cluster and the
+    per-shard budget keeps the global total within n_shards x the last
+    admitted document of the true global prefix. Exact integers
+    throughout (token counts, micro-unit quality).
+    """
+    if budget_tokens < 1 or n_shards < 1:
+        raise ValueError(
+            f"need budget_tokens >= 1 and n_shards >= 1, got {budget_tokens}, {n_shards}"
+        )
+    per_shard = budget_tokens // n_shards
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        quality_micro(F.col(text_col)).alias("qm_micro"),
+        (wide_hash(F.col(id_col).cast("string")) % n_shards).alias("shard"),
+        F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")).alias("ord_key"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.desc("qm_micro"), "ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= per_shard)
+        .select("shard", "doc_id", "qm_micro", "n_tokens", "cum_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing, repetition-quality stats, stratified sampling (round 6)
 # ---------------------------------------------------------------------------

@@ -1816,6 +1816,33 @@ def documents_segments_udtf(spark, sf_dir):
     )
 
 
+def pipeline_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus sampling (pipeline.weighted_sample):
+    each document survives with probability proportional to its
+    distinct-token-ratio quality — deterministic (md5 uniform vs
+    integer micro-unit score, no float RNG), reshuffle-stable, zero
+    shuffle. The middle ground between hard quality filtering and
+    uniform sampling that curation pipelines actually ship."""
+    from xesmf_spark.pipeline import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "qm_micro"
+    )
+
+
+def pipeline_token_budget(spark, sf_dir):
+    """Data selection under a token budget
+    (pipeline.select_token_budget): the highest-quality strict prefix
+    of each shard until budget/n_shards tokens are admitted — the
+    "train on the best B tokens" op. Ordering is (quality desc, md5,
+    id) — fully deterministic; the running total is a per-shard ROWS
+    window (no global sort; shards scale with the cluster). Integer
+    tokens and micro-unit quality throughout."""
+    from xesmf_spark.pipeline import select_token_budget
+
+    return select_token_budget(_docs(spark, sf_dir), budget_tokens=20_000, n_shards=4)
+
+
 def events_cube(spark, sf_dir):
     """CUBE aggregation over (event_type, epoch_day) with grouping_id:
     the multi-dimensional subtotal shape (§2C grouping sets/cube/rollup).
