@@ -349,17 +349,20 @@ def _run_workloads(spark, sf_dir, timings, timed):
     # apparent 2x "regression" to 2.45 s was exactly that warm-up moving
     # into the measured window, not a plan change)
     timed2("regrid_conservative", lambda: Q.regrid_conservative(spark, sf_dir).collect())
-    # adaptive contention defense for the single-shot queries: a first
-    # run over ~2 s gets two more trials and records the MEDIAN — an
-    # external load spike during one window must not fabricate a 2-4x
-    # "regression" in the round record (observed: minhash 16.6 s under
-    # load-11 vs 4.5 s isolated, same code)
-    def timed_med(name, fn, threshold=2.0):
+    # contention defense for the per-query timings: EVERY query gets
+    # min-of->=2 trials (r7 verdict: untouched queries swung 2-3.7x
+    # between rounds under single-shot timing, making regression
+    # detection impossible); a third trial runs only when the first two
+    # disagree badly (episodic whole-VM stalls measured 2 s vs 44 s on
+    # identical jobs)
+    def timed_med(name, fn, disagree=1.5):
         timed(name, fn)
         t = timings.get(name)
-        if isinstance(t, (int, float)) and t > threshold:
+        if isinstance(t, (int, float)):
             trials = [t]
-            for _ in range(2):
+            extra = 1
+            while extra > 0:
+                extra -= 1
                 t0 = time.perf_counter()
                 try:
                     fn()
@@ -373,6 +376,11 @@ def _run_workloads(spark, sf_dir, timings, timed):
                     return
                 finally:
                     spark.catalog.clearCache()
+                if (
+                    len(trials) == 2
+                    and max(trials) > disagree * min(trials)
+                ):
+                    extra = 1  # tie-break a noisy pair with one more run
             # MIN for the same reason as timed2: episodic whole-VM
             # stalls poison central statistics; best-of-N matches the
             # baseline's %timeit methodology
@@ -499,19 +507,15 @@ def _run_workloads(spark, sf_dir, timings, timed):
     timed_med("ann_pq_top3", lambda: SIM.pq_topk(emb, k=3).collect())
 
     def _pq_exact_euclid():
-        import numpy as np
-
-        pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy(np.int64)
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        n2 = (X * X).sum(1)
-        exact = set()
-        for i in range(len(X)):
-            d2 = n2 + n2[i] - 2.0 * (X @ X[i])
-            others = np.nonzero(ids != ids[i])[0]
-            best = others[np.lexsort((ids[others], d2[others]))[:3]]
-            exact.update((int(ids[i]), int(ids[j])) for j in best)
-        return exact
+        # the oracle-checked euclid_topk IS the ground truth — same
+        # sequential (x-y)^2 fold, same ROUND(...,6) + (d2, id)
+        # tie-break, so the bench recall numbers and the ann_pq_recall
+        # query's value can never diverge on near-tie boundaries (the
+        # r7 hazard with the cancellation-prone n2[i]+n2[j]-2xy replay)
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.euclid_topk(emb, k=3).collect()
+        }
 
     def _pq_recall(exact, codebooks=None):
         approx = {

@@ -398,3 +398,54 @@ def test_merge_rollups_min_max_partials(spark):
         merge_rollups(full, full, merge={"lo": "median"})
     with _pytest.raises(ValueError):
         merge_rollups(full, full, merge={"bucket": "min"})
+
+
+def test_merge_rollups_numeric_key_via_metadata(spark, tmp_path):
+    """A NUMERIC group key (region_id) must be recovered as a key — not
+    silently summed as an aggregate partial (r7 ADVICE). rollup_delta
+    stamps xesmf.rollup_key column metadata; merge_rollups reads it,
+    including after a parquet round-trip (the streaming state path).
+    Hand-built states without the metadata must raise, not guess."""
+    from pyspark.sql import functions as F
+
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    ev = spark.createDataFrame(
+        [(i, 1_000_000 * (i % 5), i % 3, i * 10) for i in range(90)],
+        "event_id long, ts long, region_id long, cents long",
+    )
+    aggs = {"n": F.count(F.lit(1)), "sum_cents": F.sum("cents")}
+    full = rollup_delta(ev, 2_000_000, ["region_id"], agg_exprs=aggs)
+    parts = [
+        rollup_delta(ev.filter(F.col("event_id") % 2 == r), 2_000_000,
+                     ["region_id"], agg_exprs=aggs)
+        for r in range(2)
+    ]
+    # one partial goes through parquet (metadata must survive the footer)
+    p = str(tmp_path / "state")
+    parts[0].write.parquet(p)
+    merged = merge_rollups(spark.read.parquet(p), parts[1])
+    key = lambda r: (r.bucket, r.region_id, r.n, r.sum_cents)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+    import pytest as _pytest
+
+    # hand-built state: no metadata -> inference must refuse
+    bare = spark.createDataFrame(
+        [(0, 1, 2, 30)], "bucket long, region_id long, n long, sum_cents long"
+    )
+    with _pytest.raises(ValueError, match="cannot infer"):
+        merge_rollups(bare, bare)
+
+
+def test_rollup_delta_floor_buckets_negative_ts(spark):
+    """Bucketing is true floor division: negative timestamps land in
+    negative buckets instead of collapsing (-b, b) into bucket 0."""
+    from xesmf_spark.relational import rollup_delta
+
+    ev = spark.createDataFrame(
+        [(-3, "a"), (-1, "a"), (0, "a"), (1, "a"), (2, "a")],
+        "ts long, event_type string",
+    )
+    got = {r.bucket: r.n for r in rollup_delta(ev, 2, ["event_type"]).collect()}
+    assert got == {-2: 1, -1: 1, 0: 2, 1: 1}

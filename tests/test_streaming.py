@@ -366,3 +366,63 @@ def test_rollup_stream_forwards_merge_monoids(spark, tmp_path):
     want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
     key = lambda r: (r.bucket, r.event_type, r.n, r.lo, r.hi)
     assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))
+
+
+def test_rollup_stream_torn_publish_invisible(spark, tmp_path):
+    """Crash-atomic publish (r7 review): a version directory without the
+    parquet committer's _SUCCESS marker — a writer killed mid-write —
+    must be invisible to BOTH readers (latest_rollup_state and the
+    replay predecessor), even when it is the newest version, and a
+    resumed run must recover to the exact from-scratch rollup."""
+    import shutil
+
+    from xesmf_spark.relational import rollup_delta
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from xesmf_spark.tables import normalize_events
+
+    ev_batch = normalize_events(spark.read.parquet(EVENTS))
+    halves = ev_batch.randomSplit([0.5, 0.5], seed=11)
+    src_dir = tmp_path / "events_torn"
+    src_dir.mkdir()
+    HOUR_NS = 3_600_000_000_000
+    aggs = {"n": F.count(F.lit(1)), "sum_cents": F.sum(F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))}
+    state_dir, cp = str(tmp_path / "state"), str(tmp_path / "cp")
+
+    halves[0].coalesce(1).write.parquet(str(tmp_path / "h0"))
+    for f in (tmp_path / "h0").glob("part-*.parquet"):
+        shutil.copy(f, src_dir / "batch0.parquet")
+    mid = ST.rollup_stream(ST.events_stream(spark, str(src_dir), max_files=1),
+                           state_dir, HOUR_NS, ["event_type"], aggs,
+                           checkpoint_dir=cp)
+    key = lambda r: (r.bucket, r.event_type, r.n, r.sum_cents)
+    committed = sorted(map(key, mid.collect()))
+
+    # simulate a kill mid-write: a NEWEST version dir holding a parquet
+    # fragment but no _SUCCESS marker (truncated publish)
+    import os
+
+    torn = os.path.join(state_dir, "v000000099")
+    os.makedirs(torn)
+    frag = next((tmp_path / "h0").glob("part-*.parquet"))
+    shutil.copy(frag, os.path.join(torn, "part-00000.parquet"))
+    # ...and staging debris from the same crash
+    os.makedirs(os.path.join(state_dir, ".staging_v000000099"))
+
+    # both readers skip the torn newest version
+    assert sorted(map(key, ST.latest_rollup_state(spark, state_dir).collect())) \
+        == committed
+    assert sorted(map(key, ST._state_before(spark, state_dir, 100).collect())) \
+        == committed
+
+    # recovery: the second half arrives, the resumed run merges onto the
+    # committed predecessor and matches the from-scratch batch rollup
+    halves[1].coalesce(1).write.parquet(str(tmp_path / "h1"))
+    for f in (tmp_path / "h1").glob("part-*.parquet"):
+        shutil.copy(f, src_dir / "batch1.parquet")
+    final = ST.rollup_stream(ST.events_stream(spark, str(src_dir), max_files=1),
+                             state_dir, HOUR_NS, ["event_type"], aggs,
+                             checkpoint_dir=cp)
+    want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
+    assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))

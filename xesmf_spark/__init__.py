@@ -17,7 +17,7 @@ n-gram-Jaccard dedup, text stats, fingerprints).
 """
 
 from xesmf_spark.grids import Grid, grid_1d, grid_2d, grid_global, locstream, wave_smooth
-from xesmf_spark.apply import smm_apply
+from xesmf_spark.apply import release_persisted, smm_apply
 from xesmf_spark.regridder import Regridder
 from xesmf_spark.relational import (
     asof_join,
@@ -53,6 +53,7 @@ __all__ = [
     "grid_global",
     "locstream",
     "wave_smooth",
+    "release_persisted",
     "smm_apply",
     "Regridder",
     "asof_join",

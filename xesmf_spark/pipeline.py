@@ -316,6 +316,8 @@ def minhash_dedup_pairs(
     tokenize + n-gram) is the expensive map-side step and must not run
     per consumer.
     """
+    from xesmf_spark.apply import _PERSISTED
+
     sh = (
         df.select(
             F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("sh_set")
@@ -323,6 +325,7 @@ def minhash_dedup_pairs(
         .withColumn("n_sh", F.size("sh_set"))
         .persist()
     )
+    _PERSISTED.append(sh)
     ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
 
     # signatures as ONE let-bound array column (base hashes computed
@@ -332,6 +335,7 @@ def minhash_dedup_pairs(
     sigs = sh.select(
         F.col("sid").alias(id_col), _sig_array(F.col("sh_set")).alias("sig")
     ).persist()
+    _PERSISTED.append(sigs)
     cand = _pairs_from_buckets(
         _buckets_from_sig_array(sigs, id_col),
         id_col,
@@ -557,6 +561,15 @@ def simhash_pairs(
     to ~10^5 docs per corpus-shard; at 100 TB use ``bits=60,
     n_bands=4`` so each 15-bit band yields 32k buckets, keeping the
     same plan shape. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    CACHING CONTRACT (all persisting operators in this module): the
+    fingerprint intermediate is persisted (MEMORY_AND_DISK, LRU-
+    evictable — bounded, not a hard leak) and registered with
+    ``xesmf_spark.apply._PERSISTED``; long-lived sessions invoking
+    these operators repeatedly should call
+    :func:`xesmf_spark.release_persisted` (or
+    ``spark.catalog.clearCache()``) between invocations, as bench.py
+    does between timed runs.
     """
     if bits % n_bands != 0:
         raise ValueError("bits must divide evenly into n_bands")
@@ -569,11 +582,14 @@ def simhash_pairs(
     # persist the fingerprint table (2 longs/doc): the valve sizing, the
     # a-side and the b-side of the candidate join all read it — without
     # this the md5 fingerprint pass runs 3x over the corpus
+    from xesmf_spark.apply import _PERSISTED
+
     sh = (
         simhash(df, id_col=id_col, text_col=text_col, bits=bits)
         .filter(F.col("simhash").isNotNull())
         .persist()
     )
+    _PERSISTED.append(sh)
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),

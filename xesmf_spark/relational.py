@@ -305,13 +305,25 @@ def rollup_delta(
         from pyspark.sql import functions as _F
 
         agg_exprs = {"n": _F.count(_F.lit(1))}
-    # integral DIV, not divide-then-cast (which truncates toward zero
-    # and mis-buckets negative timestamps)
-    bucket = F.expr(f"{ts_col} DIV {bucket_ns}")
-    return events.groupBy(bucket.alias("bucket"), *keys).agg(
-        *[c.alias(name) for name, c in agg_exprs.items()]
-    )
+    # true FLOOR division (Spark's DIV truncates toward zero, which
+    # would collapse ts in (-bucket_ns, bucket_ns) into bucket 0 for a
+    # negative-ts corpus; _floor_div is exact at any BIGINT magnitude)
+    bucket = _floor_div(F.col(ts_col), bucket_ns)
+    # key columns carry metadata so merge_rollups can recover the exact
+    # key set without type-based guessing (a numeric group key summed as
+    # an aggregate partial is silent corruption — r7 ADVICE)
+    meta = {_ROLLUP_KEY_META: True}
+    return events.groupBy(
+        bucket.alias("bucket", metadata=meta),
+        *[F.col(k).alias(k, metadata=meta) for k in keys],
+    ).agg(*[c.alias(name) for name, c in agg_exprs.items()])
 
+
+#: schema-metadata marker rollup_delta stamps on its group-key columns;
+#: survives select/union and the parquet round-trip (Spark persists
+#: field metadata in the parquet footer), so merge_rollups can recover
+#: the exact key set of a state that has been written and re-read
+_ROLLUP_KEY_META = "xesmf.rollup_key"
 
 #: merge functions usable per partial column (each is a monoid whose
 #: merge over partials equals the aggregate over raw rows)
@@ -327,9 +339,13 @@ def merge_rollups(
     non-key column with its merge monoid — ``sum`` by default, or
     ``min``/``max`` per column via ``merge`` (e.g. ``{"lo": "min",
     "hi": "max"}``); count merges as sum, avg must be carried as
-    (sum, count) partials and divided at read time. ``keys`` defaults
-    to ``["bucket"]`` plus every string-typed column (the rollup_delta
-    convention); pass it explicitly when a group key is numeric. The
+    (sum, count) partials and divided at read time. When ``keys`` is
+    omitted the key set is recovered from the ``xesmf.rollup_key``
+    column metadata that :func:`rollup_delta` stamps on its group keys
+    (exact for any key type, numeric included); states built outside
+    rollup_delta carry no such metadata and MUST pass ``keys``
+    explicitly — inference then raises rather than silently summing a
+    numeric group key as if it were an aggregate partial. The
     merge touches only STATE rows — O(buckets x keys), independent of
     raw event volume — which is the entire point of a continuous
     aggregate at 100 TB/day: the refresh cost tracks the delta, the
@@ -344,13 +360,17 @@ def merge_rollups(
     for s in states[1:]:
         u = u.unionByName(s)
     if keys is None:
-        from pyspark.sql import types as T
-
         keys = [
-            f.name
-            for f in u.schema.fields
-            if f.name == "bucket" or isinstance(f.dataType, T.StringType)
+            f.name for f in u.schema.fields if f.metadata.get(_ROLLUP_KEY_META)
         ]
+        if not keys:
+            raise ValueError(
+                "merge_rollups cannot infer group keys: no column carries "
+                "the xesmf.rollup_key metadata written by rollup_delta. "
+                "Pass keys=[...] explicitly for hand-built states "
+                "(type-based guessing would silently SUM a numeric group "
+                "key as an aggregate partial)."
+            )
     agg_cols = [c for c in cols if c not in keys]
     if not agg_cols:
         raise ValueError("no aggregate partial columns to merge")

@@ -306,18 +306,38 @@ def run_to_memory(
     return spark.table(query_name)
 
 
-def latest_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Read the newest rollup-state version under ``state_dir`` (written
-    by :func:`rollup_stream`), or None if no state exists yet."""
+def _committed_versions(state_dir: str) -> list[str]:
+    """Version dirs under ``state_dir`` that finished publishing. A
+    version is COMMITTED only when its directory holds the parquet
+    committer's ``_SUCCESS`` marker; :func:`rollup_stream` additionally
+    stages every write in a dot-prefixed temp dir and renames it into
+    place (atomic on POSIX), so readers can never observe a
+    half-written newest version — the torn-read hazard from the r7
+    review. Uncommitted dirs (crash mid-write, or a raw copy) are
+    simply invisible until the batch replays."""
     import re
 
     if not os.path.isdir(state_dir):
-        return None
-    vs = [e for e in os.listdir(state_dir) if re.fullmatch(r"v\d+", e)]
+        return []
+    return sorted(
+        (
+            e
+            for e in os.listdir(state_dir)
+            if re.fullmatch(r"v\d+", e)
+            and os.path.exists(os.path.join(state_dir, e, "_SUCCESS"))
+        ),
+        key=lambda e: int(e[1:]),
+    )
+
+
+def latest_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the newest COMMITTED rollup-state version under
+    ``state_dir`` (written by :func:`rollup_stream`), or None if no
+    committed state exists yet."""
+    vs = _committed_versions(state_dir)
     if not vs:
         return None
-    latest = max(vs, key=lambda e: int(e[1:]))
-    return spark.read.parquet(os.path.join(state_dir, latest))
+    return spark.read.parquet(os.path.join(state_dir, vs[-1]))
 
 
 def _state_before(spark: SparkSession, state_dir: str, batch_id: int) -> DataFrame | None:
@@ -326,20 +346,12 @@ def _state_before(spark: SparkSession, state_dir: str, batch_id: int) -> DataFra
     at-least-once, so a replayed batch must NOT see the version it
     wrote itself on the failed attempt (merging onto it would
     double-count, and overwriting a directory the lazy plan reads
-    from is rejected by Spark anyway)."""
-    import re
-
-    if not os.path.isdir(state_dir):
-        return None
-    vs = [
-        e
-        for e in os.listdir(state_dir)
-        if re.fullmatch(r"v\d+", e) and int(e[1:]) < batch_id
-    ]
+    from is rejected by Spark anyway). Only COMMITTED versions count —
+    a torn newest version from a crash is skipped, not merged."""
+    vs = [e for e in _committed_versions(state_dir) if int(e[1:]) < batch_id]
     if not vs:
         return None
-    latest = max(vs, key=lambda e: int(e[1:]))
-    return spark.read.parquet(os.path.join(state_dir, latest))
+    return spark.read.parquet(os.path.join(state_dir, vs[-1]))
 
 
 def rollup_stream(
@@ -379,11 +391,18 @@ def rollup_stream(
     volume). State versions are immutable dirs ``v{batch_id}``, and a
     batch always merges onto the newest version written by a STRICTLY
     EARLIER batch (:func:`_state_before`): foreachBatch is
-    at-least-once, so a replayed batch overwrites its own failed
+    at-least-once, so a replayed batch republishes its own failed
     ``v{batch_id}`` idempotently instead of double-counting it. The
-    last two versions are retained (the replayed batch's predecessor
-    must survive — the poor-man's transaction; production would use a
-    transactional table format) and older versions pruned.
+    PUBLISH itself is crash-atomic: each version is staged into a
+    dot-prefixed temp dir (invisible to the version regex), verified
+    against the parquet committer's ``_SUCCESS`` marker, and
+    ``os.rename``d into place — a single atomic filesystem op on
+    POSIX — so :func:`latest_rollup_state` can never read a torn
+    newest version (r7 review hazard); a crash at any point leaves
+    only committed versions visible and the replayed batch cleans up
+    its own debris. The last two committed versions are retained (the
+    replayed batch's predecessor must survive) and older versions
+    pruned; production would use a transactional table format.
     """
     import shutil
 
@@ -399,16 +418,21 @@ def rollup_stream(
             if prev is not None
             else delta
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id:09d}")
-        )
-        import re
-
-        vs = sorted(
-            (e for e in os.listdir(state_dir) if re.fullmatch(r"v\d+", e)),
-            key=lambda e: int(e[1:]),
-        )
-        for stale in vs[:-2]:
+        final_dir = os.path.join(state_dir, f"v{batch_id:09d}")
+        tmp_dir = os.path.join(state_dir, f".staging_v{batch_id:09d}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # debris from a replay
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        if not os.path.exists(os.path.join(tmp_dir, "_SUCCESS")):
+            raise RuntimeError(
+                f"parquet job for rollup state v{batch_id} left no _SUCCESS "
+                f"marker in {tmp_dir}; refusing to publish an unverified state"
+            )
+        # atomic publish: rm the failed attempt's copy (if any), then one
+        # rename — readers gate on _SUCCESS inside committed dirs, so the
+        # brief no-v{batch_id} window just falls back to the predecessor
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.rename(tmp_dir, final_dir)
+        for stale in _committed_versions(state_dir)[:-2]:
             shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
 
     q = (
