@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": Q.ann_pq_recall,
         "customers_upsert": Q.customers_upsert,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
+        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
+        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "events_continuous_rollup": Q.events_continuous_rollup,
         "pipeline_pack_contexts": Q.pipeline_pack_contexts,
         "stream_rollup": Q.stream_rollup,
@@ -1204,6 +1206,20 @@ WHERE cum_tokens <= 5000
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "ann_pq_top3": PO.ann_pq_topk_sql(),
         "ann_ivfpq_top3": PO.ann_ivfpq_topk_sql(),
+        "ann_ivfpq_refine_top3": PO.ann_ivfpq_refine_topk_sql(),
+        "ann_ivfpq_refine_recall": f"""
+WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
+approx_q AS ({PO.ann_ivfpq_refine_topk_sql()}),
+m AS (
+  SELECT COUNT(*) AS n_matched
+  FROM exact_q e JOIN approx_q a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+e AS (SELECT COUNT(*) AS n_exact FROM exact_q)
+SELECT ROUND(CAST(n_matched AS DOUBLE) / n_exact, 6) AS recall_at_3,
+       n_exact, n_matched
+FROM e, m
+""",
         "ann_pq_recall": f"""
 WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
 approx_q AS ({PO.ann_pq_topk_sql()}),

@@ -535,17 +535,48 @@ def _run_workloads(spark, sf_dir, timings, timed):
         lambda: SIM.pq_topk(emb, k=3, codebooks=pq_tr["cb"]).collect(),
     )
     timings["ann_pq_recall_at3_trained"] = _pq_recall(pq_exact, pq_tr["cb"])
-    timed_med("ann_ivfpq_top3", lambda: SIM.ivfpq_topk(emb, k=3).collect())
-    timings["ann_ivfpq_recall_at3"] = round(
-        len(
-            pq_exact
-            & {
-                (r.query_id, r.neighbor_id)
-                for r in SIM.ivfpq_topk(emb, k=3).collect()
-            }
+    def _ivfpq_recall(**kw):
+        return round(
+            len(
+                pq_exact
+                & {
+                    (r.query_id, r.neighbor_id)
+                    for r in SIM.ivfpq_topk(emb, k=3, **kw).collect()
+                }
+            )
+            / len(pq_exact),
+            6,
         )
-        / len(pq_exact),
-        6,
+
+    timed_med("ann_ivfpq_top3", lambda: SIM.ivfpq_topk(emb, k=3).collect())
+    timings["ann_ivfpq_recall_at3"] = _ivfpq_recall()
+    # r7 verdict task: the TRAINED composition (kmeans coarse codebook +
+    # Lloyd PQ codebooks) with an n_probe sweep at <= 2x the seed
+    # candidate budget (seed 2/8 = 1/4 of the pool; 64-cell probes of
+    # 8/16/32 = 1/8, 1/4, 1/2), plus the production rerank stage
+    # (refine_k=16 exact re-scoring of each cell's ADC shortlist)
+    for npb in (8, 16, 32):
+        timings[f"ann_ivfpq_recall_at3_trained_p{npb}"] = _ivfpq_recall(
+            n_centroids=NC, n_probe=npb, centroids=trained["cb"], codebooks=pq_tr["cb"]
+        )
+    timings["ann_ivfpq_recall_at3_trained"] = timings[
+        "ann_ivfpq_recall_at3_trained_p16"
+    ]
+    timed_med(
+        "ann_ivfpq_refine_top3",
+        lambda: SIM.ivfpq_topk(emb, k=3, refine_k=16).collect(),
+    )
+    timings["ann_ivfpq_recall_at3_refined_seed"] = _ivfpq_recall(refine_k=16)
+    timed_med(
+        "ann_ivfpq_refine_top3_trained",
+        lambda: SIM.ivfpq_topk(
+            emb, k=3, n_centroids=NC, n_probe=NPROBE,
+            centroids=trained["cb"], codebooks=pq_tr["cb"], refine_k=16,
+        ).collect(),
+    )
+    timings["ann_ivfpq_recall_at3_refined_trained"] = _ivfpq_recall(
+        n_centroids=NC, n_probe=NPROBE,
+        centroids=trained["cb"], codebooks=pq_tr["cb"], refine_k=16,
     )
 
 

