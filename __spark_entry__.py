@@ -43,83 +43,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-7 rotation (policy + log in SURVEY.md §2E):
-    # IN-WINDOW = (a) every query whose engine or oracle changed this
-    # round (conservative family: oracle dust-filter mirror; q8/q9/q19:
-    # integer-units revenue; sketch-accuracy: rank-based audit;
-    # editdist: valve + empty guard; minhash/dedup_groups: signature
-    # construction refactor), (b) the 5 NEW r7 queries, (c) every query
-    # whose ONLY driver green is r6 (needs a second green round), and
-    # (d) the 13 tail queries whose only green was r5 (rotated back in
-    # per the r6 verdict — r4's registry predates them, so the old
-    # "green in r4 AND r5" precondition was unsatisfiable).
-    # TAIL = queries with >= 2 lifetime driver-green rounds and no code
-    # change this round.
+    # entries only. Round-8 rotation (policy + log in SURVEY.md §2E):
+    # IN-WINDOW = (a) every query NEW or with engine code changed this
+    # round (stream_interval_join_outer + the IVFPQ refine pair are
+    # new; ivfpq payload cut, rollup key-metadata hardening + atomic
+    # stream-state publish, and the minhash/simhash persist-registry
+    # change touch their queries), (b) the 26 tail queries whose only
+    # lifetime green is r5/r6 plus never-checked pipeline_weighted_sample
+    # (the r7 verdict's #3 task: local-evidence-only queries must cycle
+    # through a real driver round), and (c) 14 of the r7 first-green
+    # queries for their second green. TAIL = >= 2 lifetime greens and
+    # code untouched this round, OR r7-first-greens awaiting a later
+    # slot (same-round evidence: the committed CORRECTNESS_FULL_r8
+    # full-surface record + tri-scale local oracle runs).
     return {
-        # (a) changed this round
-        "regrid_conservative": Q.regrid_conservative,
-        "regrid_conservative_clip": Q.regrid_conservative_clip,
-        "regrid_conservative_4d": Q.regrid_conservative_4d,
-        "regrid_dataset_multivar": Q.regrid_dataset_multivar,
-        "stream_regrid": Q.stream_regrid,
-        "events_sketch_accuracy": Q.events_sketch_accuracy,
-        "tpch_q8_market_share": Q.tpch_q8_market_share,
-        "tpch_q9_product_type": Q.tpch_q9_product_type,
-        "tpch_q19_disjunctive": Q.tpch_q19_disjunctive,
-        "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
-        "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
-        "pipeline_dedup_groups": Q.pipeline_dedup_groups,
-        "documents_quality_tiers": Q.documents_quality_tiers,
-        # (b) new in r7
-        "documents_quality_tiers_approx": Q.documents_quality_tiers_approx,
-        "pipeline_jsonl_roundtrip": Q.pipeline_jsonl_roundtrip,
-        "salted_join_skew": Q.salted_join_skew,
-        "multimodal_image_resize": Q.multimodal_image_resize,
-        "ann_ivf_multiprobe": Q.ann_ivf_multiprobe,
-        "tpch_q2_min_cost_supplier": Q.tpch_q2_min_cost_supplier,
-        "tpch_q11_important_parts": Q.tpch_q11_important_parts,
-        "tpch_q16_supplier_count": Q.tpch_q16_supplier_count,
-        "tpch_q20_excess_shippers": Q.tpch_q20_excess_shippers,
-        "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
-        "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
-        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
-        "multimodal_frame_sample": Q.multimodal_frame_sample,
-        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
-        "pipeline_decontaminate": Q.pipeline_decontaminate,
-        "orders_rollup": Q.orders_rollup,
-        "events_pivot": Q.events_pivot,
-        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
-        "events_hourly_gapfill": Q.events_hourly_gapfill,
-        "ann_pq_top3": Q.ann_pq_top3,
-        "ann_pq_recall": Q.ann_pq_recall,
-        "customers_upsert": Q.customers_upsert,
-        "ann_ivfpq_top3": Q.ann_ivfpq_top3,
+        # (a) new in r8 / engine code changed in r8
+        "stream_interval_join_outer": Q.stream_interval_join_outer,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
-        "events_continuous_rollup": Q.events_continuous_rollup,
-        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
+        "ann_ivfpq_top3": Q.ann_ivfpq_top3,
         "stream_rollup": Q.stream_rollup,
-        "documents_segments_udtf": Q.documents_segments_udtf,
-        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
-        "events_partitioned_scan": Q.events_partitioned_scan,
-        "events_hll_merge": Q.events_hll_merge,
-        "events_trailing_window": Q.events_trailing_window,
-        "pipeline_token_budget": Q.pipeline_token_budget,
-        # (c) single-green r6 — second green needed
-        "events_props_stats": Q.events_props_stats,
-        "pipeline_curate": Q.pipeline_curate,
-        "stream_hourly": Q.stream_hourly,
-        "stream_sessionize": Q.stream_sessionize,
-        "stream_dedup": Q.stream_dedup,
-        # (d) single-green r5 — rotated back in
-
+        "events_continuous_rollup": Q.events_continuous_rollup,
+        "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
+        "pipeline_dedup_groups": Q.pipeline_dedup_groups,
+        "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
+        # (b) single-green tail queries cycling through for green #2
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
-        # --- rotation tail: >= 2 lifetime greens, code untouched, OR
-        # single-green bumped by the 5 new-in-r7 TPC-H shapes (new
-        # queries with ZERO driver greens outrank second-greens for the
-        # 50 window slots; the bumped five are re-verified in this
-        # round's committed CORRECTNESS_FULL record) ---
         "tpch_q10_returned": Q.tpch_q10_returned,
         "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q17_small_qty": Q.tpch_q17_small_qty,
@@ -144,6 +94,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": Q.tpch_q14_promo,
         "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
         "tpch_q18_large_orders": Q.tpch_q18_large_orders,
+        "ann_ivf_recall": Q.ann_ivf_recall,
+        # (c) r7 first-greens taking their second green
+        "documents_quality_tiers_approx": Q.documents_quality_tiers_approx,
+        "pipeline_jsonl_roundtrip": Q.pipeline_jsonl_roundtrip,
+        "salted_join_skew": Q.salted_join_skew,
+        "multimodal_image_resize": Q.multimodal_image_resize,
+        "ann_ivf_multiprobe": Q.ann_ivf_multiprobe,
+        "tpch_q2_min_cost_supplier": Q.tpch_q2_min_cost_supplier,
+        "tpch_q11_important_parts": Q.tpch_q11_important_parts,
+        "tpch_q16_supplier_count": Q.tpch_q16_supplier_count,
+        "tpch_q20_excess_shippers": Q.tpch_q20_excess_shippers,
+        "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
+        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
+        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
+        "pipeline_decontaminate": Q.pipeline_decontaminate,
+        # --- rotation tail (position 51+): >= 2 lifetime greens with
+        # code untouched this round, or r7 first-greens whose 2nd green
+        # waits a round (both carry the committed full-surface record +
+        # tri-scale local evidence) ---
+        "orders_rollup": Q.orders_rollup,
+        "events_pivot": Q.events_pivot,
+        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
+        "events_hourly_gapfill": Q.events_hourly_gapfill,
+        "ann_pq_top3": Q.ann_pq_top3,
+        "ann_pq_recall": Q.ann_pq_recall,
+        "customers_upsert": Q.customers_upsert,
+        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
+        "documents_segments_udtf": Q.documents_segments_udtf,
+        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
+        "events_partitioned_scan": Q.events_partitioned_scan,
+        "events_hll_merge": Q.events_hll_merge,
+        "events_trailing_window": Q.events_trailing_window,
+        "pipeline_token_budget": Q.pipeline_token_budget,
+        "regrid_conservative": Q.regrid_conservative,
+        "regrid_conservative_clip": Q.regrid_conservative_clip,
+        "regrid_conservative_4d": Q.regrid_conservative_4d,
+        "regrid_dataset_multivar": Q.regrid_dataset_multivar,
+        "stream_regrid": Q.stream_regrid,
+        "events_sketch_accuracy": Q.events_sketch_accuracy,
+        "tpch_q8_market_share": Q.tpch_q8_market_share,
+        "tpch_q9_product_type": Q.tpch_q9_product_type,
+        "tpch_q19_disjunctive": Q.tpch_q19_disjunctive,
+        "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
+        "documents_quality_tiers": Q.documents_quality_tiers,
+        "events_props_stats": Q.events_props_stats,
+        "pipeline_curate": Q.pipeline_curate,
+        "stream_hourly": Q.stream_hourly,
+        "stream_sessionize": Q.stream_sessionize,
+        "stream_dedup": Q.stream_dedup,
         "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
         "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
         "regrid_patch": Q.regrid_patch,
@@ -171,7 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunks": Q.pipeline_chunks,
         "ann_cosine_top3": Q.ann_cosine_top3,
         "ann_ivf_top3": Q.ann_ivf_top3,
-        "ann_ivf_recall": Q.ann_ivf_recall,
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "knn_top3": Q.knn_top3,
         "multimodal_features": Q.multimodal_features,
@@ -567,6 +566,23 @@ purch AS (SELECT event_id AS purchase_id, user_id, tns, tus FROM ev WHERE event_
 clicks AS (SELECT event_id AS click_id, user_id, tns, tus FROM ev WHERE event_type = 'click')
 SELECT p.purchase_id, c.click_id, p.user_id, p.tns - c.tns AS lag_ns
 FROM purch p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.tus >= p.tus - 3600000000
+ AND c.tus <= p.tus
+""",
+        "stream_interval_join_outer": """
+WITH ev AS (
+  -- LEFT OUTER stream-stream join: unmatched purchases flush when the
+  -- watermark (advanced past every horizon by the staged sentinel)
+  -- passes left_ts + upper; the finite run then equals this batch LEFT
+  -- range join exactly. Bounds at µs (event-time grain), lag exact ns.
+  SELECT event_id, user_id, EPOCH_NS(ts) AS tns, EPOCH_NS(ts) // 1000 AS tus, event_type
+  FROM events
+),
+purch AS (SELECT event_id AS purchase_id, user_id, tns, tus FROM ev WHERE event_type = 'purchase'),
+clicks AS (SELECT event_id AS click_id, user_id, tns, tus FROM ev WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id, p.tns - c.tns AS lag_ns
+FROM purch p LEFT JOIN clicks c
   ON p.user_id = c.user_id
  AND c.tus >= p.tus - 3600000000
  AND c.tus <= p.tus

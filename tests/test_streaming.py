@@ -184,6 +184,98 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_interval_join_stream_outer_multibatch_matches_batch(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join across REAL multiple
+    micro-batches (3 time-slab files, maxFilesPerTrigger=1) == the batch
+    LEFT range join. The outer wing is the hard part: unmatched left
+    rows are held in state until the watermark passes their join
+    horizon, so the sentinel must advance BOTH sides' watermark nodes
+    (it passes both event-type filters) and Spark's closing no-data
+    micro-batch must evict-and-emit them."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    tbl = pq.read_table(EVENTS)
+    ts = tbl.column("ts")
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slabs = [
+        tbl.filter(pc.less(ts, cut1)),
+        tbl.filter(pc.and_(pc.greater_equal(ts, cut1), pc.less(ts, cut2))),
+        tbl.filter(pc.greater_equal(ts, cut2)),
+    ]
+    import time
+
+    for i, slab in enumerate(slabs):
+        assert slab.num_rows > 0
+        pq.write_table(slab, src_dir / f"part-{i:03d}.parquet")
+        time.sleep(0.05)  # distinct mtimes => deterministic batch order
+    ST.stage_flush_sentinel(
+        str(src_dir),
+        offset_ns=24 * 3600 * 1_000_000_000,
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
+
+    ev = ST.events_stream(spark, str(src_dir), max_files=1)
+    purch = ev.filter(F.col("event_type").isin("purchase", ST.FLUSH_MARKER)).select(
+        "user_id",
+        F.col("event_type").alias("p_type"),
+        F.col("event_ts").alias("p_event_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type").isin("click", ST.FLUSH_MARKER)).select(
+        "user_id",
+        F.col("event_ts").alias("c_event_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = ST.interval_join_stream_outer(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="p_event_ts",
+        right_ts="c_event_ts",
+        lower_sec=-3600,
+        upper_sec=0,
+    )
+    res = ST.run_to_memory(out, "ij_outer_multibatch_test")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in res.filter(F.col("p_type") != ST.FLUSH_MARKER).collect()
+    }
+
+    from xesmf_spark.tables import event_time_col, normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_b = normalize_events(spark.read.parquet(EVENTS)).withColumn(
+        "event_ts", event_time_col("ts")
+    )
+    p_b = ev_b.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_ts").alias("p_event_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c_b = ev_b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_ts").alias("c_event_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    j_b = p_b.join(
+        c_b,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_event_ts") >= F.col("p_event_ts") - F.expr("INTERVAL 3600 SECOND"))
+        & (F.col("c_event_ts") <= F.col("p_event_ts")),
+        "left",
+    )
+    want = {(r.purchase_id, r.click_id) for r in j_b.collect()}
+    assert got == want
+    # the outer wing must actually fire: some purchase with no click
+    assert any(c is None for _, c in got)
+    # and the inner wing too
+    assert any(c is not None for _, c in got)
+
+
 def test_dedup_stream_matches_batch_digests(spark, tmp_path):
     """Streaming exact dedup must keep exactly ONE row per normalized
     content digest — the same digest set as the batch exact_dedup, and

@@ -1570,6 +1570,66 @@ def stream_interval_join(spark, sf_dir):
     )
 
 
+def stream_interval_join_outer(spark, sf_dir):
+    """STREAM-STREAM **LEFT OUTER** interval join driven to completion
+    (streaming.interval_join_stream_outer): every purchase, with its
+    clicks in the trailing hour, or NULL click columns if none —
+    unmatched purchases are emitted when the watermark passes their join
+    horizon. Flush discipline: the shared per-user +24h sentinel rows
+    are let THROUGH both event-type filters (unlike the inner query) so
+    both watermark nodes advance past every real purchase's horizon
+    (the query watermark is the min across inputs); sentinel-left rows
+    are filtered from the output by their marker, and sentinel rows can
+    never join real rows (they sit 24h past max ts, horizon is 1h).
+    With the flush, the finite run equals the batch LEFT range join
+    exactly — FULL DuckDB oracle."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_stream_dir(spark, sf_dir)
+    ST.stage_flush_sentinel(
+        d,
+        offset_ns=24 * 3600 * 1_000_000_000,
+        user_col="user_id",
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
+    ev = ST.events_stream(spark, d)
+    purch = ev.filter(
+        F.col("event_type").isin("purchase", ST.FLUSH_MARKER)
+    ).select(
+        "user_id",
+        F.col("event_type").alias("p_type"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_ts").alias("p_event_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(
+        F.col("event_type").isin("click", ST.FLUSH_MARKER)
+    ).select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_ts").alias("c_event_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = ST.interval_join_stream_outer(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="p_event_ts",
+        right_ts="c_event_ts",
+        lower_sec=-3600,
+        upper_sec=0,
+    )
+    res = ST.run_to_memory(out, f"q_stream_ij_outer_{uuid.uuid4().hex[:8]}")
+    return res.filter(F.col("p_type") != ST.FLUSH_MARKER).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("p_ts") - F.col("c_ts")).alias("lag_ns"),
+    )
+
+
 def events_percentiles(spark, sf_dir):
     """EXACT percentiles (p50/p95/p99) of event value per type — the
     ordered-statistics aggregation category. Exact percentile buffers a

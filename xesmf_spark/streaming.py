@@ -486,6 +486,54 @@ def interval_join_stream(
     return l.join(r, cond, "inner").drop(f"__r_{on}")
 
 
+def interval_join_stream_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join — the other half of the
+    standard streaming-join surface (the inner form above): every left
+    row is emitted, with right columns NULL when no matching right row
+    ever arrives.
+
+    Semantics on an unbounded stream: a left row cannot be declared
+    unmatched the moment it arrives — a matching right row may still be
+    in flight. Spark therefore buffers the left row and emits the
+    null-extended result only once the (global) watermark passes the
+    row's join horizon ``left_ts + upper_sec``: at that point no
+    admissible right row can still arrive, so "unmatched" is final.
+    This is exactly watermark-bounded state again — each side holds only
+    rows inside the horizon, same as the inner join, so perpetual
+    ingestion stays viable.
+
+    Finite-run discipline (how the oracle query drives this): the
+    null-extended rows only flush if the watermark actually advances
+    past the last real left row's horizon — which a finite input does
+    NOT do on its own (the watermark freezes at max(ts) - delay, leaving
+    the final horizon's unmatched rows stuck in state — the same prefix
+    trap as append-mode aggregation). The caller stages a far-future
+    flush sentinel into BOTH input filters, advancing both watermark
+    nodes (the query watermark is the MIN across inputs) so every real
+    left row evicts; sentinel rows are filtered from the output by their
+    marker. Spark runs the required no-data micro-batch after the last
+    data batch (shouldRunAnotherBatch: eviction work pending), so an
+    availableNow run emits the complete outer result before stopping.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(on, f"__r_{on}")
+    cond = (
+        (F.col(on) == F.col(f"__r_{on}"))
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower_sec} SECOND"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_sec} SECOND"))
+    )
+    return l.join(r, cond, "leftOuter").drop(f"__r_{on}")
+
+
 def dedup_stream(
     docs: DataFrame,
     ts_col: str = "event_ts",
