@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) new in r8 / engine code changed in r8
         "stream_interval_join_outer": Q.stream_interval_join_outer,
+        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -586,6 +587,21 @@ FROM purch p LEFT JOIN clicks c
   ON p.user_id = c.user_id
  AND c.tus >= p.tus - 3600000000
  AND c.tus <= p.tus
+""",
+        "events_props_flatten_udtf": """
+-- polymorphic-UDTF replay: extract the requested key, count keys
+-- beyond the requested set via json_keys; drop invalid/NULL JSON rows
+-- (the UDTF's yield-nothing quarantine)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(SUM(len(json_keys(props))
+                - CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END)
+            AS BIGINT) AS sum_extra
+FROM events
+WHERE props IS NOT NULL AND json_valid(props)
+GROUP BY event_type
 """,
         "events_continuous_rollup": """
 -- the continuous-aggregate invariant: the oracle aggregates everything

@@ -46,6 +46,79 @@ def test_udtf_matches_column_twin(spark):
         assert idxs == list(range(len(idxs)))
 
 
+def test_json_cols_polymorphic_schema(spark):
+    """The analyze() surface: the SAME class yields a different output
+    schema per call site, derived from the constant spec argument."""
+    udtfs.register_json_cols(spark, "json_cols_t")
+    spark.createDataFrame(
+        [(1, '{"a": 7, "b": 2.5, "c": "x", "d": 1}')], "id long, j string"
+    ).createOrReplaceTempView("jc_one")
+    wide = spark.sql(
+        "SELECT f.* FROM jc_one, LATERAL json_cols_t(j, 'a:bigint,b:double,c:string') f"
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in wide.schema.fields] == [
+        ("a", "bigint"),
+        ("b", "double"),
+        ("c", "string"),
+        ("n_extra", "int"),
+    ]
+    narrow = spark.sql(
+        "SELECT f.* FROM jc_one, LATERAL json_cols_t(j, 'd:bigint') f"
+    )
+    assert [f.name for f in narrow.schema.fields] == ["d", "n_extra"]
+    assert wide.collect() == [(7, 2.5, "x", 1)]
+    assert narrow.collect() == [(1, 3)]
+
+
+def test_json_cols_matches_column_twin(spark):
+    """Differential: UDTF == from_json/json_object_keys twin on edge
+    cases — missing key, extra keys, malformed JSON, NULL, non-object
+    JSON — and on the real events table."""
+    frame = spark.createDataFrame(
+        [
+            (1, '{"k": 87}'),
+            (2, '{"k": 0, "z": 1, "w": "s"}'),
+            (3, '{"other": 5}'),
+            (4, "not json {"),
+            (5, None),
+            (6, "[1, 2, 3]"),
+            (7, '{"k": "stringy"}'),
+            (8, "{}"),
+        ],
+        "id long, props string",
+    )
+    udtfs.register_json_cols(spark, "json_cols_t2")
+    frame.createOrReplaceTempView("jc_edge")
+    via_udtf = spark.sql(
+        "SELECT e.id, f.k, f.n_extra "
+        "FROM jc_edge e, LATERAL json_cols_t2(e.props, 'k:bigint') f"
+    )
+    via_expr = udtfs.json_cols_expr(frame, "k:bigint").select("id", "k", "n_extra")
+    got = sorted((r.id, r.k, r.n_extra) for r in via_udtf.collect())
+    assert got == sorted((r.id, r.k, r.n_extra) for r in via_expr.collect())
+    assert (1, 87, 0) in got
+    assert (2, 0, 2) in got
+    assert (3, None, 1) in got  # requested key missing -> NULL, not no-row
+    assert (8, None, 0) in got
+    ids = {r[0] for r in got}
+    assert 4 not in ids and 5 not in ids and 6 not in ids  # quarantined
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "props"
+    )
+    ev.createOrReplaceTempView("jc_events")
+    real_udtf = spark.sql(
+        "SELECT e.event_id, f.k, f.n_extra "
+        "FROM jc_events e, LATERAL json_cols_t2(e.props, 'k:bigint') f"
+    )
+    real_expr = udtfs.json_cols_expr(ev, "k:bigint").select(
+        "event_id", "k", "n_extra"
+    )
+    assert sorted(map(tuple, real_udtf.collect())) == sorted(
+        map(tuple, real_expr.collect())
+    )
+
+
 def test_udtf_sentence_pattern(spark):
     """The documented sentence delimiter (ASCII whitespace class) on
     punctuated text: trailing period without following whitespace stays

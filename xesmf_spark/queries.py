@@ -1876,6 +1876,35 @@ def documents_segments_udtf(spark, sf_dir):
     )
 
 
+def events_props_flatten_udtf(spark, sf_dir):
+    """The POLYMORPHIC Python UDTF surface (udtfs.JsonCols): output
+    schema derived at plan time by the static ``analyze`` method from
+    the constant spec argument — ``json_cols(props, 'k:bigint')``
+    produces a ``k bigint`` column, a different spec a different
+    schema, same class. LATERAL-joined against the events JSON payload
+    and aggregated per type (extracted-value sum + extra-key count).
+    Like the other UDx queries, the UDTF is the API-surface form; the
+    JVM twin (udtfs.json_cols_expr — from_json + json_object_keys in
+    whole-stage codegen) is the 100-TB path, differential-tested equal
+    in pytest. Oracle: DuckDB json_extract/json_keys replay."""
+    from xesmf_spark import udtfs
+
+    udtfs.register_json_cols(spark, "json_cols_q")
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_src")
+    flat = spark.sql(
+        """
+        SELECT e.event_type, f.k, f.n_extra
+        FROM events_udtf_src e, LATERAL json_cols_q(e.props, 'k:bigint') f
+        """
+    )
+    return flat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_k"),
+        F.sum("n_extra").cast("long").alias("sum_extra"),
+    )
+
+
 def pipeline_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus sampling (pipeline.weighted_sample):
     each document survives with probability proportional to its
