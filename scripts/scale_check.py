@@ -1,0 +1,185 @@
+"""Empirical scale check: the heaviest pipeline/ANN operators at 1x
+(sf0.1) vs Nx (synthesized 10x by default), recording wall-time scaling.
+
+WHY (r7 verdict task #8): the repo's 100-TB claims rest on plan-shape
+arguments (bucketed equi-joins, valves, per-shard windows). This script
+is the empirical counterpart: if an operator were secretly quadratic in
+corpus size, a 10x corpus would cost ~100x — the measured exponent
+log(t_N/t_1)/log(N) exposes that with data instead of prose.
+
+SYNTHESIS RULES (what makes the measurement fair):
+- documents x10: replica r of every doc gets doc_id*N+r and, for r>0,
+  every whitespace token suffixed with "x<r>" — replicas of the same doc
+  share NO shingles/tokens across replicas, so the near-dup RATE stays
+  that of the base corpus (naive duplication would give every doc ~N
+  clones: pair output would grow ~N^2/2 by construction and the check
+  would measure the corpus, not the engine). Within a replica the
+  planted-dup structure is preserved exactly (the %7/%11/%5 planting in
+  the queries derives from text AFTER this transform).
+- embeddings x10: vec_id*N+r with a small deterministic per-replica,
+  per-component jitter (replicas are near but not identical vectors —
+  realistic density growth, no degenerate exact ties).
+- IVFPQ at Nx runs with n_centroids scaled by N (constant CELL SIZE,
+  n_probe fixed): this is the documented IVF deployment rule — index
+  granularity grows with the pool so per-query candidate work stays
+  constant; holding 8 cells at any scale would measure a config error,
+  not the operator (FAISS sizes nlist ~ O(sqrt(n)..n/target_cell)).
+
+Timing: min-of-2 per (operator, scale) — episodic whole-VM stalls on
+this box poison single-shot numbers (see bench.py timed_med). Output:
+SCALING_LOCAL.json, merged into BENCH_LOCAL.json by the next bench run.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def stage_scaled(spark, base: str, factor: int) -> str:
+    """Stage the Nx documents+embeddings dir (content-addressed by the
+    source stats + factor; rebuilt when the driver regenerates data)."""
+    tag = base.rstrip("/").replace("/", "_")
+    d = f"/tmp/xesmf_scale{tag}_x{factor}"
+    marker = os.path.join(d, ".staged.json")
+    st_d = os.stat(f"{base}/documents.parquet")
+    st_e = os.stat(f"{base}/embeddings.parquet")
+    want = {
+        "doc_size": st_d.st_size,
+        "doc_mtime": st_d.st_mtime,
+        "emb_size": st_e.st_size,
+        "emb_mtime": st_e.st_mtime,
+        "factor": factor,
+    }
+    if os.path.isfile(marker):
+        try:
+            if json.load(open(marker)) == want:
+                return d
+        except (ValueError, OSError):
+            pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+
+    reps = spark.range(factor).select(F.col("id").cast("int").alias("r"))
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    scaled_docs = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * factor + F.col("r")).alias("doc_id"),
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(
+            # suffix every token: replicas share no shingles across
+            # replicas ('$1' = the captured token; literal 'x' keeps
+            # the group ref unambiguous before the digit)
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1x"), F.col("r").cast("string")),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    # repartition so the Nx corpus starts from the same per-partition
+    # row count the 1x single file gives — not from factor-inflated
+    # tiny partitions that would bias per-task overheads
+    scaled_docs.repartition(max(2, factor // 2)).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    scaled_emb = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") * factor + F.col("r")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.col("r").cast("float") * (((i % 5) - 2).cast("float")) * 0.0037
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    scaled_emb.repartition(max(2, factor // 2)).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return d
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from xesmf_spark import release_persisted
+    from xesmf_spark import queries as Q
+    from xesmf_spark import similarity as SIM
+    from xesmf_spark.session import get_spark
+
+    spark = get_spark("xesmf_scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled = stage_scaled(spark, base, factor)
+    print(f"staged {factor}x corpus at {scaled}", file=sys.stderr)
+
+    def emb_at(sf_dir):
+        return Q._par(spark, Q._t(spark, sf_dir, "embeddings"))
+
+    # (name, fn(sf_dir, scale) -> DataFrame); IVFPQ grows index
+    # granularity with the pool (constant cell size — see module doc)
+    workloads = [
+        ("pipeline_minhash_dedup", lambda d, s: Q.pipeline_minhash_dedup(spark, d)),
+        ("pipeline_simhash_pairs", lambda d, s: Q.pipeline_simhash_pairs(spark, d)),
+        ("pipeline_curate", lambda d, s: Q.pipeline_curate(spark, d)),
+        ("pipeline_pack_contexts", lambda d, s: Q.pipeline_pack_contexts(spark, d)),
+        (
+            "ann_ivfpq_top3",
+            lambda d, s: SIM.ivfpq_topk(
+                emb_at(d), k=3, n_centroids=8 * s, n_probe=2
+            ),
+        ),
+    ]
+
+    def measure(fn, sf_dir, scale):
+        best, rows = math.inf, None
+        for _ in range(trials):
+            release_persisted()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            rows = fn(sf_dir, scale).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), rows
+
+    out = {"factor": factor, "base": base, "trials_min_of": trials, "ops": {}}
+    for name, fn in workloads:
+        t1, r1 = measure(fn, base, 1)
+        tn, rn = measure(fn, scaled, factor)
+        exp = round(math.log(tn / t1) / math.log(factor), 3) if t1 > 0 else None
+        out["ops"][name] = {
+            "t_1x_sec": t1,
+            f"t_{factor}x_sec": tn,
+            "rows_1x": r1,
+            f"rows_{factor}x": rn,
+            "time_ratio": round(tn / t1, 2),
+            "scaling_exponent": exp,
+            "subquadratic": bool(tn < t1 * factor**2),
+        }
+        print(f"{name}: 1x {t1}s ({r1} rows) -> {factor}x {tn}s ({rn} rows) "
+              f"exp={exp}", file=sys.stderr)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALING_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
