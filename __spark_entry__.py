@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new in r8 / engine code changed in r8
         "stream_interval_join_outer": Q.stream_interval_join_outer,
         "events_props_flatten_udtf": Q.events_props_flatten_udtf,
+        "pipeline_span_dedup": Q.pipeline_span_dedup,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1236,6 +1237,7 @@ WHERE cum_tokens <= 5000
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),
         "pipeline_decontaminate": PO.decontaminate_sql(),
+        "pipeline_span_dedup": PO.span_dedup_sql(),
         "ann_pq_top3": PO.ann_pq_topk_sql(),
         "ann_ivfpq_top3": PO.ann_ivfpq_topk_sql(),
         "ann_ivfpq_refine_top3": PO.ann_ivfpq_refine_topk_sql(),

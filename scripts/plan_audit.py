@@ -63,6 +63,8 @@ ALLOW = {
     # same 1x1 recall-ratio cross, plus euclid_topk's broadcast cross
     # join — the documented exact AUDIT reference, not a scale path
     "ann_pq_recall": {"BroadcastNestedLoopJoin"},
+    # identical audit shape for the refined-IVFPQ recall number
+    "ann_ivfpq_refine_recall": {"BroadcastNestedLoopJoin"},
     # the global-average threshold is a 1-row scalar broadcast crossed
     # into customer (the q22 correlated-scalar decorrelation)
     "tpch_q22_inactive_customers": {"BroadcastNestedLoopJoin"},

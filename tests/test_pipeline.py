@@ -1108,3 +1108,49 @@ def test_ivfpq_refine_reranks_with_exact_distance(spark):
     for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
         got.setdefault(r.query_id, []).append((r.neighbor_id, r.d2))
     assert got == {q: v for q, v in want.items() if v}
+
+
+def test_dedup_spans_semantics_and_hash_twin(spark):
+    """Repeated-span scrubbing: keeper doc untouched, exact copy fully
+    scrubbed (md5('')), a doc embedding the shared 13-token run loses
+    exactly that span, disjoint docs untouched; short-doc whole-text
+    convention; hash_grams (xxhash64 shuffle key) == string-key path."""
+    import hashlib
+
+    from xesmf_spark.pipeline import dedup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "x y z a b c d e f g h i j k l m q"),
+            (3, "totally different words without overlap here at all"),
+            (4, "a b c d e f g h i j k l m n o p"),
+            (5, "short doc"),
+            (6, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(docs, n=13).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    # keeper (min doc id) keeps everything
+    assert out[1].n_removed == 0 and out[1].cleaned_key != empty
+    # exact copy of 1: every gram repeated -> fully scrubbed
+    assert out[4].n_removed == 16 and out[4].cleaned_key == empty
+    # doc 2 embeds the run a..m at token offset 3: one island of 13
+    assert (out[2].n_islands, out[2].n_removed) == (1, 13)
+    assert (
+        out[2].cleaned_key
+        == hashlib.md5(b"x y z q").hexdigest()
+    )
+    # no repeated grams -> untouched
+    assert out[3].n_removed == 0
+    # short-doc whole-text convention: doc 6 scrubbed, doc 5 keeper
+    assert out[5].n_removed == 0
+    assert out[6].n_removed == 2 and out[6].cleaned_key == empty
+    # overlapping spans merge into islands (n_removed never > n_tokens)
+    assert all(r.n_removed <= r.n_tokens for r in out.values())
+
+    hashed = {r.doc_id: r for r in dedup_spans(docs, n=13, hash_grams=True).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in hashed.items()
+    }

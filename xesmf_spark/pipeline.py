@@ -975,6 +975,125 @@ def decontaminate(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Repeated-SPAN scrubbing — sub-document dedup in the style of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": any token ``n``-gram occurring in >= ``min_docs`` distinct
+    documents marks a repeated span, and every occurrence OUTSIDE the
+    gram's keeper document (min doc id) is cut from the text. Doc-level
+    dedup (exact/minhash above) drops whole documents; this removes the
+    boilerplate, license headers, and templated passages that survive
+    doc-level dedup because the surrounding text differs.
+
+    Semantics (deterministic, engine-replayable): normalized tokens ->
+    positioned n-grams (short docs contribute their whole text as one
+    gram, the :func:`shingles` convention) -> grams in >= min_docs docs
+    -> spans [pos, min(pos+n-1, L-1)] in non-keeper docs -> overlapping
+    spans merged into islands (gaps-and-islands window) -> tokens under
+    any island removed, remainder re-joined with single spaces. Output
+    one row per input doc: (id, n_tokens, n_islands, n_removed,
+    cleaned_key = md5 of the cleaned text — '' when fully scrubbed).
+
+    Scale shape (the reason this is NOT the suffix-array algorithm of
+    the paper): the suffix array is a single-machine construction; the
+    Spark-native form at fixed n is explode + two keyed equi-joins +
+    one per-doc window — every stage linear in corpus tokens, NO pair
+    join anywhere (contrast MinHash candidates): the gram groupBy is
+    one shuffle of (gram, id) pairs with map-side partial aggregation,
+    the span join re-keys the same explode by gram, and island-merge
+    shuffles only span rows keyed by doc. ``hash_grams=True`` replaces
+    the ~13-token gram STRING shuffle key with xxhash64 (8 bytes,
+    collision ~1e-10 at 1e9 grams) — the 100-TB path, differential-
+    tested equal in pytest; the oracle-checked default keeps the exact
+    string so DuckDB can replay it.
+    """
+    from xesmf_spark.apply import _PERSISTED
+
+    toks_df = (
+        df.select(F.col(id_col).alias("sid"), tokens(F.col(text_col)).alias("t"))
+        .withColumn("L", F.size("t"))
+        .persist()
+    )
+    _PERSISTED.append(toks_df)
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.col("L") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+    )
+    grams = toks_df.select(
+        "sid", "L", F.posexplode(gram_arr).alias("pos0", "gram")
+    )
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    rep = (
+        grams.groupBy("gram")
+        .agg(
+            F.min("sid").alias("keeper"),
+            F.countDistinct("sid").alias("nd"),
+        )
+        .filter(F.col("nd") >= min_docs)
+        .select("gram", "keeper")
+    )
+    spans = (
+        grams.join(rep, "gram")
+        .filter(F.col("sid") != F.col("keeper"))
+        .select(
+            "sid",
+            F.col("pos0").alias("s"),
+            F.least(F.col("pos0") + n - 1, F.col("L") - 1).alias("e"),
+        )
+    )
+    # gaps-and-islands: a span starts a new island iff it begins past
+    # the running max end of everything before it ((sid, s) is unique,
+    # and the frames are explicit ROWS — the RANGE-tie trap)
+    w_prev = Window.partitionBy("sid").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("sid").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = spans.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    merged = isl.groupBy("sid", "island").agg(
+        F.min("s").alias("S"), F.max("e").alias("E")
+    )
+    per_doc = merged.groupBy("sid").agg(
+        F.collect_list(F.struct(F.col("S").alias("s"), F.col("E").alias("e"))).alias(
+            "spans"
+        ),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("E") - F.col("S") + 1).alias("n_removed"),
+    )
+    out = toks_df.join(per_doc, "sid", "left")
+    cleaned_toks = F.when(F.col("spans").isNull(), F.col("t")).otherwise(
+        F.filter(
+            "t",
+            lambda tok, i: ~F.exists(
+                "spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+            ),
+        )
+    )
+    return out.select(
+        F.col("sid").alias(id_col),
+        F.col("L").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_islands"), F.lit(0)).cast("long").alias("n_islands"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.md5(F.encode(F.concat_ws(" ", cleaned_toks), "utf-8")).alias(
+            "cleaned_key"
+        ),
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -369,6 +369,87 @@ FROM hits h JOIN per_doc USING (doc_id)
 """
 
 
+def span_dedup_sql(n: int = 13) -> str:
+    """Mirrors pipeline.dedup_spans on the planted-duplicates corpus:
+    positioned n-grams (end clamped for the short-doc whole-text
+    convention), keeper = min doc id per repeated gram, non-keeper
+    occurrences merged gaps-and-islands (explicit ROWS frames), removed
+    token indexes exploded from the islands, cleaned text re-joined by
+    ordered string_agg. All-integer counts; md5 over the cleaned text
+    (md5('') for fully-scrubbed docs) closes the value hash."""
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE},
+grams AS (
+  SELECT doc_id, i AS pos0,
+         array_to_string(t[i + 1 : i + {n}], ' ') AS ngram,
+         least(i + {n} - 1, len(t) - 1) AS e
+  FROM toks, UNNEST(range(greatest(len(t) - {n}, 0) + 1)) AS u(i)
+),
+rep AS (
+  SELECT ngram, MIN(doc_id) AS keeper
+  FROM grams GROUP BY ngram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+spans AS (
+  SELECT g.doc_id, g.pos0 AS s, g.e
+  FROM grams g JOIN rep r ON g.ngram = r.ngram
+  WHERE g.doc_id <> r.keeper
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS S, MAX(e) AS E
+  FROM isl GROUP BY doc_id, island
+),
+removed AS (
+  SELECT DISTINCT m.doc_id, u.i
+  FROM merged m, UNNEST(range(m.S, m.E + 1)) AS u(i)
+),
+tok_idx AS (
+  SELECT doc_id, i, t[CAST(i AS INT) + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u2(i)
+),
+kept AS (
+  SELECT k.doc_id, k.i, k.tok
+  FROM tok_idx k LEFT JOIN removed r ON k.doc_id = r.doc_id AND k.i = r.i
+  WHERE r.i IS NULL
+),
+cleaned AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+  FROM kept GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(SUM(E - S + 1) AS BIGINT) AS n_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(c.ctext, '')) AS cleaned_key
+FROM toks t
+LEFT JOIN stats s ON t.doc_id = s.doc_id
+LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+"""
+
+
 def ngram_jaccard_sql(threshold: float = 0.05) -> str:
     return f"""
 WITH

@@ -2298,6 +2298,21 @@ def pipeline_exact_dedup(spark, sf_dir):
     return PL.exact_dedup(_docs_with_dups(_docs(spark, sf_dir)))
 
 
+def pipeline_span_dedup(spark, sf_dir):
+    """Sub-document repeated-SPAN scrubbing (pipeline.dedup_spans, the
+    Lee-et-al ExactSubstr shape at fixed n=13): any 13-gram occurring
+    in >= 2 docs has its non-keeper occurrences cut, overlapping spans
+    merged gaps-and-islands style, text re-joined. On the planted
+    corpus the exact/case/truncation copies must scrub to empty
+    (cleaned_key = md5('')) while keepers stay whole. Linear plan — an
+    explode + two keyed equi-joins + one per-doc window, NO pair join
+    (the scale contrast to MinHash candidates); the hash_grams=True
+    8-byte shuffle key is the 100-TB variant, differential-tested."""
+    from xesmf_spark.pipeline import dedup_spans
+
+    return dedup_spans(_docs_with_dups(_docs(spark, sf_dir)), n=13)
+
+
 def pipeline_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dedup: banded bucket-join candidates verified
     with exact shingle-set Jaccard (never all-pairs)."""
