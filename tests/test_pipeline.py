@@ -1154,3 +1154,45 @@ def test_dedup_spans_semantics_and_hash_twin(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in hashed.items()
     }
+
+
+def test_heavy_hitters_mg_guarantees(spark):
+    """Misra-Gries contract on an adversarial stream (capacity far
+    below distinct count, heavy keys arriving SORTED LAST so trims have
+    already spent budget): est <= exact, exact - est <= delta_total,
+    and every key with exact > delta_total is present. Also: the
+    summary never exceeds capacity non-null rows, and with capacity >=
+    distincts the sketch is exact with zero delta."""
+    from xesmf_spark.pipeline import heavy_hitters
+
+    # 2000 singleton keys then two heavy keys (400 + 300 arrivals),
+    # deliberately ordered worst-case and squeezed into few partitions
+    rows = (
+        [(f"u{i}",) for i in range(2000)]
+        + [("HEAVY_A",)] * 400
+        + [("HEAVY_B",)] * 300
+    )
+    df = spark.createDataFrame(rows, "token string").coalesce(2)
+    sk = {r.token: r.est for r in heavy_hitters(df, "token", capacity=64).collect()}
+    delta = sk.pop(None)
+    exact = {"HEAVY_A": 400, "HEAVY_B": 300, **{f"u{i}": 1 for i in range(2000)}}
+    assert len(sk) <= 2 * 64  # <= capacity survivors per partition
+    for t, est in sk.items():
+        assert est <= exact[t]
+        assert exact[t] - est <= delta
+    # the whole stream is 2700 tokens: delta <= N/(capacity+1) per
+    # partition-sum worst case
+    assert 0 < delta <= 2700
+    for t, c in exact.items():
+        if c > delta:
+            assert t in sk, f"{t} (count {c} > delta {delta}) missing"
+            assert c - sk[t] <= delta
+
+    # exact regime: capacity >= distincts -> no trims, perfect counts
+    small = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "token string"
+    ).coalesce(1)
+    sk2 = {
+        r.token: r.est for r in heavy_hitters(small, "token", capacity=16).collect()
+    }
+    assert sk2 == {"a": 5, "b": 3, "c": 1, None: 0}

@@ -1094,6 +1094,77 @@ def dedup_spans(
     )
 
 
+def heavy_hitters(
+    df: DataFrame, col: str = "token", capacity: int = 1024
+) -> DataFrame:
+    """Mergeable Misra-Gries (space-saving) frequency summary — the
+    FREQUENCY member of the mergeable-sketch family next to HLL
+    (distincts, ``events_hll_merge``) and approx_percentile (quantiles,
+    ``documents_quality_tiers_approx``): approximate counts of the
+    heavy items of a key stream in ONE pass with bounded memory.
+
+    Each input partition keeps at most ``capacity`` counters
+    (Arrow-batched ``mapInPandas``; batch counts merge vectorized, and
+    an overflow trims by subtracting the (capacity+1)-th largest
+    counter — the mergeable-summaries form of Agarwal et al.). The
+    output has one row per surviving (token, est) plus one NULL-token
+    row per partition carrying that partition's accumulated trim mass;
+    summing over partitions gives the merged sketch and its error
+    budget ``delta_total``.
+
+    Guarantees (hold under ANY partitioning / arrival order — these,
+    not the partition-dependent counter values, are what the oracle
+    query asserts):
+      * est(t) <= true(t)                      (only true arrivals add)
+      * true(t) - est(t) <= delta_total        (trims are global mass)
+      * every t with true(t) > delta_total appears in the summary
+        (est 0 would violate the previous bound)
+
+    100-TB shape: the map side never holds more than ``capacity``
+    counters per partition and the merge shuffles <= partitions x
+    (capacity+1) tiny rows — contrast the exact groupBy whose shuffle
+    carries every distinct key. The exact audit join in the oracle
+    query is the verification harness, not the scale path.
+    """
+    import pandas as pd
+
+    out_schema = f"`{col}` string, est long"
+
+    def summarize(batches):
+        import numpy as np
+
+        counts: dict = {}
+        delta = 0
+        seen = False
+        for pdf in batches:
+            seen = True
+            for t, c in pdf[col].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > capacity:
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                v = int(
+                    np.partition(vals, len(vals) - capacity - 1)[
+                        len(vals) - capacity - 1
+                    ]
+                )
+                delta += v
+                counts = {t: c - v for t, c in counts.items() if c > v}
+        if seen:
+            yield pd.DataFrame(
+                {col: list(counts) + [None], "est": list(counts.values()) + [delta]}
+            )
+
+    # merge: counter mass sums per token; the NULL-token rows sum into
+    # the global delta_total row (the summed bound stays valid — trim
+    # mass is additive across merged summaries)
+    return (
+        df.select(col)
+        .mapInPandas(summarize, out_schema)
+        .groupBy(col)
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",

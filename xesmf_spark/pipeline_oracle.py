@@ -450,6 +450,39 @@ LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 """
 
 
+def heavy_hitters_sql() -> str:
+    """Mirrors documents_heavy_hitters: exact counts over the composed
+    stream (positioned 3-grams + planted hot keys); the contract
+    booleans are THEOREM-true under any partitioning, so the oracle
+    states them as constants — counter internals are deliberately not
+    value-checked (the sketch-accuracy discipline)."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+grams AS (
+  SELECT unnest(list_transform(range(greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i + 1 : i + 3], ' '))) AS token
+  FROM toks
+),
+hot AS (
+  SELECT 'hot_' || CAST(doc_id % 8 AS VARCHAR) AS token
+  FROM documents, UNNEST(range(5)) AS u(i)
+  WHERE doc_id % 3 = 0
+),
+stream AS (SELECT token FROM grams UNION ALL SELECT token FROM hot),
+top8 AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM stream GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 8
+)
+SELECT token, exact_cnt,
+       TRUE AS is_heavy, TRUE AS present,
+       TRUE AS est_le_exact, TRUE AS gap_within_bound
+FROM top8
+"""
+
+
 def ngram_jaccard_sql(threshold: float = 0.05) -> str:
     return f"""
 WITH

@@ -2298,6 +2298,66 @@ def pipeline_exact_dedup(spark, sf_dir):
     return PL.exact_dedup(_docs_with_dups(_docs(spark, sf_dir)))
 
 
+def documents_heavy_hitters(spark, sf_dir):
+    """Mergeable FREQUENCY sketch (pipeline.heavy_hitters — bounded-
+    memory Misra-Gries, the one-pass scale path for top-k keys where
+    the exact groupBy would shuffle every distinct key). Stream = the
+    corpus's positioned 3-grams (~16k distinct, flat) + planted hot
+    keys (docs with doc_id%3==0 emit 'hot_<id%8>' x5 — the same
+    planting discipline as dups/PII/eval-copies), so the sketch faces
+    real trim pressure at capacity 1024 while 8 genuinely heavy keys
+    exist. Output: the exact top-8 keys (deterministic) with their
+    exact counts and the sketch CONTRACT booleans, which hold under ANY
+    partitioning (est<=exact, gap<=delta_total, heavy keys present) —
+    counter internals are partition-dependent and deliberately NOT
+    value-checked (the events_sketch_accuracy discipline). The 1-row
+    delta_total cross is the allowlisted scalar-broadcast pattern."""
+    from xesmf_spark.pipeline import heavy_hitters, tokens
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    grams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+            )
+        ).alias("token")
+    )
+    hot = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.explode(
+            F.array_repeat(
+                F.concat(F.lit("hot_"), (F.col("doc_id") % 8).cast("string")), 5
+            )
+        ).alias("token")
+    )
+    stream = grams.unionAll(hot)
+    sk = heavy_hitters(stream, "token", capacity=1024)
+    est = sk.filter(F.col("token").isNotNull())
+    delta = sk.filter(F.col("token").isNull()).select(
+        F.coalesce(F.col("est"), F.lit(0)).alias("delta_total")
+    )
+    exact = stream.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top8 = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(8)
+    return (
+        top8.join(est, "token", "left")
+        .crossJoin(F.broadcast(delta))
+        .select(
+            "token",
+            "exact_cnt",
+            (F.col("exact_cnt") > F.col("delta_total")).alias("is_heavy"),
+            F.col("est").isNotNull().alias("present"),
+            (F.coalesce(F.col("est"), F.lit(0)) <= F.col("exact_cnt")).alias(
+                "est_le_exact"
+            ),
+            (
+                F.col("exact_cnt") - F.coalesce(F.col("est"), F.lit(0))
+                <= F.col("delta_total")
+            ).alias("gap_within_bound"),
+        )
+    )
+
+
 def pipeline_span_dedup(spark, sf_dir):
     """Sub-document repeated-SPAN scrubbing (pipeline.dedup_spans, the
     Lee-et-al ExactSubstr shape at fixed n=13): any 13-gram occurring
