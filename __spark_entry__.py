@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_flatten_udtf": Q.events_props_flatten_udtf,
         "pipeline_span_dedup": Q.pipeline_span_dedup,
         "documents_heavy_hitters": Q.documents_heavy_hitters,
+        "stream_heavy_hitters": Q.stream_heavy_hitters,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1240,6 +1241,7 @@ WHERE cum_tokens <= 5000
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
+        "stream_heavy_hitters": PO.heavy_hitters_sql(),
         "ann_pq_top3": PO.ann_pq_topk_sql(),
         "ann_ivfpq_top3": PO.ann_ivfpq_topk_sql(),
         "ann_ivfpq_refine_top3": PO.ann_ivfpq_refine_topk_sql(),

@@ -68,6 +68,7 @@ ALLOW = {
     # the sketch's 1-row delta_total scalar broadcast crossed onto the
     # 8-row exact top-k (the contract-boolean audit join)
     "documents_heavy_hitters": {"BroadcastNestedLoopJoin"},
+    "stream_heavy_hitters": {"BroadcastNestedLoopJoin"},
     # the global-average threshold is a 1-row scalar broadcast crossed
     # into customer (the q22 correlated-scalar decorrelation)
     "tpch_q22_inactive_customers": {"BroadcastNestedLoopJoin"},

@@ -518,3 +518,62 @@ def test_rollup_stream_torn_publish_invisible(spark, tmp_path):
                              checkpoint_dir=cp)
     want = rollup_delta(ev_batch, HOUR_NS, ["event_type"], agg_exprs=aggs)
     assert sorted(map(key, final.collect())) == sorted(map(key, want.collect()))
+
+
+def test_heavy_hitters_stream_mergeable_guarantees(spark, tmp_path):
+    """Streaming MG maintenance over REAL multi-batch progress: the
+    final merged summary must satisfy the mergeable-summaries bounds
+    vs exact counts of the WHOLE stream (est <= exact, gap <= delta,
+    heavy keys present), state must stay O(capacity) rows, and the
+    version directory must hold only committed versions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    # 3 batches: distinct filler keys per batch + a heavy key woven
+    # through ALL batches (cross-batch mass must merge, not reset)
+    for b in range(3):
+        texts = [f"filler{b}_{i}" for i in range(600)] + ["heavy"] * 150
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(b * 1000, b * 1000 + len(texts))),
+                    "text": pa.array(texts),
+                }
+            ),
+            src_dir / f"part-{b:03d}.parquet",
+        )
+        import time
+
+        time.sleep(0.05)
+
+    static = spark.read.parquet(str(src_dir))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    state_dir = str(tmp_path / "hh_state")
+    final = ST.heavy_hitters_stream(
+        stream,
+        state_dir,
+        to_tokens=lambda df: df.select(F.col("text").alias("token")),
+        capacity=64,
+    )
+    sk = {r.token: r.est for r in final.collect()}
+    delta = sk.pop(None)
+    assert len(sk) <= 64  # re-trim keeps state bounded
+    # exact counts over the whole 3-batch stream
+    exact = {f"filler{b}_{i}": 1 for b in range(3) for i in range(600)}
+    exact["heavy"] = 450
+    for t, est in sk.items():
+        assert est <= exact[t]
+        assert exact[t] - est <= delta
+    # total mass 2250, capacity 64 -> delta <= N/(cap+1) ~ 35 per the
+    # mergeable bound; 'heavy' (450) is guaranteed present and tight
+    assert exact["heavy"] > delta
+    assert "heavy" in sk and 450 - sk["heavy"] <= delta
+    # only committed versions visible
+    vs = ST._committed_versions(state_dir)
+    assert vs and all(v.startswith("v") for v in vs)

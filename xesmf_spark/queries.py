@@ -2298,23 +2298,14 @@ def pipeline_exact_dedup(spark, sf_dir):
     return PL.exact_dedup(_docs_with_dups(_docs(spark, sf_dir)))
 
 
-def documents_heavy_hitters(spark, sf_dir):
-    """Mergeable FREQUENCY sketch (pipeline.heavy_hitters — bounded-
-    memory Misra-Gries, the one-pass scale path for top-k keys where
-    the exact groupBy would shuffle every distinct key). Stream = the
-    corpus's positioned 3-grams (~16k distinct, flat) + planted hot
-    keys (docs with doc_id%3==0 emit 'hot_<id%8>' x5 — the same
-    planting discipline as dups/PII/eval-copies), so the sketch faces
-    real trim pressure at capacity 1024 while 8 genuinely heavy keys
-    exist. Output: the exact top-8 keys (deterministic) with their
-    exact counts and the sketch CONTRACT booleans, which hold under ANY
-    partitioning (est<=exact, gap<=delta_total, heavy keys present) —
-    counter internals are partition-dependent and deliberately NOT
-    value-checked (the events_sketch_accuracy discipline). The 1-row
-    delta_total cross is the allowlisted scalar-broadcast pattern."""
-    from xesmf_spark.pipeline import heavy_hitters, tokens
+def _hh_token_stream(docs):
+    """The composed key stream both heavy-hitter queries summarize:
+    the corpus's positioned 3-grams (~16k distinct, flat — real trim
+    pressure) + planted hot keys (docs with doc_id%3==0 emit
+    'hot_<id%8>' x5 — the same planting discipline as dups/PII/eval
+    copies), so 8 genuinely heavy keys exist to find."""
+    from xesmf_spark.pipeline import tokens
 
-    docs = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
     grams = docs.select(
         F.explode(
@@ -2331,13 +2322,21 @@ def documents_heavy_hitters(spark, sf_dir):
             )
         ).alias("token")
     )
-    stream = grams.unionAll(hot)
-    sk = heavy_hitters(stream, "token", capacity=1024)
-    est = sk.filter(F.col("token").isNotNull())
-    delta = sk.filter(F.col("token").isNull()).select(
+    return grams.unionAll(hot)
+
+
+def _hh_contract_audit(stream_exact_src, sketch):
+    """Exact top-8 of the key stream joined against a merged MG sketch,
+    emitting the partition/batch-independent contract booleans (the
+    sketch-accuracy discipline: counter internals are never
+    value-checked)."""
+    est = sketch.filter(F.col("token").isNotNull())
+    delta = sketch.filter(F.col("token").isNull()).select(
         F.coalesce(F.col("est"), F.lit(0)).alias("delta_total")
     )
-    exact = stream.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    exact = stream_exact_src.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
     top8 = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(8)
     return (
         top8.join(est, "token", "left")
@@ -2356,6 +2355,57 @@ def documents_heavy_hitters(spark, sf_dir):
             ).alias("gap_within_bound"),
         )
     )
+
+
+def documents_heavy_hitters(spark, sf_dir):
+    """Mergeable FREQUENCY sketch (pipeline.heavy_hitters — bounded-
+    memory Misra-Gries, the one-pass scale path for top-k keys where
+    the exact groupBy would shuffle every distinct key). Stream =
+    _hh_token_stream (flat 3-grams + planted hot keys), capacity 1024.
+    Output: the exact top-8 keys (deterministic) with exact counts and
+    the sketch CONTRACT booleans, which hold under ANY partitioning
+    (est<=exact, gap<=delta_total, heavy keys present) — counter
+    internals are partition-dependent and deliberately NOT
+    value-checked (the events_sketch_accuracy discipline). The 1-row
+    delta_total cross is the allowlisted scalar-broadcast pattern."""
+    from xesmf_spark.pipeline import heavy_hitters
+
+    stream = _hh_token_stream(_docs(spark, sf_dir))
+    sk = heavy_hitters(stream, "token", capacity=1024)
+    return _hh_contract_audit(stream, sk)
+
+
+def stream_heavy_hitters(spark, sf_dir):
+    """STREAMING heavy-hitters maintenance (streaming.
+    heavy_hitters_stream): documents arrive as 4 doc_id-slab
+    micro-batches; each batch is MG-summarized map-side and merged
+    into the versioned parquet summary state inside foreachBatch
+    (re-trimmed to capacity — state is O(capacity) rows forever). The
+    mergeable-summaries theorem makes the contract booleans hold
+    REGARDLESS of batch slicing, so the streaming query shares the
+    batch query's oracle verbatim: exact top-8 + theorem booleans."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_split_stream_dir(
+        spark, sf_dir, n_parts=4, table="documents", split_col="doc_id"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = f"/tmp/xesmf_hh_state_{tag}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir + "_cp", ignore_errors=True)
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    final = ST.heavy_hitters_stream(
+        stream, state_dir, to_tokens=_hh_token_stream, capacity=1024
+    )
+    return _hh_contract_audit(_hh_token_stream(_docs(spark, sf_dir)), final)
 
 
 def pipeline_span_dedup(spark, sf_dir):
@@ -2797,10 +2847,11 @@ def _stage_stream_dir(spark, sf_dir, table="events"):
     return d
 
 
-def _stage_split_stream_dir(spark, sf_dir, n_parts=4, table="events"):
-    """Stage the single-file table as ``n_parts`` ts-range-split parquet
-    files so an availableNow run with maxFilesPerTrigger=1 sequences
-    REAL multi-batch progress (each micro-batch a contiguous time slab).
+def _stage_split_stream_dir(spark, sf_dir, n_parts=4, table="events", split_col="ts"):
+    """Stage the single-file table as ``n_parts`` range-split parquet
+    files (on ``split_col`` — ts for events, doc_id for documents) so
+    an availableNow run with maxFilesPerTrigger=1 sequences REAL
+    multi-batch progress (each micro-batch a contiguous slab).
     Same staleness guard as _stage_stream_dir: a marker records the
     source's size+mtime and the split is rebuilt when they change."""
     import json
@@ -2809,7 +2860,7 @@ def _stage_split_stream_dir(spark, sf_dir, n_parts=4, table="events"):
 
     src = f"{sf_dir}/{table}.parquet"
     tag = sf_dir.rstrip("/").replace("/", "_")
-    d = f"/tmp/xesmf_stream_split_{table}_{tag}_{n_parts}"
+    d = f"/tmp/xesmf_stream_split_{table}_{tag}_{n_parts}_{split_col}"
     marker = os.path.join(d, ".staged.json")
     st = os.stat(src)
     want = {"size": st.st_size, "mtime": st.st_mtime}
@@ -2821,7 +2872,7 @@ def _stage_split_stream_dir(spark, sf_dir, n_parts=4, table="events"):
     os.makedirs(d, exist_ok=True)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(src)
-    df.repartitionByRange(n_parts, "ts").write.mode("overwrite").parquet(
+    df.repartitionByRange(n_parts, split_col).write.mode("overwrite").parquet(
         os.path.join(d, "data")
     )
     with open(marker, "w") as f:

@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -354,6 +354,33 @@ def _state_before(spark: SparkSession, state_dir: str, batch_id: int) -> DataFra
     return spark.read.parquet(os.path.join(state_dir, vs[-1]))
 
 
+def _publish_version(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Crash-atomic versioned-state publish (shared by the streaming
+    maintenance loops): stage the parquet job in a dot-prefixed temp
+    dir (invisible to the ``v\\d+`` version regex), verify the
+    committer's ``_SUCCESS`` marker, then one POSIX ``os.rename`` into
+    ``v{batch_id}`` — readers (:func:`latest_rollup_state`,
+    :func:`_state_before`) gate on _SUCCESS inside committed dirs, so a
+    crash at ANY point leaves only committed versions visible and a
+    replayed batch republishes idempotently. The last two committed
+    versions are retained (a replay's predecessor must survive)."""
+    import shutil
+
+    final_dir = os.path.join(state_dir, f"v{batch_id:09d}")
+    tmp_dir = os.path.join(state_dir, f".staging_v{batch_id:09d}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # debris from a replay
+    df.write.mode("overwrite").parquet(tmp_dir)
+    if not os.path.exists(os.path.join(tmp_dir, "_SUCCESS")):
+        raise RuntimeError(
+            f"parquet job for state v{batch_id} left no _SUCCESS "
+            f"marker in {tmp_dir}; refusing to publish an unverified state"
+        )
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp_dir, final_dir)
+    for stale in _committed_versions(state_dir)[:-2]:
+        shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+
+
 def rollup_stream(
     events: DataFrame,
     state_dir: str,
@@ -404,8 +431,6 @@ def rollup_stream(
     replayed batch's predecessor must survive) and older versions
     pruned; production would use a transactional table format.
     """
-    import shutil
-
     from xesmf_spark.relational import merge_rollups, rollup_delta
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
@@ -418,22 +443,7 @@ def rollup_stream(
             if prev is not None
             else delta
         )
-        final_dir = os.path.join(state_dir, f"v{batch_id:09d}")
-        tmp_dir = os.path.join(state_dir, f".staging_v{batch_id:09d}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)  # debris from a replay
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        if not os.path.exists(os.path.join(tmp_dir, "_SUCCESS")):
-            raise RuntimeError(
-                f"parquet job for rollup state v{batch_id} left no _SUCCESS "
-                f"marker in {tmp_dir}; refusing to publish an unverified state"
-            )
-        # atomic publish: rm the failed attempt's copy (if any), then one
-        # rename — readers gate on _SUCCESS inside committed dirs, so the
-        # brief no-v{batch_id} window just falls back to the predecessor
-        shutil.rmtree(final_dir, ignore_errors=True)
-        os.rename(tmp_dir, final_dir)
-        for stale in _committed_versions(state_dir)[:-2]:
-            shutil.rmtree(os.path.join(state_dir, stale), ignore_errors=True)
+        _publish_version(merged, state_dir, batch_id)
 
     q = (
         events.writeStream.foreachBatch(_refresh)
@@ -451,6 +461,100 @@ def rollup_stream(
     final = latest_rollup_state(events.sparkSession, state_dir)
     if final is None:
         raise RuntimeError(f"rollup_stream produced no state under {state_dir}")
+    return final
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    state_dir: str,
+    to_tokens,
+    capacity: int = 1024,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """STREAMING heavy-hitters maintenance — the online form of
+    :func:`pipeline.heavy_hitters`: each micro-batch is summarized into
+    a bounded Misra-Gries sketch and MERGED into the persistent summary
+    state inside ``foreachBatch`` (versioned parquet state, same
+    machinery as :func:`rollup_stream`). Returns the final merged
+    summary: (token, est) rows plus the NULL-token ``delta_total`` row.
+
+    Why this composes correctly: MG summaries are MERGEABLE — counter
+    mass and trim mass are both additive, and re-trimming the union
+    back to ``capacity`` (subtract the (capacity+1)-th largest, keep
+    positive, add the subtracted value to delta) preserves the
+    guarantees est <= true and true - est <= delta_total REGARDLESS of
+    how the stream was sliced into batches (Agarwal et al., mergeable
+    summaries). Replay safety is inherited: a batch merges onto the
+    newest state from a STRICTLY EARLIER batch (:func:`_state_before`)
+    and republishes its own version idempotently, so at-least-once
+    foreachBatch delivery cannot double-count a batch's tokens.
+
+    ``to_tokens`` maps a batch DataFrame to a single-column ``token``
+    frame (tokenization happens per batch, map-side). State is
+    O(capacity) rows FOREVER — the property that makes a perpetual
+    top-k over an unbounded key stream feasible where exact streaming
+    counts would grow with distinct keys. The re-trim window runs
+    unpartitioned BY CONSTRUCTION over <= 2*capacity+1 state rows,
+    never data volume.
+    """
+    from xesmf_spark.pipeline import heavy_hitters
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = heavy_hitters(to_tokens(batch_df), "token", capacity)
+        prev = _state_before(spark, state_dir, batch_id)
+        merged = (
+            prev.unionByName(delta).groupBy("token").agg(
+                F.sum("est").cast("long").alias("est")
+            )
+            if prev is not None
+            else delta
+        )
+        # re-trim the union to <= capacity counters: subtract the
+        # (capacity+1)-th largest counter value from all, fold it into
+        # the NULL-token delta row (bounded rows — see docstring)
+        w = Window.orderBy(F.col("est").desc(), "token")
+        ranked = merged.filter(F.col("token").isNotNull()).withColumn(
+            "rn", F.row_number().over(w)
+        )
+        cut = ranked.filter(F.col("rn") == capacity + 1).select(
+            F.col("est").alias("cut_v")
+        )
+        cut_rows = cut.collect()  # 0 or 1 row by construction
+        v = cut_rows[0]["cut_v"] if cut_rows else 0
+        kept = (
+            ranked.filter(F.col("est") > v)
+            .select("token", (F.col("est") - v).cast("long").alias("est"))
+        )
+        old_delta = (
+            merged.filter(F.col("token").isNull())
+            .agg(F.coalesce(F.sum("est"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        final = kept.unionByName(
+            batch_df.sparkSession.createDataFrame(
+                [(None, int(old_delta) + int(v))], "token string, est long"
+            )
+        )
+        _publish_version(final, state_dir, batch_id)
+
+    q = (
+        df.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir or state_dir + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"heavy_hitters_stream did not finish within {timeout_sec}s "
+            "(availableNow run incomplete)"
+        )
+    final = latest_rollup_state(df.sparkSession, state_dir)
+    if final is None:
+        raise RuntimeError(f"heavy_hitters_stream produced no state under {state_dir}")
     return final
 
 
