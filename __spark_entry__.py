@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_span_dedup": Q.pipeline_span_dedup,
         "documents_heavy_hitters": Q.documents_heavy_hitters,
         "stream_heavy_hitters": Q.stream_heavy_hitters,
+        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1300,6 +1301,23 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "lineitem_bloom_prune_join": """
+-- oracle = the PLAIN join + aggregation: the bloom prune is a
+-- no-false-negative superset filter, so the pruned-then-joined plan's
+-- contract is exact value-equivalence to the ordinary equi-join
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
+)
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN dim ON l_orderkey = o_orderkey
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """,
         "salted_join_skew": """
 -- oracle = the PLAIN (unsalted) join: the salted plan's contract is

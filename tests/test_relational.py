@@ -449,3 +449,58 @@ def test_rollup_delta_floor_buckets_negative_ts(spark):
     )
     got = {r.bucket: r.n for r in rollup_delta(ev, 2, ["event_type"]).collect()}
     assert got == {-2: 1, -1: 1, 0: 2, 1: 1}
+
+
+def test_bloom_prune_join_matches_plain_join(spark):
+    """The bloom prune is a no-false-negative superset filter, so the
+    final equi-join must reproduce the plain join EXACTLY — rows with
+    multiplicity — on data with dup keys on both sides, at a bitmap
+    size small enough (m_bits=64) to force heavy false-positive
+    pressure through the probe chain."""
+    from xesmf_spark.relational import bloom_prune_join
+
+    fact = spark.createDataFrame(
+        [(i % 50, f"f{i}") for i in range(400)], "k long, fv string"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 50, 7)] + [(7, "dup")],
+        "k long, dv string",
+    )
+    plain = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    for m in (64, 1 << 12):
+        got = sorted(
+            tuple(r) for r in bloom_prune_join(fact, dim, "k", m_bits=m).collect()
+        )
+        assert got == plain, m
+    # left_semi: surviving fact rows only, no dim multiplicity
+    semi = sorted(
+        tuple(r)
+        for r in bloom_prune_join(fact, dim, "k", how="left_semi").collect()
+    )
+    want_semi = sorted(tuple(r) for r in fact.join(dim, "k", "left_semi").collect())
+    assert semi == want_semi
+
+
+def test_bloom_prune_join_prunes_and_validates(spark):
+    """With a roomy bitmap the bloom alone must kill (nearly) every
+    non-matching fact key BEFORE the join — measured by running only
+    the probe side via left_semi on a disjoint dim — and the argument
+    validation must reject bad shapes."""
+    import pytest as _pytest
+
+    from xesmf_spark.relational import bloom_prune_join
+
+    fact = spark.createDataFrame([(i, i) for i in range(2000)], "k long, v long")
+    dim = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    # 5 keys in 2^16 bits, k=3: fpp ~ (3*5/65536)^3 ~ 1e-11 — the
+    # pruned fact is exactly the 5 matching rows
+    got = bloom_prune_join(fact, dim, "k", m_bits=1 << 16, how="left_semi")
+    assert sorted(r.k for r in got.collect()) == [0, 1, 2, 3, 4]
+    with _pytest.raises(ValueError, match="left_semi"):
+        bloom_prune_join(fact, dim, "k", how="left")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_prune_join(fact, dim, "k", m_bits=100)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        bloom_prune_join(fact, dim, "k", n_hashes=0)
+    with _pytest.raises(KeyError):
+        bloom_prune_join(fact, dim, "missing")

@@ -1356,6 +1356,55 @@ def salted_join_skew(spark, sf_dir):
     )
 
 
+def lineitem_bloom_prune_join(spark, sf_dir):
+    """Bloom-filter semi-join reduction (relational.bloom_prune_join):
+    dim = urgent high-value orders (selective — a few % of orders),
+    fact = lineitem. The dim's key set is compressed into a broadcast
+    2^20-bit Bloom bitmap (m/64 longs regardless of dim cardinality)
+    and the fact is pruned MAP-SIDE against it before the equi-join
+    shuffles anything — at 100 TB this is the shuffle-reduction play
+    for a dim too big to broadcast raw. Bloom filters have no false
+    negatives, so the final exact join makes the result IDENTICAL to
+    the plain join: the ORACLE is the plain join + aggregation
+    (the salted_join_skew discipline — the oracle states the
+    operator's contract). Revenue per ship mode in exact integer
+    1e-4-dollar units (the q8 discipline), one final division."""
+    from xesmf_spark.relational import bloom_prune_join
+
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000.0)
+        )
+        .select("o_orderkey")
+    )
+    fact = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    units = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))"
+    )
+    return (
+        bloom_prune_join(fact, dim, "o_orderkey")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(units).alias("revenue_units"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_items",
+            (F.col("revenue_units").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def multimodal_image_resize(spark, sf_dir):
     """Image decode + nearest-neighbor resize through the REAL codec
     path: 48 deterministic 16x16 RGB BMPs (pixel (r,c,ch) =

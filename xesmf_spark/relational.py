@@ -254,6 +254,116 @@ def salted_join(
     return out.drop("__salt")
 
 
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit Bloom-filter SEMI-JOIN REDUCTION: the
+    dim side's key set is compressed into an ``m_bits``-bit Bloom
+    bitmap (stored as ``m_bits/64`` longs — a few MB regardless of dim
+    cardinality), broadcast, and used to prune fact rows MAP-SIDE
+    before the real join shuffles anything. Bloom filters have false
+    positives but NO false negatives, so the pruned fact is an exact
+    superset of the matching rows and the final equi-join restores
+    exactness — the result is identical to the plain join.
+
+    When to use at 100 TB: the dim is too large to broadcast raw (so
+    the join must shuffle both sides) but joins selectively — only a
+    small fraction of fact keys match. The plain sort-merge join
+    shuffles the ENTIRE fact; with the bloom, non-matching fact rows
+    (1 - fpp of them) die in the scan stage and only survivors shuffle.
+    Spark's runtime row-level filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects this
+    automatically for some shapes; the explicit operator covers the
+    rest — building the filter once and reusing it across several fact
+    scans, pruning before a stateful/windowed op, or engines without
+    the rule. fpp ~= (1 - e^(-k*n/m))^k: 1M keys in 2^20 bits with
+    k=3 gives ~31%; size ``m_bits`` ~ 10-16 bits/key for ~1-2%.
+
+    Physical shape: the build is one shuffle of the dim's DISTINCT keys
+    exploded x ``n_hashes`` then grouped into <= m_bits/64 (word,
+    bits) rows via BIT_OR — the only aggregation state is the bitmap
+    itself. Each probe is a BROADCAST hash join of the fact against
+    the tiny word table (map-side, no fact shuffle) + a bit test; the
+    ``n_hashes`` probes chain map-side in one stage. Hashing uses
+    xxhash64(keys..., i) so the k positions are independent, identical
+    between build and probe by construction.
+
+    ``how``: ``inner`` (full join output) or ``left_semi`` (surviving
+    fact rows only).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prune_join supports how='inner'|'left_semi', got {how!r}"
+        )
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not 1 <= n_hashes <= 8:
+        raise ValueError(f"n_hashes must be in [1, 8], got {n_hashes}")
+    for k in keys:
+        if k not in fact.columns or k not in dim.columns:
+            raise KeyError(f"join key {k!r} missing from one side")
+    reserved = [c for c in fact.columns if c.startswith(("__p", "__w", "__bits"))]
+    if reserved:
+        raise ValueError(f"fact columns shadow bloom internals: {reserved}")
+
+    # --- build: distinct dim keys -> k positions -> (word, BIT_OR) ---
+    pos = (
+        dim.select(*keys)
+        .dropDuplicates(keys)
+        .withColumn("__h", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+        .select(
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.col("__h")),
+                F.lit(m_bits),
+            ).alias("__pos")
+        )
+    )
+    words = (
+        pos.select(
+            F.shiftright("__pos", 6).alias("__word"),
+            F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+
+    # --- probe: k chained broadcast lookups + bit tests, map-side ---
+    probe = fact
+    for i in range(n_hashes):
+        probe = probe.withColumn(
+            f"__p{i}",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.lit(i)), F.lit(m_bits)
+            ),
+        )
+        w_i = F.broadcast(
+            words.select(
+                F.col("__word").alias(f"__w{i}"), F.col("__bits").alias(f"__bits{i}")
+            )
+        )
+        probe = probe.join(
+            w_i, F.shiftright(F.col(f"__p{i}"), 6) == F.col(f"__w{i}"), "left"
+        ).filter(
+            F.expr(
+                f"__bits{i} IS NOT NULL AND "
+                f"(shiftright(__bits{i}, CAST(__p{i} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    pruned = probe.drop(
+        *[c for i in range(n_hashes) for c in (f"__p{i}", f"__w{i}", f"__bits{i}")]
+    )
+
+    if how == "left_semi":
+        return pruned.join(dim.select(*keys).dropDuplicates(keys), keys, "left_semi")
+    return pruned.join(dim, keys, "inner")
+
+
 def merge_upsert(
     base: DataFrame, updates: DataFrame, key_cols: str | list[str]
 ) -> DataFrame:
