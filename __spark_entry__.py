@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_heavy_hitters": Q.documents_heavy_hitters,
         "stream_heavy_hitters": Q.stream_heavy_hitters,
         "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
+        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1240,6 +1241,7 @@ WHERE cum_tokens <= 5000
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),
         "pipeline_decontaminate": PO.decontaminate_sql(),
+        "pipeline_decontaminate_fuzzy": PO.decontaminate_fuzzy_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),

@@ -1196,3 +1196,32 @@ def test_heavy_hitters_mg_guarantees(spark):
         r.token: r.est for r in heavy_hitters(small, "token", capacity=16).collect()
     }
     assert sk2 == {"a": 5, "b": 3, "c": 1, None: 0}
+
+
+def test_decontaminate_fuzzy_finds_rewrites(spark):
+    """The bipartite MinHash path must flag (a) a verbatim copy at
+    jaccard 1.0, (b) a truncated rewrite (shared shingles well above
+    threshold but below 1.0) — the class the exact 13-gram check is
+    blind to when every 13-gram is broken — and must NOT pair disjoint
+    docs or eval docs with each other."""
+    base = " ".join(f"w{i}" for i in range(60))
+    truncated = " ".join(f"w{i}" for i in range(50))  # drop last 10 tokens
+    eval_df = spark.createDataFrame([(900, base)], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [
+            (1, base),  # verbatim
+            (2, truncated),  # near-dup rewrite
+            (3, " ".join(f"x{i}" for i in range(60))),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.jaccard
+        for r in PL.decontaminate_fuzzy(train, eval_df, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 900), (2, 900)}
+    assert got[(1, 900)] == 1.0
+    assert 0.5 <= got[(2, 900)] < 1.0
+    # threshold excludes weak overlap: raise it above the rewrite's jac
+    strict = PL.decontaminate_fuzzy(train, eval_df, threshold=0.99).collect()
+    assert {(r.doc_id, r.eval_id) for r in strict} == {(1, 900)}

@@ -975,6 +975,95 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement
+    of :func:`decontaminate`: flag (train doc, eval doc) pairs whose
+    shingle-set Jaccard >= ``threshold``, found via a BIPARTITE
+    MinHash-LSH join (never all-pairs). Exact n-gram matching misses
+    light rewrites of benchmark items (dropped sentences, shuffled
+    clauses, token-level edits that break every 13-gram); set-level
+    Jaccard at a threshold catches them — the contamination check the
+    Llama/GPT-4 reports run alongside the exact one.
+
+    Scale shape: each side is shingled + signed once (persisted,
+    shared by bucketing and the verify join, the
+    :func:`minhash_dedup_pairs` discipline); candidates come from an
+    equi-join of the two sides' (band, band-hash) bucket rows — cost
+    follows bucket co-occupancy, never |train| x |eval| — with the
+    :data:`MAX_LSH_BUCKET` valve applied to the COMBINED bucket
+    occupancy before the join. Candidates are then VERIFIED with exact
+    Jaccard over the persisted shingle sets (no false positives; LSH
+    only bounds recall). Returns (id_col, eval_id, jaccard) — feed the
+    distinct train ids to an anti-join to drop contaminated docs. Ids
+    must be distinct WITHIN each side; the two sides' id spaces are
+    independent (columns are tagged, never unioned).
+    """
+    from xesmf_spark.apply import _PERSISTED
+
+    def _side(df: DataFrame, tag: str):
+        sh = (
+            df.select(
+                F.col(id_col).alias(tag), shingles(F.col(text_col)).alias("sh_set")
+            )
+            .withColumn("n_sh", F.size("sh_set"))
+            .persist()
+        )
+        _PERSISTED.append(sh)
+        sigs = sh.select(
+            F.col(tag), _sig_array(F.col("sh_set")).alias("sig")
+        ).persist()
+        _PERSISTED.append(sigs)
+        return sh, _buckets_from_sig_array(sigs, tag)
+
+    sh_t, b_t = _side(train, "__train_id")
+    sh_e, b_e = _side(eval_df, "__eval_id")
+
+    if max_bucket is not None:
+        sz = (
+            b_t.select("band", "bh")
+            .unionAll(b_e.select("band", "bh"))
+            .groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        )
+        ok = sz.filter(F.col("bucket_n") <= max_bucket).select("band", "bh")
+        b_t = b_t.join(ok, ["band", "bh"])
+        b_e = b_e.join(ok, ["band", "bh"])
+    cand = (
+        b_t.join(b_e, ["band", "bh"])
+        .select("__train_id", "__eval_id")
+        .distinct()
+    )
+
+    ex_t = sh_t.select("__train_id", F.explode("sh_set").alias("shingle"))
+    ex_e = sh_e.select("__eval_id", F.explode("sh_set").alias("shingle"))
+    inter = (
+        cand.join(ex_t, "__train_id")
+        .join(ex_e, ["__eval_id", "shingle"])
+        .groupBy("__train_id", "__eval_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sh_t.select("__train_id", F.col("n_sh").alias("n_t")), "__train_id")
+        .join(sh_e.select("__eval_id", F.col("n_sh").alias("n_e")), "__eval_id")
+        .select(
+            F.col("__train_id").alias(id_col),
+            F.col("__eval_id").alias("eval_id"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_t") + F.col("n_e") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

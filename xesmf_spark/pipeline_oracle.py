@@ -181,6 +181,56 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM pairs
 """
 
 
+def decontaminate_fuzzy_sql(threshold: float = 0.5) -> str:
+    """Mirrors pipeline.decontaminate_fuzzy over the planted corpus
+    with eval split = base docs having doc_id %% 7 == 0: the shared
+    shingle/sig/bucket chain runs once over ALL docs (per-doc pure
+    functions — identical computed per side or together), the skew
+    valve counts COMBINED bucket occupancy (same as the engine's
+    union-of-sides count since train + eval = docs), and the candidate
+    join pairs train-tagged with eval-tagged bucket rows."""
+    ev = "(doc_id < 100000 AND doc_id % 7 = 0)"
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE},
+{SHINGLE_CTE},
+{SHINGLE_HASH_CTE},
+{_sig_select()},
+{_bands_cte()},
+bsz AS (SELECT band, bh, COUNT(*) AS bucket_n FROM buckets GROUP BY band, bh),
+bkept AS (
+  SELECT b.doc_id, b.band, b.bh
+  FROM buckets b JOIN bsz z ON b.band = z.band AND b.bh = z.bh
+  WHERE z.bucket_n <= {MAX_LSH_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM bkept t JOIN bkept e ON t.band = e.band AND t.bh = e.bh
+  WHERE NOT (t.doc_id < 100000 AND t.doc_id % 7 = 0)
+    AND {ev.replace("doc_id", "e.doc_id")}
+),
+sizes AS (SELECT doc_id, len(sh_set) AS n_sh FROM sh),
+inter AS (
+  SELECT c.doc_id, c.eval_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shx st ON c.doc_id = st.doc_id
+  JOIN shx se ON c.eval_id = se.doc_id AND st.shingle = se.shingle
+  GROUP BY c.doc_id, c.eval_id
+),
+pairs AS (
+  SELECT i.doc_id, i.eval_id,
+         CAST(i.n_inter AS DOUBLE)
+         / CAST(st.n_sh + se.n_sh - i.n_inter AS DOUBLE) AS jac
+  FROM inter i
+  JOIN sizes st ON i.doc_id = st.doc_id
+  JOIN sizes se ON i.eval_id = se.doc_id
+)
+SELECT doc_id, eval_id, ROUND(jac, {ROUND}) AS jaccard
+FROM pairs WHERE jac >= {threshold}
+"""
+
+
 def dedup_groups_sql(threshold: float = 0.5) -> str:
     """Transitive keep verdicts over the near-dup pair graph: a
     recursive CTE computes, per node, every reachable node's id; the

@@ -2574,6 +2574,28 @@ def pipeline_decontaminate(spark, sf_dir):
     return PL.decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=13)
 
 
+def pipeline_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination (pipeline.decontaminate_fuzzy): bipartite
+    MinHash-LSH between the eval split (base docs with doc_id % 7 == 0)
+    and the rest of the planted corpus, exact-Jaccard-verified at 0.5.
+    The planted exact copies (+200000) and case variants (+300000)
+    of eval docs must surface at jaccard 1.0 and the truncations
+    (+100000) at high-but-<1 jaccard — the rewrite class the exact
+    13-gram check is blind to in general. Candidates come from the
+    two sides' bucket equi-join with the combined-occupancy skew
+    valve; never |train| x |eval|."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    is_eval = (F.col("doc_id") < 100000) & (F.col("doc_id") % 7 == 0)
+    out = PL.decontaminate_fuzzy(
+        docs.filter(~is_eval), docs.filter(is_eval), threshold=0.5
+    )
+    return out.select(
+        "doc_id", "eval_id", F.round("jaccard", ROUND).alias("jaccard")
+    )
+
+
 def pipeline_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard for pairs blocked by (lang, source)."""
     from xesmf_spark import pipeline as PL
