@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": Q.stream_heavy_hitters,
         "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
         "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
+        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1127,6 +1128,19 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
          AS text_hash_sum
+FROM documents
+GROUP BY lang
+""",
+        "pipeline_compact_small_files": """
+-- compaction must preserve content exactly, so the oracle audits the
+-- SOURCE (same audit as the format round-trips); the file-count
+-- contract is a driver-side listing check stated as literal TRUE
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_hash_sum,
+       TRUE AS compaction_ok
 FROM documents
 GROUP BY lang
 """,

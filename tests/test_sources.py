@@ -87,3 +87,26 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "cat" in plan.split("PartitionFilters: [")[1].split("]")[0]
     assert sliced.count() == 10
+
+
+def test_compact_files_bin_packs_without_shuffle(spark, tmp_path):
+    """48 tiny files must compact to a handful of target-size outputs
+    with content (rows, not order) preserved exactly; the session's
+    scan confs must be restored afterward."""
+    from xesmf_spark.sources import compact_files
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "packed")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 3)
+    df.repartition(48).write.parquet(src)
+    before_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    back = compact_files(spark, src, dst, target_bytes=64 << 20)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before_max
+
+    import os
+
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_in == 48 and 0 < n_out <= 4
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want

@@ -1825,6 +1825,41 @@ def pipeline_pack_contexts(spark, sf_dir):
     )
 
 
+def pipeline_compact_small_files(spark, sf_dir):
+    """Small-file compaction (sources.compact_files — the
+    OPTIMIZE/bin-packing maintenance op): the corpus is deliberately
+    fragmented into 48 tiny parquet files, then compacted by letting
+    the scan planner itself bin-pack files into ~target-size input
+    partitions (maxPartitionBytes/openCostInBytes/minPartitionNum) and
+    writing one file per partition — ZERO shuffle. Contract: content
+    preserved exactly (same per-language count/char-sum/exact text-hash
+    audit as the format round-trips, against the parquet source) AND
+    the file count strictly reduced to <= 8 (`compaction_ok`, a
+    driver-side listing check; the oracle states it as the literal
+    TRUE the theorem guarantees — the heavy-hitters contract-boolean
+    discipline)."""
+    import hashlib
+    import os
+
+    from xesmf_spark.pipeline import base_hash
+    from xesmf_spark.sources import compact_files
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/tmp/xesmf_smallfiles_{tag}"
+    dst = f"/tmp/xesmf_compacted_{tag}"
+    docs.repartition(48).write.mode("overwrite").parquet(src)
+    back = compact_files(spark, src, dst, target_bytes=32 << 20)
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    ok = bool(0 < n_out < n_in and n_out <= 8)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+    ).withColumn("compaction_ok", F.lit(ok))
+
+
 def pipeline_orc_roundtrip(spark, sf_dir):
     """ORC ingest round-trip (sources.write/read_orc_table): the corpus
     is staged as snappy ORC part files and read back; the reader must

@@ -137,3 +137,53 @@ def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     reconstructed from directory names (string-typed unless the session
     enables partition-column type inference — filters still prune)."""
     return spark.read.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Small-file COMPACTION — the OPTIMIZE/bin-packing maintenance op
+    of Delta/Iceberg, Spark-first: re-reads a fragmented parquet
+    directory with the scan planner's own file-packing knobs
+    (``spark.sql.files.maxPartitionBytes`` = the target output size,
+    ``openCostInBytes`` charging each extra file its real constant
+    cost) so the FileScan itself BIN-PACKS many small files into
+    ~target-size input partitions, then writes one output file per
+    partition. ZERO shuffle — no repartition, no sort, no data
+    movement beyond the rewrite itself; rows are preserved exactly
+    (content is the contract, order is not — parquet directories carry
+    no order).
+
+    Why it matters at 100 TB: streaming sinks and over-parallel jobs
+    leave millions of KB-scale files; every downstream scan then pays
+    per-file open cost and the NameNode/listing pays per-file metadata.
+    Compaction is the standing maintenance job that keeps scan
+    parallelism matched to data volume. Returns the compacted frame
+    (re-read from ``dst``).
+    """
+    confs = {
+        "spark.sql.files.maxPartitionBytes": str(target_bytes),
+        "spark.sql.files.openCostInBytes": str(1 << 20),
+        # the packer's dynamic sizing divides total bytes by
+        # minPartitionNum (default = core count), which would cap
+        # partitions at ~totalBytes/cores and defeat compaction on a
+        # wide session — a compaction job wants the TARGET to govern
+        "spark.sql.files.minPartitionNum": "1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # plan (and therefore file->partition packing) is fixed at
+        # write time, while the confs are in force
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(dst)
