@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
         "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
         "pipeline_compact_small_files": Q.pipeline_compact_small_files,
+        "events_zorder_scan": Q.events_zorder_scan,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1155,6 +1156,26 @@ SELECT lang,
          AS text_hash_sum
 FROM documents
 GROUP BY lang
+""",
+        "events_zorder_scan": """
+-- the z-order layout must round-trip values exactly: the oracle
+-- slices the source with the same first-decile user_id predicate.
+-- The footer-skipping contract is a driver-side parquet-metadata
+-- check stated as the literal TRUE the layout guarantees.
+WITH b AS (
+  SELECT MIN(user_id) AS mn,
+         MIN(user_id) + (MAX(user_id) - MIN(user_id)) // 10 AS hi
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_value,
+       TRUE AS zorder_user_ok,
+       TRUE AS zorder_ts_ok
+FROM events, b
+WHERE user_id BETWEEN b.mn AND b.hi
+GROUP BY event_type
 """,
         "events_partitioned_scan": """
 -- the Hive-partitioned staging layout must round-trip values exactly:

@@ -110,3 +110,63 @@ def test_compact_files_bin_packs_without_shuffle(spark, tmp_path):
     got = sorted(tuple(r) for r in back.collect())
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """Files written z-ordered on (a, b) must have tight footer min/max
+    on BOTH columns: a narrow filter on either column intersects at
+    most half the files, while a plain sort on `a` leaves `b`'s
+    per-file ranges full-width (no skipping on b). Content must
+    round-trip exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xesmf_spark.sources import zorder_write
+
+    # two independent uniform dims — the worst case for a single sort
+    df = spark.range(0, 20000).select(
+        (F.xxhash64("id", F.lit(1)) % 10000).alias("a"),
+        (F.xxhash64("id", F.lit(2)) % 10000).alias("b"),
+        F.col("id"),
+    ).select(F.abs("a").alias("a"), F.abs("b").alias("b"), "id")
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    zorder_write(df, zpath, ["a", "b"], n_files=16)
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(spath)
+
+    def ranges(path, col):
+        out = []
+        for fn in os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fn)).metadata
+            i = md.schema.names.index(col)
+            st = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    def touched(rs, lo, hi):
+        return sum(1 for mn, mx in rs if mn <= hi and mx >= lo)
+
+    # narrow (10%) filter on each dim
+    za, zb = ranges(zpath, "a"), ranges(zpath, "b")
+    assert touched(za, 0, 999) * 2 <= len(za)
+    assert touched(zb, 0, 999) * 2 <= len(zb)
+    # the plain a-sort serves a but NOT b: every file spans ~all of b
+    sb = ranges(spath, "b")
+    assert touched(sb, 0, 999) == len(sb)
+    # content round-trips exactly
+    got = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+    # validation
+    import pytest as _pytest
+
+    from xesmf_spark.sources import zvalue
+
+    with _pytest.raises(ValueError):
+        zorder_write(df, str(tmp_path / "x"), [])
+    with _pytest.raises(ValueError):
+        zvalue(["a", "b", "c", "d", "e"])
+    with _pytest.raises(ValueError):
+        zvalue(["a", "b"], bits=32)

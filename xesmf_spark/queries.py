@@ -1935,6 +1935,82 @@ def events_partitioned_scan(spark, sf_dir):
     )
 
 
+def events_zorder_scan(spark, sf_dir):
+    """Z-ORDER clustered layout (sources.zorder_write — the OPTIMIZE
+    ZORDER BY op): events staged range-partitioned + sorted on the
+    Morton interleave of (user_id, ts), so every file covers a small
+    hyper-rectangle of the key space and its parquet footer min/max is
+    tight on BOTH dimensions at once — a filter on EITHER column skips
+    most files, where a plain ts-sort only serves ts. Value audit: a
+    first-decile user_id slice aggregated per event type (integer-exact
+    cents), oracle = the same slice off the source. Layout contract:
+    driver-side footer inspection proves the user slice AND a first-day
+    ts slice each intersect at most HALF the files' [min,max] ranges
+    (the heavy-hitters contract-boolean discipline — stated as literal
+    TRUE by the oracle; a naive single-sort layout serves only its
+    leading column)."""
+    import hashlib
+    import os
+
+    from xesmf_spark.sources import zorder_write
+
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/xesmf_events_zorder_{tag}"
+    src = f"{sf_dir}/events.parquet"
+    marker = os.path.join(path, "_staged_src_stat")
+    st = os.stat(src)
+    want = f"{st.st_size}:{st.st_mtime}"
+    if not (os.path.isfile(marker) and open(marker).read() == want):
+        zorder_write(ev, path, ["user_id", "ts"], n_files=16)
+        with open(marker, "w") as f:
+            f.write(want)
+
+    mn, mx, ts_lo = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts")
+    ).collect()[0]
+    u_hi = int(mn) + (int(mx) - int(mn)) // 10
+    ts_hi = int(ts_lo) + 24 * 3_600_000_000_000
+
+    # footer audit: per-file [min,max] on each clustered column
+    import pyarrow.parquet as pq
+
+    def _ranges(col):
+        out = []
+        for fn in os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fn)).metadata
+            idx = md.schema.names.index(col)
+            los = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            his = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            out.append((min(los), max(his)))
+        return out
+    u_ranges, t_ranges = _ranges("user_id"), _ranges("ts")
+    n_files = len(u_ranges)
+    touched_u = sum(1 for lo, hi in u_ranges if lo <= u_hi and hi >= int(mn))
+    touched_t = sum(1 for lo, hi in t_ranges if lo < ts_hi)
+    zorder_user_ok = bool(n_files > 1 and touched_u * 2 <= n_files)
+    zorder_ts_ok = bool(n_files > 1 and touched_t * 2 <= n_files)
+
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("user_id").between(int(mn), u_hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .withColumn("zorder_user_ok", F.lit(zorder_user_ok))
+        .withColumn("zorder_ts_ok", F.lit(zorder_ts_ok))
+    )
+
+
 def documents_segments_udtf(spark, sf_dir):
     """The Python UDTF surface (§2C UDx row 3): a table-valued function
     invoked through SQL LATERAL — each document fans out to its

@@ -187,3 +187,88 @@ def compact_files(
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(dst)
+
+
+def zvalue(cols: list, bits: int = 16) -> "F.Column":
+    """Morton Z-VALUE of already-bucketized integer columns: interleave
+    the low ``bits`` bits of each column (col j's bit i lands at
+    position ``i * len(cols) + j``). Pure bitwise projection — stays in
+    whole-stage codegen. Inputs must be non-negative ints in
+    [0, 2^bits); use :func:`zorder_write`'s scaler for raw columns."""
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError(f"zvalue interleaves 1-4 columns, got {n}")
+    if bits * n > 62:
+        raise ValueError(f"bits * n_cols must be <= 62, got {bits * n}")
+    terms = []
+    for j, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet CLUSTERED ON A Z-ORDER (Morton) CURVE
+    over ``cols`` — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout op.
+    Each column is scaled to a ``bits``-bit integer against its global
+    min/max (one tiny 1-row aggregate), the bits are interleaved into a
+    single z-value, and the data is range-partitioned + sorted on it —
+    so every output file covers a small HYPER-RECTANGLE of the key
+    space and its parquet footer min/max statistics are tight on EVERY
+    clustered column simultaneously. A filter on ANY of the columns
+    then skips most files/row-groups at scan time, where a plain sort
+    only serves its leading column.
+
+    Scale shape: one pass for the min/max scalars, one range shuffle on
+    the z-value (sampled range boundaries, skew-tolerant), a per-
+    partition sort that feeds the parquet writer's row-group stats.
+    The scaling min/max is layout-only — values are written verbatim,
+    so correctness never depends on the bucketization."""
+    import pyspark.sql.functions as _F
+
+    if not cols:
+        raise ValueError("zorder_write needs at least one column")
+    stats = df.agg(
+        *[_F.min(c).alias(f"mn_{c}") for c in cols],
+        *[_F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        # double arithmetic on purpose: (x-mn)*top overflows BIGINT for
+        # epoch-ns columns, and the bucketization is LAYOUT-ONLY (values
+        # are written verbatim) so last-ulp rounding cannot matter
+        scaled.append(
+            _F.least(
+                _F.lit(top),
+                _F.floor(
+                    (_F.col(c) - _F.lit(int(mn))).cast("double")
+                    / _F.lit(float(span))
+                    * _F.lit(float(top))
+                ).cast("long"),
+            ).alias(f"__z_{c}")
+        )
+    tmp = df.select("*", *scaled)
+    z = zvalue([f"__z_{c}" for c in cols], bits)
+    (
+        tmp.withColumn("__zval", z)
+        .repartitionByRange(n_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval", *[f"__z_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
