@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
         "pipeline_compact_small_files": Q.pipeline_compact_small_files,
         "events_zorder_scan": Q.events_zorder_scan,
+        "orders_incr_join_view": Q.orders_incr_join_view,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1338,6 +1339,17 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "orders_incr_join_view": """
+-- oracle = the from-scratch join of the FULL tables: the incremental
+-- refresh identity delta(L JOIN R) = dLxR u Lxd R u dLxdR must make
+-- base-view + deltas equal the full re-join exactly
+SELECT c_nationkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
 """,
         "lineitem_bloom_prune_join": """
 -- oracle = the PLAIN join + aggregation: the bloom prune is a

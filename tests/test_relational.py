@@ -504,3 +504,37 @@ def test_bloom_prune_join_prunes_and_validates(spark):
         bloom_prune_join(fact, dim, "k", n_hashes=0)
     with _pytest.raises(KeyError):
         bloom_prune_join(fact, dim, "missing")
+
+
+def test_incremental_join_refresh_identity(spark):
+    """Base view + refresh deltas must equal the from-scratch join of
+    the full tables (rows with multiplicity), with every delta pair
+    produced exactly once — including dup keys on both sides and keys
+    appearing only in deltas."""
+    from xesmf_spark.relational import incremental_join_refresh
+
+    L = spark.createDataFrame(
+        [(1, "l1"), (1, "l1b"), (2, "l2"), (3, "l3"), (9, "lx")], "k long, lv string"
+    )
+    R = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (2, "r2b"), (4, "r4")], "k long, rv string"
+    )
+    dL = spark.createDataFrame([(2, "l2new"), (4, "l4new"), (7, "l7")], "k long, lv string")
+    dR = spark.createDataFrame([(1, "r1new"), (7, "r7new")], "k long, rv string")
+    view = L.join(R, "k")
+    got = sorted(
+        tuple(r)
+        for r in view.unionByName(
+            incremental_join_refresh(L, dL, R, dR, "k")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in L.unionByName(dL).join(R.unionByName(dR), "k").collect()
+    )
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        incremental_join_refresh(L, dL.select("lv", "k"), R, dR, "k")
+    with _pytest.raises(KeyError):
+        incremental_join_refresh(L, dL, R, dR, "missing")

@@ -1405,6 +1405,39 @@ def lineitem_bloom_prune_join(spark, sf_dir):
     )
 
 
+def orders_incr_join_view(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view
+    (relational.incremental_join_refresh): orders and customer are each
+    split into a base and an append delta (every 10th order key / every
+    13th customer key), the view is materialized as base-join-base,
+    and the refresh appends dLxR + Lxd R + dLxdR. CONTRACT (the
+    continuous-aggregate discipline, events_continuous_rollup's join
+    twin): base view + delta rows == the from-scratch join of the full
+    tables — so the ORACLE is the plain full join, aggregated per
+    nation with exact cents."""
+    from xesmf_spark.relational import incremental_join_refresh
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_new = F.col("o_orderkey") % 10 == 0
+    c_new = F.col("c_custkey") % 13 == 0
+    o_base, o_delta = orders.filter(~o_new), orders.filter(o_new)
+    c_base = cust.filter(~c_new).withColumnRenamed("c_custkey", "o_custkey")
+    c_delta = cust.filter(c_new).withColumnRenamed("c_custkey", "o_custkey")
+    view = o_base.join(c_base, "o_custkey")
+    refreshed = view.unionByName(
+        incremental_join_refresh(o_base, o_delta, c_base, c_delta, "o_custkey")
+    )
+    return refreshed.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("sum_cents"),
+    )
+
+
 def multimodal_image_resize(spark, sf_dir):
     """Image decode + nearest-neighbor resize through the REAL codec
     path: 48 deterministic 16x16 RGB BMPs (pixel (r,c,ch) =
