@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_compact_small_files": Q.pipeline_compact_small_files,
         "events_zorder_scan": Q.events_zorder_scan,
         "orders_incr_join_view": Q.orders_incr_join_view,
+        "events_funnel": Q.events_funnel,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1339,6 +1340,36 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "events_funnel": """
+-- same min-based recurrence as chained per-step aggregates:
+-- t1 = earliest view; t_i = earliest step-i event >= t_{i-1} and
+-- <= t1 + 7 days. Order-free (pure minima), so ties are benign.
+WITH u1 AS (
+  SELECT user_id, MIN(EPOCH_NS(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, u1.t1, MIN(EPOCH_NS(e.ts)) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click'
+    AND EPOCH_NS(e.ts) >= u1.t1
+    AND EPOCH_NS(e.ts) <= u1.t1 + 604800000000000
+  GROUP BY e.user_id, u1.t1
+),
+u3 AS (
+  SELECT e.user_id, MIN(EPOCH_NS(e.ts)) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase'
+    AND EPOCH_NS(e.ts) >= u2.t2
+    AND EPOCH_NS(e.ts) <= u2.t1 + 604800000000000
+  GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM u1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM u2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3)
 """,
         "orders_incr_join_view": """
 -- oracle = the from-scratch join of the FULL tables: the incremental

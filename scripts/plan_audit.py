@@ -69,6 +69,9 @@ ALLOW = {
     # 8-row exact top-k (the contract-boolean audit join)
     "documents_heavy_hitters": {"BroadcastNestedLoopJoin"},
     "stream_heavy_hitters": {"BroadcastNestedLoopJoin"},
+    # the funnel's ONE-ROW global step-count frame crossed onto the
+    # 3-row step-label axis (scalar broadcast, not a data join)
+    "events_funnel": {"BroadcastNestedLoopJoin"},
     # the global-average threshold is a 1-row scalar broadcast crossed
     # into customer (the q22 correlated-scalar decorrelation)
     "tpch_q22_inactive_customers": {"BroadcastNestedLoopJoin"},

@@ -538,3 +538,35 @@ def test_incremental_join_refresh_identity(spark):
         incremental_join_refresh(L, dL.select("lv", "k"), R, dR, "k")
     with _pytest.raises(KeyError):
         incremental_join_refresh(L, dL, R, dR, "missing")
+
+
+def test_funnel_steps_semantics(spark):
+    """Order matters (click before view doesn't count), the window is
+    anchored at funnel ENTRY (t1), equal timestamps satisfy >=, and a
+    user missing an earlier step can't convert a later one."""
+    from xesmf_spark.relational import funnel_steps
+
+    rows = [
+        # u1: clean conversion
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (2, 200, "click"), (2, 300, "view"), (2, 250, "purchase"),
+        # u3: purchase outside the entry-anchored window
+        (3, 100, "view"), (3, 150, "click"), (3, 5000, "purchase"),
+        # u4: never viewed -> not even step 1
+        (4, 100, "click"), (4, 200, "purchase"),
+        # u5: tie - click at the same ts as view counts (>=)
+        (5, 100, "view"), (5, 100, "click"), (5, 101, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r.step: r.n_users
+        for r in funnel_steps(ev, ["view", "click", "purchase"], within=1000).collect()
+    }
+    assert got == {"view": 4, "click": 3, "purchase": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(ev, ["view"], within=1000)
+    with _pytest.raises(ValueError):
+        funnel_steps(ev, ["view", "click"], within=0)

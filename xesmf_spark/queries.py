@@ -1405,6 +1405,21 @@ def lineitem_bloom_prune_join(spark, sf_dir):
     )
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (relational.funnel_steps): users completing
+    view -> click -> purchase in order within 7 days of the first
+    view. One shuffle (all conditional window minima share one
+    user partitioning), order-free min recurrence (no tie hazard),
+    tiny global conditional count-distinct. The oracle states the
+    same recurrence as chained per-step aggregates."""
+    from xesmf_spark.relational import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["view", "click", "purchase"], within=7 * 24 * 3_600_000_000_000
+    )
+
+
 def orders_incr_join_view(spark, sf_dir):
     """Incremental maintenance of a materialized JOIN view
     (relational.incremental_join_refresh): orders and customer are each

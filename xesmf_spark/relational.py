@@ -254,6 +254,75 @@ def salted_join(
     return out.drop("__salt")
 
 
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    within: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-FUNNEL analysis — the product-analytics staple (how many
+    users did step1 -> step2 -> ... -> stepK, in order, completing
+    within ``within`` of entering the funnel). Per user: t1 = earliest
+    step-1 event; t_i = earliest step-i event at or after t_{i-1} and
+    no later than t1 + within. Returns one row per step:
+    (step_idx, step, n_users).
+
+    Scale shape: ONE shuffle. Each t_i is an UNORDERED conditional
+    window aggregate MIN(CASE ...) OVER (PARTITION BY user) chained on
+    t_{i-1} — all k passes share one partitioning (a single exchange,
+    no sort: the windows are unordered), then a tiny global conditional
+    count-distinct. No self-joins, no per-user event-list
+    materialization, no sequential UDF — the min-based recurrence is
+    order-free, so ties in ts resolve identically on any engine and
+    any partitioning.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {list(steps)}")
+    if within <= 0:
+        raise ValueError(f"within must be positive, got {within}")
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, ts_col, type_col).withColumn(
+        "__t0",
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).over(w),
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        cond = (
+            (F.col(type_col) == s)
+            & (F.col(ts_col) >= F.col(f"__t{i - 1}"))
+            & (F.col(ts_col) <= F.col("__t0") + F.lit(within))
+        )
+        cur = cur.withColumn(f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+    counts = cur.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col(f"__t{i}").isNotNull(), F.col(user_col))
+            ).alias(f"n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    spark = events.sparkSession
+    labels = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return (
+        labels.crossJoin(counts)  # counts is ONE row — scalar broadcast
+        .select(
+            "step_idx",
+            "step",
+            F.expr(
+                "CASE "
+                + " ".join(
+                    f"WHEN step_idx = {i + 1} THEN n_{i}"
+                    for i in range(len(steps))
+                )
+                + " END"
+            ).alias("n_users"),
+        )
+    )
+
+
 def incremental_join_refresh(
     old_left: DataFrame,
     d_left: DataFrame,
