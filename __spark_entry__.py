@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_scan": Q.events_zorder_scan,
         "orders_incr_join_view": Q.orders_incr_join_view,
         "events_funnel": Q.events_funnel,
+        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1340,6 +1341,17 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "events_rollup_hll_distinct": """
+-- the count partial must merge EXACTLY (n == from-scratch COUNT(*));
+-- the sketch leg is the bounded-gap contract stated as literal TRUE
+SELECT EPOCH_NS(ts) // 86400000000000 AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY 1, 2
 """,
         "events_funnel": """
 -- same min-based recurrence as chained per-step aggregates:

@@ -570,3 +570,42 @@ def test_funnel_steps_semantics(spark):
         funnel_steps(ev, ["view"], within=1000)
     with _pytest.raises(ValueError):
         funnel_steps(ev, ["view", "click"], within=0)
+
+
+def test_merge_rollups_hll_sketch_monoid(spark):
+    """An HLL sketch column merges as a rollup partial: count partials
+    merge exactly, and the merged sketch's estimate equals the
+    from-scratch sketch's estimate at tiny cardinality (sparse mode) —
+    asserted as a bounded gap, never byte identity."""
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    rows1 = [(t, "a", u) for t in range(0, 50) for u in (t % 7, t % 3)]
+    rows2 = [(t, "a", u) for t in range(50, 100) for u in (t % 5, 11)]
+    aggs = lambda: {  # noqa: E731
+        "n": F.count(F.lit(1)),
+        "sk": F.hll_sketch_agg("user_id"),
+    }
+    d1 = spark.createDataFrame(rows1, "ts long, event_type string, user_id long")
+    d2 = spark.createDataFrame(rows2, "ts long, event_type string, user_id long")
+    s1 = rollup_delta(d1, 25, ["event_type"], agg_exprs=aggs())
+    s2 = rollup_delta(d2, 25, ["event_type"], agg_exprs=aggs())
+    merged = merge_rollups(s1, s2, merge={"sk": "hll"})
+    whole = rollup_delta(
+        d1.unionByName(d2), 25, ["event_type"], agg_exprs=aggs()
+    )
+    got = {
+        r.bucket: (r.n, r.est)
+        for r in merged.select(
+            "bucket", "n", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    want = {
+        r.bucket: (r.n, r.est)
+        for r in whole.select(
+            "bucket", "n", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][0] == want[b][0]  # counts merge exactly
+        assert abs(got[b][1] - want[b][1]) <= max(1, 0.05 * want[b][1])

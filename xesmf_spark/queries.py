@@ -1405,6 +1405,51 @@ def lineitem_bloom_prune_join(spark, sf_dir):
     )
 
 
+def events_rollup_hll_distinct(spark, sf_dir):
+    """Continuous aggregate with a SKETCH monoid (relational.
+    rollup_delta/merge_rollups, merge='hll'): the daily per-type rollup
+    carries a Datasketches HLL sketch of distinct users as mergeable
+    state, refreshed incrementally from two half-month deltas — the
+    100-TB answer to COUNT(DISTINCT) in a materialized rollup, where
+    raw user ids can't be kept per bucket. Value contract: the count
+    partial merges EXACTLY (n is value-checked against the oracle's
+    from-scratch COUNT(*)); the sketch obeys the bounded-gap
+    discipline (estimate within 15% of exact — never identity,
+    events_hll_merge's lesson), stated TRUE by the oracle."""
+    from xesmf_spark.relational import merge_rollups, rollup_delta
+
+    DAY_NS = 86_400_000_000_000
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    mid = int(lo) + 15 * DAY_NS
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "users_sk": F.hll_sketch_agg("user_id"),
+    }
+    s1 = rollup_delta(ev.filter(F.col("ts") < mid), DAY_NS, ["event_type"], agg_exprs=aggs)
+    s2 = rollup_delta(ev.filter(F.col("ts") >= mid), DAY_NS, ["event_type"], agg_exprs=aggs)
+    merged = merge_rollups(s1, s2, merge={"users_sk": "hll"})
+    exact = ev.groupBy(
+        F.expr(f"ts DIV {DAY_NS}").alias("bucket"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        merged.join(exact, ["bucket", "event_type"])
+        .select(
+            "bucket",
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("users_sk") - F.col("exact_users")
+                ).cast("double")
+                / F.col("exact_users")
+                <= 0.15
+            ).alias("hll_ok"),
+        )
+    )
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel (relational.funnel_steps): users completing
     view -> click -> purchase in order within 7 days of the first

@@ -549,7 +549,17 @@ _ROLLUP_KEY_META = "xesmf.rollup_key"
 
 #: merge functions usable per partial column (each is a monoid whose
 #: merge over partials equals the aggregate over raw rows)
-_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+_MERGE_FNS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    # Datasketches HLL union: a SKETCH is itself a mergeable partial,
+    # so a rollup can maintain COUNT(DISTINCT) state incrementally —
+    # store hll_sketch_agg(col) in the delta, merge with the union,
+    # estimate at read time (never assert sketch identity, only
+    # bounded estimate gaps — the events_hll_merge discipline)
+    "hll": F.hll_union_agg,
+}
 
 
 def merge_rollups(
