@@ -11,6 +11,13 @@ Headline workloads mirror BASELINE.md's canonical numbers:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
+
+NOTE (r7 verdict, process nit): the staged-layout queries
+(events_partitioned_scan, events_zorder_scan, the round-trips) key
+their /tmp/xesmf_* staging on a source-stat marker — idempotent, but a
+stale-/tmp wipe between rounds makes the FIRST timed run re-stage
+inside this bench; the min-of-N retrial absorbs it for the recorded
+number.
 """
 
 from __future__ import annotations
@@ -471,6 +478,16 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_trailing_window",
         "pipeline_weighted_sample",
         "pipeline_token_budget",
+        "pipeline_span_dedup",
+        "documents_heavy_hitters",
+        "events_props_flatten_udtf",
+        "lineitem_bloom_prune_join",
+        "pipeline_decontaminate_fuzzy",
+        "pipeline_compact_small_files",
+        "events_zorder_scan",
+        "orders_incr_join_view",
+        "events_funnel",
+        "events_rollup_hll_distinct",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
