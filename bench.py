@@ -324,22 +324,27 @@ def _run_workloads(spark, sf_dir, timings, timed):
             "err": f"{type(e).__name__}: {str(e)[:300]}"
         }
     try:
-        best = float("inf")
+        # decomposition: kernel-only throughput over the parallel
+        # critical path (slowest task's SpMV time, from the per-task
+        # phase manifest) — separates the compute from the parquet
+        # scan/sink the baseline's in-RAM 0.62 s number does not pay.
+        # BEST critical path ACROSS trials, not the last run's: one
+        # stalled task in the final trial must not fabricate a 6x
+        # kernel "regression" (bit the r8 record before this fix)
+        from xesmf_spark import vectorized as V
+
+        best = k_best = float("inf")
         for _ in range(4):
             t0 = time.perf_counter()
             apply_vec()
             best = min(best, time.perf_counter() - t0)
+            k_best = min(
+                k_best, max(r.kernel_ms for r in V.LAST_MANIFEST) / 1000.0
+            )
         timings["apply_vectorized_0.96GB"] = round(best, 3)
         gb = 500 * n_in * 8 / 1e9
         timings["apply_vectorized_GBps"] = round(gb / best, 3)
-        # decomposition: kernel-only throughput over the parallel
-        # critical path (slowest task's SpMV time, from the per-task
-        # phase manifest) — separates the compute from the parquet
-        # scan/sink the baseline's in-RAM 0.62 s number does not pay
-        from xesmf_spark import vectorized as V
-
-        k_sec = max(r.kernel_ms for r in V.LAST_MANIFEST) / 1000.0
-        timings["apply_kernel_GBps"] = round(gb / max(k_sec, 1e-9), 3)
+        timings["apply_kernel_GBps"] = round(gb / max(k_best, 1e-9), 3)
     except Exception as e:  # noqa: BLE001
         timings["apply_vectorized_0.96GB"] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
     finally:

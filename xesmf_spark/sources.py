@@ -248,6 +248,11 @@ def zorder_write(
     scaled = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_write: column {c!r} has no non-null values "
+                "(empty input?) — nothing to cluster on"
+            )
         span = max(int(mx) - int(mn), 1)
         # double arithmetic on purpose: (x-mn)*top overflows BIGINT for
         # epoch-ns columns, and the bucketization is LAYOUT-ONLY (values
