@@ -138,6 +138,15 @@ def main() -> None:
     workloads = [
         ("pipeline_minhash_dedup", lambda d, s: Q.pipeline_minhash_dedup(spark, d)),
         ("pipeline_simhash_pairs", lambda d, s: Q.pipeline_simhash_pairs(spark, d)),
+        # r8 additions: the bipartite LSH decontamination (same bucket
+        # economics as minhash_dedup — must scale the same) and the
+        # span scrubber (claimed LINEAR: explode + keyed joins + one
+        # per-doc window, no pair join anywhere)
+        (
+            "pipeline_decontaminate_fuzzy",
+            lambda d, s: Q.pipeline_decontaminate_fuzzy(spark, d),
+        ),
+        ("pipeline_span_dedup", lambda d, s: Q.pipeline_span_dedup(spark, d)),
         ("pipeline_curate", lambda d, s: Q.pipeline_curate(spark, d)),
         ("pipeline_pack_contexts", lambda d, s: Q.pipeline_pack_contexts(spark, d)),
         (

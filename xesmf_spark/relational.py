@@ -294,13 +294,15 @@ def funnel_steps(
             & (F.col(ts_col) <= F.col("__t0") + F.lit(within))
         )
         cur = cur.withColumn(f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
-    counts = cur.agg(
-        *[
-            F.count_distinct(
-                F.when(F.col(f"__t{i}").isNotNull(), F.col(user_col))
-            ).alias(f"n_{i}")
-            for i in range(len(steps))
-        ]
+    # reduce to ONE row per user first (max of a per-user-constant
+    # column; the groupBy reuses the window's hash partitioning — no
+    # second exchange), then plain non-null counts: a single agg with
+    # k COUNT(DISTINCT)s would EXPAND the full event set k-fold
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"__t{i}").alias(f"n_{i}") for i in range(len(steps))]
     )
     spark = events.sparkSession
     labels = spark.createDataFrame(
