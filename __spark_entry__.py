@@ -599,18 +599,24 @@ FROM purch p LEFT JOIN clicks c
  AND c.tus <= p.tus
 """,
         "events_props_flatten_udtf": """
--- polymorphic-UDTF replay: extract the requested key, count keys
--- beyond the requested set via json_keys; drop invalid/NULL JSON rows
--- (the UDTF's yield-nothing quarantine)
+-- polymorphic-UDTF replay, COERCION-EXACT: only JSON OBJECTS yield a
+-- row (arrays/scalars are the yield-nothing quarantine, so the filter
+-- is json_type = OBJECT, not mere json_valid), and bigint extraction
+-- accepts JSON integers ONLY (json_type of the element in
+-- BIGINT/UBIGINT — a JSON string "7" or a bool/double degrades to
+-- NULL exactly as the UDTF's isinstance(v, int) check does)
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(SUM(CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                END) AS BIGINT) AS sum_k,
+       COUNT(CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN 1 END) AS n_k,
        CAST(SUM(len(json_keys(props))
                 - CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END)
             AS BIGINT) AS sum_extra
 FROM events
-WHERE props IS NOT NULL AND json_valid(props)
+WHERE props IS NOT NULL AND json_valid(props) AND json_type(props) = 'OBJECT'
 GROUP BY event_type
 """,
         "events_continuous_rollup": """

@@ -115,15 +115,24 @@ def wide_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast("long")
 
 
+def positioned_ngrams(t: Column, n: int) -> Column:
+    """Array of ALL positioned token ``n``-grams of a token array —
+    duplicates kept, one gram per start position; a doc shorter than
+    ``n`` tokens contributes its whole (joined) text as the single
+    gram (the short-doc convention every consumer and every DuckDB
+    oracle replays). This clamp expression is LOAD-BEARING for oracle
+    agreement — :func:`shingles`, :func:`dedup_spans`, and the
+    heavy-hitters token stream all share THIS definition rather than
+    re-deriving it."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
+
+
 def shingles(col: Column, n: int = SHINGLE) -> Column:
     """Distinct token n-grams (as strings) of the normalized text."""
-    t = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        )
-    )
+    return F.array_distinct(positioned_ngrams(tokens(col), n))
 
 
 # ---------------------------------------------------------------------------
@@ -1111,10 +1120,7 @@ def dedup_spans(
         .persist()
     )
     _PERSISTED.append(toks_df)
-    gram_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.col("L") - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
-    )
+    gram_arr = positioned_ngrams(F.col("t"), n)
     grams = toks_df.select(
         "sid", "L", F.posexplode(gram_arr).alias("pos0", "gram")
     )

@@ -1429,8 +1429,14 @@ def events_rollup_hll_distinct(spark, sf_dir):
     s1 = rollup_delta(ev.filter(F.col("ts") < mid), DAY_NS, ["event_type"], agg_exprs=aggs)
     s2 = rollup_delta(ev.filter(F.col("ts") >= mid), DAY_NS, ["event_type"], agg_exprs=aggs)
     merged = merge_rollups(s1, s2, merge={"users_sk": "hll"})
+    # exact side buckets with the SAME true-floor division as
+    # rollup_delta (Spark DIV truncates toward zero — a negative-ts
+    # corpus would otherwise land merged and exact rows in different
+    # buckets and the inner join would silently drop them)
+    from xesmf_spark.relational import _floor_div
+
     exact = ev.groupBy(
-        F.expr(f"ts DIV {DAY_NS}").alias("bucket"), "event_type"
+        _floor_div(F.col("ts"), DAY_NS).alias("bucket"), "event_type"
     ).agg(F.countDistinct("user_id").alias("exact_users"))
     return (
         merged.join(exact, ["bucket", "event_type"])
@@ -2053,9 +2059,12 @@ def events_zorder_scan(spark, sf_dir):
     src = f"{sf_dir}/events.parquet"
     marker = os.path.join(path, "_staged_src_stat")
     st = os.stat(src)
-    want = f"{st.st_size}:{st.st_mtime}"
+    # the marker keys on the LAYOUT PARAMETERS too: a changed
+    # cols/n_files/bits must restage, not silently audit the old layout
+    z_cols, z_files = ["user_id", "ts"], 16
+    want = f"{st.st_size}:{st.st_mtime}:{','.join(z_cols)}:{z_files}:16"
     if not (os.path.isfile(marker) and open(marker).read() == want):
-        zorder_write(ev, path, ["user_id", "ts"], n_files=16)
+        zorder_write(ev, path, z_cols, n_files=z_files)
         with open(marker, "w") as f:
             f.write(want)
 
@@ -2557,16 +2566,10 @@ def _hh_token_stream(docs):
     pressure) + planted hot keys (docs with doc_id%3==0 emit
     'hot_<id%8>' x5 — the same planting discipline as dups/PII/eval
     copies), so 8 genuinely heavy keys exist to find."""
-    from xesmf_spark.pipeline import tokens
+    from xesmf_spark.pipeline import positioned_ngrams, tokens
 
-    t = tokens(F.col("text"))
     grams = docs.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(t) - 3, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
-            )
-        ).alias("token")
+        F.explode(positioned_ngrams(tokens(F.col("text")), 3)).alias("token")
     )
     hot = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.explode(

@@ -531,7 +531,12 @@ def rollup_delta(
         agg_exprs = {"n": _F.count(_F.lit(1))}
     # true FLOOR division (Spark's DIV truncates toward zero, which
     # would collapse ts in (-bucket_ns, bucket_ns) into bucket 0 for a
-    # negative-ts corpus; _floor_div is exact at any BIGINT magnitude)
+    # negative-ts corpus; _floor_div is exact at any BIGINT magnitude).
+    # NOTE for oracle authors: DuckDB's `//` ALSO truncates toward
+    # zero (verified: -7//2 = -3, -1//86400 = 0), so a SQL replay of
+    # this bucketing is only `ts // span` for non-negative ts; a
+    # negative-ts corpus needs the exact integer floor idiom
+    # (ts - ((ts % span) + span) % span) / span on both engines.
     bucket = _floor_div(F.col(ts_col), bucket_ns)
     # key columns carry metadata so merge_rollups can recover the exact
     # key set without type-based guessing (a numeric group key summed as

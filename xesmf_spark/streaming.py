@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -513,29 +513,23 @@ def heavy_hitters_stream(
         )
         # re-trim the union to <= capacity counters: subtract the
         # (capacity+1)-th largest counter value from all, fold it into
-        # the NULL-token delta row (bounded rows — see docstring)
-        w = Window.orderBy(F.col("est").desc(), "token")
-        ranked = merged.filter(F.col("token").isNotNull()).withColumn(
-            "rn", F.row_number().over(w)
+        # the NULL-token delta row. The merged summary is
+        # <= 2*capacity + 2 rows BY CONSTRUCTION, so collect it ONCE
+        # and trim driver-side — expressing the trim as more plan on
+        # top of `merged` would re-execute the batch's full MG
+        # summarization for every materialization (the cut lookup,
+        # the delta sum, and the publish each ran it before this fix)
+        rows = merged.collect()
+        counters = sorted(
+            ((int(r["est"]), r["token"]) for r in rows if r["token"] is not None),
+            key=lambda t: (-t[0], t[1]),
         )
-        cut = ranked.filter(F.col("rn") == capacity + 1).select(
-            F.col("est").alias("cut_v")
-        )
-        cut_rows = cut.collect()  # 0 or 1 row by construction
-        v = cut_rows[0]["cut_v"] if cut_rows else 0
-        kept = (
-            ranked.filter(F.col("est") > v)
-            .select("token", (F.col("est") - v).cast("long").alias("est"))
-        )
-        old_delta = (
-            merged.filter(F.col("token").isNull())
-            .agg(F.coalesce(F.sum("est"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
-        )
-        final = kept.unionByName(
-            batch_df.sparkSession.createDataFrame(
-                [(None, int(old_delta) + int(v))], "token string, est long"
-            )
+        old_delta = sum(int(r["est"]) for r in rows if r["token"] is None)
+        v = counters[capacity][0] if len(counters) > capacity else 0
+        final = spark.createDataFrame(
+            [(tok, est - v) for est, tok in counters if est > v]
+            + [(None, old_delta + v)],
+            "token string, est long",
         )
         _publish_version(final, state_dir, batch_id)
 
