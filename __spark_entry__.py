@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_incr_join_view": Q.orders_incr_join_view,
         "events_funnel": Q.events_funnel,
         "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
+        "events_props_variant": Q.events_props_variant,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1347,6 +1348,20 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "events_props_variant": """
+-- VARIANT-path replay, coercion-exact: objects only, and k sums only
+-- where the JSON element is an integer (the schema_of_variant gate)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                END) AS BIGINT) AS sum_k,
+       COUNT(CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN 1 END) AS n_k
+FROM events
+WHERE props IS NOT NULL AND json_valid(props) AND json_type(props) = 'OBJECT'
+GROUP BY event_type
 """,
         "events_rollup_hll_distinct": """
 -- the count partial must merge EXACTLY (n == from-scratch COUNT(*));

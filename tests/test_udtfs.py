@@ -134,3 +134,47 @@ def test_udtf_sentence_pattern(spark):
         (1, 2, "Third.", 1),
         (2, 0, "solo", 1),
     ]
+
+
+def test_variant_path_matches_udtf_coercion(spark):
+    """The VARIANT extraction (parse once, schema_of_variant-gated
+    typed get — events_props_variant's shape) must agree with the
+    JsonCols UDTF contract on every coercion edge: JSON string "7",
+    bool, decimal, array, malformed, NULL, missing key. VARIANT's raw
+    try_variant_get WOULD coerce "7"->7 and true->1; the schema gate
+    is what makes the two paths agree."""
+    from pyspark.sql import functions as F
+
+    frame = spark.createDataFrame(
+        [
+            (1, '{"k": 87}'),
+            (2, '{"k": -3, "z": 1}'),
+            (3, '{"k": "7"}'),
+            (4, '{"k": true}'),
+            (5, '{"k": 7.5}'),
+            (6, "[1, 2]"),
+            (7, "nope {"),
+            (8, None),
+            (9, '{"x": 1}'),
+        ],
+        "id long, props string",
+    )
+    v = F.try_parse_json("props")
+    via_variant = (
+        frame.select("id", v.alias("v"))
+        .filter(F.schema_of_variant("v").startswith("OBJECT<"))
+        .select("id", F.try_variant_get("v", "$.k", "variant").alias("kv"))
+        .select(
+            "id",
+            F.when(
+                F.schema_of_variant("kv") == "BIGINT",
+                F.try_variant_get("kv", "$", "bigint"),
+            ).alias("k"),
+        )
+    )
+    via_udtf = udtfs.json_cols_expr(frame, "k:bigint").select("id", "k")
+    got = sorted((r.id, r.k) for r in via_variant.collect())
+    want = sorted((r.id, r.k) for r in via_udtf.collect())
+    assert got == want
+    # rows 6/7/8 quarantined; string/bool/decimal k degrade to NULL
+    assert got == [(1, 87), (2, -3), (3, None), (4, None), (5, None), (9, None)]

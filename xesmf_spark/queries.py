@@ -1456,6 +1456,42 @@ def events_rollup_hll_distinct(spark, sf_dir):
     )
 
 
+def events_props_variant(spark, sf_dir):
+    """Semi-structured ingestion through Spark 4's VARIANT type: props
+    parsed ONCE into the shredded binary encoding (try_parse_json),
+    then typed extraction via variant paths — the lakehouse answer to
+    JSON at 100 TB, where per-query string re-parsing (get_json_object
+    et al.) would re-tokenize the corpus every read. Extraction is
+    COERCION-EXACT with the UDTF/JVM twins: only JSON OBJECTS count
+    (schema_of_variant gate = the UDTF's yield-nothing quarantine) and
+    k sums only where the element's variant type is BIGINT — a JSON
+    string \"7\", bool, or decimal degrades to NULL, never coerces
+    (try_variant_get alone WOULD coerce; the schema gate is the
+    point). Oracle = the json_type-gated DuckDB replay."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    flat = (
+        ev.select("event_type", v.alias("v"))
+        .filter(F.schema_of_variant("v").startswith("OBJECT<"))
+        .select(
+            "event_type",
+            F.try_variant_get("v", "$.k", "variant").alias("kv"),
+        )
+        .select(
+            "event_type",
+            F.when(
+                F.schema_of_variant("kv") == "BIGINT",
+                F.try_variant_get("kv", "$", "bigint"),
+            ).alias("k"),
+        )
+    )
+    return flat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_k"),
+    )
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel (relational.funnel_steps): users completing
     view -> click -> purchase in order within 7 days of the first
