@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": Q.events_funnel,
         "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
         "events_props_variant": Q.events_props_variant,
+        "synthetic_source_scan": Q.synthetic_source_scan,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1348,6 +1349,28 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "synthetic_source_scan": """
+-- symbolic replay of the Python data source's generator: document d
+-- has 5 + d%7 tokens, token i = 'w' || (d*13 + i*7) % 97; the pushed
+-- doc_id range [200, 4200) bounds generation on both engines
+WITH ids AS (
+  SELECT CAST(t.d AS BIGINT) AS doc_id FROM range(200, 4200) t(d)
+),
+docs AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(5 + CAST(doc_id % 7 AS BIGINT)),
+                          i -> 'w' || CAST((doc_id * 13 + i * 7) % 97 AS VARCHAR)),
+           ' ') AS text
+  FROM ids
+)
+SELECT doc_id % 10 AS grp,
+       COUNT(*) AS n_docs,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_hash_sum
+FROM docs
+GROUP BY grp
 """,
         "events_props_variant": """
 -- VARIANT-path replay, coercion-exact: objects only, and k sums only

@@ -1,0 +1,88 @@
+"""Python DataSource connector: pushdown, partition planning, and
+end-to-end content (xesmf_spark.datasource.SyntheticDocs)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from xesmf_spark import datasource as DS
+
+
+def test_push_filters_narrow_generation_bounds():
+    """Range predicates on doc_id are absorbed EXACTLY into [lo, hi);
+    anything else (other column, unsupported op) is yielded back for
+    Spark to apply post-scan."""
+    r = DS.SyntheticDocsReader({"n_docs": "1000", "n_parts": "4"})
+    leftovers = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 100),
+                GreaterThan(("doc_id",), 149),  # tighter: lo = 150
+                LessThanOrEqual(("doc_id",), 899),  # hi = 900
+                LessThan(("doc_id",), 950),  # looser, no-op
+                EqualTo(("text",), "x"),  # not ours -> back to Spark
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (150, 900)
+    assert len(leftovers) == 1 and isinstance(leftovers[0], EqualTo)
+    # partitions tile [lo, hi) exactly, no overlap, no gap
+    parts = r.partitions()
+    assert parts[0].lo == 150 and parts[-1].hi == 900
+    assert all(a.hi == b.lo for a, b in zip(parts, parts[1:]))
+    assert sum(p.hi - p.lo for p in parts) == 750
+    # rows generated ONLY inside the pushed bounds
+    ids = [row[0] for p in parts for row in r.read(p)]
+    assert min(ids) == 150 and max(ids) == 899 and len(ids) == 750
+
+
+def test_partitions_degenerate_ranges():
+    """Empty and tiny ranges must not produce negative/zero tiling."""
+    r = DS.SyntheticDocsReader({"n_docs": "10", "n_parts": "8"})
+    r.lo, r.hi = 5, 5  # empty after pushdown
+    assert sum(p.hi - p.lo for p in r.partitions()) == 0
+    r.lo, r.hi = 3, 6  # fewer rows than partitions
+    parts = r.partitions()
+    assert sum(p.hi - p.lo for p in parts) == 3
+    assert all(p.hi >= p.lo for p in parts)
+
+
+def test_end_to_end_read_matches_formula(spark):
+    """Registered source read through the planner: row count respects
+    the filter, text matches doc_text() verbatim, and the partition
+    count follows n_parts."""
+    DS.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("n_parts", 4)
+        .load()
+        .filter((F.col("doc_id") >= 17) & (F.col("doc_id") < 117))
+    )
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert len(rows) == 100 and set(rows) == set(range(17, 117))
+    for d in (17, 50, 116):
+        assert rows[d] == DS.doc_text(d)
+
+
+def test_unsupported_filter_still_applied(spark):
+    """A pushed-back predicate (EqualTo on text) must still filter the
+    output — Spark re-applies what the reader yields back."""
+    DS.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 300)
+        .option("n_parts", 3)
+        .load()
+    )
+    want = [d for d in range(300) if DS.doc_text(d) == DS.doc_text(42)]
+    got = sorted(
+        r.doc_id for r in df.filter(F.col("text") == DS.doc_text(42)).collect()
+    )
+    assert got == want and 42 in got

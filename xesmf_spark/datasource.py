@@ -1,0 +1,123 @@
+"""Custom PYTHON DATA SOURCE (Spark 4 `pyspark.sql.datasource`) — the
+extension surface for reading systems Spark has no built-in connector
+for, exercised end-to-end: schema declaration, option handling,
+partition planning, and FILTER PUSHDOWN into the source itself.
+
+`synthetic_docs` generates a deterministic document corpus directly in
+the executors — one `InputPartition` per id range, no driver-side
+materialization, and `pushFilters` narrows the GENERATED id range
+before a single row exists (the source-level analogue of parquet's
+row-group pruning: a `doc_id >= X` predicate shrinks every partition,
+it does not scan-then-filter). The generator formula is pure integer
+arithmetic on `doc_id`, so a DuckDB oracle can replay the whole corpus
+symbolically — which is exactly what makes the connector's end-to-end
+path (plan -> partitions -> Arrow batches -> SQL) value-checkable.
+
+Why this matters at 100 TB: the Python DataSource API is the sanctioned
+way to bring a bespoke system (feature store, internal KV dump, tick
+archive) into the DataFrame planner WITH pushdown, instead of the
+mapPartitions-over-opaque-blobs pattern that hides everything from
+Catalyst. The reference has exactly one ingest format (netCDF weights,
+`weights/io.py`); this is the beyond-reference connector surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+#: generator constants — shared verbatim by the DuckDB oracle
+TOK_VOCAB = 97
+TOK_A, TOK_B = 13, 7
+LEN_BASE, LEN_MOD = 5, 7
+
+
+def doc_text(doc_id: int) -> str:
+    """The deterministic text of document ``doc_id`` — THE spec the
+    SQL oracle replays: L = LEN_BASE + id % LEN_MOD tokens, token i =
+    'w' + (id*TOK_A + i*TOK_B) % TOK_VOCAB."""
+    n = LEN_BASE + doc_id % LEN_MOD
+    return " ".join(
+        f"w{(doc_id * TOK_A + i * TOK_B) % TOK_VOCAB}" for i in range(n)
+    )
+
+
+@dataclass
+class _IdRange(InputPartition):
+    lo: int  # inclusive
+    hi: int  # exclusive
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_parts = max(1, int(options.get("n_parts", 8)))
+        # generated id range [lo, hi) — pushFilters narrows it
+        self.lo = 0
+        self.hi = self.n_docs
+
+    def pushFilters(self, filters):
+        """Absorb simple doc_id range predicates into the generation
+        bounds (fully handled — rows outside are never created); yield
+        everything else back for Spark to apply post-scan."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",) and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, f.value + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = min(self.n_parts, max(1, hi - lo))
+        step, rem = divmod(hi - lo, n)
+        parts, cur = [], lo
+        for i in range(n):
+            w = step + (1 if i < rem else 0)
+            parts.append(_IdRange(cur, cur + w))
+            cur += w
+        return parts
+
+    def read(self, part: _IdRange):
+        for d in range(part.lo, part.hi):
+            yield (d, doc_text(d))
+
+
+class SyntheticDocs(DataSource):
+    """`spark.read.format("synthetic_docs").option("n_docs", N)` after
+    `spark.dataSource.register(SyntheticDocs)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def reader(self, schema):
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    # pushdown into Python sources is opt-in (the worker asserts if a
+    # reader defines pushFilters while the conf is off)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticDocs)

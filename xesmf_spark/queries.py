@@ -1456,6 +1456,38 @@ def events_rollup_hll_distinct(spark, sf_dir):
     )
 
 
+def synthetic_source_scan(spark, sf_dir):
+    """Custom PYTHON DATA SOURCE end-to-end (datasource.SyntheticDocs,
+    the Spark 4 `pyspark.sql.datasource` connector surface): documents
+    are GENERATED in the executors, one InputPartition per id range,
+    and the doc_id range predicate is PUSHED into the source
+    (pushFilters narrows the generation bounds — rows outside never
+    exist, the source-level analogue of row-group pruning; asserted
+    directly in tests/test_datasource.py). The generator formula is
+    pure integer arithmetic, so the ORACLE replays the whole corpus
+    symbolically — connector plan -> partitions -> Arrow batches ->
+    SQL, value-checked. Fixture-role query: sf-independent, like the
+    multimodal BMP fixtures."""
+    from xesmf_spark import datasource as DS
+    from xesmf_spark.pipeline import base_hash
+
+    DS.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 5000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        df.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 4200))
+        .groupBy((F.col("doc_id") % 10).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+        )
+    )
+
+
 def events_props_variant(spark, sf_dir):
     """Semi-structured ingestion through Spark 4's VARIANT type: props
     parsed ONCE into the shredded binary encoding (try_parse_json),
