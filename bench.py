@@ -493,6 +493,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "orders_incr_join_view",
         "events_funnel",
         "events_rollup_hll_distinct",
+        "events_props_variant",
+        "synthetic_source_scan",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
