@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
         "events_props_variant": Q.events_props_variant,
         "synthetic_source_scan": Q.synthetic_source_scan,
+        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1140,6 +1141,19 @@ SELECT lang,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
          AS text_hash_sum
+FROM documents
+GROUP BY lang
+""",
+        "pipeline_manifest_sink_roundtrip": """
+-- the manifest-committed sink must reproduce the corpus exactly and
+-- the planted uncommitted part must be invisible (manifest, not
+-- directory listing, is the source of truth — stated as literal TRUE)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_hash_sum,
+       TRUE AS orphan_invisible
 FROM documents
 GROUP BY lang
 """,

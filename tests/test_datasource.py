@@ -86,3 +86,39 @@ def test_unsupported_filter_still_applied(spark):
         r.doc_id for r in df.filter(F.col("text") == DS.doc_text(42)).collect()
     )
     assert got == want and 42 in got
+
+
+def test_manifest_writer_commit_and_abort(spark, tmp_path):
+    """Commit publishes a manifest naming exactly the written parts;
+    orphan files are invisible to the manifest reader; abort removes
+    the files its messages name."""
+    import json
+    import os
+
+    d = str(tmp_path / "sink")
+    spark.dataSource.register(DS.ManifestJsonl)
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    df.repartition(3).write.format("manifest_jsonl").option("path", d).mode(
+        "append"
+    ).save()
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert man["n_rows"] == 50 and len(man["parts"]) == 3
+    # orphan part: on disk but not manifested -> invisible
+    open(os.path.join(d, "part-orphan.jsonl"), "w").write(
+        '{"doc_id": 999, "text": "junk"}\n'
+    )
+    back = DS.read_manifest_jsonl(spark, d, "doc_id bigint, text string")
+    assert back.count() == 50
+    assert back.filter(F.col("doc_id") == 999).count() == 0
+    # abort() unlinks exactly the files named by its messages
+    w = DS.ManifestJsonlWriter({"path": d}, overwrite=False)
+    victims = [DS._PartFile(p["filename"], p["n_rows"]) for p in man["parts"][:1]]
+    w.abort(victims)
+    assert not os.path.exists(os.path.join(d, victims[0].filename))
+    # missing path option rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DS.ManifestJsonlWriter({}, overwrite=False)

@@ -28,11 +28,13 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 #: generator constants — shared verbatim by the DuckDB oracle
@@ -121,3 +123,101 @@ def register(spark) -> None:
     # reader defines pushFilters while the conf is off)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocs)
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITE connector: manifest-committed JSONL sink
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Transactional JSONL sink — the WRITE half of the Python
+    DataSource API, with a real two-phase commit: each task streams its
+    partition to a uniquely-named ``part-<uuid>.jsonl`` and returns a
+    :class:`_PartFile` commit message; only the DRIVER's ``commit``
+    publishes a ``_MANIFEST.json`` listing exactly the committed parts
+    (+ row counts). Readers trust the manifest, never the directory
+    listing — so a crashed/aborted/speculatively-duplicated task's
+    orphan file is invisible, the same
+    write-then-atomically-publish discipline as the streaming state
+    store (:func:`streaming._publish_version`) applied at the
+    connector layer. ``abort`` removes any files named by the messages
+    that did arrive."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl writer requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fn = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fn), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(filename=fn, n_rows=n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        parts = [
+            {"filename": m.filename, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "parts": sorted(parts, key=lambda p: p["filename"]),
+            "n_rows": sum(p["n_rows"] for p in parts),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class ManifestJsonl(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", d).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestJsonlWriter(self.options, overwrite)
+
+
+def read_manifest_jsonl(spark, path: str, schema):
+    """Read back ONLY the manifested parts (orphan files from failed
+    or uncommitted attempts are ignored by construction)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(path, p["filename"]) for p in manifest["parts"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

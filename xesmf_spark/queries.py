@@ -2027,6 +2027,48 @@ def pipeline_compact_small_files(spark, sf_dir):
     ).withColumn("compaction_ok", F.lit(ok))
 
 
+def pipeline_manifest_sink_roundtrip(spark, sf_dir):
+    """Custom WRITE connector with a real two-phase commit
+    (datasource.ManifestJsonl — the DataSourceWriter surface): each
+    task stages a uniquely-named part and returns a commit message;
+    only the driver's commit publishes the atomic _MANIFEST.json, and
+    readers trust the manifest, never the directory listing. The query
+    PLANTS an orphan part (a crashed/uncommitted attempt) after the
+    write — the manifest reader must not see it (`orphan_invisible`,
+    stated TRUE by the oracle). Content audit = the round-trip
+    hash-sum discipline against the parquet source."""
+    import hashlib
+    import os
+    import shutil
+
+    from xesmf_spark import datasource as DS
+    from xesmf_spark.pipeline import base_hash
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    spark.dataSource.register(DS.ManifestJsonl)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/xesmf_manifest_sink_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    docs.repartition(4).write.format("manifest_jsonl").option(
+        "path", path
+    ).mode("append").save()
+    with open(os.path.join(path, "part-orphan.jsonl"), "w") as f:
+        f.write('{"doc_id": -1, "text": "junk", "lang": "xx", "n_chars": 4}\n')
+    back = DS.read_manifest_jsonl(
+        spark, path, "doc_id bigint, text string, lang string, n_chars bigint"
+    )
+    orphan_invisible = bool(back.filter(F.col("doc_id") == -1).count() == 0)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+        )
+        .withColumn("orphan_invisible", F.lit(orphan_invisible))
+    )
+
+
 def pipeline_orc_roundtrip(spark, sf_dir):
     """ORC ingest round-trip (sources.write/read_orc_table): the corpus
     is staged as snappy ORC part files and read back; the reader must
