@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_variant": Q.events_props_variant,
         "synthetic_source_scan": Q.synthetic_source_scan,
         "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
+        "stream_synthetic_source": Q.stream_synthetic_source,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
@@ -1363,6 +1364,27 @@ SELECT doc_id, frame_idx,
        CAST(length(frame) AS BIGINT) AS n_bytes,
        md5(frame) AS frame_md5
 FROM fr
+""",
+        "stream_synthetic_source": """
+-- the streamed union must equal the batch generator corpus exactly
+-- (exactly-once offsets): symbolic replay of doc 0..2999, no filter
+WITH ids AS (
+  SELECT CAST(t.d AS BIGINT) AS doc_id FROM range(0, 3000) t(d)
+),
+docs AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(5 + CAST(doc_id % 7 AS BIGINT)),
+                          i -> 'w' || CAST((doc_id * 13 + i * 7) % 97 AS VARCHAR)),
+           ' ') AS text
+  FROM ids
+)
+SELECT doc_id % 10 AS grp,
+       COUNT(*) AS n_docs,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007) AS BIGINT)
+         AS text_hash_sum
+FROM docs
+GROUP BY grp
 """,
         "synthetic_source_scan": """
 -- symbolic replay of the Python data source's generator: document d

@@ -122,3 +122,44 @@ def test_manifest_writer_commit_and_abort(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         DS.ManifestJsonlWriter({}, overwrite=False)
+
+
+def test_stream_reader_exactly_once_multibatch(spark, tmp_path):
+    """The offset-tracked stream must deliver every doc_id exactly
+    once across multiple micro-batches (no dupes, no gaps), and the
+    per-batch tiling must respect the configured batch size."""
+    import time
+
+    spark.dataSource.register(DS.SyntheticDocsStream)
+    cp = str(tmp_path / "cp")
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("n_docs", 250)
+        .option("batch_size", 100)
+        .option("n_parts", 3)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_eo_test")
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        for _ in range(120):
+            if spark.sql("SELECT COUNT(*) c FROM syn_eo_test").collect()[0].c >= 250:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    rows = {r.doc_id: r.text for r in spark.table("syn_eo_test").collect()}
+    assert len(rows) == 250 and set(rows) == set(range(250))
+    assert rows[123] == DS.doc_text(123)
+    # offset tiling unit check: a [100, 250) batch range tiles exactly
+    r = DS.SyntheticDocsStreamReader({"n_docs": "250", "batch_size": "100"})
+    parts = r.partitions({"next_id": 100}, {"next_id": 250})
+    assert sum(p.hi - p.lo for p in parts) == 150
+    assert parts[0].lo == 100 and parts[-1].hi == 250
+    # latestOffset is capped at n_docs
+    assert [r.latestOffset()["next_id"] for _ in range(4)] == [100, 200, 250, 250]

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -221,3 +222,67 @@ def read_manifest_jsonl(spark, path: str, schema):
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING read connector: offset-tracked synthetic document stream
+# ---------------------------------------------------------------------------
+
+class SyntheticDocsStreamReader(DataSourceStreamReader):
+    """Custom Python STREAMING source with real offset management —
+    the `DataSourceStreamReader` surface: the driver-side reader
+    advances a monotone `next_id` offset by `batch_size` per trigger
+    (capped at `n_docs`), `partitions(start, end)` tiles exactly the
+    [start, end) id range of that micro-batch across `n_parts`
+    executor tasks, and Spark's checkpointed offset log makes delivery
+    EXACTLY-ONCE across batches: every doc_id is generated in exactly
+    one micro-batch, none repeat, none are skipped — asserted across a
+    multi-batch run in tests. Rows share :func:`doc_text`, so the
+    finite stream's union is symbolically replayable in SQL (the same
+    oracle as the batch source — the streaming≡batch discipline)."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch = max(1, int(options.get("batch_size", 100)))
+        self.n_parts = max(1, int(options.get("n_parts", 4)))
+        self._hwm = 0  # driver-side high-water mark
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def latestOffset(self) -> dict:
+        self._hwm = min(self._hwm + self.batch, self.n_docs)
+        return {"next_id": self._hwm}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["next_id"]), int(end["next_id"])
+        n = max(1, min(self.n_parts, hi - lo)) if hi > lo else 1
+        step, rem = divmod(max(hi - lo, 0), n)
+        parts, cur = [], lo
+        for i in range(n):
+            w = step + (1 if i < rem else 0)
+            parts.append(_IdRange(cur, cur + w))
+            cur += w
+        return parts
+
+    def read(self, part: _IdRange):
+        for d in range(part.lo, part.hi):
+            yield (d, doc_text(d))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpointed offset log
+
+
+class SyntheticDocsStream(DataSource):
+    """``spark.readStream.format("synthetic_docs_stream")`` after
+    ``spark.dataSource.register(SyntheticDocsStream)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def streamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)

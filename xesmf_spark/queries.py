@@ -1488,6 +1488,61 @@ def synthetic_source_scan(spark, sf_dir):
     )
 
 
+def stream_synthetic_source(spark, sf_dir):
+    """Custom Python STREAMING source end-to-end (datasource.
+    SyntheticDocsStream — the DataSourceStreamReader surface): the
+    driver-side reader advances a checkpointed `next_id` offset one
+    batch per trigger; partitions(start, end) tiles each micro-batch's
+    id range across executor tasks; the offset log makes delivery
+    EXACTLY-ONCE — across the finite 3-batch run every doc_id arrives
+    exactly once, so the streamed union is symbolically replayable by
+    the SAME generator oracle as the batch connector (the
+    streaming == batch discipline every stream query here follows)."""
+    import hashlib
+    import shutil
+    import time
+
+    from xesmf_spark import datasource as DS
+    from xesmf_spark.pipeline import base_hash
+
+    spark.dataSource.register(DS.SyntheticDocsStream)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cp = f"/tmp/xesmf_stream_src_cp_{tag}"
+    name = f"syn_stream_{tag}"
+    shutil.rmtree(cp, ignore_errors=True)
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("n_docs", 3000)
+        .option("batch_size", 1000)
+        .option("n_parts", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        for _ in range(240):
+            if spark.sql(f"SELECT COUNT(*) c FROM {name}").collect()[0].c >= 3000:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("synthetic stream did not deliver 3000 docs")
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy((F.col("doc_id") % 10).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(base_hash(F.col("text"))).alias("text_hash_sum"),
+        )
+    )
+
+
 def events_props_variant(spark, sf_dir):
     """Semi-structured ingestion through Spark 4's VARIANT type: props
     parsed ONCE into the shredded binary encoding (try_parse_json),
