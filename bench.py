@@ -495,6 +495,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_rollup_hll_distinct",
         "events_props_variant",
         "synthetic_source_scan",
+        "pipeline_manifest_sink_roundtrip",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
