@@ -189,6 +189,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "knn_top3": Q.knn_top3,
         "multimodal_features": Q.multimodal_features,
+        # r8 wave-2 (session 2) — appended at the tail while under
+        # local verification; rotated into the window once green
+        "events_retention_cohorts": Q.events_retention_cohorts,
+        "events_session_paths": Q.events_session_paths,
+        "orders_topk_per_group": Q.orders_topk_per_group,
+        "customers_scd2": Q.customers_scd2,
+        "nations_trade_pagerank": Q.nations_trade_pagerank,
+        "documents_tfidf_terms": Q.documents_tfidf_terms,
+        "documents_bm25": Q.documents_bm25,
+        "documents_cms_frequency": Q.documents_cms_frequency,
+        "events_ewma_daily": Q.events_ewma_daily,
+        "events_anomaly_mad": Q.events_anomaly_mad,
     }
 
 
@@ -1612,5 +1624,245 @@ GROUP BY user_id, sid
 -- the surviving representative row is engine-internal
 SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_key
 FROM documents
+""",
+        "events_retention_cohorts": """
+WITH ev AS (SELECT user_id, EPOCH_NS(ts) AS tns FROM events),
+firsts AS (
+  SELECT user_id, MIN(tns) // 86400000000000 AS cohort_period
+  FROM ev GROUP BY user_id
+)
+SELECT cohort_period,
+       e.tns // 86400000000000 - cohort_period AS offset_periods,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+        "events_session_paths": """
+WITH ev AS (SELECT user_id, EPOCH_NS(ts) AS tns, event_type FROM events),
+lagged AS (
+  SELECT event_type,
+         LAG(event_type) OVER w AS prev_type,
+         tns - LAG(tns) OVER w AS gap
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tns)
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM lagged
+WHERE prev_type IS NOT NULL AND gap <= 1800000000000
+GROUP BY 1, 2
+""",
+        "orders_topk_per_group": """
+-- the operator's contract: partial-top-k + final window == the plain
+-- window rank under the same (cents DESC, orderkey ASC) total order
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+                    o_orderkey
+         ) AS rnk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, price_cents, CAST(rnk AS INT) AS rank_in_group
+FROM ranked WHERE rnk <= 3
+""",
+        "customers_scd2": """
+WITH changes AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderpriority) AS priority
+  FROM orders GROUP BY 1, 2
+),
+dedup AS (
+  SELECT o_custkey, o_orderdate, priority,
+         LAG(priority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev_p
+  FROM changes
+),
+kept AS (
+  SELECT o_custkey, o_orderdate, priority FROM dedup
+  WHERE prev_p IS NULL OR prev_p <> priority
+),
+hist AS (
+  SELECT o_custkey, priority, o_orderdate AS vf,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS vt
+  FROM kept
+)
+SELECT o_custkey, priority,
+       STRFTIME(vf, '%Y-%m-%d') AS valid_from,
+       STRFTIME(vt, '%Y-%m-%d') AS valid_to,
+       vt IS NULL AS is_current
+FROM hist WHERE o_custkey % 7 = 0
+""",
+        "nations_trade_pagerank": """
+-- exact integer replay of the 3-iteration micro-unit PageRank
+-- recurrence (truncating division on positive BIGINTs == Spark DIV);
+-- dangling-node mass dropped on both sides by construction
+WITH e AS (
+  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+params AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1000000 // (SELECT n FROM params) AS r FROM nodes),
+r1 AS (
+  SELECT nd.node,
+         (1000000 - 850000) // (SELECT n FROM params)
+           + COALESCE(c.s, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
+    FROM e JOIN outdeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
+    GROUP BY e.dst) c ON nd.node = c.node
+),
+r2 AS (
+  SELECT nd.node,
+         (1000000 - 850000) // (SELECT n FROM params)
+           + COALESCE(c.s, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
+    FROM e JOIN outdeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
+    GROUP BY e.dst) c ON nd.node = c.node
+),
+r3 AS (
+  SELECT nd.node,
+         (1000000 - 850000) // (SELECT n FROM params)
+           + COALESCE(c.s, 0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
+    FROM e JOIN outdeg o ON e.src = o.src JOIN r2 r ON r.node = e.src
+    GROUP BY e.dst) c ON nd.node = c.node
+)
+SELECT n_name, CAST(r AS BIGINT) AS rank_micro
+FROM r3 JOIN nation ON node = n_nationkey
+""",
+        "documents_tfidf_terms": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents
+),
+pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY 1),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1000000.0 * LN(
+           CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)
+         )) AS BIGINT) AS idf_micro
+  FROM dfs
+),
+scored AS (
+  SELECT doc_id, p.term, tf, tf * idf_micro AS score_micro
+  FROM pairs p JOIN idf USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, score_micro FROM ranked WHERE rnk <= 3
+""",
+        "documents_bm25": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents
+),
+lens AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n, CAST(SUM(doc_len) AS BIGINT) AS tot FROM lens),
+params AS (SELECT n, (1000000 * tot) // n AS avg_len_micro FROM stats),
+pairs AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'merge', 'filter') GROUP BY 1, 2
+),
+dfs AS (SELECT term, COUNT(*) AS df FROM pairs GROUP BY 1),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1000000.0 * LN(
+           CAST(2 * (SELECT n FROM params) + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)
+         )) AS BIGINT) AS idf_micro
+  FROM dfs
+),
+scored AS (
+  SELECT p.doc_id,
+         (idf_micro * tf * (1200000 + 1000000)) // (
+           tf * 1000000 + (1200000 * (
+             (1000000 - 750000)
+             + (750000 * l.doc_len * 1000000) // (SELECT avg_len_micro FROM params)
+           )) // 1000000
+         ) AS s
+  FROM pairs p JOIN idf USING (term) JOIN lens l USING (doc_id)
+)
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 10
+""",
+        "documents_cms_frequency": r"""
+-- full replay of the 4x64 Count-Min sketch: counters, probe-row
+-- bucket hashes, min-over-rows estimates — all deterministic given
+-- the md5 row hashes, so values compare exactly; the CM theorem's
+-- one-sided bound (est >= exact, ALWAYS) rides along as a boolean
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents
+),
+probes AS (
+  SELECT unnest(['spark', 'table', 'merge', 'the', 'filter', 'query', 'nosuchtoken']) AS term
+),
+rws AS (SELECT unnest([0, 1, 2, 3]) AS row),
+counters AS (
+  SELECT row,
+         ('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, rws GROUP BY 1, 2
+),
+probe_h AS (
+  SELECT term, row,
+         ('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 64 AS bucket
+  FROM probes, rws
+),
+est AS (
+  SELECT term, MIN(COALESCE(cnt, 0)) AS est_n
+  FROM probe_h LEFT JOIN counters USING (row, bucket) GROUP BY 1
+),
+exact AS (
+  SELECT p.term, CAST(COALESCE(x.n, 0) AS BIGINT) AS exact_n
+  FROM probes p LEFT JOIN (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1) x USING (term)
+)
+SELECT term, exact_n, est_n, est_n >= exact_n AS cm_upper_bound_ok
+FROM est JOIN exact USING (term)
+""",
+        "events_ewma_daily": """
+WITH daily AS (
+  SELECT EPOCH_NS(ts) // 86400000000000 AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT event_type, day + gap AS day2, CAST(1 << (7 - gap) AS BIGINT) * n AS w
+  FROM daily, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS gap)
+),
+num AS (
+  SELECT event_type, day2 AS day, CAST(SUM(w) AS BIGINT) AS num
+  FROM contrib GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.n, (1000000 * num) // 255 AS ewma_micro
+FROM daily d JOIN num USING (event_type, day)
+""",
+        "events_anomaly_mad": """
+WITH daily AS (
+  SELECT EPOCH_NS(ts) // 86400000000000 AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+meds AS (
+  SELECT event_type, MEDIAN(CAST(n AS DOUBLE)) AS med FROM daily GROUP BY 1
+),
+mads AS (
+  SELECT d.event_type, MEDIAN(ABS(CAST(n AS DOUBLE) - med)) AS mad
+  FROM daily d JOIN meds USING (event_type) GROUP BY 1
+)
+SELECT day, daily.event_type, n, med, mad,
+       ABS(CAST(n AS DOUBLE) - med) > 3 * mad AS is_anomaly
+FROM daily JOIN meds USING (event_type) JOIN mads USING (event_type)
 """,
     }

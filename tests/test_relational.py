@@ -609,3 +609,120 @@ def test_merge_rollups_hll_sketch_monoid(spark):
     for b in want:
         assert got[b][0] == want[b][0]  # counts merge exactly
         assert abs(got[b][1] - want[b][1]) <= max(1, 0.05 * want[b][1])
+
+
+def test_retention_cohorts_matrix(spark):
+    """Hand-computed cohort matrix: user 1 starts period 0 and returns
+    in 0/1/3; user 2 starts period 1 and returns in 1/2; user 3 starts
+    period 0, never returns."""
+    from xesmf_spark.relational import retention_cohorts
+
+    P = 100
+    rows = [
+        (1, 5), (1, 50), (1, 150), (1, 350),
+        (2, 120), (2, 240),
+        (3, 90),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {
+        (r.cohort_period, r.offset_periods): r.n_users
+        for r in retention_cohorts(ev, "user_id", "ts", P).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1 and 3 in their own period
+        (0, 1): 1,
+        (0, 3): 1,
+        (1, 0): 1,
+        (1, 1): 1,
+    }
+
+
+def test_session_transitions_gap_break(spark):
+    """Bigrams count only within a session: the pair across the >gap
+    boundary is dropped; repeated pairs accumulate."""
+    from xesmf_spark.relational import session_transitions
+
+    rows = [
+        (1, 0, "a"), (1, 10, "b"), (1, 20, "a"),   # a->b, b->a
+        (1, 1000, "b"), (1, 1010, "a"),             # gap: new session; b->a
+        (2, 0, "a"), (2, 5, "b"),                   # a->b
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in session_transitions(ev, "user_id", "ts", "event_type", 100).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_topk_per_group_matches_window(spark):
+    """The partial-top-k monoid equals the plain window rank on a
+    many-partition input with duplicate order values (ties broken by
+    the tie column), and small groups return all their rows."""
+    from pyspark.sql import Window as W
+
+    from xesmf_spark.relational import topk_per_group
+
+    rows = [(i, f"g{i % 5}", (i * 37) % 11) for i in range(400)]
+    rows += [(1000, "tiny", 1)]  # group with < k rows
+    df = spark.createDataFrame(rows, "id long, grp string, v long").repartition(7)
+    got = topk_per_group(df, ["grp"], "v", 3, ["id"])
+    w = W.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id").asc())
+    want = (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= 3)
+    )
+    g = {(r.grp, r.rank_in_group): (r.id, r.v) for r in got.collect()}
+    e = {(r.grp, r.rank_in_group): (r.id, r.v) for r in want.collect()}
+    assert g == e
+    assert ("tiny", 1) in g and ("tiny", 2) not in g
+
+
+def test_scd2_build_collapses_and_intervals(spark):
+    """Consecutive duplicate attribute rows collapse; intervals chain
+    valid_from -> valid_to with exactly one current version per key;
+    NULL attributes compare null-safely."""
+    from xesmf_spark.relational import scd2_build
+
+    rows = [
+        (1, 10, "x"), (1, 20, "x"), (1, 30, "y"), (1, 40, None),
+        (1, 50, None), (1, 60, "x"),
+        (2, 10, "z"),
+    ]
+    ch = spark.createDataFrame(rows, "k long, ts long, attr string")
+    hist = scd2_build(ch, "k", "ts", ["attr"]).collect()
+    h1 = sorted(
+        [(r.valid_from, r.valid_to, r.attr, r.is_current) for r in hist if r.k == 1]
+    )
+    assert h1 == [
+        (10, 30, "x", False),
+        (30, 40, "y", False),
+        (40, 60, None, False),
+        (60, None, "x", True),
+    ]
+    h2 = [(r.valid_from, r.valid_to, r.attr, r.is_current) for r in hist if r.k == 2]
+    assert h2 == [(10, None, "z", True)]
+    for k in (1, 2):
+        assert sum(1 for r in hist if r.k == k and r.is_current) == 1
+
+
+def test_pagerank_integer_recurrence(spark):
+    """The distributed plan reproduces the exact integer micro-unit
+    recurrence computed by hand, including a dangling node (2 has no
+    out-edges: its mass drops, it still receives base + in-flow)."""
+    from xesmf_spark.relational import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_micro for r in pagerank(e, iters=3, damp_micro=850_000).collect()}
+
+    n, damp = 3, 850_000
+    base = (1_000_000 - damp) // n
+    outdeg = {0: 2, 1: 1}
+    ranks = {v: 1_000_000 // n for v in (0, 1, 2)}
+    for _ in range(3):
+        nxt = {v: base for v in ranks}
+        for s, d in edges:
+            nxt[d] += (ranks[s] * damp) // (1_000_000 * outdeg[s])
+        ranks = nxt
+    assert got == ranks

@@ -1,0 +1,122 @@
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from xesmf_spark.search import (
+    bm25_topk,
+    cms_build,
+    cms_estimates,
+    term_counts,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_term_counts_normalizes_and_counts(spark):
+    d = _docs(spark, [(1, "  A a\tb  "), (2, "b c")])
+    got = {(r.doc_id, r.term): r.tf for r in term_counts(d, "doc_id", "text").collect()}
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "b"): 1, (2, "c"): 1}
+
+
+def test_tfidf_ranks_distinctive_term_first(spark):
+    """A term unique to one doc outranks corpus-wide terms there; ties
+    break by term ASC; at most k rows per doc."""
+    d = _docs(
+        spark,
+        [
+            (1, "common common unique"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+    )
+    rows = tfidf_top_terms(d, "doc_id", "text", k=2).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.score_micro, r.term))
+    top1 = sorted(per_doc[1], reverse=True)[0]
+    assert top1[1] == "unique"
+    assert all(len(v) <= 2 for v in per_doc.values())
+    # idf of a term in every doc is ln(1) = 0 => score 0
+    assert any(s == 0 for s, t in per_doc[1] if t == "common") or all(
+        t != "common" for _, t in per_doc[1]
+    )
+
+
+def _bm25_replay(rows, terms, k1m=1_200_000, bm=750_000):
+    """Pure-python replay of the documented integer recurrence."""
+    import math
+
+    M = 1_000_000
+    toks = {i: t.lower().split() for i, t in rows}
+    n = len(toks)
+    tot = sum(len(v) for v in toks.values())
+    avg = (M * tot) // n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for i, v in toks.items():
+        s = 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or dfs[t] == 0:
+                continue
+            idf = math.floor(M * math.log((2 * n + 2) / float(2 * dfs[t] + 1)))
+            norm = (M - bm) + (bm * len(v) * M) // avg
+            den = tf * M + (k1m * norm) // M
+            s += (idf * tf * (k1m + M)) // den
+        if s:
+            scores[i] = s
+    return scores
+
+
+def test_bm25_matches_integer_replay(spark):
+    rows = [
+        (1, "spark merge filter spark"),
+        (2, "spark table row"),
+        (3, "agg sort window"),
+        (4, "merge merge merge filter spark table value"),
+    ]
+    d = _docs(spark, rows)
+    got = {
+        r.doc_id: r.score_micro
+        for r in bm25_topk(d, ["spark", "merge", "filter"], "doc_id", "text", k=10).collect()
+    }
+    assert got == _bm25_replay(rows, ["spark", "merge", "filter"])
+    assert 3 not in got  # no query term => no row
+
+
+def _cms_replay(stream, terms, d=4, w=64):
+    def h(i, t):
+        return int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16) % w
+
+    counters = {}
+    for t in stream:
+        for i in range(d):
+            key = (i, h(i, t))
+            counters[key] = counters.get(key, 0) + 1
+    return {
+        t: min(counters.get((i, h(i, t)), 0) for i in range(d)) for t in terms
+    }
+
+
+def test_cms_estimates_match_replay_and_upper_bound(spark):
+    """The 4x64 sketch reproduces the pure-python replay exactly, and
+    the CM one-sided bound holds for every probe including an absent
+    key; a deliberately tiny width (w=2) forces collisions and the
+    bound still holds."""
+    stream = (["hot"] * 20) + ["a", "b", "c", "d", "e"] * 3 + ["rare"]
+    items = spark.createDataFrame([(t,) for t in stream], "term string")
+    probes = ["hot", "rare", "absent", "a"]
+    exact = {t: stream.count(t) for t in probes}
+    for w in (64, 2):
+        counters = cms_build(items, "term", d=4, w=w)
+        got = {
+            r.term: r.est_n
+            for r in cms_estimates(spark, counters, probes, d=4, w=w).collect()
+        }
+        assert got == _cms_replay(stream, probes, d=4, w=w)
+        for t in probes:
+            assert got[t] >= exact[t]

@@ -1,0 +1,49 @@
+from pyspark.sql import functions as F  # noqa: F401
+
+from xesmf_spark.timeseries import ewma_rollup, mad_anomalies
+
+
+def test_ewma_weights_missing_buckets_count_zero(spark):
+    """Hand-computed: series k=a has x=10 at t=0 and x=20 at t=2 (t=1
+    missing => contributes zero).  window=3, weights 4/2/1, denom 7."""
+    rows = [("a", 0, 10), ("a", 2, 20), ("b", 5, 7)]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        (row.k, row.t): row.ewma_micro
+        for row in ewma_rollup(r, ["k"], "t", "x", window=3).collect()
+    }
+    M = 1_000_000
+    assert got == {
+        ("a", 0): (M * 4 * 10) // 7,            # only itself
+        ("a", 2): (M * (4 * 20 + 1 * 10)) // 7,  # gap-2 neighbor weight 1
+        ("b", 5): (M * 4 * 7) // 7,
+    }
+    # no output bucket for absent t=1 (targets are existing state rows)
+    assert ("a", 1) not in got
+
+
+def test_mad_flags_spike_robustly(spark):
+    """A single spike is flagged while the quiet buckets are not, and
+    the spike cannot drag the threshold: median/MAD of
+    [10,10,10,12,100] are 10 and 0 => any deviation > 0 is anomalous
+    (both 12 and 100), while the 10s are not."""
+    rows = [("a", i, v) for i, v in enumerate([10, 10, 10, 12, 100])]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {row.t: (row.med, row.mad, row.is_anomaly) for row in
+           mad_anomalies(r, ["k"], "x", n_sigmas=3).collect()}
+    assert got[0] == (10.0, 0.0, False)
+    assert got[3] == (10.0, 0.0, True)
+    assert got[4] == (10.0, 0.0, True)
+
+
+def test_mad_interpolated_median_halves(spark):
+    """Even-count groups interpolate the median to an exact half and
+    deviations to quarters — the documented exact-binary contract."""
+    rows = [("a", i, v) for i, v in enumerate([1, 2, 4, 9])]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    out = mad_anomalies(r, ["k"], "x", n_sigmas=3).collect()
+    assert out[0].med == 3.0  # (2+4)/2
+    # deviations: 2,1,1,6 -> sorted 1,1,2,6 -> mad = 1.5
+    assert out[0].mad == 1.5
+    flagged = {row.t for row in out if row.is_anomaly}
+    assert flagged == {3}  # |9-3|=6 > 4.5 ; |1-3|=2 <= 4.5

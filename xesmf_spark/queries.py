@@ -3556,3 +3556,208 @@ def stream_dedup(spark, sf_dir):
     )
     out = ST.dedup_stream(stream).select("content_key")
     return ST.run_to_memory(out, f"q_stream_dedup_{uuid.uuid4().hex[:8]}")
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention matrix (relational.retention_cohorts):
+    users bucketed by the day of their FIRST event, counted distinct
+    in every day they return. Map-side-combined per-user MIN, one
+    user-keyed join, two-phase COUNT(DISTINCT) — no window, no sort;
+    the matrix is O(weeks^2) rows at any event volume."""
+    from xesmf_spark.relational import retention_cohorts
+
+    DAY_NS = 24 * 3_600_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", DAY_NS)
+
+
+def events_session_paths(spark, sf_dir):
+    """Markov transition counts over sessionized user paths
+    (relational.session_transitions): (prev event type -> event type)
+    bigram frequencies within 30-minute-gap sessions. ONE user-keyed
+    exchange+sort serves both LAG expressions (identical window spec
+    => a single Window operator); the bigram agg is map-side
+    combinable on a bounded (types x types) key space. (user, ts)
+    uniqueness (verified on the table) makes the order total."""
+    from xesmf_spark.relational import session_transitions
+
+    GAP_NS = 30 * 60 * 1_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    return session_transitions(ev, "user_id", "ts", "event_type", GAP_NS)
+
+
+def orders_topk_per_group(spark, sf_dir):
+    """EXACT top-3 orders by price per order priority via the partial
+    top-k monoid (relational.topk_per_group): each input partition is
+    reduced to <= groups x k rows in a pandas pass BEFORE the shuffle
+    — the map-side combine a window sort cannot do — then one tiny
+    window finalizes. Total order: cents DESC, orderkey ASC. The
+    oracle is the plain window-rank SQL (value-equivalence is the
+    operator's contract)."""
+    from xesmf_spark.relational import topk_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    r = topk_per_group(o, ["o_orderpriority"], "price_cents", 3, ["o_orderkey"])
+    return r.select(
+        "o_orderpriority", "o_orderkey", "price_cents", "rank_in_group"
+    )
+
+
+def customers_scd2(spark, sf_dir):
+    """Slowly-Changing-Dimension Type 2 history (relational.scd2_build):
+    per-customer order-priority change stream (same-day changes
+    pre-collapsed with MAX for a deterministic (key, ts) total order)
+    -> consecutive-duplicate collapse + valid_from/valid_to/is_current
+    intervals, all from ONE key-hashed exchange+sort shared by the
+    lag/lead windows. Result sliced to custkey % 7 = 0 to keep the
+    compare payload bounded; the full history is the same plan."""
+    from xesmf_spark.relational import scd2_build
+
+    o = _t(spark, sf_dir, "orders")
+    changes = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderpriority").alias("priority")
+    )
+    hist = scd2_build(changes, "o_custkey", "o_orderdate", ["priority"])
+    return hist.filter(F.col("o_custkey") % 7 == 0).select(
+        "o_custkey",
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+def nations_trade_pagerank(spark, sf_dir):
+    """Fixed-3-iteration PageRank (relational.pagerank) over the
+    supplier-nation -> customer-nation trade graph (distinct pairs
+    from the lineitem/orders/customer/supplier star — the q7 join).
+    EXACT integer micro-unit recurrence (truncating BIGINT div on
+    positive values) so the oracle's 3-CTE replay matches
+    bit-for-bit; per iteration = one keyed edge-rank equi-join +
+    map-side-combinable SUM, lineage truncated via localCheckpoint —
+    the distributed PageRank plan at any graph size."""
+    from xesmf_spark.relational import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, damp_micro=850_000)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranks.join(
+        nation, ranks.node == nation.n_nationkey
+    ).select("n_name", "rank_micro")
+
+
+def documents_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (search.tfidf_top_terms):
+    idf floored to integer micro-nats from a ratio of exact integers,
+    score = tf * idf_micro in BIGINT, ties broken by term. The idf
+    join is term-keyed (a web-scale vocabulary is not a broadcastable
+    dim); the only driver scalar is the corpus count."""
+    from xesmf_spark.search import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def documents_bm25(spark, sf_dir):
+    """BM25 top-10 documents for the query {spark, merge, filter}
+    (search.bm25_topk): Lucene idf as ln((2N+2)/(2df+1)) micro-floored,
+    length norm / saturation in truncating BIGINT div, per-term scores
+    floored BEFORE the per-doc sum (order-independent), global top-10
+    via TakeOrdered — no full sort at any corpus size."""
+    from xesmf_spark.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "filter"], "doc_id", "text", k=10)
+
+
+def documents_cms_frequency(spark, sf_dir):
+    """Count-Min frequency sketch over the corpus token stream
+    (search.cms_build 4x64 + search.cms_estimates): the mergeable
+    counter-matrix monoid for point-frequency upper bounds on ANY key
+    — completes the sketch family (HLL distincts, approx-percentile
+    quantiles, Misra-Gries top-k). Probe terms span hot, mid, and
+    absent keys; the estimates are DETERMINISTIC given the md5 row
+    hashes, so the oracle value-checks them exactly AND states the CM
+    theorem's one-sided guarantee (est >= exact, always) as a contract
+    boolean."""
+    from xesmf_spark.pipeline import tokens as _tokens
+    from xesmf_spark.search import cms_build, cms_estimates
+
+    PROBES = ["spark", "table", "merge", "the", "filter", "query", "nosuchtoken"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    counters = cms_build(toks, "term", d=4, w=64)
+    est = cms_estimates(spark, counters, PROBES, d=4, w=64)
+    probe = spark.createDataFrame([(t,) for t in PROBES], "term string")
+    exact = (
+        probe.join(
+            toks.filter(F.col("term").isin(PROBES))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("__n")),
+            "term",
+            "left",
+        )
+        .select("term", F.coalesce("__n", F.lit(0)).cast("long").alias("exact_n"))
+    )
+    return est.join(exact, "term").select(
+        "term",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("cm_upper_bound_ok"),
+    )
+
+
+def events_ewma_daily(spark, sf_dir):
+    """EWMA over the daily per-type rollup (timeseries.ewma_rollup):
+    power-of-two integer weights over the trailing 8 days, missing
+    days counting zero, fixed denominator 255, micro-floored — the
+    lag-distance-dependent weighting no ROWS/RANGE frame can express,
+    implemented as a scatter (in-row gap explode) + map-side SUM on
+    the STATE table only. Raw events are touched once, by the rollup
+    aggregation itself."""
+    from xesmf_spark.relational import _floor_div
+    from xesmf_spark.timeseries import ewma_rollup
+
+    DAY_NS = 86_400_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        _floor_div(F.col("ts"), DAY_NS).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = ewma_rollup(daily, ["event_type"], "day", "n", window=8)
+    return r.join(daily, ["event_type", "day"]).select(
+        "event_type", "day", "n", "ewma_micro"
+    )
+
+
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection on the daily per-type rollup
+    (timeseries.mad_anomalies): |x - median| > 3 * MAD per type.
+    Median/MAD resist the spike they are hunting (a mean/stddev
+    threshold chases its own outlier). Interpolated medians of
+    integers are exact binary halves/quarters, so the double
+    comparison is engine-deterministic and the oracle replays it
+    verbatim. All work beyond the rollup agg is state-size."""
+    from xesmf_spark.relational import _floor_div
+    from xesmf_spark.timeseries import mad_anomalies
+
+    DAY_NS = 86_400_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        _floor_div(F.col("ts"), DAY_NS).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return mad_anomalies(daily, ["event_type"], "n", n_sigmas=3)

@@ -622,3 +622,233 @@ def merge_rollups(
     return u.groupBy(*keys).agg(
         *[_MERGE_FNS[merge.get(c, "sum")](c).alias(c) for c in agg_cols]
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_ns: int,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (the cohort), counted distinct in every later period
+    they return (the offset).  The canonical product-analytics rollup
+    (reference scope: none — beyond-reference training-analytics op).
+
+    Output: (cohort_period, offset_periods, n_users) where
+    cohort_period = floor(first_ts / period_ns) and offset_periods =
+    activity period - cohort period (0 = the cohort's own period).
+
+    Scale shape: per-user MIN is a mergeable partial (map-side combine
+    before the user-keyed shuffle); the cohort join reuses the groupBy's
+    hash partitioning on the firsts side and shuffles raw events by the
+    same natural, evenly-distributed user key; the final COUNT(DISTINCT
+    user) is Spark's two-phase expand on the (cohort, offset, user)
+    reduced set.  No window, no sort, no driver collection — the matrix
+    is O(periods^2) rows regardless of event volume."""
+    u, t = F.col(user_col), F.col(ts_col)
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    joined = events.select(user_col, ts_col).join(firsts, user_col)
+    return (
+        joined.select(
+            u.alias("__u"),
+            _floor_div(F.col("__first_ts"), period_ns).alias("cohort_period"),
+            (_floor_div(t, period_ns) - _floor_div(F.col("__first_ts"), period_ns)).alias(
+                "offset_periods"
+            ),
+        )
+        .groupBy("cohort_period", "offset_periods")
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )
+
+
+def session_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_ns: int,
+) -> DataFrame:
+    """Markov transition counts over sessionized event paths: for each
+    user, order events by time, break sessions at gaps > ``gap_ns``,
+    and count (previous event type -> event type) bigrams WITHIN a
+    session.  The path-analysis primitive behind sankey funnels and
+    next-action models.
+
+    Determinism contract: (user, ts) must be unique (true of the events
+    table); ordering by ts alone is then total per user and the oracle's
+    LAG mirrors it exactly.
+
+    Scale shape: ONE user-keyed exchange + one sort feeds both window
+    functions (lag-ts for the session break and lag-type for the
+    bigram share the identical window spec, so Catalyst evaluates them
+    in a single Window operator); the bigram count is a map-side
+    combinable agg on a (types x types)-bounded key space."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    t = F.col(ts_col)
+    flagged = events.select(
+        user_col,
+        ts_col,
+        type_col,
+        (t - F.lag(t).over(w) > F.lit(gap_ns)).alias("__new_session"),
+        F.lag(type_col).over(w).alias("__prev_type"),
+    )
+    return (
+        flagged.filter(
+            F.col("__prev_type").isNotNull() & ~F.coalesce("__new_session", F.lit(True))
+        )
+        .groupBy(F.col("__prev_type").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tie_cols: list[str],
+) -> DataFrame:
+    """EXACT top-k rows per group without shuffling the full input to a
+    window sort: a per-partition partial top-k (the map-side combine
+    that window functions cannot do) reduces each input partition to at
+    most groups x k rows BEFORE the shuffle, then one tiny window pass
+    finalizes.  ORDER: ``order_col`` DESC, then ``tie_cols`` ASC — the
+    tie columns must make the order total or top-k is ill-defined.
+
+    Correctness: every global top-k row is a fortiori in its own
+    partition's top-k under the same total order, so the partial pass
+    never drops a candidate.
+
+    Scale shape: at 100 TB the shuffle carries partitions x groups x k
+    rows instead of every row — the same reduction a combiner gives
+    SUM.  The final window sorts only that reduced set.  Memory per
+    task is O(groups x k) (the running panel), vectorized in pandas."""
+    import pandas as pd
+
+    schema = df.schema
+    names = [f.name for f in schema.fields]
+    by = [order_col] + tie_cols
+    asc = [False] + [True] * len(tie_cols)
+
+    def partial_topk(batches):
+        running = None
+        for pdf in batches:
+            both = pdf if running is None else pd.concat(
+                [running, pdf], ignore_index=True
+            )
+            both = both.sort_values(by, ascending=asc, kind="mergesort")
+            running = both.groupby(keys, sort=False, dropna=False).head(k)
+        if running is not None and len(running):
+            yield running[names]
+
+    reduced = df.mapInPandas(partial_topk, schema=schema)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    return (
+        reduced.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history from a change stream:
+    per key, ordered by ``ts_col``, rows whose attributes equal the
+    previous row's are collapsed, and each surviving version gets
+    ``valid_from`` (its own ts), ``valid_to`` (the next version's ts,
+    NULL while current) and ``is_current``.  The CDC-to-dimension step
+    of every warehouse load; :func:`merge_upsert` is its Type-1
+    sibling and :func:`asof_join` the point-in-time lookup.
+
+    Determinism contract: (key, ts) must be unique — pre-aggregate
+    same-timestamp changes (e.g. MAX per key+ts) before calling.
+
+    Scale shape: one key-hashed exchange + one sort serves all three
+    window expressions (identical window spec); everything else is a
+    narrow projection.  History size tracks the number of genuine
+    attribute changes, not raw change volume."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    same = None
+    for c in attr_cols:
+        eq = F.lag(c).over(w).eqNullSafe(F.col(c))
+        same = eq if same is None else (same & eq)
+    kept = (
+        changes.withColumn("__dup", F.coalesce(same, F.lit(False)))
+        .filter(~F.col("__dup"))
+        .drop("__dup")
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col)
+    return kept.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damp_micro: int = 850_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list (src, dst) in EXACT
+    integer micro-units: rank starts at 1e6 // N per node, and each
+    iteration every node receives base + sum over in-edges of
+    ``rank * damp_micro // (1_000_000 * outdeg)`` with
+    ``base = (1_000_000 - damp_micro) // N``.  All arithmetic is
+    truncating BIGINT division on positive values, so Spark and any
+    SQL engine replaying the recurrence agree bit-for-bit — the
+    differential-testing discipline for iterative algorithms (float
+    PageRank would drift by summation order).  Dangling-node mass is
+    dropped (documented simplification, mirrored by the oracle).
+
+    Scale shape: each iteration is one keyed equi-join of the edge
+    list with the O(N) rank table plus a map-side-combinable SUM —
+    the standard distributed PageRank plan; lineage is truncated per
+    iteration with localCheckpoint so ``iters`` stays bounded-plan.
+    The only driver scalar is N (one count)."""
+    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    nodes = nodes.persist()
+    n = nodes.count()
+    base = (1_000_000 - damp_micro) // n
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(1_000_000 // n).alias("rank_micro"))
+    for _ in range(iters):
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # exact BIGINT truncating division (both operands
+                # positive, so Spark DIV == DuckDB // bit-for-bit);
+                # double division + cast would truncate an INEXACT
+                # quotient and can disagree near integer boundaries
+                F.expr(
+                    f"(rank_micro * {damp_micro}L) div (1000000L * outdeg)"
+                ).alias("__share"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node").agg(F.sum("__share").alias("__in")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("__in", F.lit(0))).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    nodes.unpersist()
+    return ranks

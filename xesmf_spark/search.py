@@ -1,0 +1,249 @@
+"""Text ranking / frequency-sketch operators: TF-IDF, BM25, and a
+Count-Min frequency sketch.
+
+Beyond-reference scope (the reference has no text stack); these are
+the retrieval-side primitives a 100-TB training-data pipeline needs
+next to the dedup/decontamination family in :mod:`xesmf_spark.pipeline`
+— scoring documents against corpus statistics, ranked keyword search,
+and bounded-memory frequency estimation whose state is a mergeable
+matrix rather than a per-key hashmap.
+
+Determinism discipline (the repo-wide integer-exactness playbook):
+every log is taken of a ratio of EXACT integers and floored to
+micro-units BEFORE any sum or argmin; every division after that is
+truncating BIGINT ``div`` on positive operands, so Spark and the
+DuckDB oracle replay bit-for-bit.  Tokenization shares
+:func:`xesmf_spark.pipeline.tokens` (lowercase, whitespace-collapsed)
+— the one definition every oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xesmf_spark.pipeline import tokens
+
+M = 1_000_000
+
+
+def term_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — one row per distinct term per document.
+
+    Scale shape: explode + one (id, term)-keyed hash agg with map-side
+    combine; the dominant cost is the explode itself, which is the
+    irreducible work of reading every token once."""
+    return (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, doc_len) token counts — a pure projection."""
+    return docs.select(
+        id_col, F.size(tokens(F.col(text_col))).alias("doc_len")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    ``idf_micro = FLOOR(1e6 * ln(N / df))`` (N = corpus size, df =
+    documents containing the term — a ratio of exact integers, so both
+    engines feed ln identical doubles), ``score_micro = tf *
+    idf_micro`` — exact BIGINT, order-independent.  Ties broken by
+    term ASC for a total order.
+
+    Scale shape: the (id, term) tf table is built once (explode + one
+    keyed agg); df is a second agg over that REDUCED pair table; the
+    idf join is term-keyed (never broadcast-assumed — a web-scale
+    vocabulary is not a small dim); the final per-doc top-k window
+    partitions by doc.  N is the one driver scalar (a count)."""
+    pairs = term_counts(docs, id_col, text_col)
+    n_docs = docs.count()
+    df_tbl = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.select(
+        "term",
+        F.floor(
+            F.lit(float(M))
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).cast("long").alias("idf_micro"),
+    )
+    scored = pairs.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a bag of query terms, in
+    EXACT integer micro-units.
+
+    Per (doc, query term):
+      ``idf_micro   = FLOOR(1e6 * ln((2N + 2) / (2 df + 1)))``
+        (the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` rewritten as a
+        ratio of exact integers — always positive),
+      ``norm_micro  = (1e6 - b) + (b * doc_len * 1e6) div avg_len_micro``,
+      ``den_micro   = tf * 1e6 + (k1 * norm_micro) div 1e6``,
+      ``score_micro = (idf_micro * tf * (k1 + 1e6)) div den_micro``;
+    per-doc score = SUM of term scores (each floored first, so the sum
+    is order-independent BIGINT), top-k by (score DESC, id ASC).
+
+    Scale shape: corpus stats (N, total tokens) are one aggregate
+    collect; the pair table is filtered to the query's terms BEFORE the
+    df/score joins, so the scored relation is |terms|-bounded per doc;
+    final top-k is a global TakeOrdered (no full sort at any size)."""
+    pairs = term_counts(docs, id_col, text_col)
+    lens = doc_lengths(docs, id_col, text_col)
+    n_docs, total_tokens = (
+        lens.agg(
+            F.count(F.lit(1)), F.sum("doc_len").cast("long")
+        ).first()
+    )
+    avg_len_micro = (M * int(total_tokens)) // int(n_docs)
+    qp = pairs.filter(F.col("term").isin(query_terms))
+    df_tbl = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.select(
+        "term",
+        F.floor(
+            F.lit(float(M))
+            * F.log(
+                F.lit(float(2 * n_docs + 2))
+                / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+            )
+        ).cast("long").alias("idf_micro"),
+    )
+    scored = (
+        qp.join(idf, "term")
+        .join(lens, id_col)
+        .withColumn(
+            "__norm",
+            F.lit(M - b_micro)
+            + F.expr(
+                f"({b_micro}L * doc_len * {M}L) div {avg_len_micro}L"
+            ),
+        )
+        .withColumn(
+            "__den",
+            F.col("tf") * F.lit(M)
+            + F.expr(f"({k1_micro}L * __norm) div {M}L"),
+        )
+        .withColumn(
+            "__s",
+            F.expr(f"(idf_micro * tf * ({k1_micro}L + {M}L)) div __den"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("__s").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _cms_hash(term, i: int, w: int):
+    """Row-``i`` Count-Min bucket for ``term``: first 8 md5 hex chars of
+    ``"i:term"`` as a BIGINT, mod ``w`` — engine-portable (md5 + base
+    conversion exist identically in Spark and DuckDB)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(f"{i}:"), term), "utf-8")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Count-Min sketch of an item stream: a ``d x w`` counter matrix
+    as (row, bucket, cnt) rows.  The sketch is a MERGEABLE monoid
+    (element-wise +, i.e. UNION ALL + re-count), the property that
+    lets 100-TB frequency state live as d*w integers per partition /
+    per day / per shard instead of a per-key hashmap — the same
+    discipline as the HLL and Misra-Gries state in this repo
+    (:func:`xesmf_spark.pipeline.heavy_hitters`), trading the MG
+    sketch's top-k contract for point-query upper bounds on ANY key.
+
+    Scale shape: a d-fold in-row expand of the stream followed by one
+    map-side-combinable count on a key space of at most d*w — the
+    shuffle carries <= partitions * d * w rows regardless of volume."""
+    c = F.col(item_col)
+    rows = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_hash(c, i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    spark: SparkSession,
+    counters: DataFrame,
+    terms: list[str],
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for ``terms`` from a Count-Min counter
+    matrix: est(t) = MIN over rows i of counter[i][h_i(t)] (0 when the
+    bucket has no counter row).  The CM theorem's one-sided guarantee —
+    est >= true count, always — is deterministic, not probabilistic,
+    and the driver query states it as a contract boolean."""
+    probe = spark.createDataFrame([(t,) for t in terms], "term string")
+    pr = probe.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_hash(F.col("term"), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "rb.row", "rb.bucket")
+    return (
+        pr.join(counters, ["row", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
+    )
