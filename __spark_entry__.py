@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_cms_frequency": Q.documents_cms_frequency,
         "events_ewma_daily": Q.events_ewma_daily,
         "events_anomaly_mad": Q.events_anomaly_mad,
+        "orders_time_travel": Q.orders_time_travel,
+        "stream_cdc_apply": Q.stream_cdc_apply,
     }
 
 
@@ -1864,5 +1866,39 @@ mads AS (
 SELECT day, daily.event_type, n, med, mad,
        ABS(CAST(n AS DOUBLE) - med) > 3 * mad AS is_anomaly
 FROM daily JOIN meds USING (event_type) JOIN mads USING (event_type)
+""",
+        "orders_time_travel": """
+-- expected content of each snapshot, recomputed from the source
+-- table; versions_ok states the manifest-chain contract (commits
+-- numbered 1..3) the driver verified via the os.link race check
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT * FROM (
+  SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         1 AS version, TRUE AS versions_ok
+  FROM base WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus
+  UNION ALL
+  SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         2 AS version, TRUE AS versions_ok
+  FROM base GROUP BY o_orderstatus
+  UNION ALL
+  SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         3 AS version, TRUE AS versions_ok
+  FROM base WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+)
+""",
+        "stream_cdc_apply": """
+-- FULL value oracle: N-batch streaming last-write-wins == the batch
+-- argmax per user over all events ((user, ts) unique => total winner)
+SELECT user_id, event_type AS last_type, tns AS last_ts
+FROM (
+  SELECT user_id, event_type, EPOCH_NS(ts) AS tns,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY EPOCH_NS(ts) DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
 """,
     }

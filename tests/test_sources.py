@@ -170,3 +170,68 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
         zvalue(["a", "b", "c", "d", "e"])
     with _pytest.raises(ValueError):
         zvalue(["a", "b"], bits=32)
+
+
+def test_snapshot_commit_append_overwrite_time_travel(spark, tmp_path):
+    """Append chains file lists, overwrite resets them, and every
+    historical version stays readable bit-for-bit after later commits
+    (snapshot isolation + time travel)."""
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    d = str(tmp_path / "tbl")
+    df1 = spark.range(0, 5).withColumnRenamed("id", "k")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "k")
+    df3 = spark.range(100, 102).withColumnRenamed("id", "k")
+    assert snapshot_commit(df1, d, "append") == 1
+    assert snapshot_commit(df2, d, "append") == 2
+    assert snapshot_commit(df3, d, "overwrite") == 3
+    v1 = {r.k for r in snapshot_read(spark, d, 1).collect()}
+    v2 = {r.k for r in snapshot_read(spark, d, 2).collect()}
+    v3 = {r.k for r in snapshot_read(spark, d).collect()}
+    assert v1 == set(range(5))
+    assert v2 == set(range(8))
+    assert v3 == {100, 101}
+
+
+def test_snapshot_uncommitted_parts_invisible(spark, tmp_path):
+    """A data file dropped into parts/ without a manifest (a crashed
+    writer) is invisible to every reader — manifests are the only
+    source of truth."""
+    import os
+
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    d = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(0, 4).withColumnRenamed("id", "k"), d, "append")
+    orphan_src = str(tmp_path / "orphan")
+    spark.range(900, 910).withColumnRenamed("id", "k").coalesce(1).write.parquet(
+        orphan_src
+    )
+    part = next(f for f in os.listdir(orphan_src) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(orphan_src, part),
+        os.path.join(d, "parts", "part_orphan_00000.parquet"),
+    )
+    got = {r.k for r in snapshot_read(spark, d).collect()}
+    assert got == set(range(4))
+
+
+def test_snapshot_occ_link_race_retries(spark, tmp_path):
+    """If the next manifest name is taken (a racing writer won), the
+    commit retries at the following version instead of clobbering."""
+    import json
+    import os
+
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    d = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(0, 3).withColumnRenamed("id", "k"), d, "append")
+    # simulate a racing writer publishing v2 with an empty file list
+    with open(os.path.join(d, "v2.manifest.json"), "w") as fh:
+        json.dump({"version": 2, "mode": "overwrite", "files": []}, fh)
+    v = snapshot_commit(
+        spark.range(10, 12).withColumnRenamed("id", "k"), d, "append"
+    )
+    assert v == 3
+    # the append recomputed against the WINNER (v2, empty), not v1
+    assert {r.k for r in snapshot_read(spark, d, 3).collect()} == {10, 11}

@@ -577,3 +577,37 @@ def test_heavy_hitters_stream_mergeable_guarantees(spark, tmp_path):
     # only committed versions visible
     vs = ST._committed_versions(state_dir)
     assert vs and all(v.startswith("v") for v in vs)
+
+
+def test_cdc_apply_stream_matches_batch_lww(spark, tmp_path):
+    """4-batch streaming last-write-wins equals the batch argmax per
+    key, including keys that are updated in several different batches
+    and keys seen only in the first batch."""
+    from xesmf_spark.streaming import cdc_apply_stream
+
+    rows = [
+        # (user, ts, val) — user 1 updated in batches 0,1,3; user 2
+        # only batch 0; user 3 in batches 2,3
+        [(1, 10, "a"), (2, 11, "b")],
+        [(1, 20, "c")],
+        [(3, 30, "d")],
+        [(1, 40, "e"), (3, 35, "f")],
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(
+            batch, "user_id long, ts long, val string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    static = spark.read.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    state = str(tmp_path / "cdc_state")
+    final = cdc_apply_stream(
+        stream, state, ["user_id"], "ts", checkpoint_dir=str(tmp_path / "cp")
+    )
+    got = {(r.user_id): (r.ts, r.val) for r in final.collect()}
+    assert got == {1: (40, "e"), 2: (11, "b"), 3: (35, "f")}

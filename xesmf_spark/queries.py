@@ -3761,3 +3761,77 @@ def events_anomaly_mad(spark, sf_dir):
         _floor_div(F.col("ts"), DAY_NS).alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     return mad_anomalies(daily, ["event_type"], "n", n_sigmas=3)
+
+
+def orders_time_travel(spark, sf_dir):
+    """Snapshot-versioned table with TIME TRAVEL (sources.snapshot_commit
+    / snapshot_read — the MVCC-manifest lakehouse kernel): v1 = base
+    slice (orderkey % 3 != 0, append), v2 = append the rest, v3 =
+    OVERWRITE down to the 'F'-status rows. All three versions are read
+    AFTER the last commit — v1/v2 remaining bit-identical to what was
+    committed IS snapshot isolation (immutable parts + manifest-scoped
+    reads), and the oracle recomputes each version's expected content
+    from the orders table. Commits publish manifests via an
+    os.link-if-absent race check (optimistic concurrency), asserted
+    as `versions_ok`."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/xesmf_snapshot_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    v1 = snapshot_commit(o.filter(F.col("o_orderkey") % 3 != 0), d, "append")
+    v2 = snapshot_commit(o.filter(F.col("o_orderkey") % 3 == 0), d, "append")
+    v3 = snapshot_commit(o.filter(F.col("o_orderstatus") == "F"), d, "overwrite")
+    outs = []
+    for v in (v1, v2, v3):
+        outs.append(
+            snapshot_read(spark, d, v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .withColumn("version", F.lit(v))
+        )
+    allv = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return allv.withColumn("versions_ok", F.lit(bool((v1, v2, v3) == (1, 2, 3))))
+
+
+def stream_cdc_apply(spark, sf_dir):
+    """STREAMING CDC apply (streaming.cdc_apply_stream): the events
+    table arrives as 4 time-slab micro-batches and maintains a
+    last-write-wins latest-event-per-user table in versioned parquet
+    state (crash-atomic publish, replay-safe strictly-earlier merge —
+    the rollup_stream machinery on a keyed UPSERT instead of an
+    additive monoid). FULL value oracle: 4-batch incremental LWW ==
+    the batch argmax over all events ((user, ts) unique makes the
+    winner total)."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state = f"/tmp/xesmf_cdc_state_{tag}"
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(state + "_cp", ignore_errors=True)
+    ev = ST.events_stream(spark, d, max_files=1).select(
+        "user_id", "ts", "event_type"
+    )
+    final = ST.cdc_apply_stream(ev, state, ["user_id"], "ts")
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+    )

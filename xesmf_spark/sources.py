@@ -277,3 +277,127 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned table (lakehouse-lite: MVCC manifests + time travel)
+# ---------------------------------------------------------------------------
+
+def _snapshot_manifests(table_dir: str) -> list[int]:
+    """Committed snapshot versions, ascending.  A version EXISTS iff
+    its manifest file exists — data files alone are invisible (the
+    same readers-trust-the-manifest rule as
+    :class:`xesmf_spark.datasource.ManifestJsonl`)."""
+    import os
+    import re
+
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for e in os.listdir(table_dir):
+        m = re.fullmatch(r"v(\d+)\.manifest\.json", e)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def snapshot_commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to a snapshot-versioned parquet table and return
+    the new version number.  The table is an MVCC manifest chain — the
+    minimal form of the Iceberg/Delta idea:
+
+    - data files land under ``parts/`` with version-unique names and
+      are IMMUTABLE once written (no overwrite-in-place, ever);
+    - a manifest ``v{n}.manifest.json`` lists the FULL set of live
+      files for snapshot ``n`` (``append`` = previous list + new
+      files, ``overwrite`` = new files only);
+    - the manifest is published atomically: staged to a dot-prefixed
+      temp name, then ``os.link``-ed into place — link FAILS if the
+      version already exists, which is the optimistic-concurrency
+      check (a racing writer retries at n+1 rather than silently
+      clobbering);
+    - readers resolve a manifest FIRST, then read exactly its files:
+      uncommitted parts, torn writes, and later versions are all
+      invisible — snapshot isolation and time travel fall out of the
+      same property.
+
+    Old versions stay readable until ``snapshot_vacuum`` (not
+    implemented — retention policy is deployment-specific; nothing
+    here deletes data files).
+
+    Scale shape: the data write is an ordinary distributed parquet
+    job; the manifest is O(files) driver-side JSON.  At 100 TB the
+    manifest would hold per-file min/max stats for pruning — the
+    Z-order writer (:func:`zorder_write`) shows that layout side."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    parts_dir = os.path.join(table_dir, "parts")
+    os.makedirs(parts_dir, exist_ok=True)
+    stage = os.path.join(table_dir, f".stage_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        raise RuntimeError(f"parquet job left no _SUCCESS in {stage}")
+    tag = uuid.uuid4().hex[:8]
+    new_files = []
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if f.endswith(".parquet"):
+            dst = f"part_{tag}_{i:05d}.parquet"
+            os.rename(os.path.join(stage, f), os.path.join(parts_dir, dst))
+            new_files.append(os.path.join("parts", dst))
+    shutil.rmtree(stage, ignore_errors=True)
+    while True:
+        versions = _snapshot_manifests(table_dir)
+        n = (versions[-1] + 1) if versions else 1
+        if mode == "append" and versions:
+            with open(
+                os.path.join(table_dir, f"v{versions[-1]}.manifest.json")
+            ) as fh:
+                files = json.load(fh)["files"] + new_files
+        else:
+            files = list(new_files)
+        tmp = os.path.join(table_dir, f".manifest_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": n, "mode": mode, "files": files}, fh)
+        try:
+            os.link(tmp, os.path.join(table_dir, f"v{n}.manifest.json"))
+            os.unlink(tmp)
+            return n
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race: recompute against the winner
+
+
+def snapshot_read(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a snapshot-versioned table AS OF ``version`` (default:
+    latest committed).  Resolves the manifest, then scans exactly its
+    file list — parts added by later commits are invisible, which is
+    what makes a long-running job's input immutable while writers keep
+    committing (snapshot isolation), and what makes ``version=k`` time
+    travel trivial."""
+    import json
+    import os
+
+    versions = _snapshot_manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{version} not committed (have {versions})"
+        )
+    with open(os.path.join(table_dir, f"v{version}.manifest.json")) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])

@@ -665,3 +665,68 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_key"])
     )
+
+
+def cdc_apply_stream(
+    changes: DataFrame,
+    state_dir: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """STREAMING CDC apply: maintain a last-write-wins key-value table
+    from an unbounded change stream — the online sibling of
+    :func:`xesmf_spark.relational.merge_upsert` (batch Type-1 upsert)
+    and :func:`xesmf_spark.relational.scd2_build` (batch history).
+    Each micro-batch is reduced to its newest row per key, then merged
+    onto the persistent state inside ``foreachBatch`` (versioned
+    parquet, the :func:`rollup_stream` machinery: crash-atomic
+    :func:`_publish_version`, replay-safe :func:`_state_before` so
+    at-least-once redelivery cannot regress a key to an older value —
+    LWW merge is idempotent and commutative ACROSS batches only when
+    each batch merges onto a strictly-earlier state).
+
+    Determinism contract: (key, ``ts_col``) unique — same-timestamp
+    conflicts have no defined winner (pre-aggregate them away, as
+    :func:`~xesmf_spark.relational.scd2_build` requires).
+
+    Scale shape: the per-batch reduce is one window over the BATCH
+    (delta-sized); the merge is a window over state ∪ delta — state
+    is O(live keys), the dimension being maintained, never raw change
+    volume. Returns the final state DataFrame."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+
+    def _lww(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = _lww(batch_df)
+        prev = _state_before(spark, state_dir, batch_id)
+        merged = delta if prev is None else _lww(prev.unionByName(delta))
+        _publish_version(merged, state_dir, batch_id)
+
+    q = (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir or state_dir + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"cdc_apply_stream did not finish within {timeout_sec}s"
+        )
+    final = latest_rollup_state(changes.sparkSession, state_dir)
+    if final is None:
+        raise RuntimeError(f"cdc_apply_stream produced no state under {state_dir}")
+    return final
