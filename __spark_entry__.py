@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": Q.events_anomaly_mad,
         "orders_time_travel": Q.orders_time_travel,
         "stream_cdc_apply": Q.stream_cdc_apply,
+        "orders_profile": Q.orders_profile,
+        "lineitem_constraints": Q.lineitem_constraints,
+        "documents_inverted_index": Q.documents_inverted_index,
+        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
     }
 
 
@@ -1900,5 +1904,94 @@ FROM (
   FROM events
 )
 WHERE rn = 1
+""",
+        "orders_profile": """
+SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS null_count,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+""",
+        "lineitem_constraints": """
+-- the rule EXPRESSIONS are the cross-engine contract: identical text
+-- runs on both engines; violations count false OR NULL
+SELECT 'qty_in_range' AS rule, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN (l_quantity BETWEEN 1 AND 50) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN (l_quantity BETWEEN 1 AND 50) THEN 0 ELSE 1 END) = 0 AS ok
+FROM lineitem
+UNION ALL
+SELECT 'qty_small', COUNT(*),
+       CAST(SUM(CASE WHEN (l_quantity <= 30) THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN (l_quantity <= 30) THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'discount_in_range', COUNT(*),
+       CAST(SUM(CASE WHEN (l_discount BETWEEN 0.0 AND 0.1) THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN (l_discount BETWEEN 0.0 AND 0.1) THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'shipdate_present', COUNT(*),
+       CAST(SUM(CASE WHEN (l_shipdate IS NOT NULL) THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN (l_shipdate IS NOT NULL) THEN 0 ELSE 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'returnflag_domain', COUNT(*),
+       CAST(SUM(CASE WHEN (l_returnflag IN ('A', 'N', 'R')) THEN 0 ELSE 1 END) AS BIGINT),
+       SUM(CASE WHEN (l_returnflag IN ('A', 'N', 'R')) THEN 0 ELSE 1 END) = 0
+FROM lineitem
+""",
+        "documents_inverted_index": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents
+),
+pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM pairs
+)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       list_sort(list(doc_id) FILTER (rn <= 5)) AS postings_sample
+FROM ranked GROUP BY term
+""",
+        "lineitem_quantity_histogram": """
+WITH hist AS (
+  SELECT l_returnflag,
+         LEAST(GREATEST(CAST(l_quantity - 1 AS BIGINT) // 5, 0), 9) AS bin,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin, n,
+         SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM hist
+),
+med AS (
+  SELECT l_returnflag, MIN(bin) AS median_bin
+  FROM cum WHERE c * 1000000 >= 500000 * tot GROUP BY 1
+)
+SELECT h.l_returnflag, h.bin, h.n, m.median_bin,
+       1 + m.median_bin * 5 AS est_median_qty
+FROM hist h JOIN med m USING (l_returnflag)
 """,
     }

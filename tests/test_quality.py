@@ -1,0 +1,85 @@
+from pyspark.sql import functions as F  # noqa: F401
+
+from xesmf_spark.quality import (
+    check_constraints,
+    histogram_quantile,
+    histogram_rollup,
+    profile_table,
+)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k long, s string"
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 4
+    assert got["k"].null_count == 1
+    assert got["k"].n_distinct == 2
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "2")
+    assert got["s"].null_count == 1
+    assert got["s"].n_distinct == 2
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+
+
+def test_check_constraints_nulls_are_violations(spark):
+    """NULL rule results count as violations (three-valued logic),
+    and a fully-passing rule reports ok=True."""
+    df = spark.createDataFrame(
+        [(1,), (5,), (None,)], "v long"
+    )
+    out = {
+        r.rule: (r.n_rows, r.n_violations, r.ok)
+        for r in check_constraints(
+            df, {"v_small": "v <= 5", "v_present": "v IS NOT NULL"}
+        ).collect()
+    }
+    assert out["v_small"] == (3, 1, False)  # NULL <= 5 is NULL -> violation
+    assert out["v_present"] == (3, 1, False)
+    ok = check_constraints(df.filter("v IS NOT NULL"), {"v_small": "v <= 5"})
+    assert ok.collect()[0].ok is True
+
+
+def test_histogram_bins_clamp_and_merge(spark):
+    """Out-of-range values clamp to the edge bins; two partial
+    histograms merged by bin-sum equal the whole-input histogram (the
+    mergeable-monoid contract)."""
+    rows1 = [("g", v) for v in [-5, 1, 3, 7, 12]]
+    rows2 = [("g", v) for v in [7, 99]]
+    d1 = spark.createDataFrame(rows1, "k string, v long")
+    d2 = spark.createDataFrame(rows2, "k string, v long")
+    h = lambda d: histogram_rollup(d, ["k"], "v", lo=1, width=5, nbins=3)  # noqa: E731
+    whole = {(r.bin): r.n for r in h(d1.unionByName(d2)).collect()}
+    merged = {}
+    for d in (d1, d2):
+        for r in h(d).collect():
+            merged[r.bin] = merged.get(r.bin, 0) + r.n
+    assert merged == whole
+    assert whole == {0: 3, 1: 2, 2: 2}  # -5,1,3 | 7,7 | 12,99 (clamped)
+
+
+def test_histogram_quantile_first_bin_rule(spark):
+    """Median = lower bound of the first bin whose cumulative count
+    reaches half the total."""
+    rows = [("g", 1)] * 3 + [("g", 6)] * 2 + [("g", 11)] * 5
+    d = spark.createDataFrame(rows, "k string, v long")
+    hist = histogram_rollup(d, ["k"], "v", lo=1, width=5, nbins=3)
+    q = histogram_quantile(hist, ["k"], 500_000, lo=1, width=5).collect()[0]
+    assert (q.q_bin, q.q_value) == (1, 6)  # cum 3,5,10; 5*1e6 >= .5*10e6
+    q9 = histogram_quantile(hist, ["k"], 900_000, lo=1, width=5).collect()[0]
+    assert (q9.q_bin, q9.q_value) == (2, 11)
+
+
+def test_inverted_index_bounded_postings(spark):
+    from xesmf_spark.search import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "x common") if i < 7 else (i, "y common") for i in range(9)],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_index(docs, sample_k=5).collect()}
+    assert got["common"].df == 9
+    assert got["common"].total_tf == 9
+    assert got["common"].postings_sample == [0, 1, 2, 3, 4]  # bounded + sorted
+    assert got["x"].postings_sample == [0, 1, 2, 3, 4]
+    assert got["y"].postings_sample == [7, 8]

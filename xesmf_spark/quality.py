@@ -1,0 +1,149 @@
+"""Data-quality operators: table profiling, declarative constraint
+checks, and mergeable equi-width histograms.
+
+Beyond-reference scope — the observability layer a 100-TB ingest needs
+before anything else runs: what does each column look like, which
+invariants hold, how are values distributed.  The design rule
+throughout is ONE aggregation pass per answer, with map-side partials,
+over exactly the columns involved (columnar pruning is the whole
+economics of profiling a wide table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+M = 1_000_000
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: (column, n_rows, null_count, n_distinct,
+    min_value, max_value) with min/max rendered as strings AFTER the
+    native-type aggregation (so ordering is the column's own, not
+    lexicographic).
+
+    Scale shape: one aggregation JOB per column, each scanning ONLY
+    that column (ReadSchema pruning) with map-side combine — on a
+    columnar store k cheap single-column scans beat one scan that
+    drags every column through a k-fold COUNT(DISTINCT) expand.  Use
+    string/integer columns for engine-exact string rendering (double
+    formatting differs across engines)."""
+    cols = cols or df.columns
+    outs = []
+    for c in cols:
+        outs.append(
+            df.select(c).agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("null_count"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def check_constraints(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Declarative expectation checks: ``rules`` maps a rule name to a
+    boolean SQL expression; a row VIOLATES a rule when the expression
+    is false OR null (three-valued logic counts unknowns as failures —
+    the auditor's convention).  Output: (rule, n_rows, n_violations,
+    ok) per rule, all from ONE aggregation pass over the input (k
+    conditional sums share the scan), map-side combinable.
+
+    The expression strings are the cross-engine contract: the oracle
+    runs the IDENTICAL text, so the audit is engine-portable by
+    construction."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in rules.items():
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN ({expr}) THEN 0 ELSE 1 END")
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(rules)], "idx int, rule string"
+    )
+    wide = names.crossJoin(one)  # one is ONE row — scalar broadcast
+    pick = "CASE " + " ".join(
+        f"WHEN idx = {i} THEN __v_{n}" for i, n in enumerate(rules)
+    ) + " END"
+    return wide.select(
+        "rule",
+        "n_rows",
+        F.expr(pick).cast("long").alias("n_violations"),
+        (F.expr(pick) == 0).alias("ok"),
+    )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+) -> DataFrame:
+    """Equi-width histogram per key group: bin = clamp((val - lo) div
+    width, 0, nbins - 1), counted per (keys, bin) — exact integer
+    bucketing.  The histogram is a MERGEABLE monoid (bins sum), so it
+    can live as continuous-aggregate state under
+    :func:`xesmf_spark.relational.merge_rollups` (merge='sum' per bin
+    row) — the persistable form of a distribution where
+    approx_percentile's internal sketch cannot be stored or merged
+    across refreshes.
+
+    Scale shape: one map-side-combinable count on a key space of at
+    most |groups| x nbins."""
+    b = F.expr(f"CAST(({val_col} - {lo}) AS BIGINT) div {width}")
+    bin_col = F.least(
+        F.greatest(b, F.lit(0)).cast("long"), F.lit(nbins - 1).cast("long")
+    )
+    return (
+        df.select(*keys, bin_col.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: list[str],
+    q_micro: int,
+    lo: int,
+    width: int,
+) -> DataFrame:
+    """Quantile estimate from an equi-width histogram: the LOWER BOUND
+    of the first bin whose cumulative count reaches ``q_micro`` (in
+    millionths) of the group total — a deterministic integer rule
+    (``cum * 1e6 >= q * total``), so any engine replays it exactly.
+    Resolution is the bin width, the documented trade for mergeable
+    state.  All work is windows/aggs on the histogram itself
+    (|groups| x nbins rows)."""
+    w_tot = Window.partitionBy(*keys)
+    w_cum = w_tot.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w_cum).alias("__cum"),
+        F.sum("n").over(w_tot).alias("__tot"),
+    )
+    hit = cum.filter(
+        F.col("__cum") * F.lit(M) >= F.lit(q_micro) * F.col("__tot")
+    )
+    return (
+        hit.groupBy(*keys)
+        .agg(F.min("bin").alias("q_bin"))
+        .select(
+            *keys,
+            "q_bin",
+            (F.lit(lo) + F.col("q_bin") * F.lit(width)).alias("q_value"),
+        )
+    )

@@ -3835,3 +3835,73 @@ def stream_cdc_apply(spark, sf_dir):
         F.col("event_type").alias("last_type"),
         F.col("ts").alias("last_ts"),
     )
+
+
+def orders_profile(spark, sf_dir):
+    """Table profiling (quality.profile_table): per-column null count,
+    exact distinct count, min/max — one single-column aggregation job
+    per column so ReadSchema pruning keeps each scan to the bytes of
+    that column (the economics of profiling a wide table on columnar
+    storage). Columns restricted to integer/string so the string
+    rendering of min/max is engine-exact."""
+    from xesmf_spark.quality import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def lineitem_constraints(spark, sf_dir):
+    """Declarative data-quality expectations (quality.check_constraints):
+    five rules audited in ONE shared-scan aggregation pass; violations
+    count false OR NULL (three-valued logic treats unknown as failure).
+    The rule EXPRESSIONS are the cross-engine contract — the oracle
+    runs the identical SQL text. qty_small is deliberately violated so
+    the audit exercises both outcomes."""
+    from xesmf_spark.quality import check_constraints
+
+    RULES = {
+        "qty_in_range": "l_quantity BETWEEN 1 AND 50",
+        "qty_small": "l_quantity <= 30",
+        "discount_in_range": "l_discount BETWEEN 0.0 AND 0.1",
+        "shipdate_present": "l_shipdate IS NOT NULL",
+        "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    }
+    li = _t(spark, sf_dir, "lineitem")
+    return check_constraints(li, RULES)
+
+
+def documents_inverted_index(spark, sf_dir):
+    """Inverted-index summary (search.inverted_index): per term df,
+    total tf, and the SORTED first-5 posting sample, collected only
+    after a row_number bound (no unbounded list agg on hot terms).
+    Completes the retrieval triptych: tfidf (scoring), bm25 (ranked
+    search), inverted index (the physical structure)."""
+    from xesmf_spark.search import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", sample_k=5)
+
+
+def lineitem_quantity_histogram(spark, sf_dir):
+    """Mergeable equi-width histogram + histogram-derived median
+    (quality.histogram_rollup / histogram_quantile): 10 bins of width
+    5 over quantity per returnflag — bins sum, so the histogram can
+    live as continuous-aggregate state where approx_percentile's
+    sketch cannot; the median estimate is the deterministic
+    first-bin-reaching-half rule (resolution = bin width, the
+    documented trade). All post-rollup work is on |groups| x nbins
+    rows."""
+    from xesmf_spark.quality import histogram_quantile, histogram_rollup
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    hist = histogram_rollup(li, ["l_returnflag"], "l_quantity", lo=1, width=5, nbins=10)
+    med = histogram_quantile(hist, ["l_returnflag"], 500_000, lo=1, width=5)
+    return hist.join(med, "l_returnflag").select(
+        "l_returnflag",
+        "bin",
+        "n",
+        F.col("q_bin").alias("median_bin"),
+        F.col("q_value").alias("est_median_qty"),
+    )

@@ -247,3 +247,37 @@ def cms_estimates(
         .groupBy("term")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_n"))
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_k: int = 5,
+) -> DataFrame:
+    """Inverted-index summary: per term, document frequency, total term
+    frequency, and the first ``sample_k`` posting doc ids (sorted) —
+    the head of the posting list a search index would materialize.
+
+    Scale shape: built from the (id, term) tf table; the per-term
+    posting sample is BOUNDED before collection (row_number <= k over
+    the term partition, then a k-bounded collect_list) — never an
+    unbounded list agg on a hot term.  A hot-term skewed sort is the
+    residual cost; at index-build scale, feed the pair table through
+    :func:`xesmf_spark.relational.topk_per_group` first to cap the
+    shuffle too."""
+    pairs = term_counts(docs, id_col, text_col)
+    w = Window.partitionBy("term").orderBy(id_col)
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= sample_k, F.col(id_col))
+                )
+            ).alias("postings_sample"),
+        )
+    )
