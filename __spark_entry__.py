@@ -83,6 +83,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_groups": Q.pipeline_dedup_groups,
         "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
+        # (a2) NEW in r8 wave-2 — zero lifetime greens, so they outrank
+        # second-green seekers for window slots (§2E policy); the 16
+        # single-green cyclers they displace slide to positions 51-66
+        # with full-surface + tri-scale local evidence
+        "events_retention_cohorts": Q.events_retention_cohorts,
+        "events_session_paths": Q.events_session_paths,
+        "orders_topk_per_group": Q.orders_topk_per_group,
+        "customers_scd2": Q.customers_scd2,
+        "nations_trade_pagerank": Q.nations_trade_pagerank,
+        "documents_tfidf_terms": Q.documents_tfidf_terms,
+        "documents_bm25": Q.documents_bm25,
+        "documents_cms_frequency": Q.documents_cms_frequency,
+        "events_ewma_daily": Q.events_ewma_daily,
+        "events_anomaly_mad": Q.events_anomaly_mad,
+        "orders_time_travel": Q.orders_time_travel,
+        "stream_cdc_apply": Q.stream_cdc_apply,
+        "orders_profile": Q.orders_profile,
+        "lineitem_constraints": Q.lineitem_constraints,
+        "documents_inverted_index": Q.documents_inverted_index,
+        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
         # (b) single-green tail queries cycling through for green #2
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "tpch_q10_returned": Q.tpch_q10_returned,
@@ -189,24 +209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_dedup": Q.ann_embedding_dedup,
         "knn_top3": Q.knn_top3,
         "multimodal_features": Q.multimodal_features,
-        # r8 wave-2 (session 2) — appended at the tail while under
-        # local verification; rotated into the window once green
-        "events_retention_cohorts": Q.events_retention_cohorts,
-        "events_session_paths": Q.events_session_paths,
-        "orders_topk_per_group": Q.orders_topk_per_group,
-        "customers_scd2": Q.customers_scd2,
-        "nations_trade_pagerank": Q.nations_trade_pagerank,
-        "documents_tfidf_terms": Q.documents_tfidf_terms,
-        "documents_bm25": Q.documents_bm25,
-        "documents_cms_frequency": Q.documents_cms_frequency,
-        "events_ewma_daily": Q.events_ewma_daily,
-        "events_anomaly_mad": Q.events_anomaly_mad,
-        "orders_time_travel": Q.orders_time_travel,
-        "stream_cdc_apply": Q.stream_cdc_apply,
-        "orders_profile": Q.orders_profile,
-        "lineitem_constraints": Q.lineitem_constraints,
-        "documents_inverted_index": Q.documents_inverted_index,
-        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
     }
 
 

@@ -496,6 +496,21 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_props_variant",
         "synthetic_source_scan",
         "pipeline_manifest_sink_roundtrip",
+        "events_retention_cohorts",
+        "events_session_paths",
+        "orders_topk_per_group",
+        "customers_scd2",
+        "nations_trade_pagerank",
+        "documents_tfidf_terms",
+        "documents_bm25",
+        "documents_cms_frequency",
+        "events_ewma_daily",
+        "events_anomaly_mad",
+        "orders_time_travel",
+        "orders_profile",
+        "lineitem_constraints",
+        "documents_inverted_index",
+        "lineitem_quantity_histogram",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

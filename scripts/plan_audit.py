@@ -89,6 +89,14 @@ ALLOW = {
     # partition boundary, not a computed scalar — the cross exists only
     # so the test derives the split from the data itself
     "events_continuous_rollup": {"BroadcastNestedLoopJoin"},
+    # global (no grouping key) string MIN/MAX plans sort-based in Spark
+    # (no mutable hash buffer for strings); with no keys the partial
+    # agg reduces every partition to ONE row before the exchange, so
+    # this is never a wide-relation sort
+    "orders_profile": {"SortAggregate"},
+    # the k rule-violation counts are ONE aggregated row crossed onto
+    # the k-row rule-name axis (scalar broadcast, the funnel shape)
+    "lineitem_constraints": {"BroadcastNestedLoopJoin"},
     **{q: {"BroadcastNestedLoopJoin"} for q in _REGRID_AXIS_BNLJ},
 }
 

@@ -3620,8 +3620,23 @@ def customers_scd2(spark, sf_dir):
     from xesmf_spark.relational import scd2_build
 
     o = _t(spark, sf_dir, "orders")
-    changes = o.groupBy("o_custkey", "o_orderdate").agg(
-        F.max("o_orderpriority").alias("priority")
+    # MAX over the string priority would plan as SortAggregate (Spark
+    # has no hash-agg buffer for string min/max). The priority's digit
+    # prefix is order-isomorphic to the string ('1-URGENT'..'5-LOW'),
+    # so aggregate the INT digit (hash agg, map-side combine) and
+    # recover the string through a broadcast 5-row dim — same MAX
+    # winner as the oracle's MAX(o_orderpriority), hash-agg plan.
+    digit = F.substring("o_orderpriority", 1, 1).cast("int")
+    dim = (
+        o.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .withColumn("__pd", F.substring("priority", 1, 1).cast("int"))
+    )
+    changes = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(digit).alias("__pd"))
+        .join(F.broadcast(dim), "__pd")
+        .drop("__pd")
     )
     hist = scd2_build(changes, "o_custkey", "o_orderdate", ["priority"])
     return hist.filter(F.col("o_custkey") % 7 == 0).select(
