@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_constraints": Q.lineitem_constraints,
         "documents_inverted_index": Q.documents_inverted_index,
         "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
+        "pipeline_prefix_filter_pairs": Q.pipeline_prefix_filter_pairs,
+        "events_session_window": Q.events_session_window,
+        "events_unpivot": Q.events_unpivot,
         # (b) single-green tail queries cycling through for green #2
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "tpch_q10_returned": Q.tpch_q10_returned,
@@ -1906,6 +1909,48 @@ FROM (
   FROM events
 )
 WHERE rn = 1
+""",
+        "pipeline_prefix_filter_pairs": PO.prefix_filter_sql(600_000),
+        "events_session_window": """
+-- session_window boundary semantics (pytest-pinned): an event at
+-- EXACTLY gap distance still MERGES (start <= previous end is
+-- inclusive), so only a STRICTLY greater gap splits; end = last + gap
+WITH ev AS (SELECT user_id, EPOCH_NS(ts) AS tns, value FROM events),
+flagged AS (
+  SELECT user_id, tns, value,
+         CASE WHEN LAG(tns) OVER w IS NULL
+                   OR tns - LAG(tns) OVER w > 1800000000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tns)
+),
+sess AS (
+  SELECT user_id, tns, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(tns) AS session_start,
+       MAX(tns) + 1800000000000 AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_value
+FROM sess GROUP BY user_id, sid
+""",
+        "events_unpivot": """
+WITH hours AS (
+  SELECT DISTINCT EPOCH_NS(ts) // 3600000000000 AS epoch_hour FROM events
+),
+types AS (
+  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type
+),
+counts AS (
+  SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT h.epoch_hour, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM hours h CROSS JOIN types t
+LEFT JOIN counts c ON c.epoch_hour = h.epoch_hour AND c.event_type = t.event_type
 """,
         "orders_profile": """
 SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,

@@ -511,6 +511,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "lineitem_constraints",
         "documents_inverted_index",
         "lineitem_quantity_histogram",
+        "pipeline_prefix_filter_pairs",
+        "events_session_window",
+        "events_unpivot",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -1225,3 +1225,53 @@ def test_decontaminate_fuzzy_finds_rewrites(spark):
     # threshold excludes weak overlap: raise it above the rewrite's jac
     strict = PL.decontaminate_fuzzy(train, eval_df, threshold=0.99).collect()
     assert {(r.doc_id, r.eval_id) for r in strict} == {(1, 900)}
+
+
+def test_prefix_filter_pairs_no_false_negatives(spark):
+    """Brute-force ground truth on a controlled corpus: every pair with
+    shingle-Jaccard >= t must be returned with the exact integer
+    jaccard, and nothing below t."""
+    from itertools import combinations
+
+    from xesmf_spark.pipeline import prefix_filter_pairs
+
+    base = "a b c d e f g h i j k l"
+    docs = [
+        (1, base),
+        (2, base),                       # exact copy -> 1.0
+        (3, base + " x y z"),            # high overlap
+        (4, "a b c completely different tail words here"),  # low
+        (5, "q r s t u v w entirely other text"),           # disjoint-ish
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    T = 600_000
+    got = {
+        (r.id_a, r.id_b): r.jaccard_micro
+        for r in prefix_filter_pairs(d, threshold_micro=T).collect()
+    }
+
+    def sh_set(t, n=3):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {t.lower()}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    want = {}
+    for (i, ti), (j, tj) in combinations(docs, 2):
+        a, b = sh_set(ti), sh_set(tj)
+        inter = len(a & b)
+        jm = (1_000_000 * inter) // (len(a) + len(b) - inter) if inter else 0
+        if jm >= T:
+            want[(i, j)] = jm
+    assert got == want
+    assert got[(1, 2)] == 1_000_000  # the planted exact copy
+
+
+def test_prefix_length_identity():
+    """The integer ceil identity used by engine and oracle matches
+    math.ceil for every size/threshold combination in range."""
+    import math
+
+    for t in (500_000, 600_000, 750_000, 900_000):
+        for n in range(1, 300):
+            assert (t * n + 999_999) // 1_000_000 == math.ceil(t * n / 1_000_000)

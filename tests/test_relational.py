@@ -726,3 +726,46 @@ def test_pagerank_integer_recurrence(spark):
             nxt[d] += (ranks[s] * damp) // (1_000_000 * outdeg[s])
         ranks = nxt
     assert got == ranks
+
+
+def test_session_window_exact_gap_splits(spark):
+    """F.session_window MERGES an event at exactly the gap distance
+    (start <= previous end is inclusive) and splits only on a strictly
+    greater gap — the boundary rule the events_session_window oracle
+    replays."""
+    GAP_US = 60 * 1_000_000  # 1 minute
+    rows = [(1, 0), (1, GAP_US), (1, 2 * GAP_US + 10), (2, 5)]
+    df = spark.createDataFrame(rows, "user_id long, tus long")
+    g = (
+        df.groupBy(
+            "user_id", F.session_window(F.timestamp_micros("tus"), "1 minute")
+        )
+        .count()
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("s"),
+            F.unix_micros("session_window.end").alias("e"),
+            "count",
+        )
+    )
+    got = {(r.user_id, r.s): (r.e, r["count"]) for r in g.collect()}
+    assert got == {
+        # exact-gap event MERGES: one session [0, 2*gap)
+        (1, 0): (2 * GAP_US, 2),
+        # strictly-greater gap splits
+        (1, 2 * GAP_US + 10): (3 * GAP_US + 10, 1),
+        (2, 5): (5 + GAP_US, 1),
+    }
+
+
+def test_unpivot_inverts_explicit_pivot(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "a"), (1, "b")], "h long, t string"
+    )
+    wide = df.groupBy("h").pivot("t", ["a", "b"]).count()
+    wide = wide.select(
+        "h", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in ("a", "b")]
+    )
+    long = wide.unpivot("h", ["a", "b"], "t", "n")
+    got = {(r.h, r.t): r.n for r in long.collect()}
+    assert got == {(0, "a"): 2, (0, "b"): 0, (1, "a"): 0, (1, "b"): 1}

@@ -1749,3 +1749,95 @@ def quality_tiers_approx(
     for i in range(n_tiers - 1):
         tier = tier + (F.col(q_col) > F.col("_cuts")[i]).cast("int")
     return out.withColumn("tier", tier).drop("_cuts")
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE,
+    threshold_micro: int = 600_000,
+) -> DataFrame:
+    """EXACT set-similarity join by PREFIX FILTERING (the ppjoin/AllPairs
+    family — the exact counterpart of MinHash-LSH): pairs of documents
+    whose shingle-set Jaccard is >= ``threshold_micro``/1e6, with NO
+    false negatives and no all-pairs comparison.
+
+    Why it is exact: order every doc's shingle set by one GLOBAL total
+    order (ascending document frequency, then shingle — rarest first);
+    if J(x, y) >= t, then x and y must overlap within their first
+    ``|s| - ceil(t*|s|) + 1`` tokens under ANY shared total order (the
+    prefix-filtering theorem), so an equi-join on prefix tokens plus
+    the length filter ``min*1e6 >= t*max`` generates every qualifying
+    pair; exact integer Jaccard then removes false positives.  The
+    rarest-first order makes prefixes maximally selective — a prefix
+    token's join fan-out IS its document frequency, which the ordering
+    minimizes.
+
+    All arithmetic is integer (``ceil`` as ``(t*n + 1e6-1) div 1e6``,
+    Jaccard as ``(1e6*inter) div union``), so the oracle replays
+    bit-for-bit.
+
+    Scale shape: shingle explode + two keyed aggs (df, sizes) + ONE
+    window per doc (partitioned by doc — never global) + a prefix-token
+    equi-join whose fan-out is bounded by rare-token df, then a
+    candidate-keyed intersection count.  A pathological hot prefix
+    token means the corpus genuinely contains a near-dup cluster of
+    that size; the length filter and doc-partitioned verify keep the
+    blow-up at the true duplicate mass, and upstream
+    :func:`exact_dedup` removes identical-set clusters first in the
+    production composition."""
+    sh = docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("tok"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfc = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
+    w = Window.partitionBy(id_col).orderBy(F.col("dfn").asc(), F.col("tok").asc())
+    ordered = (
+        sh.join(dfc, "tok")
+        .join(sizes, id_col)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ordered.filter(
+        F.col("rn")
+        <= F.col("n_sh")
+        - F.expr(f"({threshold_micro}L * n_sh + 999999) div 1000000L")
+        + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("n_sh").alias("na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.expr(
+                f"least(na, nb) * 1000000L >= {threshold_micro}L * greatest(na, nb)"
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    s1 = sh.select(F.col(id_col).alias("id_a"), "tok")
+    s2 = sh.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(s1, "id_a")
+        .join(s2, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000L * n_inter) div (na + nb - n_inter)").alias(
+                "jaccard_micro"
+            ),
+        )
+        .filter(F.col("jaccard_micro") >= threshold_micro)
+    )

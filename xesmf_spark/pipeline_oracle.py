@@ -1098,3 +1098,47 @@ FROM tagged a JOIN tagged b ON a.band = b.band AND a.bkt = b.bkt
 WHERE a.id < b.id
   AND ROUND({dot} / (a.nrm * b.nrm), 6) >= {threshold}
 """
+
+
+def prefix_filter_sql(threshold_micro: int = 600_000) -> str:
+    """Exact integer replay of pipeline.prefix_filter_pairs on the
+    planted-dup corpus: global (df, tok) order, prefix slice via the
+    same ceil identity, length filter, exact integer Jaccard."""
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE},
+{SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(sh_set) AS tok FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+dfc AS (SELECT tok, COUNT(*) AS dfn FROM ex GROUP BY tok),
+ordered AS (
+  SELECT e.doc_id, e.tok, s.n_sh,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.doc_id ORDER BY d.dfn ASC, e.tok ASC) AS rn
+  FROM ex e JOIN dfc d USING (tok) JOIN sizes s USING (doc_id)
+),
+pfx AS (
+  SELECT * FROM ordered
+  WHERE rn <= n_sh - ({threshold_micro} * n_sh + 999999) // 1000000 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE LEAST(a.n_sh, b.n_sh) * 1000000 >= {threshold_micro} * GREATEST(a.n_sh, b.n_sh)
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.tok = ea.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST((1000000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT)
+         AS jaccard_micro
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE (1000000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) >= {threshold_micro}
+"""

@@ -3920,3 +3920,67 @@ def lineitem_quantity_histogram(spark, sf_dir):
         F.col("q_bin").alias("median_bin"),
         F.col("q_value").alias("est_median_qty"),
     )
+
+
+def pipeline_prefix_filter_pairs(spark, sf_dir):
+    """EXACT set-similarity join via prefix filtering
+    (pipeline.prefix_filter_pairs — the ppjoin family, the exact
+    counterpart of MinHash-LSH): rarest-first global shingle order,
+    prefix-token equi-join with the length filter, exact integer
+    Jaccard verify — NO false negatives at Jaccard >= 0.6, proven by
+    the planted exact copies (1.0) and case variants surfacing. The
+    oracle replays the identical integer recurrence."""
+    from xesmf_spark.pipeline import prefix_filter_pairs
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    return prefix_filter_pairs(docs, "doc_id", "text", threshold_micro=600_000)
+
+
+def events_session_window(spark, sf_dir):
+    """Built-in SESSION WINDOW aggregation (F.session_window — the
+    data-dependent gap window Spark plans natively, batch AND
+    streaming): per-user 30-minute-gap sessions with start/end/count/
+    value, the declarative twin of the lag-window sessionize
+    (events_sessionize) and the stateful stream sessionizer
+    (stream_sessionize). Boundary semantics: a gap of EXACTLY 30min
+    starts a new session (windows merge only on strict overlap) — the
+    oracle replays that >= rule. One shuffle on the session key."""
+    ev = _t(spark, sf_dir, "events")
+    tcol = F.timestamp_micros(F.expr("ts div 1000"))
+    g = ev.groupBy("user_id", F.session_window(tcol, "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        ).alias("__cents"),
+    )
+    return g.select(
+        "user_id",
+        (F.unix_micros(F.col("session_window.start")) * 1000).alias("session_start"),
+        (F.unix_micros(F.col("session_window.end")) * 1000).alias("session_end"),
+        "n_events",
+        (F.col("__cents").cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+def events_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (DataFrame.unpivot — the long-form inverse of
+    events_pivot): the dense hour x type count matrix (explicit value
+    list, zero-coalesced — no inference scan, no data-dependent
+    schema) melted back to (hour, type, n) rows. Round-trip pivot →
+    unpivot is lossless BECAUSE the pivot used an explicit, coalesced
+    value list; the oracle builds the same dense grid relationally."""
+    from xesmf_spark.relational import _floor_div
+
+    HOUR_NS = 3_600_000_000_000
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(_floor_div(F.col("ts"), HOUR_NS).alias("epoch_hour"))
+        .pivot("event_type", TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "epoch_hour",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in TYPES],
+    )
+    return wide.unpivot("epoch_hour", TYPES, "event_type", "n")
