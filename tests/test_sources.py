@@ -235,3 +235,20 @@ def test_snapshot_occ_link_race_retries(spark, tmp_path):
     assert v == 3
     # the append recomputed against the WINNER (v2, empty), not v1
     assert {r.k for r in snapshot_read(spark, d, 3).collect()} == {10, 11}
+
+
+def test_snapshot_tagged_commit_is_idempotent(spark, tmp_path):
+    """A replayed commit with the same tag is a no-op returning the
+    original version — the exactly-once rule streaming ingestion
+    relies on; an untagged commit still always lands."""
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    d = str(tmp_path / "tbl")
+    df = spark.range(0, 5).withColumnRenamed("id", "k")
+    v1 = snapshot_commit(df, d, "append", tag="batch-0")
+    v_replay = snapshot_commit(df, d, "append", tag="batch-0")
+    assert (v1, v_replay) == (1, 1)
+    assert {r.k for r in snapshot_read(spark, d).collect()} == set(range(5))
+    v2 = snapshot_commit(df, d, "append", tag="batch-1")
+    assert v2 == 2
+    assert snapshot_read(spark, d).count() == 10

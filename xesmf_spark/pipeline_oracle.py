@@ -1142,3 +1142,80 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE (1000000 * i.n_inter) // (sa.n_sh + sb.n_sh - i.n_inter) >= {threshold_micro}
 """
+
+
+def keep_best_sql(threshold: float = 0.5) -> str:
+    """Mirrors pipeline.dedup_keep_best over the planted corpus: the
+    dedup_groups recursive-CTE components + the integer quality score,
+    one window ranking (quality DESC, id ASC) per component."""
+    return f"""
+WITH RECURSIVE
+{_pair_ctes(threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS keep FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.keep, d.doc_id) AS group_id
+  FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
+),
+q AS (
+  SELECT doc_id,
+         CAST((1000000 * len(list_distinct(
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))))
+              // len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS BIGINT) AS qm_micro
+  FROM docs
+),
+ranked AS (
+  SELECT l.doc_id, l.group_id, q.qm_micro,
+         ROW_NUMBER() OVER (PARTITION BY l.group_id
+                            ORDER BY q.qm_micro DESC, l.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l.group_id) AS gsz
+  FROM labeled l JOIN q USING (doc_id)
+)
+SELECT doc_id, group_id, CAST(gsz AS BIGINT) AS group_size, qm_micro
+FROM ranked WHERE rn = 1
+"""
+
+
+def ann_ivf_filtered_sql(
+    k: int = 3, n_centroids: int = 8, n_probe: int = 2, modulus: int = 5
+) -> str:
+    """Mirrors similarity.ivf_topk_filtered: the ann_ivf_topk_sql chain
+    with the POOL restricted to the metadata predicate
+    (vec_id %% modulus == 0) BEFORE candidate generation — queries stay
+    unfiltered."""
+    cdot = _DOT.format(a="x", b="c")
+    qdot = _DOT.format(a="q", b="p")
+    return f"""
+WITH
+{_VEC_CTE},
+cents AS (SELECT id AS cell, v, nrm FROM v WHERE id < {n_centroids}),
+assign AS (
+  SELECT x.id, x.v, x.nrm, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY x.id
+           ORDER BY ROUND({cdot} / (x.nrm * c.nrm), 6) DESC, c.cell ASC) AS crank
+  FROM v x CROSS JOIN cents c
+),
+pool AS (SELECT cell, id, v, nrm FROM assign WHERE crank = 1 AND id % {modulus} = 0),
+probes AS (SELECT cell, id, v, nrm FROM assign WHERE crank <= {n_probe}),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, p.id AS neighbor_id,
+         ROUND({qdot} / (q.nrm * p.nrm), 6) AS cosine
+  FROM probes q JOIN pool p ON q.cell = p.cell
+  WHERE q.id != p.id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""

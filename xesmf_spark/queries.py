@@ -3984,3 +3984,95 @@ def events_unpivot(spark, sf_dir):
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in TYPES],
     )
     return wide.unpivot("epoch_hour", TYPES, "event_type", "n")
+
+
+def pipeline_dedup_keep_best(spark, sf_dir):
+    """Near-dup cluster RESOLUTION (pipeline.dedup_keep_best): MinHash
+    pair graph -> connected components -> keep the highest-quality doc
+    per component (integer distinct-token-ratio score, ties to the
+    smallest id) — the curation keep policy on top of
+    pipeline_dedup_groups' verdicts. One window over the component
+    label serves both the rank and the group size."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    pairs = PL.minhash_dedup_pairs(docs, threshold=0.5)
+    return PL.dedup_keep_best(docs, pairs)
+
+
+def ann_filtered_top3(spark, sf_dir):
+    """FILTERED vector search (similarity.ivf_topk_filtered): IVF top-3
+    where eligible neighbors are only vectors with id % 5 == 0 (the
+    metadata-predicate stand-in) — PRE-filtering prunes the pool
+    before candidate generation so the per-cell candidate budget stays
+    inside the eligible set; post-filtering an unfiltered top-k would
+    lose recall at exactly this selectivity (4/5 of the corpus is
+    ineligible). Queries remain unfiltered."""
+    from xesmf_spark import similarity as SIM
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    return SIM.ivf_topk_filtered(emb, F.col("id") % 5 == 0, k=3)
+
+
+def stream_snapshot_ingest(spark, sf_dir):
+    """EXACTLY-ONCE streaming ingestion into the snapshot-versioned
+    table (streaming.snapshot_ingest_stream): 4 micro-batches each
+    land as one batch-id-TAGGED manifest commit; at-least-once
+    foreachBatch replays hit the tag lookup and no-op, so the FULL
+    value oracle (hourly counts over all events) proves no batch's
+    rows landed twice or were lost — the lakehouse streaming-ingest
+    kernel over sources.snapshot_commit."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark import streaming as ST
+    from xesmf_spark.relational import _floor_div
+
+    HOUR_NS = 3_600_000_000_000
+    d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"/tmp/xesmf_ingest_tbl_{tag}"
+    shutil.rmtree(tbl, ignore_errors=True)
+    shutil.rmtree(tbl + "_cp", ignore_errors=True)
+    ev = ST.events_stream(spark, d, max_files=1).select(
+        "user_id", "ts", "event_type"
+    )
+    final = ST.snapshot_ingest_stream(ev, tbl, tbl + "_cp")
+    return final.groupBy(
+        _floor_div(F.col("ts"), HOUR_NS).alias("epoch_hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def orders_schema_evolution(spark, sf_dir):
+    """Additive SCHEMA EVOLUTION on the snapshot table
+    (sources.snapshot_read(merge_schema=True)): v1 commits orders
+    without the status column, v2 appends rows that carry it; the
+    merged read unions the per-file schemas so pre-evolution rows
+    surface the new column as NULL — the additive-only evolution rule
+    every lakehouse format shares, audited per coalesced status group
+    in exact cents."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/xesmf_schemaevo_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    snapshot_commit(
+        o.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "cents"), d
+    )
+    snapshot_commit(
+        o.filter(F.col("o_orderkey") % 3 == 0), d, "append"
+    )
+    r = snapshot_read(spark, d, merge_schema=True)
+    return r.groupBy(
+        F.coalesce("o_orderstatus", F.lit("<pre-evolution>")).alias("status_group")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))

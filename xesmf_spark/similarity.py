@@ -1254,3 +1254,63 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "d2")
     )
+
+
+def ivf_topk_filtered(
+    df: DataFrame,
+    pool_pred,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FILTERED vector search: IVF top-k where candidate neighbors are
+    restricted to vectors satisfying a metadata predicate —
+    PRE-FILTERING: ``pool_pred`` (a boolean Column over the assignment
+    frame; in production the metadata joins in by id before this)
+    prunes the POOL before candidate generation, so cells carry only
+    eligible vectors and probe cost scales with the filtered density.
+    The alternative — post-filtering an unfiltered top-k — silently
+    loses recall when the predicate is selective (k survivors of the
+    filter may not exist among the unfiltered top-k); pre-filtering
+    keeps the full per-cell candidate budget inside the eligible set.
+    Queries are NOT filtered — every vector still gets neighbors.
+
+    Fold-path scoring (per-pair Column arithmetic, bit-identical to
+    the oracle); the gemm path of :func:`ivf_topk` applies the same
+    pool mask inside its per-cell matmul at scale."""
+    assign = ivf_assignments(
+        df, n_centroids, id_col, vec_col, n_probe=n_probe, strategy="fold"
+    ).persist()
+    pool = assign.filter((F.col("crank") == 1) & pool_pred).select(
+        F.col("cell"),
+        F.col("id").alias("pid"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    probes = assign.select(
+        F.col("cell"),
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _dot(F.col("qv"), F.col("pv")) / (F.col("qnrm") * F.col("pnrm"))
+    cand = (
+        probes.join(pool, "cell")
+        .filter(F.col("qid") != F.col("pid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("pid").alias("neighbor_id"),
+            F.round(cos, ROUND_ORD).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

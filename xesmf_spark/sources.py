@@ -305,6 +305,7 @@ def snapshot_commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
+    tag: str | None = None,
 ) -> int:
     """Commit ``df`` to a snapshot-versioned parquet table and return
     the new version number.  The table is an MVCC manifest chain — the
@@ -340,17 +341,21 @@ def snapshot_commit(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if tag is not None:
+        done = _find_tagged_version(table_dir, tag)
+        if done is not None:
+            return done  # idempotent replay: this commit already landed
     parts_dir = os.path.join(table_dir, "parts")
     os.makedirs(parts_dir, exist_ok=True)
     stage = os.path.join(table_dir, f".stage_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         raise RuntimeError(f"parquet job left no _SUCCESS in {stage}")
-    tag = uuid.uuid4().hex[:8]
+    part_uid = uuid.uuid4().hex[:8]
     new_files = []
     for i, f in enumerate(sorted(os.listdir(stage))):
         if f.endswith(".parquet"):
-            dst = f"part_{tag}_{i:05d}.parquet"
+            dst = f"part_{part_uid}_{i:05d}.parquet"
             os.rename(os.path.join(stage, f), os.path.join(parts_dir, dst))
             new_files.append(os.path.join("parts", dst))
     shutil.rmtree(stage, ignore_errors=True)
@@ -366,19 +371,42 @@ def snapshot_commit(
             files = list(new_files)
         tmp = os.path.join(table_dir, f".manifest_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump({"version": n, "mode": mode, "files": files}, fh)
+            json.dump({"version": n, "mode": mode, "tag": tag, "files": files}, fh)
         try:
             os.link(tmp, os.path.join(table_dir, f"v{n}.manifest.json"))
             os.unlink(tmp)
             return n
         except FileExistsError:
             os.unlink(tmp)  # lost the race: recompute against the winner
+            if tag is not None:
+                done = _find_tagged_version(table_dir, tag)
+                if done is not None:
+                    return done  # the "winner" was our own replayed tag
+
+
+def _find_tagged_version(table_dir: str, tag: str) -> int | None:
+    """Version whose committed manifest carries ``tag``, or None — the
+    idempotence lookup that makes at-least-once callers (foreachBatch
+    replays) exactly-once at the TABLE level: the tag is checked before
+    committing and again after an os.link race, so a replayed commit
+    lands zero or one time regardless of crash point.  The staged data
+    files of a failed attempt remain as orphan parts — invisible by
+    the manifest-scoped read rule."""
+    import json as _json
+    import os as _os
+
+    for v in _snapshot_manifests(table_dir):
+        with open(_os.path.join(table_dir, f"v{v}.manifest.json")) as fh:
+            if _json.load(fh).get("tag") == tag:
+                return v
+    return None
 
 
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a snapshot-versioned table AS OF ``version`` (default:
     latest committed).  Resolves the manifest, then scans exactly its
@@ -400,4 +428,10 @@ def snapshot_read(
         )
     with open(os.path.join(table_dir, f"v{version}.manifest.json")) as fh:
         files = json.load(fh)["files"]
-    return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+    reader = spark.read
+    if merge_schema:
+        # schema EVOLUTION read: union the per-file schemas (a column
+        # added by a later commit reads as NULL on older parts) — the
+        # additive-only evolution rule every lakehouse format shares
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(table_dir, f) for f in files])

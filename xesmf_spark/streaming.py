@@ -730,3 +730,44 @@ def cdc_apply_stream(
     if final is None:
         raise RuntimeError(f"cdc_apply_stream produced no state under {state_dir}")
     return final
+
+
+def snapshot_ingest_stream(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion into a snapshot-versioned table
+    (:func:`xesmf_spark.sources.snapshot_commit`): every micro-batch is
+    appended as one table commit TAGGED with its batch id.  foreachBatch
+    is at-least-once, so a replayed batch re-enters ``snapshot_commit``
+    — the tag lookup (checked before committing AND after a manifest
+    os.link race) makes the replay a no-op, so each batch's rows land
+    exactly once at the table level; the failed attempt's staged parts
+    remain as orphans, invisible under the manifest-scoped read rule.
+    This is the lakehouse streaming-ingest kernel: Structured Streaming
+    provides ordering + replay, the manifest chain provides atomic
+    visibility + time travel over the growing table.
+
+    Returns the final table snapshot (latest committed version)."""
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_commit(
+            batch_df, table_dir, mode="append", tag=f"batch-{batch_id}"
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"snapshot_ingest_stream did not finish within {timeout_sec}s"
+        )
+    return snapshot_read(df.sparkSession, table_dir)
