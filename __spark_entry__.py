@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_top3": Q.ann_filtered_top3,
         "stream_snapshot_ingest": Q.stream_snapshot_ingest,
         "orders_schema_evolution": Q.orders_schema_evolution,
+        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
+        "stream_anomaly_mad": Q.stream_anomaly_mad,
+        "events_trend_slope": Q.events_trend_slope,
+        "orders_bucketed_join": Q.orders_bucketed_join,
         # (b) single-green tail queries cycling through for green #2
         "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
         "tpch_q10_returned": Q.tpch_q10_returned,
@@ -1916,6 +1920,46 @@ WHERE rn = 1
 """,
         "pipeline_prefix_filter_pairs": PO.prefix_filter_sql(600_000),
         "pipeline_dedup_keep_best": PO.keep_best_sql(0.5),
+        "multimodal_ahash_dedup": """
+-- closed-form replay of decode -> gray -> 8x8 thumbnail -> aHash:
+-- sampled source pixel (2i, 2j, ch) of base-d is
+-- (d + 14i + 26j + 29ch [+1 on the perturbed copies where
+-- (2i+2j)%7=0]) mod 256; bit = gray > floor(mean); two 32-bit halves
+WITH imgs AS (
+  SELECT CAST(d AS BIGINT) AS doc_id, CAST(d AS BIGINT) AS base, 0 AS pert
+  FROM range(0, 48) t(d)
+  UNION ALL
+  SELECT CAST(d + 1000 AS BIGINT), CAST(d AS BIGINT), 0
+  FROM range(0, 48) t(d) WHERE d % 6 = 0
+  UNION ALL
+  SELECT CAST(d + 2000 AS BIGINT), CAST(d AS BIGINT), 1
+  FROM range(0, 48) t(d) WHERE d % 6 = 3
+),
+px AS (
+  SELECT doc_id, a.i * 8 + b.j AS idx,
+         ((base + 14*a.i + 26*b.j
+             + CASE WHEN pert = 1 AND (2*a.i + 2*b.j) % 7 = 0 THEN 1 ELSE 0 END) % 256
+          + (base + 14*a.i + 26*b.j + 29
+             + CASE WHEN pert = 1 AND (2*a.i + 2*b.j) % 7 = 0 THEN 1 ELSE 0 END) % 256
+          + (base + 14*a.i + 26*b.j + 58
+             + CASE WHEN pert = 1 AND (2*a.i + 2*b.j) % 7 = 0 THEN 1 ELSE 0 END) % 256
+         ) // 3 AS gray
+  FROM imgs, range(0, 8) a(i), range(0, 8) b(j)
+),
+means AS (SELECT doc_id, SUM(gray) // 64 AS m FROM px GROUP BY doc_id),
+hashes AS (
+  SELECT p.doc_id,
+         CAST(SUM(CASE WHEN idx < 32 AND gray > m
+                       THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS hash_lo,
+         CAST(SUM(CASE WHEN idx >= 32 AND gray > m
+                       THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS hash_hi
+  FROM px p JOIN means USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, hash_lo, hash_hi,
+       COUNT(*) OVER (PARTITION BY hash_lo, hash_hi) AS group_size
+FROM hashes
+""",
         "ann_filtered_top3": PO.ann_ivf_filtered_sql(3, 8, 2, 5),
         "stream_snapshot_ingest": """
 -- FULL value oracle: N tagged batch commits of exactly-once streaming
@@ -1924,6 +1968,55 @@ WHERE rn = 1
 SELECT EPOCH_NS(ts) // 3600000000000 AS epoch_hour, event_type,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
+""",
+        "stream_anomaly_mad": """
+-- FULL value oracle: the 4-batch maintained daily rollup + MAD flags
+-- equal the batch recompute exactly (integer counts; interpolated
+-- medians of ints are exact binary halves/quarters)
+WITH daily AS (
+  SELECT EPOCH_NS(ts) // 86400000000000 AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+meds AS (
+  SELECT event_type, MEDIAN(CAST(n AS DOUBLE)) AS med FROM daily GROUP BY 1
+),
+mads AS (
+  SELECT d.event_type, MEDIAN(ABS(CAST(n AS DOUBLE) - med)) AS mad
+  FROM daily d JOIN meds USING (event_type) GROUP BY 1
+)
+SELECT day, daily.event_type, n, med, mad,
+       ABS(CAST(n AS DOUBLE) - med) > 3 * mad AS is_anomaly
+FROM daily JOIN meds USING (event_type) JOIN mads USING (event_type)
+""",
+        "events_trend_slope": """
+WITH daily AS (
+  SELECT EPOCH_NS(ts) // 86400000000000 AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         CAST(SUM(day) AS BIGINT) AS sx,
+         CAST(SUM(n) AS BIGINT) AS sy,
+         CAST(SUM(day * n) AS BIGINT) AS sxy,
+         CAST(SUM(day * day) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       (1000000 * (n_days * sxy - sx * sy)) // (n_days * sxx - sx * sx)
+         AS slope_micro
+FROM sums
+""",
+        "orders_bucketed_join": """
+-- bucketing must never change answers: the oracle is the PLAIN join
+-- aggregate; colocated_ok states the zero-Exchange plan property the
+-- driver verified on the executed bucketed join
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       TRUE AS colocated_ok
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
 """,
         "orders_schema_evolution": """
 SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus

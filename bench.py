@@ -517,6 +517,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_dedup_keep_best",
         "ann_filtered_top3",
         "orders_schema_evolution",
+        "multimodal_ahash_dedup",
+        "events_trend_slope",
+        "orders_bucketed_join",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -97,6 +97,10 @@ ALLOW = {
     # the k rule-violation counts are ONE aggregated row crossed onto
     # the k-row rule-name axis (scalar broadcast, the funnel shape)
     "lineitem_constraints": {"BroadcastNestedLoopJoin"},
+    # fold-path centroid assignment crosses vectors with the
+    # n_centroids-row codebook (8 rows, bounded by construction — the
+    # differential-reference path; the gemm path has no cross)
+    "ann_filtered_top3": {"BroadcastNestedLoopJoin"},
     **{q: {"BroadcastNestedLoopJoin"} for q in _REGRID_AXIS_BNLJ},
 }
 

@@ -162,3 +162,36 @@ def test_resize_images_decodes_real_bmp(spark):
     expect = gray[np.ix_(ri, ci)].tobytes()
     assert bytes(out["pixels"]) == expect
     assert (out["height"], out["width"]) == (4, 4)
+
+
+def test_ahash_identical_and_near_images(spark):
+    """Identical images hash identically; a tiny perturbation moves
+    few bits (small Hamming distance over both halves); a very
+    different image moves many."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import ahash_images, encode_bmp
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    base = ((3 + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+    pert = base.copy()
+    pert[0, 0, :] = (pert[0, 0, :] + 1) % 256
+    other = ((200 + 31 * r + 17 * c + 5 * ch) % 256).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_bmp(base))),
+        (2, bytearray(encode_bmp(base))),
+        (3, bytearray(encode_bmp(pert))),
+        (4, bytearray(encode_bmp(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = {r_.doc_id: (r_.hash_lo, r_.hash_hi) for r_ in ahash_images(df).collect()}
+    assert h[1] == h[2]
+    assert all(0 <= v < (1 << 32) for pair in h.values() for v in pair)
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(h[1], h[3]) <= 4  # one-pixel change moves at most a few bits
+    assert ham(h[1], h[4]) >= 8  # a different image is far

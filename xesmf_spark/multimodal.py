@@ -354,3 +354,47 @@ def resize_images(
     return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
         kernel, RESIZE_SCHEMA
     )
+
+
+def ahash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual AVERAGE-HASH (aHash) per image: decode -> grayscale
+    -> 8x8 nearest-neighbor thumbnail (the :func:`resize_images`
+    kernel), then bit b = (pixel_b > floor(mean)) packed row-major into
+    two 32-bit halves ``hash_lo`` (pixels 0-31) and ``hash_hi``
+    (32-63).  Two halves, not one 64-bit word: bit 63 would drive a
+    BIGINT negative and engines disagree on signed shifts — two
+    positive halves stay engine-exact, and Hamming distance is just
+    popcount(xor) summed over halves.
+
+    This is the image-side analogue of the text SimHash: identical
+    images hash identically (exact dup groups = a hash equi-join),
+    near-identical images differ in few bits (band the halves exactly
+    like :func:`xesmf_spark.pipeline.simhash_pairs` for a
+    Hamming-radius join at scale).  Everything after the thumbnail is
+    JVM Column arithmetic — the Python kernel touches each image once.
+
+    Output: (doc_id, hash_lo, hash_hi) — BIGINT halves in [0, 2^32)."""
+    resized = resize_images(df, out_h=8, out_w=8, id_col=id_col, payload_col=payload_col)
+    hx = resized.withColumn("hx", F.hex("pixels"))
+    bv = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(F.col("hx").substr(i * 2 + F.lit(1), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    withm = hx.withColumn("bv", bv).withColumn(
+        "m", F.expr("aggregate(bv, 0L, (a, x) -> a + x) div 64L")
+    )
+    half = (
+        "aggregate(sequence({lo}, {hi}), 0L, "
+        "(a, i) -> a + IF(element_at(bv, i + 1) > m, shiftleft(1L, i - {lo}), 0L))"
+    )
+    return withm.select(
+        F.col("doc_id"),
+        F.expr(half.format(lo=0, hi=31)).alias("hash_lo"),
+        F.expr(half.format(lo=32, hi=63)).alias("hash_hi"),
+    )

@@ -4076,3 +4076,155 @@ def orders_schema_evolution(spark, sf_dir):
     return r.groupBy(
         F.coalesce("o_orderstatus", F.lit("<pre-evolution>")).alias("status_group")
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+
+
+def multimodal_ahash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup (multimodal.ahash_images — the
+    image-side SimHash): 48 deterministic 16x16 RGB BMPs + 8 planted
+    EXACT copies + 8 single-step perturbations, decoded through the
+    real BMP codec, thumbnailed 8x8, average-hashed into two 32-bit
+    halves, grouped by hash. Exact copies land in their base's hash
+    group (group_size 2 — dedup is a hash equi-join); perturbed
+    variants get nearby-but-distinct hashes (band the halves like
+    pipeline.simhash_pairs for the Hamming-radius join at scale). The
+    oracle recomputes every gray byte, the mean, every bit, and the
+    grouping arithmetically."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import ahash_images, encode_bmp
+    from pyspark.sql import Window as W
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+
+    def img(d, pert):
+        dlt = ((r + c) % 7 == 0).astype(np.int64) if pert else 0
+        return ((d + 7 * r + 13 * c + 29 * ch + dlt) % 256).astype(np.uint8)
+
+    rows = [(d, bytearray(encode_bmp(img(d, False)))) for d in range(48)]
+    rows += [
+        (d + 1000, bytearray(encode_bmp(img(d, False))))
+        for d in range(48)
+        if d % 6 == 0
+    ]
+    rows += [
+        (d + 2000, bytearray(encode_bmp(img(d, True))))
+        for d in range(48)
+        if d % 6 == 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = ahash_images(df)
+    return h.withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(W.partitionBy("hash_lo", "hash_hi")),
+    )
+
+
+def stream_anomaly_mad(spark, sf_dir):
+    """STREAMING robust anomaly detection — composition of the two
+    maintained pieces: streaming.rollup_stream keeps the daily
+    per-type count rollup across 4 micro-batches (versioned
+    crash-atomic state), then timeseries.mad_anomalies flags
+    |x - median| > 3*MAD on the FINAL state — the detector runs on
+    O(days x types) state rows, never the stream. FULL value oracle:
+    N-batch maintained rollup + flags == the batch recompute."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark import streaming as ST
+    from xesmf_spark.timeseries import mad_anomalies
+
+    DAY_NS = 86_400_000_000_000
+    d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state = f"/tmp/xesmf_anom_state_{tag}"
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(state + "_cp", ignore_errors=True)
+    ev = ST.events_stream(spark, d, max_files=1)
+    final = ST.rollup_stream(
+        ev, state, DAY_NS, ["event_type"], {"n": F.count(F.lit(1))}
+    )
+    daily = final.select(F.col("bucket").alias("day"), "event_type", "n")
+    return mad_anomalies(daily, ["event_type"], "n", n_sigmas=3)
+
+
+def events_trend_slope(spark, sf_dir):
+    """Per-type activity TREND: ordinary-least-squares slope of daily
+    counts over the day index, entirely in EXACT integer arithmetic —
+    slope_micro = (1e6 * (n*Sxy - Sx*Sy)) div (n*Sxx - Sx*Sx), one
+    truncating BIGINT division at the end (Spark DIV == DuckDB // on
+    either sign: both truncate toward zero). The regression runs on
+    the rollup state (one agg over days x types), so trend detection
+    costs nothing beyond the rollup at any event volume."""
+    from xesmf_spark.relational import _floor_div
+
+    DAY_NS = 86_400_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        _floor_div(F.col("ts"), DAY_NS).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("day") * F.col("n")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "(1000000L * (n_days * sxy - sx * sy)) div (n_days * sxx - sx * sx)"
+        ).alias("slope_micro"),
+    )
+
+
+def orders_bucketed_join(spark, sf_dir):
+    """BUCKETED co-located join (DataFrameWriter.bucketBy +
+    saveAsTable): orders and customer both bucketed 8 ways on the
+    customer key, so the join plan needs ZERO Exchange on either side
+    — bucketing is the storage-level answer to the join shuffle, THE
+    layout decision for a fact table joined on the same key every day
+    at 100 TB. The no-shuffle property is checked on the executed
+    join plan and stated as `colocated_ok`; the oracle recomputes the
+    audited per-nation aggregate from the plain tables (bucketing
+    must never change answers)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to, tc = f"xesmf_bkt_orders_{tag}", f"xesmf_bkt_cust_{tag}"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tc}")
+    # DROP covers the metastore; the managed LOCATION can still linger
+    # from a previous session (fresh Derby, old warehouse dir) and
+    # saveAsTable refuses to reuse it — clear both explicitly
+    import shutil as _sh
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (to, tc):
+        _sh.rmtree(f"{wh}/{t}", ignore_errors=True)
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+    bo, bc = spark.table(to), spark.table(tc)
+    # force the sort-merge strategy: a BroadcastHashJoin would be legal
+    # here (customer is small) but says nothing about co-location; the
+    # bucketing claim is "SMJ with ZERO shuffle exchanges" — broadcast
+    # exchanges don't move fact rows and are not what bucketing removes
+    joined = bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    colocated = (
+        "hashpartitioning" not in plan and "SortMergeJoin" in plan
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .withColumn("colocated_ok", F.lit(bool(colocated)))
+    )
