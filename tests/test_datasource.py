@@ -161,5 +161,55 @@ def test_stream_reader_exactly_once_multibatch(spark, tmp_path):
     parts = r.partitions({"next_id": 100}, {"next_id": 250})
     assert sum(p.hi - p.lo for p in parts) == 150
     assert parts[0].lo == 100 and parts[-1].hi == 250
-    # latestOffset is capped at n_docs
-    assert [r.latestOffset()["next_id"] for _ in range(4)] == [100, 200, 250, 250]
+    # planning a range TAUGHT the reader its high-water mark (restart
+    # defense): latestOffset resumes from 250, never below
+    assert r.latestOffset()["next_id"] == 250
+    # a fresh reader advances batch-by-batch, capped at n_docs
+    r2 = DS.SyntheticDocsStreamReader({"n_docs": "250", "batch_size": "100"})
+    assert [r2.latestOffset()["next_id"] for _ in range(4)] == [100, 200, 250, 250]
+
+
+def test_stream_reader_restart_monotone_with_sidecar(tmp_path):
+    """A reader rebuilt after a 'restart' resumes from the sidecar
+    high-water mark instead of regressing below the checkpointed
+    offset (which would re-emit delivered ids); without planning calls
+    the mark survives purely through state_path."""
+    import os
+
+    sp = str(tmp_path / "hwm.json")
+    opts = {"n_docs": "300", "batch_size": "100", "state_path": sp}
+    r1 = DS.SyntheticDocsStreamReader(opts)
+    assert r1.latestOffset()["next_id"] == 100
+    assert r1.latestOffset()["next_id"] == 200
+    r1.commit({"next_id": 200})
+    assert os.path.exists(sp)
+    # crash + restart: a brand-new reader instance must continue at 200
+    r2 = DS.SyntheticDocsStreamReader(opts)
+    assert r2.initialOffset()["next_id"] == 200
+    assert r2.latestOffset()["next_id"] == 300
+    # and a regressed planner range plans EMPTY, never re-reading ids
+    parts = r2.partitions({"next_id": 300}, {"next_id": 100})
+    assert sum(max(p.hi - p.lo, 0) for p in parts) == 0
+
+
+def test_manifest_append_unions_previous_parts(spark, tmp_path):
+    """A second append commit must keep the first commit's rows (the
+    manifest unions parts); overwrite resets."""
+    d = str(tmp_path / "mj")
+    spark.dataSource.register(DS.ManifestJsonl)
+    df1 = spark.range(0, 4).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    df2 = spark.range(10, 13).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    df1.coalesce(1).write.format("manifest_jsonl").option("path", d).mode(
+        "append"
+    ).save()
+    df2.coalesce(1).write.format("manifest_jsonl").option("path", d).mode(
+        "append"
+    ).save()
+    SCHEMA = "doc_id long, text string"
+    got = {r.doc_id for r in DS.read_manifest_jsonl(spark, d, SCHEMA).collect()}
+    assert got == set(range(4)) | {10, 11, 12}
+    df2.coalesce(1).write.format("manifest_jsonl").option("path", d).mode(
+        "overwrite"
+    ).save()
+    got = {r.doc_id for r in DS.read_manifest_jsonl(spark, d, SCHEMA).collect()}
+    assert got == {10, 11, 12}

@@ -83,3 +83,16 @@ def test_inverted_index_bounded_postings(spark):
     assert got["common"].postings_sample == [0, 1, 2, 3, 4]  # bounded + sorted
     assert got["x"].postings_sample == [0, 1, 2, 3, 4]
     assert got["y"].postings_sample == [7, 8]
+
+
+def test_check_constraints_free_text_rule_names(spark):
+    """Rule names are labels, not identifiers — spaces and hyphens
+    must not break the plan."""
+    df = spark.createDataFrame([(1,), (9,)], "v long")
+    out = {
+        r.rule: r.n_violations
+        for r in check_constraints(
+            df, {"v small-ish (le 5)": "v <= 5", "v present": "v IS NOT NULL"}
+        ).collect()
+    }
+    assert out == {"v small-ish (le 5)": 1, "v present": 0}

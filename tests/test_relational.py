@@ -769,3 +769,36 @@ def test_unpivot_inverts_explicit_pivot(spark):
     long = wide.unpivot("h", ["a", "b"], "t", "n")
     got = {(r.h, r.t): r.n for r in long.collect()}
     assert got == {(0, "a"): 2, (0, "b"): 0, (1, "a"): 0, (1, "b"): 1}
+
+
+def test_topk_per_group_null_ties_match_window(spark):
+    """NULL tie values must survive the partial pass exactly as the
+    window ranks them (ASC => NULLS FIRST): a null-tie row tied on the
+    order column belongs IN the top-k."""
+    from pyspark.sql import Window as W
+
+    from xesmf_spark.relational import topk_per_group
+
+    rows = [
+        ("g", 10, None), ("g", 10, 1), ("g", 10, 2), ("g", 10, 3),
+        ("g", 5, 0),
+        ("h", 7, None), ("h", 9, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long, tie long").repartition(3)
+    got = topk_per_group(df, ["grp"], "v", 2, ["tie"])
+    w = W.partitionBy("grp").orderBy(F.col("v").desc(), F.col("tie").asc())
+    want = (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= 2)
+    )
+    g = {(r.grp, r.rank_in_group): (r.v, r.tie) for r in got.collect()}
+    e = {(r.grp, r.rank_in_group): (r.v, r.tie) for r in want.collect()}
+    assert g == e
+    assert g[("g", 1)] == (10, None)  # null tie ranks FIRST among ties
+
+
+def test_pagerank_empty_graph(spark):
+    from xesmf_spark.relational import pagerank
+
+    out = pagerank(spark.createDataFrame([], "src long, dst long"))
+    assert out.collect() == []

@@ -120,3 +120,11 @@ def test_cms_estimates_match_replay_and_upper_bound(spark):
         assert got == _cms_replay(stream, probes, d=4, w=w)
         for t in probes:
             assert got[t] >= exact[t]
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    out = bm25_topk(
+        spark.createDataFrame([], "doc_id long, text string"), ["spark"]
+    )
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score_micro"]

@@ -252,3 +252,24 @@ def test_snapshot_tagged_commit_is_idempotent(spark, tmp_path):
     v2 = snapshot_commit(df, d, "append", tag="batch-1")
     assert v2 == 2
     assert snapshot_read(spark, d).count() == 10
+
+
+def test_zvalue_int_columns_no_shift_wrap(spark):
+    """IntegerType inputs must interleave identically to a pure-python
+    Morton code even when target bit positions exceed 31 (Java int
+    shifts wrap mod 32 — the column is cast to BIGINT first)."""
+    from xesmf_spark.sources import zvalue
+
+    def morton(vals, bits, n):
+        out = 0
+        for j, v in enumerate(vals):
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * n + j)
+        return out
+
+    rows = [(40000, 1, 65535), (123, 45678, 7)]
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    got = [
+        r.z for r in df.select(zvalue(["a", "b", "c"], bits=16).alias("z")).collect()
+    ]
+    assert got == [morton(v, 16, 3) for v in rows]

@@ -80,3 +80,16 @@ def test_trend_slope_integer_ols(spark):
         ).collect()
     }
     assert out == {"up": 3_000_000, "down": -2_000_000}
+
+
+def test_ewma_wide_window_no_int_shift_wrap(spark):
+    """window > 32 must use 64-bit weights (an INT shift would wrap
+    mod 32): a single point's self-weight is 2^(w-1)/(2^w - 1)."""
+    r = spark.createDataFrame([("a", 0, 3)], "k string, t long, x long")
+    got = ewma_rollup(r, ["k"], "t", "x", window=33).collect()[0]
+    M = 1_000_000
+    assert got.ewma_micro == (M * (1 << 32) * 3) // ((1 << 33) - 1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ewma_rollup(r, ["k"], "t", "x", window=63)

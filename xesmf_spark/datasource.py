@@ -179,6 +179,14 @@ class ManifestJsonlWriter(DataSourceWriter):
             for m in messages
             if m is not None
         ]
+        # append mode must UNION the committed manifest's parts, not
+        # replace them — otherwise a second append silently orphans
+        # every earlier part (the manifest is the source of truth, so
+        # "invisible" means "lost" to readers)
+        prev_path = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(prev_path):
+            with open(prev_path) as f:
+                parts = _json.load(f)["parts"] + parts
         manifest = {
             "parts": sorted(parts, key=lambda p: p["filename"]),
             "n_rows": sum(p["n_rows"] for p in parts),
@@ -245,17 +253,61 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
         self.n_docs = int(options.get("n_docs", 1000))
         self.batch = max(1, int(options.get("batch_size", 100)))
         self.n_parts = max(1, int(options.get("n_parts", 4)))
-        self._hwm = 0  # driver-side high-water mark
+        # RESTART SAFETY: a fresh reader instance must not hand Spark
+        # an offset BELOW the checkpointed one (the offset log would
+        # regress and re-emit delivered ids). A real connector reads
+        # its high-water mark from the external system; the synthetic
+        # generator has none, so `state_path` (a sidecar json) plays
+        # that role. Without it the mark is driver-memory only and the
+        # exactly-once contract holds within a single run.
+        self._state_path = options.get("state_path")
+        self._hwm = self._load_hwm()
+        # the offset this INSTANCE was born at: initialOffset must
+        # return a stable value even though the engine may call
+        # latestOffset first (returning the live mark there would skip
+        # the first batch on a fresh start)
+        self._start = self._hwm
+
+    def _load_hwm(self) -> int:
+        import json as _json
+        import os
+
+        if self._state_path and os.path.exists(self._state_path):
+            try:
+                with open(self._state_path) as f:
+                    return int(_json.load(f)["hwm"])
+            except (OSError, ValueError, KeyError):
+                return 0
+        return 0
+
+    def _save_hwm(self) -> None:
+        import json as _json
+        import os
+
+        if not self._state_path:
+            return
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"hwm": self._hwm}, f)
+        os.replace(tmp, self._state_path)
 
     def initialOffset(self) -> dict:
-        return {"next_id": 0}
+        return {"next_id": self._start}
 
     def latestOffset(self) -> dict:
         self._hwm = min(self._hwm + self.batch, self.n_docs)
+        self._save_hwm()
         return {"next_id": self._hwm}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["next_id"]), int(end["next_id"])
+        # defense in depth for a lost sidecar: learn the checkpointed
+        # offset from the planner's own call so the mark can never sit
+        # below an offset Spark has already logged (a regressed batch
+        # plans as EMPTY below — ids are never re-read)
+        if max(lo, hi) > self._hwm:
+            self._hwm = max(lo, hi)
+            self._save_hwm()
         n = max(1, min(self.n_parts, hi - lo)) if hi > lo else 1
         step, rem = divmod(max(hi - lo, 0), n)
         parts, cur = [], lo
@@ -270,7 +322,11 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
             yield (d, doc_text(d))
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpointed offset log
+        # offsets live in Spark's checkpointed offset log; mirror them
+        # into the sidecar so a restarted reader resumes monotone
+        if int(end["next_id"]) > self._hwm:
+            self._hwm = int(end["next_id"])
+            self._save_hwm()
 
 
 class SyntheticDocsStream(DataSource):

@@ -60,11 +60,14 @@ def check_constraints(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     runs the IDENTICAL text, so the audit is engine-portable by
     construction."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for name, expr in rules.items():
+    # aliases are INDEX-based: a rule NAME is free text (spaces,
+    # hyphens) and must never be parsed as an identifier; only the
+    # rule EXPRESSION is SQL
+    for i, expr in enumerate(rules.values()):
         aggs.append(
             F.sum(
                 F.expr(f"CASE WHEN ({expr}) THEN 0 ELSE 1 END")
-            ).alias(f"__v_{name}")
+            ).alias(f"__v_{i}")
         )
     one = df.agg(*aggs)
     spark = df.sparkSession
@@ -73,7 +76,7 @@ def check_constraints(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     )
     wide = names.crossJoin(one)  # one is ONE row — scalar broadcast
     pick = "CASE " + " ".join(
-        f"WHEN idx = {i} THEN __v_{n}" for i, n in enumerate(rules)
+        f"WHEN idx = {i} THEN __v_{i}" for i in range(len(rules))
     ) + " END"
     return wide.select(
         "rule",

@@ -1510,11 +1510,22 @@ def stream_synthetic_source(spark, sf_dir):
     cp = f"/tmp/xesmf_stream_src_cp_{tag}"
     name = f"syn_stream_{tag}"
     shutil.rmtree(cp, ignore_errors=True)
+    sp = f"/tmp/xesmf_stream_src_hwm_{tag}.json"
+    # the offset sidecar must live and die WITH the checkpoint (a
+    # fresh checkpoint + stale mark would skip ids; the reverse would
+    # re-emit) — same lifecycle rule as every state dir in this file
+    import os as _os
+
+    try:
+        _os.remove(sp)
+    except OSError:
+        pass
     stream = (
         spark.readStream.format("synthetic_docs_stream")
         .option("n_docs", 3000)
         .option("batch_size", 1000)
         .option("n_parts", 4)
+        .option("state_path", sp)
         .load()
     )
     q = (

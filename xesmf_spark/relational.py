@@ -728,8 +728,23 @@ def topk_per_group(
 
     schema = df.schema
     names = [f.name for f in schema.fields]
-    by = [order_col] + tie_cols
-    asc = [False] + [True] * len(tie_cols)
+    # The partial pass must reproduce Spark's window order EXACTLY or
+    # it can drop a true top-k row. Spark's defaults: DESC => NULLS
+    # LAST (order_col), ASC => NULLS FIRST (tie cols). pandas
+    # na_position is one global setting, so emulate per-column null
+    # placement with explicit is-null sort keys. NOTE the remaining
+    # pandas caveat: a nullable int64 column holding NULLs degrades to
+    # float64 in Arrow->pandas, so order/tie values above 2^53 must be
+    # null-free (docstring contract).
+    by, asc = [], []
+    flags = []
+    for col, col_asc in [(order_col, False)] + [(t, True) for t in tie_cols]:
+        fl = f"__isnull_{col}"
+        flags.append((fl, col))
+        # DESC NULLS LAST: isnull ASC (False first); ASC NULLS FIRST:
+        # isnull DESC (True first)
+        by += [fl, col]
+        asc += [col_asc is False, col_asc]
 
     def partial_topk(batches):
         running = None
@@ -737,6 +752,8 @@ def topk_per_group(
             both = pdf if running is None else pd.concat(
                 [running, pdf], ignore_index=True
             )
+            for fl, col in flags:
+                both[fl] = both[col].isna()
             both = both.sort_values(by, ascending=asc, kind="mergesort")
             running = both.groupby(keys, sort=False, dropna=False).head(k)
         if running is not None and len(running):
@@ -820,6 +837,9 @@ def pagerank(
     ).distinct()
     nodes = nodes.persist()
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return e.sparkSession.createDataFrame([], "node long, rank_micro long")
     base = (1_000_000 - damp_micro) // n
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(1_000_000 // n).alias("rank_micro"))

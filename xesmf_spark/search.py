@@ -125,7 +125,15 @@ def bm25_topk(
             F.count(F.lit(1)), F.sum("doc_len").cast("long")
         ).first()
     )
-    avg_len_micro = (M * int(total_tokens)) // int(n_docs)
+    if not n_docs:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score_micro long"
+        )
+    # every doc tokenizes to >= 1 token ([''] for empty text), so the
+    # corpus total is >= n_docs and the micro average >= 1e6 — the
+    # max() is belt-and-braces against a future tokenizer change
+    # making the div-by-zero NULL path reachable
+    avg_len_micro = max(1, (M * int(total_tokens)) // int(n_docs))
     qp = pairs.filter(F.col("term").isin(query_terms))
     df_tbl = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = df_tbl.select(

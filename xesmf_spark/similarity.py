@@ -1280,9 +1280,12 @@ def ivf_topk_filtered(
     Fold-path scoring (per-pair Column arithmetic, bit-identical to
     the oracle); the gemm path of :func:`ivf_topk` applies the same
     pool mask inside its per-cell matmul at scale."""
+    from xesmf_spark.apply import _PERSISTED
+
     assign = ivf_assignments(
         df, n_centroids, id_col, vec_col, n_probe=n_probe, strategy="fold"
     ).persist()
+    _PERSISTED.append(assign)  # releasable via release_persisted()
     pool = assign.filter((F.col("crank") == 1) & pool_pred).select(
         F.col("cell"),
         F.col("id").alias("pid"),

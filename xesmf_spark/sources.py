@@ -203,6 +203,11 @@ def zvalue(cols: list, bits: int = 16) -> "F.Column":
     terms = []
     for j, c in enumerate(cols):
         c = F.col(c) if isinstance(c, str) else c
+        # shift in BIGINT: an IntegerType input would wrap the shift
+        # amount mod 32 (Java int shift semantics) as soon as a target
+        # bit position reaches 32, silently corrupting the Morton code
+        # despite the bits*n <= 62 guard
+        c = c.cast("long")
         for i in range(bits):
             terms.append(
                 F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)

@@ -46,6 +46,10 @@ def ewma_rollup(
     O(state x window), independent of raw volume.
 
     Output: the rollup's keys + bucket + ``ewma_micro`` (BIGINT)."""
+    if not 1 <= window <= 62:
+        # 2^(window-1) must fit a BIGINT weight; and shiftleft must run
+        # on a LONG literal — an INT 1 would wrap the shift mod 32
+        raise ValueError(f"window must be in [1, 62], got {window}")
     denom = (1 << window) - 1
     targets = rollup.select(*key_cols, bucket_col).distinct()
     contribs = (
@@ -59,7 +63,7 @@ def ewma_rollup(
             *key_cols,
             (F.col(bucket_col) + F.col("__gap")).alias(bucket_col),
             (
-                F.expr(f"CAST(shiftleft(1, {window - 1} - __gap) AS BIGINT)")
+                F.expr(f"shiftleft(1L, {window - 1} - __gap)")
                 * F.col("__x")
             ).alias("__w"),
         )
