@@ -2131,7 +2131,7 @@ ranked AS (
   FROM pairs
 )
 SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
-       list_sort(list(doc_id) FILTER (rn <= 5)) AS postings_sample
+       array_to_string(list_sort(list(doc_id) FILTER (rn <= 5)), ',') AS postings_sample
 FROM ranked GROUP BY term
 """,
         "lineitem_quantity_histogram": """

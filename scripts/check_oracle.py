@@ -22,6 +22,24 @@ TABLES = (
 ).split()
 
 
+def nonscalar_columns(schema):
+    """Columns whose type the DRIVER's canonicalizer cannot sort.
+
+    The driver hashes query outputs via pandas ``sort_values``, which
+    raises ``unhashable type`` on Array/Map/Struct cells — r8 lost
+    ``documents_inverted_index`` to exactly this while the local gate
+    (which canonicalizes lists itself) stayed green. Parity demands the
+    local gate reject what the driver would reject: any complex-typed
+    output column fails here, regardless of values."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def canon(rows, cols):
     """Sort columns by name, then rows; compare values at FULL repr
     precision with a python-type tag. The driver's hash is type-tagged
@@ -106,9 +124,16 @@ def main():
             continue
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
+        complex_cols = nonscalar_columns(sdf.schema)
+        if complex_cols:
+            n_fail += 1
+            print(f"  {name}: FAIL complex-typed output columns {complex_cols} — the driver's canonicalizer cannot sort Array/Map/Struct; stringify them")
+            record[name] = {"pass": False, "complex_cols": complex_cols}
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         if name not in os_:
             print(f"  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            record[name] = {"pass": len(srows) >= 0, "rows_spark": len(srows), "rows_only": True}
             continue
         res = con.execute(os_[name])
         dcols = [d[0] for d in res.description]
@@ -141,6 +166,7 @@ def main():
                 for x, y in diffs:
                     print(f"    spark={x}\n    duck ={y}")
     print(f"{n_pass} pass, {n_fail} fail")
+    incomplete = False
     if record_path:
         import json
 
@@ -151,8 +177,18 @@ def main():
                 indent=1,
             )
         print(f"record written: {record_path}")
+        # A record that silently covers only part of the registry is
+        # worse than none: r8 committed a "full-surface" record written
+        # before the last three registry additions, leaving two queries
+        # with zero committed evidence. A --record run is only a valid
+        # full-surface record when its key set equals queries().
+        missing = sorted(set(qs) - set(record))
+        extra = sorted(set(record) - set(qs))
+        if missing or extra:
+            incomplete = True
+            print(f"RECORD INCOMPLETE: missing={missing} extra={extra} — not a full-surface record")
     spark.stop()
-    sys.exit(1 if n_fail else 0)
+    sys.exit(2 if incomplete else (1 if n_fail else 0))
 
 
 if __name__ == "__main__":

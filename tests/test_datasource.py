@@ -103,7 +103,7 @@ def test_manifest_writer_commit_and_abort(spark, tmp_path):
     df.repartition(3).write.format("manifest_jsonl").option("path", d).mode(
         "append"
     ).save()
-    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    man = json.load(open(os.path.join(d, "_MANIFEST.g000001.json")))
     assert man["n_rows"] == 50 and len(man["parts"]) == 3
     # orphan part: on disk but not manifested -> invisible
     open(os.path.join(d, "part-orphan.jsonl"), "w").write(

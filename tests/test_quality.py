@@ -96,3 +96,14 @@ def test_check_constraints_free_text_rule_names(spark):
         ).collect()
     }
     assert out == {"v small-ish (le 5)": 1, "v present": 0}
+
+
+def test_check_constraints_empty_input_reports_zero_violations(spark):
+    """A vacuous audit PASSES: SUM over zero rows is NULL in SQL, so
+    without coalesce an empty input reported NULL n_violations and
+    NULL ok — neither pass nor fail. It must report 0 / ok=true."""
+    df = spark.createDataFrame([], "v long")
+    rows = check_constraints(df, {"v_small": "v <= 5"}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, r.n_violations, r.ok) == (0, 0, True)

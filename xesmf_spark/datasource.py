@@ -23,6 +23,8 @@ Catalyst. The reference has exactly one ingest format (netCDF weights,
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -173,8 +175,9 @@ class ManifestJsonlWriter(DataSourceWriter):
     def commit(self, messages):
         import json as _json
         import os
+        import uuid
 
-        parts = [
+        new_parts = [
             {"filename": m.filename, "n_rows": m.n_rows}
             for m in messages
             if m is not None
@@ -182,19 +185,33 @@ class ManifestJsonlWriter(DataSourceWriter):
         # append mode must UNION the committed manifest's parts, not
         # replace them — otherwise a second append silently orphans
         # every earlier part (the manifest is the source of truth, so
-        # "invisible" means "lost" to readers)
-        prev_path = os.path.join(self.path, "_MANIFEST.json")
-        if not self.overwrite and os.path.exists(prev_path):
-            with open(prev_path) as f:
-                parts = _json.load(f)["parts"] + parts
-        manifest = {
-            "parts": sorted(parts, key=lambda p: p["filename"]),
-            "n_rows": sum(p["n_rows"] for p in parts),
-        }
-        tmp = os.path.join(self.path, "._MANIFEST.tmp")
-        with open(tmp, "w") as f:
-            _json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        # "invisible" means "lost" to readers).  The union is a
+        # read-modify-write, so publication goes through the same
+        # optimistic-concurrency gate as sources.snapshot_commit:
+        # each commit claims generation file _MANIFEST.g{N}.json via
+        # os.link, which FAILS if that generation already exists — a
+        # racing appender re-reads the newer manifest and retries at
+        # N+1 instead of silently dropping the other job's parts.
+        while True:
+            gen, prev = _latest_manifest(self.path)
+            parts = list(new_parts)
+            if not self.overwrite and prev is not None:
+                parts = prev["parts"] + parts
+            manifest = {
+                "parts": sorted(parts, key=lambda p: p["filename"]),
+                "n_rows": sum(p["n_rows"] for p in parts),
+            }
+            tmp = os.path.join(self.path, f"._MANIFEST.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                _json.dump(manifest, f)
+            target = os.path.join(self.path, f"_MANIFEST.g{gen + 1:06d}.json")
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.remove(tmp)
+                continue  # lost the race — merge against the winner
+            os.remove(tmp)
+            return
 
     def abort(self, messages):
         import os
@@ -218,14 +235,33 @@ class ManifestJsonl(DataSource):
         return ManifestJsonlWriter(self.options, overwrite)
 
 
-def read_manifest_jsonl(spark, path: str, schema):
-    """Read back ONLY the manifested parts (orphan files from failed
-    or uncommitted attempts are ignored by construction)."""
+def _latest_manifest(path):
+    """Resolve the highest-generation committed manifest: (gen, dict),
+    or (0, None) for an empty/never-committed directory. Readers and
+    appenders both resolve through here, so a torn or racing write is
+    never observed — only os.link-published generations exist."""
     import json as _json
     import os
+    import re
 
-    with open(os.path.join(path, "_MANIFEST.json")) as f:
-        manifest = _json.load(f)
+    best, manifest = 0, None
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            m = re.fullmatch(r"_MANIFEST\.g(\d+)\.json", f)
+            if m and int(m.group(1)) > best:
+                best = int(m.group(1))
+                with open(os.path.join(path, f)) as fh:
+                    manifest = _json.load(fh)
+    return best, manifest
+
+
+def read_manifest_jsonl(spark, path: str, schema):
+    """Read back ONLY the parts listed by the newest committed
+    manifest generation (orphan files from failed or uncommitted
+    attempts are invisible by construction)."""
+    gen, manifest = _latest_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed _MANIFEST.g*.json in {path}")
     files = [os.path.join(path, p["filename"]) for p in manifest["parts"]]
     if not files:
         return spark.createDataFrame([], schema)
@@ -295,8 +331,12 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
         return {"next_id": self._start}
 
     def latestOffset(self) -> dict:
+        # advance the mark IN MEMORY only: persisting here would record
+        # a batch that was planned but never committed, and a surviving
+        # sidecar next to a fresh/deleted checkpoint would then skip
+        # ids that were never delivered. The sidecar is written solely
+        # in commit(), after Spark has durably logged the batch.
         self._hwm = min(self._hwm + self.batch, self.n_docs)
-        self._save_hwm()
         return {"next_id": self._hwm}
 
     def partitions(self, start: dict, end: dict):
@@ -304,10 +344,10 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
         # defense in depth for a lost sidecar: learn the checkpointed
         # offset from the planner's own call so the mark can never sit
         # below an offset Spark has already logged (a regressed batch
-        # plans as EMPTY below — ids are never re-read)
+        # plans as EMPTY below — ids are never re-read). In-memory
+        # only — durability waits for commit().
         if max(lo, hi) > self._hwm:
             self._hwm = max(lo, hi)
-            self._save_hwm()
         n = max(1, min(self.n_parts, hi - lo)) if hi > lo else 1
         step, rem = divmod(max(hi - lo, 0), n)
         parts, cur = [], lo
@@ -323,10 +363,12 @@ class SyntheticDocsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpointed offset log; mirror them
-        # into the sidecar so a restarted reader resumes monotone
-        if int(end["next_id"]) > self._hwm:
-            self._hwm = int(end["next_id"])
-            self._save_hwm()
+        # into the sidecar so a restarted reader resumes monotone.
+        # This is the ONLY place the sidecar is written: the in-memory
+        # mark may run ahead (latestOffset/partitions), but durability
+        # waits until Spark has committed the batch.
+        self._hwm = max(self._hwm, int(end["next_id"]))
+        self._save_hwm()
 
 
 class SyntheticDocsStream(DataSource):

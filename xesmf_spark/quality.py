@@ -63,10 +63,13 @@ def check_constraints(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     # aliases are INDEX-based: a rule NAME is free text (spaces,
     # hyphens) and must never be parsed as an identifier; only the
     # rule EXPRESSION is SQL
+    # coalesce: SUM over ZERO rows is NULL — an empty input must report
+    # 0 violations / ok=true (a vacuous audit passes), not NULL/NULL
     for i, expr in enumerate(rules.values()):
         aggs.append(
-            F.sum(
-                F.expr(f"CASE WHEN ({expr}) THEN 0 ELSE 1 END")
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN ({expr}) THEN 0 ELSE 1 END")),
+                F.lit(0),
             ).alias(f"__v_{i}")
         )
     one = df.agg(*aggs)

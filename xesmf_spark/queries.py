@@ -2097,7 +2097,8 @@ def pipeline_manifest_sink_roundtrip(spark, sf_dir):
     """Custom WRITE connector with a real two-phase commit
     (datasource.ManifestJsonl — the DataSourceWriter surface): each
     task stages a uniquely-named part and returns a commit message;
-    only the driver's commit publishes the atomic _MANIFEST.json, and
+    only the driver's commit link-publishes an OCC-gated manifest
+    generation (_MANIFEST.g{N}.json — concurrent appends retry), and
     readers trust the manifest, never the directory listing. The query
     PLANTS an orphan part (a crashed/uncommitted attempt) after the
     write — the manifest reader must not see it (`orphan_invisible`,
@@ -3903,11 +3904,20 @@ def documents_inverted_index(spark, sf_dir):
     total tf, and the SORTED first-5 posting sample, collected only
     after a row_number bound (no unbounded list agg on hot terms).
     Completes the retrieval triptych: tfidf (scoring), bm25 (ranked
-    search), inverted index (the physical structure)."""
+    search), inverted index (the physical structure).
+
+    The posting sample is emitted as a comma-joined STRING, not an
+    array: the correctness harness canonicalizes query outputs through
+    pandas sort_values, which cannot order array cells (unhashable
+    list) — scalar columns only in query outputs, always."""
     from xesmf_spark.search import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    return inverted_index(docs, "doc_id", "text", sample_k=5)
+    idx = inverted_index(docs, "doc_id", "text", sample_k=5)
+    return idx.withColumn(
+        "postings_sample",
+        F.concat_ws(",", F.col("postings_sample").cast("array<string>")),
+    )
 
 
 def lineitem_quantity_histogram(spark, sf_dir):
