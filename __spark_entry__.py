@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": Q.events_session_paths,
         "orders_topk_per_group": Q.orders_topk_per_group,
         "customers_scd2": Q.customers_scd2,
+        "customers_upsert_delete": Q.customers_upsert_delete,
         "nations_trade_pagerank": Q.nations_trade_pagerank,
         "documents_tfidf_terms": Q.documents_tfidf_terms,
         "documents_bm25": Q.documents_bm25,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_snapshot_ingest": Q.stream_snapshot_ingest,
         "orders_schema_evolution": Q.orders_schema_evolution,
         "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
+        "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "stream_anomaly_mad": Q.stream_anomaly_mad,
         "events_trend_slope": Q.events_trend_slope,
         "orders_bucketed_join": Q.orders_bucketed_join,
@@ -1710,10 +1712,38 @@ SELECT o_custkey, priority,
        vt IS NULL AS is_current
 FROM hist WHERE o_custkey % 7 = 0
 """,
+        "customers_upsert_delete": """
+-- MERGE with tombstones: keys in the change batch drop their base row
+-- (any op); only non-delete change rows re-enter. cents BIGINT money.
+WITH base AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+changes AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, acctbal_cents,
+         'delete' AS op
+  FROM base WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_nationkey, 'MIGRATED', acctbal_cents + 100000,
+         'upsert'
+  FROM base WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT -c_custkey, c_nationkey, 'NEWSEG', CAST(0 AS BIGINT), 'upsert'
+  FROM base WHERE c_custkey % 7 = 2
+)
+SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.acctbal_cents
+FROM base b
+WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changes)
+UNION ALL
+SELECT c_custkey, c_nationkey, c_mktsegment, acctbal_cents
+FROM changes WHERE op <> 'delete'
+""",
         "nations_trade_pagerank": """
 -- exact integer replay of the 3-iteration micro-unit PageRank
 -- recurrence (truncating division on positive BIGINTs == Spark DIV);
--- dangling-node mass dropped on both sides by construction
+-- dangling-node mass redistributed uniformly each iteration (the
+-- damped teleport correction), same integer share formula both sides
 WITH e AS (
   SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem
@@ -1725,28 +1755,40 @@ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 params AS (SELECT COUNT(*) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
 r0 AS (SELECT node, 1000000 // (SELECT n FROM params) AS r FROM nodes),
+d0 AS (SELECT COALESCE(SUM(r), 0) AS dang FROM r0
+       WHERE node NOT IN (SELECT src FROM outdeg)),
 r1 AS (
   SELECT nd.node,
          (1000000 - 850000) // (SELECT n FROM params)
-           + COALESCE(c.s, 0) AS r
+           + COALESCE(c.s, 0)
+           + ((SELECT dang FROM d0) * 850000)
+             // (1000000 * (SELECT n FROM params)) AS r
   FROM nodes nd LEFT JOIN (
     SELECT e.dst AS node, CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
     FROM e JOIN outdeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
     GROUP BY e.dst) c ON nd.node = c.node
 ),
+d1 AS (SELECT COALESCE(SUM(r), 0) AS dang FROM r1
+       WHERE node NOT IN (SELECT src FROM outdeg)),
 r2 AS (
   SELECT nd.node,
          (1000000 - 850000) // (SELECT n FROM params)
-           + COALESCE(c.s, 0) AS r
+           + COALESCE(c.s, 0)
+           + ((SELECT dang FROM d1) * 850000)
+             // (1000000 * (SELECT n FROM params)) AS r
   FROM nodes nd LEFT JOIN (
     SELECT e.dst AS node, CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
     FROM e JOIN outdeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
     GROUP BY e.dst) c ON nd.node = c.node
 ),
+d2 AS (SELECT COALESCE(SUM(r), 0) AS dang FROM r2
+       WHERE node NOT IN (SELECT src FROM outdeg)),
 r3 AS (
   SELECT nd.node,
          (1000000 - 850000) // (SELECT n FROM params)
-           + COALESCE(c.s, 0) AS r
+           + COALESCE(c.s, 0)
+           + ((SELECT dang FROM d2) * 850000)
+             // (1000000 * (SELECT n FROM params)) AS r
   FROM nodes nd LEFT JOIN (
     SELECT e.dst AS node, CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
     FROM e JOIN outdeg o ON e.src = o.src JOIN r2 r ON r.node = e.src
@@ -1908,15 +1950,17 @@ SELECT * FROM (
 )
 """,
         "stream_cdc_apply": """
--- FULL value oracle: N-batch streaming last-write-wins == the batch
--- argmax per user over all events ((user, ts) unique => total winner)
+-- FULL value oracle: N-batch streaming last-write-wins WITH CDC
+-- tombstones == the batch argmax per user over all events, winners
+-- whose op is a delete (event_type = 'error') filtered from the live
+-- view ((user, ts) unique => total winner)
 SELECT user_id, event_type AS last_type, tns AS last_ts
 FROM (
   SELECT user_id, event_type, EPOCH_NS(ts) AS tns,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY EPOCH_NS(ts) DESC) AS rn
   FROM events
 )
-WHERE rn = 1
+WHERE rn = 1 AND event_type <> 'error'
 """,
         "pipeline_prefix_filter_pairs": PO.prefix_filter_sql(600_000),
         "pipeline_dedup_keep_best": PO.keep_best_sql(0.5),
@@ -1959,6 +2003,49 @@ hashes AS (
 SELECT doc_id, hash_lo, hash_hi,
        COUNT(*) OVER (PARTITION BY hash_lo, hash_hi) AS group_size
 FROM hashes
+""",
+        "multimodal_ahash_pairs": """
+-- BRUTE-FORCE all-pairs popcount over the closed-form aHash replay:
+-- the banded pigeonhole join must equal this exactly (100% recall at
+-- the radius is a theorem, and the popcount verify gives exact
+-- precision) — the differential statement of the banding's exactness
+WITH imgs AS (
+  SELECT CAST(d AS BIGINT) AS doc_id, CAST(d AS BIGINT) AS base, 0 AS pert
+  FROM range(0, 48) t(d)
+  UNION ALL
+  SELECT CAST(d + 1000 AS BIGINT), CAST(d AS BIGINT), 0
+  FROM range(0, 48) t(d) WHERE d % 6 = 0
+  UNION ALL
+  SELECT CAST(d + 2000 AS BIGINT), CAST(d AS BIGINT), 1
+  FROM range(0, 48) t(d) WHERE d % 6 = 3
+),
+px AS (
+  SELECT doc_id, a.i * 8 + b.j AS idx,
+         ((base + 14*a.i + 26*b.j
+             + CASE WHEN pert = 1 AND (2*a.i + 2*b.j) % 7 = 0 THEN 1 ELSE 0 END) % 256
+          + (base + 14*a.i + 26*b.j + 29
+             + CASE WHEN pert = 1 AND (2*a.i + 2*b.j) % 7 = 0 THEN 1 ELSE 0 END) % 256
+          + (base + 14*a.i + 26*b.j + 58
+             + CASE WHEN pert = 1 AND (2*a.i + 2*b.j) % 7 = 0 THEN 1 ELSE 0 END) % 256
+         ) // 3 AS gray
+  FROM imgs, range(0, 8) a(i), range(0, 8) b(j)
+),
+means AS (SELECT doc_id, SUM(gray) // 64 AS m FROM px GROUP BY doc_id),
+hashes AS (
+  SELECT p.doc_id,
+         CAST(SUM(CASE WHEN idx < 32 AND gray > m
+                       THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS BIGINT) AS hash_lo,
+         CAST(SUM(CASE WHEN idx >= 32 AND gray > m
+                       THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS BIGINT) AS hash_hi
+  FROM px p JOIN means USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+            + bit_count(xor(a.hash_hi, b.hash_hi)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+      + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3
 """,
         "ann_filtered_top3": PO.ann_ivf_filtered_sql(3, 8, 2, 5),
         "stream_snapshot_ingest": """

@@ -195,3 +195,63 @@ def test_ahash_identical_and_near_images(spark):
 
     assert ham(h[1], h[3]) <= 4  # one-pixel change moves at most a few bits
     assert ham(h[1], h[4]) >= 8  # a different image is far
+
+
+def test_ahash_dedup_pairs_equals_brute_force(spark):
+    """The pigeonhole-banded Hamming join returns EXACTLY the
+    brute-force all-pairs result at the radius (100% recall is the
+    pigeonhole theorem; precision comes from the popcount verify).
+    Planted exact copies must surface at hamming=0 and a one-step
+    perturbed copy at its true small distance."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import ahash_dedup_pairs, ahash_images, encode_bmp
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+
+    def img(d, pert):
+        dlt = ((r + c) % 7 == 0).astype(np.int64) if pert else 0
+        return ((d + 7 * r + 13 * c + 29 * ch + dlt) % 256).astype(np.uint8)
+
+    rows = [(d, bytearray(encode_bmp(img(d, False)))) for d in range(24)]
+    rows += [(d + 1000, bytearray(encode_bmp(img(d, False)))) for d in range(0, 24, 6)]
+    rows += [(d + 2000, bytearray(encode_bmp(img(d, True)))) for d in range(3, 24, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    RADIUS = 3
+    got = {
+        (p.id_a, p.id_b): p.hamming
+        for p in ahash_dedup_pairs(df, radius=RADIUS).collect()
+    }
+
+    # brute force over the actual hashes
+    hs = {h.doc_id: (h.hash_lo, h.hash_hi) for h in ahash_images(df).collect()}
+    ids = sorted(hs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(hs[a][1] ^ hs[b][1]).count("1")
+            if d <= RADIUS:
+                want[(a, b)] = d
+    assert got == want
+    # planted exact copies are in, at distance zero
+    for d in range(0, 24, 6):
+        assert got[(d, d + 1000)] == 0
+
+
+def test_hamming_pairs_radius_validation_and_exact_copy(spark):
+    from xesmf_spark.multimodal import hamming_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 5, 9), (2, 5, 9), (3, 5, 8)],  # 3 differs from 1/2 by 1 bit
+        "doc_id long, hash_lo long, hash_hi long",
+    )
+    got = {(p.id_a, p.id_b): p.hamming for p in hamming_pairs(hashes, radius=1).collect()}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_pairs(hashes, radius=2)  # 3 bands don't tile 64 bits

@@ -325,6 +325,34 @@ def test_merge_upsert_semantics(spark):
         merge_upsert(base, updates.drop("x"), "k")
 
 
+def test_merge_upsert_tombstones(spark):
+    """With op_col: delete ops remove their key, upsert ops replace or
+    insert, the op column never reaches the output, and the updates
+    schema must be base + op_col exactly."""
+    from xesmf_spark.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "ZZ", "delete"), (3, "C", "upsert"), (4, "d", "upsert")],
+        "k long, v string, op string",
+    )
+    out = merge_upsert(base, changes, "k", op_col="op")
+    assert out.columns == ["k", "v"]
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 3: "C", 4: "d"}
+
+    import pytest as _pytest
+
+    # op_col declared but missing from updates -> schema mismatch
+    with _pytest.raises(ValueError):
+        merge_upsert(base, changes.drop("op"), "k", op_col="op")
+    # op column present but op_col NOT declared -> schema mismatch too
+    with _pytest.raises(ValueError):
+        merge_upsert(base, changes, "k")
+
+
 def test_merge_upsert_composite_key(spark):
     """Composite-key upserts replace only exact key matches."""
     from xesmf_spark.relational import merge_upsert
@@ -709,7 +737,8 @@ def test_scd2_build_collapses_and_intervals(spark):
 def test_pagerank_integer_recurrence(spark):
     """The distributed plan reproduces the exact integer micro-unit
     recurrence computed by hand, including a dangling node (2 has no
-    out-edges: its mass drops, it still receives base + in-flow)."""
+    out-edges: its mass is redistributed uniformly, damped — the
+    teleport correction — and it still receives base + in-flow)."""
     from xesmf_spark.relational import pagerank
 
     edges = [(0, 1), (0, 2), (1, 2)]
@@ -721,11 +750,33 @@ def test_pagerank_integer_recurrence(spark):
     outdeg = {0: 2, 1: 1}
     ranks = {v: 1_000_000 // n for v in (0, 1, 2)}
     for _ in range(3):
-        nxt = {v: base for v in ranks}
+        dang = sum(r for v, r in ranks.items() if v not in outdeg)
+        share = (dang * damp) // (1_000_000 * n)
+        nxt = {v: base + share for v in ranks}
         for s, d in edges:
             nxt[d] += (ranks[s] * damp) // (1_000_000 * outdeg[s])
         ranks = nxt
     assert got == ranks
+
+
+def test_pagerank_conserves_mass_with_dangling_nodes(spark):
+    """Rank mass is conserved up to truncation remainders: with a
+    dangling sink holding a large share, total rank after 3 iterations
+    stays within a few micro-units of 1e6 (the old drop-the-mass
+    behavior leaked ~dangling*0.85 per iteration — hundreds of
+    thousands of micro-units on this graph)."""
+    from xesmf_spark.relational import pagerank
+
+    # star into a sink: 2 is dangling and accumulates most of the mass
+    e = spark.createDataFrame(
+        [(0, 2), (1, 2), (3, 2), (4, 2)], "src long, dst long"
+    )
+    rows = pagerank(e, iters=3, damp_micro=850_000).collect()
+    total = sum(r.rank_micro for r in rows)
+    # each division truncates < 1 micro-unit; |E| + 2N + 1 terms/iter
+    assert 1_000_000 - 60 <= total <= 1_000_000
+    sink = {r.node: r.rank_micro for r in rows}[2]
+    assert sink > 400_000  # the sink holds, not leaks, the mass
 
 
 def test_session_window_exact_gap_splits(spark):

@@ -611,3 +611,42 @@ def test_cdc_apply_stream_matches_batch_lww(spark, tmp_path):
     )
     got = {(r.user_id): (r.ts, r.val) for r in final.collect()}
     assert got == {1: (40, "e"), 2: (11, "b"), 3: (35, "f")}
+
+
+def test_cdc_apply_stream_tombstones(spark, tmp_path):
+    """Delete ops remove keys from the LIVE view but stay in state:
+    user 1 is deleted in a late batch (vanishes), user 2 is deleted
+    then re-upserted with a newer ts (reappears with the new value),
+    user 3 is never deleted. The live view drops the op column."""
+    from xesmf_spark.streaming import cdc_apply_stream, latest_rollup_state
+
+    rows = [
+        [(1, 10, "a", "upsert"), (2, 11, "b", "upsert"), (3, 12, "c", "upsert")],
+        [(2, 20, "x", "delete")],
+        [(1, 30, "x", "delete"), (2, 31, "B", "upsert")],
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(
+            batch, "user_id long, ts long, val string, op string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    static = spark.read.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    state = str(tmp_path / "cdc_state")
+    final = cdc_apply_stream(
+        stream, state, ["user_id"], "ts",
+        checkpoint_dir=str(tmp_path / "cp"), op_col="op",
+    )
+    assert "op" not in final.columns
+    got = {r.user_id: (r.ts, r.val) for r in final.collect()}
+    assert got == {2: (31, "B"), 3: (12, "c")}
+    # the tombstone is retained in STATE (it must keep winning LWW
+    # against older upserts arriving later), only the view filters it
+    raw = latest_rollup_state(spark, state)
+    ops = {r.user_id: r.op for r in raw.collect()}
+    assert ops == {1: "delete", 2: "upsert", 3: "upsert"}

@@ -398,3 +398,119 @@ def ahash_images(
         F.expr(half.format(lo=0, hi=31)).alias("hash_lo"),
         F.expr(half.format(lo=32, hi=63)).alias("hash_hi"),
     )
+
+
+def hamming_pairs(
+    hashes: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Banded Hamming-radius SELF-JOIN over 64-bit perceptual hashes
+    stored as two 32-bit halves (``hash_lo``/``hash_hi`` — the
+    :func:`ahash_images` layout): returns (id_a, id_b, hamming) for
+    every pair within Hamming ``radius``, id_a < id_b.
+
+    EXACTNESS (pigeonhole, the :func:`xesmf_spark.pipeline.
+    simhash_pairs` argument applied to the image side): with
+    ``radius + 1`` equal-width bands over the 64 bits, a pair within
+    the radius differs in at most ``radius`` bit positions touching at
+    most ``radius`` bands, so at least one band matches exactly and
+    the pair surfaces from the band equi-join; the popcount-of-XOR
+    verify then makes precision exact — 100% recall AND precision at
+    the radius. ``radius + 1`` must be a power of two in [2, 64] so
+    every band lies wholly inside one 32-bit half.
+
+    Scale shape: banding is a pure projection exploding ``radius + 1``
+    small rows per image; the candidate join is an equi-join on
+    (band, band_hash) — shuffle keyed on small ints, broadcastable
+    when one side is a probe set. ``max_bucket`` is the same skew
+    valve as the text LSH joins: degenerate buckets (e.g. every
+    all-black thumbnail hashing to 0) are dropped BEFORE the join —
+    run exact-hash dedup first, as those groups are already exact
+    dups."""
+    n_bands = radius + 1
+    width = 64 // n_bands
+    if 64 % n_bands or 32 % width:
+        raise ValueError(
+            f"radius + 1 must be a power of two in [2, 64], got {n_bands}"
+        )
+    mask = (1 << width) - 1
+    per_half = 32 // width
+    band_structs = []
+    for g in range(n_bands):
+        src = "hash_lo" if g < per_half else "hash_hi"
+        off = (g % per_half) * width
+        band_structs.append(
+            F.struct(
+                F.lit(g).alias("band"),
+                F.shiftright(F.col(src), off)
+                .bitwiseAND(F.lit(mask))
+                .alias("bh"),
+            )
+        )
+    bands = hashes.select(
+        F.col(id_col),
+        "hash_lo",
+        "hash_hi",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        id_col,
+        "hash_lo",
+        "hash_hi",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
+    if max_bucket is not None:
+        sz = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
+        bands = (
+            bands.join(sz, ["band", "bh"])
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.hash_lo").alias("lo_a"),
+            F.col("a.hash_hi").alias("hi_a"),
+            F.col("b.hash_lo").alias("lo_b"),
+            F.col("b.hash_hi").alias("hi_b"),
+        )
+    )
+    # verify BEFORE distinct: popcount is a cheap projection and the
+    # radius filter shrinks the dedup shuffle to true pairs only
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def ahash_dedup_pairs(
+    df: DataFrame,
+    radius: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance:
+    :func:`ahash_images` (decode -> gray -> 8x8 -> aHash halves)
+    composed with :func:`hamming_pairs` (pigeonhole-banded radius
+    join). One Python decode pass per image; everything after is JVM
+    Column arithmetic and equi-joins — the image twin of the text
+    SimHash dedup pipeline."""
+    return hamming_pairs(
+        ahash_images(df, id_col=id_col, payload_col=payload_col),
+        radius=radius,
+        id_col="doc_id",
+        max_bucket=max_bucket,
+    )

@@ -3660,14 +3660,54 @@ def customers_scd2(spark, sf_dir):
     )
 
 
+def customers_upsert_delete(spark, sf_dir):
+    """Full-CDC MERGE (relational.merge_upsert with op_col): one
+    synthetic change batch carries all three ops against the customer
+    dim — tombstones (custkey % 7 == 0 rows DELETE), updates (% 7 == 1
+    rows migrate segment + credit 1000.00), and inserts (% 7 == 2 keys
+    re-landed negated as brand-new NEWSEG accounts). Plan = ONE
+    left-anti equi-join (any-op keys drop their base row) + a free
+    union of the non-delete rows — the WHEN MATCHED DELETE / WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT triad as a single
+    shuffle. Money in cents BIGINT (integer-exactness playbook)."""
+    from xesmf_spark.relational import merge_upsert
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    dels = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "op", F.lit("delete")
+    )
+    ups = (
+        base.filter(F.col("c_custkey") % 7 == 1)
+        .withColumn("acctbal_cents", F.col("acctbal_cents") + F.lit(100_000))
+        .withColumn("c_mktsegment", F.lit("MIGRATED"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    news = base.filter(F.col("c_custkey") % 7 == 2).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        "c_nationkey",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0).cast("long").alias("acctbal_cents"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = dels.unionByName(ups).unionByName(news)
+    return merge_upsert(base, changes, "c_custkey", op_col="op")
+
+
 def nations_trade_pagerank(spark, sf_dir):
     """Fixed-3-iteration PageRank (relational.pagerank) over the
     supplier-nation -> customer-nation trade graph (distinct pairs
     from the lineitem/orders/customer/supplier star — the q7 join).
     EXACT integer micro-unit recurrence (truncating BIGINT div on
     positive values) so the oracle's 3-CTE replay matches
-    bit-for-bit; per iteration = one keyed edge-rank equi-join +
-    map-side-combinable SUM, lineage truncated via localCheckpoint —
+    bit-for-bit; dangling-node mass redistributed uniformly per
+    iteration (damped teleport — mass-conserving); per iteration =
+    one keyed edge-rank equi-join + map-side-combinable SUM + one
+    scalar dangling agg, lineage truncated via localCheckpoint —
     the distributed PageRank plan at any graph size."""
     from xesmf_spark.relational import pagerank
 
@@ -3840,9 +3880,13 @@ def stream_cdc_apply(spark, sf_dir):
     last-write-wins latest-event-per-user table in versioned parquet
     state (crash-atomic publish, replay-safe strictly-earlier merge —
     the rollup_stream machinery on a keyed UPSERT instead of an
-    additive monoid). FULL value oracle: 4-batch incremental LWW ==
-    the batch argmax over all events ((user, ts) unique makes the
-    winner total)."""
+    additive monoid) — WITH tombstones: an ``error`` event is a CDC
+    delete op, so a user whose newest change is an error vanishes
+    from the live table (the tombstone stays in state to keep winning
+    LWW against stragglers; only the live view filters it). FULL
+    value oracle: 4-batch incremental LWW+delete == the batch argmax
+    over all events with delete-winners filtered ((user, ts) unique
+    makes the winner total)."""
     import hashlib
     import shutil
 
@@ -3854,9 +3898,14 @@ def stream_cdc_apply(spark, sf_dir):
     shutil.rmtree(state, ignore_errors=True)
     shutil.rmtree(state + "_cp", ignore_errors=True)
     ev = ST.events_stream(spark, d, max_files=1).select(
-        "user_id", "ts", "event_type"
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
     )
-    final = ST.cdc_apply_stream(ev, state, ["user_id"], "ts")
+    final = ST.cdc_apply_stream(ev, state, ["user_id"], "ts", op_col="op")
     return final.select(
         "user_id",
         F.col("event_type").alias("last_type"),
@@ -4140,6 +4189,44 @@ def multimodal_ahash_dedup(spark, sf_dir):
         "group_size",
         F.count(F.lit(1)).over(W.partitionBy("hash_lo", "hash_hi")),
     )
+
+
+def multimodal_ahash_pairs(spark, sf_dir):
+    """Banded Hamming-radius image join (multimodal.ahash_dedup_pairs
+    = ahash_images ∘ hamming_pairs): the same 48-base + exact-copy +
+    perturbed-copy BMP corpus as multimodal_ahash_dedup, joined at
+    Hamming radius 3 via pigeonhole banding (radius+1 = 4 bands of 16
+    bits, one band MUST match — 100% recall) then popcount-verified
+    (exact precision). The oracle is the brute-force all-pairs
+    popcount over the closed-form aHash replay — banding must equal
+    brute force EXACTLY, which is the pigeonhole theorem stated as a
+    differential test. Exact copies surface at hamming=0; perturbed
+    copies at their true small distances."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import ahash_dedup_pairs, encode_bmp
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+
+    def img(d, pert):
+        dlt = ((r + c) % 7 == 0).astype(np.int64) if pert else 0
+        return ((d + 7 * r + 13 * c + 29 * ch + dlt) % 256).astype(np.uint8)
+
+    rows = [(d, bytearray(encode_bmp(img(d, False)))) for d in range(48)]
+    rows += [
+        (d + 1000, bytearray(encode_bmp(img(d, False))))
+        for d in range(48)
+        if d % 6 == 0
+    ]
+    rows += [
+        (d + 2000, bytearray(encode_bmp(img(d, True))))
+        for d in range(48)
+        if d % 6 == 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return ahash_dedup_pairs(df, radius=3)
 
 
 def stream_anomaly_mad(spark, sf_dir):

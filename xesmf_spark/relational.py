@@ -479,32 +479,50 @@ def bloom_prune_join(
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, key_cols: str | list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: str | list[str],
+    op_col: str | None = None,
 ) -> DataFrame:
-    """Key-level MERGE (upsert) over immutable storage — the
-    "UPDATE or INSERT" primitive parquet lacks (table formats like
+    """Key-level MERGE over immutable storage — the "UPDATE or INSERT
+    or DELETE" primitive parquet lacks (table formats like
     Delta/Iceberg implement exactly this underneath): every key present
     in ``updates`` is replaced wholesale by the update row; keys absent
     from ``updates`` keep their base row; brand-new keys append.
 
+    With ``op_col`` set, ``updates`` carries a change-op column
+    (``'upsert'`` or ``'delete'``): tombstone rows remove their key
+    from the result entirely (WHEN MATCHED AND op='delete' THEN
+    DELETE), upsert rows behave as before; the op column never
+    appears in the output (so ``updates`` schema = base schema +
+    ``op_col``). Any op value other than ``'delete'`` is treated as an
+    upsert — op domains are the CDC feed's contract, not re-validated
+    per row here.
+
     Plan shape: ONE left-anti equi-join on the key (base rows whose key
-    has an update are dropped) + a union — at scale the anti-join
-    broadcasts when updates are small (the common CDC case), else it
-    is a single keyed shuffle; the union is free (no shuffle). Schemas
-    must match by name (``unionByName``). Multi-row-per-key updates are
-    passed through as-is — dedup upstream if last-writer-wins is
-    needed.
+    has ANY update — upsert or tombstone — are dropped) + a union of
+    the non-delete update rows — at scale the anti-join broadcasts
+    when updates are small (the common CDC case), else it is a single
+    keyed shuffle; the union is free (no shuffle). Schemas must match
+    by name (``unionByName``). Multi-row-per-key updates are passed
+    through as-is — dedup upstream if last-writer-wins is needed.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     for k in keys:
         if k not in base.columns or k not in updates.columns:
             raise KeyError(f"merge key {k!r} missing from one side")
-    if set(base.columns) != set(updates.columns):
+    expected = set(base.columns) | ({op_col} if op_col else set())
+    if set(updates.columns) != expected:
         raise ValueError(
             f"schema mismatch: base has {sorted(base.columns)}, "
             f"updates has {sorted(updates.columns)}"
+            + (f" (op_col={op_col!r})" if op_col else "")
         )
-    return base.join(updates, keys, "left_anti").unionByName(updates)
+    survivors = base.join(updates, keys, "left_anti")
+    if op_col is None:
+        return survivors.unionByName(updates)
+    live = updates.filter(F.col(op_col) != "delete").drop(op_col)
+    return survivors.unionByName(live)
 
 
 def rollup_delta(
@@ -823,14 +841,21 @@ def pagerank(
     truncating BIGINT division on positive values, so Spark and any
     SQL engine replaying the recurrence agree bit-for-bit — the
     differential-testing discipline for iterative algorithms (float
-    PageRank would drift by summation order).  Dangling-node mass is
-    dropped (documented simplification, mirrored by the oracle).
+    PageRank would drift by summation order).  Dangling-node mass
+    (rank held by nodes with no out-edges) is redistributed uniformly
+    each iteration — every node additionally receives
+    ``dangling_sum * damp_micro // (1_000_000 * N)`` — the standard
+    teleport correction, so total rank mass is conserved up to
+    truncation remainders (< 1 micro-unit per division) instead of
+    leaking the dangling share every iteration.
 
     Scale shape: each iteration is one keyed equi-join of the edge
-    list with the O(N) rank table plus a map-side-combinable SUM —
-    the standard distributed PageRank plan; lineage is truncated per
-    iteration with localCheckpoint so ``iters`` stays bounded-plan.
-    The only driver scalar is N (one count)."""
+    list with the O(N) rank table plus a map-side-combinable SUM,
+    plus ONE scalar aggregate (the dangling sum, an anti-join + SUM
+    broadcast back as a 1-row crossJoin) — the standard distributed
+    PageRank plan; lineage is truncated per iteration with
+    localCheckpoint so ``iters`` stays bounded-plan.  The only driver
+    scalar is N (one count)."""
     e = edges.select(F.col("src"), F.col("dst")).distinct()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
@@ -858,15 +883,30 @@ def pagerank(
                 ).alias("__share"),
             )
         )
+        # dangling mass: rank sitting on nodes with NO out-edges would
+        # otherwise vanish; redistribute it uniformly (damped), exact
+        # integer share per node
+        dang = (
+            ranks.join(
+                outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+            ).agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("__dang"))
+        )
         ranks = (
             nodes.join(
                 contribs.groupBy("node").agg(F.sum("__share").alias("__in")),
                 "node",
                 "left",
             )
+            .crossJoin(F.broadcast(dang))  # 1 row — scalar broadcast
             .select(
                 "node",
-                (F.lit(base) + F.coalesce("__in", F.lit(0))).alias("rank_micro"),
+                (
+                    F.lit(base)
+                    + F.coalesce("__in", F.lit(0))
+                    + F.expr(
+                        f"(__dang * {damp_micro}L) div (1000000L * {n}L)"
+                    )
+                ).alias("rank_micro"),
             )
             .localCheckpoint(eager=False)
         )

@@ -674,6 +674,7 @@ def cdc_apply_stream(
     ts_col: str,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
+    op_col: str | None = None,
 ) -> DataFrame:
     """STREAMING CDC apply: maintain a last-write-wins key-value table
     from an unbounded change stream — the online sibling of
@@ -690,6 +691,15 @@ def cdc_apply_stream(
     Determinism contract: (key, ``ts_col``) unique — same-timestamp
     conflicts have no defined winner (pre-aggregate them away, as
     :func:`~xesmf_spark.relational.scd2_build` requires).
+
+    With ``op_col`` set, ``changes`` carries a change-op column
+    (``'upsert'``/``'delete'``) and tombstones delete their key from
+    the LIVE table. Tombstone rows stay IN the persisted state (they
+    must keep winning LWW against older upserts that may arrive in a
+    later batch — dropping them would resurrect the key); only the
+    RETURNED live view filters them out and drops ``op_col``.
+    Tombstone retention/compaction is a deployment policy (state is
+    O(live keys + tombstoned keys)).
 
     Scale shape: the per-batch reduce is one window over the BATCH
     (delta-sized); the merge is a window over state ∪ delta — state
@@ -729,6 +739,8 @@ def cdc_apply_stream(
     final = latest_rollup_state(changes.sparkSession, state_dir)
     if final is None:
         raise RuntimeError(f"cdc_apply_stream produced no state under {state_dir}")
+    if op_col is not None:
+        final = final.filter(F.col(op_col) != "delete").drop(op_col)
     return final
 
 
