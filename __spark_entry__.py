@@ -43,85 +43,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-8 rotation (policy + log in SURVEY.md §2E):
-    # IN-WINDOW = (a) every query NEW or with engine code changed this
-    # round (stream_interval_join_outer + the IVFPQ refine pair are
-    # new; ivfpq payload cut, rollup key-metadata hardening + atomic
-    # stream-state publish, and the minhash/simhash persist-registry
-    # change touch their queries), (b) the 26 tail queries whose only
-    # lifetime green is r5/r6 plus never-checked pipeline_weighted_sample
-    # (the r7 verdict's #3 task: local-evidence-only queries must cycle
-    # through a real driver round), and (c) 14 of the r7 first-green
-    # queries for their second green. TAIL = >= 2 lifetime greens and
-    # code untouched this round, OR r7-first-greens awaiting a later
-    # slot (same-round evidence: the committed CORRECTNESS_FULL_r8
-    # full-surface record + tri-scale local oracle runs).
+    # entries only. Round-9 rotation (policy + log in SURVEY.md 2E):
+    # IN-WINDOW = (a) the 5 queries with ZERO committed driver evidence
+    # (the r8 driver-err documents_inverted_index now stringified; the
+    # two post-record r8 additions; the two new r9 CDC/Hamming queries)
+    # plus the 5 whose engine code changed in r9 (pagerank teleport,
+    # CDC tombstones, manifest OCC publish, stream-offset commit-only
+    # persistence, check_constraints coalesce), then (b) the 40 OLDEST
+    # single-green tail queries, age order (13 r5-greens, 13 r6-greens,
+    # 14 r7-greens) — the r8 verdict's rotation-debt paydown. TAIL =
+    # remaining r7/r8 single-greens (next in line), then multi-greens;
+    # same-round evidence for every tail entry comes from the committed
+    # full-surface record (CORRECTNESS_FULL_r9.json) + tri-scale runs.
     return {
-        # (a) new in r8 / engine code changed in r8
-        "stream_interval_join_outer": Q.stream_interval_join_outer,
-        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
-        "pipeline_span_dedup": Q.pipeline_span_dedup,
-        "documents_heavy_hitters": Q.documents_heavy_hitters,
-        "stream_heavy_hitters": Q.stream_heavy_hitters,
-        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
-        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
-        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
-        "events_zorder_scan": Q.events_zorder_scan,
-        "orders_incr_join_view": Q.orders_incr_join_view,
-        "events_funnel": Q.events_funnel,
-        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
-        "events_props_variant": Q.events_props_variant,
-        "synthetic_source_scan": Q.synthetic_source_scan,
-        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
-        "stream_synthetic_source": Q.stream_synthetic_source,
-        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
-        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
-        "ann_ivfpq_top3": Q.ann_ivfpq_top3,
-        "stream_rollup": Q.stream_rollup,
-        "events_continuous_rollup": Q.events_continuous_rollup,
-        "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
-        "pipeline_dedup_groups": Q.pipeline_dedup_groups,
-        "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
-        "pipeline_weighted_sample": Q.pipeline_weighted_sample,
-        # (a2) NEW in r8 wave-2 — zero lifetime greens, so they outrank
-        # second-green seekers for window slots (§2E policy); the 16
-        # single-green cyclers they displace slide to positions 51-66
-        # with full-surface + tri-scale local evidence
-        "events_retention_cohorts": Q.events_retention_cohorts,
-        "events_session_paths": Q.events_session_paths,
-        "orders_topk_per_group": Q.orders_topk_per_group,
-        "customers_scd2": Q.customers_scd2,
+        # (a) zero-evidence + r9-changed, then (b) oldest single-greens
         "customers_upsert_delete": Q.customers_upsert_delete,
-        "nations_trade_pagerank": Q.nations_trade_pagerank,
-        "documents_tfidf_terms": Q.documents_tfidf_terms,
-        "documents_bm25": Q.documents_bm25,
-        "documents_cms_frequency": Q.documents_cms_frequency,
-        "events_ewma_daily": Q.events_ewma_daily,
-        "events_anomaly_mad": Q.events_anomaly_mad,
-        "orders_time_travel": Q.orders_time_travel,
-        "stream_cdc_apply": Q.stream_cdc_apply,
-        "orders_profile": Q.orders_profile,
-        "lineitem_constraints": Q.lineitem_constraints,
-        "documents_inverted_index": Q.documents_inverted_index,
-        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
-        "pipeline_prefix_filter_pairs": Q.pipeline_prefix_filter_pairs,
-        "events_session_window": Q.events_session_window,
-        "events_unpivot": Q.events_unpivot,
-        "pipeline_dedup_keep_best": Q.pipeline_dedup_keep_best,
-        "ann_filtered_top3": Q.ann_filtered_top3,
-        "stream_snapshot_ingest": Q.stream_snapshot_ingest,
-        "orders_schema_evolution": Q.orders_schema_evolution,
-        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
         "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
-        "stream_anomaly_mad": Q.stream_anomaly_mad,
+        "documents_inverted_index": Q.documents_inverted_index,
         "events_trend_slope": Q.events_trend_slope,
         "orders_bucketed_join": Q.orders_bucketed_join,
-        # (b) single-green tail queries cycling through for green #2
-        "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
+        "stream_cdc_apply": Q.stream_cdc_apply,
+        "nations_trade_pagerank": Q.nations_trade_pagerank,
+        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
+        "stream_synthetic_source": Q.stream_synthetic_source,
+        "lineitem_constraints": Q.lineitem_constraints,
+        "tpch_q6_forecast": Q.tpch_q6_forecast,
+        "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q10_returned": Q.tpch_q10_returned,
-        "tpch_q4_priority": Q.tpch_q4_priority,
-        "tpch_q17_small_qty": Q.tpch_q17_small_qty,
-        "orders_above_customer_avg": Q.orders_above_customer_avg,
+        "tpch_q14_promo": Q.tpch_q14_promo,
+        "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
+        "tpch_q18_large_orders": Q.tpch_q18_large_orders,
         "orders_rank_in_customer": Q.orders_rank_in_customer,
         "regrid_unmapped": Q.regrid_unmapped,
         "events_cube": Q.events_cube,
@@ -129,21 +80,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_open_orders": Q.customers_semi_open_orders,
         "events_user_setops": Q.events_user_setops,
         "events_geomean_udaf": Q.events_geomean_udaf,
+        "tpch_q4_priority": Q.tpch_q4_priority,
         "tpch_q12_priority_class": Q.tpch_q12_priority_class,
         "tpch_q13_order_distribution": Q.tpch_q13_order_distribution,
+        "tpch_q17_small_qty": Q.tpch_q17_small_qty,
+        "tpch_q22_inactive_customers": Q.tpch_q22_inactive_customers,
+        "orders_above_customer_avg": Q.orders_above_customer_avg,
         "pipeline_split": Q.pipeline_split,
         "pipeline_scrub_pii": Q.pipeline_scrub_pii,
         "pipeline_repetition": Q.pipeline_repetition,
         "pipeline_stratified_sample": Q.pipeline_stratified_sample,
         "multimodal_audio_windows": Q.multimodal_audio_windows,
         "ann_lsh_dedup": Q.ann_lsh_dedup,
-        "tpch_q6_forecast": Q.tpch_q6_forecast,
-        "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
-        "tpch_q14_promo": Q.tpch_q14_promo,
-        "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
-        "tpch_q18_large_orders": Q.tpch_q18_large_orders,
         "ann_ivf_recall": Q.ann_ivf_recall,
-        # (c) r7 first-greens taking their second green
         "documents_quality_tiers_approx": Q.documents_quality_tiers_approx,
         "pipeline_jsonl_roundtrip": Q.pipeline_jsonl_roundtrip,
         "salted_join_skew": Q.salted_join_skew,
@@ -158,10 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "pipeline_unigram_quality": Q.pipeline_unigram_quality,
         "pipeline_decontaminate": Q.pipeline_decontaminate,
-        # --- rotation tail (position 51+): >= 2 lifetime greens with
-        # code untouched this round, or r7 first-greens whose 2nd green
-        # waits a round (both carry the committed full-surface record +
-        # tri-scale local evidence) ---
+        # ---- tail: r7/r8 single-greens first in line, then multi-greens ----
         "orders_rollup": Q.orders_rollup,
         "events_pivot": Q.events_pivot,
         "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
@@ -176,6 +122,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_merge": Q.events_hll_merge,
         "events_trailing_window": Q.events_trailing_window,
         "pipeline_token_budget": Q.pipeline_token_budget,
+        "stream_interval_join_outer": Q.stream_interval_join_outer,
+        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
+        "pipeline_span_dedup": Q.pipeline_span_dedup,
+        "documents_heavy_hitters": Q.documents_heavy_hitters,
+        "stream_heavy_hitters": Q.stream_heavy_hitters,
+        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
+        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
+        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
+        "events_zorder_scan": Q.events_zorder_scan,
+        "orders_incr_join_view": Q.orders_incr_join_view,
+        "events_funnel": Q.events_funnel,
+        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
+        "events_props_variant": Q.events_props_variant,
+        "synthetic_source_scan": Q.synthetic_source_scan,
+        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
+        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
+        "pipeline_weighted_sample": Q.pipeline_weighted_sample,
+        "events_retention_cohorts": Q.events_retention_cohorts,
+        "events_session_paths": Q.events_session_paths,
+        "orders_topk_per_group": Q.orders_topk_per_group,
+        "customers_scd2": Q.customers_scd2,
+        "documents_tfidf_terms": Q.documents_tfidf_terms,
+        "documents_bm25": Q.documents_bm25,
+        "documents_cms_frequency": Q.documents_cms_frequency,
+        "events_ewma_daily": Q.events_ewma_daily,
+        "events_anomaly_mad": Q.events_anomaly_mad,
+        "orders_time_travel": Q.orders_time_travel,
+        "orders_profile": Q.orders_profile,
+        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
+        "pipeline_prefix_filter_pairs": Q.pipeline_prefix_filter_pairs,
+        "events_session_window": Q.events_session_window,
+        "events_unpivot": Q.events_unpivot,
+        "pipeline_dedup_keep_best": Q.pipeline_dedup_keep_best,
+        "ann_filtered_top3": Q.ann_filtered_top3,
+        "stream_snapshot_ingest": Q.stream_snapshot_ingest,
+        "orders_schema_evolution": Q.orders_schema_evolution,
+        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
+        "stream_anomaly_mad": Q.stream_anomaly_mad,
+        "ann_ivfpq_top3": Q.ann_ivfpq_top3,
+        "stream_rollup": Q.stream_rollup,
+        "events_continuous_rollup": Q.events_continuous_rollup,
+        "pipeline_minhash_dedup": Q.pipeline_minhash_dedup,
+        "pipeline_dedup_groups": Q.pipeline_dedup_groups,
+        "pipeline_simhash_pairs": Q.pipeline_simhash_pairs,
         "regrid_conservative": Q.regrid_conservative,
         "regrid_conservative_clip": Q.regrid_conservative_clip,
         "regrid_conservative_4d": Q.regrid_conservative_4d,

@@ -313,7 +313,10 @@ def _run_workloads(spark, sf_dir, timings, timed):
     try:
         apply_vec_inram()
         best_ir = float("inf")
-        for _ in range(4):
+        # min-of-6 for the HEADLINE apply numbers (r8 verdict: 1.7x
+        # swings on untouched code under min-of-4 — this host's
+        # episodic stalls need more draws to land one clean window)
+        for _ in range(6):
             t0 = time.perf_counter()
             apply_vec_inram()
             best_ir = min(best_ir, time.perf_counter() - t0)
@@ -334,7 +337,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         from xesmf_spark import vectorized as V
 
         best = k_best = float("inf")
-        for _ in range(4):
+        for _ in range(6):  # min-of-6: headline number, see inram note
             t0 = time.perf_counter()
             apply_vec()
             best = min(best, time.perf_counter() - t0)
