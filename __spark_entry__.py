@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_inverted_index": Q.documents_inverted_index,
         "events_trend_slope": Q.events_trend_slope,
         "orders_bucketed_join": Q.orders_bucketed_join,
+        "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
         "stream_cdc_apply": Q.stream_cdc_apply,
         "nations_trade_pagerank": Q.nations_trade_pagerank,
         "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
@@ -106,8 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "pipeline_unigram_quality": Q.pipeline_unigram_quality,
-        "pipeline_decontaminate": Q.pipeline_decontaminate,
         # ---- tail: r7/r8 single-greens first in line, then multi-greens ----
+        "pipeline_decontaminate": Q.pipeline_decontaminate,
         "orders_rollup": Q.orders_rollup,
         "events_pivot": Q.events_pivot,
         "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
@@ -1938,6 +1939,20 @@ SELECT * FROM (
          3 AS version, TRUE AS versions_ok
   FROM base WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
 )
+""",
+        "orders_snapshot_vacuum": """
+-- expected content of the RETAINED (latest, overwrite-to-'F') version
+-- re-read AFTER the vacuum; the lifecycle contract booleans
+-- (dropped versions unreadable, disk == retained manifest exactly,
+-- orphan collected) are driver-audited and stated TRUE
+WITH base AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       TRUE AS old_versions_gone, TRUE AS disk_clean
+FROM base GROUP BY o_orderstatus
 """,
         "stream_cdc_apply": """
 -- FULL value oracle: N-batch streaming last-write-wins WITH CDC

@@ -273,3 +273,52 @@ def test_zvalue_int_columns_no_shift_wrap(spark):
         r.z for r in df.select(zvalue(["a", "b", "c"], bits=16).alias("z")).collect()
     ]
     assert got == [morton(v, 16, 3) for v in rows]
+
+
+def test_snapshot_vacuum_retention_and_age_guard(spark, tmp_path):
+    """keep_last=1 drops old manifests + their no-longer-referenced
+    parts; the retained version stays byte-identical; an orphan part
+    younger than min_age_sec survives (the in-flight-commit guard),
+    then falls to a zero-age sweep; keep_last<1 rejected."""
+    import pytest as _pytest
+
+    from xesmf_spark.sources import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    d = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1,), (2,)], "k long")
+    df2 = spark.createDataFrame([(3,)], "k long")
+    df3 = spark.createDataFrame([(9,)], "k long")
+    assert snapshot_commit(df1, d, "append") == 1
+    assert snapshot_commit(df2, d, "append") == 2
+    assert snapshot_commit(df3, d, "overwrite") == 3
+    # plant a young orphan (failed attempt's staging leftover)
+    orphan = os.path.join(d, "parts", "part_orphan_00000.parquet")
+    open(orphan, "wb").write(b"junk")
+
+    stats = snapshot_vacuum(d, keep_last=1, min_age_sec=3600)
+    assert stats["retained_versions"] == [3]
+    assert stats["dropped_versions"] == [1, 2]
+    # v1/v2 data files (not referenced by v3) are gone; young orphan kept
+    assert os.path.exists(orphan)
+    assert {r.k for r in snapshot_read(spark, d).collect()} == {9}
+    for v in (1, 2):
+        with _pytest.raises(FileNotFoundError):
+            snapshot_read(spark, d, v)
+    # aged-out orphan collected by a zero-age sweep
+    stats2 = snapshot_vacuum(d, keep_last=1, min_age_sec=0)
+    assert not os.path.exists(orphan)
+    assert "parts/part_orphan_00000.parquet" in stats2["deleted_files"]
+    # disk now holds exactly the retained manifest's files
+    import json as _json
+
+    live = sorted(_json.load(open(os.path.join(d, "v3.manifest.json")))["files"])
+    on_disk = sorted(
+        os.path.join("parts", f) for f in os.listdir(os.path.join(d, "parts"))
+    )
+    assert on_disk == live
+    with _pytest.raises(ValueError):
+        snapshot_vacuum(d, keep_last=0)

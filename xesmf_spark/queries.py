@@ -3874,6 +3874,80 @@ def orders_time_travel(spark, sf_dir):
     return allv.withColumn("versions_ok", F.lit(bool((v1, v2, v3) == (1, 2, 3))))
 
 
+def orders_snapshot_vacuum(spark, sf_dir):
+    """Retention sweep / VACUUM over the snapshot table
+    (sources.snapshot_vacuum — the expire-snapshots half of the MVCC
+    lifecycle): the same 3-commit history as orders_time_travel plus a
+    planted orphan part (a failed attempt's staging leftover), then
+    vacuum(keep_last=1). Contract booleans, each independently
+    audited driver-side: dropped versions unreadable afterwards
+    (`old_versions_gone`), the disk holds EXACTLY the retained
+    manifest's files (`disk_clean` — the orphan and every
+    dropped-only part collected), and the retained version's content
+    re-read AFTER the sweep is value-checked against the oracle's
+    recompute (deleting a live file would break the sums)."""
+    import hashlib
+    import os
+    import shutil
+
+    from xesmf_spark.sources import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/xesmf_snapvac_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    snapshot_commit(o.filter(F.col("o_orderkey") % 3 != 0), d, "append")
+    snapshot_commit(o.filter(F.col("o_orderkey") % 3 == 0), d, "append")
+    v3 = snapshot_commit(o.filter(F.col("o_orderstatus") == "F"), d, "overwrite")
+    with open(os.path.join(d, "parts", "part_orphan_00000.parquet"), "wb") as f:
+        f.write(b"not a committed part")
+    stats = snapshot_vacuum(d, keep_last=1)
+    gone = []
+    for v in (1, 2):
+        try:
+            snapshot_read(spark, d, v)
+            gone.append(False)
+        except FileNotFoundError:
+            gone.append(True)
+    on_disk = sorted(
+        os.path.join("parts", f) for f in os.listdir(os.path.join(d, "parts"))
+    )
+    import json as _json
+
+    with open(os.path.join(d, f"v{v3}.manifest.json")) as fh:
+        live = sorted(_json.load(fh)["files"])
+    return (
+        snapshot_read(spark, d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("old_versions_gone", F.lit(bool(all(gone))))
+        .withColumn(
+            "disk_clean",
+            F.lit(
+                bool(
+                    on_disk == live
+                    and stats["retained_versions"] == [v3]
+                    and "parts/part_orphan_00000.parquet"
+                    in stats["deleted_files"]
+                )
+            ),
+        )
+    )
+
+
 def stream_cdc_apply(spark, sf_dir):
     """STREAMING CDC apply (streaming.cdc_apply_stream): the events
     table arrives as 4 time-slab micro-batches and maintains a

@@ -440,3 +440,74 @@ def snapshot_read(
         # additive-only evolution rule every lakehouse format shares
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[os.path.join(table_dir, f) for f in files])
+
+
+def snapshot_vacuum(
+    table_dir: str,
+    keep_last: int = 1,
+    min_age_sec: float = 0.0,
+) -> dict:
+    """Retention sweep over a snapshot-versioned table — the VACUUM /
+    expire-snapshots half of the MVCC lifecycle
+    (:func:`snapshot_commit` never deletes anything):
+
+    - retain the newest ``keep_last`` committed versions; delete the
+      older versions' manifests (their time travel becomes a
+      ``FileNotFoundError``, exactly like a never-committed version);
+    - delete every file under ``parts/`` referenced by NO retained
+      manifest AND older than ``min_age_sec`` — the age guard keeps
+      the staged parts of an IN-FLIGHT commit (written before its
+      manifest publishes) safe from a concurrent vacuum, the same
+      two-condition rule as Delta's VACUUM retention check.
+
+    Orphan parts from failed/aborted attempts are collected by the
+    same sweep once they age out.  CAUTION (documented contract, same
+    as every lakehouse): retention must exceed (a) the longest-running
+    reader's lifetime — a reader that resolved a manifest before the
+    vacuum may lose files under it — and (b) the streaming-replay
+    horizon, because :func:`_find_tagged_version` idempotence forgets
+    tags whose manifests were vacuumed.
+
+    Driver-side O(files) metadata work only; returns
+    ``{"retained_versions", "dropped_versions", "deleted_files",
+    "kept_files"}``."""
+    import json
+    import os
+    import time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _snapshot_manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_dir}")
+    retained = versions[-keep_last:]
+    dropped = [v for v in versions if v not in retained]
+    live: set[str] = set()
+    for v in retained:
+        with open(os.path.join(table_dir, f"v{v}.manifest.json")) as fh:
+            live.update(json.load(fh)["files"])
+    deleted = []
+    parts_dir = os.path.join(table_dir, "parts")
+    now = time.time()
+    if os.path.isdir(parts_dir):
+        for f in sorted(os.listdir(parts_dir)):
+            rel = os.path.join("parts", f)
+            p = os.path.join(parts_dir, f)
+            if rel in live:
+                continue
+            if now - os.path.getmtime(p) < min_age_sec:
+                continue  # possibly an in-flight commit's staged part
+            os.remove(p)
+            deleted.append(rel)
+    # manifests go LAST: if the sweep crashes mid-delete, a dropped
+    # version's manifest may reference missing files (an unreadable
+    # version, detectable), but no retained version ever loses a file
+    for v in dropped:
+        os.remove(os.path.join(table_dir, f"v{v}.manifest.json"))
+    kept = sorted(os.listdir(parts_dir)) if os.path.isdir(parts_dir) else []
+    return {
+        "retained_versions": retained,
+        "dropped_versions": dropped,
+        "deleted_files": deleted,
+        "kept_files": [os.path.join("parts", f) for f in kept],
+    }
