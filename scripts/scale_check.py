@@ -121,6 +121,8 @@ def main() -> None:
 
     from xesmf_spark import release_persisted
     from xesmf_spark import queries as Q
+    from xesmf_spark import multimodal as MM
+    from xesmf_spark import relational as REL
     from xesmf_spark import similarity as SIM
     from xesmf_spark.session import get_spark
 
@@ -153,6 +155,56 @@ def main() -> None:
             "ann_ivfpq_top3",
             lambda d, s: SIM.ivfpq_topk(
                 emb_at(d), k=3, n_centroids=8 * s, n_probe=2
+            ),
+        ),
+        # r9 additions, synthetic inputs sized by the scale factor
+        # (their sf-dir queries use fixed-size corpora/graphs):
+        # hamming_pairs over n pseudo-random 64-bit hashes — honest
+        # caveat: with FIXED 16-bit bands, random-hash candidate pairs
+        # grow ~n^2/2^width once n >> band space; at true 100-TB n you
+        # widen the bands (the simhash_pairs bits=60 rule). 30k -> 300k
+        # stays in the ~linear regime the deployment would sit in.
+        (
+            "multimodal_hamming_pairs",
+            lambda d, s: MM.hamming_pairs(
+                spark.range(30_000 * s).select(
+                    F.col("id").alias("doc_id"),
+                    F.pmod(F.xxhash64("id"), F.lit(1 << 32)).alias("hash_lo"),
+                    F.pmod(
+                        F.xxhash64(F.col("id") + 1_000_000_000), F.lit(1 << 32)
+                    ).alias("hash_hi"),
+                ),
+                radius=3,
+            ),
+        ),
+        # 3-iteration integer PageRank on a synthetic 4-regular graph
+        # (n nodes, 4n edges, plus n/16 dangling sinks so the r9
+        # teleport term is exercised): per iteration one keyed
+        # edge-rank join + map-side SUM + one scalar anti-join agg
+        (
+            "relational_pagerank",
+            lambda d, s: REL.pagerank(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("src") * F.lit(m) + F.lit(a),
+                                    # route edges AWAY from ids
+                                    # divisible by 17 -> those nodes
+                                    # have no out-edges (dangling)
+                                    F.lit(50_000 * s),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("dst"),
+                )
+                .filter(F.col("src") % 17 != 0),
+                iters=3,
             ),
         ),
     ]

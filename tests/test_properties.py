@@ -466,3 +466,78 @@ def test_ivf_filtered_only_eligible_neighbors(spark):
     for r in got:
         ranks[r.query_id].append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 11),                       # key
+            st.sampled_from(["upsert", "delete"]),    # op
+            st.integers(0, 999),                      # value
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    base=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 999)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_tombstones_model(spark, ops, base):
+    """merge_upsert(op_col) against a dict model for ANY change batch:
+    base keys absent from the batch survive; any key in the batch is
+    replaced by the batch's surviving non-delete rows (multi-row keys
+    pass through as-is, so the model keeps every non-delete row)."""
+    from xesmf_spark.relational import merge_upsert
+
+    bdf = spark.createDataFrame(base or [(None, None)], "k int, v int")
+    if not base:
+        bdf = bdf.filter("k IS NOT NULL")
+    cdf = spark.createDataFrame(
+        ops or [(None, None, None)], "k int, op string, v int"
+    ).select("k", "v", "op")
+    if not ops:
+        cdf = cdf.filter("k IS NOT NULL")
+    got = sorted(
+        (r.k, r.v) for r in merge_upsert(bdf, cdf, "k", op_col="op").collect()
+    )
+    changed = {k for k, _, _ in ops}
+    want = sorted(
+        [(k, v) for k, v in base if k not in changed]
+        + [(k, v) for k, op, v in ops if op != "delete"]
+    )
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    hashes=st.lists(
+        st.tuples(st.integers(0, (1 << 32) - 1), st.integers(0, (1 << 32) - 1)),
+        min_size=2,
+        max_size=40,
+    ),
+    radius=st.sampled_from([1, 3, 7]),
+)
+def test_hamming_pairs_equals_brute_force_model(spark, hashes, radius):
+    """Pigeonhole banding == brute-force all-pairs popcount for ANY
+    hash multiset and any power-of-two band count (duplicate ids
+    collapse: ids are list positions, values may collide)."""
+    from xesmf_spark.multimodal import hamming_pairs
+
+    rows = [(i, lo, hi) for i, (lo, hi) in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "doc_id long, hash_lo long, hash_hi long")
+    got = {
+        (p.id_a, p.id_b): p.hamming
+        for p in hamming_pairs(df, radius=radius, max_bucket=None).collect()
+    }
+    want = {}
+    for i, (lo_a, hi_a) in enumerate(hashes):
+        for j in range(i + 1, len(hashes)):
+            lo_b, hi_b = hashes[j]
+            d = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+            if d <= radius:
+                want[(i, j)] = d
+    assert got == want
