@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_slope": Q.events_trend_slope,
         "orders_bucketed_join": Q.orders_bucketed_join,
         "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
+        "events_concurrent_sessions": Q.events_concurrent_sessions,
         "stream_cdc_apply": Q.stream_cdc_apply,
         "nations_trade_pagerank": Q.nations_trade_pagerank,
         "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
@@ -106,8 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
         "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
-        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
         # ---- tail: r7/r8 single-greens first in line, then multi-greens ----
+        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
         "pipeline_decontaminate": Q.pipeline_decontaminate,
         "orders_rollup": Q.orders_rollup,
         "events_pivot": Q.events_pivot,
@@ -1729,6 +1730,46 @@ WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changes)
 UNION ALL
 SELECT c_custkey, c_nationkey, c_mktsegment, acctbal_cents
 FROM changes WHERE op <> 'delete'
+""",
+        "events_concurrent_sessions": """
+-- global-running-sum replay of the distributed two-phase scan:
+-- carry_in + local_max per bucket == the max of ONE global running
+-- sum restricted to the bucket (the decomposition identity)
+WITH ev AS (SELECT user_id, EPOCH_NS(ts) AS tns FROM events),
+lagd AS (
+  SELECT user_id, tns,
+         LAG(tns) OVER (PARTITION BY user_id ORDER BY tns) AS prev
+  FROM ev
+),
+marks AS (
+  SELECT user_id, tns,
+         CASE WHEN prev IS NULL OR tns - prev > 1800000000000
+              THEN 1 ELSE 0 END AS newf
+  FROM lagd
+),
+sids AS (
+  SELECT user_id, tns,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY tns
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+sess AS (
+  SELECT user_id, sid, MIN(tns) AS s, MAX(tns) + 60000000000 AS e
+  FROM sids GROUP BY 1, 2
+),
+pts AS (
+  SELECT s AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT e AS ts, -1 AS d FROM sess
+),
+run AS (
+  SELECT ts, d,
+         SUM(d) OVER (ORDER BY ts, d ROWS UNBOUNDED PRECEDING) AS r
+  FROM pts
+)
+SELECT ts // 3600000000000 AS epoch_hour,
+       CAST(MAX(GREATEST(r, r - d)) AS BIGINT) AS max_concurrent
+FROM run GROUP BY 1
 """,
         "nations_trade_pagerank": """
 -- exact integer replay of the 3-iteration micro-unit PageRank

@@ -853,3 +853,42 @@ def test_pagerank_empty_graph(spark):
 
     out = pagerank(spark.createDataFrame([], "src long, dst long"))
     assert out.collect() == []
+
+
+def test_concurrency_profile_matches_dense_timeline(spark):
+    """The two-phase scan equals a brute-force dense-timeline count,
+    including buckets receiving their concurrency purely as carry-in
+    (an interval spanning several buckets) and the half-open tie rule
+    (end == another's start never overlaps)."""
+    from xesmf_spark.relational import concurrency_profile
+
+    # bucket width 10; intervals chosen to exercise: overlap in one
+    # bucket, a 3-bucket-spanning interval, an exact end==start tie,
+    # and a bucket (2) whose only contribution is carry
+    iv = [(0, 4), (2, 9), (5, 35), (9, 12), (12, 14), (20, 25)]
+    df = spark.createDataFrame(iv, "s long, e long")
+    got = {
+        r.bucket: r.max_concurrent
+        for r in concurrency_profile(df, "s", "e", 10).collect()
+    }
+    # brute force over the dense integer timeline
+    import collections
+
+    cnt = collections.Counter()
+    for s, e in iv:
+        for t in range(s, e):
+            cnt[t] += 1
+    want = {}
+    for t, c in cnt.items():
+        b = t // 10
+        want[b] = max(want.get(b, 0), c)
+    # operator omits endpoint-free buckets; every bucket it DOES emit
+    # must match the timeline max, and every endpoint-ful bucket must
+    # be emitted
+    endpoint_buckets = {p // 10 for s, e in iv for p in (s, e)}
+    assert set(got) == endpoint_buckets
+    for b, m in got.items():
+        assert m == want[b], (b, m, want)
+    # the half-open tie: at t=12 one interval ends and one starts —
+    # bucket 1 (10..19) peaks at 2 (the spanning + one of them), not 3
+    assert got[1] == 2

@@ -1590,6 +1590,47 @@ def events_props_variant(spark, sf_dir):
     )
 
 
+def events_concurrent_sessions(spark, sf_dir):
+    """Peak concurrent sessions per hour (relational.concurrency_profile
+    — sweep-line concurrency as a DISTRIBUTED two-phase prefix sum):
+    sessionize per user (30-min strict-gap rule, 1-min linger after the
+    last event), explode session bounds to ±1 endpoint deltas, running
+    sum WITHIN each hour bucket (parallel windows), then the carry scan
+    over the O(hours) bucket-net table — never a global sort of the
+    data. Half-open tie rule: a session ending exactly when another
+    starts never overlaps ((ts, delta ASC) ordering). The oracle
+    replays the identical recurrence with ONE global running sum —
+    carry_in + local_max == global-running max per bucket is the
+    correctness identity of the decomposition."""
+    from xesmf_spark.relational import concurrency_profile
+
+    HOUR = 3_600_000_000_000
+    GAP = 1_800_000_000_000
+    LINGER = 60_000_000_000
+    ev = _t(spark, sf_dir, "events").select("user_id", F.col("ts").alias("tns"))
+    w = Window.partitionBy("user_id").orderBy("tns")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("__prev", F.lag("tns").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("tns") - F.col("__prev") > GAP)
+            ).cast("int"),
+        )
+        .withColumn("__sid", F.sum("__new").over(wrun))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min("tns").alias("s"),
+            (F.max("tns") + F.lit(LINGER)).alias("e"),
+        )
+    )
+    return concurrency_profile(sess, "s", "e", HOUR).withColumnRenamed(
+        "bucket", "epoch_hour"
+    )
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel (relational.funnel_steps): users completing
     view -> click -> purchase in order within 7 days of the first
