@@ -1762,13 +1762,18 @@ pts AS (
   UNION ALL
   SELECT e AS ts, -1 AS d FROM sess
 ),
+ipts AS (
+  SELECT ts, CAST(SUM(d) AS BIGINT) AS d FROM pts GROUP BY ts
+),
 run AS (
   SELECT ts, d,
-         SUM(d) OVER (ORDER BY ts, d ROWS UNBOUNDED PRECEDING) AS r
-  FROM pts
+         SUM(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS r
+  FROM ipts
 )
 SELECT ts // 3600000000000 AS epoch_hour,
-       CAST(MAX(GREATEST(r, r - d)) AS BIGINT) AS max_concurrent
+       CAST(MAX(GREATEST(r, CASE WHEN ts % 3600000000000 = 0
+                                 THEN r ELSE r - d END)) AS BIGINT)
+         AS max_concurrent
 FROM run GROUP BY 1
 """,
         "nations_trade_pagerank": """

@@ -541,3 +541,39 @@ def test_hamming_pairs_equals_brute_force_model(spark, hashes, radius):
             if d <= radius:
                 want[(i, j)] = d
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 80), st.integers(1, 40)),  # (start, len)
+        min_size=1,
+        max_size=25,
+    ),
+    width=st.sampled_from([7, 10, 16]),
+)
+def test_concurrency_profile_matches_timeline_model(spark, iv, width):
+    """The two-phase scan equals the dense-timeline brute force for ANY
+    interval multiset and bucket width (half-open [s, e) semantics)."""
+    import collections
+
+    from xesmf_spark.relational import concurrency_profile
+
+    rows = [(s, s + ln) for s, ln in iv]
+    df = spark.createDataFrame(rows, "s long, e long")
+    got = {
+        r.bucket: r.max_concurrent
+        for r in concurrency_profile(df, "s", "e", width).collect()
+    }
+    cnt = collections.Counter()
+    for s, e in rows:
+        for t in range(s, e):
+            cnt[t] += 1
+    want = {}
+    for t, c in cnt.items():
+        b = t // width
+        want[b] = max(want.get(b, 0), c)
+    endpoint_buckets = {p // width for s, e in rows for p in (s, e)}
+    assert set(got) == endpoint_buckets
+    for b, m in got.items():
+        assert m == want.get(b, 0), (b, m, want.get(b))

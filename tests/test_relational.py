@@ -865,7 +865,9 @@ def test_concurrency_profile_matches_dense_timeline(spark):
     # bucket width 10; intervals chosen to exercise: overlap in one
     # bucket, a 3-bucket-spanning interval, an exact end==start tie,
     # and a bucket (2) whose only contribution is carry
-    iv = [(0, 4), (2, 9), (5, 35), (9, 12), (12, 14), (20, 25)]
+    # (0, 10) ends EXACTLY on the bucket edge: bucket 1 must NOT count
+    # it as active (half-open; its before-state belongs to bucket 0)
+    iv = [(0, 4), (2, 9), (5, 35), (9, 12), (12, 14), (20, 25), (0, 10)]
     df = spark.createDataFrame(iv, "s long, e long")
     got = {
         r.bucket: r.max_concurrent
@@ -890,5 +892,6 @@ def test_concurrency_profile_matches_dense_timeline(spark):
     for b, m in got.items():
         assert m == want[b], (b, m, want)
     # the half-open tie: at t=12 one interval ends and one starts —
-    # bucket 1 (10..19) peaks at 2 (the spanning + one of them), not 3
+    # bucket 1 (10..19) peaks at 2 (the spanning + one of them), not 3;
+    # the edge-exact (0, 10) end contributes nothing to bucket 1
     assert got[1] == 2

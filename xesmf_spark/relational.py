@@ -940,10 +940,10 @@ def concurrency_profile(
     Phase 1 is one keyed exchange over endpoint volume; phase 2 runs
     on rows = distinct buckets. No global sort of the data anywhere.
 
-    Tie rule (half-open intervals): at equal timestamp the ``-1``
-    applies before the ``+1`` — an interval ending exactly when
-    another starts never counts as overlap. The window orders by
-    (ts, delta ASC), which is total because delta is ±1; exact
+    Half-open ``[start, end)`` semantics: deltas collapse PER INSTANT
+    before the scan (one row per distinct timestamp), so an interval
+    ending exactly when another starts nets to zero — never counted as
+    overlap — and the scan order is total with no tie rule. Exact
     integers throughout, so any SQL engine replays it bit-for-bit.
 
     Output: (bucket, max_concurrent) for every bucket containing at
@@ -957,18 +957,38 @@ def concurrency_profile(
     ).unionAll(
         intervals.select(F.col(end_col).alias("__ts"), F.lit(-1).alias("__d"))
     )
-    pts = pts.withColumn("bucket", _floor_div(F.col("__ts"), bucket_ns))
+    # collapse deltas PER INSTANT first: concurrency is only observable
+    # after ALL deltas at an instant apply — an intermediate running
+    # value inside a same-instant group (e.g. the first of two ends at
+    # the same ts) is not a real state and must never become a peak.
+    # This also makes the scan order total with no tie rule: one row
+    # per (bucket, instant).
+    inst = (
+        pts.withColumn("bucket", _floor_div(F.col("__ts"), bucket_ns))
+        .groupBy("bucket", "__ts")
+        .agg(F.sum("__d").alias("__d"))
+    )
     w_in = (
         Window.partitionBy("bucket")
-        .orderBy(F.col("__ts").asc(), F.col("__d").asc())
+        .orderBy(F.col("__ts").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # peak per point = max(running AFTER this delta, running BEFORE
-    # it): the "before" leg makes a bucket whose first endpoint is a
-    # -1 still report the concurrency carried INTO it (active
-    # intervals peak before their end event, not at it)
-    local = pts.withColumn("__run", F.sum("__d").over(w_in)).withColumn(
-        "__peak", F.greatest(F.col("__run"), F.col("__run") - F.col("__d"))
+    # peak per instant = max(running AFTER its deltas, running BEFORE
+    # them): the "before" leg makes a bucket whose first endpoint is an
+    # end still report the concurrency carried INTO it (an active
+    # interval peaks before its end event). EXCEPT at a bucket's exact
+    # first instant (ts == bucket*span): the before-state held only in
+    # the PREVIOUS bucket — counting it would report an interval ending
+    # exactly on the edge as active in a bucket it never touched.
+    edge = (((F.col("__ts") % bucket_ns) + bucket_ns) % bucket_ns) == 0
+    local = inst.withColumn("__run", F.sum("__d").over(w_in)).withColumn(
+        "__peak",
+        F.greatest(
+            F.col("__run"),
+            F.when(edge, F.col("__run")).otherwise(
+                F.col("__run") - F.col("__d")
+            ),
+        ),
     )
     per_bucket = local.groupBy("bucket").agg(
         F.max("__peak").alias("__local_max"),
