@@ -181,6 +181,25 @@ def main() -> None:
         # (n nodes, 4n edges, plus n/16 dangling sinks so the r9
         # teleport term is exercised): per iteration one keyed
         # edge-rank join + map-side SUM + one scalar anti-join agg
+        # sweep-line concurrency: 200k -> 2M synthetic intervals over a
+        # fixed horizon; phase 1 is parallel per-bucket windows, phase 2
+        # a constant-size carry scan — time should track endpoint volume
+        (
+            "relational_concurrency",
+            lambda d, s: REL.concurrency_profile(
+                spark.range(200_000 * s).select(
+                    F.pmod(F.col("id") * 7919, F.lit(86_400_000)).alias("s"),
+                    (
+                        F.pmod(F.col("id") * 7919, F.lit(86_400_000))
+                        + F.pmod(F.col("id"), F.lit(600_000))
+                        + 1
+                    ).alias("e"),
+                ),
+                "s",
+                "e",
+                3_600_000,
+            ),
+        ),
         (
             "relational_pagerank",
             lambda d, s: REL.pagerank(
