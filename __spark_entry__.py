@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bucketed_join": Q.orders_bucketed_join,
         "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
         "events_concurrent_sessions": Q.events_concurrent_sessions,
+        "orders_table_diff": Q.orders_table_diff,
+        "orders_priority_pit": Q.orders_priority_pit,
         "stream_cdc_apply": Q.stream_cdc_apply,
         "nations_trade_pagerank": Q.nations_trade_pagerank,
         "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
@@ -105,9 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_count": Q.tpch_q16_supplier_count,
         "tpch_q20_excess_shippers": Q.tpch_q20_excess_shippers,
         "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
+        # ---- tail: r7/r8 single-greens first in line, then multi-greens ----
         "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
-        # ---- tail: r7/r8 single-greens first in line, then multi-greens ----
         "pipeline_unigram_quality": Q.pipeline_unigram_quality,
         "pipeline_decontaminate": Q.pipeline_decontaminate,
         "orders_rollup": Q.orders_rollup,
@@ -1775,6 +1777,40 @@ SELECT ts // 3600000000000 AS epoch_hour,
                                  THEN r ELSE r - d END)) AS BIGINT)
          AS max_concurrent
 FROM run GROUP BY 1
+""",
+        "orders_table_diff": """
+-- planted-drift replay: status per key is closed-form, so the diff
+-- operator's full-outer NULL-safe classification must reproduce it
+WITH st AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'removed'
+              WHEN o_orderkey % 13 = 1 THEN 'changed'
+              ELSE 'unchanged' END AS s
+  FROM orders
+  UNION ALL
+  SELECT -o_orderkey, 'added' FROM orders WHERE o_orderkey % 13 = 2
+)
+SELECT s AS diff_status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+FROM st GROUP BY 1
+""",
+        "orders_priority_pit": """
+-- native ASOF LEFT JOIN over the same sparse change stream: the
+-- operator's backward walk must equal the engine's built-in PIT join
+WITH changes AS (
+  SELECT o_custkey, o_orderdate AS cd,
+         MAX(CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER)) AS prio_digit
+  FROM orders WHERE o_orderkey % 5 = 0
+  GROUP BY 1, 2
+),
+pit AS (
+  SELECT o.o_orderkey, c.prio_digit
+  FROM orders o
+  ASOF LEFT JOIN changes c
+    ON o.o_custkey = c.o_custkey AND c.cd <= o.o_orderdate
+)
+SELECT prio_digit AS prio_at_order, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM pit GROUP BY 1
 """,
         "nations_trade_pagerank": """
 -- exact integer replay of the 3-iteration micro-unit PageRank

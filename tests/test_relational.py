@@ -895,3 +895,37 @@ def test_concurrency_profile_matches_dense_timeline(spark):
     # bucket 1 (10..19) peaks at 2 (the spanning + one of them), not 3;
     # the edge-exact (0, 10) end contributes nothing to bucket 1
     assert got[1] == 2
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    """added/removed/changed/unchanged per key; NULL<=>NULL is
+    unchanged, NULL vs value is changed; missing column rejected."""
+    from xesmf_spark.relational import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, v string, x int",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "C", 30), (4, "now", 40), (5, "new", 50)],
+        "k long, v string, x int",
+    )
+    got = {r.k: r.diff_status for r in table_diff(left, right, "k").collect()}
+    assert got == {
+        1: "unchanged",
+        2: "unchanged",   # NULL <=> NULL
+        3: "changed",
+        4: "changed",     # NULL vs value
+        5: "added",
+    }
+    got2 = {r.k: r.diff_status for r in table_diff(right, left, "k").collect()}
+    assert got2[5] == "removed"
+    # compare_cols restriction: only v considered -> x divergence invisible
+    l2 = spark.createDataFrame([(1, "a", 1)], "k long, v string, x int")
+    r2 = spark.createDataFrame([(1, "a", 999)], "k long, v string, x int")
+    assert table_diff(l2, r2, "k", compare_cols=["v"]).collect()[0].diff_status == "unchanged"
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        table_diff(left, right.drop("x"), "k")

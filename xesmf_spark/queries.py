@@ -3739,6 +3739,70 @@ def customers_upsert_delete(spark, sf_dir):
     return merge_upsert(base, changes, "c_custkey", op_col="op")
 
 
+def orders_table_diff(spark, sf_dir):
+    """Table reconciliation (relational.table_diff — the migration
+    audit primitive): orders vs a replica with planted drift — keys
+    %13==0 dropped (removed), %13==1 repriced +123.45 (changed),
+    %13==2 re-landed negated as new keys (added), the rest identical
+    (unchanged). ONE full-outer keyed join + NULL-safe per-column
+    compare; per-status count + exact key-sum checksum so a single
+    misclassified key flips the hash."""
+    from xesmf_spark.relational import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    changed = o.filter(F.col("o_orderkey") % 13 == 1).withColumn(
+        "cents", F.col("cents") + F.lit(12_345)
+    )
+    added = o.filter(F.col("o_orderkey") % 13 == 2).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"), "o_orderstatus", "cents"
+    )
+    kept = o.filter((F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 13 != 1))
+    replica = kept.unionByName(changed).unionByName(added)
+    d = table_diff(o, replica, "o_orderkey")
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+def orders_priority_pit(spark, sf_dir):
+    """POINT-IN-TIME join against the SCD2 dimension (asof_join ∘
+    scd2_build — the warehouse fact-to-history attach): priority
+    changes exist only on dates where the customer placed a %5==0
+    order (a sparse change stream), so most facts must walk BACKWARD
+    to an earlier version; facts before a customer's first change get
+    NULL (the dimension had no row yet — LEFT semantics). The asof
+    backward match on valid_from IS the interval containment because
+    SCD2 intervals tile the timeline. Oracle: DuckDB's native ASOF
+    LEFT JOIN over the same sparse change stream."""
+    from xesmf_spark.relational import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    digit = F.substring("o_orderpriority", 1, 1).cast("int")
+    changes = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(digit).alias("prio_digit"))
+    )
+    facts = o.select("o_orderkey", "o_custkey", F.col("o_orderdate").alias("od"))
+    hist = changes.select(
+        "o_custkey", F.col("o_orderdate").alias("od"), "prio_digit"
+    )
+    pit = asof_join(facts, hist, on="o_custkey", ts="od", direction="backward")
+    return pit.groupBy(F.col("prio_digit_r").alias("prio_at_order")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def nations_trade_pagerank(spark, sf_dir):
     """Fixed-3-iteration PageRank (relational.pagerank) over the
     supplier-nation -> customer-nation trade graph (distinct pairs
