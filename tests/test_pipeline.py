@@ -1299,3 +1299,26 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     assert set(got) == {3, 9}
     assert got[3] == (1, 3, 1_000_000)  # component label = min id, size 3
     assert got[9] == (9, 1, 1_000_000)
+
+
+def test_assign_split_fractions_and_repartition_stability(spark):
+    """Deterministic split: fractions land near the weights, every row
+    gets exactly one split, and the assignment is IDENTICAL after a
+    repartition/shuffle (the md5-threshold stability contract)."""
+    from xesmf_spark.pipeline import assign_split
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    out = assign_split(df, "doc_id", (0.8, 0.1, 0.1), ("train", "val", "test"))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    assert abs(counts["test"] / 4000 - 0.1) < 0.02
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(
+            df.repartition(17), "doc_id", (0.8, 0.1, 0.1), ("train", "val", "test")
+        ).collect()
+    }
+    assert a == b

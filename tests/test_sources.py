@@ -322,3 +322,42 @@ def test_snapshot_vacuum_retention_and_age_guard(spark, tmp_path):
     assert on_disk == live
     with _pytest.raises(ValueError):
         snapshot_vacuum(d, keep_last=0)
+
+
+def test_snapshot_vacuum_crash_between_phases_keeps_retained_readable(
+    spark, tmp_path
+):
+    """The sweep deletes parts BEFORE manifests, so the worst crash
+    state (unreferenced parts gone, dropped manifests still present)
+    leaves every RETAINED version fully readable; the dropped versions
+    are detectably broken (missing files), and a re-run of the sweep
+    completes the job."""
+    import pytest as _pytest
+
+    from xesmf_spark.sources import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    d = str(tmp_path / "snap")
+    snapshot_commit(spark.createDataFrame([(1,)], "k long"), d, "append")
+    snapshot_commit(spark.createDataFrame([(2,)], "k long"), d, "append")
+    snapshot_commit(spark.createDataFrame([(9,)], "k long"), d, "overwrite")
+    # simulate the crash state by hand: delete exactly what phase 1
+    # would (parts referenced by no retained manifest), keep manifests
+    live = set(json.load(open(os.path.join(d, "v3.manifest.json")))["files"])
+    parts_dir = os.path.join(d, "parts")
+    for f in list(os.listdir(parts_dir)):
+        if os.path.join("parts", f) not in live:
+            os.remove(os.path.join(parts_dir, f))
+    # retained version: intact
+    assert {r.k for r in snapshot_read(spark, d).collect()} == {9}
+    # dropped versions: detectably broken (their manifests reference
+    # deleted files), not silently wrong
+    with _pytest.raises(Exception):
+        snapshot_read(spark, d, 1).collect()
+    # re-running the sweep completes: manifests removed, table healthy
+    stats = snapshot_vacuum(d, keep_last=1)
+    assert stats["dropped_versions"] == [1, 2]
+    assert {r.k for r in snapshot_read(spark, d).collect()} == {9}
