@@ -650,3 +650,63 @@ def test_cdc_apply_stream_tombstones(spark, tmp_path):
     raw = latest_rollup_state(spark, state)
     ops = {r.user_id: r.op for r in raw.collect()}
     assert ops == {1: "delete", 2: "upsert", 3: "upsert"}
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas (the Spark 4 StatefulProcessor API)
+    ships a protobuf-based driver-worker channel; this container has no
+    google.protobuf, so the runner crashes at init. The CAPABILITY is
+    covered by the applyInPandasWithState sessionizer and the
+    foreachBatch versioned-state operators; this gate documents why
+    the newer API surface is not exercised here."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _tws_available(), reason="google.protobuf absent — transformWithState runner cannot start in this container")
+def test_transform_with_state_running_count(spark, tmp_path):
+    """Per-key running count via the Spark 4 StatefulProcessor API,
+    equal to the batch groupBy count on a finite stream."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Counter(StatefulProcessor):
+        def init(self, handle):
+            self._cnt = handle.getValueState("cnt", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._cnt.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 5), (1, 6), (2, 7)], "user_id long, v long"
+    ).write.parquet(src)
+    st = spark.readStream.schema("user_id long, v long").parquet(src)
+    out = st.groupBy("user_id").transformWithStateInPandas(
+        Counter(),
+        outputStructType="user_id bigint, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_test")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {r.user_id: r.n for r in spark.sql("SELECT * FROM tws_test").collect()}
+    assert got == {1: 2, 2: 1}
