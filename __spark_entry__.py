@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-surface record (CORRECTNESS_FULL_r9.json) + tri-scale runs.
     return {
         # (a) zero-evidence + r9-changed, then (b) oldest single-greens
+        "pipeline_bpe_train": Q.pipeline_bpe_train,
+        "pipeline_bpe_encode": Q.pipeline_bpe_encode,
         "customers_upsert_delete": Q.customers_upsert_delete,
         "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "documents_inverted_index": Q.documents_inverted_index,
@@ -221,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipeline_bpe_train": PO.bpe_train_sql(8),
+        "pipeline_bpe_encode": PO.bpe_encode_sql(8),
         "regrid_conservative": O.regrid_oracle_sql("conservative"),
         # the general polygon-clipping builder on the same fixture pair —
         # identical closed-form oracle (same spherical-area measure)

@@ -104,6 +104,18 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # measurement pins, recorded so cross-round comparisons are
+        # read against the actual condition (r9 ADVICE: the cold
+        # metric's name predates the pin)
+        "conditions": {
+            "apply_vectorized_cold": (
+                "cold executors, WARM page cache (inputs pre-touched "
+                "untimed), JVM System.gc() drained before the timed "
+                "window; not comparable to pre-r9 unpinned cold runs"
+            ),
+            "apply_vectorized_inram_equiv": "min of 6 repeats",
+            "apply_vectorized_0.96GB": "min of 6 repeats",
+        },
     }
     # empirical 10x scale-check section (scripts/scale_check.py writes
     # SCALING_LOCAL.json; re-run it when the heavy operators change) —

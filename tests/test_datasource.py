@@ -192,6 +192,33 @@ def test_stream_reader_restart_monotone_with_sidecar(tmp_path):
     assert sum(max(p.hi - p.lo, 0) for p in parts) == 0
 
 
+def test_manifest_legacy_plain_manifest_readable_and_chained(spark, tmp_path):
+    """A directory committed by the pre-generation code (plain
+    _MANIFEST.json) reads as generation 0, and an append CHAINS from
+    its parts instead of orphaning them (r9 ADVICE)."""
+    import json as _json
+    import os
+
+    d = str(tmp_path / "legacy")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-legacy-0.jsonl"), "w") as f:
+        f.write('{"doc_id": 100, "text": "old"}\n')
+    with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+        _json.dump(
+            {"parts": [{"filename": "part-legacy-0.jsonl", "n_rows": 1}]}, f
+        )
+    SCHEMA = "doc_id long, text string"
+    got = {r.doc_id for r in DS.read_manifest_jsonl(spark, d, SCHEMA).collect()}
+    assert got == {100}
+    spark.dataSource.register(DS.ManifestJsonl)
+    df2 = spark.range(10, 12).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    df2.coalesce(1).write.format("manifest_jsonl").option("path", d).mode(
+        "append"
+    ).save()
+    got = {r.doc_id for r in DS.read_manifest_jsonl(spark, d, SCHEMA).collect()}
+    assert got == {100, 10, 11}
+
+
 def test_manifest_append_unions_previous_parts(spark, tmp_path):
     """A second append commit must keep the first commit's rows (the
     manifest unions parts); overwrite resets."""

@@ -353,6 +353,21 @@ def test_merge_upsert_tombstones(spark):
         merge_upsert(base, changes, "k")
 
 
+def test_merge_upsert_null_op_is_upsert(spark):
+    """A NULL op value is an upsert, not a delete (r9 ADVICE: the
+    plain != predicate NULLed out and silently dropped the row)."""
+    from xesmf_spark.relational import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "A", None), (2, "ZZ", "delete"), (3, "c", None)],
+        "k long, v string, op string",
+    )
+    out = merge_upsert(base, changes, "k", op_col="op")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "A", 3: "c"}
+
+
 def test_merge_upsert_composite_key(spark):
     """Composite-key upserts replace only exact key matches."""
     from xesmf_spark.relational import merge_upsert

@@ -27,6 +27,7 @@ from xesmf_spark.relational import (
     rollup_delta,
     salted_join,
 )
+from xesmf_spark.bpe import bpe_encode, bpe_train
 from xesmf_spark.pipeline import (
     assign_split,
     decontaminate,
@@ -76,4 +77,6 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "text_stats",
+    "bpe_train",
+    "bpe_encode",
 ]

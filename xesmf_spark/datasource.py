@@ -199,7 +199,7 @@ class ManifestJsonlWriter(DataSourceWriter):
                 parts = prev["parts"] + parts
             manifest = {
                 "parts": sorted(parts, key=lambda p: p["filename"]),
-                "n_rows": sum(p["n_rows"] for p in parts),
+                "n_rows": sum(p.get("n_rows", 0) for p in parts),
             }
             tmp = os.path.join(self.path, f"._MANIFEST.{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
@@ -251,6 +251,15 @@ def _latest_manifest(path):
             if m and int(m.group(1)) > best:
                 best = int(m.group(1))
                 with open(os.path.join(path, f)) as fh:
+                    manifest = _json.load(fh)
+        if manifest is None:
+            # Legacy layout (pre-generation commits wrote a plain
+            # _MANIFEST.json): treat it as generation 0 so an append
+            # on an old directory chains from the existing parts
+            # instead of silently orphaning them.
+            legacy = os.path.join(path, "_MANIFEST.json")
+            if os.path.isfile(legacy):
+                with open(legacy) as fh:
                     manifest = _json.load(fh)
     return best, manifest
 

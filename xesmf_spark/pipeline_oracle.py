@@ -1219,3 +1219,112 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM cand
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------- BPE
+
+#: word-frequency model + positional symbol table (step0) — the
+#: relational replay of xesmf_spark.bpe training state.  BPE's merge
+#: loop is per-word, so the oracle (like the engine) works on DISTINCT
+#: words weighted by corpus frequency.
+_BPE_WORDS_CTE = r"""
+bwords AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS word
+    FROM documents
+  ) WHERE length(word) > 0
+  GROUP BY word
+),
+step0 AS MATERIALIZED (
+  SELECT word, freq, u.pos AS pos, u.sym AS sym FROM (
+    SELECT word, freq,
+           unnest(list_transform(string_split(word, ''),
+                                 (c, i) -> {'sym': c, 'pos': i})) AS u
+    FROM bwords
+  )
+)"""
+
+
+def _bpe_iter_ctes(k: int) -> str:
+    """CTEs for one BPE merge iteration ``k`` (1-based), reading
+    ``step{k-1}`` and producing ``best{k}`` + ``step{k}``.
+
+    The greedy left-to-right non-overlap rule is run-parity selection:
+    adjacent-position matches overlap (share the middle symbol), so
+    within each maximal RUN of consecutive match positions the sweep
+    fuses the 1st, 3rd, 5th ... occurrence — `pos - row_number()` is
+    the classic run key, a second ROW_NUMBER gives position-in-run,
+    odd ranks win.  This is a DIFFERENT algorithm from the engine's
+    ``aggregate`` fold (positional joins vs a sequential fold), which
+    is the point: two independent formulations must agree."""
+    p = k - 1
+    return f"""
+pairs{k} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.freq) AS BIGINT) AS cnt
+  FROM step{p} a JOIN step{p} b ON a.word = b.word AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+best{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pairs{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+match{k} AS MATERIALIZED (
+  SELECT a.word, a.pos
+  FROM step{p} a
+  JOIN step{p} b ON a.word = b.word AND b.pos = a.pos + 1
+  JOIN best{k} bb ON a.sym = bb.l AND b.sym = bb.r
+),
+sel{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           ROW_NUMBER() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS kir
+    FROM (
+      SELECT word, pos,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM match{k}
+    )
+  ) WHERE kir % 2 = 1
+),
+step{k} AS MATERIALIZED (
+  SELECT word, freq,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+  FROM (
+    SELECT s.word, s.freq, s.pos,
+           CASE WHEN st.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+    FROM step{p} s
+    LEFT JOIN sel{k} st ON s.word = st.word AND s.pos = st.pos
+    LEFT JOIN sel{k} dr ON s.word = dr.word AND s.pos = dr.pos + 1
+    LEFT JOIN step{p} nx ON s.word = nx.word AND nx.pos = s.pos + 1
+    WHERE dr.pos IS NULL
+  )
+)"""
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """Full relational replay of ``bpe.bpe_train`` — the learned merge
+    table ``(rank, lhs, rhs, merged, pair_count)``."""
+    ctes = _BPE_WORDS_CTE + "".join(
+        "," + _bpe_iter_ctes(k) for k in range(1, n_merges + 1)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, l AS lhs, r AS rhs,"
+        f" l || r AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\n{rows}"
+
+
+def bpe_encode_sql(n_merges: int = 8) -> str:
+    """Corpus token frequencies under the learned merges.  The train
+    replay's final state table IS the encoding of every in-vocab word
+    (one greedy sweep per rank — see xesmf_spark/bpe.py for why that
+    equals priority-order encoding), so corpus token frequency =
+    SUM(word freq) grouped by final symbol."""
+    ctes = _BPE_WORDS_CTE + "".join(
+        "," + _bpe_iter_ctes(k) for k in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS freq\n"
+        f"FROM step{n_merges} GROUP BY sym"
+    )

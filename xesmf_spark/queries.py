@@ -2399,6 +2399,49 @@ def pipeline_weighted_sample(spark, sf_dir):
     )
 
 
+def pipeline_bpe_train(spark, sf_dir):
+    """Distributed BPE subword training (bpe.bpe_train, 8 merges): the
+    learned merge table. Per iteration: one exploded-pair groupBy-SUM
+    over the DISTINCT-WORD table + a 1-row TakeOrdered collect (the
+    winning pair — bounded driver scalar, the pagerank discipline) + a
+    pure-JVM aggregate-fold sweep; lineage truncated per iteration via
+    localCheckpoint. Exact BIGINT pair counts with (count desc, lhs,
+    rhs) tie-break make the loop bit-for-bit replayable — the oracle
+    re-derives all 8 merges RELATIONALLY (positional symbol table +
+    run-parity greedy selection: pipeline_oracle.bpe_train_sql), a
+    genuinely independent second algorithm."""
+    from xesmf_spark.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank long, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def pipeline_bpe_encode(spark, sf_dir):
+    """BPE corpus encoding (bpe.bpe_encode, Arrow-kernel path): train 8
+    merges, encode every document with per-batch word memoization
+    (cost per DISTINCT word, zero shuffle), then corpus token
+    frequencies. Oracle: the relational train replay's FINAL state
+    table is the encoding of every in-vocab word (one greedy sweep per
+    rank == priority-order encoding — proof in xesmf_spark/bpe.py), so
+    token freq = SUM(word_freq) GROUP BY final symbol."""
+    from xesmf_spark.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=8)
+    enc = bpe_encode(docs, merges, use_kernel=True)
+    return (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def pipeline_token_budget(spark, sf_dir):
     """Data selection under a token budget
     (pipeline.select_token_budget): the highest-quality strict prefix
@@ -4016,7 +4059,9 @@ def orders_snapshot_vacuum(spark, sf_dir):
     v3 = snapshot_commit(o.filter(F.col("o_orderstatus") == "F"), d, "overwrite")
     with open(os.path.join(d, "parts", "part_orphan_00000.parquet"), "wb") as f:
         f.write(b"not a committed part")
-    stats = snapshot_vacuum(d, keep_last=1)
+    # min_age_sec=0: this test table was written seconds ago; the
+    # production default (7 days, Delta-style) would skip everything.
+    stats = snapshot_vacuum(d, keep_last=1, min_age_sec=0)
     gone = []
     for v in (1, 2):
         try:

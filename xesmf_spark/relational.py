@@ -521,7 +521,9 @@ def merge_upsert(
     survivors = base.join(updates, keys, "left_anti")
     if op_col is None:
         return survivors.unionByName(updates)
-    live = updates.filter(F.col(op_col) != "delete").drop(op_col)
+    # NULL-safe: a NULL op is an upsert, not a delete — plain
+    # ``op != 'delete'`` evaluates to NULL and silently drops the row.
+    live = updates.filter(~F.col(op_col).eqNullSafe("delete")).drop(op_col)
     return survivors.unionByName(live)
 
 

@@ -331,9 +331,9 @@ def snapshot_commit(
       invisible — snapshot isolation and time travel fall out of the
       same property.
 
-    Old versions stay readable until ``snapshot_vacuum`` (not
-    implemented — retention policy is deployment-specific; nothing
-    here deletes data files).
+    Old versions stay readable until :func:`snapshot_vacuum` expires
+    them (retention sweep: keep-last + min-age two-condition delete);
+    nothing in ``snapshot_commit`` itself ever deletes data files.
 
     Scale shape: the data write is an ordinary distributed parquet
     job; the manifest is O(files) driver-side JSON.  At 100 TB the
@@ -445,7 +445,7 @@ def snapshot_read(
 def snapshot_vacuum(
     table_dir: str,
     keep_last: int = 1,
-    min_age_sec: float = 0.0,
+    min_age_sec: float = 7 * 24 * 3600.0,
 ) -> dict:
     """Retention sweep over a snapshot-versioned table — the VACUUM /
     expire-snapshots half of the MVCC lifecycle

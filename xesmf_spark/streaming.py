@@ -740,7 +740,9 @@ def cdc_apply_stream(
     if final is None:
         raise RuntimeError(f"cdc_apply_stream produced no state under {state_dir}")
     if op_col is not None:
-        final = final.filter(F.col(op_col) != "delete").drop(op_col)
+        # NULL-safe: a NULL op is an upsert; plain != would NULL out
+        # the predicate and drop the row from the live view.
+        final = final.filter(~F.col(op_col).eqNullSafe("delete")).drop(op_col)
     return final
 
 
