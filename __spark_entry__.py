@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) zero-evidence + r9-changed, then (b) oldest single-greens
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
+        "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
+        "multimodal_image_resize_png": Q.multimodal_image_resize_png,
         "customers_upsert_delete": Q.customers_upsert_delete,
         "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "documents_inverted_index": Q.documents_inverted_index,
@@ -221,10 +223,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+#: recompute every output byte of the decode->grayscale->resample
+#: chain arithmetically: source pixel (r,c,ch) of image d is
+#: (d + 7r + 13c + 29ch) mod 256; nearest-neighbor 16->8 picks
+#: (2i, 2j); grayscale is the truncated channel mean
+_IMG_RESIZE_ORACLE = """
+WITH g AS (SELECT CAST(t.d AS BIGINT) AS doc_id FROM range(0, 48) t(d)),
+px AS (
+  SELECT doc_id,
+         ((doc_id + 14 * a.i + 26 * b.j) % 256
+          + (doc_id + 14 * a.i + 26 * b.j + 29) % 256
+          + (doc_id + 14 * a.i + 26 * b.j + 58) % 256) // 3 AS gray
+  FROM g, range(0, 8) a(i), range(0, 8) b(j)
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS width,
+       CAST(SUM(gray) AS BIGINT) AS byte_sum,
+       CAST(MIN(gray) AS BIGINT) AS byte_min,
+       CAST(MAX(gray) AS BIGINT) AS byte_max
+FROM px
+GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_bpe_train": PO.bpe_train_sql(8),
         "pipeline_bpe_encode": PO.bpe_encode_sql(8),
+        # same replay as ann_pq_top3: the sharded plan is value-identical
+        "ann_pq_top3_sharded": PO.ann_pq_topk_sql(),
         "regrid_conservative": O.regrid_oracle_sql("conservative"),
         # the general polygon-clipping builder on the same fixture pair —
         # identical closed-form oracle (same spherical-area measure)
@@ -1540,28 +1568,10 @@ SELECT c_nationkey,
 FROM o JOIN c USING (k)
 GROUP BY c_nationkey
 """,
-        "multimodal_image_resize": """
--- recompute every output byte of the decode->grayscale->resample
--- chain arithmetically: source pixel (r,c,ch) of image d is
--- (d + 7r + 13c + 29ch) mod 256; nearest-neighbor 16->8 picks
--- (2i, 2j); grayscale is the truncated channel mean
-WITH g AS (SELECT CAST(t.d AS BIGINT) AS doc_id FROM range(0, 48) t(d)),
-px AS (
-  SELECT doc_id,
-         ((doc_id + 14 * a.i + 26 * b.j) % 256
-          + (doc_id + 14 * a.i + 26 * b.j + 29) % 256
-          + (doc_id + 14 * a.i + 26 * b.j + 58) % 256) // 3 AS gray
-  FROM g, range(0, 8) a(i), range(0, 8) b(j)
-)
-SELECT doc_id,
-       CAST(8 AS BIGINT) AS height,
-       CAST(8 AS BIGINT) AS width,
-       CAST(SUM(gray) AS BIGINT) AS byte_sum,
-       CAST(MIN(gray) AS BIGINT) AS byte_min,
-       CAST(MAX(gray) AS BIGINT) AS byte_max
-FROM px
-GROUP BY doc_id
-""",
+        "multimodal_image_resize": _IMG_RESIZE_ORACLE,
+        # identical recompute: the payload format (BMP vs PNG, cycling
+        # scanline filters) must be invisible to the decoded bytes
+        "multimodal_image_resize_png": _IMG_RESIZE_ORACLE,
         "ann_ivf_recall": f"""
 WITH exact_q AS ({PO.ann_cosine_topk_sql()}),
 approx_q AS ({PO.ann_ivf_topk_sql()}),

@@ -255,3 +255,70 @@ def test_hamming_pairs_radius_validation_and_exact_copy(spark):
 
     with _pytest.raises(ValueError):
         hamming_pairs(hashes, radius=2)  # 3 bands don't tile 64 bits
+
+
+def test_png_roundtrip_exact_all_filters():
+    """encode_png -> decode_image is the identity for gray/RGB/RGBA
+    arrays under every scanline filter type and the cycling default,
+    including 1-pixel edges (no left/up neighbors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (16, 16, 4), (16, 16), (1, 1, 3), (5, 3, 3), (7, 1, 4), (2, 9)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filters in [None, 0, 1, 2, 3, 4]:
+            back = MM.decode_image(MM.encode_png(arr, filters=filters))
+            assert back.shape == arr.shape, (shape, filters)
+            assert (back == arr).all(), (shape, filters)
+
+
+def test_png_rejects_unsupported_loudly():
+    """16-bit depth, interlace, palette color and truncated IDAT are
+    rejected, never mis-decoded."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = MM.encode_png(arr)
+
+    def patch_ihdr(payload, **fields):
+        # IHDR data starts at 16 (8 sig + 4 len + 4 tag)
+        w, h, depth, ct, comp, filt, il = struct.unpack(">IIBBBBB", payload[16:29])
+        d = dict(w=w, h=h, depth=depth, ct=ct, comp=comp, filt=filt, il=il)
+        d.update(fields)
+        ihdr = struct.pack(
+            ">IIBBBBB", d["w"], d["h"], d["depth"], d["ct"], d["comp"], d["filt"], d["il"]
+        )
+        crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        return payload[:16] + ihdr + crc + payload[33:]
+
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(patch_ihdr(good, depth=16))
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(patch_ihdr(good, il=1))
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(patch_ihdr(good, ct=3))  # palette
+    # truncated IDAT -> zlib error or scanline-size mismatch, not junk
+    with _pytest.raises(Exception):
+        MM._png_decode(good[:-20])
+
+
+def test_resize_images_decodes_real_png(spark):
+    """The Arrow resize kernel consumes PNG payloads through the same
+    decode_image dispatch as BMP — format-invisible results."""
+    import numpy as np
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    img = ((3 + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+    rows = [
+        (0, bytearray(MM.encode_bmp(img))),
+        (1, bytearray(MM.encode_png(img))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: bytes(r.pixels) for r in MM.resize_images(df, out_h=8, out_w=8).collect()}
+    assert out[0] == out[1]

@@ -277,6 +277,41 @@ def test_pq_topk_matches_numpy_replay(spark):
     assert enc == {int(i): list(map(int, c)) for i, c in zip(ids, codes)}
 
 
+def test_pq_topk_sharded_matches_broadcast(spark):
+    """pq_topk(sharded=True) — codes never collected, SUMMA cogroup —
+    is value-identical to the broadcast plan, including with trained
+    codebooks and asymmetric shard/block counts."""
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3, sharded=True).collect()
+    }
+    assert got == want
+    got_asym = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(
+            emb, k=3, sharded=True, q_blocks=3, p_shards=5
+        ).collect()
+    }
+    assert got_asym == want
+    cb = SIM.pq_train_codebooks(emb, n_iters=2)
+    want_t = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3, codebooks=cb).collect()
+    }
+    got_t = {
+        (r.query_id, r.rank, r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3, codebooks=cb, sharded=True).collect()
+    }
+    assert got_t == want_t
+
+
 def test_pq_training_reduces_distortion(spark):
     """Lloyd iterations must not increase total quantization error
     (sum over vectors/subspaces of the chosen centroid's micro

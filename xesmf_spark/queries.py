@@ -1719,6 +1719,44 @@ def multimodal_image_resize(spark, sf_dir):
     )
 
 
+def multimodal_image_resize_png(spark, sf_dir):
+    """The SAME decode->grayscale->resample chain as
+    multimodal_image_resize but through the native PNG codec path
+    (multimodal._png_decode: stdlib zlib inflate + numpy unfilter):
+    the 48 deterministic 16x16 RGB images are PNG-encoded with
+    CYCLING row filters (0..4 — none/sub/up/average/Paeth), so a green
+    hash proves every unfilter branch reproduces the exact source
+    bytes. Shares multimodal_image_resize's arithmetic oracle — the
+    payload format must be invisible to the result."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import encode_png, resize_images
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    rows = [
+        (d, bytearray(encode_png(((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8))))
+        for d in range(48)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    resized = resize_images(df, out_h=8, out_w=8).withColumn("hx", F.hex("pixels"))
+    bvals = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(F.col("hx").substr(i * 2 + F.lit(1), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    return resized.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate(bvals, F.lit(0).cast("long"), lambda a, x: a + x).alias("byte_sum"),
+        F.array_min(bvals).alias("byte_min"),
+        F.array_max(bvals).alias("byte_max"),
+    )
+
+
 def documents_quality_tiers_approx(spark, sf_dir):
     """The SCALE path for quality bucketing (pipeline.quality_tiers_approx):
     approx_percentile quartile cutoffs broadcast onto a map-side CASE —
@@ -3204,6 +3242,21 @@ def ann_pq_top3(spark, sf_dir):
     from xesmf_spark import similarity as SIM
 
     return SIM.pq_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
+
+
+def ann_pq_top3_sharded(spark, sf_dir):
+    """pq_topk(sharded=True) — the billion-vector PQ plan: the code
+    table NEVER reaches the driver (codes stay a DataFrame, SUMMA-
+    replicated and cogrouped against query blocks; only the <=256-row
+    codebooks broadcast). Value-identical to ann_pq_top3 by
+    construction (same integer ADC + (d2, neighbor) order), so it
+    shares the same SQL replay oracle — and the driver hash-check
+    proves the two physical strategies agree."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.pq_topk(
+        _par(spark, _t(spark, sf_dir, "embeddings")), k=3, sharded=True
+    )
 
 
 def ann_pq_recall(spark, sf_dir):

@@ -857,6 +857,9 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks=None,
+    sharded: bool = False,
+    q_blocks: int = 4,
+    p_shards: int = 4,
 ) -> DataFrame:
     """Approximate top-k nearest neighbors by PQ asymmetric distance
     (ADC): the POOL lives only as 4-bit codes; each full-precision
@@ -864,14 +867,24 @@ def pq_topk(
     pool code with m table lookups + an exact integer sum — no
     per-candidate float arithmetic at all.
 
-    Plan shape: the code table (id + m small ints per vector — the 64x
-    compression) is collected and broadcast; queries stream through one
-    Arrow-batched map. THIS is the PQ premise: the compressed index
-    fits where the raw vectors never would (1B vectors ~ 8 GB of codes
-    vs 256 GB of floats). Beyond even that, shard the code table and
-    unite per-shard top-k — same two-stage shape as
-    ``_cosine_topk_blocked``. Combine with IVF cells to bound the
-    candidate scan itself.
+    Plan shape (``sharded=False``, default): the code table (id + m
+    small ints per vector — the 64x compression) is collected and
+    broadcast; queries stream through one Arrow-batched map. THIS is
+    the PQ premise: the compressed index fits where the raw vectors
+    never would (1B vectors ~ 8 GB of codes vs 256 GB of floats).
+
+    Plan shape (``sharded=True``): beyond even that — the
+    billion-vector path with NO driver gather of the code table.  The
+    codes stay a DataFrame; pool shards and query blocks are
+    replicated SUMMA-style and cogrouped (the exact
+    ``_cosine_topk_blocked`` discipline), each task ADC-scores one
+    query block against one code shard and emits its per-shard top-k;
+    a query's global top-k is contained in the union of its per-shard
+    top-k's, so the final rank window carries O(|Q| * p_shards * k)
+    rows.  Only the codebooks (<= m x ksub centroids) are broadcast.
+    Value-identical to the broadcast path (same integer ADC, same
+    (d2, neighbor_id) order; differential-tested).  Combine with IVF
+    cells to bound the candidate scan itself.
 
     Returns (query_id, rank, neighbor_id, approx_d2_micro) — ALL
     integers; ordering is (approx_d2_micro ASC, neighbor_id ASC),
@@ -886,6 +899,10 @@ def pq_topk(
         if codebooks is not None
         else _pq_seed_codebooks(df, m, ksub, id_col, vec_col)
     )
+    if sharded:
+        return _pq_topk_sharded(
+            df, k, m, ksub, id_col, vec_col, C, q_blocks, p_shards
+        )
     dsub = C.shape[2]
     enc = pq_encode(df, m, ksub, id_col, vec_col, codebooks=C).toPandas()
     order = np.argsort(enc["id"].to_numpy(np.int64), kind="stable")
@@ -944,6 +961,106 @@ def pq_topk(
 
     return df.select(id_col, vec_col).mapInPandas(
         fn, "query_id long, rank long, neighbor_id long, approx_d2_micro long"
+    )
+
+
+def _pq_topk_sharded(
+    df: DataFrame,
+    k: int,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    C,
+    q_blocks: int,
+    p_shards: int,
+) -> DataFrame:
+    """Sharded-code-table physical strategy for :func:`pq_topk` — see
+    its docstring.  The code table is never collected: codes are
+    encoded distributed (:func:`pq_encode`), sharded by id, and
+    cogrouped against replicated query blocks; each task builds the
+    per-query integer LUTs and ADC-scores ONE shard's codes (a few
+    bytes per vector), emitting its local top-k.  Global top-k =
+    window over the O(|Q| * p_shards * k) union."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    dsub = C.shape[2]
+    bc = spark.sparkContext.broadcast(C)
+    enc = pq_encode(df, m, ksub, id_col, vec_col, codebooks=C)
+    p = enc.select(
+        F.col("id").alias("pid"),
+        "codes",
+        F.pmod(F.col("id"), F.lit(p_shards)).alias("pb"),
+        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qb"),
+    )
+    q = df.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.pmod(F.col(id_col), F.lit(q_blocks)).alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(p_shards - 1))).alias("pb"),
+    )
+
+    def score(key, qpdf: "pd.DataFrame", ppdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "approx_d2_micro": []}
+        ).astype("int64")
+        if len(qpdf) == 0 or len(ppdf) == 0:
+            return empty
+        CB = bc.value
+        mm = len(CB)
+        pids = ppdf["pid"].to_numpy(np.int64)
+        order = np.argsort(pids, kind="stable")  # id-ascending tie order
+        pids = pids[order]
+        pcodes = np.stack(ppdf["codes"].to_numpy())[order].astype(np.int64)
+        Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+        Qs = Q.reshape(len(Q), mm, dsub)
+        qids = qpdf["qid"].to_numpy(np.int64)
+        lut = np.empty((len(Q), mm, CB.shape[1]), dtype=np.int64)
+        for s in range(mm):
+            lut[:, s, :] = _pq_dist_micro(Qs[:, s, :], CB[s])
+        d2u = np.zeros((len(Q), len(pids)), dtype=np.int64)
+        for s in range(mm):
+            d2u += lut[:, s, pcodes[:, s]]
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(Q)):
+            row = d2u[i]
+            ridx = np.nonzero(pids != qids[i])[0]
+            kk = min(k, len(ridx))
+            if kk == 0:
+                continue
+            rm = row[ridx]
+            kth = (
+                np.partition(rm, kk - 1)[kk - 1]
+                if len(rm) > kk
+                else np.iinfo(np.int64).max
+            )
+            cand = ridx[rm <= kth]
+            best = cand[np.lexsort((pids[cand], row[cand]))[:kk]]
+            out_q.append(np.full(len(best), qids[i]))
+            out_n.append(pids[best])
+            out_d.append(row[best])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "approx_d2_micro": np.concatenate(out_d),
+            }
+        )
+
+    cand = q.groupBy("qb", "pb").cogroup(p.groupBy("qb", "pb")).applyInPandas(
+        score, "query_id long, neighbor_id long, approx_d2_micro long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_d2_micro")
     )
 
 
