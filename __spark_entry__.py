@@ -43,36 +43,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-9 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) the 5 queries with ZERO committed driver evidence
-    # (the r8 driver-err documents_inverted_index now stringified; the
-    # two post-record r8 additions; the two new r9 CDC/Hamming queries)
-    # plus the 5 whose engine code changed in r9 (pagerank teleport,
-    # CDC tombstones, manifest OCC publish, stream-offset commit-only
-    # persistence, check_constraints coalesce), then (b) the 40 OLDEST
-    # single-green tail queries, age order (13 r5-greens, 13 r6-greens,
-    # 14 r7-greens) — the r8 verdict's rotation-debt paydown. TAIL =
-    # remaining r7/r8 single-greens (next in line), then multi-greens;
-    # same-round evidence for every tail entry comes from the committed
-    # full-surface record (CORRECTNESS_FULL_r9.json) + tri-scale runs.
+    # entries only. Round-10 rotation (policy + log in SURVEY.md 2E):
+    # IN-WINDOW = (a) the 4 NEW r10 queries (BPE train/encode, sharded
+    # PQ, PNG resize), (b) the 4 whose engine code changed in r10
+    # (NULL-safe CDC delete predicates in merge_upsert +
+    # cdc_apply_stream; ManifestJsonl legacy-manifest fallback;
+    # snapshot_vacuum retention default), then (c+d) the 42 OLDEST
+    # single-green tail queries in age order (the 18 r7 tail-head
+    # cyclers, then the 24 oldest r8 first-greens) — the r9 verdict's
+    # remaining rotation debt. TAIL = the 14 remaining r8 singles,
+    # then the 10 r9 first-greens, then multi-greens; same-round
+    # evidence for every tail entry comes from the committed
+    # full-surface record (CORRECTNESS_FULL_r10.json) + tri-scale runs.
     return {
-        # (a) zero-evidence + r9-changed, then (b) oldest single-greens
+        # (a) zero-evidence r10 queries, then (b) r10 engine-changed
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
         "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
         "multimodal_image_resize_png": Q.multimodal_image_resize_png,
+        # (b) engine code changed in r10 (NULL-safe CDC deletes, legacy
         "customers_upsert_delete": Q.customers_upsert_delete,
+        "stream_cdc_apply": Q.stream_cdc_apply,
+        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
+        "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
+        # (c) the 18 oldest single-green cyclers (the r7 tail head)
+        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
+        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
+        "pipeline_decontaminate": Q.pipeline_decontaminate,
+        "orders_rollup": Q.orders_rollup,
+        "events_pivot": Q.events_pivot,
+        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
+        "events_hourly_gapfill": Q.events_hourly_gapfill,
+        "ann_pq_top3": Q.ann_pq_top3,
+        "ann_pq_recall": Q.ann_pq_recall,
+        "customers_upsert": Q.customers_upsert,
+        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
+        "documents_segments_udtf": Q.documents_segments_udtf,
+        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
+        "events_partitioned_scan": Q.events_partitioned_scan,
+        "events_hll_merge": Q.events_hll_merge,
+        "events_trailing_window": Q.events_trailing_window,
+        "pipeline_token_budget": Q.pipeline_token_budget,
+        # (d) the 24 oldest r8 single-green cyclers
+        "stream_interval_join_outer": Q.stream_interval_join_outer,
+        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
+        "pipeline_span_dedup": Q.pipeline_span_dedup,
+        "documents_heavy_hitters": Q.documents_heavy_hitters,
+        "stream_heavy_hitters": Q.stream_heavy_hitters,
+        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
+        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
+        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
+        "events_zorder_scan": Q.events_zorder_scan,
+        "orders_incr_join_view": Q.orders_incr_join_view,
+        "events_funnel": Q.events_funnel,
+        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
+        "events_props_variant": Q.events_props_variant,
+        "synthetic_source_scan": Q.synthetic_source_scan,
+        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
+        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
+        "pipeline_weighted_sample": Q.pipeline_weighted_sample,
+        "events_retention_cohorts": Q.events_retention_cohorts,
+        "events_session_paths": Q.events_session_paths,
+        "orders_topk_per_group": Q.orders_topk_per_group,
+        "customers_scd2": Q.customers_scd2,
+        "documents_tfidf_terms": Q.documents_tfidf_terms,
+        "documents_bm25": Q.documents_bm25,
+        "documents_cms_frequency": Q.documents_cms_frequency,
+        # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
+        "events_ewma_daily": Q.events_ewma_daily,
+        "events_anomaly_mad": Q.events_anomaly_mad,
+        "orders_time_travel": Q.orders_time_travel,
+        "orders_profile": Q.orders_profile,
+        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
+        "pipeline_prefix_filter_pairs": Q.pipeline_prefix_filter_pairs,
+        "events_session_window": Q.events_session_window,
+        "events_unpivot": Q.events_unpivot,
+        "pipeline_dedup_keep_best": Q.pipeline_dedup_keep_best,
+        "ann_filtered_top3": Q.ann_filtered_top3,
+        "stream_snapshot_ingest": Q.stream_snapshot_ingest,
+        "orders_schema_evolution": Q.orders_schema_evolution,
+        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
+        "stream_anomaly_mad": Q.stream_anomaly_mad,
         "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "documents_inverted_index": Q.documents_inverted_index,
         "events_trend_slope": Q.events_trend_slope,
         "orders_bucketed_join": Q.orders_bucketed_join,
-        "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
         "events_concurrent_sessions": Q.events_concurrent_sessions,
         "orders_table_diff": Q.orders_table_diff,
         "orders_priority_pit": Q.orders_priority_pit,
-        "stream_cdc_apply": Q.stream_cdc_apply,
         "nations_trade_pagerank": Q.nations_trade_pagerank,
-        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
         "stream_synthetic_source": Q.stream_synthetic_source,
         "lineitem_constraints": Q.lineitem_constraints,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
@@ -111,63 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_count": Q.tpch_q16_supplier_count,
         "tpch_q20_excess_shippers": Q.tpch_q20_excess_shippers,
         "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
-        # ---- tail: r7/r8 single-greens first in line, then multi-greens ----
-        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
-        "multimodal_frame_sample": Q.multimodal_frame_sample,
-        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
-        "pipeline_decontaminate": Q.pipeline_decontaminate,
-        "orders_rollup": Q.orders_rollup,
-        "events_pivot": Q.events_pivot,
-        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
-        "events_hourly_gapfill": Q.events_hourly_gapfill,
-        "ann_pq_top3": Q.ann_pq_top3,
-        "ann_pq_recall": Q.ann_pq_recall,
-        "customers_upsert": Q.customers_upsert,
-        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
-        "documents_segments_udtf": Q.documents_segments_udtf,
-        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
-        "events_partitioned_scan": Q.events_partitioned_scan,
-        "events_hll_merge": Q.events_hll_merge,
-        "events_trailing_window": Q.events_trailing_window,
-        "pipeline_token_budget": Q.pipeline_token_budget,
-        "stream_interval_join_outer": Q.stream_interval_join_outer,
-        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
-        "pipeline_span_dedup": Q.pipeline_span_dedup,
-        "documents_heavy_hitters": Q.documents_heavy_hitters,
-        "stream_heavy_hitters": Q.stream_heavy_hitters,
-        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
-        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
-        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
-        "events_zorder_scan": Q.events_zorder_scan,
-        "orders_incr_join_view": Q.orders_incr_join_view,
-        "events_funnel": Q.events_funnel,
-        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
-        "events_props_variant": Q.events_props_variant,
-        "synthetic_source_scan": Q.synthetic_source_scan,
-        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
-        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
-        "pipeline_weighted_sample": Q.pipeline_weighted_sample,
-        "events_retention_cohorts": Q.events_retention_cohorts,
-        "events_session_paths": Q.events_session_paths,
-        "orders_topk_per_group": Q.orders_topk_per_group,
-        "customers_scd2": Q.customers_scd2,
-        "documents_tfidf_terms": Q.documents_tfidf_terms,
-        "documents_bm25": Q.documents_bm25,
-        "documents_cms_frequency": Q.documents_cms_frequency,
-        "events_ewma_daily": Q.events_ewma_daily,
-        "events_anomaly_mad": Q.events_anomaly_mad,
-        "orders_time_travel": Q.orders_time_travel,
-        "orders_profile": Q.orders_profile,
-        "lineitem_quantity_histogram": Q.lineitem_quantity_histogram,
-        "pipeline_prefix_filter_pairs": Q.pipeline_prefix_filter_pairs,
-        "events_session_window": Q.events_session_window,
-        "events_unpivot": Q.events_unpivot,
-        "pipeline_dedup_keep_best": Q.pipeline_dedup_keep_best,
-        "ann_filtered_top3": Q.ann_filtered_top3,
-        "stream_snapshot_ingest": Q.stream_snapshot_ingest,
-        "orders_schema_evolution": Q.orders_schema_evolution,
-        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
-        "stream_anomaly_mad": Q.stream_anomaly_mad,
         "ann_ivfpq_top3": Q.ann_ivfpq_top3,
         "stream_rollup": Q.stream_rollup,
         "events_continuous_rollup": Q.events_continuous_rollup,

@@ -200,6 +200,50 @@ def main() -> None:
                 3_600_000,
             ),
         ),
+        # r10 additions: the two r9 verdict stragglers. table_diff is
+        # ONE full-outer keyed join with both sides scaled (left = n
+        # rows, right = same keys with 1/16 changed, 1/32 dropped,
+        # n/32 added) — time must track the join volume linearly.
+        (
+            "relational_table_diff",
+            lambda d, s: REL.table_diff(
+                spark.range(400_000 * s).select(
+                    F.col("id").alias("k"),
+                    F.pmod(F.col("id") * 7919, F.lit(1_000_000)).alias("v"),
+                ),
+                spark.range(400_000 * s + 12_500 * s)
+                .select(
+                    F.col("id").alias("k"),
+                    (
+                        F.pmod(F.col("id") * 7919, F.lit(1_000_000))
+                        + F.when(F.col("id") % 16 == 3, 1).otherwise(0)
+                    ).alias("v"),
+                )
+                .filter(F.col("k") % 32 != 5),
+                "k",
+            ),
+        ),
+        # merge_upsert(op_col): one left-anti keyed join + union; the
+        # update stream is 1/8 the base (the common CDC ratio), with
+        # 1/3 of updates tombstones
+        (
+            "relational_upsert_delete",
+            lambda d, s: REL.merge_upsert(
+                spark.range(400_000 * s).select(
+                    F.col("id").alias("k"),
+                    F.pmod(F.col("id") * 104_729, F.lit(1_000_000)).alias("v"),
+                ),
+                spark.range(50_000 * s).select(
+                    (F.col("id") * 8).alias("k"),
+                    F.pmod(F.col("id"), F.lit(1_000_000)).alias("v"),
+                    F.when(F.col("id") % 3 == 0, "delete")
+                    .otherwise("upsert")
+                    .alias("op"),
+                ),
+                "k",
+                op_col="op",
+            ),
+        ),
         (
             "relational_pagerank",
             lambda d, s: REL.pagerank(

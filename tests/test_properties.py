@@ -577,3 +577,38 @@ def test_concurrency_profile_matches_timeline_model(spark, iv, width):
     assert set(got) == endpoint_buckets
     for b, m in got.items():
         assert m == want.get(b, 0), (b, m, want.get(b))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=7),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_bpe_train_and_encode_match_reference(spark, words, n_merges):
+    """Random tiny-alphabet corpora (dense in repeated pairs, runs of
+    the same char — the overlap-greedy edge) train to EXACTLY the
+    reference merge list, and the kernel encoder reproduces the
+    per-word reference encoding."""
+    from xesmf_spark.bpe import bpe_train, bpe_encode, encode_word_python
+    from tests.test_bpe import _ref_train
+
+    wf = {}
+    for w in words:
+        wf[w] = wf.get(w, 0) + 1
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    ref_merges, ref_vocab = _ref_train(wf, n_merges)
+    got = bpe_train(docs, n_merges=n_merges)
+    assert got == ref_merges
+    pairs = [(m["left"], m["right"]) for m in got]
+    enc = {r.doc_id: r.tokens for r in bpe_encode(docs, got, use_kernel=True).collect()}
+    want = [t for w in words for t in ref_vocab[w]]
+    assert enc[0] == want
+    # the pure-Python encoder agrees word-by-word too
+    for w in wf:
+        assert encode_word_python(w, pairs) == ref_vocab[w]
