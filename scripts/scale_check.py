@@ -200,6 +200,15 @@ def main() -> None:
                 3_600_000,
             ),
         ),
+        # r10: the distributed BPE trainer — 8 merge iterations over
+        # the scaled corpus. Cost = one corpus word-count shuffle +
+        # per-iteration work on the DISTINCT-WORD table; the suffixed
+        # 10x replicas multiply the distinct vocab ~10x, so this
+        # measures the vocab-table loop, the part that grows.
+        # (Training runs during query CONSTRUCTION — the returned
+        # merge table is driver-side — so the timed section is the
+        # whole train.)
+        ("pipeline_bpe_train", lambda d, s: Q.pipeline_bpe_train(spark, d)),
         # r10 additions: the two r9 verdict stragglers. table_diff is
         # ONE full-outer keyed join with both sides scaled (left = n
         # rows, right = same keys with 1/16 changed, 1/32 dropped,

@@ -154,3 +154,43 @@ def test_greedy_overlap_semantics():
     assert encode_word_python("aaaa", [("a", "a")]) == ["aa", "aa"]
     assert encode_word_python("aaa", [("a", "a")]) == ["aa", "a"]
     assert encode_word_python("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa"]
+
+
+def test_bpe_empty_and_degenerate_corpora(spark):
+    """Empty corpus -> no merges; whitespace-only text -> no words;
+    encode with zero merges -> plain character stream."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert bpe_train(empty, n_merges=3) == []
+    blank = spark.createDataFrame([(0, "   "), (1, "")], schema)
+    assert bpe_train(blank, n_merges=3) == []
+    docs = spark.createDataFrame([(0, "ab ba")], schema)
+    for kernel in (False, True):
+        enc = {r.doc_id: r.tokens for r in bpe_encode(docs, [], use_kernel=kernel).collect()}
+        assert enc == {0: ["a", "b", "b", "a"]}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(docs, n_merges=-1)
+
+
+def test_bpe_token_budget_integration(spark):
+    """BPE token counts feed the budgeting/chunking stack: the encoded
+    token count per doc equals the kernel encoding's length (the
+    whitespace-token stand-in swaps out cleanly)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "low lower low"), (1, "newest newest")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=4)
+    enc = bpe_encode(docs, merges, use_kernel=True)
+    n = {r.doc_id: r.n_tok for r in enc.select("doc_id", F.size("tokens").alias("n_tok")).collect()}
+    pairs = [(m["left"], m["right"]) for m in merges]
+    for d, text in [(0, "low lower low"), (1, "newest newest")]:
+        want = sum(len(encode_word_python(w, pairs)) for w in text.split())
+        assert n[d] == want

@@ -312,6 +312,40 @@ def test_pq_topk_sharded_matches_broadcast(spark):
     assert got_t == want_t
 
 
+def test_pq_topk_sharded_group_integrity_at_scale(spark):
+    """Regression: cogroup keys must have IDENTICAL types on both
+    sides — a LONG pmod key on one side vs an INT explode key on the
+    other hash-partitions the same logical group to different
+    partitions, silently delivering one-sided (empty-scored) groups.
+    Reproduced at the 2000-vector scale (sf0.1) pre-fix; this mirrors
+    that scale synthetically so the pytest gate catches it."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from xesmf_spark import similarity as SIM
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.sin(F.col("id") * (i + 1).cast("double") * 0.37) * 2.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_d2_micro)
+        for r in SIM.pq_topk(emb, k=3, sharded=True).collect()
+    }
+    assert got == want
+    assert len(got) == 2000 * 3
+
+
 def test_pq_training_reduces_distortion(spark):
     """Lloyd iterations must not increase total quantization error
     (sum over vectors/subspaces of the chosen centroid's micro

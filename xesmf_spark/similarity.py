@@ -152,16 +152,18 @@ def _cosine_topk_blocked(
     import pandas as pd
 
     p_df = pool if pool is not None else queries
+    # key types MUST match across sides (see _pq_topk_sharded: a
+    # LONG pmod vs INT explode key silently splits cogroups)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        F.pmod(F.col(id_col), F.lit(q_blocks)).alias("qb"),
+        F.pmod(F.col(id_col), F.lit(q_blocks)).cast("int").alias("qb"),
         F.explode(F.sequence(F.lit(0), F.lit(p_shards - 1))).alias("pb"),
     )
     p = p_df.select(
         F.col(id_col).alias("pid"),
         F.col(vec_col).alias("pv"),
-        F.pmod(F.col(id_col), F.lit(p_shards)).alias("pb"),
+        F.pmod(F.col(id_col), F.lit(p_shards)).cast("int").alias("pb"),
         F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qb"),
     )
 
@@ -989,16 +991,22 @@ def _pq_topk_sharded(
     dsub = C.shape[2]
     bc = spark.sparkContext.broadcast(C)
     enc = pq_encode(df, m, ksub, id_col, vec_col, codebooks=C)
+    # Both grouping keys must be the SAME TYPE on both sides: pmod of
+    # a BIGINT id is LONG while explode(sequence) is INT, and cogroup
+    # hash-partitions each side by ITS OWN key types — a (LONG, INT)
+    # left key and (INT, LONG) right key land the same logical group
+    # in different partitions, which silently delivers ONE-SIDED
+    # groups (caught at sf0.1: entire shards scored against nothing).
     p = enc.select(
         F.col("id").alias("pid"),
         "codes",
-        F.pmod(F.col("id"), F.lit(p_shards)).alias("pb"),
+        F.pmod(F.col("id"), F.lit(p_shards)).cast("int").alias("pb"),
         F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qb"),
     )
     q = df.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        F.pmod(F.col(id_col), F.lit(q_blocks)).alias("qb"),
+        F.pmod(F.col(id_col), F.lit(q_blocks)).cast("int").alias("qb"),
         F.explode(F.sequence(F.lit(0), F.lit(p_shards - 1))).alias("pb"),
     )
 
