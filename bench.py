@@ -552,6 +552,12 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "multimodal_ahash_dedup",
         "events_trend_slope",
         "orders_bucketed_join",
+        # r10: BPE train+encode, sharded PQ (vs ann_pq_top3's
+        # broadcast plan), PNG decode path
+        "pipeline_bpe_train",
+        "pipeline_bpe_encode",
+        "ann_pq_top3_sharded",
+        "multimodal_image_resize_png",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
