@@ -57,6 +57,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-surface record (CORRECTNESS_FULL_r10.json) + tri-scale runs.
     return {
         # (a) zero-evidence r10 queries, then (b) r10 engine-changed
+        # (the 3 late-r10 additions displace the window's last 3 r8
+        # singles — tfidf/bm25/cms — to the HEAD of the tail for r11)
+        "pipeline_cdc_chunks": Q.pipeline_cdc_chunks,
+        "pipeline_bigram_lm": Q.pipeline_bigram_lm,
+        "trade_graph_communities": Q.trade_graph_communities,
+        "parts_copurchase_triangles": Q.parts_copurchase_triangles,
+        "customers_shared_supplier_jaccard": Q.customers_shared_supplier_jaccard,
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
         "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
@@ -105,12 +112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
         "events_retention_cohorts": Q.events_retention_cohorts,
         "events_session_paths": Q.events_session_paths,
+        # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
         "orders_topk_per_group": Q.orders_topk_per_group,
         "customers_scd2": Q.customers_scd2,
         "documents_tfidf_terms": Q.documents_tfidf_terms,
         "documents_bm25": Q.documents_bm25,
         "documents_cms_frequency": Q.documents_cms_frequency,
-        # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
         "events_ewma_daily": Q.events_ewma_daily,
         "events_anomaly_mad": Q.events_anomaly_mad,
         "orders_time_travel": Q.orders_time_travel,
@@ -252,6 +259,11 @@ GROUP BY doc_id
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipeline_cdc_chunks": PO.cdc_chunks_sql(),
+        "pipeline_bigram_lm": PO.bigram_logprob_sql(),
+        "trade_graph_communities": PO.lpa_communities_sql(),
+        "parts_copurchase_triangles": PO.copurchase_triangles_sql(),
+        "customers_shared_supplier_jaccard": PO.shared_supplier_jaccard_sql(),
         "pipeline_bpe_train": PO.bpe_train_sql(8),
         "pipeline_bpe_encode": PO.bpe_encode_sql(8),
         # same replay as ann_pq_top3: the sharded plan is value-identical

@@ -558,6 +558,12 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_bpe_encode",
         "ann_pq_top3_sharded",
         "multimodal_image_resize_png",
+        # late-r10: CDC chunking, bigram LM, graph analytics
+        "pipeline_cdc_chunks",
+        "pipeline_bigram_lm",
+        "trade_graph_communities",
+        "parts_copurchase_triangles",
+        "customers_shared_supplier_jaccard",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

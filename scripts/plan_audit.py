@@ -60,6 +60,10 @@ ALLOW = {
     "documents_quality_tiers_approx": {"BroadcastNestedLoopJoin"},
     # the recall ratio crosses two 1-row count aggregates (1x1 join)
     "ann_ivf_recall": {"BroadcastNestedLoopJoin"},
+    # the (n_nodes, n_edges, n_triangles) output row crosses three
+    # 1-row count aggregates (1x1x1 join) — the wedge join itself is
+    # keyed equi throughout
+    "parts_copurchase_triangles": {"BroadcastNestedLoopJoin"},
     # same 1x1 recall-ratio cross, plus euclid_topk's broadcast cross
     # join — the documented exact AUDIT reference, not a scale path
     "ann_pq_recall": {"BroadcastNestedLoopJoin"},
@@ -81,6 +85,9 @@ ALLOW = {
     # the corpus token total is a 1-row scalar broadcast crossed into
     # the token-frequency join (the LM normalization constant)
     "pipeline_unigram_quality": {"BroadcastNestedLoopJoin"},
+    # same 1-row token-total scalar cross, bigram order (the unigram
+    # mixture term's normalization constant)
+    "pipeline_bigram_lm": {"BroadcastNestedLoopJoin"},
     # the dense grid is generated-axis x distinct-types — both bounded
     # by construction (span hours / type cardinality), never fact-volume
     "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},

@@ -279,6 +279,93 @@ def main() -> None:
                 iters=3,
             ),
         ),
+        # late-r10: CDC chunking + bigram LM run on the scaled docs dir
+        # (suffixed replicas multiply the distinct vocab / bigram table
+        # ~Nx — these measure the count-table growth, the part a 100-TB
+        # corpus scales); zero-shuffle chunking should track scan volume
+        ("pipeline_cdc_chunks", lambda d, s: Q.pipeline_cdc_chunks(spark, d)),
+        ("pipeline_bigram_lm", lambda d, s: Q.pipeline_bigram_lm(spark, d)),
+        # synchronous LPA on the same synthetic 4-out-regular graph as
+        # pagerank (minus the dangling carve-out — LPA symmetrizes):
+        # per-iteration cost = one keyed join + vote agg + top-1 window
+        (
+            "relational_lpa",
+            lambda d, s: REL.label_propagation(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("src") * F.lit(m) + F.lit(a),
+                                    F.lit(50_000 * s),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("dst"),
+                ),
+                iters=3,
+            ),
+        ),
+        # degree-ordered triangle count on the same graph family plus a
+        # degree-4096 hub (node 0): the orientation must keep the wedge
+        # join bounded — an unoriented wedge join would pay hub_deg^2
+        (
+            "relational_triangles",
+            lambda d, s: REL.triangle_count(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("src") * F.lit(m) + F.lit(a),
+                                    F.lit(50_000 * s),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("dst"),
+                )
+                .union(
+                    spark.range(4096).select(
+                        F.lit(0).cast("long").alias("src"),
+                        (F.col("id") * 12 + 1).alias("dst"),
+                    )
+                ),
+            ),
+        ),
+        # shared-neighbor Jaccard on a synthetic bipartite graph with
+        # the IVF-style deployment rule: the RIGHT key space scales
+        # with the corpus (constant right-degree ~128), mirroring how
+        # a real catalog grows with its fact table; the valve then
+        # guards outliers, not the whole graph
+        (
+            "relational_jaccard",
+            lambda d, s: REL.shared_neighbor_jaccard(
+                spark.range(50_000 * s).select(
+                    F.col("id").alias("src"),
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("id") * F.lit(m) + F.lit(a),
+                                    F.lit(max(50_000 * s // 16, 1)),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11))
+                            ]
+                        )
+                    ).alias("dst"),
+                ),
+                max_neighbor_degree=1000,
+                min_inter=2,
+            ),
+        ),
     ]
 
     def measure(fn, sf_dir, scale):

@@ -1391,3 +1391,119 @@ def test_assign_split_fractions_and_repartition_stability(spark):
         ).collect()
     }
     assert a == b
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _cdc_brute(text, window=3, divisor=8):
+    """Pure-Python twin of cdc_chunks for one document: returns
+    [(chunk_idx, n_tokens, chunk_hash_hex)]."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+    n = len(t)
+    bpos = [
+        i
+        for i in range(window - 1, n - 1)
+        if (_md5_60(" ".join(t[i - window + 1 : i + 1])) % 1_000_000_007) % divisor == 0
+    ]
+    starts = [0] + [i + 1 for i in bpos]
+    ends = [i + 1 for i in bpos] + [n]
+    return [
+        (j, e - s, hashlib.md5(" ".join(t[s:e]).encode()).hexdigest())
+        for j, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+def test_cdc_chunks_matches_brute_force(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and more words follow here now"),
+        (2, "  Mixed   CASE and   whitespace\ttext  "),
+        (3, "one two"),
+        (4, "single"),
+        (5, ""),
+    ]
+    out = PL.cdc_chunks(spark.createDataFrame(docs, "doc_id long, text string"))
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_hash"])
+        for r in out.collect()
+    }
+    want = {}
+    for did, text in docs:
+        for j, nt, h in _cdc_brute(text):
+            want[(did, j)] = (nt, h)
+    assert got == want
+
+
+def test_cdc_chunks_boundaries_are_content_stable(spark):
+    """The CDC property fixed-size chunking lacks: a PREFIX edit leaves
+    every chunk strictly after the edited window identical (same
+    content hash), so near-dup docs share chunks. Build a doc, prepend
+    two tokens, and check every original chunk whose span starts
+    window tokens past the edit reappears verbatim."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    edited = "zz yy " + base
+    a = {h for _, _, h in _cdc_brute(base)}
+    b = {h for _, _, h in _cdc_brute(edited)}
+    shared = a & b
+    assert shared, "edit destroyed every chunk — boundaries are not content-defined"
+    out = PL.cdc_chunks(
+        spark.createDataFrame(
+            [(1, base), (2, edited)], "doc_id long, text string"
+        )
+    )
+    spark_shared = (
+        out.groupBy("chunk_hash")
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert spark_shared >= len(shared)
+    # and n_copies reflects the sharing
+    assert out.filter(F.col("n_copies") >= 2).count() > 0
+
+
+def test_bigram_logprob_matches_brute_force(spark):
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "d d d"),
+        (4, "solo"),
+        (5, "b a"),
+    ]
+    toks = {d: t.split(" ") for d, t in docs}
+    uni = Counter(w for t in toks.values() for w in t)
+    total = sum(uni.values())
+    bigs = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    c2 = Counter(bg for bl in bigs.values() for bg in bl)
+    c1 = Counter(bg[0] for bl in bigs.values() for bg in bl)
+    want = {}
+    for d, bl in bigs.items():
+        if not bl:
+            continue
+        lps = [
+            math.floor(
+                1_000_000
+                * math.log(
+                    0.9 * (c2[bg] / c1[bg[0]]) + 0.1 * (uni[bg[1]] / total)
+                )
+            )
+            for bg in bl
+        ]
+        want[d] = (len(lps), sum(lps))
+    out = PL.bigram_logprob_score(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_lp_micro"]) for r in out.collect()
+    }
+    assert got == want
+    assert 4 not in got  # <2 tokens -> absent by contract

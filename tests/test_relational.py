@@ -944,3 +944,130 @@ def test_table_diff_statuses_and_null_safety(spark):
 
     with _pytest.raises(KeyError):
         table_diff(left, right.drop("x"), "k")
+
+
+def _lpa_brute(edges, iters):
+    """Pure-Python twin of label_propagation: synchronous, neighbor
+    votes + one self-vote, ties to the smallest label."""
+    sym = set()
+    for s, d in edges:
+        sym.add((s, d))
+        sym.add((d, s))
+    nodes = sorted({s for s, _ in sym})
+    nbrs = {n: [] for n in nodes}
+    for s, d in sym:
+        nbrs[s].append(d)
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for m in nbrs[n]:
+                votes[labels[m]] = votes.get(labels[m], 0) + 1
+            votes[labels[n]] = votes.get(labels[n], 0) + 1
+            best = min(votes, key=lambda l: (-votes[l], l))
+            new[n] = best
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_brute_force(spark):
+    from xesmf_spark.relational import label_propagation
+
+    edges = [
+        (1, 2), (2, 3), (3, 1), (3, 4),      # triangle + bridge
+        (4, 5), (5, 6), (6, 4),              # second triangle
+        (10, 11), (11, 12),                  # path component
+        (20, 21),                            # isolated pair
+    ]
+    for iters in (1, 2, 3, 5):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                spark.createDataFrame(edges, "src long, dst long"), iters=iters
+            ).collect()
+        }
+        assert got == _lpa_brute(edges, iters), f"iters={iters}"
+
+
+def test_label_propagation_bipartite_does_not_oscillate(spark):
+    """On a complete bipartite K(2,3) the self-vote must damp the
+    classic synchronous two-coloring oscillation: labels converge to
+    one community and then STAY fixed (iters=3 == iters=4)."""
+    from xesmf_spark.relational import label_propagation
+
+    edges = [(l, r) for l in (1, 2) for r in (10, 11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(label_propagation(df, iters=3).collect())
+    b = sorted(label_propagation(df, iters=4).collect())
+    assert a == b
+    assert len({r["label"] for r in a}) == 1
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from itertools import combinations
+
+    from xesmf_spark.relational import triangle_count
+
+    # K4 (4 triangles) + a hub star (0 triangles) + pendant + a
+    # triangle given in mixed directions / with duplicate edges
+    edges = (
+        list(combinations([1, 2, 3, 4], 2))
+        + [(100, x) for x in range(200, 212)]
+        + [(4, 5)]
+        + [(20, 21), (22, 21), (20, 22), (21, 20)]
+    )
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    want = sum(
+        1
+        for tri in combinations(sorted(nodes), 3)
+        if all(frozenset(p) in und for p in combinations(tri, 2))
+    )
+    assert want == 4 + 1  # K4 + the 20-21-22 triangle
+    row = triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    assert row["n_triangles"] == want
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(und)
+
+
+def test_shared_neighbor_jaccard_scores_and_valve(spark):
+    from xesmf_spark.relational import shared_neighbor_jaccard
+
+    # a,b share {10, 11}; everyone shares hub 99. With the valve at 3,
+    # hub 99 (degree 4 > 3) is excluded from candidate GENERATION but
+    # still counts toward each side's neighbor-set size.
+    edges = [
+        (1, 10), (1, 11), (1, 99),
+        (2, 10), (2, 11), (2, 99),
+        (3, 12), (3, 99),
+        (4, 12), (4, 99),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_inter"], r["n_a"], r["n_b"], r["jaccard_micro"]
+        )
+        for r in shared_neighbor_jaccard(
+            df, max_neighbor_degree=3, min_inter=1
+        ).collect()
+    }
+    # candidate n_inter counts only valve-passing shared neighbors;
+    # sizes are FULL degrees: (1,2) share 10,11 -> 2 of union 4
+    assert got == {
+        (1, 2): (2, 3, 3, 500000),
+        (3, 4): (1, 2, 2, 333333),
+    }
+    # without the valve, the hub joins candidate generation: every pair
+    # appears and the hub contributes to the intersections
+    got_all = {
+        (r["src_a"], r["src_b"]): (r["n_inter"], r["jaccard_micro"])
+        for r in shared_neighbor_jaccard(
+            df, max_neighbor_degree=1000, min_inter=1
+        ).collect()
+    }
+    assert got_all[(1, 2)] == (3, 1000000)
+    assert got_all[(1, 3)] == (1, 250000)
+    assert len(got_all) == 6

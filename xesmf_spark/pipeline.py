@@ -1884,3 +1884,153 @@ def dedup_keep_best(
             "qm_micro",
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    a rolling ``window``-token hash satisfies ``hash % divisor == 0``
+    (the gear/Rabin CDC boundary rule; expected chunk length ~
+    ``divisor`` tokens). Unlike :func:`chunk_tokens`' fixed windows,
+    CDC boundaries are CONTENT-STABLE: inserting a sentence shifts
+    only the chunks it touches, so identical passages in near-identical
+    documents land in identical chunks — ``chunk_hash`` equality then
+    dedups shared spans across a corpus without any pairwise compare
+    (the storage-dedup trick, applied to training text).
+
+    This is the STATELESS CDC variant: a boundary is a pure per-
+    position predicate, so the whole transform is array expressions —
+    no sequential scan, no shuffle, replayable in SQL. Production CDC
+    adds min/max chunk bounds, which make boundaries depend on the
+    previous boundary (a per-doc sequential pass — applyInPandas);
+    the unbounded rule keeps the operator a zero-shuffle projection
+    and its tail behavior is benign (P(len>L) decays geometrically).
+
+    Returns one row per chunk: (id, chunk_idx, n_tokens, chunk_hash,
+    n_copies) where n_copies counts corpus-wide occurrences of the
+    chunk's content hash (the dedup signal).
+
+    Scale shape: tokenize + boundary filter + one posexplode are all
+    map-side; the ONLY shuffle is the n_copies count on chunk_hash
+    (map-side combinable, key space = distinct chunks). At 100 TB the
+    explode emits ~n_tokens/divisor rows per doc — the same output
+    volume any chunker must emit."""
+    if window < 1 or divisor < 1:
+        raise ValueError(f"need window >= 1 and divisor >= 1, got {window}, {divisor}")
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), t.alias("t")).withColumn("n", F.size("t"))
+    # candidate boundary positions: 0-based end index i of a full
+    # window, i in [window-1, n-2] (a boundary after the LAST token
+    # would emit an empty final chunk, so i stops at n-2); Spark's
+    # sequence() REVERSES when start > stop, hence the emptiness guard
+    idxs = F.when(
+        F.col("n") >= window + 1,
+        F.sequence(F.lit(window - 1), F.col("n") - 2),
+    ).otherwise(F.array().cast("array<int>"))
+    bpos = F.filter(
+        idxs,
+        lambda i: base_hash(F.concat_ws(" ", F.slice(F.col("t"), i - window + 2, window)))
+        % divisor
+        == 0,
+    )
+    starts = F.concat(F.array(F.lit(0)), F.transform(bpos, lambda i: i + 1))
+    ends = F.concat(F.transform(bpos, lambda i: i + 1), F.array(F.col("n")))
+    spans = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    ex = base.select(
+        F.col(id_col), "t", F.posexplode(spans.alias("_")).alias("chunk_idx", "span")
+    )
+    ctext = F.concat_ws(
+        " ", F.slice(F.col("t"), F.col("span.s") + 1, F.col("span.e") - F.col("span.s"))
+    )
+    chunks = ex.select(
+        F.col(id_col),
+        "chunk_idx",
+        (F.col("span.e") - F.col("span.s")).cast("long").alias("n_tokens"),
+        F.md5(F.encode(ctext, "utf-8")).alias("chunk_hash"),
+    )
+    copies = Window.partitionBy("chunk_hash")
+    return chunks.withColumn("n_copies", F.count(F.lit(1)).over(copies))
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated-bigram language-model quality score — the standard
+    perplexity filter of a pretraining pipeline (CCNet-style) one
+    order up from :func:`unigram_logprob_score`: each adjacent token
+    pair (w1, w2) is scored by
+
+        P(w2 | w1) = 0.9 * c(w1 w2)/c(w1 *) + 0.1 * c(w2)/total
+
+    (MLE bigram interpolated with the corpus unigram — the simplest
+    smoothing that keeps every probability strictly positive and the
+    model well-defined on its own training corpus). Boilerplate
+    (repeated high-frequency bigrams) scores high; noise (improbable
+    transitions) scores low.
+
+    EXACT cross-engine arithmetic (same micro-nat discipline as
+    :func:`unigram_logprob_score`): both mixture terms are IEEE-exact
+    double divisions of exact BIGINTs, the mixture is two exact
+    multiplies + one add with identical association on both engines,
+    and the per-pair log-prob is floored to integer micro-nats BEFORE
+    the per-doc sum — order-independent BIGINT accumulation. The only
+    libm call is one ln() per distinct operand bit-pattern.
+
+    Docs with < 2 tokens have no bigrams and are absent from the
+    output (documented contract; a scorer consumer LEFT-joins).
+
+    Scale shape: two count shuffles build the bigram and context
+    tables (Zipf-bounded — far below corpus size, but NOT driver- or
+    broadcast-sized at 100 TB, so all scoring joins are keyed
+    equi-joins, not broadcasts); the 1-row total is the only
+    broadcast. Scoring = three keyed joins + one per-doc agg."""
+    t = tokens(F.col(text_col))
+    toks = df.select(F.col(id_col), F.explode(t).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("total"))
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select(F.col(id_col), F.explode(pairs_arr).alias("bg")).select(
+        F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    p = F.lit(0.9) * (F.col("c2").cast("double") / F.col("c1").cast("double")) + F.lit(
+        0.1
+    ) * (F.col("cu").cast("double") / F.col("total").cast("double"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(uni.select(F.col("token").alias("w2"), "cu"), ["w2"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.floor(F.lit(micro) * F.log(p)).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / (F.lit(float(micro)) * F.col("n_bigrams").cast("double")),
+        )
+    )

@@ -1328,3 +1328,200 @@ def bpe_encode_sql(n_merges: int = 8) -> str:
         f"SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS freq\n"
         f"FROM step{n_merges} GROUP BY sym"
     )
+
+
+def cdc_chunks_sql(window: int = 3, divisor: int = 8) -> str:
+    """Mirrors pipeline.cdc_chunks over the planted-duplicates corpus:
+    boundary after 0-based token i (i in [window-1, n-2]) iff
+    base_hash(window ending at i) %% divisor == 0; chunks are the
+    spans between boundaries; n_copies is a corpus-wide window count
+    on the chunk content hash. All hashes are md5-derived BIGINTs —
+    bit-identical across engines; positions are replayed with
+    range()+list_transform (0-based j, matching Spark's 0-based
+    sequence), not WITH ORDINALITY (absent in DuckDB 1.0)."""
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE},
+b AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_filter(range({window} - 1, len(t) - 1),
+                     i -> (('0x' || substr(md5(array_to_string(
+                              t[i - {window} + 2 : i + 1], ' ')), 1, 15))::BIGINT
+                           % {P}) % {divisor} = 0) AS bpos
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, t, n,
+         list_concat([0], list_transform(bpos, i -> i + 1)) AS starts,
+         list_concat(list_transform(bpos, i -> i + 1), [n]) AS ends
+  FROM b
+),
+ch AS (
+  SELECT doc_id, u.ci AS chunk_idx, u.nt AS n_tokens, u.h AS chunk_hash FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(starts)),
+                  j -> {{'ci': j,
+                        'nt': CAST(ends[j + 1] - starts[j + 1] AS BIGINT),
+                        'h': md5(array_to_string(
+                               t[starts[j + 1] + 1 : ends[j + 1]], ' '))}})) AS u
+    FROM spans
+  )
+)
+SELECT doc_id, chunk_idx, n_tokens, chunk_hash,
+       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies
+FROM ch
+"""
+
+
+def bigram_logprob_sql(micro: int = 1_000_000) -> str:
+    """Mirrors pipeline.bigram_logprob_score: interpolated bigram
+    P(w2|w1) = 0.9 * c2/c1 + 0.1 * cu/total with per-pair micro-nat
+    flooring before the exact BIGINT per-doc sum. The mixture is two
+    IEEE-exact divisions of exact BIGINTs, two exact multiplies and
+    one add with identical association on both engines; the only libm
+    call is one LN() per distinct operand bit-pattern (same ~1e-10
+    boundary-risk budget as unigram_logprob_sql)."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+bg AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 1),
+                  i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR({micro} * LN(
+           0.9 * (CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+           + 0.1 * (CAST(uni.cu AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         )) AS BIGINT) AS lp_micro
+  FROM bg
+  JOIN c2 USING (w1, w2)
+  JOIN c1 USING (w1)
+  JOIN uni ON bg.w2 = uni.token, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+       CAST(SUM(lp_micro) AS DOUBLE) / (CAST({micro} AS DOUBLE) * COUNT(*)) AS avg_logprob
+FROM lp
+GROUP BY doc_id
+"""
+
+
+def lpa_communities_sql(iters: int = 3) -> str:
+    """Replays relational.label_propagation over the customer-supplier
+    trade graph as a MATERIALIZED CTE chain (one votes+argmax pair per
+    iteration — inlined CTEs would re-scan parquet exponentially, the
+    BPE-replay lesson). Neighbor votes UNION ALL one self-vote, ties
+    broken by smallest label: all-integer state, bit-exact replay."""
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 50
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+v{k} AS MATERIALIZED (
+  SELECT node, label, COUNT(*) AS votes FROM (
+    SELECT s.src AS node, l.label FROM sym s JOIN l{k - 1} l ON s.dst = l.node
+    UNION ALL
+    SELECT node, label FROM l{k - 1})
+  GROUP BY node, label
+),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM v{k}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY votes DESC, label ASC) = 1
+)""")
+    parts.append(f"""
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node % 2) AS BIGINT) AS n_suppliers,
+       CAST(SUM(node) AS BIGINT) AS node_sum,
+       CAST(COUNT(*) - SUM(node % 2) AS BIGINT) AS n_customers
+FROM l{iters} GROUP BY label""")
+    return "".join(parts)
+
+
+def copurchase_triangles_sql() -> str:
+    """Replays relational.triangle_count over the part co-purchase
+    graph: canonicalized distinct edges, (degree, id)-ordered
+    orientation, wedge join + closing-edge join — all exact BIGINTs."""
+    return """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                  greatest(a.l_partkey, b.l_partkey) AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+  GROUP BY node
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.a ELSE e0.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.b ELSE e0.a END AS v
+  FROM e0 JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node
+),
+w AS (SELECT o1.u AS u, o2.v AS w FROM o o1 JOIN o o2 ON o1.v = o2.u),
+t AS (SELECT COUNT(*) AS n FROM w JOIN o ON w.u = o.u AND w.w = o.v)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM t) AS BIGINT) AS n_triangles
+"""
+
+
+def shared_supplier_jaccard_sql(
+    max_neighbor_degree: int = 1000, min_inter: int = 2, k: int = 50
+) -> str:
+    """Replays relational.shared_neighbor_jaccard on the sparsified
+    customer-supplier graph: valve-bounded shared-neighbor self-join,
+    exact integer micro-Jaccard, deterministic top-k."""
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 50
+),
+rdeg AS (SELECT dst, COUNT(*) AS c FROM e0 GROUP BY dst),
+sizes AS (SELECT src, COUNT(*) AS n FROM e0 GROUP BY src),
+gen AS (
+  SELECT e0.src, e0.dst FROM e0 JOIN rdeg USING (dst)
+  WHERE rdeg.c <= {max_neighbor_degree}
+),
+pairs AS (
+  SELECT x.src AS src_a, y.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM gen x JOIN gen y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_inter}
+)
+SELECT src_a, src_b, n_inter,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       (1000000 * n_inter) // (sa.n + sb.n - n_inter) AS jaccard_micro
+FROM pairs
+JOIN sizes sa ON src_a = sa.src
+JOIN sizes sb ON src_b = sb.src
+ORDER BY jaccard_micro DESC, src_a ASC, src_b ASC
+LIMIT {k}
+"""

@@ -4613,3 +4613,110 @@ def orders_bucketed_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
         .withColumn("colocated_ok", F.lit(bool(colocated)))
     )
+
+
+def pipeline_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (pipeline.cdc_chunks) over the
+    planted-duplicates corpus: boundaries where a rolling 3-token
+    md5 hash is 0 mod 8, so identical passages land in identical
+    chunks regardless of position — the exact copies (%7) share every
+    chunk and the truncated near-dups (%5) share every chunk before
+    the edit point, visible as n_copies > 1 on the content hash.
+    Zero-shuffle chunking (pure array exprs + posexplode); the only
+    shuffle is the chunk_hash occurrence count."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.cdc_chunks(_docs_with_dups(_docs(spark, sf_dir)))
+
+
+def pipeline_bigram_lm(spark, sf_dir):
+    """Interpolated-bigram LM quality scores over documents
+    (pipeline.bigram_logprob_score): the CCNet-style perplexity
+    filter one order above the unigram scorer; micro-nat flooring
+    keeps every per-doc sum an exact BIGINT."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.bigram_logprob_score(_docs(spark, sf_dir))
+
+
+def trade_graph_communities(spark, sf_dir):
+    """Fixed-3-iteration synchronous label propagation
+    (relational.label_propagation) over the bipartite customer-
+    supplier trade graph (distinct pairs from lineitem x orders;
+    customers at node 2k, suppliers at 2k+1). Deterministic integer
+    state (labels are node ids, votes are counts) with a self-vote
+    damping the bipartite oscillation — bit-exact against a 3-CTE
+    SQL replay, the same differential discipline as the integer
+    PageRank. Per iteration: one keyed edge-label equi-join + one
+    map-side-combinable vote count + per-node top-1 window."""
+    from xesmf_spark.relational import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # keep only the max-quantity trades: the dense full graph is a
+        # near-clique (LPA collapses it to one community per side);
+        # the sparsified graph has real community structure. Pushed
+        # to the parquet scan.
+        .filter(F.col("l_quantity") >= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    labels = label_propagation(edges, iters=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("node") % 2).alias("n_suppliers"),
+            F.sum("node").alias("node_sum"),
+        )
+        .withColumn("n_customers", F.col("n_members") - F.col("n_suppliers"))
+    )
+
+
+def parts_copurchase_triangles(spark, sf_dir):
+    """Global triangle count (relational.triangle_count) over the part
+    co-purchase graph (parts appearing in the same order — the
+    market-basket projection of lineitem). Degree-ordered wedge join
+    bounds the work at O(m^1.5) regardless of hub parts; all-integer
+    output, exact SQL replay."""
+    from xesmf_spark.relational import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(edges)
+
+
+def customers_shared_supplier_jaccard(spark, sf_dir):
+    """Shared-neighbor Jaccard link prediction
+    (relational.shared_neighbor_jaccard) over the sparsified
+    customer-supplier bipartite graph (same max-quantity edge rule as
+    trade_graph_communities): candidate pairs from a shared-supplier
+    equi-join with the hub-degree valve, scores as exact integer
+    micro-Jaccards. Top-50 pairs by (jaccard desc, ids) — bounded
+    output at any sf."""
+    from xesmf_spark.relational import shared_neighbor_jaccard
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    sim = shared_neighbor_jaccard(edges, max_neighbor_degree=1000, min_inter=2)
+    return sim.orderBy(
+        F.col("jaccard_micro").desc(), F.col("src_a").asc(), F.col("src_b").asc()
+    ).limit(50)

@@ -1067,3 +1067,202 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*keys, status.alias("diff_status"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (community
+    detection) over an edge list (src, dst), treated as undirected.
+    Every node starts with its own id as label; each iteration every
+    node adopts the most frequent label among its NEIGHBORS' previous-
+    iteration labels plus ONE vote for its own current label, ties
+    broken by the smallest label (Raghavan et al. 2007, the
+    deterministic synchronous variant: the classic async/random-order
+    formulation is not replayable, so differential testing forces the
+    synchronous one — same determinism trade the integer PageRank
+    above makes for float PageRank). The self-vote is the standard
+    damping for synchronous updates: without it a bipartite graph
+    two-colors itself and oscillates between sides every iteration.
+
+    All state is integral (labels are node ids, votes are counts), so
+    a SQL engine replaying the recurrence agrees bit-for-bit — no
+    float drift, no RNG.
+
+    Scale shape: per iteration ONE keyed equi-join of the symmetrized
+    edge list against the O(N) label table, one (node, label) count
+    agg, and one per-node top-1 window (partitioned by node — never
+    global). Lineage truncated per iteration with localCheckpoint, so
+    ``iters`` stays bounded-plan. No driver scalars at all; nothing
+    collects. Skewed hub nodes are bounded by their degree (the vote
+    agg is map-side combinable on (node, label))."""
+    e = edges.select("src", "dst").distinct()
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), F.col("label")),
+            "dst",
+        ).select(F.col("src").alias("node"), "label")
+        votes = (
+            nbr.unionByName(labels)
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.withColumn("rnk", F.row_number().over(top1))
+            .filter(F.col("rnk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    sym.unpersist()
+    return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected graph — the classic
+    MapReduce-era graph analytic with the degree-orientation trick
+    (Suri & Vassilvitskii's "Counting triangles and the curse of the
+    last reducer"): orient every undirected edge from its lower-
+    (degree, id) endpoint to its higher one, so a hub of degree d
+    contributes wedges only through its few HIGHER-degree neighbors —
+    bounding the wedge join at O(m^{3/2}) total work regardless of
+    skew, where the naive undirected wedge join is O(sum d^2) and
+    dies on the first celebrity node. Every triangle has exactly one
+    acyclic orientation u -> v -> w with (u < v < w) in degree order,
+    so each is counted exactly once, no /6 correction.
+
+    Returns ONE row: (n_nodes, n_edges, n_triangles) — all exact
+    BIGINTs.
+
+    Scale shape: a degree agg, two keyed equi-joins (wedge build =
+    oriented x oriented on the middle vertex, then a semi-join of
+    wedge endpoints against the oriented edge set), and one global
+    count. No broadcasts (an edge set at 100 TB is not a dim table),
+    no windows, no driver scalars."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id); total order, so
+    # every undirected edge gets exactly one direction
+    o = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    # NOTE: o feeds three plan branches; no persist() here — a query-
+    # scoped cache pinned past return would leak in a long session, and
+    # AQE reuses the shuffle exchange across branches. A 100-TB caller
+    # materializes o once (checkpoint/table) before this.
+    # wedges u -> v -> w; closing edge must be the oriented (u, w)
+    wedges = o.join(
+        o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    ).select("u", "w")
+    # INNER join, not left_semi: distinct wedges with different middle
+    # vertices share the same (u, w) closing pair — each is its own
+    # triangle, so wedge multiplicity must be preserved (o is distinct
+    # by construction, so the join cannot double-count a closing edge)
+    tri = wedges.join(o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"])
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+    return out
+
+
+def shared_neighbor_jaccard(
+    edges: DataFrame,
+    max_neighbor_degree: int = 1000,
+    min_inter: int = 1,
+) -> DataFrame:
+    """Link-prediction candidate scoring on a bipartite graph: for
+    every pair of LEFT nodes sharing at least ``min_inter`` RIGHT
+    neighbors, the Jaccard similarity of their neighbor sets — the
+    "customers who buy from the same suppliers" primitive
+    (collaborative filtering's item-item / user-user first stage).
+
+    Candidate pairs come from a shared-neighbor equi-join (self-join
+    of the edge list on the RIGHT node — never all-pairs), with the
+    LSH-style skew valve: RIGHT nodes whose degree exceeds
+    ``max_neighbor_degree`` are excluded from candidate GENERATION
+    (a neighbor shared by everyone predicts nothing and would emit
+    deg^2 pairs), while the Jaccard itself is computed over the FULL
+    neighbor sets — the valve bounds the join, not the score.
+
+    All-integer score: jaccard_micro = (1e6 * |A∩B|) // |A∪B| exact
+    BIGINT (truncating division on positives — bit-identical in any
+    SQL replay). Returns (src_a, src_b, n_inter, n_a, n_b,
+    jaccard_micro) with src_a < src_b.
+
+    Scale shape: one degree agg, one keyed self-join on the right
+    node (valve-bounded), one pair-count agg, two keyed degree joins.
+    Map-side combinable everywhere; no broadcasts, no windows."""
+    e = edges.select("src", "dst").distinct()
+    rdeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("rdeg"))
+    sizes = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    gen = e.join(
+        rdeg.filter(F.col("rdeg") <= max_neighbor_degree).select("dst"), "dst"
+    )
+    pairs = (
+        gen.alias("x")
+        .join(gen.alias("y"), "dst")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(
+            F.col("x.src").alias("src_a"), F.col("y.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= min_inter)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("src").alias("src_a"), F.col("n_nbrs").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("n_nbrs").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("(1000000L * n_inter) div (n_a + n_b - n_inter)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
