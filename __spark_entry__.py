@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_graph_communities": Q.trade_graph_communities,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "customers_shared_supplier_jaccard": Q.customers_shared_supplier_jaccard,
+        "documents_pmi_collocations": Q.documents_pmi_collocations,
+        "parts_copurchase_clustering": Q.parts_copurchase_clustering,
+        "orders_psi_drift": Q.orders_psi_drift,
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
         "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
@@ -109,10 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_source_scan": Q.synthetic_source_scan,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
+        # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
         "events_retention_cohorts": Q.events_retention_cohorts,
         "events_session_paths": Q.events_session_paths,
-        # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
         "orders_topk_per_group": Q.orders_topk_per_group,
         "customers_scd2": Q.customers_scd2,
         "documents_tfidf_terms": Q.documents_tfidf_terms,
@@ -264,6 +267,9 @@ def oracle_sql() -> dict[str, str]:
         "trade_graph_communities": PO.lpa_communities_sql(),
         "parts_copurchase_triangles": PO.copurchase_triangles_sql(),
         "customers_shared_supplier_jaccard": PO.shared_supplier_jaccard_sql(),
+        "documents_pmi_collocations": PO.pmi_collocations_sql(),
+        "parts_copurchase_clustering": PO.copurchase_clustering_sql(),
+        "orders_psi_drift": PO.psi_drift_sql(),
         "pipeline_bpe_train": PO.bpe_train_sql(8),
         "pipeline_bpe_encode": PO.bpe_encode_sql(8),
         # same replay as ann_pq_top3: the sharded plan is value-identical

@@ -564,6 +564,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "trade_graph_communities",
         "parts_copurchase_triangles",
         "customers_shared_supplier_jaccard",
+        "documents_pmi_collocations",
+        "parts_copurchase_clustering",
+        "orders_psi_drift",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -88,6 +88,12 @@ ALLOW = {
     # same 1-row token-total scalar cross, bigram order (the unigram
     # mixture term's normalization constant)
     "pipeline_bigram_lm": {"BroadcastNestedLoopJoin"},
+    # the two 1-row corpus totals (N1 tokens, N2 bigrams) crossed onto
+    # the bigram-type table — the PMI normalization constants
+    "documents_pmi_collocations": {"BroadcastNestedLoopJoin"},
+    # the two 1-row sample totals crossed onto the nbins-row bin frame
+    # (PSI normalization constants)
+    "orders_psi_drift": {"BroadcastNestedLoopJoin"},
     # the dense grid is generated-axis x distinct-types — both bounded
     # by construction (span hours / type cardinality), never fact-volume
     "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},

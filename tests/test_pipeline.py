@@ -1507,3 +1507,35 @@ def test_bigram_logprob_matches_brute_force(spark):
     }
     assert got == want
     assert 4 not in got  # <2 tokens -> absent by contract
+
+
+def test_pmi_collocations_matches_brute_force(spark):
+    import math
+    from collections import Counter
+
+    docs = [(i, "strong tea and strong coffee and weak tea now") for i in range(3)] + [
+        (10, "hot strong tea please"),
+        (11, "iced coffee and hot tea"),
+    ]
+    toks = [t.split(" ") for _, t in docs]
+    uni = Counter(w for t in toks for w in t)
+    n1 = sum(uni.values())
+    bigs = [bg for t in toks for bg in zip(t, t[1:])]
+    n2 = len(bigs)
+    c2 = Counter(bigs)
+    want = {}
+    for (w1, w2), c in c2.items():
+        if c >= 3:
+            ratio = ((float(c) * n1) * n1) / ((float(n2) * uni[w1]) * uni[w2])
+            want[(w1, w2)] = (c, math.floor(1_000_000 * math.log(ratio)))
+    assert want  # the fixture must actually exercise the floor
+    out = PL.pmi_collocations(
+        spark.createDataFrame(docs, "doc_id long, text string"), min_count=3
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_micro"]) for r in out.collect()
+    }
+    assert got == want
+    # "strong tea" is a genuine collocation; its PMI must beat the
+    # chance-level "and strong" pair
+    assert got[("strong", "tea")][1] > got[("and", "strong")][1]

@@ -107,3 +107,52 @@ def test_check_constraints_empty_input_reports_zero_violations(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_rows, r.n_violations, r.ok) == (0, 0, True)
+
+
+def test_psi_drift_matches_brute_force(spark):
+    import math
+
+    from xesmf_spark.quality import psi_drift
+
+    base_vals = [5, 15, 15, 25, 25, 25, 95, -3]   # clamps: -3 -> bin 0, 95 -> bin 9
+    new_vals = [5, 35, 35, 35, 45, 120]
+    nbins, lo, width = 10, 0, 10
+
+    def hist(vals):
+        h = [0] * nbins
+        for v in vals:
+            h[min(max((v - lo) // width, 0), nbins - 1)] += 1
+        return h
+
+    hb, hn = hist(base_vals), hist(new_vals)
+    want_terms, want_total = [], 0
+    for i in range(nbins):
+        p = (hb[i] + 1) / (len(base_vals) + nbins)
+        q = (hn[i] + 1) / (len(new_vals) + nbins)
+        t = math.floor(1_000_000 * ((p - q) * math.log(p / q)))
+        want_terms.append((i, hb[i], hn[i], t))
+        want_total += t
+    out = psi_drift(
+        spark.createDataFrame([(v,) for v in base_vals], "cents long"),
+        spark.createDataFrame([(v,) for v in new_vals], "cents long"),
+        "cents",
+        lo=lo,
+        width=width,
+        nbins=nbins,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["bin"])
+    got = [(r["bin"], r["n_base"], r["n_new"], r["term_micro"]) for r in rows]
+    assert got == want_terms
+    assert all(r["psi_micro"] == want_total for r in rows)
+    # every term is >= 0 ((p-q) and ln(p/q) share sign), up to the
+    # floor's -1; identical distributions would give ~0
+    assert want_total > 0
+    same = psi_drift(
+        spark.createDataFrame([(v,) for v in base_vals], "cents long"),
+        spark.createDataFrame([(v,) for v in base_vals], "cents long"),
+        "cents",
+        lo=lo,
+        width=width,
+        nbins=nbins,
+    ).collect()
+    assert all(r["psi_micro"] == 0 for r in same)

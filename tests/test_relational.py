@@ -1071,3 +1071,38 @@ def test_shared_neighbor_jaccard_scores_and_valve(spark):
     assert got_all[(1, 2)] == (3, 1000000)
     assert got_all[(1, 3)] == (1, 250000)
     assert len(got_all) == 6
+
+
+def test_clustering_coefficient_matches_brute_force(spark):
+    from itertools import combinations
+
+    from xesmf_spark.relational import clustering_coefficient
+
+    # K4 + bridge to a pendant + a square (4-cycle: triangles 0 but
+    # degree 2 everywhere) + degree-1 node
+    edges = (
+        list(combinations([1, 2, 3, 4], 2))
+        + [(4, 5)]
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]
+    )
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in und for n in e})
+    nbrs = {n: {m for e in und for m in e if n in e and m != n} for n in nodes}
+    want = {}
+    for n in nodes:
+        d = len(nbrs[n])
+        t = sum(
+            1 for a, b in combinations(sorted(nbrs[n]), 2) if frozenset((a, b)) in und
+        )
+        want[n] = (d, t, (2_000_000 * t) // (d * (d - 1)) if d >= 2 else 0)
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["coeff_micro"])
+        for r in clustering_coefficient(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == (3, 3, 1_000_000)   # K4 member: fully clustered
+    assert got[4] == (4, 3, 500_000)     # K4 member + pendant bridge
+    assert got[10] == (2, 0, 0)          # square: no triangles
+    assert got[5] == (1, 0, 0)           # pendant: no wedge capacity

@@ -2034,3 +2034,73 @@ def bigram_logprob_score(
             / (F.lit(float(micro)) * F.col("n_bigrams").cast("double")),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction — the
+    classic corpus-analysis primitive (Church & Hanks 1990): adjacent
+    token pairs whose joint frequency beats chance,
+
+        pmi = ln( (c2/N2) / ((cu1/N1) * (cu2/N1)) )
+
+    with c2 the bigram count over N2 total bigrams and cu the unigram
+    counts over N1 total tokens. Raw PMI explodes on hapax pairs, so
+    ``min_count`` floors the bigram count (the standard fix).
+
+    EXACT cross-engine arithmetic: the ratio is evaluated as
+    ((c2 * N1) * N1) / ((N2 * cu1) * cu2) in doubles with identical
+    association on both engines (every factor an exact BIGINT; IEEE
+    multiply/divide are deterministic), then floored to integer
+    micro-nats — only ln() touches libm. Returns
+    (w1, w2, n_pair, pmi_micro), one row per qualifying bigram type.
+
+    Scale shape: identical to :func:`bigram_logprob_score` minus the
+    per-doc scoring joins — two Zipf-bounded count shuffles and one
+    keyed join of the bigram-type table against the two unigram rows;
+    the two 1-row totals are the only broadcasts."""
+    t = tokens(F.col(text_col))
+    toks = df.select(F.explode(t).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    n1 = uni.agg(F.sum("cu").alias("n1"))
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select(F.explode(pairs_arr).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    n2 = big.agg(F.count(F.lit(1)).alias("n2"))
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    d = F.col("n_pair").cast("double")
+    ratio = (
+        (d * F.col("n1").cast("double")) * F.col("n1").cast("double")
+    ) / (
+        (F.col("n2").cast("double") * F.col("cu1").cast("double"))
+        * F.col("cu2").cast("double")
+    )
+    return (
+        c2.join(uni.select(F.col("token").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.floor(F.lit(micro) * F.log(ratio)).cast("long").alias("pmi_micro"),
+        )
+    )

@@ -1525,3 +1525,129 @@ JOIN sizes sb ON src_b = sb.src
 ORDER BY jaccard_micro DESC, src_a ASC, src_b ASC
 LIMIT {k}
 """
+
+
+def pmi_collocations_sql(min_count: int = 5, micro: int = 1_000_000) -> str:
+    """Mirrors pipeline.pmi_collocations: the PMI ratio evaluated as
+    ((c2 * N1) * N1) / ((N2 * cu1) * cu2) in doubles with identical
+    association on both engines, floored to micro-nats."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (SELECT unnest(t) AS token FROM toks),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY token),
+n1 AS (SELECT CAST(SUM(cu) AS BIGINT) AS n1 FROM uni),
+bg AS (
+  SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(len(t) - 1),
+                  i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM bg),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg
+  GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}
+)
+SELECT c2.w1, c2.w2, n_pair,
+       CAST(FLOOR({micro} * LN(
+         ((CAST(n_pair AS DOUBLE) * CAST(n1.n1 AS DOUBLE)) * CAST(n1.n1 AS DOUBLE))
+         / ((CAST(n2.n2 AS DOUBLE) * CAST(u1.cu AS DOUBLE)) * CAST(u2.cu AS DOUBLE))
+       )) AS BIGINT) AS pmi_micro
+FROM c2
+JOIN uni u1 ON c2.w1 = u1.token
+JOIN uni u2 ON c2.w2 = u2.token, n1, n2
+"""
+
+
+def copurchase_clustering_sql() -> str:
+    """Replays relational.clustering_coefficient over the part
+    co-purchase graph: the triangle replay keeping the full (u, v, w)
+    triple, exploded to its three vertices, counted per node, then
+    2e6*t // (deg*(deg-1)) exact integer coefficients."""
+    return """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                  greatest(a.l_partkey, b.l_partkey) AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+  GROUP BY node
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.a ELSE e0.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e0.a < e0.b)
+              THEN e0.b ELSE e0.a END AS v
+  FROM e0 JOIN deg da ON e0.a = da.node JOIN deg db ON e0.b = db.node
+),
+tri AS MATERIALIZED (
+  SELECT wg.u AS u, wg.v AS v, wg.w AS w FROM (
+    SELECT o1.u AS u, o1.v AS v, o2.v AS w
+    FROM o o1 JOIN o o2 ON o1.v = o2.u) wg
+  JOIN o ON wg.u = o.u AND wg.w = o.v
+),
+nt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT unnest([u, v, w]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, deg.deg,
+       COALESCE(nt.n_tri, 0) AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN (2000000 * COALESCE(nt.n_tri, 0)) // (deg.deg * (deg.deg - 1))
+            ELSE 0 END AS coeff_micro
+FROM deg LEFT JOIN nt USING (node)
+"""
+
+
+def psi_drift_sql(
+    lo: int = 0, width: int = 5_000_000, nbins: int = 10, micro: int = 1_000_000
+) -> str:
+    """Mirrors quality.psi_drift over the orders value split: same
+    clamp-binning as histogram_rollup, Laplace +1 smoothing, the PSI
+    term evaluated as (p - q) * LN(p / q) with identical association,
+    micro-floored per bin before the exact BIGINT total."""
+    return f"""
+WITH o AS (
+  SELECT o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+hb AS (
+  SELECT least(greatest((cents - {lo}) // {width}, 0), {nbins} - 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_base
+  FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+),
+hn AS (
+  SELECT least(greatest((cents - {lo}) // {width}, 0), {nbins} - 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+),
+nb AS (SELECT CAST(COALESCE(SUM(n_base), 0) AS BIGINT) AS t FROM hb),
+nn AS (SELECT CAST(COALESCE(SUM(n_new), 0) AS BIGINT) AS t FROM hn),
+bins AS (SELECT CAST(b.range AS BIGINT) AS bin FROM range(0, {nbins}) b),
+terms AS (
+  SELECT bins.bin,
+         COALESCE(hb.n_base, 0) AS n_base,
+         COALESCE(hn.n_new, 0) AS n_new,
+         CAST(FLOOR({micro} * (
+           ((CAST(COALESCE(hb.n_base, 0) + 1 AS DOUBLE)
+             / CAST(nb.t + {nbins} AS DOUBLE))
+            - (CAST(COALESCE(hn.n_new, 0) + 1 AS DOUBLE)
+               / CAST(nn.t + {nbins} AS DOUBLE)))
+           * LN((CAST(COALESCE(hb.n_base, 0) + 1 AS DOUBLE)
+                 / CAST(nb.t + {nbins} AS DOUBLE))
+                / (CAST(COALESCE(hn.n_new, 0) + 1 AS DOUBLE)
+                   / CAST(nn.t + {nbins} AS DOUBLE)))
+         )) AS BIGINT) AS term_micro
+  FROM bins LEFT JOIN hb USING (bin) LEFT JOIN hn USING (bin), nb, nn
+)
+SELECT bin, n_base, n_new, term_micro,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM terms
+"""

@@ -153,3 +153,76 @@ def histogram_quantile(
             (F.lit(lo) + F.col("q_bin") * F.lit(width)).alias("q_value"),
         )
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    new: DataFrame,
+    val_col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+    micro: int = M,
+) -> DataFrame:
+    """Population Stability Index between two samples of a column —
+    THE production drift metric for ML features and ingest monitoring:
+
+        PSI = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+    over the same equi-width binning as :func:`histogram_rollup`
+    (caller-pinned lo/width/nbins — explicit bins make the metric
+    replayable and mergeable; deriving them from min/max would couple
+    the bin layout to the data). Empty bins are handled with Laplace
+    +1 smoothing on COUNTS — ``p_i = (c_i + 1) / (N + nbins)`` — the
+    standard fix that keeps every ratio finite and positive without
+    an arbitrary epsilon.
+
+    EXACT cross-engine arithmetic: both smoothed proportions are
+    IEEE-exact divisions of exact BIGINTs, the PSI term is evaluated
+    as ``(p - q) * ln(p / q)`` with identical association on both
+    engines (each factor deterministic; only ln touches libm), and
+    each per-bin term is floored to integer micro-nats BEFORE the
+    total — order-independent BIGINT sum. Every term is >= 0
+    mathematically ((p-q) and ln(p/q) share sign), so the floored
+    total under-counts by < nbins micro-nats, deterministically.
+
+    Returns one row per bin: (bin, n_base, n_new, term_micro,
+    psi_micro) — psi_micro repeated on every row via an nbins-row
+    window (bounded by construction; convention: PSI < 0.1 stable,
+    0.1-0.25 moderate drift, > 0.25 action).
+
+    Scale shape: two map-side-combinable histogram counts (key space
+    nbins), one nbins-row join frame, two 1-row total broadcasts —
+    the heavy inputs are scanned once each, column-pruned."""
+    hb = histogram_rollup(base, [], val_col, lo, width, nbins).withColumnRenamed(
+        "n", "n_base"
+    )
+    hn = histogram_rollup(new, [], val_col, lo, width, nbins).withColumnRenamed(
+        "n", "n_new"
+    )
+    bins = base.sparkSession.range(nbins).select(F.col("id").alias("bin"))
+    nb = hb.agg(F.coalesce(F.sum("n_base"), F.lit(0)).alias("__nb"))
+    nn = hn.agg(F.coalesce(F.sum("n_new"), F.lit(0)).alias("__nn"))
+    j = (
+        bins.join(hb, "bin", "left")
+        .join(hn, "bin", "left")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.col("__nb"),
+            F.col("__nn"),
+        )
+    )
+    p = (F.col("n_base") + 1).cast("double") / (
+        F.col("__nb") + F.lit(nbins)
+    ).cast("double")
+    q = (F.col("n_new") + 1).cast("double") / (
+        F.col("__nn") + F.lit(nbins)
+    ).cast("double")
+    term = F.floor(F.lit(micro) * ((p - q) * F.log(p / q))).cast("long")
+    out = j.select("bin", "n_base", "n_new", term.alias("term_micro"))
+    w_all = Window.partitionBy()
+    return out.withColumn("psi_micro", F.sum("term_micro").over(w_all))

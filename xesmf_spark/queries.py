@@ -4720,3 +4720,52 @@ def customers_shared_supplier_jaccard(spark, sf_dir):
     return sim.orderBy(
         F.col("jaccard_micro").desc(), F.col("src_a").asc(), F.col("src_b").asc()
     ).limit(50)
+
+
+def documents_pmi_collocations(spark, sf_dir):
+    """PMI collocation extraction (pipeline.pmi_collocations) over the
+    documents corpus: adjacent-pair association in exact micro-nats
+    with the min-count floor; the Church-Hanks corpus-analysis
+    primitive completing the co-occurrence stack (bigram LM scores
+    docs, PMI ranks the pairs themselves)."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.pmi_collocations(_docs(spark, sf_dir), min_count=5)
+
+
+def parts_copurchase_clustering(spark, sf_dir):
+    """Local clustering coefficients (relational.clustering_coefficient)
+    over the part co-purchase graph — per-part basket cohesion in
+    exact integer micro-units, built on the same degree-ordered
+    triangle machinery as parts_copurchase_triangles."""
+    from xesmf_spark.relational import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return clustering_coefficient(edges)
+
+
+def orders_psi_drift(spark, sf_dir):
+    """PSI drift between early (< 1998) and late order-value
+    distributions (quality.psi_drift): the production data-drift
+    monitor over the snapshot/rollup stack — exact integer micro-nat
+    terms, Laplace-smoothed bins, 10 x $50k cents-exact buckets."""
+    from xesmf_spark.quality import psi_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    split = "1998-01-01"
+    base = o.filter(F.col("o_orderdate") < F.lit(split).cast("timestamp"))
+    new = o.filter(F.col("o_orderdate") >= F.lit(split).cast("timestamp"))
+    return psi_drift(base, new, "cents", lo=0, width=5_000_000, nbins=10)
