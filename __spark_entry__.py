@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_pmi_collocations": Q.documents_pmi_collocations,
         "parts_copurchase_clustering": Q.parts_copurchase_clustering,
         "orders_psi_drift": Q.orders_psi_drift,
+        "trade_graph_kcore": Q.trade_graph_kcore,
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
         "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
@@ -111,8 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_variant": Q.events_props_variant,
         "synthetic_source_scan": Q.synthetic_source_scan,
         "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
-        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
+        "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
         "events_retention_cohorts": Q.events_retention_cohorts,
         "events_session_paths": Q.events_session_paths,
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_pmi_collocations": PO.pmi_collocations_sql(),
         "parts_copurchase_clustering": PO.copurchase_clustering_sql(),
         "orders_psi_drift": PO.psi_drift_sql(),
+        "trade_graph_kcore": PO.kcore_sql(),
         "pipeline_bpe_train": PO.bpe_train_sql(8),
         "pipeline_bpe_encode": PO.bpe_encode_sql(8),
         # same replay as ann_pq_top3: the sharded plan is value-identical

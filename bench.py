@@ -567,6 +567,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "documents_pmi_collocations",
         "parts_copurchase_clustering",
         "orders_psi_drift",
+        "trade_graph_kcore",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -1106,3 +1106,49 @@ def test_clustering_coefficient_matches_brute_force(spark):
     assert got[4] == (4, 3, 500_000)     # K4 member + pendant bridge
     assert got[10] == (2, 0, 0)          # square: no triangles
     assert got[5] == (1, 0, 0)           # pendant: no wedge capacity
+
+
+def _kcore_brute(edges, k, iters):
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    active = sym
+    for _ in range(iters):
+        deg = {}
+        for s, _ in active:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        active = {(s, d) for s, d in active if s in keep and d in keep}
+    out = {}
+    for s, _ in active:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_kcore_matches_brute_force(spark):
+    from itertools import combinations
+
+    from xesmf_spark.relational import kcore_nodes
+
+    # K4 core + a chain of pendants hanging off it (peels over several
+    # rounds: 7 needs 6 gone, 6 needs 5 gone, ...) + a triangle that
+    # k=3 must dissolve entirely
+    edges = (
+        list(combinations([1, 2, 3, 4], 2))
+        + [(4, 5), (5, 6), (6, 7)]
+        + [(10, 11), (11, 12), (12, 10)]
+    )
+    for k, iters in [(2, 1), (2, 3), (3, 1), (3, 2), (3, 4)]:
+        want = _kcore_brute(edges, k, iters)
+        got = {
+            r["node"]: r["deg"]
+            for r in kcore_nodes(
+                spark.createDataFrame(edges, "src long, dst long"), k=k, iters=iters
+            ).collect()
+        }
+        assert got == want, f"k={k} iters={iters}"
+    # the K4 survives k=3 peeling exactly
+    got = _kcore_brute(edges, 3, 4)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -1651,3 +1651,36 @@ SELECT bin, n_base, n_new, term_micro,
        CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
 FROM terms
 """
+
+
+def kcore_sql(k: int = 3, iters: int = 3) -> str:
+    """Replays relational.kcore_nodes over the sparsified trade graph
+    as a MATERIALIZED CTE chain: per round a degree count and a
+    both-ends survivor filter — the round-``iters`` state exactly (not
+    the fixed point), matching the engine's fixed-iteration contract."""
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 50
+),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+k{r} AS MATERIALIZED (
+  SELECT src AS node FROM a{r - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+a{r} AS MATERIALIZED (
+  SELECT a.src, a.dst FROM a{r - 1} a
+  JOIN k{r} x ON a.src = x.node
+  JOIN k{r} y ON a.dst = y.node
+)""")
+    parts.append(f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM a{iters} GROUP BY src""")
+    return "".join(parts)

@@ -4769,3 +4769,24 @@ def orders_psi_drift(spark, sf_dir):
     base = o.filter(F.col("o_orderdate") < F.lit(split).cast("timestamp"))
     new = o.filter(F.col("o_orderdate") >= F.lit(split).cast("timestamp"))
     return psi_drift(base, new, "cents", lo=0, width=5_000_000, nbins=10)
+
+
+def trade_graph_kcore(spark, sf_dir):
+    """Fixed-3-round k-core peeling (relational.kcore_nodes, k=3)
+    over the sparsified customer-supplier trade graph: strips pendant
+    customers to expose the dense trading backbone. All-integer
+    state, bit-exact 3-round SQL replay (same fixed-iteration
+    discipline as pagerank / label propagation)."""
+    from xesmf_spark.relational import kcore_nodes
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return kcore_nodes(edges, k=3, iters=3)
