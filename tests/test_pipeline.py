@@ -1539,3 +1539,26 @@ def test_pmi_collocations_matches_brute_force(spark):
     # "strong tea" is a genuine collocation; its PMI must beat the
     # chance-level "and strong" pair
     assert got[("strong", "tea")][1] > got[("and", "strong")][1]
+
+
+def test_cdc_chunks_short_docs_single_chunk(spark):
+    """A doc with <= window tokens has no boundary candidates (the
+    window-end index range is empty) and must come back as exactly
+    one chunk covering the whole doc."""
+    docs = [(1, "a b c"), (2, "a b"), (3, "a")]
+    out = PL.cdc_chunks(
+        spark.createDataFrame(docs, "doc_id long, text string"), window=3
+    ).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert {d: len(rs) for d, rs in per_doc.items()} == {1: 1, 2: 1, 3: 1}
+    assert per_doc[1][0]["n_tokens"] == 3
+
+
+def test_pmi_collocations_min_count_can_empty(spark):
+    docs = [(1, "x y z")]
+    out = PL.pmi_collocations(
+        spark.createDataFrame(docs, "doc_id long, text string"), min_count=2
+    )
+    assert out.count() == 0

@@ -1152,3 +1152,32 @@ def test_kcore_matches_brute_force(spark):
     # the K4 survives k=3 peeling exactly
     got = _kcore_brute(edges, 3, 4)
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_graph_ops_degenerate_inputs(spark):
+    """Empty / sub-threshold graphs must degrade to empty or zeroed
+    results, not errors — the guards a pipeline composing these ops
+    on filtered edge sets relies on."""
+    from xesmf_spark.relational import (
+        kcore_nodes,
+        shared_neighbor_jaccard,
+        triangle_count,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = triangle_count(empty).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+
+    # self-loops are dropped entirely
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    row = triangle_count(loops).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+
+    # k above every degree peels the whole graph away
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    assert kcore_nodes(tri, k=5, iters=2).count() == 0
+
+    # min_inter above the max shared-neighbor count yields no pairs
+    bip = spark.createDataFrame([(1, 10), (2, 10)], "src long, dst long")
+    assert shared_neighbor_jaccard(bip, min_inter=2).count() == 0
+    assert shared_neighbor_jaccard(bip, min_inter=1).count() == 1
