@@ -93,6 +93,33 @@ def test_bpe_train_zero_and_exhaustion(spark, docs):
     assert [m["merged"] for m in merges] == ["ab"]  # then no pairs remain
 
 
+def test_bpe_train_incremental_equals_full_recount(spark):
+    """The delta-maintained pair table (incremental=True) must produce
+    the EXACT same merge list — ranks, pairs, counts — as the
+    full-recount twin, on a fuzzed corpus with repeated runs (overlap
+    stress), shared prefixes/suffixes (pair-churn stress), and enough
+    merges to cross a compact_every boundary."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        for _ in range(60)
+    ] + ["aaaa", "aaab", "abab", "lowlow"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=rng.randint(1, 12)))) for i in range(25)],
+        "doc_id long, text string",
+    )
+    full = bpe_train(docs, n_merges=20, incremental=False)
+    inc = bpe_train(docs, n_merges=20, incremental=True, compact_every=4)
+    assert inc == full
+    # and both agree with the pure-Python reference
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    ref, _ = _ref_train(_word_freq(rows), 20)
+    assert inc == ref
+
+
 def test_word_counts(spark, docs):
     got = {r.word: r.freq for r in bpe_word_counts(docs).collect()}
     assert got == _word_freq(CORPUS)

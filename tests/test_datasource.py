@@ -219,6 +219,40 @@ def test_manifest_legacy_plain_manifest_readable_and_chained(spark, tmp_path):
     assert got == {100, 10, 11}
 
 
+def test_manifest_legacy_part_without_nrows_makes_total_unknown(spark, tmp_path):
+    """A legacy part lacking n_rows must NOT be silently counted as 0
+    in the merged manifest total — the total goes null (unknown)
+    instead (r10 ADVICE); parts all carrying n_rows still sum."""
+    import json as _json
+    import os
+
+    d = str(tmp_path / "legacy_nrows")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-legacy-0.jsonl"), "w") as f:
+        f.write('{"doc_id": 100, "text": "old"}\n')
+    with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+        _json.dump({"parts": [{"filename": "part-legacy-0.jsonl"}]}, f)
+    spark.dataSource.register(DS.ManifestJsonl)
+    df2 = spark.range(10, 12).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    df2.coalesce(1).write.format("manifest_jsonl").option("path", d).mode(
+        "append"
+    ).save()
+    _, manifest = DS._latest_manifest(d)
+    assert manifest["n_rows"] is None  # unknown, not understated
+    # the data itself still reads fine
+    got = {
+        r.doc_id
+        for r in DS.read_manifest_jsonl(spark, d, "doc_id long, text string").collect()
+    }
+    assert got == {100, 10, 11}
+    # a fresh overwrite (all parts counted) reports an exact total again
+    df2.coalesce(1).write.format("manifest_jsonl").option("path", d).mode(
+        "overwrite"
+    ).save()
+    _, manifest = DS._latest_manifest(d)
+    assert manifest["n_rows"] == 2
+
+
 def test_manifest_append_unions_previous_parts(spark, tmp_path):
     """A second append commit must keep the first commit's rows (the
     manifest unions parts); overwrite resets."""

@@ -1468,6 +1468,31 @@ def test_cdc_chunks_boundaries_are_content_stable(spark):
     assert out.filter(F.col("n_copies") >= 2).count() > 0
 
 
+def test_cdc_chunks_ncopies_groupby_equals_window(spark):
+    """cdc_chunks computes n_copies as groupBy(chunk_hash).count() +
+    join-back (map-side combinable, AQE-splittable) instead of a
+    count-over-Window.partitionBy(chunk_hash) (hot-key single
+    reducer). The two shapes must be value-identical row for row —
+    this pins the skew-safe rewrite to the window semantics."""
+    from pyspark.sql import Window
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    docs = [(i, base) for i in range(5)] + [
+        (10, "zz yy " + base),
+        (11, "completely different words appear only here once each"),
+        (12, "one two"),
+    ]
+    out = PL.cdc_chunks(spark.createDataFrame(docs, "doc_id long, text string"))
+    via_window = out.drop("n_copies").withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("chunk_hash"))
+    )
+    key = lambda r: (r["doc_id"], r["chunk_idx"])
+    got = {key(r): (r["chunk_hash"], r["n_copies"]) for r in out.collect()}
+    want = {key(r): (r["chunk_hash"], r["n_copies"]) for r in via_window.collect()}
+    assert got == want
+    assert max(v[1] for v in got.values()) >= 5  # hot key actually exercised
+
+
 def test_bigram_logprob_matches_brute_force(spark):
     import math
     from collections import Counter

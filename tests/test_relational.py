@@ -1036,11 +1036,14 @@ def test_triangle_count_matches_brute_force(spark):
 def test_shared_neighbor_jaccard_scores_and_valve(spark):
     from xesmf_spark.relational import shared_neighbor_jaccard
 
-    # a,b share {10, 11}; everyone shares hub 99. With the valve at 3,
-    # hub 99 (degree 4 > 3) is excluded from candidate GENERATION but
-    # still counts toward each side's neighbor-set size.
+    # 1,2 share {10, 11}; everyone shares hub 99. With the valve at 3,
+    # hub 99 (degree 4 > 3) is excluded from candidate GENERATION —
+    # pairs sharing ONLY the hub (e.g. (1,3)) are never emitted — but
+    # for emitted pairs the score is the TRUE Jaccard: the
+    # intersection is re-counted over the unfiltered edges, so the hub
+    # DOES count in n_inter, and sizes are full degrees.
     edges = [
-        (1, 10), (1, 11), (1, 99),
+        (1, 10), (1, 11), (1, 99), (1, 13),
         (2, 10), (2, 11), (2, 99),
         (3, 12), (3, 99),
         (4, 12), (4, 99),
@@ -1054,22 +1057,24 @@ def test_shared_neighbor_jaccard_scores_and_valve(spark):
             df, max_neighbor_degree=3, min_inter=1
         ).collect()
     }
-    # candidate n_inter counts only valve-passing shared neighbors;
-    # sizes are FULL degrees: (1,2) share 10,11 -> 2 of union 4
+    # (1,2): generated via {10,11}; true inter {10,11,99} = 3 of
+    # union 4+3-3=4. (3,4): generated via {12}; true inter {12,99}=2
+    # of union 2. (1,3),(1,4),(2,3),(2,4) share only the hub: absent.
     assert got == {
-        (1, 2): (2, 3, 3, 500000),
-        (3, 4): (1, 2, 2, 333333),
+        (1, 2): (3, 4, 3, 750000),
+        (3, 4): (2, 2, 2, 1000000),
     }
     # without the valve, the hub joins candidate generation: every pair
-    # appears and the hub contributes to the intersections
+    # appears, with the same true intersections
     got_all = {
         (r["src_a"], r["src_b"]): (r["n_inter"], r["jaccard_micro"])
         for r in shared_neighbor_jaccard(
             df, max_neighbor_degree=1000, min_inter=1
         ).collect()
     }
-    assert got_all[(1, 2)] == (3, 1000000)
-    assert got_all[(1, 3)] == (1, 250000)
+    assert got_all[(1, 2)] == (3, 750000)
+    assert got_all[(1, 3)] == (1, 200000)
+    assert got_all[(2, 3)] == (1, 250000)
     assert len(got_all) == 6
 
 

@@ -304,6 +304,9 @@ def test_snapshot_vacuum_retention_and_age_guard(spark, tmp_path):
     assert stats["dropped_versions"] == [1, 2]
     # v1/v2 data files (not referenced by v3) are gone; young orphan kept
     assert os.path.exists(orphan)
+    # ... and the age-gated skip is REPORTED, so a no-op vacuum under
+    # the safe 7-day default is diagnosable from its stats
+    assert "parts/part_orphan_00000.parquet" in stats["skipped_young_files"]
     assert {r.k for r in snapshot_read(spark, d).collect()} == {9}
     for v in (1, 2):
         with _pytest.raises(FileNotFoundError):

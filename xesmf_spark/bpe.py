@@ -19,10 +19,18 @@ Words with Subword Units" — public knowledge):
   word.
 - **encode**: apply the learned merges to a word's character sequence
   in rank order, one greedy sweep per merge.  One sweep per rank is
-  EXACT (not an approximation of the priority-queue encoder): a merge
-  only creates strictly longer symbols, and every pair involving a
-  created symbol was learned at a later rank, so an earlier pattern
-  can never re-appear once its sweep has run.
+  exact (matches the priority-queue encoder) whenever every pair
+  involving a created symbol is learned at a later rank — the normal
+  case, since a merge only creates strictly longer symbols.  The one
+  edge case: if the SAME symbol string is derivable by two distinct
+  merge paths (e.g. both ``(a, bc)`` and ``(ab, c)`` are in the
+  vocab, each producing ``"abc"``), a later-rank sweep can recreate an
+  earlier-rank pair that never gets re-swept, and the two encoders can
+  diverge on pathological inputs.  ``bpe_train`` warns when it learns
+  a duplicate merged string so the caller knows the vocabulary is in
+  that regime; engine, Python reference, and oracle all share the
+  one-sweep-per-rank semantics, so they remain mutually consistent
+  either way.
 
 Determinism contract: pair counts are exact BIGINT sums; the winning
 pair is ``max(count)`` tie-broken by ``(left, right)`` ascending —
@@ -34,12 +42,23 @@ Scale shapes (the 100-TB view):
 
 - word-count extraction: one map-side-combinable groupBy on the
   corpus — the only corpus-sized shuffle in training;
-- per merge iteration: one groupBy-SUM over the vocab table's
-  exploded adjacent pairs (vocab rows ~= distinct words, orders of
-  magnitude below corpus rows) + ONE 1-row ``TakeOrdered`` collect
-  (the winning pair — the same bounded driver scalar discipline as
-  ``relational.pagerank``'s N) + a pure-projection fold applying the
-  merge; lineage is truncated per iteration with ``localCheckpoint``;
+- per merge iteration (``incremental=True``, the default): the
+  running pair-count table is maintained by DELTA — only words
+  actually containing the winning pair adjacently are re-counted
+  (their old pair multiset enters with weight ``-freq``, their merged
+  multiset with ``+freq``), so the per-merge SHUFFLE is bounded by the
+  affected words, not the vocabulary; the full-vocab exploded-pair
+  groupBy-SUM runs exactly once, to seed the table.  Each iteration
+  still pays one map-side scan of the (checkpoint-cached) vocab table
+  to find affected words, ONE 1-row ``TakeOrdered`` collect (the
+  winning pair — the same bounded driver scalar discipline as
+  ``relational.pagerank``'s N), and a pure-projection fold applying
+  the merge to the affected words only; unaffected words pass through
+  untouched, and the stacked filter/union lineage is compacted with an
+  eager ``localCheckpoint`` every ``compact_every`` merges (LSM-style:
+  amortized one full-vocab materialization per ``compact_every``
+  merges).  ``incremental=False`` keeps the simple shape — a full
+  exploded-pair recount per merge — as the differential twin;
 - encode: zero-shuffle projection — merges are a driver-side list
   (the model artifact, like PQ codebooks in ``similarity``) compiled
   either into chained JVM ``aggregate`` folds (``use_kernel=False``,
@@ -121,11 +140,45 @@ def bpe_apply_merges(
     return syms
 
 
+_PAIR_STRUCTS = (
+    "transform(slice(syms, 1, size(syms) - 1),"
+    " (x, i) -> struct(x AS l, syms[i + 1] AS r))"
+)
+
+
+def _exploded_pair_counts(src: DataFrame, weight: Column) -> DataFrame:
+    """``(l, r, cnt)`` — adjacent-pair multiset of ``src.syms``
+    weighted by ``weight`` and summed (exact BIGINT).  Shared kernel
+    of the seed count, the full-recount path, and the ± delta."""
+    return (
+        src.filter(F.size("syms") >= 2)
+        .select(weight.alias("w"), F.explode(F.expr(_PAIR_STRUCTS)).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def _has_adjacent(left: str, right: str) -> Column:
+    """True iff ``syms`` contains ``right`` immediately after ``left``
+    — exactly the words the greedy sweep will change (a fusion needs
+    an original adjacency: the accumulator's last element is either
+    the original previous symbol or a strictly-longer merged one)."""
+    return F.when(
+        F.size("syms") >= 2,
+        F.exists(
+            F.expr(_PAIR_STRUCTS),
+            lambda p: (p["l"] == F.lit(left)) & (p["r"] == F.lit(right)),
+        ),
+    ).otherwise(F.lit(False))
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
+    incremental: bool = True,
+    compact_every: int = 16,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list — the model artifact —
@@ -135,52 +188,127 @@ def bpe_train(
     (default 1 = run all requested iterations while any pair exists),
     so a fixed-``n_merges`` call is exactly replayable by the oracle.
 
-    Per iteration: one exploded-pairs groupBy-SUM over the vocab
-    table, one 1-row TakeOrdered collect (bounded driver scalar), one
-    projection applying the sweep; ``localCheckpoint`` truncates the
-    per-iteration lineage (the ``relational.pagerank`` discipline)."""
+    ``incremental=True`` (default) maintains the pair-count table by
+    DELTA: per merge, only words containing the winning pair
+    adjacently are re-counted (old pair multiset at ``-freq``, merged
+    multiset at ``+freq``; both full per-word multisets, so the
+    maintained table stays bit-equal to a recount), union-aggregated
+    into the running table and zero rows dropped.  The per-merge
+    shuffle AND write are therefore bounded by the AFFECTED words —
+    at a real 32k vocab almost all merges touch a vanishing corpus
+    fraction — while the full-vocab exploded-pair groupBy-SUM runs
+    exactly once, as the seed.  Vocab state is a two-table LSM: an
+    eagerly-checkpointed full-vocab ``base`` plus a small ``over``
+    table holding the CURRENT syms of words changed since the last
+    compaction (current = over if present else base; each iteration
+    rewrites only ``over``, sized by cumulative affected words, and
+    every ``compact_every`` merges folds it into a fresh ``base`` —
+    amortized one full-vocab materialization per ``compact_every``
+    merges).  The per-merge O(vocab) cost that remains is one
+    map-side, checkpoint-cached FILTER scan to find affected words
+    (no shuffle, no write); bounding that too would need a
+    pair->word inverted index, which real tokenizer trainers keep
+    in memory and a 100-TB corpus's distinct-word table does not
+    justify at these merge counts.
+
+    ``incremental=False`` is the simple differential twin — a full
+    exploded-pair recount and whole-vocab sweep per merge — kept for
+    the equivalence pytest and as the smaller plan when ``n_merges``
+    is tiny.  Both paths emit identical merge lists by construction.
+
+    Winner selection either way is one 1-row TakeOrdered collect
+    (bounded driver scalar, max count tie-broken ``(l, r)`` asc).
+    Warns if two merges produce the same merged STRING via distinct
+    paths (e.g. ``(a, bc)`` and ``(ab, c)``) — the regime where the
+    one-sweep-per-rank encoder can diverge from a priority-queue
+    encoder (see module docstring)."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    words = (
+    if compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    base = (
         bpe_word_counts(df, text_col)
         .select("word", "freq", _chars(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
     merges: list[dict] = []
-    cur = words
+    merged_strings: set[str] = set()
+    pairs: DataFrame | None = None
+    over: DataFrame | None = None  # incremental-only: words changed since compaction
+    if incremental and n_merges > 0:
+        # the ONE full-vocab pair shuffle: seed the maintained table
+        pairs = _exploded_pair_counts(base, F.col("freq")).localCheckpoint(eager=True)
+        over = base.sparkSession.createDataFrame([], base.schema)
     for rank in range(1, n_merges + 1):
-        pairs = (
-            cur.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(slice(syms, 1, size(syms) - 1),"
-                        " (x, i) -> struct(x AS l, syms[i + 1] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
+        if not incremental:
+            pairs = _exploded_pair_counts(base, F.col("freq"))
         # deterministic winner: max count, then (l, r) ascending —
         # TakeOrderedAndProject, not a full sort
         top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
         if not top or top[0]["cnt"] < min_count:
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merged = left + right
+        if merged in merged_strings:
+            import warnings
+
+            warnings.warn(
+                f"bpe_train: merge rank {rank} re-derives {merged!r} via a "
+                "second path; one-sweep-per-rank encoding may diverge from a "
+                "priority-queue encoder on inputs exercising both derivations",
+                stacklevel=2,
+            )
+        merged_strings.add(merged)
         merges.append(
             {
                 "rank": rank,
                 "left": left,
                 "right": right,
-                "merged": left + right,
+                "merged": merged,
                 "pair_count": cnt,
             }
         )
-        cur = cur.select(
-            "word", "freq", _merge_fold(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=True)
+        if incremental:
+            # current syms = over if the word changed since compaction,
+            # else base; both are checkpointed, so every reference below
+            # is a cheap LogicalRDD, never a re-derivation
+            hit = _has_adjacent(left, right)
+            affected = (
+                base.join(over.select("word"), "word", "left_anti")
+                .filter(hit)
+                .unionByName(over.filter(hit))
+            )
+            merged_words = affected.select(
+                "word", "freq", _merge_fold(F.col("syms"), left, right).alias("syms")
+            )
+            delta = _exploded_pair_counts(affected, -F.col("freq")).unionAll(
+                _exploded_pair_counts(merged_words, F.col("freq"))
+            )
+            pairs = (
+                pairs.unionAll(delta)
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") > 0)
+                .localCheckpoint(eager=True)
+            )
+            # rewrite ONLY the override table: O(words changed since
+            # compaction), not O(vocab)
+            over = (
+                over.join(merged_words.select("word"), "word", "left_anti")
+                .unionByName(merged_words)
+                .localCheckpoint(eager=True)
+            )
+            if rank % compact_every == 0:
+                base = (
+                    base.join(over.select("word"), "word", "left_anti")
+                    .unionByName(over)
+                    .localCheckpoint(eager=True)
+                )
+                over = base.sparkSession.createDataFrame([], base.schema)
+        else:
+            base = base.select(
+                "word", "freq", _merge_fold(F.col("syms"), left, right).alias("syms")
+            ).localCheckpoint(eager=True)
     return merges
 
 

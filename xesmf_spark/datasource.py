@@ -197,9 +197,16 @@ class ManifestJsonlWriter(DataSourceWriter):
             parts = list(new_parts)
             if not self.overwrite and prev is not None:
                 parts = prev["parts"] + parts
+            # legacy parts (pre-generation manifests) may lack n_rows;
+            # summing them as 0 would silently understate the total, so
+            # an unknown part makes the whole total unknown (null)
             manifest = {
                 "parts": sorted(parts, key=lambda p: p["filename"]),
-                "n_rows": sum(p.get("n_rows", 0) for p in parts),
+                "n_rows": (
+                    None
+                    if any("n_rows" not in p for p in parts)
+                    else sum(p["n_rows"] for p in parts)
+                ),
             }
             tmp = os.path.join(self.path, f"._MANIFEST.{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:

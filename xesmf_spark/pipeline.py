@@ -1916,10 +1916,15 @@ def cdc_chunks(
     chunk's content hash (the dedup signal).
 
     Scale shape: tokenize + boundary filter + one posexplode are all
-    map-side; the ONLY shuffle is the n_copies count on chunk_hash
-    (map-side combinable, key space = distinct chunks). At 100 TB the
-    explode emits ~n_tokens/divisor rows per doc — the same output
-    volume any chunker must emit."""
+    map-side; the ONLY shuffle is the n_copies count on chunk_hash,
+    computed as a groupBy partial aggregate (map-side combinable,
+    key space = distinct chunks) joined back on chunk_hash — NOT a
+    window over chunk_hash, which would funnel every occurrence of a
+    hot boilerplate chunk (shared by millions of docs at 100 TB) into
+    one un-splittable window partition; the join-back is an equi-join
+    AQE's skew handling CAN split. At 100 TB the explode emits
+    ~n_tokens/divisor rows per doc — the same output volume any
+    chunker must emit."""
     if window < 1 or divisor < 1:
         raise ValueError(f"need window >= 1 and divisor >= 1, got {window}, {divisor}")
     t = tokens(F.col(text_col))
@@ -1953,8 +1958,10 @@ def cdc_chunks(
         (F.col("span.e") - F.col("span.s")).cast("long").alias("n_tokens"),
         F.md5(F.encode(ctext, "utf-8")).alias("chunk_hash"),
     )
-    copies = Window.partitionBy("chunk_hash")
-    return chunks.withColumn("n_copies", F.count(F.lit(1)).over(copies))
+    copies = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    return chunks.join(copies, "chunk_hash").select(
+        F.col(id_col), "chunk_idx", "n_tokens", "chunk_hash", "n_copies"
+    )
 
 
 def bigram_logprob_score(

@@ -1496,8 +1496,9 @@ def shared_supplier_jaccard_sql(
     max_neighbor_degree: int = 1000, min_inter: int = 2, k: int = 50
 ) -> str:
     """Replays relational.shared_neighbor_jaccard on the sparsified
-    customer-supplier graph: valve-bounded shared-neighbor self-join,
-    exact integer micro-Jaccard, deterministic top-k."""
+    customer-supplier graph: valve-bounded shared-neighbor candidate
+    generation, exact intersection re-count over the unfiltered edge
+    set, exact integer micro-Jaccard, deterministic top-k."""
     return f"""
 WITH e0 AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
@@ -1510,11 +1511,18 @@ gen AS (
   SELECT e0.src, e0.dst FROM e0 JOIN rdeg USING (dst)
   WHERE rdeg.c <= {max_neighbor_degree}
 ),
-pairs AS (
-  SELECT x.src AS src_a, y.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+cand AS MATERIALIZED (
+  SELECT x.src AS src_a, y.src AS src_b
   FROM gen x JOIN gen y ON x.dst = y.dst AND x.src < y.src
   GROUP BY 1, 2
   HAVING COUNT(*) >= {min_inter}
+),
+pairs AS (
+  SELECT c.src_a, c.src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN e0 ea ON ea.src = c.src_a
+  JOIN e0 eb ON eb.src = c.src_b AND eb.dst = ea.dst
+  GROUP BY 1, 2
 )
 SELECT src_a, src_b, n_inter,
        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,

@@ -1093,10 +1093,14 @@ def label_propagation(
     Scale shape: per iteration ONE keyed equi-join of the symmetrized
     edge list against the O(N) label table, one (node, label) count
     agg, and one per-node top-1 window (partitioned by node — never
-    global). Lineage truncated per iteration with localCheckpoint, so
-    ``iters`` stays bounded-plan. No driver scalars at all; nothing
-    collects. Skewed hub nodes are bounded by their degree (the vote
-    agg is map-side combinable on (node, label))."""
+    global). Lineage truncated per iteration with an EAGER
+    localCheckpoint — eager so each iteration's join consumes the
+    persisted symmetrized edge list while it is still cached (a lazy
+    checkpoint would defer every join past the unpersist below and
+    recompute ``sym`` per iteration), so ``iters`` stays bounded-plan.
+    No driver scalars at all; nothing collects. Skewed hub nodes are
+    bounded by their degree (the vote agg is map-side combinable on
+    (node, label))."""
     e = edges.select("src", "dst").distinct()
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -1123,7 +1127,7 @@ def label_propagation(
             votes.withColumn("rnk", F.row_number().over(top1))
             .filter(F.col("rnk") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     sym.unpersist()
     return labels
@@ -1223,8 +1227,14 @@ def shared_neighbor_jaccard(
     LSH-style skew valve: RIGHT nodes whose degree exceeds
     ``max_neighbor_degree`` are excluded from candidate GENERATION
     (a neighbor shared by everyone predicts nothing and would emit
-    deg^2 pairs), while the Jaccard itself is computed over the FULL
-    neighbor sets — the valve bounds the join, not the score.
+    deg^2 pairs), and ``min_inter`` is a generation threshold on the
+    VALVE-PASSING shared count (pairs sharing only hub neighbors are
+    never emitted — documented recall trade, same as any LSH).  The
+    SCORE, however, is exact: for every generated pair the
+    intersection is re-counted over the UNFILTERED edge set (one
+    candidate-bounded keyed join back), and n_a/n_b are full degrees
+    — so n_inter and jaccard_micro are the true values, hubs
+    included, not valve-filtered lower bounds.
 
     All-integer score: jaccard_micro = (1e6 * |A∩B|) // |A∪B| exact
     BIGINT (truncating division on positives — bit-identical in any
@@ -1232,23 +1242,35 @@ def shared_neighbor_jaccard(
     jaccard_micro) with src_a < src_b.
 
     Scale shape: one degree agg, one keyed self-join on the right
-    node (valve-bounded), one pair-count agg, two keyed degree joins.
-    Map-side combinable everywhere; no broadcasts, no windows."""
+    node (valve-bounded), one pair-count agg, one exact-intersection
+    re-count (two keyed equi-joins, output bounded by candidates ×
+    left-degree), two keyed degree joins. Map-side combinable
+    everywhere; no broadcasts, no windows."""
     e = edges.select("src", "dst").distinct()
     rdeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("rdeg"))
     sizes = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_nbrs"))
     gen = e.join(
         rdeg.filter(F.col("rdeg") <= max_neighbor_degree).select("dst"), "dst"
     )
-    pairs = (
+    cand = (
         gen.alias("x")
         .join(gen.alias("y"), "dst")
         .filter(F.col("x.src") < F.col("y.src"))
         .groupBy(
             F.col("x.src").alias("src_a"), F.col("y.src").alias("src_b")
         )
+        .agg(F.count(F.lit(1)).alias("n_gen"))
+        .filter(F.col("n_gen") >= min_inter)
+        .select("src_a", "src_b")
+    )
+    # exact intersection for the survivors, over the UNFILTERED edges:
+    # expand each candidate by src_a's neighbors, keep those src_b also
+    # has — keyed equi-joins bounded by |candidates| x deg(src_a)
+    pairs = (
+        cand.join(e.select(F.col("src").alias("src_a"), "dst"), "src_a")
+        .join(e.select(F.col("src").alias("src_b"), "dst"), ["src_b", "dst"])
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .filter(F.col("n_inter") >= min_inter)
     )
     return (
         pairs.join(

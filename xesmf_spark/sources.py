@@ -470,7 +470,11 @@ def snapshot_vacuum(
 
     Driver-side O(files) metadata work only; returns
     ``{"retained_versions", "dropped_versions", "deleted_files",
-    "kept_files"}``."""
+    "kept_files", "skipped_young_files"}`` — the last lists unreferenced
+    candidates the age gate refused to delete, so a vacuum that removed
+    nothing under the (deliberately safe) 7-day default ``min_age_sec``
+    is diagnosable from its stats instead of silently indistinguishable
+    from a clean table."""
     import json
     import os
     import time
@@ -487,6 +491,7 @@ def snapshot_vacuum(
         with open(os.path.join(table_dir, f"v{v}.manifest.json")) as fh:
             live.update(json.load(fh)["files"])
     deleted = []
+    skipped_young = []
     parts_dir = os.path.join(table_dir, "parts")
     now = time.time()
     if os.path.isdir(parts_dir):
@@ -496,7 +501,10 @@ def snapshot_vacuum(
             if rel in live:
                 continue
             if now - os.path.getmtime(p) < min_age_sec:
-                continue  # possibly an in-flight commit's staged part
+                # possibly an in-flight commit's staged part — report
+                # it so an age-gated no-op vacuum is diagnosable
+                skipped_young.append(rel)
+                continue
             os.remove(p)
             deleted.append(rel)
     # manifests go LAST: if the sweep crashes mid-delete, a dropped
@@ -510,4 +518,5 @@ def snapshot_vacuum(
         "dropped_versions": dropped,
         "deleted_files": deleted,
         "kept_files": [os.path.join("parts", f) for f in kept],
+        "skipped_young_files": skipped_young,
     }
