@@ -43,76 +43,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-10 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) the 4 NEW r10 queries (BPE train/encode, sharded
-    # PQ, PNG resize), (b) the 4 whose engine code changed in r10
-    # (NULL-safe CDC delete predicates in merge_upsert +
-    # cdc_apply_stream; ManifestJsonl legacy-manifest fallback;
-    # snapshot_vacuum retention default), then (c+d) the 42 OLDEST
-    # single-green tail queries in age order (the 18 r7 tail-head
-    # cyclers, then the 24 oldest r8 first-greens) — the r9 verdict's
-    # remaining rotation debt. TAIL = the 14 remaining r8 singles,
-    # then the 10 r9 first-greens, then multi-greens; same-round
+    # entries only. Round-11 rotation (policy + log in SURVEY.md 2E):
+    # IN-WINDOW = (a) the 1 NEW r11 query (connected components) plus
+    # the 7 whose engine code changed in r11 (skew-safe cdc_chunks
+    # count; incremental BPE train; true-Jaccard re-count; LPA eager
+    # checkpoints; snapshot_vacuum skipped-young stats; ManifestJsonl
+    # null n_rows), then (b) the 23 remaining r8 singles, (c) the 10
+    # r9 first-greens, (d) the 8 remaining r10 first-greens +
+    # customers_upsert_delete — paying the rotation debt down to ~1
+    # reachable single (stream_cdc_apply heads the tail). Same-round
     # evidence for every tail entry comes from the committed
-    # full-surface record (CORRECTNESS_FULL_r10.json) + tri-scale runs.
+    # full-surface record + tri-scale runs.
     return {
-        # (a) zero-evidence r10 queries, then (b) r10 engine-changed
-        # (the 3 late-r10 additions displace the window's last 3 r8
-        # singles — tfidf/bm25/cms — to the HEAD of the tail for r11)
+        # (a) r11 new + engine-changed
+        "trade_graph_components": Q.trade_graph_components,
         "pipeline_cdc_chunks": Q.pipeline_cdc_chunks,
-        "pipeline_bigram_lm": Q.pipeline_bigram_lm,
-        "trade_graph_communities": Q.trade_graph_communities,
-        "parts_copurchase_triangles": Q.parts_copurchase_triangles,
-        "customers_shared_supplier_jaccard": Q.customers_shared_supplier_jaccard,
-        "documents_pmi_collocations": Q.documents_pmi_collocations,
-        "parts_copurchase_clustering": Q.parts_copurchase_clustering,
-        "orders_psi_drift": Q.orders_psi_drift,
-        "trade_graph_kcore": Q.trade_graph_kcore,
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
-        "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
-        "multimodal_image_resize_png": Q.multimodal_image_resize_png,
-        # (b) engine code changed in r10 (NULL-safe CDC deletes, legacy
-        "customers_upsert_delete": Q.customers_upsert_delete,
-        "stream_cdc_apply": Q.stream_cdc_apply,
-        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
+        "customers_shared_supplier_jaccard": Q.customers_shared_supplier_jaccard,
+        "trade_graph_communities": Q.trade_graph_communities,
         "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
-        # (c) the 18 oldest single-green cyclers (the r7 tail head)
-        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
-        "multimodal_frame_sample": Q.multimodal_frame_sample,
-        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
-        "pipeline_decontaminate": Q.pipeline_decontaminate,
-        "orders_rollup": Q.orders_rollup,
-        "events_pivot": Q.events_pivot,
-        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
-        "events_hourly_gapfill": Q.events_hourly_gapfill,
-        "ann_pq_top3": Q.ann_pq_top3,
-        "ann_pq_recall": Q.ann_pq_recall,
-        "customers_upsert": Q.customers_upsert,
-        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
-        "documents_segments_udtf": Q.documents_segments_udtf,
-        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
-        "events_partitioned_scan": Q.events_partitioned_scan,
-        "events_hll_merge": Q.events_hll_merge,
-        "events_trailing_window": Q.events_trailing_window,
-        "pipeline_token_budget": Q.pipeline_token_budget,
-        # (d) the 24 oldest r8 single-green cyclers
-        "stream_interval_join_outer": Q.stream_interval_join_outer,
-        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
-        "pipeline_span_dedup": Q.pipeline_span_dedup,
-        "documents_heavy_hitters": Q.documents_heavy_hitters,
-        "stream_heavy_hitters": Q.stream_heavy_hitters,
-        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
-        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
-        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
-        "events_zorder_scan": Q.events_zorder_scan,
-        "orders_incr_join_view": Q.orders_incr_join_view,
-        "events_funnel": Q.events_funnel,
-        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
-        "events_props_variant": Q.events_props_variant,
-        "synthetic_source_scan": Q.synthetic_source_scan,
-        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
-        # ---- tail: remaining r8 singles, then r9 first-greens, then multi-greens ----
+        "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
+        # (b) the 23 remaining r8 single-green cyclers
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
         "events_retention_cohorts": Q.events_retention_cohorts,
@@ -136,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_schema_evolution": Q.orders_schema_evolution,
         "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
         "stream_anomaly_mad": Q.stream_anomaly_mad,
+        # (c) the 10 r9 first-greens
         "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "documents_inverted_index": Q.documents_inverted_index,
         "events_trend_slope": Q.events_trend_slope,
@@ -146,6 +99,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_trade_pagerank": Q.nations_trade_pagerank,
         "stream_synthetic_source": Q.stream_synthetic_source,
         "lineitem_constraints": Q.lineitem_constraints,
+        # (d) the 8 remaining r10 first-greens + customers_upsert_delete
+        "pipeline_bigram_lm": Q.pipeline_bigram_lm,
+        "parts_copurchase_triangles": Q.parts_copurchase_triangles,
+        "documents_pmi_collocations": Q.documents_pmi_collocations,
+        "parts_copurchase_clustering": Q.parts_copurchase_clustering,
+        "orders_psi_drift": Q.orders_psi_drift,
+        "trade_graph_kcore": Q.trade_graph_kcore,
+        "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
+        "multimodal_image_resize_png": Q.multimodal_image_resize_png,
+        "customers_upsert_delete": Q.customers_upsert_delete,
+        # ---- tail: stream_cdc_apply (last reachable single), then the
+        # r10-window cyclers (all second-lifetime green), then multi-greens ----
+        "stream_cdc_apply": Q.stream_cdc_apply,
+        "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
+        "multimodal_frame_sample": Q.multimodal_frame_sample,
+        "pipeline_unigram_quality": Q.pipeline_unigram_quality,
+        "pipeline_decontaminate": Q.pipeline_decontaminate,
+        "orders_rollup": Q.orders_rollup,
+        "events_pivot": Q.events_pivot,
+        "events_clicks_errors_full_outer": Q.events_clicks_errors_full_outer,
+        "events_hourly_gapfill": Q.events_hourly_gapfill,
+        "ann_pq_top3": Q.ann_pq_top3,
+        "ann_pq_recall": Q.ann_pq_recall,
+        "customers_upsert": Q.customers_upsert,
+        "pipeline_pack_contexts": Q.pipeline_pack_contexts,
+        "documents_segments_udtf": Q.documents_segments_udtf,
+        "pipeline_orc_roundtrip": Q.pipeline_orc_roundtrip,
+        "events_partitioned_scan": Q.events_partitioned_scan,
+        "events_hll_merge": Q.events_hll_merge,
+        "events_trailing_window": Q.events_trailing_window,
+        "pipeline_token_budget": Q.pipeline_token_budget,
+        "stream_interval_join_outer": Q.stream_interval_join_outer,
+        "events_props_flatten_udtf": Q.events_props_flatten_udtf,
+        "pipeline_span_dedup": Q.pipeline_span_dedup,
+        "documents_heavy_hitters": Q.documents_heavy_hitters,
+        "stream_heavy_hitters": Q.stream_heavy_hitters,
+        "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
+        "pipeline_decontaminate_fuzzy": Q.pipeline_decontaminate_fuzzy,
+        "pipeline_compact_small_files": Q.pipeline_compact_small_files,
+        "events_zorder_scan": Q.events_zorder_scan,
+        "orders_incr_join_view": Q.orders_incr_join_view,
+        "events_funnel": Q.events_funnel,
+        "events_rollup_hll_distinct": Q.events_rollup_hll_distinct,
+        "events_props_variant": Q.events_props_variant,
+        "synthetic_source_scan": Q.synthetic_source_scan,
+        "ann_ivfpq_refine_top3": Q.ann_ivfpq_refine_top3,
         "tpch_q6_forecast": Q.tpch_q6_forecast,
         "tpch_q7_volume_shipping": Q.tpch_q7_volume_shipping,
         "tpch_q10_returned": Q.tpch_q10_returned,
@@ -266,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_cdc_chunks": PO.cdc_chunks_sql(),
         "pipeline_bigram_lm": PO.bigram_logprob_sql(),
         "trade_graph_communities": PO.lpa_communities_sql(),
+        "trade_graph_components": PO.trade_components_sql(),
         "parts_copurchase_triangles": PO.copurchase_triangles_sql(),
         "customers_shared_supplier_jaccard": PO.shared_supplier_jaccard_sql(),
         "documents_pmi_collocations": PO.pmi_collocations_sql(),

@@ -1004,6 +1004,52 @@ def test_label_propagation_bipartite_does_not_oscillate(spark):
     assert len({r["label"] for r in a}) == 1
 
 
+def _cc_brute(edges, iters):
+    """Synchronous min-label propagation, plain Python."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    lbl = {n: n for n in adj}
+    for _ in range(iters):
+        lbl = {n: min([lbl[n]] + [lbl[m] for m in adj[n]]) for n in adj}
+    return lbl
+
+
+def test_connected_components_matches_brute_force(spark):
+    """Converged case: iters >= diameter gives true components (the
+    union-find answer); below that, the exact fixed-round contract —
+    min node id within distance iters — for every round count."""
+    from xesmf_spark.relational import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 1), (3, 4),      # triangle + bridge
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # long path
+        (20, 21),                            # isolated pair
+        (30, 31), (31, 30),                  # dup/reversed edges
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3, 6):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, iters=iters).collect()
+        }
+        assert got == _cc_brute(edges, iters), f"iters={iters}"
+    # converged (path diameter 5 <= 6): three true components
+    got6 = {
+        r["node"]: r["component"]
+        for r in connected_components(df, iters=6).collect()
+    }
+    assert got6 == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 30: 30, 31: 30,
+    }
+    # degenerate: empty edge set -> empty result, no error
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty, iters=2).count() == 0
+
+
 def test_triangle_count_matches_brute_force(spark):
     from itertools import combinations
 

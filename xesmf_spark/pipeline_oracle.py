@@ -1461,6 +1461,43 @@ FROM l{iters} GROUP BY label""")
     return "".join(parts)
 
 
+def trade_components_sql(iters: int = 5) -> str:
+    """Replays relational.connected_components over the sparsified
+    customer-supplier trade graph: one MATERIALIZED min-propagation
+    CTE per round (the lpa_communities_sql discipline — inlined CTEs
+    re-scan parquet exponentially), then the per-component rollup."""
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 50
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS component FROM sym)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT node, MIN(component) AS component FROM (
+    SELECT s.src AS node, l.component FROM sym s JOIN l{k - 1} l ON s.dst = l.node
+    UNION ALL
+    SELECT node, component FROM l{k - 1})
+  GROUP BY node
+)""")
+    parts.append(f"""
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(node % 2) AS BIGINT) AS n_suppliers,
+       CAST(SUM(node) AS BIGINT) AS node_sum,
+       CAST(COUNT(*) - SUM(node % 2) AS BIGINT) AS n_customers
+FROM l{iters} GROUP BY component""")
+    return "".join(parts)
+
+
 def copurchase_triangles_sql() -> str:
     """Replays relational.triangle_count over the part co-purchase
     graph: canonicalized distinct edges, (degree, id)-ordered

@@ -4790,3 +4790,35 @@ def trade_graph_kcore(spark, sf_dir):
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return kcore_nodes(edges, k=3, iters=3)
+
+
+def trade_graph_components(spark, sf_dir):
+    """Fixed-5-round connected components
+    (relational.connected_components: synchronous min-label
+    propagation, all-integer state) over the sparsified customer-
+    supplier trade graph, aggregated per component — the generic
+    transitive-closure primitive under dedup group resolution, here as
+    a first-class graph analytic with a chained-CTE SQL replay (same
+    fixed-iteration discipline as LPA / k-core / integer PageRank)."""
+    from xesmf_spark.relational import connected_components
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    comp = connected_components(edges, iters=5)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("node") % 2).alias("n_suppliers"),
+            F.sum("node").alias("node_sum"),
+        )
+        .withColumn("n_customers", F.col("n_members") - F.col("n_suppliers"))
+    )

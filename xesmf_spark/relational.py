@@ -1133,6 +1133,58 @@ def label_propagation(
     return labels
 
 
+def connected_components(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS min-label propagation over an edge
+    list (src, dst), treated as undirected: every node starts labeled
+    with its own id; each round every node takes the minimum of its
+    own label and its neighbors' previous-round labels. After exactly
+    ``iters`` rounds a node's label is the smallest node id within
+    graph distance ``iters`` — for every component whose diameter is
+    at most ``iters`` that IS the component id (its minimum node id),
+    and the fixed round count makes the op bit-exact replayable by a
+    chained-CTE SQL oracle (the same determinism contract as
+    :func:`label_propagation` and :func:`kcore_nodes`; a
+    converge-and-stop variant exists as ``pipeline.dedup_groups``,
+    which runs a driver-side convergence count per round — this one
+    runs NO driver work at all).  Hash-to-min propagation doubles the
+    reached radius per round only with path doubling; plain min
+    propagation reaches radius ``iters``, so pick ``iters`` >= the
+    diameter you care about.  The O(log n) alternating star
+    contraction of Kiveris et al. (SOCC'14) is the public drop-in
+    upgrade for adversarial long-chain graphs.
+
+    Returns (node, component) — all integer state, no RNG, no floats.
+
+    Scale shape: per round ONE keyed equi-join of the symmetrized edge
+    list against the O(N) label table plus one map-side-combinable MIN
+    agg — O(|E|) shuffle per round, never all-pairs, no windows, no
+    driver scalars. Lineage truncated per round with an eager
+    localCheckpoint (consumes the persisted edge list while cached —
+    the :func:`label_propagation` discipline)."""
+    e = edges.select("src", "dst").distinct()
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(iters):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), F.col("component")),
+            "dst",
+        ).select(F.col("src").alias("node"), "component")
+        labels = (
+            nbr.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected graph — the classic
     MapReduce-era graph analytic with the degree-orientation trick
