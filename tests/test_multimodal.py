@@ -322,3 +322,86 @@ def test_resize_images_decodes_real_png(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: bytes(r.pixels) for r in MM.resize_images(df, out_h=8, out_w=8).collect()}
     assert out[0] == out[1]
+
+
+def test_jpeg_bitstream_lossless_and_kernels_match():
+    """decode_jpeg(encode_jpeg(x)) == expected_reconstruction(x)
+    BYTE-EXACT for gray / RGB 4:4:4 / RGB 4:2:0 across qualities and
+    non-multiple-of-16 dims: proves the Huffman + zigzag + DC-pred +
+    byte-stuffing layer lossless and both sides' DCT/color kernels
+    identical (the encode_png discipline transposed to a lossy codec).
+    Also pins the loss itself: q100 on a smooth gradient stays within
+    a couple of counts of the source."""
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg, expected_reconstruction
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)
+    noise = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    smooth = np.zeros((37, 53, 3), np.uint8)
+    smooth[..., 0] = np.linspace(0, 255, 53, dtype=np.uint8)[None, :]
+    smooth[..., 1] = np.linspace(0, 255, 37, dtype=np.uint8)[:, None]
+    smooth[..., 2] = 128
+    one = np.full((1, 1), 200, dtype=np.uint8)  # single-block edge case
+    for img in (gray, one):
+        for q in (35, 75, 100):
+            dec = decode_jpeg(encode_jpeg(img, quality=q))
+            assert np.array_equal(dec, expected_reconstruction(img, quality=q)), q
+            assert dec.shape == img.shape
+    for img in (noise, smooth):
+        for sub in ("4:4:4", "4:2:0"):
+            for q in (35, 75, 100):
+                dec = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+                exp = expected_reconstruction(img, quality=q, subsampling=sub)
+                assert np.array_equal(dec, exp), (sub, q)
+                assert dec.shape == img.shape
+    # loss bound sanity: q100 4:4:4 smooth within 6 counts of source
+    dec = decode_jpeg(encode_jpeg(smooth, quality=100))
+    assert int(np.abs(dec.astype(int) - smooth.astype(int)).max()) <= 6
+
+
+def test_jpeg_rejects_progressive_and_junk_loudly():
+    """SOF2 (progressive) raises NotImplementedError naming the gate;
+    non-JPEG bytes raise ValueError; decode_image dispatches JPEG by
+    SOI signature."""
+    import pytest as _pytest
+
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_jpeg(img)
+    # patch the SOF0 marker (FF C0) to SOF2 (FF C2)
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # decode_image routes by signature
+    assert MM.decode_image(good).shape == (8, 8)
+
+
+def test_resize_images_decodes_real_jpeg(spark):
+    """The Arrow resize kernel consumes JPEG payloads through the same
+    decode_image dispatch as BMP/PNG, and the result equals the
+    numpy-side reference resize of the expected reconstruction —
+    format plumbing invisible, loss pinned to the codec."""
+    from xesmf_spark.jpeg import encode_jpeg, expected_reconstruction
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    img = ((3 + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+    rows = [
+        (0, bytearray(encode_jpeg(img, quality=90))),
+        (1, bytearray(encode_jpeg(img, quality=90, subsampling="4:2:0"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        rw.doc_id: np.frombuffer(bytes(rw.pixels), dtype=np.uint8).reshape(8, 8)
+        for rw in MM.resize_images(df, out_h=8, out_w=8).collect()
+    }
+    for did, sub in ((0, "4:4:4"), (1, "4:2:0")):
+        exp = expected_reconstruction(img, quality=90, subsampling=sub)
+        gray = exp.mean(axis=2).astype(np.uint8)
+        want = gray[np.ix_((np.arange(8) * 16) // 8, (np.arange(8) * 16) // 8)]
+        assert np.array_equal(out[did], want), sub

@@ -1,0 +1,733 @@
+"""Native baseline-JPEG codec — pure numpy + stdlib, no codec library.
+
+Closes the image-codec story next to the native PNG/BMP paths in
+``multimodal``: baseline sequential DCT JPEG (SOF0) covering the
+dominant real-world shapes — grayscale, RGB 4:4:4, RGB 4:2:0 — with a
+loud ``NotImplementedError`` gate for progressive (SOF2) and the other
+rare SOF variants.  Public knowledge throughout: ITU-T T.81 (the JPEG
+spec; Annex K carries the example quantization and Huffman tables used
+here) and the JFIF colorspace conventions.
+
+Discipline mirrors ``multimodal.encode_png``: we ship the ENCODER twin
+(``encode_jpeg``) so tests can prove the decoder byte-exact without any
+third-party codec.  JPEG is lossy, so "byte-exact" is pinned at the
+right boundary: the bitstream layer (Huffman + zigzag + DC prediction +
+byte stuffing) is lossless by construction, and both sides share the
+same DCT/IDCT/color kernels, so
+
+    decode_jpeg(encode_jpeg(img)) == reconstruct(img)
+
+must hold EXACTLY, where ``reconstruct`` replays the encoder's own
+quantize→dequantize→IDCT→upsample→color round trip without touching the
+bitstream (exposed as ``expected_reconstruction`` for the pytest).
+
+Scale shape: like every media op in ``multimodal``, JPEG work runs
+inside Arrow-batched ``mapInPandas`` kernels — payloads are opaque
+binary to the JVM, decode cost is per-payload Python/numpy, and the
+operator shape (explode/resize/feature-extract) is unchanged from the
+PNG/BMP paths.  A per-bit Python Huffman loop is fine for the fixture
+scale this container tests; the production note is that the SAME
+mapInPandas boundary admits a numba/PIL/libjpeg-turbo kernel swap
+without touching any Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg", "expected_reconstruction"]
+
+# ---------------------------------------------------------------- tables
+# ITU-T T.81 Annex K.1 example quantization tables (the de-facto
+# standard bases every encoder scales by quality)
+_QT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+#: zigzag scan: _ZIGZAG[i] = flat (row-major) index of the i-th
+#: zigzag-ordered coefficient
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 example Huffman specs: (BITS count-per-code-length
+# 1..16, HUFFVAL symbol list).  Round-trip correctness does NOT depend
+# on these matching the standard byte-for-byte — the decoder always
+# rebuilds its tables from the DHT segments in the stream — but using
+# the standard specs keeps the emitted files ordinary.
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality→table scaling: 5000/Q below 50, else
+    200−2Q percent, clamped to [1, 255] (8-bit baseline tables)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------- DCT
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis T: spatial→frequency is
+    ``T @ block @ T.T``.  Deterministic float64 — encoder, decoder, and
+    the test's expected-reconstruction path all share it, which is what
+    makes the lossy round trip bit-reproducible."""
+    k = np.arange(8)
+    t = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2
+    t[0, :] = 1 / (2 * np.sqrt(2.0))
+    return t
+
+
+_T = _dct_matrix()
+
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted float plane → (H/8, W/8, 8, 8) int64
+    quantized coefficients (round-half-away like libjpeg's integer
+    paths; numpy rint's half-even would also round-trip, the choice
+    just has to be shared with nothing — quantization is encoder-only)."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", _T, blocks, _T)
+    scaled = coef / qt
+    return np.floor(np.abs(scaled) + 0.5).astype(np.int64) * np.sign(scaled).astype(
+        np.int64
+    )
+
+
+def _dequant_idct(qcoef: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(nb_y, nb_x, 8, 8) quantized coefficients → (H, W) uint8 plane
+    (dequantize, IDCT, +128 level shift, round, clamp)."""
+    coef = qcoef * qt
+    spatial = np.einsum("xu,ijuv,vy->ijxy", _T.T, coef.astype(np.float64), _T)
+    nb_y, nb_x = qcoef.shape[:2]
+    plane = spatial.transpose(0, 2, 1, 3).reshape(nb_y * 8, nb_x * 8) + 128.0
+    return np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------- colorspace
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF BT.601 full-range forward transform, rounded to uint8."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF BT.601 inverse transform, rounded to uint8 — shared by the
+    decoder and the expected-reconstruction twin."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Pad H and W up to a multiple of ``mult`` by edge replication —
+    the standard encoder fill that keeps block boundaries smooth."""
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph == 0 and pw == 0:
+        return plane
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _subsample_420(plane: np.ndarray) -> np.ndarray:
+    """2×2 box average with round-half-up — the 4:2:0 chroma reduction
+    (input H, W already even)."""
+    h, w = plane.shape
+    s = (
+        plane[0::2, 0::2].astype(np.int64)
+        + plane[0::2, 1::2]
+        + plane[1::2, 0::2]
+        + plane[1::2, 1::2]
+    )
+    return ((s + 2) // 4).astype(np.uint8)
+
+
+# --------------------------------------------------------------- Huffman
+def _canonical_codes(spec):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} canonical JPEG codes."""
+    bits, vals = spec
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill to the byte edge
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, amplitude bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, zz, pred_dc, dc_codes, ac_codes) -> int:
+    diff = int(zz[0]) - pred_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i] != 0:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _dht_segment(table_class: int, table_id: int, spec) -> bytes:
+    bits, vals = spec
+    body = bytes([(table_class << 4) | table_id]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _dqt_segment(table_id: int, qt: np.ndarray) -> bytes:
+    body = bytes([table_id]) + bytes(int(qt.flat[z]) for z in _ZIGZAG)
+    return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _plane_coeffs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    shifted = _pad_edge(plane, 8).astype(np.float64) - 128.0
+    return _fdct_quant(shifted, qt)
+
+
+def encode_jpeg(
+    arr: "np.ndarray", quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
+    baseline sequential JFIF JPEG (SOF0, Annex-K tables scaled by
+    ``quality``, standard Huffman tables, 4:4:4 or 4:2:0 chroma).
+
+    The fixture twin of :func:`decode_jpeg` — the same role
+    ``multimodal.encode_png`` plays for the PNG decoder."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"need (H, W) gray or (H, W, 3) RGB uint8, got {a.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"subsampling must be 4:4:4 or 4:2:0, got {subsampling!r}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _scale_qt(_QT_LUMA, quality)
+    qt_c = _scale_qt(_QT_CHROMA, quality)
+    sub = (not gray) and subsampling == "4:2:0"
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, qt_l)
+    if not gray:
+        out += _dqt_segment(1, qt_c)
+    # SOF0: components (id, sampling h<<4|v, qt id)
+    if gray:
+        comps = [(1, 0x11, 0)]
+    elif sub:
+        comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    else:
+        comps = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, samp, qid in comps:
+        sof += bytes([cid, samp, qid])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_SPEC)
+    out += _dht_segment(1, 0, _AC_LUMA_SPEC)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_SPEC)
+        out += _dht_segment(1, 1, _AC_CHROMA_SPEC)
+    # SOS
+    if gray:
+        scomp = bytes([1, 0x00])
+    else:
+        scomp = bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    sos = bytes([len(comps)]) + scomp + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = _canonical_codes(_DC_LUMA_SPEC)
+    ac_l = _canonical_codes(_AC_LUMA_SPEC)
+    dc_c = _canonical_codes(_DC_CHROMA_SPEC)
+    ac_c = _canonical_codes(_AC_CHROMA_SPEC)
+    bw = _BitWriter()
+
+    if gray:
+        cy = _plane_coeffs(a.astype(np.float64), qt_l)
+        pred = 0
+        for by in range(cy.shape[0]):
+            for bx in range(cy.shape[1]):
+                zz = cy[by, bx].reshape(64)[_ZIGZAG]
+                pred = _encode_block(bw, zz, pred, dc_l, ac_l)
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        if sub:
+            ypl = _pad_edge(ycc[..., 0], 16)
+            cbp = _subsample_420(_pad_edge(ycc[..., 1], 16))
+            crp = _subsample_420(_pad_edge(ycc[..., 2], 16))
+        else:
+            ypl, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        cy = _plane_coeffs(ypl, qt_l)
+        ccb = _plane_coeffs(cbp, qt_c)
+        ccr = _plane_coeffs(crp, qt_c)
+        preds = [0, 0, 0]
+        if sub:
+            for my in range(ccb.shape[0]):
+                for mx in range(ccb.shape[1]):
+                    for dy in range(2):
+                        for dx in range(2):
+                            zz = cy[2 * my + dy, 2 * mx + dx].reshape(64)[_ZIGZAG]
+                            preds[0] = _encode_block(bw, zz, preds[0], dc_l, ac_l)
+                    zz = ccb[my, mx].reshape(64)[_ZIGZAG]
+                    preds[1] = _encode_block(bw, zz, preds[1], dc_c, ac_c)
+                    zz = ccr[my, mx].reshape(64)[_ZIGZAG]
+                    preds[2] = _encode_block(bw, zz, preds[2], dc_c, ac_c)
+        else:
+            for by in range(cy.shape[0]):
+                for bx in range(cy.shape[1]):
+                    zz = cy[by, bx].reshape(64)[_ZIGZAG]
+                    preds[0] = _encode_block(bw, zz, preds[0], dc_l, ac_l)
+                    zz = ccb[by, bx].reshape(64)[_ZIGZAG]
+                    preds[1] = _encode_block(bw, zz, preds[1], dc_c, ac_c)
+                    zz = ccr[by, bx].reshape(64)[_ZIGZAG]
+                    preds[2] = _encode_block(bw, zz, preds[2], dc_c, ac_c)
+
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def expected_reconstruction(
+    arr: "np.ndarray", quality: int = 90, subsampling: str = "4:4:4"
+) -> np.ndarray:
+    """The pixels :func:`decode_jpeg` MUST return for
+    ``encode_jpeg(arr, quality, subsampling)`` — the encoder's own
+    quantize→dequantize→IDCT→upsample→color round trip, computed
+    without touching the bitstream.  Equality with the decoder output
+    proves the Huffman/zigzag/DC-prediction layer lossless and the two
+    sides' kernels identical (the ``encode_png`` byte-exactness
+    discipline transposed to a lossy codec)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    qt_l = _scale_qt(_QT_LUMA, quality)
+    qt_c = _scale_qt(_QT_CHROMA, quality)
+    if gray:
+        return _dequant_idct(_plane_coeffs(a, qt_l), qt_l)[:h, :w]
+    ycc = _rgb_to_ycbcr(a)
+    sub = subsampling == "4:2:0"
+    if sub:
+        ypl = _pad_edge(ycc[..., 0], 16)
+        cbp = _subsample_420(_pad_edge(ycc[..., 1], 16))
+        crp = _subsample_420(_pad_edge(ycc[..., 2], 16))
+    else:
+        ypl, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    yr = _dequant_idct(_plane_coeffs(ypl, qt_l), qt_l)
+    cbr = _dequant_idct(_plane_coeffs(cbp, qt_c), qt_c)
+    crr = _dequant_idct(_plane_coeffs(crp, qt_c), qt_c)
+    if sub:
+        cbr = cbr.repeat(2, axis=0).repeat(2, axis=1)
+        crr = crr.repeat(2, axis=0).repeat(2, axis=1)
+    hh = min(yr.shape[0], cbr.shape[0])
+    ww = min(yr.shape[1], cbr.shape[1])
+    ycc_r = np.stack([yr[:hh, :ww], cbr[:hh, :ww], crr[:hh, :ww]], axis=-1)
+    return _ycbcr_to_rgb(ycc_r)[:h, :w]
+
+
+# ---------------------------------------------------------------- decode
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing and RSTn
+    awareness (``align_restart`` realigns past a restart marker)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker()
+            else:
+                # EOI or another marker reached mid-read: treat as
+                # 1-padding (spec-legal trailing fill)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Skip to just past the next RSTn marker, dropping pad bits."""
+        self.acc = 0
+        self.nbits = 0
+        while not (
+            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _extend(v: int, size: int) -> int:
+    """Inverse magnitude coding (T.81 EXTEND)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_table(spec_bits: bytes, spec_vals: bytes):
+    """DHT payload → {(length, code): symbol} lookup."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(spec_bits[length - 1]):
+            lut[(length, code)] = spec_vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _read_symbol(br: _BitReader, lut) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _decode_block(br, lut_dc, lut_ac, pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(br, lut_dc)
+    diff = _extend(br.receive(size), size)
+    dc = pred + diff
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        rs = _read_symbol(br, lut_ac)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                i += 16
+                continue
+            break  # EOB
+        i += run
+        if i > 63:
+            raise ValueError("AC run overflows block")
+        zz[i] = _extend(br.receive(size), size)
+        i += 1
+    blk = np.zeros(64, dtype=np.int64)
+    blk[_ZIGZAG] = zz
+    return blk.reshape(8, 8), dc
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Decode a BASELINE sequential JPEG (SOF0; grayscale, 4:4:4 or
+    4:2:0 YCbCr; restart markers honored) to (H, W) or (H, W, 3) uint8.
+    Progressive (SOF2) and the extended/lossless/arithmetic SOF
+    variants raise a loud ``NotImplementedError`` — the documented gate,
+    same policy as the PNG decoder's non-baseline variants."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        nxt = pos + 2 + seglen
+        if marker == 0xDB:  # DQT (possibly multiple tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not baseline")
+                flat = np.zeros(64, dtype=np.int64)
+                flat[_ZIGZAG] = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qts[tq] = flat.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = body[off + 1 : off + 17]
+                n = sum(bits)
+                vals = body[off + 17 : off + 17 + n]
+                huff[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"precision {prec} not baseline")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            kind = "progressive (SOF2)" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(
+                f"native JPEG path handles baseline sequential (SOF0) only, "
+                f"got {kind} — re-encode baseline or install PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            pos = nxt
+            return _decode_scan(payload, pos, sof, qts, huff, scan, restart_interval)
+        pos = nxt
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(payload, pos, sof, qts, huff, scan, restart_interval):
+    if sof is None:
+        raise ValueError("SOS before SOF0")
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component quantized coefficient stores
+    stores = {}
+    for cid, ch, cv, qid in comps:
+        stores[cid] = np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.int64)
+    tabsel = {cid: (td, ta) for cid, td, ta in scan}
+    br = _BitReader(payload, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    n_mcu = mcux * mcuy
+    mcu = 0
+    while mcu < n_mcu:
+        try:
+            my, mx = divmod(mcu, mcux)
+            for cid, ch, cv, qid in comps:
+                td, ta = tabsel[cid]
+                for dy in range(cv):
+                    for dx in range(ch):
+                        blk, preds[cid] = _decode_block(
+                            br, huff[(0, td)], huff[(1, ta)], preds[cid]
+                        )
+                        stores[cid][my * cv + dy, mx * ch + dx] = blk
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 and mcu < n_mcu:
+                br.align_restart()
+                preds = {cid: 0 for cid, *_ in comps}
+        except _RestartMarker:
+            # encoder emitted a restart earlier than expected — realign
+            br.align_restart()
+            preds = {cid: 0 for cid, *_ in comps}
+    planes = {}
+    for cid, ch, cv, qid in comps:
+        planes[cid] = _dequant_idct(stores[cid], qts[qid])
+    if len(comps) == 1:
+        return planes[comps[0][0]][:h, :w]
+    ids = [c[0] for c in comps]
+    yp = planes[ids[0]]
+    cbp, crp = planes[ids[1]], planes[ids[2]]
+    # replicate-upsample each chroma plane to the luma grid
+    for cid, ch, cv, qid in comps[1:]:
+        rep_y, rep_x = vmax // cv, hmax // ch
+        if rep_y > 1 or rep_x > 1:
+            planes[cid] = planes[cid].repeat(rep_y, axis=0).repeat(rep_x, axis=1)
+    cbp, crp = planes[ids[1]], planes[ids[2]]
+    hh = min(yp.shape[0], cbp.shape[0], crp.shape[0])
+    ww = min(yp.shape[1], cbp.shape[1], crp.shape[1])
+    ycc = np.stack([yp[:hh, :ww], cbp[:hh, :ww], crp[:hh, :ww]], axis=-1)
+    return _ycbcr_to_rgb(ycc)[:h, :w]

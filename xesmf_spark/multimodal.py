@@ -8,15 +8,17 @@ compute runs in Arrow-batched Python (``mapInPandas``) — the payloads
 never pass through row-at-a-time Python, and the JVM treats them as
 opaque byte arrays (no codec work JVM-side).
 
-Codec support is layered: uncompressed 24-bit BMP and PNG (bit depth
-8, gray/RGB/RGBA, all five scanline filters) decode NATIVELY (pure
-numpy + stdlib zlib — no codec library needed, so the two dominant
-interchange formats work everywhere; round-trip tested via
-``encode_bmp``/``encode_png``); other formats dispatch to PIL when
-importable and raise otherwise (PIL/librosa/ffmpeg are absent in this
-container). ``_fake_decode`` remains the deterministic stand-in so the
-Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-shape) is testable even for gated formats.
+Codec support is layered: uncompressed 24-bit BMP, PNG (bit depth 8,
+gray/RGB/RGBA, all five scanline filters), and baseline sequential
+JPEG (SOF0 — gray, 4:4:4, 4:2:0; ``xesmf_spark.jpeg``) decode NATIVELY
+(pure numpy + stdlib — no codec library needed, so the three dominant
+interchange formats work everywhere; round-trip tested via the encoder
+twins ``encode_bmp``/``encode_png``/``jpeg.encode_jpeg``); progressive
+JPEG and other formats dispatch to PIL when importable and raise
+loudly otherwise (PIL/librosa/ffmpeg are absent in this container).
+``_fake_decode`` remains the deterministic stand-in so the Spark-side
+plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
+testable even for gated formats.
 
 Operators:
 - ``attach_payload``    — demo payload column from a text column
@@ -253,6 +255,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
     otherwise (this container has no codecs)."""
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_decode(payload)
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        # baseline sequential JPEG decodes natively (xesmf_spark.jpeg:
+        # Huffman + dequant + IDCT in numpy); progressive and the other
+        # SOF variants raise a loud NotImplementedError inside
+        from xesmf_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
         import struct
 

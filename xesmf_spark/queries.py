@@ -1757,6 +1757,58 @@ def multimodal_image_resize_png(spark, sf_dir):
     )
 
 
+def multimodal_image_resize_jpeg(spark, sf_dir):
+    """The decode->grayscale->resample chain through the native
+    baseline-JPEG path (xesmf_spark.jpeg.decode_jpeg: marker parse,
+    Huffman decode, dequant + IDCT, chroma upsample, YCbCr->RGB): 48
+    deterministic 16x16 RGB images JPEG-encoded alternating 4:4:4 and
+    4:2:0, decoded and resized inside the Arrow mapInPandas kernel.
+    JPEG is lossy, so the oracle cannot be closed-form pixel
+    arithmetic like the PNG/BMP twin; instead it is the PURE-PYTHON
+    reference reconstruction (jpeg.expected_reconstruction — the
+    encoder's own quantize/dequant/IDCT round trip, computed without
+    the bitstream, embedded as a VALUES table): a green hash proves
+    the whole executor-side path — payload bytes through Huffman
+    decode to resampled pixels — bit-equal to the reference kernel."""
+    import numpy as np
+
+    from xesmf_spark.jpeg import encode_jpeg
+    from xesmf_spark.multimodal import resize_images
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    rows = [
+        (
+            d,
+            bytearray(
+                encode_jpeg(
+                    ((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8),
+                    quality=85,
+                    subsampling="4:2:0" if d % 2 else "4:4:4",
+                )
+            ),
+        )
+        for d in range(48)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    resized = resize_images(df, out_h=8, out_w=8).withColumn("hx", F.hex("pixels"))
+    bvals = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(F.col("hx").substr(i * 2 + F.lit(1), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    return resized.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate(bvals, F.lit(0).cast("long"), lambda a, x: a + x).alias("byte_sum"),
+        F.array_min(bvals).alias("byte_min"),
+        F.array_max(bvals).alias("byte_max"),
+    )
+
+
 def documents_quality_tiers_approx(spark, sf_dir):
     """The SCALE path for quality bucketing (pipeline.quality_tiers_approx):
     approx_percentile quartile cutoffs broadcast onto a map-side CASE —
