@@ -133,6 +133,7 @@ def main() -> None:
     from xesmf_spark import release_persisted
     from xesmf_spark import queries as Q
     from xesmf_spark import multimodal as MM
+    from xesmf_spark import quality as QUAL
     from xesmf_spark import relational as REL
     from xesmf_spark import similarity as SIM
     from xesmf_spark.session import get_spark
@@ -436,9 +437,7 @@ def main() -> None:
         # scans + a constant-size bin join — time must track scan volume
         (
             "quality_psi",
-            lambda d, s: __import__(
-                "xesmf_spark.quality", fromlist=["psi_drift"]
-            ).psi_drift(
+            lambda d, s: QUAL.psi_drift(
                 spark.range(2_000_000 * s).select(
                     F.pmod(F.col("id") * 7919, F.lit(1_000)).alias("v")
                 ),
