@@ -129,6 +129,10 @@ def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # optional op-name filter: re-measure just the named ops and MERGE
+    # them into the existing SCALING_LOCAL.json (for when one operator
+    # changed and a full 26-op re-run would waste an hour)
+    only = set(sys.argv[3:])
 
     from xesmf_spark import release_persisted
     from xesmf_spark import queries as Q
@@ -520,6 +524,12 @@ def main() -> None:
         return round(best, 3), rows
 
     out = {"factor": factor, "base": base, "trials_min_of": trials, "ops": {}}
+    here0 = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior = os.path.join(here0, "SCALING_LOCAL.json")
+    if only and os.path.isfile(prior):
+        with open(prior) as f:
+            out = json.load(f)
+        workloads = [(n, fn) for n, fn in workloads if n in only]
     for name, fn in workloads:
         t1, r1 = measure(fn, base, 1)
         tn, rn = measure(fn, scaled, factor)

@@ -42,23 +42,18 @@ Scale shapes (the 100-TB view):
 
 - word-count extraction: one map-side-combinable groupBy on the
   corpus — the only corpus-sized shuffle in training;
-- per merge iteration (``incremental=True``, the default): the
-  running pair-count table is maintained by DELTA — only words
-  actually containing the winning pair adjacently are re-counted
-  (their old pair multiset enters with weight ``-freq``, their merged
-  multiset with ``+freq``), so the per-merge SHUFFLE is bounded by the
-  affected words, not the vocabulary; the full-vocab exploded-pair
-  groupBy-SUM runs exactly once, to seed the table.  Each iteration
-  still pays one map-side scan of the (checkpoint-cached) vocab table
-  to find affected words, ONE 1-row ``TakeOrdered`` collect (the
-  winning pair — the same bounded driver scalar discipline as
-  ``relational.pagerank``'s N), and a pure-projection fold applying
-  the merge to the affected words only; unaffected words pass through
-  untouched, and the stacked filter/union lineage is compacted with an
-  eager ``localCheckpoint`` every ``compact_every`` merges (LSM-style:
-  amortized one full-vocab materialization per ``compact_every``
-  merges).  ``incremental=False`` keeps the simple shape — a full
-  exploded-pair recount per merge — as the differential twin;
+- per merge iteration: ONE groupBy-SUM over exploded adjacent pairs +
+  ONE 1-row ``TakeOrdered`` collect (the winning pair — the same
+  bounded driver scalar discipline as ``relational.pagerank``'s N) +
+  a pure-projection fold applying the merge, lineage truncated per
+  iteration (``incremental=False``, the measured-fastest default at
+  every scale this box holds).  ``incremental=True`` instead
+  maintains the pair table by DELTA — only words containing the
+  winning pair are re-counted (``-freq`` old multiset, ``+freq``
+  merged), an LSM base+overrides vocab state bounds per-merge writes
+  by the affected words — the billion-word-vocab design whose
+  crossover condition (and why it loses below it) is documented on
+  :func:`bpe_train`;
 - encode: zero-shuffle projection — merges are a driver-side list
   (the model artifact, like PQ codebooks in ``similarity``) compiled
   either into chained JVM ``aggregate`` folds (``use_kernel=False``,
@@ -177,7 +172,7 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
-    incremental: bool = True,
+    incremental: bool = False,
     compact_every: int = 16,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
@@ -188,33 +183,42 @@ def bpe_train(
     (default 1 = run all requested iterations while any pair exists),
     so a fixed-``n_merges`` call is exactly replayable by the oracle.
 
-    ``incremental=True`` (default) maintains the pair-count table by
-    DELTA: per merge, only words containing the winning pair
-    adjacently are re-counted (old pair multiset at ``-freq``, merged
-    multiset at ``+freq``; both full per-word multisets, so the
-    maintained table stays bit-equal to a recount), union-aggregated
-    into the running table and zero rows dropped.  The per-merge
-    shuffle AND write are therefore bounded by the AFFECTED words —
-    at a real 32k vocab almost all merges touch a vanishing corpus
-    fraction — while the full-vocab exploded-pair groupBy-SUM runs
-    exactly once, as the seed.  Vocab state is a two-table LSM: an
-    eagerly-checkpointed full-vocab ``base`` plus a small ``over``
-    table holding the CURRENT syms of words changed since the last
-    compaction (current = over if present else base; each iteration
-    rewrites only ``over``, sized by cumulative affected words, and
-    every ``compact_every`` merges folds it into a fresh ``base`` —
-    amortized one full-vocab materialization per ``compact_every``
-    merges).  The per-merge O(vocab) cost that remains is one
-    map-side, checkpoint-cached FILTER scan to find affected words
-    (no shuffle, no write); bounding that too would need a
-    pair->word inverted index, which real tokenizer trainers keep
-    in memory and a 100-TB corpus's distinct-word table does not
-    justify at these merge counts.
+    ``incremental=True`` maintains the pair-count table by DELTA: per
+    merge, only words containing the winning pair adjacently are
+    re-counted (old pair multiset at ``-freq``, merged multiset at
+    ``+freq``; both full per-word multisets, so the maintained table
+    stays bit-equal to a recount), union-aggregated into the running
+    table and zero rows dropped.  The per-merge SHUFFLE and WRITE are
+    therefore bounded by the AFFECTED words — at a real 32k vocab
+    almost all merges touch a vanishing corpus fraction — while the
+    full-vocab exploded-pair groupBy-SUM runs exactly once, as the
+    seed.  Vocab state is a two-table LSM: a checkpointed full-vocab
+    ``base`` plus a small ``over`` table holding the CURRENT syms of
+    words changed since the last compaction (current = over if present
+    else base; each iteration rewrites only ``over``, sized by
+    cumulative affected words, and every ``compact_every`` merges
+    folds it into a fresh ``base``).  The per-merge O(vocab) cost that
+    remains is one map-side FILTER scan to find affected words;
+    bounding that too needs a pair->word inverted index, which real
+    single-box tokenizer trainers keep in memory.
 
-    ``incremental=False`` is the simple differential twin — a full
-    exploded-pair recount and whole-vocab sweep per merge — kept for
-    the equivalence pytest and as the smaller plan when ``n_merges``
-    is tiny.  Both paths emit identical merge lists by construction.
+    ``incremental=False`` (DEFAULT) is the simple shape — one exploded
+    -pair recount shuffle + one whole-vocab fold projection per merge,
+    a single Spark job per iteration.  It is the default because it is
+    the MEASURED winner at every scale this repo can hold: at sf0.1 x
+    10 (order-1e5-word vocab, 64 merges) the full recount runs ~12 s
+    where the delta path runs ~40-70 s — the delta path's per-merge
+    constants (an adjacency-exists scan over the vocab plus the
+    base/over anti-joins, none of which shrink with the delta)
+    dominate long before its shuffle savings matter, and both paths
+    measure FLAT (exponent ~0.01) in vocab at 10x because per-merge
+    fixed costs, not shuffle volume, are the binding term here.  The
+    delta path's regime is the one it was designed for and this box
+    cannot reach: pair-INSTANCE tables large enough that a per-merge
+    full shuffle dominates several map-side vocab scans (billions of
+    distinct words), where cutting the 32k-merge x full-shuffle
+    product is the difference between feasible and not.  Both paths
+    emit identical merge lists by construction (differential pytest).
 
     Winner selection either way is one 1-row TakeOrdered collect
     (bounded driver scalar, max count tie-broken ``(l, r)`` asc).
@@ -273,30 +277,43 @@ def bpe_train(
             # else base; both are checkpointed, so every reference below
             # is a cheap LogicalRDD, never a re-derivation
             hit = _has_adjacent(left, right)
+            # lazy checkpoints so the adjacency-exists vocab scan and
+            # the fold run ONCE per merge even though both tables are
+            # referenced 2-3x below (uncached they re-ran per reference
+            # — measured ~2x the per-merge cost)
             affected = (
                 base.join(over.select("word"), "word", "left_anti")
                 .filter(hit)
                 .unionByName(over.filter(hit))
+                .localCheckpoint(eager=False)
             )
             merged_words = affected.select(
                 "word", "freq", _merge_fold(F.col("syms"), left, right).alias("syms")
-            )
+            ).localCheckpoint(eager=False)
             delta = _exploded_pair_counts(affected, -F.col("freq")).unionAll(
                 _exploded_pair_counts(merged_words, F.col("freq"))
             )
+            # LAZY checkpoints: the next iteration's 1-row top-1 collect
+            # is the one job per merge, and computing pairs_{k+1} there
+            # materializes over_k and pairs_{k+1} as a side effect
+            # (their plans only reference already-materialized
+            # checkpoints, so plan size stays bounded without paying a
+            # separate Spark job per table per merge — the eager
+            # variant measured 3x the per-merge overhead at small
+            # vocab for zero added safety)
             pairs = (
                 pairs.unionAll(delta)
                 .groupBy("l", "r")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") > 0)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # rewrite ONLY the override table: O(words changed since
             # compaction), not O(vocab)
             over = (
                 over.join(merged_words.select("word"), "word", "left_anti")
                 .unionByName(merged_words)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if rank % compact_every == 0:
                 base = (
