@@ -405,3 +405,41 @@ def test_resize_images_decodes_real_jpeg(spark):
         gray = exp.mean(axis=2).astype(np.uint8)
         want = gray[np.ix_((np.arange(8) * 16) // 8, (np.arange(8) * 16) // 8)]
         assert np.array_equal(out[did], want), sub
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """restart_interval emits DRI + RSTn (byte-aligned, DC predictors
+    reset) and the decoder's restart path reproduces the no-restart
+    pixels exactly — same image, with and without restarts, for gray,
+    4:4:4 and 4:2:0 and intervals that do and do not divide the MCU
+    count; wraps past RST7 to exercise the marker cycle."""
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(40, 80), dtype=np.uint8)  # 5x10 = 50 MCUs
+    rgb = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    cases = [(gray, "4:4:4"), (rgb, "4:4:4"), (rgb, "4:2:0")]
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsampling=sub))
+        for ri in (1, 3, 7):  # ri=1 with 50 MCUs cycles RST0..7 wrapping
+            payload = encode_jpeg(
+                img, quality=80, subsampling=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in payload  # DRI present
+            if ri == 1:  # >= 2 MCUs everywhere, so RST0 must appear
+                assert b"\xff\xd0" in payload
+            assert np.array_equal(decode_jpeg(payload), base), (sub, ri)
+
+
+def test_jpeg_truncated_payload_fails_loudly():
+    """A truncated entropy stream must raise promptly (never hang or
+    return junk silently)."""
+    import pytest as _pytest
+
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    good = encode_jpeg(img, quality=80)
+    with _pytest.raises(Exception):
+        decode_jpeg(good[: len(good) // 2])

@@ -284,10 +284,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def _pad_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-fill to the byte edge
+
+    def emit_marker(self, second_byte: int) -> None:
+        """Byte-align and splice a raw marker (RSTn) into the entropy
+        stream — marker bytes are exempt from stuffing."""
+        self._pad_align()
+        self.out += bytes([0xFF, second_byte])
+
+    def flush(self) -> bytes:
+        self._pad_align()
         return bytes(self.out)
 
 
@@ -350,11 +359,18 @@ def _plane_coeffs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    arr: "np.ndarray", quality: int = 90, subsampling: str = "4:4:4"
+    arr: "np.ndarray",
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
     baseline sequential JFIF JPEG (SOF0, Annex-K tables scaled by
     ``quality``, standard Huffman tables, 4:4:4 or 4:2:0 chroma).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (DC predictors reset, bitstream byte-aligned)
+    — the camera-JPEG resync feature, here mainly so the decoder's
+    restart path has a first-party fixture.
 
     The fixture twin of :func:`decode_jpeg` — the same role
     ``multimodal.encode_png`` plays for the PNG decoder."""
@@ -395,6 +411,8 @@ def encode_jpeg(
     if not gray:
         out += _dht_segment(0, 1, _DC_CHROMA_SPEC)
         out += _dht_segment(1, 1, _AC_CHROMA_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     if gray:
         scomp = bytes([1, 0x00])
@@ -409,13 +427,15 @@ def encode_jpeg(
     ac_c = _canonical_codes(_AC_CHROMA_SPEC)
     bw = _BitWriter()
 
+    # mcus: per MCU, a list of (coeff_block, component_index); component
+    # 0 uses the luma tables, 1/2 the chroma ones
     if gray:
         cy = _plane_coeffs(a.astype(np.float64), qt_l)
-        pred = 0
-        for by in range(cy.shape[0]):
-            for bx in range(cy.shape[1]):
-                zz = cy[by, bx].reshape(64)[_ZIGZAG]
-                pred = _encode_block(bw, zz, pred, dc_l, ac_l)
+        mcus = [
+            [(cy[by, bx], 0)]
+            for by in range(cy.shape[0])
+            for bx in range(cy.shape[1])
+        ]
     else:
         ycc = _rgb_to_ycbcr(a)
         if sub:
@@ -427,27 +447,30 @@ def encode_jpeg(
         cy = _plane_coeffs(ypl, qt_l)
         ccb = _plane_coeffs(cbp, qt_c)
         ccr = _plane_coeffs(crp, qt_c)
-        preds = [0, 0, 0]
         if sub:
-            for my in range(ccb.shape[0]):
-                for mx in range(ccb.shape[1]):
-                    for dy in range(2):
-                        for dx in range(2):
-                            zz = cy[2 * my + dy, 2 * mx + dx].reshape(64)[_ZIGZAG]
-                            preds[0] = _encode_block(bw, zz, preds[0], dc_l, ac_l)
-                    zz = ccb[my, mx].reshape(64)[_ZIGZAG]
-                    preds[1] = _encode_block(bw, zz, preds[1], dc_c, ac_c)
-                    zz = ccr[my, mx].reshape(64)[_ZIGZAG]
-                    preds[2] = _encode_block(bw, zz, preds[2], dc_c, ac_c)
+            mcus = [
+                [(cy[2 * my + dy, 2 * mx + dx], 0) for dy in range(2) for dx in range(2)]
+                + [(ccb[my, mx], 1), (ccr[my, mx], 2)]
+                for my in range(ccb.shape[0])
+                for mx in range(ccb.shape[1])
+            ]
         else:
-            for by in range(cy.shape[0]):
-                for bx in range(cy.shape[1]):
-                    zz = cy[by, bx].reshape(64)[_ZIGZAG]
-                    preds[0] = _encode_block(bw, zz, preds[0], dc_l, ac_l)
-                    zz = ccb[by, bx].reshape(64)[_ZIGZAG]
-                    preds[1] = _encode_block(bw, zz, preds[1], dc_c, ac_c)
-                    zz = ccr[by, bx].reshape(64)[_ZIGZAG]
-                    preds[2] = _encode_block(bw, zz, preds[2], dc_c, ac_c)
+            mcus = [
+                [(cy[by, bx], 0), (ccb[by, bx], 1), (ccr[by, bx], 2)]
+                for by in range(cy.shape[0])
+                for bx in range(cy.shape[1])
+            ]
+    preds = [0, 0, 0]
+    rst = 0
+    for i, blocks in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.emit_marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0, 0, 0]
+        for blk, comp in blocks:
+            zz = blk.reshape(64)[_ZIGZAG]
+            dc, ac = (dc_l, ac_l) if comp == 0 else (dc_c, ac_c)
+            preds[comp] = _encode_block(bw, zz, preds[comp], dc, ac)
 
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
