@@ -523,12 +523,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3), rows
 
+    # per-op context the exponent alone can't carry — merged into the
+    # written entries so the artifact is self-explaining
+    notes = {
+        "similarity_pq_sharded": (
+            "queries AND codes both scale Nx (the pool is the query set), "
+            "so total ADC work grows N^2 and exponent ~1 IS the honest "
+            "linear-per-query result; the op's scale claim is per-QUERY "
+            "cost flat in shards, not sublinear total work"
+        ),
+        "bpe_train64_incremental": (
+            "per-merge cost flat at 10x vocab (the delta design's claim); "
+            "absolute time LOSES to the full recount at this scale — "
+            "fixed per-merge costs dominate, crossover documented on "
+            "bpe_train (default is incremental=False)"
+        ),
+        "bpe_train64_full": (
+            "the default path: one exploded-pair shuffle per merge; flat "
+            "here because at this vocab the shuffle is overhead-dominated"
+        ),
+        "pipeline_cdc_chunks": (
+            "exponent ~ linear in emitted chunks (the output volume any "
+            "chunker must emit); n_copies is a map-combinable groupBy + "
+            "AQE-splittable join-back since r11, not a hot-key window"
+        ),
+    }
     out = {"factor": factor, "base": base, "trials_min_of": trials, "ops": {}}
     here0 = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior = os.path.join(here0, "SCALING_LOCAL.json")
     if only and os.path.isfile(prior):
         with open(prior) as f:
             out = json.load(f)
+        # refresh notes on carried-over entries too
+        for n, note in notes.items():
+            if n in out.get("ops", {}):
+                out["ops"][n]["note"] = note
         workloads = [(n, fn) for n, fn in workloads if n in only]
     for name, fn in workloads:
         t1, r1 = measure(fn, base, 1)
@@ -543,6 +572,8 @@ def main() -> None:
             "scaling_exponent": exp,
             "subquadratic": bool(tn < t1 * factor**2),
         }
+        if name in notes:
+            out["ops"][name]["note"] = notes[name]
         print(f"{name}: 1x {t1}s ({r1} rows) -> {factor}x {tn}s ({rn} rows) "
               f"exp={exp}", file=sys.stderr)
 
