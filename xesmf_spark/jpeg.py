@@ -743,7 +743,6 @@ def _decode_scan(payload, pos, sof, qts, huff, scan, restart_interval):
         return planes[comps[0][0]][:h, :w]
     ids = [c[0] for c in comps]
     yp = planes[ids[0]]
-    cbp, crp = planes[ids[1]], planes[ids[2]]
     # replicate-upsample each chroma plane to the luma grid
     for cid, ch, cv, qid in comps[1:]:
         rep_y, rep_x = vmax // cv, hmax // ch
