@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10-window cyclers (all second-lifetime green), then multi-greens ----
         "customers_upsert_delete": Q.customers_upsert_delete,
         "stream_cdc_apply": Q.stream_cdc_apply,
+        # late-r11 addition, registered at the tail so the window's 42
+        # cycler slots stay intact (full-record evidence this round, a
+        # window slot in r12)
+        "orders_burst_components": Q.orders_burst_components,
         "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "pipeline_unigram_quality": Q.pipeline_unigram_quality,
@@ -307,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_bigram_lm": PO.bigram_logprob_sql(),
         "trade_graph_communities": PO.lpa_communities_sql(),
         "trade_graph_components": PO.trade_components_sql(),
+        "orders_burst_components": PO.burst_components_sql(),
         "parts_copurchase_triangles": PO.copurchase_triangles_sql(),
         "customers_shared_supplier_jaccard": PO.shared_supplier_jaccard_sql(),
         "documents_pmi_collocations": PO.pmi_collocations_sql(),

@@ -1050,6 +1050,46 @@ def test_connected_components_matches_brute_force(spark):
     assert connected_components(empty, iters=2).count() == 0
 
 
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_converged_matches_union_find(spark):
+    """The shortcutting variant must reach TRUE components (union-find
+    answer) — including on a 200-node path whose diameter (199) vastly
+    exceeds the 25-round budget: plain min-propagation would still be
+    propagating; pointer doubling must have converged."""
+    from xesmf_spark.relational import connected_components_converged
+
+    path = [(i, i + 1) for i in range(100, 300)]  # 201-node path
+    extra = [(1, 2), (2, 3), (3, 1), (500, 501), (600, 600)]
+    edges = path + extra
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_converged(
+            spark.createDataFrame(edges, "src long, dst long"), max_rounds=25
+        ).collect()
+    }
+    want = _union_find(edges)
+    # self-loop-only node 600: engine keeps it as a singleton component
+    want[600] = 600
+    assert got == want
+    assert got[300] == 100  # far end of the path reached the min label
+
+
 def test_triangle_count_matches_brute_force(spark):
     from itertools import combinations
 

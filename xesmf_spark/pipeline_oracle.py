@@ -1498,6 +1498,43 @@ FROM l{iters} GROUP BY component""")
     return "".join(parts)
 
 
+def burst_components_sql(gap_days: int = 7) -> str:
+    """Closed-form oracle for orders_burst_components: on the
+    consecutive-orders-within-gap graph, converged connected
+    components coincide with per-customer gaps-and-islands — a window
+    running-sum of gap breaks, no graph, no iteration.  The engine
+    runs the general O(log-diameter) shortcutting algorithm; the
+    oracle exploits the fixture's chain structure (same discipline as
+    the regrid closed-form oracles)."""
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT *, LAG(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM o
+),
+i AS (
+  SELECT *, SUM(CASE WHEN prev_date IS NULL
+                       OR date_diff('day', prev_date, o_orderdate) > {gap_days}
+                     THEN 1 ELSE 0 END) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS island
+  FROM s
+)
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM i
+GROUP BY o_custkey, island
+"""
+
+
 def copurchase_triangles_sql() -> str:
     """Replays relational.triangle_count over the part co-purchase
     graph: canonicalized distinct edges, (degree, id)-ordered

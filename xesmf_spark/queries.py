@@ -4844,6 +4844,54 @@ def trade_graph_kcore(spark, sf_dir):
     return kcore_nodes(edges, k=3, iters=3)
 
 
+def orders_burst_components(spark, sf_dir):
+    """CONVERGED connected components with pointer shortcutting
+    (relational.connected_components_converged — the O(log-diameter)
+    Shiloach-Vishkin/star-contraction family) on an adversarially
+    CHAIN-shaped graph: consecutive orders of the same customer linked
+    when placed within 7 days, i.e. per-customer paths whose diameter
+    is the burst length — exactly the shape fixed-radius propagation
+    cannot finish. Aggregates each burst (component) to order count,
+    exact cents, and date span. The oracle never builds a graph: on
+    this fixture, converged components ARE the per-customer
+    gaps-and-islands (a new island starts when the date gap exceeds
+    7 days), the classic SQL identity — engine generality checked
+    against closed-form structure, the regrid-oracle discipline."""
+    from xesmf_spark.relational import connected_components_converged
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    s = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    edges = s.filter(
+        F.col("prev_key").isNotNull()
+        & (F.datediff("o_orderdate", "prev_date") <= 7)
+    ).select(F.col("prev_key").alias("src"), F.col("o_orderkey").alias("dst"))
+    comp = connected_components_converged(edges, max_rounds=30)
+    labeled = o.join(comp, o.o_orderkey == comp.node, "left").select(
+        F.coalesce("component", "o_orderkey").alias("component"),
+        "cents",
+        "o_orderdate",
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
 def trade_graph_components(spark, sf_dir):
     """Fixed-5-round connected components
     (relational.connected_components: synchronous min-label

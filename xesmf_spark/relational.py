@@ -1185,6 +1185,86 @@ def connected_components(edges: DataFrame, iters: int = 5) -> DataFrame:
     return labels
 
 
+def connected_components_converged(
+    edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """CONVERGED connected components via min-label propagation with
+    pointer SHORTCUTTING — the O(log-diameter) upgrade over
+    :func:`connected_components`' fixed-radius rounds, for graphs with
+    long chains (the Shiloach-Vishkin shortcut idea; same family as
+    Kiveris et al.'s star contraction, SOCC'14 — public knowledge).
+    Per round, with label table f (initialized f(v) = v):
+
+        h(v)  = min(f(v), min over neighbors u of f(u))   # hook
+        f'(v) = min(h(v), h(f(v)))                        # shortcut
+
+    Both rules only ever move a label to a smaller node id from the
+    same component (labels are component-internal node ids by
+    induction), so the fixpoint is constant per component and equals
+    the component's minimum id; the shortcut composes pointer chains,
+    doubling the effective radius per round — a 200-node path
+    converges in ~9 rounds where plain propagation needs 200.  Stops
+    at the first round with zero label changes (one bounded driver
+    scalar per round — the ``pipeline.dedup_groups`` convergence
+    discipline, vs. the fixed-round replayable contract of
+    :func:`connected_components`: use THAT when an external engine
+    must replay the recurrence bit-for-bit, use THIS when the graph's
+    diameter is unknown and convergence is the contract).
+
+    Returns (node, component) — all integer state, no RNG, no floats.
+
+    Scale shape: per round TWO keyed equi-joins (edge x labels, labels
+    x labels) + map-side-combinable MIN aggs + one limit-1 changed
+    count; lineage truncated per round with an eager localCheckpoint.
+    O(|E|) shuffle per round, O(log diameter) rounds."""
+    e = edges.select("src", "dst").distinct()
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    f = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = sym.join(
+            f.select(F.col("node").alias("dst"), "comp"), "dst"
+        ).select(F.col("src").alias("node"), "comp")
+        h = (
+            nbr.unionByName(f)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # shortcut: h(f(v)) — follow the CURRENT pointer one hop into h
+        hp = (
+            f.select("node", F.col("comp").alias("ptr"))
+            .join(h.select(F.col("node").alias("ptr"), "comp"), "ptr")
+            .select("node", "comp")
+        )
+        newf = (
+            h.unionByName(hp)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            newf.join(f.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        f = newf
+        if changed == 0:
+            break
+    sym.unpersist()
+    return f.select("node", F.col("comp").alias("component"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected graph — the classic
     MapReduce-era graph analytic with the degree-orientation trick
