@@ -436,6 +436,31 @@ def main() -> None:
                 iters=5,
             ),
         ),
+        # r11: CONVERGED components (pointer shortcutting) on the same
+        # family — rounds are O(log diameter) so 10x nodes should cost
+        # ~one extra doubling round on top of linear per-round work
+        (
+            "relational_components_converged",
+            lambda d, s: REL.connected_components_converged(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("src") * F.lit(m) + F.lit(a),
+                                    F.lit(50_000 * s),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("dst"),
+                ),
+                max_rounds=30,
+            ),
+        ),
         # PSI drift between two synthetic samples (new = base shifted by
         # a mode jump for 1/8 of rows): two column-pruned histogram
         # scans + a constant-size bin join — time must track scan volume
