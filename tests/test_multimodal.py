@@ -443,3 +443,48 @@ def test_jpeg_truncated_payload_fails_loudly():
     good = encode_jpeg(img, quality=80)
     with _pytest.raises(Exception):
         decode_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """Spec-legal FF fill padding between segments (B.1.1.2) and
+    length-less standalone markers (TEM 0xFF01, a stray RSTn outside
+    the scan) must parse cleanly — third-party baseline encoders emit
+    both (r11 ADVICE)."""
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    good = encode_jpeg(img, quality=85)
+    base = decode_jpeg(good)
+    # inject, right after SOI: FF-fill padding, a TEM marker, a stray
+    # RST4, more fill — all before the first real segment
+    doctored = good[:2] + b"\xff\xff\xff\x01\xff\xd4\xff\xff\xff" + good[2:]
+    assert np.array_equal(decode_jpeg(doctored), base)
+
+
+def test_resize_kernel_raises_on_gated_signature_payloads(spark):
+    """A payload CARRYING a known codec signature that fails to decode
+    must fail the job loudly (r11 ADVICE: no silent _fake_decode junk
+    for recognized-but-gated streams); signature-less payloads still
+    take the deterministic stand-in."""
+    import pytest as _pytest
+
+    from xesmf_spark.jpeg import encode_jpeg
+    from xesmf_spark.multimodal import _decode_or_fake, resize_images
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    prog = bytearray(encode_jpeg(img))
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+
+    # kernel-level: the loud gate propagates
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        _decode_or_fake(bytes(prog))
+    # signature-less bytes still fake-decode (documents-table payloads)
+    assert _decode_or_fake(b"plain text payload").ndim == 2
+
+    # job-level: the Spark task must surface the gate, not junk pixels
+    df = spark.createDataFrame([(0, bytes(prog))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="progressive|NotImplementedError"):
+        resize_images(df).collect()

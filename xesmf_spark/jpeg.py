@@ -640,12 +640,22 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # spec-legal FF fill bytes may pad between segments (B.1.1.2):
+        # any number of 0xFF may precede the marker id
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM and stray RSTn are standalone (no length field)
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError(f"truncated segment header at byte {pos}")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         nxt = pos + 2 + seglen

@@ -308,6 +308,25 @@ def _fake_decode(payload: bytes, width: int = 16) -> np.ndarray:
     return arr.reshape(h, width)
 
 
+def _decode_or_fake(payload: bytes) -> np.ndarray:
+    """Decode recognized image payloads LOUDLY; fake-decode the rest.
+
+    A payload carrying a known codec signature (PNG / JPEG SOI / BMP)
+    that then fails to decode must raise — NotImplementedError for the
+    documented codec gates (progressive JPEG, non-24bpp BMP) and
+    ValueError for recognized-but-corrupt streams — never be silently
+    replaced by deterministic junk pixels. ``_fake_decode`` remains the
+    stand-in ONLY for payloads with no known signature (e.g. the
+    synthetic ``documents`` table's text bytes)."""
+    if (
+        payload[: len(_PNG_SIG)] == _PNG_SIG
+        or payload[:2] == b"\xff\xd8"
+        or payload[:2] == b"BM"
+    ):
+        return decode_image(payload)
+    return _fake_decode(payload)
+
+
 def attach_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -514,12 +533,9 @@ def resize_images(
             ids, hs, ws, bufs = [], [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                try:
-                    # real decode: native BMP path always available,
-                    # other formats via PIL when present
-                    img = decode_image(b)
-                except Exception:  # noqa: BLE001 - not a decodable image
-                    img = _fake_decode(b)
+                # recognized signatures decode for real (and fail loud);
+                # unrecognized payloads use the deterministic stand-in
+                img = _decode_or_fake(b)
                 if img.ndim == 3:
                     img = img.mean(axis=2).astype(np.uint8)
                 h, w = img.shape
