@@ -43,29 +43,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-11 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) the 2 NEW r11 queries (connected components;
-    # native baseline-JPEG resize) plus the 7 whose engine code changed
-    # in r11 (skew-safe cdc_chunks count; incremental BPE train;
-    # true-Jaccard re-count; LPA eager checkpoints; snapshot_vacuum
-    # skipped-young stats; ManifestJsonl null n_rows), then (b) the 23
-    # remaining r8 singles, (c) the 10 r9 first-greens, (d) the 8
-    # remaining r10 first-greens — paying the rotation debt down to ~2
-    # reachable singles (customers_upsert_delete + stream_cdc_apply
-    # head the tail, both driver-green in r10 post-change). Same-round
-    # evidence for every tail entry comes from the committed
-    # full-surface record + tri-scale runs.
+    # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
+    # IN-WINDOW = (a) r12 new/engine-changed queries (decode-gate fix
+    # touches every resize/ahash query; jpeg.py marker loop; BPE +
+    # span-dedup changes land this round), (b) the 3 reachable singles
+    # the r11 verdict names (orders_burst_components — zero lifetime
+    # driver greens; customers_upsert_delete + stream_cdc_apply — one
+    # each) plus trade_graph_components (r11 first-green), then (c) the
+    # 38 STALEST tail entries (last driver-checked in the r6/r7
+    # windows). Tail is ordered freshest-evidence-first so each round's
+    # cyclers come off the DEEP end; same-round evidence for every tail
+    # entry comes from the committed full-surface record + tri-scale
+    # runs.
     return {
-        # (a) r11 new + engine-changed
-        "trade_graph_components": Q.trade_graph_components,
-        "pipeline_cdc_chunks": Q.pipeline_cdc_chunks,
+        # (a) r12 engine-changed: loud decode gates for recognized image
+        # signatures (multimodal.py kernel -> all resize/ahash queries) +
+        # JPEG fill-byte/standalone-marker parsing (jpeg.py); BPE and
+        # span-dedup queries sit here ahead of this round's planned
+        # batched-merge / multi-level changes
         "pipeline_bpe_train": Q.pipeline_bpe_train,
         "pipeline_bpe_encode": Q.pipeline_bpe_encode,
+        "pipeline_span_dedup": Q.pipeline_span_dedup,
+        "multimodal_image_resize": Q.multimodal_image_resize,
+        "multimodal_image_resize_png": Q.multimodal_image_resize_png,
+        "multimodal_image_resize_jpeg": Q.multimodal_image_resize_jpeg,
+        "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
+        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
+        # (b) the 3 reachable singles (r11 verdict ask #1):
+        # orders_burst_components has ZERO lifetime driver greens,
+        # customers_upsert_delete + stream_cdc_apply one each, plus
+        # trade_graph_components (r11 first-green, second green here)
+        "orders_burst_components": Q.orders_burst_components,
+        "customers_upsert_delete": Q.customers_upsert_delete,
+        "stream_cdc_apply": Q.stream_cdc_apply,
+        "trade_graph_components": Q.trade_graph_components,
+        # (c) 38 cyclers: the STALEST tail stratum (last driver-checked
+        # r6/r7 windows; same-round evidence since then = committed
+        # full-surface records + tri-scale runs), in tail order
+        "tpch_q19_disjunctive": Q.tpch_q19_disjunctive,
+        "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
+        "documents_quality_tiers": Q.documents_quality_tiers,
+        "events_props_stats": Q.events_props_stats,
+        "pipeline_curate": Q.pipeline_curate,
+        "stream_hourly": Q.stream_hourly,
+        "stream_sessionize": Q.stream_sessionize,
+        "stream_dedup": Q.stream_dedup,
+        "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
+        "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
+        "regrid_patch": Q.regrid_patch,
+        "regrid_nearest_s2d": Q.regrid_nearest_s2d,
+        "regrid_nearest_d2s": Q.regrid_nearest_d2s,
+        "regrid_bilinear_locstream": Q.regrid_bilinear_locstream,
+        "regrid_bilinear_curvilinear": Q.regrid_bilinear_curvilinear,
+        "regrid_patch_curvilinear": Q.regrid_patch_curvilinear,
+        "tpch_q1": Q.tpch_q1,
+        "tpch_q3_top10": Q.tpch_q3_top10,
+        "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
+        "events_hourly": Q.events_hourly,
+        "events_sessionize": Q.events_sessionize,
+        "events_asof_join": Q.events_asof_join,
+        "events_interval_join": Q.events_interval_join,
+        "stream_interval_join": Q.stream_interval_join,
+        "pipeline_exact_dedup": Q.pipeline_exact_dedup,
+        "pipeline_clean_corpus": Q.pipeline_clean_corpus,
+        "pipeline_simhash": Q.pipeline_simhash,
+        "pipeline_ngram_jaccard": Q.pipeline_ngram_jaccard,
+        "pipeline_text_stats": Q.pipeline_text_stats,
+        "pipeline_langid": Q.pipeline_langid,
+        "pipeline_fingerprint": Q.pipeline_fingerprint,
+        "pipeline_token_freq": Q.pipeline_token_freq,
+        "pipeline_chunks": Q.pipeline_chunks,
+        "ann_cosine_top3": Q.ann_cosine_top3,
+        "ann_ivf_top3": Q.ann_ivf_top3,
+        "ann_embedding_dedup": Q.ann_embedding_dedup,
+        "knn_top3": Q.knn_top3,
+        "multimodal_features": Q.multimodal_features,
+        # ---- tail: freshest evidence first (r11-window double-greens),
+        # then the r8-r10 strata; the window pulls cyclers from the DEEP
+        # end (stalest) each round ----
+        "pipeline_cdc_chunks": Q.pipeline_cdc_chunks,
         "customers_shared_supplier_jaccard": Q.customers_shared_supplier_jaccard,
         "trade_graph_communities": Q.trade_graph_communities,
         "orders_snapshot_vacuum": Q.orders_snapshot_vacuum,
         "pipeline_manifest_sink_roundtrip": Q.pipeline_manifest_sink_roundtrip,
-        # (b) the 23 remaining r8 single-green cyclers
         "ann_ivfpq_refine_recall": Q.ann_ivfpq_refine_recall,
         "pipeline_weighted_sample": Q.pipeline_weighted_sample,
         "events_retention_cohorts": Q.events_retention_cohorts,
@@ -87,10 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_top3": Q.ann_filtered_top3,
         "stream_snapshot_ingest": Q.stream_snapshot_ingest,
         "orders_schema_evolution": Q.orders_schema_evolution,
-        "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
         "stream_anomaly_mad": Q.stream_anomaly_mad,
-        # (c) the 10 r9 first-greens
-        "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "documents_inverted_index": Q.documents_inverted_index,
         "events_trend_slope": Q.events_trend_slope,
         "orders_bucketed_join": Q.orders_bucketed_join,
@@ -100,7 +157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_trade_pagerank": Q.nations_trade_pagerank,
         "stream_synthetic_source": Q.stream_synthetic_source,
         "lineitem_constraints": Q.lineitem_constraints,
-        # (d) the 8 remaining r10 first-greens + customers_upsert_delete
         "pipeline_bigram_lm": Q.pipeline_bigram_lm,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "documents_pmi_collocations": Q.documents_pmi_collocations,
@@ -108,17 +164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_psi_drift": Q.orders_psi_drift,
         "trade_graph_kcore": Q.trade_graph_kcore,
         "ann_pq_top3_sharded": Q.ann_pq_top3_sharded,
-        "multimodal_image_resize_png": Q.multimodal_image_resize_png,
-        "multimodal_image_resize_jpeg": Q.multimodal_image_resize_jpeg,
-        # ---- tail: customers_upsert_delete + stream_cdc_apply (last
-        # reachable singles, both r10 driver-green post-change), then the
-        # r10-window cyclers (all second-lifetime green), then multi-greens ----
-        "customers_upsert_delete": Q.customers_upsert_delete,
-        "stream_cdc_apply": Q.stream_cdc_apply,
-        # late-r11 addition, registered at the tail so the window's 42
-        # cycler slots stay intact (full-record evidence this round, a
-        # window slot in r12)
-        "orders_burst_components": Q.orders_burst_components,
         "pipeline_csv_roundtrip": Q.pipeline_csv_roundtrip,
         "multimodal_frame_sample": Q.multimodal_frame_sample,
         "pipeline_unigram_quality": Q.pipeline_unigram_quality,
@@ -139,7 +184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_budget": Q.pipeline_token_budget,
         "stream_interval_join_outer": Q.stream_interval_join_outer,
         "events_props_flatten_udtf": Q.events_props_flatten_udtf,
-        "pipeline_span_dedup": Q.pipeline_span_dedup,
         "documents_heavy_hitters": Q.documents_heavy_hitters,
         "stream_heavy_hitters": Q.stream_heavy_hitters,
         "lineitem_bloom_prune_join": Q.lineitem_bloom_prune_join,
@@ -181,7 +225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_quality_tiers_approx": Q.documents_quality_tiers_approx,
         "pipeline_jsonl_roundtrip": Q.pipeline_jsonl_roundtrip,
         "salted_join_skew": Q.salted_join_skew,
-        "multimodal_image_resize": Q.multimodal_image_resize,
         "ann_ivf_multiprobe": Q.ann_ivf_multiprobe,
         "tpch_q2_min_cost_supplier": Q.tpch_q2_min_cost_supplier,
         "tpch_q11_important_parts": Q.tpch_q11_important_parts,
@@ -202,44 +245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_accuracy": Q.events_sketch_accuracy,
         "tpch_q8_market_share": Q.tpch_q8_market_share,
         "tpch_q9_product_type": Q.tpch_q9_product_type,
-        "tpch_q19_disjunctive": Q.tpch_q19_disjunctive,
-        "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
-        "documents_quality_tiers": Q.documents_quality_tiers,
-        "events_props_stats": Q.events_props_stats,
-        "pipeline_curate": Q.pipeline_curate,
-        "stream_hourly": Q.stream_hourly,
-        "stream_sessionize": Q.stream_sessionize,
-        "stream_dedup": Q.stream_dedup,
-        "regrid_bilinear_periodic": Q.regrid_bilinear_periodic,
-        "regrid_bilinear_noperiodic": Q.regrid_bilinear_noperiodic,
-        "regrid_patch": Q.regrid_patch,
-        "regrid_nearest_s2d": Q.regrid_nearest_s2d,
-        "regrid_nearest_d2s": Q.regrid_nearest_d2s,
-        "regrid_bilinear_locstream": Q.regrid_bilinear_locstream,
-        "regrid_bilinear_curvilinear": Q.regrid_bilinear_curvilinear,
-        "regrid_patch_curvilinear": Q.regrid_patch_curvilinear,
-        "tpch_q1": Q.tpch_q1,
-        "tpch_q3_top10": Q.tpch_q3_top10,
-        "tpch_q5_local_supplier": Q.tpch_q5_local_supplier,
-        "events_hourly": Q.events_hourly,
-        "events_sessionize": Q.events_sessionize,
-        "events_asof_join": Q.events_asof_join,
-        "events_interval_join": Q.events_interval_join,
-        "stream_interval_join": Q.stream_interval_join,
-        "pipeline_exact_dedup": Q.pipeline_exact_dedup,
-        "pipeline_clean_corpus": Q.pipeline_clean_corpus,
-        "pipeline_simhash": Q.pipeline_simhash,
-        "pipeline_ngram_jaccard": Q.pipeline_ngram_jaccard,
-        "pipeline_text_stats": Q.pipeline_text_stats,
-        "pipeline_langid": Q.pipeline_langid,
-        "pipeline_fingerprint": Q.pipeline_fingerprint,
-        "pipeline_token_freq": Q.pipeline_token_freq,
-        "pipeline_chunks": Q.pipeline_chunks,
-        "ann_cosine_top3": Q.ann_cosine_top3,
-        "ann_ivf_top3": Q.ann_ivf_top3,
-        "ann_embedding_dedup": Q.ann_embedding_dedup,
-        "knn_top3": Q.knn_top3,
-        "multimodal_features": Q.multimodal_features,
     }
 
 
