@@ -221,3 +221,65 @@ def test_bpe_token_budget_integration(spark):
     for d, text in [(0, "low lower low"), (1, "newest newest")]:
         want = sum(len(encode_word_python(w, pairs)) for w in text.split())
         assert n[d] == want
+
+
+def test_bpe_train_batched_equals_sequential(spark, docs):
+    """batch_merges must emit a merge list BIT-IDENTICAL to the
+    one-merge-per-round-trip trainer (the exactness argument on
+    bpe_train): fixtures where overlap forces the batch to STOP early,
+    ties at the bound force the TRIM, and created pairs (which the
+    stop/trim guard against) dominate later ranks."""
+    for m in (2, 3, 4, 8):
+        assert bpe_train(docs, n_merges=10, batch_merges=m) == bpe_train(
+            docs, n_merges=10
+        )
+
+    # overlap-chain stress: ranking is dominated by pairs sharing
+    # symbols ((l,o) then (lo,w) then ...), so nearly every sweep stops
+    # at its first or second candidate — the skip-free prefix rule
+    chain = spark.createDataFrame(
+        [(0, "wwww lowlow " * 3), (1, "low lowlow wow owl " * 2)],
+        "doc_id long, text string",
+    )
+    for m in (2, 4):
+        assert bpe_train(chain, n_merges=8, batch_merges=m) == bpe_train(
+            chain, n_merges=8
+        )
+
+    # tie stress: equal counts at the bound exercise the strict trim
+    # (a created pair may TIE the bound and win the (l, r) tie-break)
+    ties = spark.createDataFrame(
+        [(0, "ab ab cd cd ef ef abcd abcd")], "doc_id long, text string"
+    )
+    for m in (2, 3, 8):
+        assert bpe_train(ties, n_merges=8, batch_merges=m) == bpe_train(
+            ties, n_merges=8
+        )
+
+
+def test_bpe_train_batched_fuzz_and_validation(spark):
+    """Fuzzed-corpus differential (the incremental test's corpus
+    recipe) + parameter gates."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(50)
+    ] + ["aaaa", "abab", "baba", "abba"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=rng.randint(1, 10)))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    seq = bpe_train(docs, n_merges=24)
+    assert bpe_train(docs, n_merges=24, batch_merges=6) == seq
+    # min_count interacts with the in-batch stop: both paths stop at
+    # the same rank
+    assert bpe_train(docs, n_merges=24, batch_merges=6, min_count=3) == bpe_train(
+        docs, n_merges=24, min_count=3
+    )
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe_train(docs, n_merges=2, batch_merges=0)
+    with pytest.raises(ValueError, match="recount path"):
+        bpe_train(docs, n_merges=2, batch_merges=2, incremental=True)
