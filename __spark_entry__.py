@@ -56,7 +56,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry comes from the committed full-surface record + tri-scale
     # runs.
     return {
-        # (a) r12 engine-changed: loud decode gates for recognized image
+        # (a) r12 NEW: graduated-support multi-level span dedup
+        "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
+        # r12 engine-changed: loud decode gates for recognized image
         # signatures (multimodal.py kernel -> all resize/ahash queries) +
         # JPEG fill-byte/standalone-marker parsing (jpeg.py); BPE and
         # span-dedup queries sit here ahead of this round's planned
@@ -1438,6 +1440,7 @@ WHERE cum_tokens <= 5000
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "pipeline_decontaminate_fuzzy": PO.decontaminate_fuzzy_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),
+        "pipeline_span_dedup_multilevel": PO.span_dedup_multilevel_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),
         "ann_pq_top3": PO.ann_pq_topk_sql(),

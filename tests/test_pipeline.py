@@ -1587,3 +1587,73 @@ def test_pmi_collocations_min_count_can_empty(spark):
         spark.createDataFrame(docs, "doc_id long, text string"), min_count=2
     )
     assert out.count() == 0
+
+
+def test_dedup_spans_multilevel_long_quote(spark):
+    """Multi-level seeding (13/26/52): a planted 100-token verbatim
+    quote shared by two docs produces EXACTLY ONE merged island in the
+    non-keeper at every single level AND in the union; keeper-hole
+    fragmentation (the case levels exist for) closes under the union."""
+    import hashlib
+
+    from xesmf_spark.pipeline import dedup_spans
+
+    quote = " ".join(f"q{i}" for i in range(100))
+    tail_a = "alpha beta gamma delta epsilon"
+    tail_b = "zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{quote} {tail_a}"),
+            (2, f"{quote} {tail_b}"),
+            (3, "completely unrelated filler text with no quote inside"),
+        ],
+        "doc_id long, text string",
+    )
+    for lv in ((13,), (26,), (52,), (13, 26, 52)):
+        out = {r.doc_id: r for r in dedup_spans(docs, levels=lv).collect()}
+        assert (out[2].n_islands, out[2].n_removed) == (1, 100), lv
+        assert out[2].cleaned_key == hashlib.md5(tail_b.encode()).hexdigest(), lv
+        assert out[1].n_removed == 0, lv  # keeper holds the quote
+        assert out[3].n_removed == 0, lv
+
+    # UNIFORM-threshold union is provably a no-op (docstring theorem:
+    # non-keeper at 26 implies non-keeper of every 13-subgram, and the
+    # 26-gram doc set is a subset of each subgram's) — assert it
+    uni = {tuple(r) for r in dedup_spans(docs, levels=(13, 26, 52)).collect()}
+    l13 = {tuple(r) for r in dedup_spans(docs, levels=(13,)).collect()}
+    assert uni == l13
+
+    # GRADUATED SUPPORT — the semantics levels exist for: a shared
+    # 13-token idiom in only 2 docs survives a (13, min_docs=8) level,
+    # while the 100-token verbatim quote (also support 2) is cut whole
+    # by the (52, min_docs=2) level
+    # 14 tokens: long enough to carry shared 13-grams between carriers
+    idiom = "as a matter of plain and ordinary fact of everyday life around these parts"
+    grad = spark.createDataFrame(
+        [
+            (1, f"{quote} {tail_a}"),
+            (2, f"{quote} {tail_b}"),
+            (3, f"opening words {idiom} first unique continuation text"),
+            (4, f"other opening {idiom} second unique continuation text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_spans(grad, levels=((13, 8), (26, 4), (52, 2))).collect()
+    }
+    # quote: cut whole in the non-keeper, one island
+    assert (out[2].n_islands, out[2].n_removed) == (1, 100)
+    assert out[2].cleaned_key == hashlib.md5(tail_b.encode()).hexdigest()
+    # idiom at support 2 < 8: untouched in both carriers
+    assert out[3].n_removed == 0 and out[4].n_removed == 0
+    # flat min_docs=2 at level 13 WOULD cut the idiom (the contrast)
+    flat = {r.doc_id: r for r in dedup_spans(grad, levels=((13, 2),)).collect()}
+    assert flat[4].n_removed > 0
+
+    # single-level default path is byte-compatible with the n= arg
+    a = {tuple(r) for r in dedup_spans(grad, n=13).collect()}
+    b = {tuple(r) for r in dedup_spans(grad, levels=(13,)).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_spans(grad, levels=((13, 1),)).collect()

@@ -1080,6 +1080,7 @@ def dedup_spans(
     n: int = 13,
     min_docs: int = 2,
     hash_grams: bool = False,
+    levels: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Repeated-SPAN scrubbing — sub-document dedup in the style of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1111,8 +1112,52 @@ def dedup_spans(
     collision ~1e-10 at 1e9 grams) — the 100-TB path, differential-
     tested equal in pytest; the oracle-checked default keeps the exact
     string so DuckDB can replay it.
+
+    ``levels`` generalizes the single ``n`` (which it overrides) to
+    MULTI-LEVEL seeding: each entry is a gram length or a ``(length,
+    min_docs)`` pair — e.g. ``((13, 8), (26, 4), (52, 2))`` — spans
+    seeded independently per level and unioned before the one island
+    merge.  The point is GRADUATED SUPPORT, not extra recall at equal
+    thresholds: with UNIFORM min_docs the union is provably a no-op —
+    the doc set containing a 26-gram is a subset of the set containing
+    each of its 13-subgrams, so ``min`` over the superset is ≤ over
+    the subset, and a doc that is non-keeper at 26 is non-keeper of
+    every 13-subgram (if it were the 13-level min it would also be
+    the 26-level min, contradiction); every longer-level span is
+    therefore already covered by lowest-level spans (same for the
+    ``min_docs`` pass: distinct-count over a superset is ≥).  What
+    per-level thresholds buy is the Lee-et-al trade: a 13-gram needs
+    HIGH support before it's boilerplate (idioms and common phrases
+    repeat innocently), while a 52-token verbatim run in even 2
+    documents is a quote — cut it whole.  The island merge then
+    collapses the long quote to ONE cut at every level.  Upper levels
+    skip docs shorter than the level (the whole-text short-doc
+    convention applies at the LOWEST level only — re-asserting it per
+    level would leak doc-level dedup into span semantics).  Same
+    output schema; ``(sid, s)`` uniqueness for the deterministic
+    island window is restored by a per-start ``max(e)``
+    pre-aggregation (longest level dominates), skipped at a single
+    level where uniqueness holds by construction.
     """
     from xesmf_spark.apply import _PERSISTED
+
+    if levels is None:
+        norm_levels = ((int(n), int(min_docs)),)
+    else:
+        norm_levels = tuple(
+            sorted(
+                {
+                    (int(x), int(min_docs))
+                    if isinstance(x, int)
+                    else (int(x[0]), int(x[1]))
+                    for x in levels
+                }
+            )
+        )
+    if not norm_levels or norm_levels[0][0] < 1:
+        raise ValueError(f"levels must be positive gram lengths, got {levels}")
+    if any(md < 2 for _, md in norm_levels):
+        raise ValueError("per-level min_docs must be >= 2")
 
     toks_df = (
         df.select(F.col(id_col).alias("sid"), tokens(F.col(text_col)).alias("t"))
@@ -1120,30 +1165,42 @@ def dedup_spans(
         .persist()
     )
     _PERSISTED.append(toks_df)
-    gram_arr = positioned_ngrams(F.col("t"), n)
-    grams = toks_df.select(
-        "sid", "L", F.posexplode(gram_arr).alias("pos0", "gram")
-    )
-    if hash_grams:
-        grams = grams.withColumn("gram", F.xxhash64("gram"))
-    rep = (
-        grams.groupBy("gram")
-        .agg(
-            F.min("sid").alias("keeper"),
-            F.countDistinct("sid").alias("nd"),
+
+    def _level_spans(nl: int, md: int, lowest: bool) -> DataFrame:
+        src = toks_df if lowest else toks_df.filter(F.col("L") >= nl)
+        grams = src.select(
+            "sid", "L", F.posexplode(positioned_ngrams(F.col("t"), nl)).alias(
+                "pos0", "gram"
+            )
         )
-        .filter(F.col("nd") >= min_docs)
-        .select("gram", "keeper")
-    )
-    spans = (
-        grams.join(rep, "gram")
-        .filter(F.col("sid") != F.col("keeper"))
-        .select(
-            "sid",
-            F.col("pos0").alias("s"),
-            F.least(F.col("pos0") + n - 1, F.col("L") - 1).alias("e"),
+        if hash_grams:
+            grams = grams.withColumn("gram", F.xxhash64("gram"))
+        rep = (
+            grams.groupBy("gram")
+            .agg(
+                F.min("sid").alias("keeper"),
+                F.countDistinct("sid").alias("nd"),
+            )
+            .filter(F.col("nd") >= md)
+            .select("gram", "keeper")
         )
-    )
+        return (
+            grams.join(rep, "gram")
+            .filter(F.col("sid") != F.col("keeper"))
+            .select(
+                "sid",
+                F.col("pos0").alias("s"),
+                F.least(F.col("pos0") + nl - 1, F.col("L") - 1).alias("e"),
+            )
+        )
+
+    spans = _level_spans(norm_levels[0][0], norm_levels[0][1], lowest=True)
+    for nl, md in norm_levels[1:]:
+        spans = spans.unionAll(_level_spans(nl, md, lowest=False))
+    if len(norm_levels) > 1:
+        # restore (sid, s) uniqueness for the island window's
+        # deterministic ROWS ordering; max(e) = the longest level's span
+        spans = spans.groupBy("sid", "s").agg(F.max("e").alias("e"))
     # gaps-and-islands: a span starts a new island iff it begins past
     # the running max end of everything before it ((sid, s) is unique,
     # and the frames are explicit ROWS — the RANGE-tie trap)

@@ -500,6 +500,118 @@ LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 """
 
 
+def span_dedup_multilevel_sql(
+    levels: tuple[tuple[int, int], ...] = ((13, 8), (26, 4), (52, 2)),
+) -> str:
+    """Mirrors pipeline.dedup_spans(levels=...) on the long-quote
+    planted corpus (_longquote_cte): per (gram length, min_docs) level
+    its own grams/rep/spans CTE chain (upper levels skip docs shorter
+    than the level — the whole-text convention applies at the LOWEST
+    level only), spans unioned + per-start MAX(e), then the same
+    gaps-and-islands merge / token removal / string_agg rebuild as
+    span_dedup_sql."""
+    levels = tuple(sorted(levels))
+    blocks, span_sels = [], []
+    for i, (nl, md) in enumerate(levels):
+        where = "" if i == 0 else f"\n  WHERE len(t) >= {nl}"
+        blocks.append(
+            f"""grams_{nl} AS (
+  SELECT doc_id, i AS pos0,
+         array_to_string(t[i + 1 : i + {nl}], ' ') AS ngram,
+         least(i + {nl} - 1, len(t) - 1) AS e
+  FROM toks, UNNEST(range(greatest(len(t) - {nl}, 0) + 1)) AS u(i){where}
+),
+rep_{nl} AS (
+  SELECT ngram, MIN(doc_id) AS keeper
+  FROM grams_{nl} GROUP BY ngram
+  HAVING COUNT(DISTINCT doc_id) >= {md}
+),
+spans_{nl} AS (
+  SELECT g.doc_id, g.pos0 AS s, g.e
+  FROM grams_{nl} g JOIN rep_{nl} r ON g.ngram = r.ngram
+  WHERE g.doc_id <> r.keeper
+)"""
+        )
+        span_sels.append(f"SELECT * FROM spans_{nl}")
+    level_ctes = ",\n".join(blocks)
+    union = "\n  UNION ALL\n  ".join(span_sels)
+    return f"""
+WITH
+{_longquote_cte()},
+{NORM_CTE},
+{level_ctes},
+spans AS (
+  SELECT doc_id, s, MAX(e) AS e
+  FROM ({union})
+  GROUP BY doc_id, s
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS S, MAX(e) AS E
+  FROM isl GROUP BY doc_id, island
+),
+removed AS (
+  SELECT DISTINCT m.doc_id, u.i
+  FROM merged m, UNNEST(range(m.S, m.E + 1)) AS u(i)
+),
+tok_idx AS (
+  SELECT doc_id, i, t[CAST(i AS INT) + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u2(i)
+),
+kept AS (
+  SELECT k.doc_id, k.i, k.tok
+  FROM tok_idx k LEFT JOIN removed r ON k.doc_id = r.doc_id AND k.i = r.i
+  WHERE r.i IS NULL
+),
+cleaned AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+  FROM kept GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_islands,
+         CAST(SUM(E - S + 1) AS BIGINT) AS n_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(c.ctext, '')) AS cleaned_key
+FROM toks t
+LEFT JOIN stats s ON t.doc_id = s.doc_id
+LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+"""
+
+
+def _longquote_cte() -> str:
+    """documents + planted long-quote carriers (doc_id %% 9 == 0 ->
+    new id +400000, a fixed 100-token quote prefixed to the text) —
+    mirrored in queries._docs_with_longquote."""
+    return """docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000,
+         array_to_string(list_transform(range(100),
+                         i -> 'q' || CAST(i AS VARCHAR)), ' ') || ' ' || text
+  FROM documents WHERE doc_id % 9 = 0
+)"""
+
+
 def heavy_hitters_sql() -> str:
     """Mirrors documents_heavy_hitters: exact counts over the composed
     stream (positioned 3-grams + planted hot keys); the contract

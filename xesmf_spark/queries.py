@@ -3030,6 +3030,40 @@ def pipeline_span_dedup(spark, sf_dir):
     return dedup_spans(_docs_with_dups(_docs(spark, sf_dir)), n=13)
 
 
+def _docs_with_longquote(docs):
+    """documents + planted long-quote carriers (doc_id % 9 == 0 -> new
+    id +400000 with a fixed 100-token quote prefixed) — mirrored in
+    pipeline_oracle._longquote_cte."""
+    quote = " ".join(f"q{i}" for i in range(100))
+    planted = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit(quote + " "), F.col("text")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(planted)
+
+
+def pipeline_span_dedup_multilevel(spark, sf_dir):
+    """GRADUATED-SUPPORT multi-level span scrubbing
+    (pipeline.dedup_spans(levels=((13,8),(26,4),(52,2)))): a 13-gram
+    needs >= 8 carrier docs before it's boilerplate (idioms repeat
+    innocently), while a 52-token verbatim run in even 2 docs is a
+    quote — cut whole, collapsing to ONE island via the shared
+    gaps-and-islands merge. Uniform-threshold unioning would be a
+    provable no-op (subgram doc sets are supersets — theorem on
+    dedup_spans); per-level min_docs is what the levels buy. The
+    planted 100-token quote (doc_id %% 9 carriers) must scrub from
+    every non-keeper carrier in one cut. Plan: one explode + two keyed
+    equi-joins PER LEVEL (upper levels skip docs shorter than the
+    level), span union + per-start MAX, one per-doc window — still no
+    pair join anywhere."""
+    from xesmf_spark.pipeline import dedup_spans
+
+    return dedup_spans(
+        _docs_with_longquote(_docs(spark, sf_dir)),
+        levels=((13, 8), (26, 4), (52, 2)),
+    )
+
+
 def pipeline_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dedup: banded bucket-join candidates verified
     with exact shingle-set Jaccard (never all-pairs)."""
