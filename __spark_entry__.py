@@ -56,7 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry comes from the committed full-surface record + tri-scale
     # runs.
     return {
-        # (a) r12 NEW: graduated-support multi-level span dedup
+        # (a) r12 NEW: unigram-LM tokenizer (train + encode twin),
+        # graduated-support multi-level span dedup
+        "pipeline_unigram_tok": Q.pipeline_unigram_tok,
+        "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
         # signatures (multimodal.py kernel -> all resize/ahash queries) +
@@ -1441,6 +1444,8 @@ WHERE cum_tokens <= 5000
         "pipeline_decontaminate_fuzzy": PO.decontaminate_fuzzy_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),
         "pipeline_span_dedup_multilevel": PO.span_dedup_multilevel_sql(),
+        "pipeline_unigram_tok": PO.unigram_train_sql(),
+        "pipeline_unigram_encode": PO.unigram_encode_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),
         "ann_pq_top3": PO.ann_pq_topk_sql(),

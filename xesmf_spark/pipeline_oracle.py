@@ -1412,6 +1412,190 @@ step{k} AS MATERIALIZED (
 )"""
 
 
+_UNIGRAM_INF = 10**15
+_UNIGRAM_RARE = 50 * 1_000_000
+
+
+def _unigram_seed_ctes(P: int, n_seed: int) -> str:
+    """Seed CTEs: substring counts (per-position, freq-weighted) ->
+    top-n_seed multi-char + ALL singles -> micro-nat scored vocab0."""
+    sub_lists = " || ".join(
+        f"list_transform(range(0, length(word) - {l} + 1),"
+        f" i -> substr(word, CAST(i AS INT) + 1, {l}))"
+        for l in range(1, P + 1)
+    )
+    return f"""subs AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest({sub_lists}) AS piece FROM bwords
+  ) GROUP BY piece
+),
+seed0 AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {n_seed}
+  )
+  UNION ALL
+  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         CASE WHEN cnt > 0 THEN CAST(FLOOR(1000000 * ln(
+                CAST((SELECT SUM(cnt) FROM seed0) AS DOUBLE)
+                / CAST(cnt AS DOUBLE))) AS BIGINT)
+              ELSE {_UNIGRAM_RARE} END AS score
+  FROM seed0
+)"""
+
+
+def _unigram_em_ctes(tag: str, vocab: str, P: int) -> str:
+    """One hard-EM round reading score table ``{vocab}``: recursive
+    forward Viterbi DP (sliding ``P``-wide cost window carried on the
+    frontier row — a recursive step only sees the previous step's
+    rows), recursive backtrace taking the LONGEST piece achieving the
+    optimum (structural tie-break, no aggregation in the recursive
+    part — a CASE ladder), then freq-weighted piece counts.  Produces
+    ``cnt{tag}`` and ``base{tag}`` (multi cnt>0 + all singles)."""
+    carry = ", ".join(f"c{j}" for j in range(P))
+    base_nulls = ", ".join(
+        ["CAST(0 AS BIGINT)"] + ["CAST(NULL AS BIGINT)"] * (P - 1)
+    )
+    cands = ",\n           ".join(
+        f"COALESCE(d.c{l - 1} + v{l}.score, {_UNIGRAM_INF})" for l in range(1, P + 1)
+    )
+    shift = ", ".join(f"d.c{j}" for j in range(P - 1))
+    fwd_joins = "\n  ".join(
+        f"LEFT JOIN {vocab} v{l} ON d.i >= {l - 1}"
+        f" AND v{l}.piece = substr(d.word, d.i - {l - 2}, {l})"
+        for l in range(1, P + 1)
+    )
+    bt_joins = "\n    ".join(
+        f"LEFT JOIN dpt{tag} d{l} ON d{l}.word = b.word AND d{l}.i = b.i - {l}\n"
+        f"    LEFT JOIN {vocab} v{l} ON v{l}.piece ="
+        f" substr(b.word, b.i - {l - 1}, {l})"
+        for l in range(2, P + 1)
+    )
+    oks = ",\n           ".join(
+        f"COALESCE(d{l}.cost + v{l}.score = d0.cost, FALSE) AS ok{l}"
+        for l in range(P, 1, -1)
+    )
+    step_case = " ".join(
+        f"WHEN ok{l} THEN {l}" for l in range(P, 1, -1)
+    )
+    piece_case = " ".join(
+        f"WHEN ok{l} THEN substr(b.word, b.i - {l - 1}, {l})"
+        for l in range(P, 1, -1)
+    )
+    return f"""dp{tag}(word, i, {carry}) AS (
+  SELECT word, 0, {base_nulls} FROM bwords
+  UNION ALL
+  SELECT d.word, d.i + 1,
+         least({cands}),
+         {shift}
+  FROM dp{tag} d
+  {fwd_joins}
+  WHERE d.i < length(d.word)
+),
+dpt{tag} AS MATERIALIZED (SELECT word, i, c0 AS cost FROM dp{tag}),
+bt{tag}(word, i, piece) AS (
+  SELECT word, length(word), CAST(NULL AS VARCHAR) FROM bwords
+  UNION ALL
+  SELECT b.word,
+         b.i - CASE {step_case} ELSE 1 END,
+         CASE {piece_case} ELSE substr(b.word, b.i, 1) END
+  FROM (
+    SELECT b.word, b.i,
+           {oks}
+    FROM bt{tag} b
+    JOIN dpt{tag} d0 ON d0.word = b.word AND d0.i = b.i
+    {bt_joins}
+    WHERE b.i > 0
+  ) b
+),
+cnt{tag} AS MATERIALIZED (
+  SELECT b.piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+  FROM bt{tag} b JOIN bwords w USING (word)
+  WHERE b.piece IS NOT NULL GROUP BY b.piece
+),
+base{tag} AS MATERIALIZED (
+  SELECT piece, cnt FROM cnt{tag} WHERE length(piece) >= 2
+  UNION ALL
+  SELECT s.piece, COALESCE(c.cnt, CAST(0 AS BIGINT))
+  FROM (SELECT piece FROM subs WHERE length(piece) = 1) s
+  LEFT JOIN cnt{tag} c USING (piece)
+)"""
+
+
+def _unigram_score_cte(tag: str, base: str) -> str:
+    return f"""vocab{tag} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CASE WHEN cnt > 0 THEN CAST(FLOOR(1000000 * ln(
+                CAST((SELECT SUM(cnt) FROM {base}) AS DOUBLE)
+                / CAST(cnt AS DOUBLE))) AS BIGINT)
+              ELSE {_UNIGRAM_RARE} END AS score
+  FROM {base}
+)"""
+
+
+def _unigram_train_ctes(
+    n_iters: int, P: int, n_seed: int, prune_to: int
+) -> str:
+    """The full training-loop CTE chain ending in ``baseF``/``vocabF``
+    (the final E-step's counts and scores)."""
+    parts = [
+        _BPE_WORDS_CTE.split(",\nstep0")[0],  # bwords only
+        _unigram_seed_ctes(P, n_seed),
+    ]
+    prev = "vocab0"
+    for k in range(1, n_iters + 1):
+        parts.append(_unigram_em_ctes(str(k), prev, P))
+        parts.append(_unigram_score_cte(str(k), f"base{k}"))
+        prev = f"vocab{k}"
+    parts.append(
+        f"""keepM AS MATERIALIZED (
+  SELECT piece FROM base{n_iters} WHERE length(piece) >= 2
+  ORDER BY cnt DESC, piece ASC LIMIT {prune_to}
+),
+baseP AS MATERIALIZED (
+  SELECT b.piece, b.cnt FROM base{n_iters} b
+  WHERE length(b.piece) = 1 OR b.piece IN (SELECT piece FROM keepM)
+)"""
+    )
+    parts.append(_unigram_score_cte("P", "baseP"))
+    parts.append(_unigram_em_ctes("F", "vocabP", P))
+    parts.append(_unigram_score_cte("F", "baseF"))
+    return ",\n".join(parts)
+
+
+def unigram_train_sql(
+    n_iters: int = 2, P: int = 4, n_seed: int = 256, prune_to: int = 96
+) -> str:
+    """Full relational replay of ``unigram.unigram_train`` — recursive
+    -CTE Viterbi forward DP + longest-tie backtrace per hard-EM round,
+    micro-nat rescoring, the explicit pruning round, and the final
+    E-step's model table.  A genuinely independent second algorithm
+    (positional SQL recursion vs the engine's Arrow DP kernel) — the
+    ``bpe_train`` oracle discipline."""
+    return (
+        "WITH RECURSIVE\n"
+        + _unigram_train_ctes(n_iters, P, n_seed, prune_to)
+        + "\nSELECT piece, cnt AS freq, score AS score_micronat FROM vocabF"
+    )
+
+
+def unigram_encode_sql(
+    n_iters: int = 2, P: int = 4, n_seed: int = 256, prune_to: int = 96
+) -> str:
+    """Corpus piece frequencies under the trained model.  The final
+    E-step's count table IS the corpus encoding aggregated (encode
+    Viterbi-segments every word occurrence under vocabP — exactly what
+    cntF sums freq-weighted over distinct words)."""
+    return (
+        "WITH RECURSIVE\n"
+        + _unigram_train_ctes(n_iters, P, n_seed, prune_to)
+        + "\nSELECT piece AS token, cnt AS freq FROM cntF"
+    )
+
+
 def bpe_train_sql(n_merges: int = 8) -> str:
     """Full relational replay of ``bpe.bpe_train`` — the learned merge
     table ``(rank, lhs, rhs, merged, pair_count)``."""

@@ -3030,6 +3030,49 @@ def pipeline_span_dedup(spark, sf_dir):
     return dedup_spans(_docs_with_dups(_docs(spark, sf_dir)), n=13)
 
 
+def pipeline_unigram_tok(spark, sf_dir):
+    """Unigram-LM (SentencePiece-family) subword tokenizer training
+    (unigram.unigram_train — hard-EM Viterbi counts, Kudo 2018): 2 EM
+    rounds over the distinct-word table from a 256-piece substring
+    seed, pruned to 96 multi-char pieces + full character coverage;
+    emits the model table (piece, freq, score_micronat). Per round:
+    E-step = per-word integer Viterbi in one Arrow mapInPandas pass
+    against the broadcast score dict (the model artifact), M-step =
+    ONE keyed count shuffle; scores are micro-nat BIGINTs
+    (FLOOR(1e6·ln(total/cnt))), ties break structurally (longest piece
+    on the backtrace), so the DuckDB oracle replays the WHOLE loop
+    relationally — recursive-CTE forward DP + backtrace
+    (pipeline_oracle.unigram_train_sql), an independent second
+    algorithm (the bpe_train oracle discipline)."""
+    from xesmf_spark.unigram import unigram_train
+
+    return unigram_train(
+        _docs(spark, sf_dir), n_iters=2, max_piece_len=4, n_seed=256, prune_to=96
+    )
+
+
+def pipeline_unigram_encode(spark, sf_dir):
+    """Corpus encoding under the trained unigram model
+    (unigram.unigram_encode — zero-shuffle per-word Viterbi kernel
+    with per-batch memoization), aggregated to corpus piece
+    frequencies. Oracle identity: encoding every word OCCURRENCE under
+    the final scores equals the final E-step's freq-weighted counts
+    over DISTINCT words (pipeline_oracle.unigram_encode_sql reuses the
+    train replay's cntF)."""
+    from xesmf_spark.unigram import unigram_encode, unigram_train
+
+    docs = _docs(spark, sf_dir)
+    model = unigram_train(
+        docs, n_iters=2, max_piece_len=4, n_seed=256, prune_to=96
+    ).collect()
+    enc = unigram_encode(docs, model)
+    return (
+        enc.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def _docs_with_longquote(docs):
     """documents + planted long-quote carriers (doc_id % 9 == 0 -> new
     id +400000 with a fixed 100-token quote prefixed) — mirrored in
