@@ -559,6 +559,10 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "ann_pq_top3_sharded",
         "multimodal_image_resize_png",
         # late-r10: CDC chunking, bigram LM, graph analytics
+        # r12: unigram-LM tokenizer train/encode, multi-level span dedup
+        "pipeline_unigram_tok",
+        "pipeline_unigram_encode",
+        "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",
         "pipeline_bigram_lm",
         "trade_graph_communities",
@@ -694,6 +698,48 @@ def _run_workloads(spark, sf_dir, timings, timed):
         n_centroids=NC, n_probe=NPROBE,
         centroids=trained["cb"], codebooks=pq_tr["cb"], refine_k=16,
     )
+
+    # --- native JPEG decode kernel throughput (r11 verdict task 7) -------
+    # The codec shipped in r11 with no regression guard. Bench-local
+    # corpus: 96 pseudorandom 48x48 RGB images (incompressible - the
+    # Huffman-heavy worst case), baseline 4:2:0 q80, encoded DRIVER-side
+    # (encode cost excluded); the timed pass is the Arrow-batched
+    # decode+resample consumer path (multimodal.resize_images), MB/s
+    # over the compressed payload bytes.
+    import numpy as np
+
+    from xesmf_spark.jpeg import encode_jpeg
+    from xesmf_spark.multimodal import resize_images
+
+    rng = np.random.default_rng(42)
+    jpayloads = [
+        bytes(
+            encode_jpeg(
+                rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8),
+                quality=80,
+                subsampling="4:2:0",
+            )
+        )
+        for _ in range(96)
+    ]
+    jpeg_mb = sum(len(p) for p in jpayloads) / 1e6
+    jdf = (
+        spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(jpayloads)],
+            "doc_id long, payload binary",
+        )
+        .repartition(32)
+        .persist()
+    )
+    jdf.count()
+    timed_med(
+        "multimodal_jpeg_decode_sec",
+        lambda: resize_images(jdf, out_h=8, out_w=8).count(),
+    )
+    jsec = timings.get("multimodal_jpeg_decode_sec")
+    if isinstance(jsec, (int, float)) and jsec > 0:
+        timings["multimodal_jpeg_decode_MBps"] = round(jpeg_mb / jsec, 3)
+    jdf.unpersist()
 
 
 if __name__ == "__main__":

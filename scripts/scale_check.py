@@ -114,15 +114,53 @@ def stage_scaled(spark, base: str, factor: int) -> str:
     return d
 
 
-def _bpe64_summary(spark, sf_dir: str, incremental: bool):
+def _bpe64_summary(spark, sf_dir: str, incremental: bool, batch_merges: int = 1):
     """64-merge bpe_train over the documents table, returned as a 1-row
     summary DataFrame so the shared measure() (which counts rows) times
     exactly the training loop."""
     from xesmf_spark.bpe import bpe_train
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = bpe_train(docs, n_merges=64, incremental=incremental)
+    merges = bpe_train(
+        docs, n_merges=64, incremental=incremental, batch_merges=batch_merges
+    )
     return spark.createDataFrame([(len(merges),)], "n_merges long")
+
+
+_JPEG_CACHE: dict = {}
+
+
+def _jpeg_corpus(spark, s: int):
+    """96·s pseudorandom 48x48 RGB baseline-4:2:0 JPEG payloads,
+    encoded DRIVER-side once per scale and persisted so the timed
+    section is the executor-side decode, not the fixture build."""
+    if s not in _JPEG_CACHE:
+        import numpy as np
+
+        from xesmf_spark.jpeg import encode_jpeg
+
+        rng = np.random.default_rng(5 + s)
+        payloads = [
+            bytes(
+                encode_jpeg(
+                    rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8),
+                    quality=80,
+                    subsampling="4:2:0",
+                )
+            )
+            for _ in range(96 * s)
+        ]
+        df = (
+            spark.createDataFrame(
+                [(i, bytearray(p)) for i, p in enumerate(payloads)],
+                "doc_id long, payload binary",
+            )
+            .repartition(32)
+            .persist()
+        )
+        df.count()
+        _JPEG_CACHE[s] = df
+    return _JPEG_CACHE[s]
 
 
 def main() -> None:
@@ -225,6 +263,16 @@ def main() -> None:
         # merge table is driver-side — so the timed section is the
         # whole train.)
         ("pipeline_bpe_train", lambda d, s: Q.pipeline_bpe_train(spark, d)),
+        # r12: unigram-LM hard-EM train (2 iters + prune + final E-step)
+        # on the scaled corpus — per iteration one mapInPandas Viterbi
+        # pass over the DISTINCT-WORD table + one keyed count shuffle
+        ("pipeline_unigram_tok", lambda d, s: Q.pipeline_unigram_tok(spark, d)),
+        # r12: graduated-support multi-level span dedup (3 gram levels,
+        # each an explode + two keyed equi-joins; still no pair join)
+        (
+            "pipeline_span_dedup_multilevel",
+            lambda d, s: Q.pipeline_span_dedup_multilevel(spark, d),
+        ),
         # r10 additions: the two r9 verdict stragglers. table_diff is
         # ONE full-outer keyed join with both sides scaled (left = n
         # rows, right = same keys with 1/16 changed, 1/32 dropped,
@@ -510,6 +558,23 @@ def main() -> None:
             "bpe_train64_full",
             lambda d, s: _bpe64_summary(spark, d, incremental=False),
         ),
+        # r12: batched exact merge selection (top-m disjoint prefix per
+        # driver round-trip) — the metric of record is round-trips per
+        # merge (< 1; see bpe_train docstring), the time column is the
+        # same overhead-dominated regime as the full twin
+        (
+            "bpe_train64_batched8",
+            lambda d, s: _bpe64_summary(
+                spark, d, incremental=False, batch_merges=8
+            ),
+        ),
+        # r12 (r11 verdict task 8): native JPEG decode throughput at
+        # 1x/10x payload count — an Arrow-batched map-only stage, the
+        # exponent should be ~0 on a 32-core box until tasks saturate
+        (
+            "multimodal_resize_jpeg",
+            lambda d, s: MM.resize_images(_jpeg_corpus(spark, s), out_h=8, out_w=8),
+        ),
         # shared-neighbor Jaccard on a synthetic bipartite graph with
         # the IVF-style deployment rule: the RIGHT key space scales
         # with the corpus (constant right-degree ~128), mirroring how
@@ -566,6 +631,23 @@ def main() -> None:
         "bpe_train64_full": (
             "the default path: one exploded-pair shuffle per merge; flat "
             "here because at this vocab the shuffle is overhead-dominated"
+        ),
+        "bpe_train64_batched8": (
+            "exact top-m disjoint-prefix selection: 60 sweeps / 64 merges "
+            "= 0.94 round-trips per merge on this overlap-dense ranking "
+            "(top pairs chain); wall-clock parity with the sequential twin "
+            "- the payoff regime (disjoint top-m at 32k-rank vocabs) is "
+            "beyond this box's corpora, documented on bpe_train"
+        ),
+        "multimodal_resize_jpeg": (
+            "map-only Arrow decode of driver-staged payloads; near-flat "
+            "exponent expected until 96*s tasks saturate 32 cores, then "
+            "~linear in payload bytes per core"
+        ),
+        "pipeline_unigram_tok": (
+            "per-iteration cost rides the DISTINCT-WORD table (Viterbi "
+            "kernel pass + one keyed count shuffle); corpus size enters "
+            "only through the one word-count shuffle"
         ),
         "pipeline_cdc_chunks": (
             "exponent ~ linear in emitted chunks (the output volume any "
