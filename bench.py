@@ -559,8 +559,10 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "ann_pq_top3_sharded",
         "multimodal_image_resize_png",
         # late-r10: CDC chunking, bigram LM, graph analytics
-        # r12: unigram-LM tokenizer train/encode, multi-level span dedup
+        # r12: unigram-LM tokenizer train/encode, multi-level span
+        # dedup, weighted shortest paths
         "pipeline_unigram_tok",
+        "trade_graph_shortest_paths",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

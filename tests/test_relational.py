@@ -1272,3 +1272,65 @@ def test_graph_ops_degenerate_inputs(spark):
     bip = spark.createDataFrame([(1, 10), (2, 10)], "src long, dst long")
     assert shared_neighbor_jaccard(bip, min_inter=2).count() == 0
     assert shared_neighbor_jaccard(bip, min_inter=1).count() == 1
+
+
+def test_shortest_paths_matches_dijkstra(spark):
+    """Fixed-iteration multi-source Bellman-Ford vs a brute-force
+    Dijkstra on a fuzzed weighted graph: with iters >= n the relaxed
+    table must equal true distances from the nearest source; at small
+    iters it must equal the <= iters-hop optimum (checked by a
+    hop-bounded reference); directed vs undirected both exercised."""
+    import random
+
+    from xesmf_spark.relational import shortest_paths
+
+    rng = random.Random(31)
+    n = 40
+    edges = []
+    for _ in range(120):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.append((a, b, rng.randint(1, 20)))
+    sources = [0, 7]
+
+    def ref_dists(directed, max_hops):
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+            if not directed:
+                adj.setdefault(b, []).append((a, w))
+        # Bellman-Ford with hop bound (handles the <= iters-hop contract)
+        INF = float("inf")
+        dist = {v: (0 if v in sources else INF) for v in range(n)}
+        for _ in range(max_hops):
+            nxt = dict(dist)
+            for a, nbrs in adj.items():
+                if dist[a] == INF:
+                    continue
+                for b, w in nbrs:
+                    if dist[a] + w < nxt[b]:
+                        nxt[b] = dist[a] + w
+            dist = nxt
+        return {v: d for v, d in dist.items() if d != INF}
+
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in sources], "src long")
+    for directed in (False, True):
+        for iters in (2, n):
+            got = {
+                r.node: r.dist
+                for r in shortest_paths(
+                    edf, sdf, iters=iters, directed=directed
+                ).collect()
+            }
+            assert got == ref_dists(directed, iters), (directed, iters)
+    # parallel-edge collapse: duplicate heavier edges must not matter
+    dup = spark.createDataFrame(
+        edges + [(a, b, w + 5) for a, b, w in edges], "src long, dst long, w long"
+    )
+    got = {r.node: r.dist for r in shortest_paths(dup, sdf, iters=n).collect()}
+    assert got == ref_dists(False, n)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters"):
+        shortest_paths(edf, sdf, iters=0)

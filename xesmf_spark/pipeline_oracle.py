@@ -2031,6 +2031,51 @@ FROM terms
 """
 
 
+def shortest_paths_sql(iters: int = 4) -> str:
+    """Replays relational.shortest_paths over the sparsified weighted
+    trade graph as a MATERIALIZED CTE chain: cents weights (parallel
+    edges pre-collapsed by MIN), symmetrized, hub-customer sources,
+    one min-plus relaxation round per CTE — the round-``iters`` state
+    exactly (cheapest <= iters-hop path; unreached nodes absent)."""
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 50
+    )
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 50
+    )
+  ) GROUP BY src, dst
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM e0 WHERE src % 194 = 0
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM e0 e JOIN d{r - 1} d ON e.src = d.node
+    UNION ALL
+    SELECT node, dist FROM d{r - 1}
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, dist FROM d{iters}""")
+    return "".join(parts)
+
+
 def kcore_sql(k: int = 3, iters: int = 3) -> str:
     """Replays relational.kcore_nodes over the sparsified trade graph
     as a MATERIALIZED CTE chain: per round a degree count and a

@@ -4921,6 +4921,38 @@ def trade_graph_kcore(spark, sf_dir):
     return kcore_nodes(edges, k=3, iters=3)
 
 
+def trade_graph_shortest_paths(spark, sf_dir):
+    """Fixed-4-round multi-source Bellman-Ford
+    (relational.shortest_paths): cheapest-cents trade distance from
+    the hub customers (custkey % 97 == 0) over the sparsified
+    customer-supplier graph, weight = exact cents of the cheapest
+    linking lineitem (parallel edges pre-collapsed by MIN). After 4
+    rounds dist(v) is the cheapest <= 4-hop path — bit-exact BIGINT
+    min-plus state, replayed by a 4-round chained-CTE oracle (the
+    kcore / components fixed-iteration discipline). Completes the
+    graph family with the weighted-path primitive; per round one
+    keyed edge join + map-side MIN agg."""
+    from xesmf_spark.relational import shortest_paths
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 50)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "w"
+        ),
+    )
+    sources = (
+        edges.select("src").filter(F.col("src") % 194 == 0).distinct()
+    )
+    return shortest_paths(edges, sources, iters=4, weight_col="w")
+
+
 def orders_burst_components(spark, sf_dir):
     """CONVERGED connected components with pointer shortcutting
     (relational.connected_components_converged — the O(log-diameter)

@@ -1548,3 +1548,60 @@ def kcore_nodes(edges: DataFrame, k: int, iters: int = 3) -> DataFrame:
         # contract returns the round-``iters`` state, not the fixed
         # point, and the oracle replays exactly that
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int,
+    weight_col: str = "w",
+    directed: bool = False,
+) -> DataFrame:
+    """Fixed-iteration multi-source Bellman-Ford: exact BIGINT min-plus
+    relaxation over an edge list ``(src, dst, weight_col)`` from a set
+    of ``sources`` nodes — distance to the NEAREST source (the
+    multi-source formulation keeps state O(N) instead of O(N·S); run
+    per-source for a full distance matrix).  After exactly ``iters``
+    rounds ``dist(v)`` is the weight of the cheapest path from any
+    source using at most ``iters`` edges — the exact distance whenever
+    the hop-diameter of the reachable region is <= ``iters``, and the
+    fixed round count makes the op bit-for-bit replayable by a
+    chained-CTE SQL oracle (the :func:`connected_components` /
+    :func:`pagerank` determinism contract).  Nodes not reached within
+    ``iters`` hops are absent from the output (distance "infinity").
+
+    Completes the graph-analytics family (components / LPA / PageRank /
+    k-core / triangles / clustering / Jaccard) with the weighted-path
+    primitive a relationship-hop analysis needs. All-integer weights —
+    no float accumulation anywhere.
+
+    Scale shape: per round ONE keyed equi-join of the (symmetrized if
+    undirected) edge list against the O(N) frontier-distance table +
+    one map-side-combinable MIN agg — O(|E|) shuffle per round, never
+    all-pairs, no driver scalars; lineage truncated per round with an
+    eager localCheckpoint."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    # parallel edges collapse to their min weight up front (halves the
+    # per-round join volume on multigraphs; a no-op on simple graphs)
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+    dist = sources.select(F.col(sources.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(iters):
+        relaxed = e.join(
+            dist.select(F.col("node").alias("src"), F.col("dist")), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        dist = (
+            relaxed.unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist
