@@ -299,7 +299,7 @@ def _img_resize_jpeg_oracle() -> str:
     for d in range(48):
         img = ((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
         exp = expected_reconstruction(
-            img, quality=85, subsampling="4:2:0" if d % 2 else "4:4:4"
+            img, quality=85, subsampling=("4:4:4", "4:2:0", "4:2:2")[d % 3]
         )
         gray = exp.mean(axis=2).astype(np.uint8)
         small = gray[np.ix_(idx, idx)].astype(np.int64)

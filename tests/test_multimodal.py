@@ -326,7 +326,7 @@ def test_resize_images_decodes_real_png(spark):
 
 def test_jpeg_bitstream_lossless_and_kernels_match():
     """decode_jpeg(encode_jpeg(x)) == expected_reconstruction(x)
-    BYTE-EXACT for gray / RGB 4:4:4 / RGB 4:2:0 across qualities and
+    BYTE-EXACT for gray / RGB 4:4:4 / 4:2:0 / 4:2:2 across qualities and
     non-multiple-of-16 dims: proves the Huffman + zigzag + DC-pred +
     byte-stuffing layer lossless and both sides' DCT/color kernels
     identical (the encode_png discipline transposed to a lossy codec).
@@ -348,7 +348,7 @@ def test_jpeg_bitstream_lossless_and_kernels_match():
             assert np.array_equal(dec, expected_reconstruction(img, quality=q)), q
             assert dec.shape == img.shape
     for img in (noise, smooth):
-        for sub in ("4:4:4", "4:2:0"):
+        for sub in ("4:4:4", "4:2:0", "4:2:2"):
             for q in (35, 75, 100):
                 dec = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
                 exp = expected_reconstruction(img, quality=q, subsampling=sub)
@@ -394,13 +394,14 @@ def test_resize_images_decodes_real_jpeg(spark):
     rows = [
         (0, bytearray(encode_jpeg(img, quality=90))),
         (1, bytearray(encode_jpeg(img, quality=90, subsampling="4:2:0"))),
+        (2, bytearray(encode_jpeg(img, quality=90, subsampling="4:2:2"))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {
         rw.doc_id: np.frombuffer(bytes(rw.pixels), dtype=np.uint8).reshape(8, 8)
         for rw in MM.resize_images(df, out_h=8, out_w=8).collect()
     }
-    for did, sub in ((0, "4:4:4"), (1, "4:2:0")):
+    for did, sub in ((0, "4:4:4"), (1, "4:2:0"), (2, "4:2:2")):
         exp = expected_reconstruction(img, quality=90, subsampling=sub)
         gray = exp.mean(axis=2).astype(np.uint8)
         want = gray[np.ix_((np.arange(8) * 16) // 8, (np.arange(8) * 16) // 8)]
@@ -418,7 +419,7 @@ def test_jpeg_restart_markers_roundtrip():
     rng = np.random.default_rng(3)
     gray = rng.integers(0, 256, size=(40, 80), dtype=np.uint8)  # 5x10 = 50 MCUs
     rgb = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
-    cases = [(gray, "4:4:4"), (rgb, "4:4:4"), (rgb, "4:2:0")]
+    cases = [(gray, "4:4:4"), (rgb, "4:4:4"), (rgb, "4:2:0"), (rgb, "4:2:2")]
     for img, sub in cases:
         base = decode_jpeg(encode_jpeg(img, quality=80, subsampling=sub))
         for ri in (1, 3, 7):  # ri=1 with 50 MCUs cycles RST0..7 wrapping

@@ -2,7 +2,7 @@
 
 Closes the image-codec story next to the native PNG/BMP paths in
 ``multimodal``: baseline sequential DCT JPEG (SOF0) covering the
-dominant real-world shapes — grayscale, RGB 4:4:4, RGB 4:2:0 — with a
+dominant real-world shapes — grayscale, RGB 4:4:4, 4:2:0, 4:2:2 — with a
 loud ``NotImplementedError`` gate for progressive (SOF2) and the other
 rare SOF variants.  Public knowledge throughout: ITU-T T.81 (the JPEG
 spec; Annex K carries the example quantization and Huffman tables used
@@ -227,28 +227,36 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
-def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
-    """Pad H and W up to a multiple of ``mult`` by edge replication —
-    the standard encoder fill that keeps block boundaries smooth."""
+def _pad_edge(plane: np.ndarray, mult: int, mult_x: int | None = None) -> np.ndarray:
+    """Pad H (to a multiple of ``mult``) and W (to a multiple of
+    ``mult_x``, default ``mult``) by edge replication — the standard
+    encoder fill that keeps block boundaries smooth."""
     h, w = plane.shape
     ph = (-h) % mult
-    pw = (-w) % mult
+    pw = (-w) % (mult if mult_x is None else mult_x)
     if ph == 0 and pw == 0:
         return plane
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def _subsample_420(plane: np.ndarray) -> np.ndarray:
-    """2×2 box average with round-half-up — the 4:2:0 chroma reduction
-    (input H, W already even)."""
-    h, w = plane.shape
-    s = (
-        plane[0::2, 0::2].astype(np.int64)
-        + plane[0::2, 1::2]
-        + plane[1::2, 0::2]
-        + plane[1::2, 1::2]
-    )
-    return ((s + 2) // 4).astype(np.uint8)
+def _subsample_box(plane: np.ndarray, fv: int, fh: int) -> np.ndarray:
+    """``fv``×``fh`` box average with round-half-up — the generic
+    chroma reduction (4:2:0 = 2×2, 4:2:2 = 1×2; input dims already
+    multiples of the factors)."""
+    if fv == 1 and fh == 1:
+        return plane
+    n = fv * fh
+    s = np.zeros((plane.shape[0] // fv, plane.shape[1] // fh), dtype=np.int64)
+    for dy in range(fv):
+        for dx in range(fh):
+            s += plane[dy::fv, dx::fh]
+    return ((s + n // 2) // n).astype(np.uint8)
+
+
+#: subsampling name -> (fh, fv) luma sampling factors (= chroma
+#: reduction factors); every pair the baseline decoder's generic
+#: MCU/upsample path handles
+_SAMP_FACTORS = {"4:4:4": (1, 1), "4:2:0": (2, 2), "4:2:2": (2, 1)}
 
 
 # --------------------------------------------------------------- Huffman
@@ -366,7 +374,7 @@ def encode_jpeg(
 ) -> bytes:
     """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
     baseline sequential JFIF JPEG (SOF0, Annex-K tables scaled by
-    ``quality``, standard Huffman tables, 4:4:4 or 4:2:0 chroma).
+    ``quality``, standard Huffman tables, 4:4:4 / 4:2:0 / 4:2:2 chroma).
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     every that-many MCUs (DC predictors reset, bitstream byte-aligned)
     — the camera-JPEG resync feature, here mainly so the decoder's
@@ -378,14 +386,17 @@ def encode_jpeg(
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"need (H, W) gray or (H, W, 3) RGB uint8, got {a.shape}")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError(f"subsampling must be 4:4:4 or 4:2:0, got {subsampling!r}")
+    if subsampling not in _SAMP_FACTORS:
+        raise ValueError(
+            f"subsampling must be one of {sorted(_SAMP_FACTORS)}, got {subsampling!r}"
+        )
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     qt_l = _scale_qt(_QT_LUMA, quality)
     qt_c = _scale_qt(_QT_CHROMA, quality)
-    sub = (not gray) and subsampling == "4:2:0"
+    fh, fv = _SAMP_FACTORS[subsampling]
+    sub = (not gray) and (fh, fv) != (1, 1)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -398,10 +409,8 @@ def encode_jpeg(
     # SOF0: components (id, sampling h<<4|v, qt id)
     if gray:
         comps = [(1, 0x11, 0)]
-    elif sub:
-        comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
     else:
-        comps = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+        comps = [(1, (fh << 4) | fv, 0), (2, 0x11, 1), (3, 0x11, 1)]
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, samp, qid in comps:
         sof += bytes([cid, samp, qid])
@@ -439,9 +448,9 @@ def encode_jpeg(
     else:
         ycc = _rgb_to_ycbcr(a)
         if sub:
-            ypl = _pad_edge(ycc[..., 0], 16)
-            cbp = _subsample_420(_pad_edge(ycc[..., 1], 16))
-            crp = _subsample_420(_pad_edge(ycc[..., 2], 16))
+            ypl = _pad_edge(ycc[..., 0], 8 * fv, 8 * fh)
+            cbp = _subsample_box(_pad_edge(ycc[..., 1], 8 * fv, 8 * fh), fv, fh)
+            crp = _subsample_box(_pad_edge(ycc[..., 2], 8 * fv, 8 * fh), fv, fh)
         else:
             ypl, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
         cy = _plane_coeffs(ypl, qt_l)
@@ -449,7 +458,11 @@ def encode_jpeg(
         ccr = _plane_coeffs(crp, qt_c)
         if sub:
             mcus = [
-                [(cy[2 * my + dy, 2 * mx + dx], 0) for dy in range(2) for dx in range(2)]
+                [
+                    (cy[fv * my + dy, fh * mx + dx], 0)
+                    for dy in range(fv)
+                    for dx in range(fh)
+                ]
                 + [(ccb[my, mx], 1), (ccr[my, mx], 2)]
                 for my in range(ccb.shape[0])
                 for mx in range(ccb.shape[1])
@@ -495,19 +508,20 @@ def expected_reconstruction(
     if gray:
         return _dequant_idct(_plane_coeffs(a, qt_l), qt_l)[:h, :w]
     ycc = _rgb_to_ycbcr(a)
-    sub = subsampling == "4:2:0"
+    fh, fv = _SAMP_FACTORS[subsampling]
+    sub = (fh, fv) != (1, 1)
     if sub:
-        ypl = _pad_edge(ycc[..., 0], 16)
-        cbp = _subsample_420(_pad_edge(ycc[..., 1], 16))
-        crp = _subsample_420(_pad_edge(ycc[..., 2], 16))
+        ypl = _pad_edge(ycc[..., 0], 8 * fv, 8 * fh)
+        cbp = _subsample_box(_pad_edge(ycc[..., 1], 8 * fv, 8 * fh), fv, fh)
+        crp = _subsample_box(_pad_edge(ycc[..., 2], 8 * fv, 8 * fh), fv, fh)
     else:
         ypl, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
     yr = _dequant_idct(_plane_coeffs(ypl, qt_l), qt_l)
     cbr = _dequant_idct(_plane_coeffs(cbp, qt_c), qt_c)
     crr = _dequant_idct(_plane_coeffs(crp, qt_c), qt_c)
     if sub:
-        cbr = cbr.repeat(2, axis=0).repeat(2, axis=1)
-        crr = crr.repeat(2, axis=0).repeat(2, axis=1)
+        cbr = cbr.repeat(fv, axis=0).repeat(fh, axis=1)
+        crr = crr.repeat(fv, axis=0).repeat(fh, axis=1)
     hh = min(yr.shape[0], cbr.shape[0])
     ww = min(yr.shape[1], cbr.shape[1])
     ycc_r = np.stack([yr[:hh, :ww], cbr[:hh, :ww], crr[:hh, :ww]], axis=-1)
@@ -628,8 +642,9 @@ def _decode_block(br, lut_dc, lut_ac, pred: int) -> tuple[np.ndarray, int]:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Decode a BASELINE sequential JPEG (SOF0; grayscale, 4:4:4 or
-    4:2:0 YCbCr; restart markers honored) to (H, W) or (H, W, 3) uint8.
+    """Decode a BASELINE sequential JPEG (SOF0; grayscale, generic
+    sampling factors incl. 4:4:4 / 4:2:0 / 4:2:2 YCbCr; restart markers
+    honored) to (H, W) or (H, W, 3) uint8.
     Progressive (SOF2) and the extended/lossless/arithmetic SOF
     variants raise a loud ``NotImplementedError`` — the documented gate,
     same policy as the PNG decoder's non-baseline variants."""

@@ -1761,8 +1761,8 @@ def multimodal_image_resize_jpeg(spark, sf_dir):
     """The decode->grayscale->resample chain through the native
     baseline-JPEG path (xesmf_spark.jpeg.decode_jpeg: marker parse,
     Huffman decode, dequant + IDCT, chroma upsample, YCbCr->RGB): 48
-    deterministic 16x16 RGB images JPEG-encoded alternating 4:4:4 and
-    4:2:0, decoded and resized inside the Arrow mapInPandas kernel.
+    deterministic 16x16 RGB images JPEG-encoded cycling 4:4:4, 4:2:0,
+    and 4:2:2, decoded and resized inside the Arrow mapInPandas kernel.
     JPEG is lossy, so the oracle cannot be closed-form pixel
     arithmetic like the PNG/BMP twin; instead it is the PURE-PYTHON
     reference reconstruction (jpeg.expected_reconstruction — the
@@ -1785,7 +1785,7 @@ def multimodal_image_resize_jpeg(spark, sf_dir):
                 encode_jpeg(
                     ((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8),
                     quality=85,
-                    subsampling="4:2:0" if d % 2 else "4:4:4",
+                    subsampling=("4:4:4", "4:2:0", "4:2:2")[d % 3],
                 )
             ),
         )
