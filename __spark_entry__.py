@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graduated-support multi-level span dedup
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
         "trade_graph_shortest_paths": Q.trade_graph_shortest_paths,
+        "pipeline_mixture_sample": Q.pipeline_mixture_sample,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1447,6 +1448,7 @@ WHERE cum_tokens <= 5000
         "pipeline_span_dedup_multilevel": PO.span_dedup_multilevel_sql(),
         "pipeline_unigram_tok": PO.unigram_train_sql(),
         "trade_graph_shortest_paths": PO.shortest_paths_sql(),
+        "pipeline_mixture_sample": PO.mixture_sample_sql(),
         "pipeline_unigram_encode": PO.unigram_encode_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),

@@ -563,6 +563,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         # dedup, weighted shortest paths
         "pipeline_unigram_tok",
         "trade_graph_shortest_paths",
+        "pipeline_mixture_sample",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

@@ -1657,3 +1657,61 @@ def test_dedup_spans_multilevel_long_quote(spark):
     assert a == b
     with pytest.raises(ValueError, match="min_docs"):
         dedup_spans(grad, levels=((13, 1),)).collect()
+
+
+def test_mixture_sample_hamilton_and_tempering(spark):
+    """α=0.5 tempered mixing: quotas are exact Hamilton apportionment
+    of sqrt-tempered masses (differential vs a dict reference), small
+    sources get MORE than their proportional share, selection is
+    deterministic, and a starved source yields what it has without
+    silent redistribution."""
+    import math
+
+    from xesmf_spark.pipeline import mixture_sample
+
+    # masses: big=90000 chars over 60 docs, small=10000 over 40 docs
+    rows = [(i, "x" * 1500, "big") for i in range(60)] + [
+        (1000 + i, "y" * 250, "small") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string").select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    total = 50
+    out = mixture_sample(df, total=total)
+    got = [(r.doc_id, r.source) for r in out.collect()]
+    assert len(got) == total == len(set(got))
+    by_src = {}
+    for _, s in got:
+        by_src[s] = by_src.get(s, 0) + 1
+
+    # reference Hamilton on sqrt-tempered masses
+    m = {"big": 60 * 1500, "small": 40 * 250}
+    w = {s: math.floor(math.sqrt(float(v)) * 1_000_000) for s, v in m.items()}
+    W = sum(w.values())
+    q = {s: (total * wi) // W for s, wi in w.items()}
+    rem = {s: (total * wi) % W for s, wi in w.items()}
+    for s in sorted(rem, key=lambda k: (-rem[k], k))[: total - sum(q.values())]:
+        q[s] += 1
+    assert by_src == q
+    # tempering: small's share exceeds its proportional mass share
+    assert by_src["small"] / total > m["small"] / sum(m.values())
+    # determinism: a second run selects the identical doc set
+    assert set(got) == {
+        (r.doc_id, r.source) for r in mixture_sample(df, total=total).collect()
+    }
+
+    # starvation: demand more than a source holds -> implicit cap, no
+    # redistribution (output short by exactly the deficit)
+    tiny = spark.createDataFrame(
+        [(1, "big", 1_000_000), (2, "big", 1_000_000), (3, "rare", 1_000_000)],
+        "doc_id long, source string, n_chars long",
+    )
+    sel = mixture_sample(tiny, total=10)
+    per = {}
+    for r in sel.collect():
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per["big"] == 2 and per["rare"] == 1  # both capped at availability
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total"):
+        mixture_sample(df, total=0)

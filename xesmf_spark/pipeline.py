@@ -1523,6 +1523,81 @@ def weighted_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    total: int,
+    source_col: str = "source",
+    size_col: str | None = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TEMPERATURE-based source mixing — the data-mixing step of an LM
+    training run (multilingual/multi-source sampling p_i ∝ size_i^α,
+    Conneau & Lample's α-tempering; public knowledge): pick ``total``
+    documents across sources with per-source QUOTAS apportioned from
+    α = 0.5 tempered source masses, upsampling small sources relative
+    to proportional sampling without flattening to uniform.
+
+    Exactness discipline (every step engine-replayable):
+
+    - source mass ``m_i`` = exact BIGINT sum of ``size_col`` (or doc
+      count);
+    - tempered weight ``w_i = FLOOR(sqrt(m_i) · 1e6)`` — sqrt is
+      IEEE-754 CORRECTLY ROUNDED (unlike pow/ln), so α is pinned at
+      0.5 precisely to keep the one float step bit-identical across
+      engines; everything after is integer arithmetic;
+    - quotas by largest-remainder (Hamilton) apportionment:
+      ``q_i = (total·w_i) // W`` plus one extra for the
+      ``total − Σq_i`` largest remainders (ties: source ascending) —
+      exact integers, no float shares;
+    - selection: per source the quota docs with the smallest
+      ``(wide_hash(id), id)`` — deterministic, reshuffle-stable, no
+      RNG (the :func:`weighted_sample` hash-uniform discipline).
+
+    A source with fewer docs than its quota yields what it has (the
+    rank filter caps implicitly); the shortfall is NOT redistributed —
+    deliberate, so a starved source is visible in the output counts
+    rather than silently papered over.
+
+    Scale shape: one map-side-combinable mass agg (collect bounded by
+    the SOURCE count — the PQ-codebook model-artifact discipline), one
+    broadcast quota join, one per-source window rank. No global sort,
+    no driver data."""
+    if total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    import math
+
+    mass = (
+        F.sum(size_col).alias("m") if size_col else F.count(F.lit(1)).alias("m")
+    )
+    masses = df.groupBy(source_col).agg(mass).collect()
+    w = {
+        r[source_col]: int(math.floor(math.sqrt(float(int(r["m"]))) * 1_000_000))
+        for r in masses
+    }
+    big_w = sum(w.values())
+    if big_w <= 0:
+        raise ValueError("no source mass — empty input?")
+    q = {s: (total * wi) // big_w for s, wi in w.items()}
+    rem = {s: (total * wi) % big_w for s, wi in w.items()}
+    for s in sorted(rem, key=lambda k: (-rem[k], k))[: total - sum(q.values())]:
+        q[s] += 1
+    quota_df = df.sparkSession.createDataFrame(
+        sorted(q.items()), f"{source_col} string, quota long"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(
+            wide_hash(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return (
+        df.select(id_col, source_col)
+        .withColumn("rk", rk)
+        .join(F.broadcast(quota_df), source_col)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(id_col, source_col)
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     budget_tokens: int,

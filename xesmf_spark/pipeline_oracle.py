@@ -2031,6 +2031,49 @@ FROM terms
 """
 
 
+def mixture_sample_sql(total: int = 200) -> str:
+    """Mirrors pipeline.mixture_sample over the documents table:
+    α=0.5 tempered masses (sqrt is IEEE correctly rounded — the one
+    float step), integer Hamilton apportionment, per-source
+    smallest-(wide_hash, id) selection; a starved source yields what
+    it has (implicit rank cap, no redistribution)."""
+    return f"""
+WITH masses AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m
+  FROM documents GROUP BY source
+),
+w AS MATERIALIZED (
+  SELECT source,
+         CAST(FLOOR(sqrt(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+  FROM masses
+),
+tot AS MATERIALIZED (SELECT CAST(SUM(wi) AS BIGINT) AS bw FROM w),
+q0 AS MATERIALIZED (
+  SELECT source, ({total} * wi) // bw AS q, ({total} * wi) % bw AS rem
+  FROM w, tot
+),
+quota AS MATERIALIZED (
+  SELECT source,
+         q + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                    <= {total} - (SELECT CAST(SUM(q) AS BIGINT) FROM q0)
+              THEN 1 ELSE 0 END AS quota
+  FROM q0
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
 def shortest_paths_sql(iters: int = 4) -> str:
     """Replays relational.shortest_paths over the sparsified weighted
     trade graph as a MATERIALIZED CTE chain: cents weights (parallel

@@ -3073,6 +3073,21 @@ def pipeline_unigram_encode(spark, sf_dir):
     )
 
 
+def pipeline_mixture_sample(spark, sf_dir):
+    """Temperature-based source mixing (pipeline.mixture_sample): 200
+    documents apportioned across sources by α=0.5 tempered char-mass
+    quotas — the multilingual/multi-source sampling law of LM training
+    (p_i ∝ size_i^α), small sources upsampled vs proportional without
+    flattening to uniform. sqrt (IEEE correctly rounded) is the ONE
+    float step; quotas are exact-integer Hamilton apportionment;
+    selection is the deterministic smallest-(wide_hash, id) per
+    source. One bounded mass agg + broadcast quota join + per-source
+    window."""
+    from xesmf_spark.pipeline import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), total=200)
+
+
 def _docs_with_longquote(docs):
     """documents + planted long-quote carriers (doc_id % 9 == 0 -> new
     id +400000 with a fixed 100-token quote prefixed) — mirrored in
