@@ -564,6 +564,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_unigram_tok",
         "trade_graph_shortest_paths",
         "pipeline_mixture_sample",
+        "documents_hybrid_rrf",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

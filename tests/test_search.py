@@ -128,3 +128,33 @@ def test_bm25_empty_corpus_returns_empty(spark):
     )
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["doc_id", "score_micro"]
+
+
+def test_hybrid_rrf_union_semantics_and_exact_points(spark):
+    """RRF fusion: integer points 1e9 // (k + rank) summed per
+    (query, neighbor); docs surfaced by only one leg contribute one
+    term; ties break by neighbor id; topk enforced per query."""
+    from xesmf_spark.search import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 21, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {
+        (r.query_id, r.neighbor_id): (r.rrf_score, r.rank)
+        for r in hybrid_rrf(lex, sem, k_rrf=60, topk=3).collect()
+    }
+    p = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    # doc 11 fused from both legs — must dominate query 1
+    assert out[(1, 11)] == (p(2) + p(1), 1)
+    assert out[(1, 10)][0] == p(1)
+    assert out[(1, 13)][0] == p(2)
+    # one-leg docs rank by points then id: 10 (p1) > 13 (p2) > 12 (p3, cut)
+    assert out[(1, 10)][1] == 2 and out[(1, 13)][1] == 3
+    assert (1, 12) not in out  # topk=3 cut
+    # query 2: equal single-leg points — tie broken by neighbor asc
+    assert out[(2, 20)] == (p(1), 1) and out[(2, 21)] == (p(1), 2)

@@ -2031,6 +2031,66 @@ FROM terms
 """
 
 
+def hybrid_rrf_sql(leg_k: int = 5, k_rrf: int = 60, topk: int = 3) -> str:
+    """Mirrors documents_hybrid_rrf: shared-shingle lexical top-5 (hot
+    -shingle valve <= 100 docs) + exact cosine top-5, fused by exact
+    integer 1e9 // (60 + rank) points, per-query top-3."""
+    dot = _DOT.format(a="q", b="p")
+    return f"""
+WITH
+docs AS (SELECT doc_id, text FROM documents),
+{NORM_CTE},
+{SHINGLE_CTE},
+shx AS (SELECT doc_id, unnest(sh_set) AS shingle FROM sh),
+ok AS (
+  SELECT shingle FROM shx GROUP BY shingle
+  HAVING COUNT(DISTINCT doc_id) <= 100
+),
+shf AS (SELECT s.doc_id, s.shingle FROM shx s JOIN ok USING (shingle)),
+lpairs AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM shf a JOIN shf b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY shared DESC, neighbor_id ASC) AS rank
+    FROM lpairs
+  ) WHERE rank <= {leg_k}
+),
+{_VEC_CTE},
+cpairs AS (
+  SELECT q.id AS query_id, p.id AS neighbor_id,
+         ROUND({dot} / (q.nrm * p.nrm), 6) AS cosine
+  FROM v q CROSS JOIN v p
+  WHERE q.id != p.id
+),
+sem AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cpairs
+  ) WHERE rank <= {leg_k}
+),
+legs AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(1000000000 // ({k_rrf} + rank)) AS BIGINT) AS rrf_score
+  FROM legs GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {topk}
+"""
+
+
 def mixture_sample_sql(total: int = 200) -> str:
     """Mirrors pipeline.mixture_sample over the documents table:
     α=0.5 tempered masses (sqrt is IEEE correctly rounded — the one

@@ -3073,6 +3073,52 @@ def pipeline_unigram_encode(spark, sf_dir):
     )
 
 
+def documents_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval fusion (search.hybrid_rrf — reciprocal-rank
+    fusion, Cormack et al. 2009): the production search pattern of a
+    lexical leg + a semantic leg fused by Σ 1/(k+rank), here as EXACT
+    integer 1e9 DIV (60+rank) points summed in BIGINT. Lexical leg =
+    top-5 docs by shared distinct 3-gram shingles (hot-shingle valve
+    <= 100 docs — the LSH bucket discipline); semantic leg = exact
+    cosine top-5 over the embeddings table (vec_id == doc_id). Per
+    query the fused top-3. Fusion cost never touches the corpus: a
+    union of two per-query-top-k legs + one keyed SUM + one window."""
+    from xesmf_spark import similarity as SIM
+    from xesmf_spark.pipeline import shingles
+    from xesmf_spark.search import hybrid_rrf
+
+    docs = _docs(spark, sf_dir)
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    sem = SIM.cosine_topk(emb, k=5).select("query_id", "neighbor_id", "rank")
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    ok = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= 100)
+        .select("shingle")
+    )
+    shx = sh.join(ok, "shingle")
+    pairs = (
+        shx.alias("a")
+        .join(shx.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("query_id"),
+            F.col("b.doc_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("shared"), F.asc("neighbor_id")
+    )
+    lex = (
+        pairs.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return hybrid_rrf(lex, sem, k_rrf=60, topk=3)
+
+
 def pipeline_mixture_sample(spark, sf_dir):
     """Temperature-based source mixing (pipeline.mixture_sample): 200
     documents apportioned across sources by α=0.5 tempered char-mass

@@ -289,3 +289,46 @@ def inverted_index(
             ).alias("postings_sample"),
         )
     )
+
+
+def hybrid_rrf(
+    lex: DataFrame,
+    sem: DataFrame,
+    k_rrf: int = 60,
+    topk: int = 3,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval legs — THE
+    production hybrid-search combiner (Cormack, Clarke & Buettcher
+    2009, public knowledge): each leg supplies ``(query_id,
+    neighbor_id, rank)``; a document's fused score is
+    ``Σ_legs 1/(k_rrf + rank)``, computed here as the EXACT integer
+    ``1_000_000_000 // (k_rrf + rank)`` per leg summed in BIGINT —
+    no float anywhere, so the DuckDB oracle reproduces every score
+    bit-for-bit.  Documents surfaced by only one leg simply
+    contribute one term (RRF's built-in union semantics).  Output:
+    ``(query_id, neighbor_id, rrf_score, rank)`` — per query the top
+    ``topk`` by (score DESC, neighbor ASC).
+
+    Scale shape: a unionByName of the (already small, per-query-top-k)
+    legs, one keyed groupBy-SUM, one per-query window over <=
+    2·leg_k candidate rows — the fusion itself never touches the
+    corpus."""
+    legs = lex.select("query_id", "neighbor_id", "rank").unionByName(
+        sem.select("query_id", "neighbor_id", "rank")
+    )
+    scored = legs.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"1000000000 DIV ({k_rrf} + rank)").alias("pts"),
+    )
+    fused = scored.groupBy("query_id", "neighbor_id").agg(
+        F.sum("pts").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rrf_score", "rank")
+    )
