@@ -565,6 +565,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "trade_graph_shortest_paths",
         "pipeline_mixture_sample",
         "documents_hybrid_rrf",
+        "orders_ks_drift",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

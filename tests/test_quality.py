@@ -156,3 +156,51 @@ def test_psi_drift_matches_brute_force(spark):
         nbins=nbins,
     ).collect()
     assert all(r["psi_micro"] == 0 for r in same)
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    """Two-sample KS: the distributed two-phase scan equals a direct
+    dict reference (exact cross-multiplied integers), detects a planted
+    location shift, reports ~0 for identical samples, and the argmax
+    tie rule is the smallest value."""
+    import random
+
+    from xesmf_spark.quality import ks_drift
+
+    rng = random.Random(17)
+    a_vals = [rng.randint(0, 1000) for _ in range(400)]
+    b_vals = [min(1000, v + 120) for v in (rng.randint(0, 1000) for _ in range(300))]
+    a = spark.createDataFrame([(v,) for v in a_vals], "cents long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "cents long")
+
+    def ref(xs, ys):
+        vs = sorted(set(xs) | set(ys))
+        nb, nn = len(xs), len(ys)
+        best = (-1, None)
+        cb = cn = 0
+        from collections import Counter
+
+        cx, cy = Counter(xs), Counter(ys)
+        for v in vs:
+            cb += cx.get(v, 0)
+            cn += cy.get(v, 0)
+            d = abs(nn * cb - nb * cn)
+            if d > best[0]:
+                best = (d, v)
+        return nb, nn, best[1], best[0], 1_000_000 * best[0] // (nb * nn)
+
+    row = ks_drift(a, b, "cents", n_buckets=7).collect()[0]
+    assert tuple(row) == ref(a_vals, b_vals)
+    # shift of ~12% of the range: D must be substantial
+    assert row.ks_micro > 100_000
+    # identical samples: D == 0
+    same = ks_drift(a, a, "cents", n_buckets=7).collect()[0]
+    assert same.ks_num == 0 and same.ks_micro == 0
+    # bucket count must not change the answer (decomposition exactness)
+    assert tuple(ks_drift(a, b, "cents", n_buckets=1).collect()[0]) == ref(
+        a_vals, b_vals
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        ks_drift(a.filter("cents < 0"), b, "cents").collect()

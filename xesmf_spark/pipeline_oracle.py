@@ -2031,6 +2031,44 @@ FROM terms
 """
 
 
+def ks_drift_sql(micro: int = 1_000_000) -> str:
+    """Mirrors orders_ks_drift with the NAIVE global-window cumulative
+    scan (the formulation the engine's two-phase decomposition must
+    equal): per-distinct-value counts, one ordered cumsum each side,
+    cross-multiplied BIGINT diff, smallest argmax value."""
+    return f"""
+WITH src AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS isb
+  FROM orders
+),
+per AS (
+  SELECT v, CAST(SUM(isb) AS BIGINT) AS db,
+         CAST(SUM(1 - isb) AS BIGINT) AS dn
+  FROM src GROUP BY v
+),
+tot AS (
+  SELECT CAST(SUM(db) AS BIGINT) AS nb, CAST(SUM(dn) AS BIGINT) AS nn FROM per
+),
+cum AS (
+  SELECT v,
+         SUM(db) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(dn) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM per
+),
+scored AS (
+  SELECT v, ABS(nn * cb - nb * cn) AS diff, nb, nn FROM cum, tot
+)
+SELECT nb AS n_base, nn AS n_new, v AS at_value,
+       CAST(diff AS BIGINT) AS ks_num,
+       CAST(({micro} * diff) // (nb * nn) AS BIGINT) AS ks_micro
+FROM scored ORDER BY diff DESC, v ASC LIMIT 1
+"""
+
+
 def hybrid_rrf_sql(leg_k: int = 5, k_rrf: int = 60, topk: int = 3) -> str:
     """Mirrors documents_hybrid_rrf: shared-shingle lexical top-5 (hot
     -shingle valve <= 100 docs) + exact cosine top-5, fused by exact

@@ -226,3 +226,106 @@ def psi_drift(
     out = j.select("bin", "n_base", "n_new", term.alias("term_micro"))
     w_all = Window.partitionBy()
     return out.withColumn("psi_micro", F.sum("term_micro").over(w_all))
+
+
+def ks_drift(
+    base: DataFrame,
+    new: DataFrame,
+    val_col: str,
+    n_buckets: int = 64,
+    micro: int = M,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift distance — the NONPARAMETRIC
+    complement to :func:`psi_drift` (no bin layout to pin, sensitive to
+    location/shape shifts PSI's coarse bins can miss):
+
+        D = max_v |F_base(v) - F_new(v)|
+
+    evaluated EXACTLY at every distinct value by cross-multiplying the
+    empirical CDFs to integers — ``ks_num = max_v |n_new·cumB(v) −
+    n_base·cumN(v)|`` — so both engines agree bit-for-bit (BIGINT
+    headroom: n_base·n_new must stay < 2^63 ≈ 9.2e18, fine to ~3e9
+    rows per side; beyond that report the DOUBLE ratio instead).
+    ``ks_micro = micro·ks_num // (n_base·n_new)`` is the usual [0, 1e6]
+    scale; ``at_value`` is the smallest value attaining the max
+    (deterministic tie rule).
+
+    The naive KS scan is a GLOBAL ordered cumulative sum — the
+    single-partition window that cannot scale. This is the
+    :func:`xesmf_spark.relational.concurrency_profile` two-phase scan
+    instead: per-distinct-value counts land in ``n_buckets`` RANGE
+    buckets on the value domain (min/max = one bounded 1-row collect);
+    phase 1 runs ordinary partitioned window cumsums inside each
+    bucket (parallel); phase 2 computes each bucket's carry-in over
+    the O(n_buckets) per-bucket totals. One keyed exchange over
+    distinct values, no global sort of the data anywhere; the final
+    argmax is a 1-row TakeOrdered."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    b = base.select(F.col(val_col).cast("long").alias("v")).select(
+        "v", F.lit(1).alias("db"), F.lit(0).alias("dn")
+    )
+    n = new.select(F.col(val_col).cast("long").alias("v")).select(
+        "v", F.lit(0).alias("db"), F.lit(1).alias("dn")
+    )
+    per = (
+        b.unionByName(n)
+        .groupBy("v")
+        .agg(F.sum("db").alias("db"), F.sum("dn").alias("dn"))
+        .persist()
+    )
+    from xesmf_spark.apply import _PERSISTED
+
+    _PERSISTED.append(per)
+    lo, hi, n_b, n_n = [
+        int(x)
+        for x in per.agg(
+            F.min("v"), F.max("v"), F.sum("db"), F.sum("dn")
+        ).collect()[0]
+    ]
+    if n_b == 0 or n_n == 0:
+        raise ValueError("both samples must be non-empty")
+    width = (hi - lo) // n_buckets + 1
+    bucketed = per.withColumn("bucket", F.expr(f"(v - {lo}) DIV {width}"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ph1 = bucketed.select(
+        "bucket",
+        "v",
+        "db",
+        "dn",
+        F.sum("db").over(w_in).alias("lb"),
+        F.sum("dn").over(w_in).alias("ln_"),
+    )
+    w_carry = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        ph1.groupBy("bucket")
+        .agg(F.sum("db").alias("tb"), F.sum("dn").alias("tn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb0"),
+            F.coalesce(F.sum("tn").over(w_carry), F.lit(0)).alias("cn0"),
+        )
+    )
+    cum = ph1.join(F.broadcast(carry), "bucket").select(
+        "v",
+        (F.col("cb0") + F.col("lb")).alias("cb"),
+        (F.col("cn0") + F.col("ln_")).alias("cn"),
+    )
+    scored = cum.select(
+        "v",
+        F.abs(F.lit(n_n) * F.col("cb") - F.lit(n_b) * F.col("cn")).alias("diff"),
+    )
+    top = scored.orderBy(F.desc("diff"), F.asc("v")).limit(1)
+    return top.select(
+        F.lit(n_b).cast("long").alias("n_base"),
+        F.lit(n_n).cast("long").alias("n_new"),
+        F.col("v").alias("at_value"),
+        F.col("diff").cast("long").alias("ks_num"),
+        F.expr(f"CAST(({micro} * diff) DIV {n_b * n_n} AS BIGINT)").alias(
+            "ks_micro"
+        ),
+    )

@@ -3073,6 +3073,29 @@ def pipeline_unigram_encode(spark, sf_dir):
     )
 
 
+def orders_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift (quality.ks_drift — the
+    nonparametric twin to orders_psi_drift): D between the
+    cents-exact o_totalprice distributions of urgent/high-priority
+    orders vs the rest, cross-multiplied to EXACT BIGINTs
+    (ks_num = max |n_new·cumB − n_base·cumN|, evaluated at every
+    distinct value). Distributed two-phase prefix scan (the
+    concurrency_profile machinery): per-bucket window cumsums +
+    O(buckets) carry — no global sort; the DuckDB oracle runs the
+    naive global-window scan, so a green hash proves the distributed
+    decomposition exact."""
+    from xesmf_spark.quality import ks_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return ks_drift(o.filter(pri), o.filter(~pri), "cents", n_buckets=64)
+
+
 def documents_hybrid_rrf(spark, sf_dir):
     """HYBRID retrieval fusion (search.hybrid_rrf — reciprocal-rank
     fusion, Cormack et al. 2009): the production search pattern of a
