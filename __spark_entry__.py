@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) r12 NEW: unigram-LM tokenizer (train + encode twin),
         # graduated-support multi-level span dedup
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
+        "multimodal_audio_wav": Q.multimodal_audio_wav,
         "trade_graph_shortest_paths": Q.trade_graph_shortest_paths,
         "pipeline_mixture_sample": Q.pipeline_mixture_sample,
         "documents_hybrid_rrf": Q.documents_hybrid_rrf,
@@ -1701,6 +1702,47 @@ SELECT doc_id, window_idx,
        ROUND(SQRT(AVG(CAST(x AS DOUBLE) * x)), 6) AS rms,
        ROUND(COALESCE(AVG(CASE WHEN px IS NULL THEN NULL
                                WHEN (x >= 0) != (px >= 0) THEN 1.0
+                               ELSE 0.0 END), 0.0), 6) AS zcr
+FROM lagged
+GROUP BY doc_id, window_idx
+""",
+        "multimodal_audio_wav": """
+-- replay of the WAV round-trip: byte pairs as PCM16 LE samples (ASCII
+-- corpus, chars == bytes); even doc_ids are stereo (consecutive sample
+-- pairs -> frames, odd tail dropped, mean downmix), odd doc_ids mono;
+-- header fields are pure functions of doc_id per attach_wav_payload
+WITH s AS (
+  SELECT doc_id, k,
+         ord(substr(text, CAST(2*k+1 AS INT), 1))
+           + 256 * ord(substr(text, CAST(2*k+2 AS INT), 1)) AS u
+  FROM documents, UNNEST(generate_series(0, length(text)//2 - 1)) AS t(k)
+),
+sg AS (
+  SELECT doc_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s
+),
+mono AS (
+  SELECT doc_id, k AS j, CAST(x AS DOUBLE) AS v
+  FROM sg WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id, k // 2 AS j, AVG(CAST(x AS DOUBLE)) AS v
+  FROM sg WHERE doc_id % 2 = 0
+  GROUP BY doc_id, k // 2
+  HAVING COUNT(*) = 2
+),
+w AS (SELECT doc_id, CAST(j // 32 AS INT) AS window_idx, j, v FROM mono),
+lagged AS (
+  SELECT doc_id, window_idx, v,
+         LAG(v) OVER (PARTITION BY doc_id, window_idx ORDER BY j) AS pv
+  FROM w
+)
+SELECT doc_id,
+       CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_channels,
+       window_idx,
+       COUNT(*) AS n_samples,
+       ROUND(SQRT(AVG(v * v)), 6) AS rms,
+       ROUND(COALESCE(AVG(CASE WHEN pv IS NULL THEN NULL
+                               WHEN (v >= 0) != (pv >= 0) THEN 1.0
                                ELSE 0.0 END), 0.0), 6) AS zcr
 FROM lagged
 GROUP BY doc_id, window_idx

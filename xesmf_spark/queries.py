@@ -2093,6 +2093,34 @@ def multimodal_audio_windows(spark, sf_dir):
     )
 
 
+def multimodal_audio_wav(spark, sf_dir):
+    """Windowed audio features over REAL WAV containers
+    (multimodal.wav_audio_stats over the native RIFF/PCM16 codec in
+    xesmf_spark.wav): each document's utf-8 bytes become int16 PCM
+    samples containered as a spec-shaped WAV file (fmt chunk, extra
+    LIST/odd chunks exercising the skip+pad paths, stereo for even
+    doc_ids with mean-downmix, per-doc sample rates) — then decoded
+    back by walking the chunk list and parsing the header, with
+    per-window RMS / zero-crossing rate plus the PARSED header fields
+    in the output so container parsing itself is value-checked. The
+    oracle replays the byte-pair sample extraction and stereo downmix
+    arithmetic in SQL (ASCII corpus, chars == bytes). Two map-only
+    Arrow passes fused behind the scan — no shuffle at any scale."""
+    from xesmf_spark.multimodal import attach_wav_payload, wav_audio_stats
+
+    docs = _docs(spark, sf_dir)
+    out = wav_audio_stats(attach_wav_payload(docs), window=32)
+    return out.select(
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "window_idx",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Fixed-stride frame sampling over opaque binary payloads
     (multimodal.sample_frames): every 4th 64-byte chunk of each payload
