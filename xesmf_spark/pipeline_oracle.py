@@ -2069,6 +2069,50 @@ FROM scored ORDER BY diff DESC, v ASC LIMIT 1
 """
 
 
+def w1_drift_sql(micro: int = 1_000_000) -> str:
+    """Mirrors orders_w1_drift with the NAIVE global-window scan: one
+    ordered cumsum + LEAD over ALL distinct values (the formulation
+    the engine's bucketed decomposition must equal), gap-weighted sum
+    of cross-multiplied CDF diffs, split floor division for the micro
+    scale (DuckDB sums into HUGEINT; the split keeps the arithmetic
+    identical to the engine's BIGINT path)."""
+    return f"""
+WITH src AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS isb
+  FROM orders
+),
+per AS (
+  SELECT v, CAST(SUM(isb) AS BIGINT) AS db,
+         CAST(SUM(1 - isb) AS BIGINT) AS dn
+  FROM src GROUP BY v
+),
+tot AS (
+  SELECT CAST(SUM(db) AS BIGINT) AS nb, CAST(SUM(dn) AS BIGINT) AS nn FROM per
+),
+cum AS (
+  SELECT v,
+         SUM(db) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(dn) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         LEAD(v) OVER (ORDER BY v) AS nxt
+  FROM per
+),
+agg AS (
+  SELECT CAST(SUM(ABS(nn * cb - nb * cn) * (nxt - v)) AS BIGINT) AS w1_num,
+         MAX(nb) AS nb, MAX(nn) AS nn
+  FROM cum, tot WHERE nxt IS NOT NULL
+)
+SELECT nb AS n_base, nn AS n_new, w1_num,
+       CAST({micro} * (w1_num // (nb * nn))
+            + ({micro} * (w1_num % (nb * nn))) // (nb * nn)
+            AS BIGINT) AS w1_micro
+FROM agg
+"""
+
+
 def hybrid_rrf_sql(leg_k: int = 5, k_rrf: int = 60, topk: int = 3) -> str:
     """Mirrors documents_hybrid_rrf: shared-shingle lexical top-5 (hot
     -shingle valve <= 100 docs) + exact cosine top-5, fused by exact

@@ -228,38 +228,20 @@ def psi_drift(
     return out.withColumn("psi_micro", F.sum("term_micro").over(w_all))
 
 
-def ks_drift(
-    base: DataFrame,
-    new: DataFrame,
-    val_col: str,
-    n_buckets: int = 64,
-    micro: int = M,
-) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov drift distance — the NONPARAMETRIC
-    complement to :func:`psi_drift` (no bin layout to pin, sensitive to
-    location/shape shifts PSI's coarse bins can miss):
+def _two_sample_cdf(
+    base: DataFrame, new: DataFrame, val_col: str, n_buckets: int
+):
+    """Shared machinery for the two-sample drift distances
+    (:func:`ks_drift`, :func:`w1_drift`): exact joint empirical CDFs of
+    both samples at every distinct value, via the two-phase distributed
+    prefix scan (per-value counts land in ``n_buckets`` RANGE buckets
+    on the value domain; phase 1 = ordinary partitioned window cumsums
+    inside each bucket, phase 2 = each bucket's carry-in over the
+    O(n_buckets) per-bucket totals). One keyed exchange over distinct
+    values, no global sort of the data anywhere.
 
-        D = max_v |F_base(v) - F_new(v)|
-
-    evaluated EXACTLY at every distinct value by cross-multiplying the
-    empirical CDFs to integers — ``ks_num = max_v |n_new·cumB(v) −
-    n_base·cumN(v)|`` — so both engines agree bit-for-bit (BIGINT
-    headroom: n_base·n_new must stay < 2^63 ≈ 9.2e18, fine to ~3e9
-    rows per side; beyond that report the DOUBLE ratio instead).
-    ``ks_micro = micro·ks_num // (n_base·n_new)`` is the usual [0, 1e6]
-    scale; ``at_value`` is the smallest value attaining the max
-    (deterministic tie rule).
-
-    The naive KS scan is a GLOBAL ordered cumulative sum — the
-    single-partition window that cannot scale. This is the
-    :func:`xesmf_spark.relational.concurrency_profile` two-phase scan
-    instead: per-distinct-value counts land in ``n_buckets`` RANGE
-    buckets on the value domain (min/max = one bounded 1-row collect);
-    phase 1 runs ordinary partitioned window cumsums inside each
-    bucket (parallel); phase 2 computes each bucket's carry-in over
-    the O(n_buckets) per-bucket totals. One keyed exchange over
-    distinct values, no global sort of the data anywhere; the final
-    argmax is a 1-row TakeOrdered."""
+    Returns ``(cum, n_b, n_n)`` where ``cum`` has columns
+    ``(bucket, v, cb, cn)`` — cumulative base/new counts at ``v``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     b = base.select(F.col(val_col).cast("long").alias("v")).select(
@@ -311,10 +293,42 @@ def ks_drift(
         )
     )
     cum = ph1.join(F.broadcast(carry), "bucket").select(
+        "bucket",
         "v",
         (F.col("cb0") + F.col("lb")).alias("cb"),
         (F.col("cn0") + F.col("ln_")).alias("cn"),
     )
+    return cum, n_b, n_n
+
+
+def ks_drift(
+    base: DataFrame,
+    new: DataFrame,
+    val_col: str,
+    n_buckets: int = 64,
+    micro: int = M,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift distance — the NONPARAMETRIC
+    complement to :func:`psi_drift` (no bin layout to pin, sensitive to
+    location/shape shifts PSI's coarse bins can miss):
+
+        D = max_v |F_base(v) - F_new(v)|
+
+    evaluated EXACTLY at every distinct value by cross-multiplying the
+    empirical CDFs to integers — ``ks_num = max_v |n_new·cumB(v) −
+    n_base·cumN(v)|`` — so both engines agree bit-for-bit (BIGINT
+    headroom: n_base·n_new must stay < 2^63 ≈ 9.2e18, fine to ~3e9
+    rows per side; beyond that report the DOUBLE ratio instead).
+    ``ks_micro = micro·ks_num // (n_base·n_new)`` is the usual [0, 1e6]
+    scale; ``at_value`` is the smallest value attaining the max
+    (deterministic tie rule).
+
+    The naive KS scan is a GLOBAL ordered cumulative sum — the
+    single-partition window that cannot scale. This is the
+    :func:`_two_sample_cdf` two-phase scan instead (min/max = one
+    bounded 1-row collect); the final argmax is a 1-row
+    TakeOrdered."""
+    cum, n_b, n_n = _two_sample_cdf(base, new, val_col, n_buckets)
     scored = cum.select(
         "v",
         F.abs(F.lit(n_n) * F.col("cb") - F.lit(n_b) * F.col("cn")).alias("diff"),
@@ -328,4 +342,72 @@ def ks_drift(
         F.expr(f"CAST(({micro} * diff) DIV {n_b * n_n} AS BIGINT)").alias(
             "ks_micro"
         ),
+    )
+
+
+def w1_drift(
+    base: DataFrame,
+    new: DataFrame,
+    val_col: str,
+    n_buckets: int = 64,
+    micro: int = M,
+) -> DataFrame:
+    """Two-sample Wasserstein-1 (earth mover) drift distance — the
+    MAGNITUDE-weighted complement to :func:`ks_drift` (KS reports the
+    worst single CDF gap; W1 integrates ALL the gaps over the value
+    axis, so it sees a small-but-everywhere shift KS underweights):
+
+        W1 = ∫ |F_base(v) - F_new(v)| dv
+           = Σ_i |F_base(v_i) - F_new(v_i)| · (v_{i+1} - v_i)
+
+    over consecutive DISTINCT values (the empirical CDFs are step
+    functions, so the integral is exact — no binning error). Like KS,
+    the CDFs are cross-multiplied to integers: ``w1_num = Σ |n_new·
+    cumB - n_base·cumN| · gap`` is engine-exact BIGINT arithmetic
+    (headroom: n_base·n_new·range must stay < 2^63 — fine to ~1e9 rows
+    per side on a 1e4-unit domain; beyond that report the DOUBLE).
+    ``w1_micro = micro·w1_num // (n_base·n_new)`` is W1 in the value
+    column's own units × micro.
+
+    Scale shape: the :func:`_two_sample_cdf` two-phase prefix scan,
+    plus the value GAP to each next distinct value — lead() inside
+    each range bucket (parallel), with the bucket-boundary row's
+    successor resolved from the O(n_buckets) table of per-bucket
+    minima (broadcast join, no global sort). Final reduce is one agg."""
+    cum, n_b, n_n = _two_sample_cdf(base, new, val_col, n_buckets)
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    led = cum.withColumn("next_in", F.lead("v").over(w_in))
+    # successor for each bucket's max row = the next non-empty bucket's
+    # min value; n_buckets rows, so the global-order window is bounded
+    w_b = Window.orderBy("bucket")
+    bmins = (
+        cum.groupBy("bucket")
+        .agg(F.min("v").alias("bmin"))
+        .select("bucket", F.lead("bmin").over(w_b).alias("next_bucket_min"))
+    )
+    gapped = led.join(F.broadcast(bmins), "bucket").select(
+        "cb",
+        "cn",
+        (F.coalesce("next_in", "next_bucket_min") - F.col("v")).alias("gap"),
+    )
+    # the global max row has a null gap (no successor) — its CDF term
+    # is |n_n·n_b - n_b·n_n| = 0 anyway; drop it
+    total = gapped.filter(F.col("gap").isNotNull()).agg(
+        F.sum(
+            F.abs(F.lit(n_n) * F.col("cb") - F.lit(n_b) * F.col("cn"))
+            * F.col("gap")
+        ).alias("w1_num")
+    )
+    # micro·w1_num can exceed 2^63 (w1_num is bounded by n_b·n_n·range)
+    # — split the floor division: ⌊micro·(qD+r)/D⌋ = micro·q + ⌊micro·r/D⌋,
+    # every intermediate bounded by micro·max(range, D) — exact in BIGINT
+    d = n_b * n_n
+    return total.select(
+        F.lit(n_b).cast("long").alias("n_base"),
+        F.lit(n_n).cast("long").alias("n_new"),
+        F.col("w1_num").cast("long").alias("w1_num"),
+        F.expr(
+            f"CAST({micro} * (w1_num DIV {d}) "
+            f"+ ({micro} * (w1_num % {d})) DIV {d} AS BIGINT)"
+        ).alias("w1_micro"),
     )

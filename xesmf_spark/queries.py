@@ -3124,6 +3124,30 @@ def orders_ks_drift(spark, sf_dir):
     return ks_drift(o.filter(pri), o.filter(~pri), "cents", n_buckets=64)
 
 
+def orders_w1_drift(spark, sf_dir):
+    """Two-sample Wasserstein-1 (earth mover) drift (quality.w1_drift
+    — the magnitude-weighted twin to orders_ks_drift: KS reports the
+    single worst CDF gap, W1 integrates every gap over the value axis,
+    exact over the step CDFs so there is NO binning error). Same
+    urgent/high vs rest split of cents-exact o_totalprice; w1_num =
+    Σ|n_new·cumB − n_base·cumN|·(next_v − v) in exact BIGINTs with the
+    split floor-division keeping micro·w1_num inside 2^63. Distributed
+    two-phase prefix scan + per-bucket lead with O(buckets) boundary
+    successors — no global sort; the DuckDB oracle runs the naive
+    global-window scan, so a green hash proves the decomposition
+    (including the bucket-boundary gap stitching) exact."""
+    from xesmf_spark.quality import w1_drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return w1_drift(o.filter(pri), o.filter(~pri), "cents", n_buckets=64)
+
+
 def documents_hybrid_rrf(spark, sf_dir):
     """HYBRID retrieval fusion (search.hybrid_rrf — reciprocal-rank
     fusion, Cormack et al. 2009): the production search pattern of a
