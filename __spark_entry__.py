@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_hybrid_rrf": Q.documents_hybrid_rrf,
         "orders_ks_drift": Q.orders_ks_drift,
         "orders_w1_drift": Q.orders_w1_drift,
+        "nations_trade_hits": Q.nations_trade_hits,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1456,6 +1457,7 @@ WHERE cum_tokens <= 5000
         "documents_hybrid_rrf": PO.hybrid_rrf_sql(),
         "orders_ks_drift": PO.ks_drift_sql(),
         "orders_w1_drift": PO.w1_drift_sql(),
+        "nations_trade_hits": PO.hits_sql(iters=3),
         "pipeline_unigram_encode": PO.unigram_encode_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),

@@ -1334,3 +1334,55 @@ def test_shortest_paths_matches_dijkstra(spark):
 
     with _pytest.raises(ValueError, match="iters"):
         shortest_paths(edf, sdf, iters=0)
+
+
+def test_hits_matches_local_replay(spark):
+    """HITS: the two-half-step integer recurrence equals a direct dict
+    replay; the hub/authority split lands where the topology says
+    (pure source = hub only, sink with max in-links = top authority);
+    L1 mass ~1e6 per vector up to truncation."""
+    from xesmf_spark.relational import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    def replay(iters):
+        nodes = sorted({u for e in edges for u in e})
+        h = {v: 1_000_000 // len(nodes) for v in nodes}
+        a = None
+        for _ in range(iters):
+            raw = {v: sum(h[u] for u, w in edges if w == v) for v in nodes}
+            tot = sum(raw.values())
+            a = {v: raw[v] * 1_000_000 // tot for v in nodes}
+            raw = {v: sum(a[w] for u, w in edges if u == v) for v in nodes}
+            tot = sum(raw.values())
+            h = {v: raw[v] * 1_000_000 // tot for v in nodes}
+        return {v: (a[v], h[v]) for v in nodes}
+
+    for iters in (1, 3):
+        got = {
+            r["node"]: (r["auth_micro"], r["hub_micro"])
+            for r in hits(edf, iters=iters).collect()
+        }
+        assert got == replay(iters)
+    final = replay(3)
+    # topology: node 1 never receives -> auth 0; node 5 never sends ->
+    # hub 0; node 3 (3 in-edges) is the max authority
+    assert final[1][0] == 0 and final[5][1] == 0
+    assert max(final, key=lambda v: final[v][0]) == 3
+    # L1 normalization: each vector sums to 1e6 minus truncation dust
+    s_a = sum(v[0] for v in final.values())
+    s_h = sum(v[1] for v in final.values())
+    assert 1_000_000 - 5 <= s_a <= 1_000_000
+    assert 1_000_000 - 5 <= s_h <= 1_000_000
+
+
+def test_hits_empty_and_validation(spark):
+    from xesmf_spark.relational import hits
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty, iters=2).count() == 0
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iters"):
+        hits(edf, iters=0)

@@ -2216,6 +2216,69 @@ WHERE r.rk <= q.quota
 """
 
 
+def hits_sql(iters: int = 3) -> str:
+    """Mirrors nations_trade_hits: unrolled-CTE replay of the
+    fixed-iteration integer micro-unit HITS recurrence (L1
+    normalization by truncating division — both engines positive
+    BIGINTs). CTEs MATERIALIZED: each half-step is referenced by the
+    next one AND by its own normalization scalar, so un-materialized
+    inlining doubles per reference (the bpe_train oracle lesson)."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (
+  SELECT node, 1000000 // (SELECT COUNT(*) FROM nodes) AS s FROM nodes
+)"""
+    ]
+    prev_h = "h0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+ar{t} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(c.sm, 0) AS raw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS sm
+    FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst) c
+  ON nd.node = c.node
+),
+a{t} AS MATERIALIZED (
+  SELECT node,
+         (raw * 1000000) // (SELECT CAST(SUM(raw) AS BIGINT) FROM ar{t}) AS s
+  FROM ar{t}
+),
+hr{t} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(c.sm, 0) AS raw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS sm
+    FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src) c
+  ON nd.node = c.node
+),
+h{t} AS MATERIALIZED (
+  SELECT node,
+         (raw * 1000000) // (SELECT CAST(SUM(raw) AS BIGINT) FROM hr{t}) AS s
+  FROM hr{t}
+)"""
+        )
+        prev_h = f"h{t}"
+    parts.append(
+        f"""
+SELECT n_name,
+       CAST(a.s AS BIGINT) AS auth_micro,
+       CAST(h.s AS BIGINT) AS hub_micro
+FROM a{iters} a JOIN h{iters} h USING (node)
+JOIN nation ON node = n_nationkey
+"""
+    )
+    return "".join(parts)
+
+
 def shortest_paths_sql(iters: int = 4) -> str:
     """Replays relational.shortest_paths over the sparsified weighted
     trade graph as a MATERIALIZED CTE chain: cents weights (parallel

@@ -4194,6 +4194,36 @@ def nations_trade_pagerank(spark, sf_dir):
     ).select("n_name", "rank_micro")
 
 
+def nations_trade_hits(spark, sf_dir):
+    """Fixed-3-iteration HITS hubs & authorities (relational.hits)
+    over the supplier-nation -> customer-nation trade graph (same q7
+    star as nations_trade_pagerank): authority = "big consumer",
+    hub = "big producer" — the directed-link-analysis question
+    PageRank's single score conflates. EXACT integer micro-unit
+    recurrence with L1 normalization (truncating BIGINT division on
+    positive values) so the oracle's unrolled-CTE replay matches
+    bit-for-bit; per iteration = two keyed edge-score equi-joins +
+    map-side SUMs + two 1-row scalar broadcasts (never collected),
+    lineage truncated via localCheckpoint."""
+    from xesmf_spark.relational import hits
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    scores = hits(edges, iters=3)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return scores.join(nation, scores.node == nation.n_nationkey).select(
+        "n_name", "auth_micro", "hub_micro"
+    )
+
+
 def documents_tfidf_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (search.tfidf_top_terms):
     idf floored to integer micro-nats from a ratio of exact integers,

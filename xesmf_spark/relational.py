@@ -1605,3 +1605,80 @@ def shortest_paths(
         )
     e.unpersist()
     return dist
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    directed edge list ``(src, dst)`` in EXACT integer micro-units —
+    the link-analysis twin to :func:`pagerank` for bipartite-flavored
+    questions ("which nations are big consumers vs big producers"):
+
+        auth_raw(v) = Σ_{u→v} hub(u);   auth = auth_raw·1e6 // Σ auth_raw
+        hub_raw(u)  = Σ_{u→v} auth(v);  hub  = hub_raw·1e6 // Σ hub_raw
+
+    L1 normalization (scores sum to ~1e6, truncation remainders only)
+    instead of the textbook L2 so every step stays in truncating
+    BIGINT division on positive values — Spark and a replaying SQL
+    engine agree bit-for-bit, the iterative-algorithm differential
+    discipline shared with :func:`pagerank` / :func:`shortest_paths`.
+    BIGINT headroom: auth_raw·1e6 ≤ 1e12·max_indegree, so the exact
+    path holds to ~1e6 in-degree hubs; beyond that scale the
+    normalization to smaller micro units.
+
+    Scale shape: per iteration TWO keyed equi-joins of the edge list
+    against the O(N) score table with map-side-combinable SUMs, plus
+    two 1-row scalar aggregates broadcast back via crossJoin (never
+    collected); lineage truncated per iteration with localCheckpoint.
+    The only driver scalar is N (one count). Output:
+    ``(node, auth_micro, hub_micro)`` for every node."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return e.sparkSession.createDataFrame(
+            [], "node long, auth_micro long, hub_micro long"
+        )
+    hub = nodes.select("node", F.lit(1_000_000 // n).alias("s"))
+
+    def _push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        """One half-step: push scores across edges (key_in -> key_out),
+        then L1-normalize to 1e6 total in exact integer arithmetic."""
+        raw = (
+            nodes.join(
+                e.join(
+                    scores.withColumnRenamed("node", key_in), key_in
+                )
+                .groupBy(key_out)
+                .agg(F.sum("s").alias("__in"))
+                .withColumnRenamed(key_out, "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("__in", F.lit(0)).alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").alias("__tot"))  # 1 row — scalar broadcast
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node", F.expr("(raw * 1000000L) div __tot").alias("s")
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = _push(hub, "src", "dst").localCheckpoint(eager=False)
+        hub = _push(auth, "dst", "src").localCheckpoint(eager=False)
+    out = (
+        nodes.join(auth.withColumnRenamed("s", "auth_micro"), "node")
+        .join(hub.withColumnRenamed("s", "hub_micro"), "node")
+        .select("node", "auth_micro", "hub_micro")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
