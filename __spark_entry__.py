@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ks_drift": Q.orders_ks_drift,
         "orders_w1_drift": Q.orders_w1_drift,
         "nations_trade_hits": Q.nations_trade_hits,
+        "ann_sq8_top3": Q.ann_sq8_top3,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1458,6 +1459,7 @@ WHERE cum_tokens <= 5000
         "orders_ks_drift": PO.ks_drift_sql(),
         "orders_w1_drift": PO.w1_drift_sql(),
         "nations_trade_hits": PO.hits_sql(iters=3),
+        "ann_sq8_top3": PO.sq8_topk_sql(k=3),
         "pipeline_unigram_encode": PO.unigram_encode_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),

@@ -1715,3 +1715,49 @@ def test_mixture_sample_hamilton_and_tempering(spark):
 
     with _pytest.raises(ValueError, match="total"):
         mixture_sample(df, total=0)
+
+
+def test_sq8_encode_and_topk_match_numpy_replay(spark):
+    """SQ8: codes equal the affine floor replay per dimension
+    (including a constant dimension -> code 0) and the GEMM top-k
+    equals a brute-force int squared-L2 ranking with (d2, id) ties."""
+    import numpy as np
+
+    from xesmf_spark.similarity import sq8_encode, sq8_topk
+
+    rng = np.random.RandomState(13)
+    n, dim = 40, 6
+    X = rng.randn(n, dim).astype(np.float32)
+    X[:, 2] = 1.5  # constant dimension: span 0 -> code 0
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+    Xd = X.astype(np.float64)
+    mn = Xd.min(axis=0)
+    span = Xd.max(axis=0) - mn
+    codes = np.zeros((n, dim), dtype=np.int64)
+    nz = span > 0
+    codes[:, nz] = np.minimum(
+        255, np.floor(((Xd[:, nz] - mn[nz]) * 255.0) / span[nz])
+    ).astype(np.int64)
+
+    got_codes = {r["id"]: list(r["codes"]) for r in sq8_encode(df).collect()}
+    for i in range(n):
+        assert got_codes[i] == codes[i].tolist()
+    assert all(gc[2] == 0 for gc in got_codes.values())
+
+    # brute-force ranking on the replay codes
+    want = {}
+    for i in range(n):
+        d2 = ((codes[i] - codes) ** 2).sum(axis=1)
+        order = sorted((int(d2[j]), j) for j in range(n) if j != i)[:3]
+        want[i] = [(j, d, r + 1) for r, (d, j) in enumerate(order)]
+    got = {}
+    for r in sq8_topk(df, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["d2"], r["rank"])
+        )
+    for i in range(n):
+        assert sorted(got[i], key=lambda t: t[2]) == want[i]

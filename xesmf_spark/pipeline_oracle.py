@@ -2216,6 +2216,43 @@ WHERE r.rk <= q.quota
 """
 
 
+def sq8_topk_sql(k: int = 3) -> str:
+    """Mirrors ann_sq8_top3: per-dim min/span stats, the IDENTICAL
+    affine floor expression producing the 8-bit codes, then exact
+    integer squared-L2 ranking (d2 is a plain BIGINT sum — no rounding
+    quantum). The pairwise join explodes per dimension (n²·dim rows) —
+    the naive formulation the engine's GEMM must equal."""
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding AS vv FROM embeddings),
+ex AS (
+  SELECT id, i, vv[i + 1]::DOUBLE AS x
+  FROM v, UNNEST(range(len(vv))) AS t(i)
+),
+stats AS (
+  SELECT i, MIN(x) AS mn, MAX(x) - MIN(x) AS span FROM ex GROUP BY i
+),
+codes AS (
+  SELECT id, ex.i,
+         CASE WHEN span > 0.0
+              THEN LEAST(255, CAST(FLOOR(((x - mn) * 255.0) / span) AS BIGINT))
+              ELSE 0 END AS c
+  FROM ex JOIN stats ON ex.i = stats.i
+),
+d AS (
+  SELECT a.id AS query_id, b.id AS neighbor_id,
+         CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+  FROM codes a JOIN codes b ON a.i = b.i AND a.id != b.id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY d2 ASC, neighbor_id ASC) AS INT) AS rank
+  FROM d
+) WHERE rank <= {k}
+"""
+
+
 def hits_sql(iters: int = 3) -> str:
     """Mirrors nations_trade_hits: unrolled-CTE replay of the
     fixed-iteration integer micro-unit HITS recurrence (L1

@@ -3495,6 +3495,21 @@ def ann_ivf_top3(spark, sf_dir):
     return SIM.ivf_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
 
 
+def ann_sq8_top3(spark, sf_dir):
+    """Scalar-quantization (SQ8) top-3 by squared L2
+    (similarity.sq8_topk): the pool is affinely quantized to 8-bit
+    codes per dimension (4x compression — the ANN ladder rung below
+    PQ's 64x) and EVERY compared distance is a small exact BIGINT, so
+    the whole train -> encode -> search chain hash-matches the SQL
+    replay with no rounding quantum anywhere. Train = one posexplode
+    scan (per-dim min/span); encode = JVM zip_with projection behind
+    the scan; search = broadcast int64 GEMM baseline (sharded SUMMA
+    twin documented on the op)."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.sq8_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
+
+
 def ann_pq_top3(spark, sf_dir):
     """Product-quantization approximate top-3 (similarity.pq_topk):
     the pool exists only as 4-bit-per-subspace PQ codes (64x
