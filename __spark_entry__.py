@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_w1_drift": Q.orders_w1_drift,
         "nations_trade_hits": Q.nations_trade_hits,
         "ann_sq8_top3": Q.ann_sq8_top3,
+        "documents_char_entropy": Q.documents_char_entropy,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1460,6 +1461,25 @@ WHERE cum_tokens <= 5000
         "orders_w1_drift": PO.w1_drift_sql(),
         "nations_trade_hits": PO.hits_sql(iters=3),
         "ann_sq8_top3": PO.sq8_topk_sql(k=3),
+        "documents_char_entropy": """
+-- integer micro-nat replay: identical double expression per distinct
+-- character, exact BIGINT arithmetic after (order-independent sums)
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+per AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+         COUNT(*) AS n_distinct_chars,
+         CAST(SUM(CAST(FLOOR(1000000.0 * (CAST(cnt AS DOUBLE)
+              * LN(CAST(cnt AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS s
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       CAST(FLOOR(1000000.0 * LN(CAST(n_chars AS DOUBLE))) AS BIGINT)
+         - s // n_chars AS entropy_micro
+FROM agg
+""",
         "pipeline_unigram_encode": PO.unigram_encode_sql(),
         "documents_heavy_hitters": PO.heavy_hitters_sql(),
         "stream_heavy_hitters": PO.heavy_hitters_sql(),

@@ -1761,3 +1761,42 @@ def test_sq8_encode_and_topk_match_numpy_replay(spark):
         )
     for i in range(n):
         assert sorted(got[i], key=lambda t: t[2]) == want[i]
+
+
+def test_char_entropy_matches_math_and_separates_junk(spark):
+    """char_entropy: micro-nat values equal a direct python replay of
+    the floored-term decomposition; uniform-random-ish text scores
+    higher than repeated-char padding; empty docs are absent."""
+    import math
+    from collections import Counter
+
+    from xesmf_spark.pipeline import char_entropy
+
+    rows = [
+        (0, "aaaaaaaaaaaaaaaa"),              # 1 symbol -> H = 0
+        (1, "abcdabcdabcdabcd"),              # 4 symbols uniform -> ln 4
+        (2, "the quick brown fox jumps"),     # English-ish
+        (3, ""),                              # empty -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 3 not in got
+
+    def replay(text):
+        c = Counter(text)
+        n = len(text)
+        s = sum(math.floor(1_000_000.0 * (v * math.log(v))) for v in c.values())
+        return (
+            n,
+            len(c),
+            math.floor(1_000_000.0 * math.log(n)) - s // n,
+        )
+
+    for did, text in rows[:3]:
+        n, d, e = replay(text)
+        r = got[did]
+        assert (r["n_chars"], r["n_distinct_chars"], r["entropy_micro"]) == (n, d, e)
+    assert got[0]["entropy_micro"] == 0
+    # ln 4 = 1.386294... -> 1386294 micro-nats (within truncation dust)
+    assert abs(got[1]["entropy_micro"] - 1_386_294) <= 2
+    assert got[2]["entropy_micro"] > got[1]["entropy_micro"] > got[0]["entropy_micro"]

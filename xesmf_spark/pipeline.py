@@ -803,6 +803,55 @@ LANG_TRIGRAMS = {
 LANGID_MIN_SCORE = 0.05
 
 
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon character entropy — the cheap gibberish /
+    binary-junk detector every corpus filter runs before anything
+    smarter (natural English sits ~4.1 nats of char entropy; base64
+    blobs, key dumps and mashed-keyboard spam sit far higher, repeated
+    -character padding far lower).
+
+    Integer micro-nat discipline (the bigram-LM playbook): using
+    H = ln(n) − (Σ_c cnt_c·ln cnt_c)/n, each per-character term is
+    floored to BIGINT micro-nats BEFORE the sum, so the aggregation is
+    order-independent and engine-exact:
+
+        entropy_micro = floor(1e6·ln n) − (Σ_c floor(1e6·(cnt_c·ln cnt_c))) DIV n
+
+    (both engines evaluate the identical double expression per distinct
+    character, then do exact BIGINT arithmetic — no float summation
+    order anywhere).
+
+    Scale shape: explode to characters (linear), two map-side-
+    combinable keyed aggs on doc_id — one exchange keyed by document,
+    no global state. Output: (doc_id, n_chars, n_distinct_chars,
+    entropy_micro); empty documents are absent (no characters — their
+    entropy is undefined, filter them with n_chars upstream)."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")  # Spark splits "" to [""]; DuckDB to []
+    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt_d = F.col("cnt").cast("double")
+    term = F.floor(F.lit(1_000_000.0) * (cnt_d * F.log(cnt_d))).cast("long")
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(term).alias("__s"),
+    )
+    n_d = F.col("n_chars").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        (
+            F.floor(F.lit(1_000_000.0) * F.log(n_d)).cast("long")
+            - F.expr("__s DIV n_chars")
+        ).alias("entropy_micro"),
+    )
+
+
 def langid_ngram(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

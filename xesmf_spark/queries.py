@@ -4239,6 +4239,18 @@ def nations_trade_hits(spark, sf_dir):
     )
 
 
+def documents_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (pipeline.char_entropy)
+    — the cheap gibberish/binary-junk corpus filter. Exact integer
+    micro-nats: per-character terms floored to BIGINT before the sum
+    (order-independent), final H = ln(n) decomposition in truncating
+    BIGINT division — hash-identical to the SQL replay. Linear
+    explode + two map-side-combinable doc-keyed aggs, one exchange."""
+    from xesmf_spark.pipeline import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 def documents_tfidf_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (search.tfidf_top_terms):
     idf floored to integer micro-nats from a ratio of exact integers,
