@@ -158,3 +158,30 @@ def test_hybrid_rrf_union_semantics_and_exact_points(spark):
     assert (1, 12) not in out  # topk=3 cut
     # query 2: equal single-leg points — tie broken by neighbor asc
     assert out[(2, 20)] == (p(1), 1) and out[(2, 21)] == (p(1), 2)
+
+
+def test_textrank_query_ranks_hub_word_first(spark, tmp_path):
+    """documents_textrank (the composition query): a word adjacent to
+    many distinct words outranks words with one neighbor; stopwords
+    and short tokens never appear; top-k ordering is (rank DESC,
+    token ASC)."""
+    import pyspark.sql.functions as F
+
+    from xesmf_spark.queries import documents_textrank
+
+    rows = [
+        (0, "alpha bridge beta"),
+        (1, "gamma bridge delta"),
+        (2, "epsilon bridge zeta"),
+        (3, "alpha beta"),
+        (4, "the of is on xx yy"),  # stopwords + short tokens only
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = documents_textrank(spark, str(tmp_path)).collect()
+    toks = [r["token"] for r in out]
+    assert toks[0] == "bridge"  # 6 distinct neighbors
+    assert "the" not in toks and "xx" not in toks
+    ranks = [(r["rank_micro"], r["token"]) for r in out]
+    assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))

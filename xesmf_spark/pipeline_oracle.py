@@ -2253,6 +2253,71 @@ SELECT query_id, neighbor_id, d2, rank FROM (
 """
 
 
+def textrank_sql(iters: int = 3, k: int = 20) -> str:
+    """Mirrors documents_textrank: tokenize + adjacency + candidate
+    filter, symmetrized distinct edges, then the unrolled integer
+    PageRank replay (same recurrence text as nations_trade_pagerank,
+    teleport terms kept although the symmetric graph has no dangling
+    nodes), top-k by (rank DESC, token ASC)."""
+    from xesmf_spark.pipeline import STOPWORDS
+
+    stoplist = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    parts = [
+        f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{NORM_CTE},
+tok_idx AS (
+  SELECT doc_id, i, t[CAST(i AS INT) + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u2(i)
+),
+adj AS (
+  SELECT a.tok AS u, b.tok AS v
+  FROM tok_idx a JOIN tok_idx b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE length(a.tok) >= 3 AND length(b.tok) >= 3
+    AND a.tok NOT IN {stoplist} AND b.tok NOT IN {stoplist}
+    AND a.tok != b.tok
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT u AS src, v AS dst FROM adj
+    UNION ALL SELECT v AS src, u AS dst FROM adj
+  )
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, 1000000 // (SELECT COUNT(*) FROM nodes) AS r FROM nodes
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+d{t - 1} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r), 0) AS dang FROM r{t - 1}
+  WHERE node NOT IN (SELECT src FROM outdeg)
+),
+r{t} AS MATERIALIZED (
+  SELECT nd.node,
+         (1000000 - 850000) // (SELECT COUNT(*) FROM nodes)
+           + COALESCE(c.s, 0)
+           + ((SELECT dang FROM d{t - 1}) * 850000)
+             // (1000000 * (SELECT COUNT(*) FROM nodes)) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((r.r * 850000) // (1000000 * o.d)) AS BIGINT) AS s
+    FROM e JOIN outdeg o ON e.src = o.src JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON nd.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS token, CAST(r AS BIGINT) AS rank_micro
+FROM r{iters} ORDER BY r DESC, node ASC LIMIT {k}
+"""
+    )
+    return "".join(parts)
+
+
 def hits_sql(iters: int = 3) -> str:
     """Mirrors nations_trade_hits: unrolled-CTE replay of the
     fixed-iteration integer micro-unit HITS recurrence (L1

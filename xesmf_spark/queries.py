@@ -4239,6 +4239,45 @@ def nations_trade_hits(spark, sf_dir):
     )
 
 
+def documents_textrank(spark, sf_dir):
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
+    2004): adjacent candidate tokens (length >= 3, non-stopword) form
+    an undirected co-occurrence graph and 3 iterations of the EXACT
+    integer micro-unit PageRank (relational.pagerank — the bit-stable
+    recurrence nations_trade_pagerank pins) score every word; top-20
+    by (rank DESC, token ASC). Pure composition: linear posexplode,
+    ONE doc-keyed window (lead) for adjacency, distinct-edge agg, then
+    the fixed-iteration keyed-join PageRank plan — no new physics, the
+    graph stack applied to text. Symmetrized graph => no dangling
+    nodes, but the replay keeps the teleport terms (they evaluate to
+    0) so the recurrence stays the shared one."""
+    from xesmf_spark.pipeline import STOPWORDS, tokens
+    from xesmf_spark.relational import pagerank
+
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = tk.select(
+        F.col("tok").alias("u"), F.lead("tok").over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+
+    def cand(c):
+        return (F.length(c) >= 3) & (~c.isin(*STOPWORDS))
+
+    e = adj.filter(cand(F.col("u")) & cand(F.col("v")) & (F.col("u") != F.col("v")))
+    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3, damp_micro=850_000)
+    return (
+        pr.orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("token"), "rank_micro")
+    )
+
+
 def documents_char_entropy(spark, sf_dir):
     """Per-document Shannon character entropy (pipeline.char_entropy)
     — the cheap gibberish/binary-junk corpus filter. Exact integer
