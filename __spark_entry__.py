@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_top3": Q.ann_sq8_top3,
         "documents_char_entropy": Q.documents_char_entropy,
         "documents_textrank": Q.documents_textrank,
+        "pipeline_containment": Q.pipeline_containment,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1463,6 +1464,7 @@ WHERE cum_tokens <= 5000
         "nations_trade_hits": PO.hits_sql(iters=3),
         "ann_sq8_top3": PO.sq8_topk_sql(k=3),
         "documents_textrank": PO.textrank_sql(iters=3, k=20),
+        "pipeline_containment": PO.containment_sql(min_micro=600_000),
         "documents_char_entropy": """
 -- integer micro-nat replay: identical double expression per distinct
 -- character, exact BIGINT arithmetic after (order-independent sums)

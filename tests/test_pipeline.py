@@ -1800,3 +1800,39 @@ def test_char_entropy_matches_math_and_separates_junk(spark):
     # ln 4 = 1.386294... -> 1386294 micro-nats (within truncation dust)
     assert abs(got[1]["entropy_micro"] - 1_386_294) <= 2
     assert got[2]["entropy_micro"] > got[1]["entropy_micro"] > got[0]["entropy_micro"]
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    """containment_pairs: a short doc quoted inside a long one scores
+    ~1e6 in the short->long direction and much lower in the reverse;
+    the integer micro score matches a direct set replay."""
+    from xesmf_spark.pipeline import containment_pairs, SHINGLE
+
+    quote = "the sly copper fox vaulted the mossy gate at dawn"
+    long_doc = (
+        "archival preamble text comes first here " + quote +
+        " and then a very different trailing passage continues onward "
+        "with further unrelated narrative material of some length"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "completely unrelated content body")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["src_id"], r["dst_id"]): r
+        for r in containment_pairs(df, min_containment_micro=0, max_df=None).collect()
+    }
+
+    def sh(text, n=SHINGLE):
+        t = text.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(max(len(t) - n, 0) + 1)}
+
+    inter = len(sh(quote) & sh(long_doc))
+    assert out[(1, 2)]["containment_micro"] == 1_000_000 * inter // len(sh(quote))
+    assert out[(1, 2)]["containment_micro"] == 1_000_000  # fully contained
+    assert out[(2, 1)]["containment_micro"] == 1_000_000 * inter // len(sh(long_doc))
+    assert out[(2, 1)]["containment_micro"] < 500_000
+    assert (1, 3) not in out and (3, 1) not in out  # no shared shingles
+    # threshold keeps only the contained direction
+    kept = containment_pairs(df, min_containment_micro=900_000, max_df=None).collect()
+    assert {(r["src_id"], r["dst_id"]) for r in kept} == {(1, 2)}

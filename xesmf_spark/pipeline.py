@@ -1932,6 +1932,73 @@ def quality_tiers_approx(
     return out.withColumn("tier", tier).drop("_cuts")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE,
+    min_containment_micro: int = 500_000,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment — the asymmetric near-dup
+    signal Jaccard misses: C(src, dst) = |sh(src) ∩ sh(dst)| /
+    |sh(src)|. A short document quoted verbatim inside a long one has
+    containment ≈ 1 while Jaccard stays near |short|/|long| — this is
+    the detector for quotes, partial copies, and template wrappers
+    (and the asymmetric decontamination check: "is this eval item
+    CONTAINED in a training doc", regardless of the doc's extra text).
+
+    Integer-exact scoring: ``containment_micro = 1e6·n_inter DIV
+    n_src_shingles`` (both BIGINT, truncating division on positives —
+    engine-identical). The hot-shingle valve (``max_df``) bounds the
+    intersection join exactly as in :func:`ngram_jaccard_pairs` —
+    intersection counts only shrink under the cap while denominators
+    stay uncapped, so capped scores only decrease (no false accepts).
+
+    Scale shape: one inverted-index equi-join on shingle (cost Σ DF²,
+    valve-bounded), one keyed count agg, a 2x union for the two
+    directions, then a size join — never all-pairs. Output:
+    ``(src_id, dst_id, n_inter, n_src_shingles, containment_micro)``
+    for ordered pairs at or above the threshold."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("sid"),
+            shingles(F.col(text_col), n).alias("sh_set"),
+        )
+        .withColumn("n_sh", F.size("sh_set"))
+        .filter(F.col("n_sh") > 0)
+    )
+    ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
+    if max_df is not None:
+        dfc = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_n"))
+        ex = ex.join(dfc, "shingle").filter(F.col("df_n") <= max_df).drop("df_n")
+    inter = (
+        ex.alias("ea")
+        .join(ex.alias("eb"), "shingle")
+        .filter(F.col("ea.sid") < F.col("eb.sid"))
+        .groupBy(F.col("ea.sid").alias("id_a"), F.col("eb.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    both = inter.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "n_inter"
+    ).union(
+        inter.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "n_inter"
+        )
+    )
+    sizes = sh.select(F.col("sid").alias("src_id"), F.col("n_sh"))
+    out = both.join(sizes, "src_id").select(
+        "src_id",
+        "dst_id",
+        "n_inter",
+        F.col("n_sh").cast("long").alias("n_src_shingles"),
+        F.expr("(1000000 * n_inter) DIV n_sh").cast("long").alias(
+            "containment_micro"
+        ),
+    )
+    return out.filter(F.col("containment_micro") >= min_containment_micro)
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -686,6 +686,42 @@ WHERE CAST(i.n_inter AS DOUBLE)
 """
 
 
+def containment_sql(min_micro: int = 600_000) -> str:
+    """Mirrors pipeline_containment: dup-planted corpus, valve-capped
+    inverted-index intersection, directional integer containment."""
+    return f"""
+WITH
+{_docs_cte(True)},
+{NORM_CTE},
+{SHINGLE_CTE},
+szs AS (
+  SELECT doc_id AS sid, sh_set, CAST(len(sh_set) AS BIGINT) AS n_sh
+  FROM sh WHERE len(sh_set) > 0
+),
+ex AS (SELECT sid, unnest(sh_set) AS shingle FROM szs),
+dfc AS (SELECT shingle, COUNT(*) AS df_n FROM ex GROUP BY shingle),
+exk AS (
+  SELECT e.sid, e.shingle FROM ex e JOIN dfc USING (shingle)
+  WHERE df_n <= {MAX_SHINGLE_DF}
+),
+inter AS (
+  SELECT ea.sid AS id_a, eb.sid AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM exk ea JOIN exk eb USING (shingle)
+  WHERE ea.sid < eb.sid GROUP BY 1, 2
+),
+dirs AS (
+  SELECT id_a AS src_id, id_b AS dst_id, n_inter FROM inter
+  UNION ALL
+  SELECT id_b AS src_id, id_a AS dst_id, n_inter FROM inter
+)
+SELECT b.src_id, b.dst_id, b.n_inter,
+       s.n_sh AS n_src_shingles,
+       CAST((1000000 * b.n_inter) // s.n_sh AS BIGINT) AS containment_micro
+FROM dirs b JOIN szs s ON b.src_id = s.sid
+WHERE (1000000 * b.n_inter) // s.n_sh >= {min_micro}
+"""
+
+
 def text_stats_sql() -> str:
     return f"""
 WITH

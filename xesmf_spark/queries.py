@@ -4239,6 +4239,21 @@ def nations_trade_hits(spark, sf_dir):
     )
 
 
+def pipeline_containment(spark, sf_dir):
+    """Directional shingle containment (pipeline.containment_pairs)
+    over the dup-planted corpus: the %5 truncation variants are ~fully
+    CONTAINED in their originals (containment_micro ≈ 1e6) even though
+    symmetric Jaccard drops with the removed tail — the quote /
+    partial-copy / asymmetric-decontamination detector. Integer-exact
+    1e6·n_inter DIV n_src shingles; hot-shingle valve bounds the
+    inverted-index join at Σ DF² like ngram_jaccard."""
+    from xesmf_spark.pipeline import containment_pairs
+
+    return containment_pairs(
+        _docs_with_dups(_docs(spark, sf_dir)), min_containment_micro=600_000
+    )
+
+
 def documents_textrank(spark, sf_dir):
     """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
     2004): adjacent candidate tokens (length >= 3, non-stopword) form
