@@ -44,20 +44,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) r12 new/engine-changed queries (decode-gate fix
-    # touches every resize/ahash query; jpeg.py marker loop; BPE +
-    # span-dedup changes land this round), (b) the 3 reachable singles
-    # the r11 verdict names (orders_burst_components — zero lifetime
-    # driver greens; customers_upsert_delete + stream_cdc_apply — one
-    # each) plus trade_graph_components (r11 first-green), then (c) the
-    # 38 STALEST tail entries (last driver-checked in the r6/r7
-    # windows). Tail is ordered freshest-evidence-first so each round's
-    # cyclers come off the DEEP end; same-round evidence for every tail
-    # entry comes from the committed full-surface record + tri-scale
-    # runs.
+    # IN-WINDOW = (a) 15 r12 NEW queries (unigram tok/encode, WAV,
+    # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
+    # recall, char entropy, TextRank, containment, multi-level span
+    # dedup) + 8 r12 engine-changed (decode-gate fix touches every
+    # resize/ahash query; jpeg.py marker loop; BPE batched merges;
+    # span-dedup multi-level), (b) the 3 reachable singles the r11
+    # verdict names (orders_burst_components — zero lifetime driver
+    # greens; customers_upsert_delete + stream_cdc_apply — one each)
+    # plus trade_graph_components (r11 first-green), then (c) 23
+    # cyclers from the STALEST tail stratum (last driver-checked
+    # r6/r7).
+    # Tail is ordered freshest-evidence-first so each round's cyclers
+    # come off the DEEP end; same-round evidence for every tail entry
+    # comes from the committed full-surface record + tri-scale runs.
     return {
-        # (a) r12 NEW: unigram-LM tokenizer (train + encode twin),
-        # graduated-support multi-level span dedup
+        # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
         "multimodal_audio_wav": Q.multimodal_audio_wav,
         "trade_graph_shortest_paths": Q.trade_graph_shortest_paths,
@@ -70,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_char_entropy": Q.documents_char_entropy,
         "documents_textrank": Q.documents_textrank,
         "pipeline_containment": Q.pipeline_containment,
+        "ann_sq8_recall": Q.ann_sq8_recall,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -93,9 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_upsert_delete": Q.customers_upsert_delete,
         "stream_cdc_apply": Q.stream_cdc_apply,
         "trade_graph_components": Q.trade_graph_components,
-        # (c) 38 cyclers: the STALEST tail stratum (last driver-checked
+        # (c) cyclers: the STALEST tail stratum (last driver-checked
         # r6/r7 windows; same-round evidence since then = committed
-        # full-surface records + tri-scale runs), in tail order
+        # full-surface records + tri-scale runs), in tail order —
+        # entries past position 50 spill out of the window as (a) grew
+        # this session and cycle back next round
         "tpch_q19_disjunctive": Q.tpch_q19_disjunctive,
         "pipeline_editdist_dedup": Q.pipeline_editdist_dedup,
         "documents_quality_tiers": Q.documents_quality_tiers,
@@ -1465,6 +1470,19 @@ WHERE cum_tokens <= 5000
         "ann_sq8_top3": PO.sq8_topk_sql(k=3),
         "documents_textrank": PO.textrank_sql(iters=3, k=20),
         "pipeline_containment": PO.containment_sql(min_micro=600_000),
+        "ann_sq8_recall": f"""
+WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
+approx_q AS ({PO.sq8_topk_sql()}),
+m AS (
+  SELECT COUNT(*) AS n_matched
+  FROM exact_q e JOIN approx_q a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+e AS (SELECT COUNT(*) AS n_exact FROM exact_q)
+SELECT ROUND(CAST(n_matched AS DOUBLE) / n_exact, 6) AS recall_at_3,
+       n_exact, n_matched
+FROM e, m
+""",
         "documents_char_entropy": """
 -- integer micro-nat replay: identical double expression per distinct
 -- character, exact BIGINT arithmetic after (order-independent sums)

@@ -67,6 +67,13 @@ ALLOW = {
     # same 1x1 recall-ratio cross, plus euclid_topk's broadcast cross
     # join — the documented exact AUDIT reference, not a scale path
     "ann_pq_recall": {"BroadcastNestedLoopJoin"},
+    # sq8_encode crosses the ONE-ROW quantizer stats frame (per-dim
+    # mins/spans arrays) onto the pool scan — a scalar broadcast, the
+    # same class as events_user_setops' t0 row
+    "ann_sq8_top3": {"BroadcastNestedLoopJoin"},
+    # recall audit: the same 1-row stats cross (twice — both searches)
+    # plus the 1x1 recall-ratio cross and euclid's audit cross join
+    "ann_sq8_recall": {"BroadcastNestedLoopJoin"},
     # identical audit shape for the refined-IVFPQ recall number
     "ann_ivfpq_refine_recall": {"BroadcastNestedLoopJoin"},
     # the sketch's 1-row delta_total scalar broadcast crossed onto the

@@ -601,6 +601,66 @@ def main() -> None:
                 min_inter=2,
             ),
         ),
+        # r12 session additions ------------------------------------
+        # directional containment: same valve-bounded inverted-index
+        # join economics as ngram_jaccard (suffixed replicas keep the
+        # near-dup rate constant, so output rows grow ~Nx)
+        ("pipeline_containment", lambda d, s: Q.pipeline_containment(spark, d)),
+        # corpus TextRank: explode + per-doc lead + distinct-edge agg +
+        # fixed-3 pagerank; vocab (nodes) and edges both grow ~Nx with
+        # the suffixed replicas
+        ("documents_textrank", lambda d, s: Q.documents_textrank(spark, d)),
+        # char entropy: linear explode + two doc-keyed aggs
+        ("documents_char_entropy", lambda d, s: Q.documents_char_entropy(spark, d)),
+        # WAV attach+decode+window stats: two map-only Arrow passes
+        ("multimodal_audio_wav", lambda d, s: Q.multimodal_audio_wav(spark, d)),
+        # SQ8 GEMM: queries AND pool both scale Nx (self-join), so
+        # total distance work is N^2 — the honest pq_sharded-style note
+        ("ann_sq8_top3", lambda d, s: SIM.sq8_topk(emb_at(d), k=3)),
+        # W1 drift over synthetic value samples (200k -> 2M per side):
+        # two-phase prefix scan — time should track distinct-value
+        # volume, never a global sort
+        (
+            "quality_w1_drift",
+            lambda d, s: __import__(
+                "xesmf_spark.quality", fromlist=["w1_drift"]
+            ).w1_drift(
+                spark.range(200_000 * s).select(
+                    F.pmod(F.col("id") * 7919, F.lit(1_000_003)).alias("v")
+                ),
+                spark.range(200_000 * s).select(
+                    (F.pmod(F.col("id") * 104_729, F.lit(1_000_003)) + 50_000).alias(
+                        "v"
+                    )
+                ),
+                "v",
+                n_buckets=64,
+            ),
+        ),
+        # HITS on the pagerank synthetic graph shape: two keyed joins +
+        # two scalar broadcasts per iteration — same O(E)/round contract
+        (
+            "relational_hits",
+            lambda d, s: REL.hits(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("src") * F.lit(m) + F.lit(a),
+                                    F.lit(50_000 * s),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("dst"),
+                ),
+                iters=3,
+            ),
+        ),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -653,6 +713,21 @@ def main() -> None:
             "exponent ~ linear in emitted chunks (the output volume any "
             "chunker must emit); n_copies is a map-combinable groupBy + "
             "AQE-splittable join-back since r11, not a hot-key window"
+        ),
+        "ann_sq8_top3": (
+            "queries AND pool both scale Nx (self-join), so total "
+            "distance work grows N^2 and exponent ~1 is the honest "
+            "linear-per-query result (the pq_sharded note); per-query "
+            "cost is flat in pool shards"
+        ),
+        "quality_w1_drift": (
+            "two-phase prefix scan over distinct values + bucket-lead "
+            "gap stitch; time tracks distinct-value volume"
+        ),
+        "documents_textrank": (
+            "fixed-3 pagerank over the token co-occurrence graph; "
+            "nodes/edges grow ~Nx with suffixed replicas, per-round "
+            "cost one keyed join + SUM"
         ),
     }
     out = {"factor": factor, "base": base, "trials_min_of": trials, "ops": {}}

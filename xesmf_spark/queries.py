@@ -3562,6 +3562,29 @@ def ann_pq_recall(spark, sf_dir):
     )
 
 
+def ann_sq8_recall(spark, sf_dir):
+    """Recall@3 of the SQ8 quantized search against the exact EUCLIDEAN
+    baseline — the quantization-quality audit for the 8-bit rung (SQ8
+    approximates squared L2, so the audit runs on its own metric; same
+    composed recall shape as ann_pq_recall / ann_ivf_recall). Both
+    engines run both searches and the oracle checks the NUMBER."""
+    from xesmf_spark import similarity as SIM
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = SIM.sq8_topk(emb, k=3).select("query_id", "neighbor_id")
+    matched = exact.join(approx, ["query_id", "neighbor_id"])
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return n_e.crossJoin(n_m).select(
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_3"),
+        "n_exact",
+        "n_matched",
+    )
+
+
 def ann_ivfpq_top3(spark, sf_dir):
     """IVF + PQ composed index (similarity.ivfpq_topk) — bounded
     candidates x compressed scoring, the production billion-vector

@@ -1580,3 +1580,85 @@ def sq8_topk(
     return enc.mapInPandas(
         fn, "query_id long, neighbor_id long, d2 long, rank int"
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    k: int = 3,
+    pool_k: int = 8,
+    lam_micro: int = 500_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the production RERANK stage between retrieval
+    and the user: from each query's ``pool_k`` cosine candidates,
+    greedily pick ``k`` results maximizing
+
+        score(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+    so near-duplicate hits don't crowd the result list. Exact integer
+    selection: rel and pairwise sims are round-6 cosines lifted to
+    micro units (BIGINT), the empty-selection max is 0 by convention,
+    λ = ``lam_micro``/1e6, ties break by candidate id ascending —
+    every argmax is a deterministic integer comparison, so a SQL
+    engine unrolling the k greedy steps reproduces the exact picks.
+
+    Scale shape: candidate generation is :func:`cosine_topk` (GEMM
+    broadcast baseline / blocked SUMMA beyond); the rerank itself is
+    ``applyInPandas`` per query over ≤ ``pool_k`` rows — the greedy
+    loop's quadratic is pool_k², a constant, never corpus-shaped.
+    Output: ``(query_id, neighbor_id, mmr_score, rank)``."""
+    import numpy as np
+    import pandas as pd
+
+    if not (1 <= k <= pool_k):
+        raise ValueError(f"need 1 <= k <= pool_k, got k={k}, pool_k={pool_k}")
+    cand = cosine_topk(df, k=pool_k, id_col=id_col, vec_col=vec_col).select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(ROUND(cosine * 1000000.0, 0) AS BIGINT)").alias("rel_micro"),
+    )
+    withvec = cand.join(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")),
+        "neighbor_id",
+    )
+
+    out_schema = "query_id long, neighbor_id long, mmr_score long, rank int"
+
+    def rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(np.int64)
+        rel = pdf["rel_micro"].to_numpy(np.int64)
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = np.rint(np.round((V @ V.T) / np.outer(nrm, nrm), 6) * 1e6).astype(
+            np.int64
+        )
+        n = len(ids)
+        chosen: list[int] = []
+        scores: list[int] = []
+        remaining = list(range(n))
+        lam, inv = int(lam_micro), 1_000_000 - int(lam_micro)
+        for _ in range(min(k, n)):
+            best_i, best_score = None, None
+            for i in remaining:
+                maxsim = max((int(S[i, j]) for j in chosen), default=0)
+                sc = lam * int(rel[i]) - inv * maxsim
+                # ids ascend in `remaining`, so strict > keeps the
+                # smallest id among score ties
+                if best_score is None or sc > best_score:
+                    best_i, best_score = i, sc
+            chosen.append(best_i)
+            scores.append(best_score)
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[chosen],
+                "mmr_score": np.asarray(scores, np.int64),
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return withvec.groupBy("query_id").applyInPandas(rerank, out_schema)
