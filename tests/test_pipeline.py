@@ -1836,3 +1836,51 @@ def test_containment_asymmetric_quote_detection(spark):
     # threshold keeps only the contained direction
     kept = containment_pairs(df, min_containment_micro=900_000, max_df=None).collect()
     assert {(r["src_id"], r["dst_id"]) for r in kept} == {(1, 2)}
+
+
+def test_mmr_topk_diversifies_and_matches_greedy_replay(spark):
+    """mmr_topk: rank-1 equals pure relevance; later picks equal a
+    local greedy replay; a near-duplicate of the top hit is demoted in
+    favor of a diverse candidate even when its relevance is higher."""
+    import numpy as np
+
+    from xesmf_spark.similarity import mmr_topk
+
+    # query 0 at the origin direction; candidates: two near-identical
+    # high-relevance vectors and one moderately relevant diverse vector
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    near1 = np.array([0.99, 0.14, 0.0, 0.0])
+    near2 = np.array([0.99, 0.141, 0.0, 0.0])  # ~= near1
+    diverse = np.array([0.6, 0.0, 0.8, 0.0])
+    vecs = {0: base, 1: near1, 2: near2, 3: diverse}
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["rank"]: (r["neighbor_id"], r["mmr_score"])
+        for r in mmr_topk(df, k=3, pool_k=3).filter("query_id = 0").collect()
+    }
+
+    def cos_micro(a, b):
+        a32, b32 = a.astype(np.float32).astype(np.float64), b.astype(
+            np.float32
+        ).astype(np.float64)
+        c = np.round(a32 @ b32 / np.sqrt((a32 @ a32) * (b32 @ b32)), 6)
+        return int(np.rint(c * 1e6))
+
+    rel = {i: cos_micro(base, vecs[i]) for i in (1, 2, 3)}
+    # step 1: pure relevance argmax (tie -> smaller id)
+    first = min(sorted(rel), key=lambda i: (-rel[i], i))
+    assert out[1][0] == first and out[1][1] == 500_000 * rel[first]
+    # step 2: the near-twin of the winner is penalized below diverse
+    s = {(i, j): cos_micro(vecs[i], vecs[j]) for i in (1, 2, 3) for j in (1, 2, 3)}
+    rem = [i for i in (1, 2, 3) if i != first]
+    sc2 = {i: 500_000 * rel[i] - 500_000 * s[(i, first)] for i in rem}
+    second = min(sorted(sc2), key=lambda i: (-sc2[i], i))
+    assert second == 3  # the diverse vector wins despite lower relevance
+    assert out[2][0] == second and out[2][1] == sc2[second]
+    # step 3: the remaining near-twin, with max-sim over both selected
+    third = [i for i in rem if i != second][0]
+    sc3 = 500_000 * rel[third] - 500_000 * max(s[(third, first)], s[(third, second)])
+    assert out[3][0] == third and out[3][1] == sc3

@@ -2354,6 +2354,88 @@ FROM r{iters} ORDER BY r DESC, node ASC LIMIT {k}
     return "".join(parts)
 
 
+def mmr_topk_sql(
+    k: int = 3, pool_k: int = 8, lam: int = 500_000
+) -> str:
+    """Mirrors ann_mmr_top3: cosine top-``pool_k`` candidates, round-6
+    cosines lifted to BIGINT micro units, then the greedy MMR loop
+    UNROLLED step by step (argmax per query via ROW_NUMBER, max-sim
+    over the selected set via GREATEST) — exact integer comparisons
+    throughout, empty-selection max = 0."""
+    if k != 3:
+        raise ValueError("the unrolled replay is written for k=3")
+    inv = 1_000_000 - lam
+    dot = _DOT.format(a="va", b="vb")
+    return f"""
+WITH
+{_VEC_CTE},
+topk AS ({ann_cosine_topk_sql(k=pool_k)}),
+cand AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROUND(cosine * 1000000.0, 0) AS BIGINT) AS rel
+  FROM topk
+),
+sims AS (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         CAST(ROUND(ROUND({dot} / (va.nrm * vb.nrm), 6) * 1000000.0, 0)
+              AS BIGINT) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id
+              AND c1.neighbor_id != c2.neighbor_id
+  JOIN v va ON va.id = c1.neighbor_id
+  JOIN v vb ON vb.id = c2.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, {lam} * rel AS score FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {lam} * rel DESC, neighbor_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sc2 AS (
+  SELECT c.query_id, c.neighbor_id,
+         {lam} * c.rel - {inv} * x1.sim AS score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id != s1.neighbor_id
+  JOIN sims x1 ON x1.query_id = c.query_id
+              AND x1.a = c.neighbor_id AND x1.b = s1.neighbor_id
+),
+s2 AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM sc2
+  ) WHERE rn = 1
+),
+sc3 AS (
+  SELECT c.query_id, c.neighbor_id,
+         {lam} * c.rel - {inv} * GREATEST(x1.sim, x2.sim) AS score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id != s1.neighbor_id
+  JOIN s2 ON c.query_id = s2.query_id AND c.neighbor_id != s2.neighbor_id
+  JOIN sims x1 ON x1.query_id = c.query_id
+              AND x1.a = c.neighbor_id AND x1.b = s1.neighbor_id
+  JOIN sims x2 ON x2.query_id = c.query_id
+              AND x2.a = c.neighbor_id AND x2.b = s2.neighbor_id
+),
+s3 AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM sc3
+  ) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, score AS mmr_score, CAST(1 AS INT) AS rank FROM s1
+UNION ALL
+SELECT query_id, neighbor_id, score, CAST(2 AS INT) FROM s2
+UNION ALL
+SELECT query_id, neighbor_id, score, CAST(3 AS INT) FROM s3
+"""
+
+
 def hits_sql(iters: int = 3) -> str:
     """Mirrors nations_trade_hits: unrolled-CTE replay of the
     fixed-iteration integer micro-unit HITS recurrence (L1

@@ -3562,6 +3562,23 @@ def ann_pq_recall(spark, sf_dir):
     )
 
 
+def ann_mmr_top3(spark, sf_dir):
+    """MMR diversified rerank (similarity.mmr_topk — Carbonell &
+    Goldstein 1998): each query's cosine top-8 pool greedily reranked
+    by λ·rel − (1−λ)·max-sim-to-selected (λ=0.5) so near-duplicate
+    hits don't crowd the top-3 — the production stage between
+    retrieval and the user. Every argmax is an exact BIGINT
+    comparison (round-6 cosines lifted to micro units, empty-set max
+    = 0, ties by id), so the oracle's 3-step unrolled greedy replay
+    matches bit-for-bit. Rerank cost is pool_k² per query via
+    applyInPandas — constant, never corpus-shaped."""
+    from xesmf_spark import similarity as SIM
+
+    return SIM.mmr_topk(
+        _par(spark, _t(spark, sf_dir, "embeddings")), k=3, pool_k=8
+    )
+
+
 def ann_sq8_recall(spark, sf_dir):
     """Recall@3 of the SQ8 quantized search against the exact EUCLIDEAN
     baseline — the quantization-quality audit for the 8-bit rung (SQ8
