@@ -566,6 +566,14 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_mixture_sample",
         "documents_hybrid_rrf",
         "orders_ks_drift",
+        "orders_w1_drift",
+        "nations_trade_hits",
+        "ann_sq8_top3",
+        "ann_mmr_top3",
+        "documents_char_entropy",
+        "documents_textrank",
+        "pipeline_containment",
+        "multimodal_audio_wav",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",
