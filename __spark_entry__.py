@@ -44,15 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) 16 r12 NEW queries (unigram tok/encode, WAV,
+    # IN-WINDOW = (a) 17 r12 NEW queries (unigram tok/encode, WAV,
     # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
-    # recall, MMR rerank, char entropy, TextRank, containment,
-    # multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
+    # recall, MMR rerank, grouped split, char entropy, TextRank,
+    # containment, multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
     # resize/ahash query; jpeg.py marker loop; BPE batched merges;
     # span-dedup multi-level), (b) the 3 reachable singles the r11
     # verdict names (orders_burst_components — zero lifetime driver
     # greens; customers_upsert_delete + stream_cdc_apply — one each)
-    # plus trade_graph_components (r11 first-green), then (c) 22
+    # plus trade_graph_components (r11 first-green), then (c) 21
     # cyclers from the STALEST tail stratum (last driver-checked
     # r6/r7).
     # Tail is ordered freshest-evidence-first so each round's cyclers
@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_containment": Q.pipeline_containment,
         "ann_sq8_recall": Q.ann_sq8_recall,
         "ann_mmr_top3": Q.ann_mmr_top3,
+        "pipeline_split_grouped": Q.pipeline_split_grouped,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1472,6 +1473,7 @@ WHERE cum_tokens <= 5000
         "documents_textrank": PO.textrank_sql(iters=3, k=20),
         "pipeline_containment": PO.containment_sql(min_micro=600_000),
         "ann_mmr_top3": PO.mmr_topk_sql(k=3, pool_k=8),
+        "pipeline_split_grouped": PO.grouped_split_sql(threshold=0.5),
         "ann_sq8_recall": f"""
 WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
 approx_q AS ({PO.sq8_topk_sql()}),

@@ -573,6 +573,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "documents_char_entropy",
         "documents_textrank",
         "pipeline_containment",
+        "pipeline_split_grouped",
         "multimodal_audio_wav",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",

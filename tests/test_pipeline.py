@@ -1884,3 +1884,33 @@ def test_mmr_topk_diversifies_and_matches_greedy_replay(spark):
     third = [i for i in rem if i != second][0]
     sc3 = 500_000 * rel[third] - 500_000 * max(s[(third, first)], s[(third, second)])
     assert out[3][0] == third and out[3][1] == sc3
+
+
+def test_grouped_split_no_leakage_and_fallback(spark):
+    """grouped_split: every member of a dedup group lands in the SAME
+    split; docs absent from the verdicts fall back to their own id
+    (== assign_split's routing for singletons)."""
+    from xesmf_spark.pipeline import assign_split, grouped_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: {0..9} -> keep 0, {10..14} -> keep 10, rest absent
+    groups = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 15)],
+        "doc_id long, keep_id long",
+    )
+    out = grouped_split(docs, groups).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert len({by_id[i] for i in range(10)}) == 1
+    assert len({by_id[i] for i in range(10, 15)}) == 1
+    # singletons route exactly like assign_split on their own id
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.filter("doc_id >= 15")).collect()
+    }
+    for i in range(15, 40):
+        assert by_id[i] == solo[i]
+    # group members route by the REPRESENTATIVE's hash
+    rep = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    assert by_id[3] == rep[0] and by_id[12] == rep[10]

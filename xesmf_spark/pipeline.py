@@ -1402,6 +1402,35 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def grouped_split(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "keep_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """LEAKAGE-FREE train/val/test assignment: route every document by
+    its dedup-GROUP representative (``groups`` = the
+    :func:`dedup_groups` verdicts) instead of its own id, so
+    near-duplicates can never straddle splits — the eval-contamination
+    failure mode a per-document hash split silently permits (a test
+    doc's near-twin in train is memorization, not generalization).
+
+    Same engine-portable mechanism as :func:`assign_split` (md5-hex
+    thresholds on the GROUP key, lexicographic compare, no float
+    arithmetic); documents missing from ``groups`` fall back to their
+    own id (singleton components). One keyed equi-join + pure
+    projection — the group verdicts table is O(corpus) and joins on
+    the same id key every downstream stage already shuffles on."""
+    joined = df.join(
+        groups.select(F.col(id_col), F.col(group_col)), id_col, "left"
+    ).withColumn("__gkey", F.coalesce(F.col(group_col), F.col(id_col)))
+    return assign_split(
+        joined, id_col="__gkey", weights=weights, names=names
+    ).drop("__gkey")
+
+
 def deterministic_sample(
     df: DataFrame, fraction: float, id_col: str = "doc_id"
 ) -> DataFrame:

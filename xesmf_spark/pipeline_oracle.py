@@ -255,6 +255,46 @@ FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def grouped_split_sql(threshold: float = 0.5) -> str:
+    """Mirrors pipeline_split_grouped: the dedup_groups recursive-CTE
+    component replay, then the assign_split md5-threshold routing on
+    the GROUP key (0.8/0.1/0.1 => 'cccccccc'/'e6666666' hex bounds),
+    aggregated per split."""
+    return f"""
+WITH RECURSIVE
+{_pair_ctes(threshold)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS keep FROM reach GROUP BY node),
+verdicts AS (
+  SELECT d.doc_id, length(d.text) AS n_chars,
+         COALESCE(c.keep, d.doc_id) AS keep_id
+  FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
+),
+assigned AS (
+  SELECT keep_id, n_chars,
+         CASE WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                THEN 'train'
+              WHEN substr(md5(CAST(keep_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM verdicts
+)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT keep_id) AS n_groups,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split
+"""
+
+
 def _simhash_ctes(with_dups: bool, bits: int = 32) -> str:
     """CTE chain ending in ``sim(doc_id, simhash)`` — mirrors
     pipeline.simhash's SWAR-packed pure projection: one wide-hash list

@@ -3263,6 +3263,28 @@ def pipeline_dedup_groups(spark, sf_dir):
     return PL.dedup_groups(pairs, nodes=docs)
 
 
+def pipeline_split_grouped(spark, sf_dir):
+    """Leakage-free grouped split (pipeline.grouped_split): near-dup
+    components (MinHash-LSH -> connected components) route WHOLE
+    groups to one split by hashing the group representative — planted
+    %7/%11/%5 duplicates land with their originals by construction,
+    never straddling train/test. Output: per-split doc/group/char
+    totals (n_groups = distinct components, the leakage audit's unit).
+    The oracle replays pairs -> recursive-CTE components -> the same
+    md5-threshold routing."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _docs_with_dups(_docs(spark, sf_dir))
+    pairs = PL.minhash_dedup_pairs(docs, threshold=0.5)
+    groups = PL.dedup_groups(pairs, nodes=docs)
+    out = PL.grouped_split(docs, groups)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("keep_id").alias("n_groups"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
 def pipeline_clean_corpus(spark, sf_dir):
     """END-TO-END corpus cleaning — the operators COMPOSED as one plan,
     the way a training-data pipeline actually runs them:
