@@ -44,7 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) 17 r12 NEW queries (unigram tok/encode, WAV,
+    # IN-WINDOW = (a) 18 r12 NEW queries (unigram tok/encode, WAV
+    # stats + resample,
     # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
     # recall, MMR rerank, grouped split, char entropy, TextRank,
     # containment, multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
@@ -52,7 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span-dedup multi-level), (b) the 3 reachable singles the r11
     # verdict names (orders_burst_components — zero lifetime driver
     # greens; customers_upsert_delete + stream_cdc_apply — one each)
-    # plus trade_graph_components (r11 first-green), then (c) 21
+    # plus trade_graph_components (r11 first-green), then (c) 20
     # cyclers from the STALEST tail stratum (last driver-checked
     # r6/r7).
     # Tail is ordered freshest-evidence-first so each round's cyclers
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_recall": Q.ann_sq8_recall,
         "ann_mmr_top3": Q.ann_mmr_top3,
         "pipeline_split_grouped": Q.pipeline_split_grouped,
+        "multimodal_audio_resample": Q.multimodal_audio_resample,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1757,6 +1759,66 @@ SELECT doc_id, window_idx,
                                ELSE 0.0 END), 0.0), 6) AS zcr
 FROM lagged
 GROUP BY doc_id, window_idx
+""",
+        "multimodal_audio_resample": """
+-- exact integer replay of the linear-interp resample: DOUBLED mono
+-- numerators w (stereo pair sums / 2x mono), scaled resample
+-- numerator W = w0*(8000-rem) + w1*rem — all BIGINT until the final
+-- rms division (cast-to-double FIRST, then /n, matching the kernel)
+WITH s AS (
+  SELECT doc_id, k,
+         ord(substr(text, CAST(2*k+1 AS INT), 1))
+           + 256 * ord(substr(text, CAST(2*k+2 AS INT), 1)) AS u
+  FROM documents, UNNEST(generate_series(0, length(text)//2 - 1)) AS t(k)
+),
+sg AS (
+  SELECT doc_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s
+),
+m AS (
+  SELECT doc_id, k AS j, CAST(2 * x AS BIGINT) AS w
+  FROM sg WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id, k // 2 AS j, CAST(SUM(x) AS BIGINT) AS w
+  FROM sg WHERE doc_id % 2 = 0
+  GROUP BY doc_id, k // 2
+  HAVING COUNT(*) = 2
+),
+meta AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sr_in
+  FROM m GROUP BY doc_id
+),
+idx AS (
+  SELECT doc_id, n, sr_in, CAST(t.j2 AS BIGINT) AS j2,
+         (CAST(t.j2 AS BIGINT) * sr_in) // 8000 AS x0,
+         (CAST(t.j2 AS BIGINT) * sr_in) % 8000 AS rem
+  FROM meta, UNNEST(generate_series(0, (n - 1) * 8000 // sr_in)) AS t(j2)
+),
+res AS (
+  SELECT i.doc_id, i.sr_in, i.n, i.j2,
+         m0.w * (8000 - i.rem) + m1.w * i.rem AS W
+  FROM idx i
+  JOIN m m0 ON m0.doc_id = i.doc_id AND m0.j = i.x0
+  JOIN m m1 ON m1.doc_id = i.doc_id AND m1.j = LEAST(i.x0 + 1, i.n - 1)
+),
+win AS (
+  SELECT doc_id, sr_in, n, (n - 1) * 8000 // sr_in + 1 AS n_out,
+         CAST(j2 // 32 AS INT) AS window_idx, j2, W
+  FROM res
+),
+lagged AS (
+  SELECT doc_id, sr_in, n, n_out, window_idx, W,
+         LAG(W) OVER (PARTITION BY doc_id, window_idx ORDER BY j2) AS pw
+  FROM win
+)
+SELECT doc_id, sr_in, n AS n_in, n_out, window_idx,
+       COUNT(*) AS n_samples,
+       SQRT(CAST(SUM(W * W) AS DOUBLE) / COUNT(*)) AS rms_scaled,
+       ROUND(COALESCE(AVG(CASE WHEN pw IS NULL THEN NULL
+                               WHEN (W >= 0) != (pw >= 0) THEN 1.0
+                               ELSE 0.0 END), 0.0), 6) AS zcr
+FROM lagged
+GROUP BY doc_id, sr_in, n, n_out, window_idx
 """,
         "multimodal_audio_wav": """
 -- replay of the WAV round-trip: byte pairs as PCM16 LE samples (ASCII

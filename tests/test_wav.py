@@ -155,3 +155,53 @@ def test_attach_wav_payload_deterministic(spark):
     # and the stats pass over attached payloads emits no rows for doc 3
     out = wav_audio_stats(attach_wav_payload(docs), window=4)
     assert sorted({r["doc_id"] for r in out.collect()}) == [0, 1]
+
+
+def test_wav_resample_stats_matches_local_replay(spark):
+    """wav_resample_stats: the scaled integer numerators equal a local
+    replay at 2/3, 1/2 and identity ratios; identity resampling keeps
+    exactly the doubled input signal; non-mono/stereo gates loudly."""
+    from xesmf_spark.multimodal import wav_resample_stats
+
+    rng = np.random.RandomState(5)
+    rows, srs = [], {0: 16000, 1: 12000, 2: 8000}
+    sigs = {}
+    for did, sr in srs.items():
+        n = 70 + 13 * did
+        x = rng.randint(-32768, 32768, n).astype(np.int16)
+        sigs[did] = x
+        rows.append((did, bytearray(encode_wav(x, sample_rate=sr))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {}
+    for r in wav_resample_stats(df, sr_out=8000, window=16).collect():
+        got.setdefault(r["doc_id"], {})[r["window_idx"]] = r
+
+    for did, sr in srs.items():
+        x = sigs[did].astype(np.int64)
+        w = 2 * x
+        n = len(x)
+        n_out = (n - 1) * 8000 // sr + 1
+        j = np.arange(n_out, dtype=np.int64)
+        x0 = (j * sr) // 8000
+        rem = (j * sr) % 8000
+        x1 = np.minimum(x0 + 1, n - 1)
+        W = w[x0] * (8000 - rem) + w[x1] * rem
+        if sr == 8000:  # identity ratio: scaled copy of the input
+            assert np.array_equal(W, 8000 * w)
+        for wi in range(0, n_out, 16):
+            seg = W[wi : wi + 16]
+            r = got[did][wi // 16]
+            assert (r["sr_in"], r["n_in"], r["n_out"]) == (sr, n, n_out)
+            assert r["n_samples"] == len(seg)
+            ssq = int(np.sum(seg * seg, dtype=np.int64))
+            assert r["rms_scaled"] == float(np.sqrt(float(ssq) / len(seg)))
+            s = seg >= 0
+            want = float(np.mean(s[1:] != s[:-1])) if len(seg) > 1 else 0.0
+            assert r["zcr"] == pytest.approx(want)
+
+    tri = spark.createDataFrame(
+        [(9, bytearray(encode_wav(np.zeros((4, 3), dtype=np.int16))))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="mono/stereo"):
+        wav_resample_stats(tri, sr_out=8000).collect()

@@ -2121,6 +2121,35 @@ def multimodal_audio_wav(spark, sf_dir):
     )
 
 
+def multimodal_audio_resample(spark, sf_dir):
+    """Integer-exact sample-rate conversion
+    (multimodal.wav_resample_stats): WAV payloads decode natively,
+    downmix to DOUBLED mono numerators, and linear-interpolation
+    resample to 8 kHz keeping the scaled BIGINT numerator W(j) =
+    w[x0]·(sr_out−rem) + w[x1]·rem — so the per-window RMS/ZCR reduce
+    over exact integers and hash-match the SQL replay (the 12/16 kHz
+    docs exercise the 2/3 and 1/2 ratios; 8 kHz docs the identity
+    path). One map-only Arrow pass behind the scan."""
+    from xesmf_spark.multimodal import attach_wav_payload, wav_resample_stats
+
+    docs = _docs(spark, sf_dir)
+    out = wav_resample_stats(attach_wav_payload(docs), sr_out=8000, window=32)
+    return out.select(
+        "doc_id",
+        F.col("sr_in").cast("long").alias("sr_in"),
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        "window_idx",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        # NO rounding on rms_scaled: at ~4e8 magnitude six decimals sit
+        # at double ULP and the engines' ROUND implementations disagree
+        # there; the raw double is bit-identical by construction (exact
+        # BIGINT sum -> one cast -> one divide -> one sqrt)
+        "rms_scaled",
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Fixed-stride frame sampling over opaque binary payloads
     (multimodal.sample_frames): every 4th 64-byte chunk of each payload
