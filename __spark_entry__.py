@@ -44,8 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) 18 r12 NEW queries (unigram tok/encode, WAV
-    # stats + resample,
+    # IN-WINDOW = (a) 19 r12 NEW queries (unigram tok/encode, WAV
+    # stats + resample, bilinear image resize,
     # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
     # recall, MMR rerank, grouped split, char entropy, TextRank,
     # containment, multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
@@ -53,7 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span-dedup multi-level), (b) the 3 reachable singles the r11
     # verdict names (orders_burst_components — zero lifetime driver
     # greens; customers_upsert_delete + stream_cdc_apply — one each)
-    # plus trade_graph_components (r11 first-green), then (c) 20
+    # plus trade_graph_components (r11 first-green), then (c) 19
     # cyclers from the STALEST tail stratum (last driver-checked
     # r6/r7).
     # Tail is ordered freshest-evidence-first so each round's cyclers
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_top3": Q.ann_mmr_top3,
         "pipeline_split_grouped": Q.pipeline_split_grouped,
         "multimodal_audio_resample": Q.multimodal_audio_resample,
+        "multimodal_image_resize_bilinear": Q.multimodal_image_resize_bilinear,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -277,6 +278,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: chain arithmetically: source pixel (r,c,ch) of image d is
 #: (d + 7r + 13c + 29ch) mod 256; nearest-neighbor 16->8 picks
 #: (2i, 2j); grayscale is the truncated channel mean
+def _img_resize_bilinear_oracle(h=16, w=16, oh=6, ow=6) -> str:
+    """Closed-form replay of multimodal_image_resize_bilinear: the
+    full-res gray value is a pure doc_id/row/col formula (same fixture
+    as _IMG_RESIZE_ORACLE), so the 4-tap fixed-point blend inlines the
+    formula four times — no joins, no floats, rounded integer division
+    identical to the kernel."""
+    dy, dx = 2 * oh, 2 * ow
+    den = dx * dy
+
+    def gray(i, j):
+        e = f"(doc_id + 7 * ({i}) + 13 * ({j}))"
+        return f"(({e}) % 256 + ({e} + 29) % 256 + ({e} + 58) % 256) // 3"
+
+    return f"""
+WITH g AS (SELECT CAST(t.d AS BIGINT) AS doc_id FROM range(0, 48) t(d)),
+grid AS (
+  SELECT doc_id, CAST(a.r AS BIGINT) AS r, CAST(b.c AS BIGINT) AS c
+  FROM g, range(0, {oh}) a(r), range(0, {ow}) b(c)
+),
+pos AS (
+  SELECT doc_id, r, c,
+         GREATEST((2 * r + 1) * {h} - {oh}, 0) // {dy} AS y0,
+         GREATEST((2 * r + 1) * {h} - {oh}, 0) % {dy} AS fy,
+         GREATEST((2 * c + 1) * {w} - {ow}, 0) // {dx} AS x0,
+         GREATEST((2 * c + 1) * {w} - {ow}, 0) % {dx} AS fx
+  FROM grid
+),
+pos2 AS (
+  SELECT doc_id, r, c, y0, fy, x0, fx,
+         LEAST(y0 + 1, {h - 1}) AS y1,
+         LEAST(x0 + 1, {w - 1}) AS x1
+  FROM pos
+),
+px AS (
+  SELECT doc_id,
+         (({gray("y0", "x0")}) * ({dx} - fx) * ({dy} - fy)
+          + ({gray("y0", "x1")}) * fx * ({dy} - fy)
+          + ({gray("y1", "x0")}) * ({dx} - fx) * fy
+          + ({gray("y1", "x1")}) * fx * fy
+          + {den // 2}) // {den} AS v
+  FROM pos2
+)
+SELECT doc_id,
+       CAST({oh} AS BIGINT) AS height,
+       CAST({ow} AS BIGINT) AS width,
+       CAST(SUM(v) AS BIGINT) AS byte_sum,
+       CAST(MIN(v) AS BIGINT) AS byte_min,
+       CAST(MAX(v) AS BIGINT) AS byte_max
+FROM px
+GROUP BY doc_id
+"""
+
+
 _IMG_RESIZE_ORACLE = """
 WITH g AS (SELECT CAST(t.d AS BIGINT) AS doc_id FROM range(0, 48) t(d)),
 px AS (
@@ -1715,6 +1769,7 @@ FROM o JOIN c USING (k)
 GROUP BY c_nationkey
 """,
         "multimodal_image_resize": _IMG_RESIZE_ORACLE,
+        "multimodal_image_resize_bilinear": _img_resize_bilinear_oracle(),
         # identical recompute: the payload format (BMP vs PNG, cycling
         # scanline filters) must be invisible to the decoded bytes
         "multimodal_image_resize_png": _IMG_RESIZE_ORACLE,

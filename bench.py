@@ -576,6 +576,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_split_grouped",
         "multimodal_audio_wav",
         "multimodal_audio_resample",
+        "multimodal_image_resize_bilinear",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

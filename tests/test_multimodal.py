@@ -489,3 +489,62 @@ def test_resize_kernel_raises_on_gated_signature_payloads(spark):
     df = spark.createDataFrame([(0, bytes(prog))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="progressive|NotImplementedError"):
         resize_images(df).collect()
+
+
+def test_bilinear_resize_matches_fixed_point_replay(spark):
+    """resize_images_bilinear: output bytes equal a local fixed-point
+    replay at a fractional ratio (16->6); an exact 2x downsample
+    reduces to the 2x2 box average; constant images stay constant."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import encode_bmp, resize_images_bilinear
+
+    rng = np.random.RandomState(21)
+    imgs = {
+        0: rng.randint(0, 256, (16, 16, 3)).astype(np.uint8),
+        1: np.full((16, 16, 3), 137, dtype=np.uint8),
+        2: rng.randint(0, 256, (10, 14, 3)).astype(np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(d, bytearray(encode_bmp(a))) for d, a in imgs.items()],
+        "doc_id long, payload binary",
+    )
+
+    def replay(img, oh, ow):
+        g = img.mean(axis=2).astype(np.uint8).astype(np.int64)
+        h, w = g.shape
+        dy, dx = 2 * oh, 2 * ow
+        den = dx * dy
+        ny = np.maximum((2 * np.arange(oh) + 1) * h - oh, 0)
+        nx = np.maximum((2 * np.arange(ow) + 1) * w - ow, 0)
+        y0, fy = ny // dy, (ny % dy)[:, None]
+        x0, fx = nx // dx, (nx % dx)[None, :]
+        y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+        return (
+            g[np.ix_(y0, x0)] * (dx - fx) * (dy - fy)
+            + g[np.ix_(y0, x1)] * fx * (dy - fy)
+            + g[np.ix_(y1, x0)] * (dx - fx) * fy
+            + g[np.ix_(y1, x1)] * fx * fy
+            + den // 2
+        ) // den
+
+    for oh, ow in ((6, 6), (8, 8), (5, 7)):
+        got = {
+            r["doc_id"]: np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(oh, ow)
+            for r in resize_images_bilinear(df, out_h=oh, out_w=ow).collect()
+        }
+        for d, img in imgs.items():
+            assert np.array_equal(got[d], replay(img, oh, ow).astype(np.uint8)), (
+                d, oh, ow,
+            )
+    # exact 2x: fy == fx == half everywhere -> 2x2 box average
+    g16 = imgs[0].mean(axis=2).astype(np.uint8).astype(np.int64)
+    box = (
+        g16.reshape(8, 2, 8, 2).sum(axis=(1, 3)) * 64 + 128
+    ) // 256
+    got8 = {
+        r["doc_id"]: np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(8, 8)
+        for r in resize_images_bilinear(df, out_h=8, out_w=8).collect()
+    }
+    assert np.array_equal(got8[0], box.astype(np.uint8))
+    assert (got8[1] == 137).all()

@@ -960,3 +960,69 @@ def wav_resample_stats(
     return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
         kernel, WAV_RESAMPLE_SCHEMA
     )
+
+
+def resize_images_bilinear(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Bilinear resize in EXACT fixed-point integers — the quality
+    upgrade over :func:`resize_images`' nearest-neighbor sampling
+    (training pipelines default to bilinear/area): with the half-pixel
+    convention, the source y-coordinate of output row r is the
+    rational ny/Dy where
+
+        ny = max((2r+1)·H − OH, 0),  Dy = 2·OH,
+        y0 = ny DIV Dy,  fy = ny MOD Dy,  y1 = min(y0+1, H−1)
+
+    (same for x), and the output pixel is the ROUNDED integer
+    combination
+
+        (p00·(Dx−fx)·(Dy−fy) + p01·fx·(Dy−fy) + p10·(Dx−fx)·fy
+         + p11·fx·fy + Dx·Dy/2) DIV (Dx·Dy)
+
+    — no floats anywhere, so an SQL engine replays every byte.
+    Grayscale first (truncated channel mean), like the nearest twin.
+    Map-only Arrow pass fused behind the scan."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"bad output dims {out_h}x{out_w}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dy, dx = 2 * out_h, 2 * out_w
+        den = dx * dy
+        for pdf in batches:
+            ids, hs, ws, bufs = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_or_fake(bytes(payload))
+                if img.ndim == 3:
+                    img = img.mean(axis=2).astype(np.uint8)
+                g = img.astype(np.int64)
+                h, w = g.shape
+                ny = np.maximum((2 * np.arange(out_h) + 1) * h - out_h, 0)
+                nx = np.maximum((2 * np.arange(out_w) + 1) * w - out_w, 0)
+                y0, fy = ny // dy, ny % dy
+                x0, fx = nx // dx, nx % dx
+                y1 = np.minimum(y0 + 1, h - 1)
+                x1 = np.minimum(x0 + 1, w - 1)
+                fyc, fxc = fy[:, None], fx[None, :]
+                v = (
+                    g[np.ix_(y0, x0)] * (dx - fxc) * (dy - fyc)
+                    + g[np.ix_(y0, x1)] * fxc * (dy - fyc)
+                    + g[np.ix_(y1, x0)] * (dx - fxc) * fyc
+                    + g[np.ix_(y1, x1)] * fxc * fyc
+                    + den // 2
+                ) // den
+                ids.append(int(did))
+                hs.append(out_h)
+                ws.append(out_w)
+                bufs.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "height": hs, "width": ws, "pixels": bufs}
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
+        kernel, RESIZE_SCHEMA
+    )

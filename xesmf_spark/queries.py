@@ -2150,6 +2150,46 @@ def multimodal_audio_resample(spark, sf_dir):
     )
 
 
+def multimodal_image_resize_bilinear(spark, sf_dir):
+    """Bilinear image resize in EXACT fixed-point integers
+    (multimodal.resize_images_bilinear): the same 48 deterministic
+    16x16 RGB BMPs as multimodal_image_resize, decoded by the native
+    codec, grayscaled, and resampled to 6x6 — a NON-integer ratio
+    (8/3), so every output pixel is a genuine 4-tap weighted blend
+    with fractional fixed-point weights (fy, fx in [0, 12)), rounded
+    integer division at the end. The oracle recomputes every byte from
+    the closed-form pixel formula — no floats anywhere in the chain."""
+    import numpy as np
+
+    from xesmf_spark.multimodal import encode_bmp, resize_images_bilinear
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    rows = [
+        (d, bytearray(encode_bmp(((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8))))
+        for d in range(48)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    resized = resize_images_bilinear(df, out_h=6, out_w=6).withColumn(
+        "hx", F.hex("pixels")
+    )
+    bvals = F.transform(
+        F.sequence(F.lit(0), F.lit(35)),
+        lambda i: F.conv(F.col("hx").substr(i * 2 + F.lit(1), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    return resized.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate(bvals, F.lit(0).cast("long"), lambda a, x: a + x).alias("byte_sum"),
+        F.array_min(bvals).alias("byte_min"),
+        F.array_max(bvals).alias("byte_max"),
+    )
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Fixed-stride frame sampling over opaque binary payloads
     (multimodal.sample_frames): every 4th 64-byte chunk of each payload
