@@ -577,6 +577,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "multimodal_audio_wav",
         "multimodal_audio_resample",
         "multimodal_image_resize_bilinear",
+        "stream_psi_drift",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

@@ -710,3 +710,38 @@ def test_transform_with_state_running_count(spark, tmp_path):
     assert q.awaitTermination(180)
     got = {r.user_id: r.n for r in spark.sql("SELECT * FROM tws_test").collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_psi_drift_stream_equals_batch(spark, tmp_path):
+    """Streaming PSI maintenance: N-batch histogram merge == the batch
+    psi_drift on the same data (sum-mergeable counts), including
+    state versioning across micro-batches."""
+    import pyspark.sql.functions as F
+
+    from xesmf_spark.quality import psi_drift
+    from xesmf_spark.streaming import psi_drift_stream
+
+    # 3 slab files -> 3 micro-batches with maxFilesPerTrigger=1
+    src = tmp_path / "vals"
+    for part in range(3):
+        spark.createDataFrame(
+            [((part * 100 + i) % 97,) for i in range(200)], "cents long"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    base = spark.createDataFrame([((7 * i) % 97,) for i in range(150)], "cents long")
+
+    stream = (
+        spark.readStream.schema("cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = psi_drift_stream(
+        stream, base, "cents", lo=0, width=10, nbins=10,
+        state_dir=str(tmp_path / "state"),
+    ).orderBy("bin").collect()
+
+    new_batch = spark.read.parquet(str(src))
+    want = psi_drift(base, new_batch, "cents", lo=0, width=10, nbins=10).orderBy(
+        "bin"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 10 and got[0]["psi_micro"] >= 0

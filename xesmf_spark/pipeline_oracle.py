@@ -2107,6 +2107,55 @@ FROM terms
 """
 
 
+def psi_drift_events_sql(
+    lo: int = 0, width: int = 5_000, nbins: int = 10, micro: int = 1_000_000
+) -> str:
+    """Mirrors stream_psi_drift: the streamed 4-batch histogram
+    maintenance equals a from-scratch batch histogram (sum-mergeable
+    integer counts), so the oracle IS the batch PSI of purchase-value
+    vs click-value cents — same clamp-binning, Laplace smoothing and
+    micro-floored terms as psi_drift_sql."""
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+hb AS (
+  SELECT least(greatest((cents - {lo}) // {width}, 0), {nbins} - 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_base
+  FROM e WHERE event_type = 'click' GROUP BY 1
+),
+hn AS (
+  SELECT least(greatest((cents - {lo}) // {width}, 0), {nbins} - 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM e WHERE event_type = 'purchase' GROUP BY 1
+),
+nb AS (SELECT CAST(COALESCE(SUM(n_base), 0) AS BIGINT) AS t FROM hb),
+nn AS (SELECT CAST(COALESCE(SUM(n_new), 0) AS BIGINT) AS t FROM hn),
+bins AS (SELECT CAST(b.range AS BIGINT) AS bin FROM range(0, {nbins}) b),
+terms AS (
+  SELECT bins.bin,
+         COALESCE(hb.n_base, 0) AS n_base,
+         COALESCE(hn.n_new, 0) AS n_new,
+         CAST(FLOOR({micro} * (
+           ((CAST(COALESCE(hb.n_base, 0) + 1 AS DOUBLE)
+             / CAST(nb.t + {nbins} AS DOUBLE))
+            - (CAST(COALESCE(hn.n_new, 0) + 1 AS DOUBLE)
+               / CAST(nn.t + {nbins} AS DOUBLE)))
+           * LN((CAST(COALESCE(hb.n_base, 0) + 1 AS DOUBLE)
+                 / CAST(nb.t + {nbins} AS DOUBLE))
+                / (CAST(COALESCE(hn.n_new, 0) + 1 AS DOUBLE)
+                   / CAST(nn.t + {nbins} AS DOUBLE)))
+         )) AS BIGINT) AS term_micro
+  FROM bins LEFT JOIN hb USING (bin) LEFT JOIN hn USING (bin), nb, nn
+)
+SELECT bin, n_base, n_new, term_micro,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+FROM terms
+"""
+
+
 def ks_drift_sql(micro: int = 1_000_000) -> str:
     """Mirrors orders_ks_drift with the NAIVE global-window cumulative
     scan (the formulation the engine's two-phase decomposition must

@@ -200,7 +200,18 @@ def psi_drift(
     hn = histogram_rollup(new, [], val_col, lo, width, nbins).withColumnRenamed(
         "n", "n_new"
     )
-    bins = base.sparkSession.range(nbins).select(F.col("id").alias("bin"))
+    return psi_from_histograms(hb, hn, nbins, micro=micro)
+
+
+def psi_from_histograms(
+    hb: DataFrame, hn: DataFrame, nbins: int, micro: int = M
+) -> DataFrame:
+    """The PSI arithmetic of :func:`psi_drift` over ALREADY-BUILT
+    histograms ``(bin, n_base)`` / ``(bin, n_new)`` — the entry point
+    for maintained histogram state (the streaming PSI monitor merges
+    per-batch histogram deltas and hands the final state here). Same
+    exact integer micro-nat contract."""
+    bins = hb.sparkSession.range(nbins).select(F.col("id").alias("bin"))
     nb = hb.agg(F.coalesce(F.sum("n_base"), F.lit(0)).alias("__nb"))
     nn = hn.agg(F.coalesce(F.sum("n_new"), F.lit(0)).alias("__nn"))
     j = (

@@ -5278,6 +5278,45 @@ def orders_psi_drift(spark, sf_dir):
     return psi_drift(base, new, "cents", lo=0, width=5_000_000, nbins=10)
 
 
+def stream_psi_drift(spark, sf_dir):
+    """STREAMING PSI drift monitor (streaming.psi_drift_stream):
+    purchase-event values arrive as 4 time-slab micro-batches; each
+    batch histogram-counts into the pinned 10 x $50 cents bins and
+    merges into the versioned histogram state inside foreachBatch
+    (the rollup_stream at-least-once discipline), then the final
+    state scores PSI against the batch click-value baseline. Counts
+    are sum-mergeable integer partials, so 4-batch maintenance is
+    bit-identical to the from-scratch batch PSI — which is exactly
+    what the oracle computes."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = f"/tmp/xesmf_psi_state_{tag}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir + "_cp", ignore_errors=True)
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+        "cents"
+    )
+    new_stream = (
+        ST.events_stream(spark, d, max_files=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(cents)
+    )
+    base = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(cents)
+    )
+    return ST.psi_drift_stream(
+        new_stream, base, "cents", lo=0, width=5_000, nbins=10,
+        state_dir=state_dir,
+    )
+
+
 def trade_graph_kcore(spark, sf_dir):
     """Fixed-3-round k-core peeling (relational.kcore_nodes, k=3)
     over the sparsified customer-supplier trade graph: strips pendant

@@ -785,3 +785,66 @@ def snapshot_ingest_stream(
             f"snapshot_ingest_stream did not finish within {timeout_sec}s"
         )
     return snapshot_read(df.sparkSession, table_dir)
+
+
+def psi_drift_stream(
+    new_stream: DataFrame,
+    base: DataFrame,
+    val_col: str,
+    lo: int,
+    width: int,
+    nbins: int,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """STREAMING drift monitor — PSI of an arriving sample against a
+    pinned baseline, maintained incrementally: every micro-batch is
+    histogram-counted (``quality.histogram_rollup``, the caller-pinned
+    equi-width bins that make the metric mergeable) and merged into
+    the persistent versioned histogram state inside ``foreachBatch``
+    (same at-least-once discipline as :func:`rollup_stream`: merge
+    onto the newest STRICTLY-EARLIER version, republish your own
+    batch id idempotently, crash-atomic rename publish). Drives the
+    stream to completion (availableNow) and returns the final PSI
+    frame (``quality.psi_from_histograms``) — bit-identical to the
+    batch :func:`~xesmf_spark.quality.psi_drift` on the same data,
+    because histogram counts are sum-mergeable integer partials.
+
+    Scale shape: per batch one map-side-combinable count keyed on
+    ``nbins`` bins + a merge against O(nbins) state — never event
+    volume; the PSI tail is the usual nbins-row frame + two 1-row
+    broadcasts."""
+    from xesmf_spark.quality import histogram_rollup, psi_from_histograms
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        delta = histogram_rollup(batch_df, [], val_col, lo, width, nbins)
+        prev = _state_before(batch_df.sparkSession, state_dir, batch_id)
+        merged = (
+            prev.unionByName(delta).groupBy("bin").agg(F.sum("n").alias("n"))
+            if prev is not None
+            else delta
+        )
+        _publish_version(merged, state_dir, batch_id)
+
+    q = (
+        new_stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir or state_dir + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"psi_drift_stream did not finish within {timeout_sec}s"
+        )
+    state = latest_rollup_state(new_stream.sparkSession, state_dir)
+    if state is None:
+        raise RuntimeError(f"psi_drift_stream produced no state under {state_dir}")
+    hb = histogram_rollup(base, [], val_col, lo, width, nbins).withColumnRenamed(
+        "n", "n_base"
+    )
+    return psi_from_histograms(
+        hb, state.withColumnRenamed("n", "n_new"), nbins
+    )
