@@ -101,6 +101,9 @@ ALLOW = {
     # the two 1-row sample totals crossed onto the nbins-row bin frame
     # (PSI normalization constants)
     "orders_psi_drift": {"BroadcastNestedLoopJoin"},
+    # the streaming twin audits the POST-STREAM PSI frame — the same
+    # two 1-row totals crossed onto the nbins-row bin frame
+    "stream_psi_drift": {"BroadcastNestedLoopJoin"},
     # the dense grid is generated-axis x distinct-types — both bounded
     # by construction (span hours / type cardinality), never fact-volume
     "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},
