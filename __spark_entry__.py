@@ -44,8 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) 20 r12 NEW queries (unigram tok/encode, WAV
+    # IN-WINDOW = (a) 21 r12 NEW queries (unigram tok/encode, WAV
     # stats + resample, bilinear image resize, streaming PSI,
+    # snapshot version diff,
     # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
     # recall, MMR rerank, grouped split, char entropy, TextRank,
     # containment, multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
@@ -53,7 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span-dedup multi-level), (b) the 3 reachable singles the r11
     # verdict names (orders_burst_components — zero lifetime driver
     # greens; customers_upsert_delete + stream_cdc_apply — one each)
-    # plus trade_graph_components (r11 first-green), then (c) 18
+    # plus trade_graph_components (r11 first-green), then (c) 17
     # cyclers from the STALEST tail stratum (last driver-checked
     # r6/r7).
     # Tail is ordered freshest-evidence-first so each round's cyclers
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_resample": Q.multimodal_audio_resample,
         "multimodal_image_resize_bilinear": Q.multimodal_image_resize_bilinear,
         "stream_psi_drift": Q.stream_psi_drift,
+        "orders_snapshot_diff": Q.orders_snapshot_diff,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1532,6 +1534,22 @@ WHERE cum_tokens <= 5000
         "ann_mmr_top3": PO.mmr_topk_sql(k=3, pool_k=8),
         "pipeline_split_grouped": PO.grouped_split_sql(threshold=0.5),
         "stream_psi_drift": PO.psi_drift_events_sql(),
+        "orders_snapshot_diff": """
+-- replay both snapshot versions' expected content from orders:
+-- v2 = all rows (append+append); v3 = overwrite to 'F' rows with
+-- cents+1 on %5 keys => per-key status is a pure projection
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+),
+d AS (
+  SELECT k, CASE WHEN st != 'F' THEN 'removed'
+                 WHEN k % 5 = 0 THEN 'changed'
+                 ELSE 'unchanged' END AS diff_status
+  FROM o
+)
+SELECT diff_status, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS sum_keys
+FROM d GROUP BY diff_status
+""",
         "ann_sq8_recall": f"""
 WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
 approx_q AS ({PO.sq8_topk_sql()}),

@@ -364,3 +364,35 @@ def test_snapshot_vacuum_crash_between_phases_keeps_retained_readable(
     stats = snapshot_vacuum(d, keep_last=1)
     assert stats["dropped_versions"] == [1, 2]
     assert {r.k for r in snapshot_read(spark, d).collect()} == {9}
+
+
+def test_snapshot_version_diff_composition(spark, tmp_path):
+    """Time-travel reads of two manifest versions reconciled by
+    table_diff: added/removed/changed/unchanged statuses match the
+    constructed history exactly."""
+    import pyspark.sql.functions as F
+
+    from xesmf_spark.relational import table_diff
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    d = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "k long, v long"
+    )
+    v1 = snapshot_commit(base, d, "append")
+    # v2: keep k<6, change v on k%2==0, add k=100
+    nxt = spark.createDataFrame(
+        [(i, i * 10 + (1 if i % 2 == 0 else 0)) for i in range(6)] + [(100, 5)],
+        "k long, v long",
+    )
+    v2 = snapshot_commit(nxt, d, "overwrite")
+    diff = table_diff(
+        snapshot_read(spark, d, v1).select("k", "v"),
+        snapshot_read(spark, d, v2).select("k", "v"),
+        "k",
+    )
+    got = {r["k"]: r["diff_status"] for r in diff.collect()}
+    assert got[100] == "added"
+    assert got[6] == got[7] == "removed"
+    assert all(got[i] == "changed" for i in range(0, 6, 2))
+    assert all(got[i] == "unchanged" for i in range(1, 6, 2))

@@ -4582,6 +4582,52 @@ def orders_time_travel(spark, sf_dir):
     return allv.withColumn("versions_ok", F.lit(bool((v1, v2, v3) == (1, 2, 3))))
 
 
+def orders_snapshot_diff(spark, sf_dir):
+    """Version-to-version DIFF on the snapshot table — the lakehouse
+    "what changed between v2 and v3" audit, composed from the existing
+    kernels with no new physics: time-travel reads of two manifest
+    versions (sources.snapshot_read) reconciled by
+    relational.table_diff (one NULL-safe full-outer equi-join). v3
+    overwrites down to 'F'-status rows AND perturbs cents on %5 keys,
+    so the diff exercises removed (non-F), changed (%5 F keys) and
+    unchanged (the rest) in one pass; per-status key counts + key sums
+    pin the membership exactly. The oracle replays both versions'
+    expected content straight from the orders table."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark.relational import table_diff
+    from xesmf_spark.sources import snapshot_commit, snapshot_read
+
+    tag = hashlib.md5((sf_dir + "#diff").encode()).hexdigest()[:8]
+    d = f"/tmp/xesmf_snapdiff_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    snapshot_commit(o.filter(F.col("o_orderkey") % 3 != 0), d, "append")
+    v2 = snapshot_commit(o.filter(F.col("o_orderkey") % 3 == 0), d, "append")
+    mod = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    v3 = snapshot_commit(mod, d, "overwrite")
+    left = snapshot_read(spark, d, v2).select("o_orderkey", "cents")
+    right = snapshot_read(spark, d, v3).select("o_orderkey", "cents")
+    diff = table_diff(left, right, "o_orderkey")
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
 def orders_snapshot_vacuum(spark, sf_dir):
     """Retention sweep / VACUUM over the snapshot table
     (sources.snapshot_vacuum — the expire-snapshots half of the MVCC
