@@ -44,9 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) 21 r12 NEW queries (unigram tok/encode, WAV
+    # IN-WINDOW = (a) 22 r12 NEW queries (unigram tok/encode, WAV
     # stats + resample, bilinear image resize, streaming PSI,
-    # snapshot version diff,
+    # snapshot version diff, correlation profile,
     # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
     # recall, MMR rerank, grouped split, char entropy, TextRank,
     # containment, multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span-dedup multi-level), (b) the 3 reachable singles the r11
     # verdict names (orders_burst_components — zero lifetime driver
     # greens; customers_upsert_delete + stream_cdc_apply — one each)
-    # plus trade_graph_components (r11 first-green), then (c) 17
+    # plus trade_graph_components (r11 first-green), then (c) 16
     # cyclers from the STALEST tail stratum (last driver-checked
     # r6/r7).
     # Tail is ordered freshest-evidence-first so each round's cyclers
@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize_bilinear": Q.multimodal_image_resize_bilinear,
         "stream_psi_drift": Q.stream_psi_drift,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
+        "lineitem_correlations": Q.lineitem_correlations,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1534,6 +1535,52 @@ WHERE cum_tokens <= 5000
         "ann_mmr_top3": PO.mmr_topk_sql(k=3, pool_k=8),
         "pipeline_split_grouped": PO.grouped_split_sql(threshold=0.5),
         "stream_psi_drift": PO.psi_drift_events_sql(),
+        "lineitem_correlations": """
+-- one-pass moment sums in exact BIGINTs, identical double tail
+WITH m AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000
+           AS price_husd,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_centi
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qty) AS BIGINT) AS sx,
+         CAST(SUM(qty * qty) AS BIGINT) AS qx,
+         CAST(SUM(price_husd) AS BIGINT) AS sy,
+         CAST(SUM(price_husd * price_husd) AS BIGINT) AS qy,
+         CAST(SUM(disc_centi) AS BIGINT) AS sz,
+         CAST(SUM(disc_centi * disc_centi) AS BIGINT) AS qz,
+         CAST(SUM(qty * price_husd) AS BIGINT) AS pxy,
+         CAST(SUM(qty * disc_centi) AS BIGINT) AS pxz,
+         CAST(SUM(price_husd * disc_centi) AS BIGINT) AS pyz
+  FROM m
+)
+SELECT 'qty' AS col_x, 'price_husd' AS col_y, n,
+       CASE WHEN n*qx - sx*sx > 0 AND n*qy - sy*sy > 0 THEN
+         CAST(FLOOR(1000000.0 * (CAST(n*pxy - sx*sy AS DOUBLE)
+           / SQRT(CAST(n*qx - sx*sx AS DOUBLE)
+                  * CAST(n*qy - sy*sy AS DOUBLE)))) AS BIGINT)
+       END AS corr_micro
+FROM s
+UNION ALL
+SELECT 'qty', 'disc_centi', n,
+       CASE WHEN n*qx - sx*sx > 0 AND n*qz - sz*sz > 0 THEN
+         CAST(FLOOR(1000000.0 * (CAST(n*pxz - sx*sz AS DOUBLE)
+           / SQRT(CAST(n*qx - sx*sx AS DOUBLE)
+                  * CAST(n*qz - sz*sz AS DOUBLE)))) AS BIGINT)
+       END
+FROM s
+UNION ALL
+SELECT 'price_husd', 'disc_centi', n,
+       CASE WHEN n*qy - sy*sy > 0 AND n*qz - sz*sz > 0 THEN
+         CAST(FLOOR(1000000.0 * (CAST(n*pyz - sy*sz AS DOUBLE)
+           / SQRT(CAST(n*qy - sy*sy AS DOUBLE)
+                  * CAST(n*qz - sz*sz AS DOUBLE)))) AS BIGINT)
+       END
+FROM s
+""",
         "orders_snapshot_diff": """
 -- replay both snapshot versions' expected content from orders:
 -- v2 = all rows (append+append); v3 = overwrite to 'F' rows with

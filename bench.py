@@ -579,6 +579,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "multimodal_image_resize_bilinear",
         "stream_psi_drift",
         "orders_snapshot_diff",
+        "lineitem_correlations",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

@@ -251,3 +251,48 @@ def test_w1_drift_matches_direct_reference(spark):
         assert tuple(w1_drift(a, b, "cents", n_buckets=nb_).collect()[0]) == ref(
             a_vals, b_vals
         )
+
+
+def test_profile_correlations_matches_numpy(spark):
+    """profile_correlations: micro-floored Pearson equals numpy's
+    corrcoef on the same integer columns; constant columns yield NULL;
+    perfectly linear pairs hit ±1e6 within floor dust."""
+    import math
+
+    import numpy as np
+
+    from xesmf_spark.quality import profile_correlations
+
+    rng = np.random.RandomState(31)
+    n = 300
+    a = rng.randint(0, 100, n)
+    b = 3 * a + rng.randint(0, 40, n)   # strongly positive
+    c = rng.randint(0, 100, n)          # independent
+    d = np.full(n, 7)                   # constant -> NULL
+    e = -2 * a                          # perfectly linear -> -1
+    df = spark.createDataFrame(
+        [(int(a[i]), int(b[i]), int(c[i]), int(d[i]), int(e[i])) for i in range(n)],
+        "a long, b long, c long, d long, e long",
+    )
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr_micro"])
+        for r in profile_correlations(df, ["a", "b", "c", "d", "e"]).collect()
+    }
+    assert len(got) == 10 and all(v[0] == n for v in got.values())
+
+    def ref(x, y):
+        xs, ys = x.astype(np.int64), y.astype(np.int64)
+        num = n * int((xs * ys).sum()) - int(xs.sum()) * int(ys.sum())
+        va = n * int((xs * xs).sum()) - int(xs.sum()) ** 2
+        vb = n * int((ys * ys).sum()) - int(ys.sum()) ** 2
+        if va <= 0 or vb <= 0:
+            return None
+        return math.floor(1_000_000.0 * (float(num) / math.sqrt(float(va) * float(vb))))
+
+    cols = {"a": a, "b": b, "c": c, "d": d, "e": e}
+    for (x, y), (_, corr) in got.items():
+        assert corr == ref(cols[x], cols[y]), (x, y)
+    assert got[("a", "d")][1] is None and got[("d", "e")][1] is None
+    assert got[("a", "e")][1] == -1_000_000
+    assert got[("a", "b")][1] > 900_000
+    assert abs(got[("a", "c")][1]) < 150_000

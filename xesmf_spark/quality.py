@@ -422,3 +422,76 @@ def w1_drift(
             f"+ ({micro} * (w1_num % {d})) DIV {d} AS BIGINT)"
         ).alias("w1_micro"),
     )
+
+
+def profile_correlations(
+    df: DataFrame, cols: list[str], micro: int = M
+) -> DataFrame:
+    """Pairwise Pearson correlation over integer-valued columns in ONE
+    aggregation pass — the observability step after :func:`profile_table`
+    ("which measures move together") that feature stores and ingest
+    monitors run on every batch:
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)(n·Σy² − Σy²ᵗ))
+
+    All moment sums are EXACT BIGINTs (inputs must be integer-scaled —
+    cents/centi-units — small enough that n·Σx² stays < 2^63: with k-
+    digit units and r rows that is k²·r² < 9.2e18, e.g. 1e3-unit values
+    to ~3e6 rows; beyond that pre-scale the units down, which leaves
+    Pearson INVARIANT — it is scale-free). The final formula is one
+    double expression over exact integers, identical in both engines,
+    floored to micro units. Constant columns (zero variance) yield
+    NULL.
+
+    Scale shape: ONE map-side-combinable aggregation producing all
+    O(k²) moments over a single scan of exactly the k columns; the
+    k²-row output frame is a pure projection of that 1-row aggregate.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"__s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("long")).alias(f"__q_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("long")).alias(f"__p_{a}_{b}")
+            )
+    m = df.select(*[F.col(c).cast("long").alias(c) for c in cols]).agg(*aggs)
+    outs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = F.col("__n") * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(
+                f"__s_{b}"
+            )
+            va = F.col("__n") * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(
+                f"__s_{a}"
+            )
+            vb = F.col("__n") * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(
+                f"__s_{b}"
+            )
+            corr = F.when(
+                (va > 0) & (vb > 0),
+                F.floor(
+                    F.lit(float(micro))
+                    * (
+                        num.cast("double")
+                        / F.sqrt(va.cast("double") * vb.cast("double"))
+                    )
+                ).cast("long"),
+            )
+            outs.append(
+                m.select(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("__n").alias("n"),
+                    corr.alias("corr_micro"),
+                )
+            )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u

@@ -5305,6 +5305,31 @@ def parts_copurchase_clustering(spark, sf_dir):
     return clustering_coefficient(edges)
 
 
+def lineitem_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation profile
+    (quality.profile_correlations) over lineitem's integer-scaled
+    measures — ONE map-side aggregation pass computes every moment sum
+    in exact BIGINTs, the final correlation is one double expression
+    over those integers floored to micro units (engine-identical).
+    quantity x price correlates strongly (price = qty x unit price);
+    discount stays near zero by construction — the ingest-monitor
+    sanity check this op exists for."""
+    from xesmf_spark.quality import profile_correlations
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+        # hundred-dollar units: keeps n*Σ(price²) < 2^63 to ~3e6 rows
+        # (the docstring's pre-scale rule; Pearson is scale-free)
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 10000"
+        ).alias("price_husd"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "disc_centi"
+        ),
+    )
+    return profile_correlations(li, ["qty", "price_husd", "disc_centi"])
+
+
 def orders_psi_drift(spark, sf_dir):
     """PSI drift between early (< 1998) and late order-value
     distributions (quality.psi_drift): the production data-drift
