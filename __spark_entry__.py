@@ -44,9 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
-    # IN-WINDOW = (a) 22 r12 NEW queries (unigram tok/encode, WAV
+    # IN-WINDOW = (a) 23 r12 NEW queries (unigram tok/encode, WAV
     # stats + resample, bilinear image resize, streaming PSI,
-    # snapshot version diff, correlation profile,
+    # snapshot version diff, correlation profile, weighted PageRank,
     # shortest-paths, mixture, RRF, KS + W1 drift, HITS, SQ8 top3 +
     # recall, MMR rerank, grouped split, char entropy, TextRank,
     # containment, multi-level span dedup) + 8 r12 engine-changed (decode-gate fix touches every
@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span-dedup multi-level), (b) the 3 reachable singles the r11
     # verdict names (orders_burst_components — zero lifetime driver
     # greens; customers_upsert_delete + stream_cdc_apply — one each)
-    # plus trade_graph_components (r11 first-green), then (c) 16
+    # plus trade_graph_components (r11 first-green), then (c) 15
     # cyclers from the STALEST tail stratum (last driver-checked
     # r6/r7).
     # Tail is ordered freshest-evidence-first so each round's cyclers
@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_psi_drift": Q.stream_psi_drift,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
         "lineitem_correlations": Q.lineitem_correlations,
+        "nations_trade_pagerank_weighted": Q.nations_trade_pagerank_weighted,
         "pipeline_unigram_encode": Q.pipeline_unigram_encode,
         "pipeline_span_dedup_multilevel": Q.pipeline_span_dedup_multilevel,
         # r12 engine-changed: loud decode gates for recognized image
@@ -1535,6 +1536,7 @@ WHERE cum_tokens <= 5000
         "ann_mmr_top3": PO.mmr_topk_sql(k=3, pool_k=8),
         "pipeline_split_grouped": PO.grouped_split_sql(threshold=0.5),
         "stream_psi_drift": PO.psi_drift_events_sql(),
+        "nations_trade_pagerank_weighted": PO.pagerank_weighted_sql(iters=3),
         "lineitem_correlations": """
 -- one-pass moment sums in exact BIGINTs, identical double tail
 WITH m AS (

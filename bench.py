@@ -580,6 +580,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "stream_psi_drift",
         "orders_snapshot_diff",
         "lineitem_correlations",
+        "nations_trade_pagerank_weighted",
         "pipeline_unigram_encode",
         "pipeline_span_dedup_multilevel",
         "pipeline_cdc_chunks",

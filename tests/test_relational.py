@@ -1386,3 +1386,48 @@ def test_hits_empty_and_validation(spark):
     edf = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="iters"):
         hits(edf, iters=0)
+
+
+def test_pagerank_weighted_matches_replay_and_weight_sensitivity(spark):
+    """pagerank_weighted: equals a local dict replay of the pinned
+    divide-then-multiply recurrence; a heavy edge pulls rank toward
+    its target vs the uniform variant; parallel edges pre-collapse."""
+    from xesmf_spark.relational import pagerank_weighted
+
+    # 1 -> 2 (weight 9), 1 -> 3 (weight 1) — split twice to test the
+    # parallel-edge SUM collapse; 2 -> 1, 3 -> 1 close the loop
+    edges = [(1, 2, 4), (1, 2, 5), (1, 3, 1), (2, 1, 1), (3, 1, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+
+    def replay(iters=3, damp=850_000):
+        from collections import defaultdict
+
+        ew = defaultdict(int)
+        for s, d, w in edges:
+            ew[(s, d)] += w
+        nodes = sorted({u for e in edges for u in e[:2]})
+        wout = defaultdict(int)
+        for (s, d), w in ew.items():
+            wout[s] += w
+        n = len(nodes)
+        base = (1_000_000 - damp) // n
+        r = {v: 1_000_000 // n for v in nodes}
+        for _ in range(iters):
+            dang = sum(r[v] for v in nodes if v not in wout)
+            nr = {}
+            for v in nodes:
+                inc = sum(
+                    ((r[s] * damp) // 1_000_000) * w // wout[s]
+                    for (s, d), w in ew.items()
+                    if d == v
+                )
+                nr[v] = base + inc + (dang * damp) // (1_000_000 * n)
+            r = nr
+        return r
+
+    got = {
+        r["node"]: r["rank_micro"] for r in pagerank_weighted(edf, iters=3).collect()
+    }
+    assert got == replay()
+    # node 2 (weight-9 target) far outranks node 3 (weight-1 target)
+    assert got[2] > 3 * got[3]

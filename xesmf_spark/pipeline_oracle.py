@@ -2525,6 +2525,60 @@ SELECT query_id, neighbor_id, score, CAST(3 AS INT) FROM s3
 """
 
 
+def pagerank_weighted_sql(iters: int = 3, damp: int = 850_000) -> str:
+    """Mirrors nations_trade_pagerank_weighted: unrolled replay of the
+    quantity-weighted recurrence with the SAME divide-then-multiply
+    share ordering (((r·damp) // 1e6) · w) // W_src — truncating
+    division on positive BIGINTs both engines."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+wout AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY src
+),
+r0 AS MATERIALIZED (
+  SELECT node, 1000000 // (SELECT COUNT(*) FROM nodes) AS r FROM nodes
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+d{t - 1} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r), 0) AS dang FROM r{t - 1}
+  WHERE node NOT IN (SELECT src FROM wout)
+),
+r{t} AS MATERIALIZED (
+  SELECT nd.node,
+         (1000000 - {damp}) // (SELECT COUNT(*) FROM nodes)
+           + COALESCE(c.s, 0)
+           + ((SELECT dang FROM d{t - 1}) * {damp})
+             // (1000000 * (SELECT COUNT(*) FROM nodes)) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((((r.r * {damp}) // 1000000) * e.w) // o.wout)
+                AS BIGINT) AS s
+    FROM e JOIN wout o ON e.src = o.src JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON nd.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n_name, CAST(r AS BIGINT) AS rank_micro
+FROM r{iters} JOIN nation ON node = n_nationkey
+"""
+    )
+    return "".join(parts)
+
+
 def hits_sql(iters: int = 3) -> str:
     """Mirrors nations_trade_hits: unrolled-CTE replay of the
     fixed-iteration integer micro-unit HITS recurrence (L1

@@ -4436,6 +4436,40 @@ def documents_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+def nations_trade_pagerank_weighted(spark, sf_dir):
+    """Edge-WEIGHTED PageRank (relational.pagerank_weighted) over the
+    q7 trade graph with QUANTITY-weighted edges — rank flows in
+    proportion to traded volume, not uniformly per partner (the
+    question volume-weighted link analysis actually asks). Exact
+    integer recurrence with the divide-then-multiply share ordering
+    (BIGINT-safe at any weight scale whose per-source totals fit);
+    parallel pair edges pre-collapse by SUM of quantity. Oracle =
+    unrolled 3-iteration replay of the identical formula."""
+    from xesmf_spark.relational import pagerank_weighted
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr("CAST(l_quantity AS BIGINT)").alias("w")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+            "w",
+        )
+    )
+    ranks = pagerank_weighted(edges, iters=3, damp_micro=850_000)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranks.join(nation, ranks.node == nation.n_nationkey).select(
+        "n_name", "rank_micro"
+    )
+
+
 def documents_tfidf_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (search.tfidf_top_terms):
     idf floored to integer micro-nats from a ratio of exact integers,

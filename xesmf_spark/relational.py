@@ -1682,3 +1682,83 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iters: int = 3,
+    damp_micro: int = 850_000,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Edge-WEIGHTED PageRank — rank flows in proportion to edge
+    weight (trade volume, link count, citation multiplicity) instead
+    of uniformly across out-edges; the variant real link analyses on
+    weighted graphs run. Same exact integer micro-unit contract as
+    :func:`pagerank`, with the per-edge share
+
+        share = ((rank·damp) DIV 1e6) · w  DIV  W_src
+
+    (divide-then-multiply keeps every intermediate ≤ 850000·W_src —
+    BIGINT-safe for any weight scale whose per-source totals fit, vs
+    rank·damp·w which overflows at ~1e7-unit weights; this ordering is
+    the pinned cross-engine formula, truncating division on positive
+    values). Parallel edges pre-collapse by SUM of weight; dangling
+    mass (no out-edges) redistributes uniformly as in the unweighted
+    op. With all weights equal it is NOT numerically identical to
+    :func:`pagerank` (different division order), which is why it is a
+    separate pinned recurrence rather than a parameter.
+
+    Scale shape: identical to :func:`pagerank` — per iteration one
+    keyed edge-rank equi-join + map-side SUM + one scalar dangling
+    agg, eager-truncated lineage; driver scalar = N only."""
+    e = (
+        edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return e.sparkSession.createDataFrame([], "node long, rank_micro long")
+    base = (1_000_000 - damp_micro) // n
+    wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ranks = nodes.select("node", F.lit(1_000_000 // n).alias("rank_micro"))
+    for _ in range(iters):
+        contribs = (
+            e.join(wout, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(((rank_micro * {damp_micro}L) div 1000000L) * w) div wout"
+                ).alias("__share"),
+            )
+        )
+        dang = ranks.join(
+            wout.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("__dang"))
+        ranks = (
+            nodes.join(
+                contribs.groupBy("node").agg(F.sum("__share").alias("__in")),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.coalesce("__in", F.lit(0))
+                    + F.expr(f"(__dang * {damp_micro}L) div (1000000L * {n}L)")
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    nodes.unpersist()
+    return ranks
