@@ -637,6 +637,36 @@ def main() -> None:
                 n_buckets=64,
             ),
         ),
+        # weighted PageRank on the same synthetic shape (weights from
+        # the id mix): per-round cost identical to the uniform op
+        (
+            "relational_pagerank_weighted",
+            lambda d, s: REL.pagerank_weighted(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.pmod(
+                                        F.col("src") * F.lit(m) + F.lit(a),
+                                        F.lit(50_000 * s),
+                                    ).alias("d"),
+                                    (F.pmod(F.col("src"), F.lit(9)) + 1).alias(
+                                        "wt"
+                                    ),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("e"),
+                )
+                .select("src", F.col("e.d").alias("dst"), F.col("e.wt").alias("w")),
+                iters=3,
+            ),
+        ),
         # HITS on the pagerank synthetic graph shape: two keyed joins +
         # two scalar broadcasts per iteration — same O(E)/round contract
         (
