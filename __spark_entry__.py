@@ -43,7 +43,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-12 rotation (policy + log in SURVEY.md 2E):
+    # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
+    # the 5 r13 NEW queries lead (skyline, basket rules, record
+    # linkage, seasonal decomposition, CUSUM); the r12 window follows
+    # unchanged — it already contains every carrier of this round's
+    # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
+    # zero-norm gates, WAV fmt gate). The 5 regrid cyclers displaced
+    # past position 50 rejoin the tail head for r14.
+    # Prior-round rationale (r12):
     # IN-WINDOW = (a) 23 r12 NEW queries (unigram tok/encode, WAV
     # stats + resample, bilinear image resize, streaming PSI,
     # snapshot version diff, correlation profile, weighted PageRank,
@@ -61,6 +68,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # come off the DEEP end; same-round evidence for every tail entry
     # comes from the committed full-surface record + tri-scale runs.
     return {
+        # (a0) r13 NEW queries (skyline, basket rules, record linkage,
+        # seasonal decomposition, CUSUM changepoint)
+        "parts_skyline": Q.parts_skyline,
+        "parts_basket_rules": Q.parts_basket_rules,
+        "customers_record_linkage": Q.customers_record_linkage,
+        "orders_seasonal_decompose": Q.orders_seasonal_decompose,
+        "events_cusum_changepoint": Q.events_cusum_changepoint,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
         "multimodal_audio_wav": Q.multimodal_audio_wav,
@@ -396,6 +410,11 @@ FROM (VALUES {values}) AS v(d, s, mn, mx)
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "parts_skyline": PO.skyline_sql(),
+        "parts_basket_rules": PO.basket_rules_sql(),
+        "customers_record_linkage": PO.record_linkage_sql(),
+        "orders_seasonal_decompose": PO.seasonal_decompose_sql(),
+        "events_cusum_changepoint": PO.cusum_changepoint_sql(),
         "pipeline_cdc_chunks": PO.cdc_chunks_sql(),
         "pipeline_bigram_lm": PO.bigram_logprob_sql(),
         "trade_graph_communities": PO.lpa_communities_sql(),

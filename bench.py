@@ -592,6 +592,13 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "parts_copurchase_clustering",
         "orders_psi_drift",
         "trade_graph_kcore",
+        # r13: skyline, basket rules, record linkage, seasonal
+        # decomposition, CUSUM changepoint
+        "parts_skyline",
+        "parts_basket_rules",
+        "customers_record_linkage",
+        "orders_seasonal_decompose",
+        "events_cusum_changepoint",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -120,6 +120,14 @@ ALLOW = {
     # the k rule-violation counts are ONE aggregated row crossed onto
     # the k-row rule-name axis (scalar broadcast, the funnel shape)
     "lineitem_constraints": {"BroadcastNestedLoopJoin"},
+    # the skyline's global verify is a LEFT ANTI theta-join whose
+    # broadcast side is the FRONTIER-SIZED candidate set (phase-1 prune
+    # output, not a data-volume relation) — the quadratic is bounded by
+    # frontier^2 by construction
+    "parts_skyline": {"BroadcastNestedLoopJoin"},
+    # the 1-row distinct-basket total N crossed onto the pair-count
+    # aggregate (lift normalization constant — the PSI/PMI shape)
+    "parts_basket_rules": {"BroadcastNestedLoopJoin"},
     # fold-path centroid assignment crosses vectors with the
     # n_centroids-row codebook (8 rows, bounded by construction — the
     # differential-reference path; the gemm path has no cross)

@@ -175,9 +175,11 @@ def main() -> None:
     from xesmf_spark import release_persisted
     from xesmf_spark import queries as Q
     from xesmf_spark import multimodal as MM
+    from xesmf_spark import pipeline as PIPE
     from xesmf_spark import quality as QUAL
     from xesmf_spark import relational as REL
     from xesmf_spark import similarity as SIM
+    from xesmf_spark import timeseries as TS
     from xesmf_spark.session import get_spark
 
     spark = get_spark("xesmf_scale_check")
@@ -691,6 +693,101 @@ def main() -> None:
                 iters=3,
             ),
         ),
+        # r13 additions --------------------------------------------
+        # skyline: uniform-random 2-D points (hash-mixed), expected
+        # frontier O(log n) — phase 1 is a linear per-batch prune,
+        # phase 2 a frontier-sized broadcast anti-join
+        (
+            "relational_skyline",
+            lambda d, s: REL.skyline(
+                spark.range(500_000 * s).select(
+                    "id",
+                    F.pmod(F.col("id") * 7919 + 13, F.lit(1_000_003))
+                    .cast("double")
+                    .alias("price"),
+                    F.pmod(F.col("id") * 104_729 + 7, F.lit(1_000_003)).alias(
+                        "size"
+                    ),
+                ),
+                maximize=["size"],
+                minimize=["price"],
+            ),
+        ),
+        # basket rules: baskets grow Nx, catalog (200 items) and
+        # basket size (4) constant — pair space bounded at 200^2,
+        # per-basket pair join basket-size-bounded
+        (
+            "relational_basket_rules",
+            lambda d, s: REL.basket_rules(
+                spark.range(100_000 * s).select(
+                    F.col("id").alias("basket_id"),
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("id") * F.lit(m) + F.lit(a),
+                                    F.lit(200),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("item"),
+                ),
+                min_pair_support=2,
+            ),
+        ),
+        # record linkage: records grow Nx at CONSTANT block size (20)
+        # — the number of blocks grows, within-block quadratic fixed;
+        # the honest linear regime of any blocked matcher
+        (
+            "pipeline_record_linkage",
+            lambda d, s: PIPE.record_linkage_pairs(
+                spark.range(200_000 * s).select(
+                    "id",
+                    F.expr("id div 20").alias("blk"),
+                    F.format_string(
+                        "rec-%09d",
+                        F.pmod(F.col("id") * 7919, F.lit(1_000_000_000)),
+                    ).alias("name"),
+                    F.pmod(F.col("id") * 31, F.lit(50)).alias("ab"),
+                ),
+                id_col="id",
+                block_cols=["blk"],
+                fields=[("name", "lev", 700_000), ("ab", "exact", 300_000)],
+                min_score_micro=800_000,
+            ),
+        ),
+        # CUSUM on synthetic rollup state: keys grow Nx at constant
+        # 1000-bucket series length; per-key windows + one scalar agg
+        (
+            "timeseries_cusum",
+            lambda d, s: TS.cusum_changepoints(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 1000").alias("k"),
+                    F.pmod(F.col("id"), F.lit(1000)).alias("t"),
+                    F.pmod(F.col("id") * 7919, F.lit(1000)).alias("x"),
+                ),
+                ["k"],
+                "t",
+                "x",
+            ),
+        ),
+        # seasonal decomposition on the same synthetic state shape:
+        # one RANGE window + one phase-mean agg + join-back per key
+        (
+            "timeseries_seasonal",
+            lambda d, s: TS.seasonal_decompose(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 1000").alias("k"),
+                    F.pmod(F.col("id"), F.lit(1000)).alias("t"),
+                    F.pmod(F.col("id") * 7919, F.lit(1000)).alias("x"),
+                ),
+                ["k"],
+                "t",
+                "x",
+                period=7,
+            ),
+        ),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -753,6 +850,29 @@ def main() -> None:
         "quality_w1_drift": (
             "two-phase prefix scan over distinct values + bucket-lead "
             "gap stitch; time tracks distinct-value volume"
+        ),
+        "relational_skyline": (
+            "phase-1 per-batch prune is linear; phase-2 anti-join runs "
+            "on the frontier-sized candidate set (O(log n) expected on "
+            "this uniform 2-D mix), so wall time tracks the scan"
+        ),
+        "relational_basket_rules": (
+            "pair space bounded by the constant 200-item catalog; "
+            "per-basket pair join is basket-size-bounded — time tracks "
+            "basket volume"
+        ),
+        "pipeline_record_linkage": (
+            "constant block size (20): block COUNT grows Nx, "
+            "within-block quadratic fixed — the honest linear regime of "
+            "any blocked matcher; JVM levenshtein, no Python"
+        ),
+        "timeseries_cusum": (
+            "per-key windows over rollup state; keys grow Nx at "
+            "constant series length — linear in state rows"
+        ),
+        "timeseries_seasonal": (
+            "one RANGE window + phase-mean agg + join-back; linear in "
+            "state rows at constant period"
         ),
         "documents_textrank": (
             "fixed-3 pagerank over the token co-occurrence graph; "

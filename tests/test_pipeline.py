@@ -1914,3 +1914,69 @@ def test_grouped_split_no_leakage_and_fallback(spark):
     # group members route by the REPRESENTATIVE's hash
     rep = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
     assert by_id[3] == rep[0] and by_id[12] == rep[10]
+
+
+def test_mmr_topk_zero_norm_embedding_gates_loudly(spark):
+    """A zero-norm embedding in the candidate pool makes cosine
+    undefined (NaN -> undefined int64 cast before the r12 fix); the
+    rerank must raise instead of emitting garbage picks."""
+    import pytest as _pytest
+
+    from xesmf_spark.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero-norm
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="zero-norm"):
+        mmr_topk(df, k=2, pool_k=2).collect()
+
+    # the gate also fires directly in the GEMM candidate generator,
+    # on both the pool side (driver) and the query side (executor)
+    from xesmf_spark.similarity import cosine_topk
+
+    with _pytest.raises(ValueError, match="zero-norm pool"):
+        cosine_topk(df, k=2).collect()
+    clean_pool = df.filter("vec_id != 2")
+    with _pytest.raises(Exception, match="zero-norm query"):
+        cosine_topk(df, pool=clean_pool, k=2).collect()
+
+
+def test_record_linkage_pairs_field_comparators(spark):
+    """record_linkage_pairs: blocked pairs only; lev term grades by
+    (maxlen-dist)*w div maxlen; exact term is null-safe; empty-string
+    pair scores full lev weight; threshold filters."""
+    from xesmf_spark.pipeline import record_linkage_pairs
+
+    rows = [
+        (1, "blk1", "alpha", 7),
+        (2, "blk1", "alphq", 7),   # lev 1 of 5 + bucket match
+        (3, "blk1", "zzzzz", 9),   # lev 5 of 5, no bucket match
+        (4, "blk2", "alpha", 7),   # other block — never paired with 1
+        (5, "blk1", "", None),
+        (6, "blk1", "", None),     # empty pair: full lev w + null-safe exact
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, name string, ab int")
+    out = {
+        (r["id_a"], r["id_b"]): r["score_micro"]
+        for r in record_linkage_pairs(
+            df,
+            id_col="id",
+            block_cols=["blk"],
+            fields=[("name", "lev", 700_000), ("ab", "exact", 300_000)],
+            min_score_micro=500_000,
+        ).collect()
+    }
+    assert out[(1, 2)] == ((5 - 1) * 700_000) // 5 + 300_000
+    assert out[(5, 6)] == 700_000 + 300_000  # empty==empty, NULL<=>NULL
+    assert (1, 3) not in out and (1, 4) not in out
+    import pytest
+
+    with pytest.raises(ValueError, match="comparator"):
+        record_linkage_pairs(
+            df, "id", ["blk"], [("name", "soundex", 1)]
+        )

@@ -1431,3 +1431,106 @@ def test_pagerank_weighted_matches_replay_and_weight_sensitivity(spark):
     assert got == replay()
     # node 2 (weight-9 target) far outranks node 3 (weight-1 target)
     assert got[2] > 3 * got[3]
+
+
+def test_pagerank_weighted_rejects_nonpositive_weights(spark):
+    """Non-positive or NULL collapsed weights would silently vanish
+    rank mass through NULL `div` shares — the op gates loudly instead
+    (ADVICE r12)."""
+    from xesmf_spark.relational import pagerank_weighted
+    import pytest as _pytest
+
+    zero = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 0)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="non-positive"):
+        pagerank_weighted(zero)
+    # weights that cancel under the parallel-edge SUM collapse
+    cancel = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, -5), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="non-positive"):
+        pagerank_weighted(cancel)
+    null_w = spark.createDataFrame(
+        [(1, 2, None), (2, 1, 1)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="NULL or non-positive"):
+        pagerank_weighted(null_w)
+
+
+def test_skyline_matches_bruteforce_and_keeps_ties(spark):
+    """skyline: equals the O(n^2) strict-dominance brute force on a
+    mixed max/min criterion set; identical criterion vectors all
+    survive; the multi-batch path (repartition) changes nothing."""
+    from xesmf_spark.relational import skyline
+
+    pts = [
+        (1, 10.0, 5),  # frontier (cheapest)
+        (2, 10.0, 5),  # exact tie of 1 -> survives too
+        (3, 20.0, 9),  # frontier
+        (4, 20.0, 7),  # dominated by 3 (same price, smaller size)
+        (5, 30.0, 9),  # dominated by 3 (same size, pricier)
+        (6, 40.0, 12),  # frontier (biggest)
+        (7, 15.0, 4),  # dominated by 1 (pricier, smaller)
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+
+    def brute(rows):
+        out = []
+        for p in rows:
+            dom = any(
+                q[1] <= p[1]
+                and q[2] >= p[2]
+                and (q[1] < p[1] or q[2] > p[2])
+                for q in rows
+            )
+            if not dom:
+                out.append(p[0])
+        return sorted(out)
+
+    exp = brute(pts)
+    got = sorted(
+        r["id"]
+        for r in skyline(df, maximize=["size"], minimize=["price"]).collect()
+    )
+    assert got == exp == [1, 2, 3, 6]
+    got8 = sorted(
+        r["id"]
+        for r in skyline(
+            df.repartition(8), maximize=["size"], minimize=["price"]
+        ).collect()
+    )
+    assert got8 == exp
+    import pytest
+
+    with pytest.raises(ValueError, match="criterion"):
+        skyline(df)
+    withnull = spark.createDataFrame(
+        [(1, None, 2)], "id long, price double, size int"
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        skyline(withnull, minimize=["price"], maximize=["size"]).collect()
+
+
+def test_basket_rules_matches_local_replay(spark):
+    """basket_rules: support/conf/lift equal the exact integer replay;
+    duplicate (basket, item) rows collapse; min support filters."""
+    from xesmf_spark.relational import basket_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # dup (1,b) must collapse
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["conf_micro"], r["lift_micro"])
+        for r in basket_rules(df, min_pair_support=2).collect()
+    }
+    # item counts: a=4, b=3, c=2; N=5; pairs>=2: (a,b) & (b,a) sup 2
+    assert got == {
+        ("a", "b"): (2, (1_000_000 * 2) // 4, (1_000_000 * 2 * 5) // (4 * 3)),
+        ("b", "a"): (2, (1_000_000 * 2) // 3, (1_000_000 * 2 * 5) // (3 * 4)),
+    }

@@ -93,3 +93,78 @@ def test_ewma_wide_window_no_int_shift_wrap(spark):
 
     with pytest.raises(ValueError):
         ewma_rollup(r, ["k"], "t", "x", window=63)
+
+
+def test_seasonal_decompose_matches_local_replay(spark):
+    """seasonal_decompose: full-frame rows only; trend/seasonal/resid
+    equal an exact integer local replay, including a gap that shrinks
+    the RANGE frame and negative detrended values."""
+    from xesmf_spark.timeseries import seasonal_decompose
+
+    # key "a": buckets 0..8 with a gap at 5 (frame of 4 and 6 shrinks)
+    vals = {0: 10, 1: 20, 2: 7, 3: 40, 4: 9, 6: 30, 7: 8, 8: 25}
+    rows = [("a", t, v) for t, v in vals.items()]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        (row["k"], row["t"]): (
+            row["trend_micro"],
+            row["seasonal_micro"],
+            row["resid_micro"],
+        )
+        for row in seasonal_decompose(r, ["k"], "t", "x", period=3).collect()
+    }
+    M = 1_000_000
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    trend, det = {}, {}
+    for t in vals:
+        frame = [vals[u] for u in vals if t - 1 <= u <= t + 1]
+        if len(frame) == 3:
+            trend[t] = trunc_div(M * sum(frame), 3)
+            det[t] = M * vals[t] - trend[t]
+    seas = {}
+    for p in range(3):
+        ds = [d for t, d in det.items() if t % 3 == p]
+        if ds:
+            seas[p] = trunc_div(sum(ds), len(ds))
+    exp = {
+        ("a", t): (trend[t], seas[t % 3], det[t] - seas[t % 3]) for t in trend
+    }
+    assert got == exp
+    assert any(v < 0 for _, (_, _, v) in got.items()) or any(
+        d < 0 for d in det.values()
+    )  # the negative-division path is actually exercised
+    import pytest
+
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose(r, ["k"], "t", "x", period=4)
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """cusum_changepoints: a clean level shift peaks |CUSUM| at the
+    last bucket of the first regime; ties break to the earliest
+    bucket; values match the integer replay."""
+    from xesmf_spark.timeseries import cusum_changepoints
+
+    series = [10, 10, 10, 10, 30, 30, 30, 30]
+    rows = [("a", t, v) for t, v in enumerate(series)]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    got = cusum_changepoints(r, ["k"], "t", "x").collect()
+    assert len(got) == 1
+    row = got[0]
+    M = 1_000_000
+    mean = (M * sum(series)) // len(series)  # positive -> // == div
+    cus, best = 0, None
+    for t, v in enumerate(series):
+        cus += M * v - mean
+        if best is None or abs(cus) > abs(best[1]):
+            best = (t, cus)
+    assert (row["cp_bucket"], row["cusum_micro"], row["n_buckets"]) == (
+        best[0],
+        best[1],
+        len(series),
+    )
+    assert row["cp_bucket"] == 3  # last pre-shift bucket

@@ -205,3 +205,16 @@ def test_wav_resample_stats_matches_local_replay(spark):
     )
     with pytest.raises(Exception, match="mono/stereo"):
         wav_resample_stats(tri, sr_out=8000).collect()
+
+
+def test_truncated_fmt_chunk_raises_valueerror():
+    """A fmt chunk whose declared size is >= 16 but whose payload is
+    cut off must raise the documented ValueError, not struct.error
+    (ADVICE r12)."""
+    x = np.arange(4, dtype=np.int16)
+    payload = encode_wav(x)
+    fmt_at = payload.index(b"fmt ")
+    # cut inside the 16-byte fmt payload (8 bytes past the header)
+    truncated = payload[: fmt_at + 8 + 8]
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(truncated)

@@ -2388,3 +2388,92 @@ def pmi_collocations(
             F.floor(F.lit(micro) * F.log(ratio)).cast("long").alias("pmi_micro"),
         )
     )
+
+
+def record_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[tuple],
+    min_score_micro: int = 500_000,
+    max_block: int | None = MAX_EDITDIST_BLOCK,
+) -> DataFrame:
+    """STRUCTURED entity resolution (Fellegi-Sunter-lite record
+    linkage): candidate pairs share a composite BLOCKING key, and each
+    pair scores an exact-integer weighted agreement over typed field
+    comparators:
+
+    - ``("col", "exact", w)`` — full weight ``w`` iff the values are
+      null-safe equal, else 0 (the categorical agreement term).
+    - ``("col", "lev", w)`` — graded string agreement
+      ``((maxlen - levenshtein) * w) div maxlen`` (two empty strings
+      agree fully; a NULL on either side scores 0) — BIGINT-exact, and
+      both engines ship the same unit-cost ``levenshtein``.
+
+    ``score_micro = Σ field scores``; pairs with
+    ``score_micro >= min_score_micro`` are emitted once (``id_a <
+    id_b``).  Differs from :func:`editdist_dedup_pairs` in modality:
+    that op near-dedups ONE text column under prefix blocking; this
+    one links STRUCTURED records on a caller-chosen composite key with
+    per-field weights — the customer/patient/vendor master-data match.
+
+    Scale shape: equi-join on the composite block key only (never
+    all-pairs); comparators are JVM Column expressions (no Python).
+    Same skew valve as :func:`editdist_dedup_pairs`: block sizes
+    pre-aggregate on the join key and blocks over ``max_block``
+    records are dropped whole (boilerplate keys are exact-dup
+    territory, not linkage territory)."""
+    if not block_cols:
+        raise ValueError("record_linkage_pairs needs >= 1 blocking column")
+    if not fields:
+        raise ValueError("record_linkage_pairs needs >= 1 scored field")
+    kinds = {k for _, k, _ in fields}
+    if not kinds <= {"exact", "lev"}:
+        raise ValueError(f"unknown comparator kind(s): {sorted(kinds - {'exact', 'lev'})}")
+    cols = [c for c, _, _ in fields]
+    base = df.select(
+        F.col(id_col).alias("__id"), *[F.col(c) for c in {*block_cols, *cols}]
+    )
+    b = base.withColumn("__block", F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in block_cols
+    ]))
+    if max_block is not None:
+        sz = b.groupBy("__block").agg(F.count(F.lit(1)).alias("__bn"))
+        b = b.join(sz, "__block").filter(F.col("__bn") <= max_block).drop("__bn")
+    left = b.select(
+        "__block",
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in cols],
+    )
+    right = b.select(
+        "__block",
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in cols],
+    )
+    pairs = left.join(right, "__block").filter(F.col("id_a") < F.col("id_b"))
+    score = F.lit(0).cast("long")
+    for c, kind, w in fields:
+        a_, b_ = F.col(f"__a_{c}"), F.col(f"__b_{c}")
+        if kind == "exact":
+            term = F.when(a_.eqNullSafe(b_), F.lit(int(w)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        else:
+            maxlen = F.greatest(F.length(a_), F.length(b_))
+            term = (
+                F.when(a_.isNull() | b_.isNull(), F.lit(0).cast("long"))
+                .when(maxlen == 0, F.lit(int(w)).cast("long"))
+                .otherwise(
+                    F.expr(
+                        f"((greatest(length(__a_{c}), length(__b_{c})) - "
+                        f"levenshtein(__a_{c}, __b_{c})) * {int(w)}L) div "
+                        f"greatest(length(__a_{c}), length(__b_{c}))"
+                    )
+                )
+            )
+        score = score + term
+    return (
+        pairs.withColumn("score_micro", score)
+        .filter(F.col("score_micro") >= min_score_micro)
+        .select("id_a", "id_b", "score_micro")
+    )

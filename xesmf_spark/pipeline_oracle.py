@@ -2718,3 +2718,160 @@ a{r} AS MATERIALIZED (
 SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
 FROM a{iters} GROUP BY src""")
     return "".join(parts)
+
+
+def skyline_sql() -> str:
+    """Mirrors parts_skyline: the textbook NOT-EXISTS skyline — q
+    strictly dominates p iff q is <= on price, >= on size, and
+    strictly better on at least one.  Comparisons only, so the
+    frontier SET is engine-exact (identical criterion vectors survive
+    together, the standard tie rule)."""
+    return """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+def basket_rules_sql(min_support: int = 5) -> str:
+    """Mirrors parts_basket_rules: (order, brand) dedup, basket-keyed
+    ordered pair counts, support/confidence/lift in exact micro units
+    (truncating // on positive BIGINTs; intermediate
+    1e6*support*N <= ~1e6*N^2 fits BIGINT at any SF this box holds —
+    cast back from DuckDB's HUGEINT sums)."""
+    return f"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+itemn AS MATERIALIZED (SELECT i, COUNT(*) AS cnt FROM bi GROUP BY i),
+tot AS MATERIALIZED (SELECT COUNT(DISTINCT b) AS n FROM bi),
+pairs AS MATERIALIZED (
+  SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS support
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_support}
+)
+SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+       CAST((1000000 * support) // na.cnt AS BIGINT) AS conf_micro,
+       CAST((1000000 * support * (SELECT n FROM tot))
+            // (na.cnt * nb.cnt) AS BIGINT) AS lift_micro
+FROM pairs
+JOIN itemn na ON item_a = na.i
+JOIN itemn nb ON item_b = nb.i
+"""
+
+
+def record_linkage_sql(min_score: int = 900_000) -> str:
+    """Mirrors customers_record_linkage: composite-key blocked pairs,
+    graded Levenshtein name term ((maxlen-lev)*700000 // maxlen) plus
+    exact acct-bucket term (+300000) — all BIGINT; the negative-
+    balance bucket division truncates toward zero in both engines."""
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+           AS ab
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(((GREATEST(LENGTH(a.c_name), LENGTH(b.c_name))
+              - levenshtein(a.c_name, b.c_name)) * 700000)
+            // GREATEST(LENGTH(a.c_name), LENGTH(b.c_name))
+            + CASE WHEN a.ab = b.ab THEN 300000 ELSE 0 END
+            AS BIGINT) AS score_micro
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE ((GREATEST(LENGTH(a.c_name), LENGTH(b.c_name))
+        - levenshtein(a.c_name, b.c_name)) * 700000)
+      // GREATEST(LENGTH(a.c_name), LENGTH(b.c_name))
+      + CASE WHEN a.ab = b.ab THEN 300000 ELSE 0 END >= {min_score}
+"""
+
+
+def seasonal_decompose_sql(period: int = 5) -> str:
+    """Mirrors orders_seasonal_decompose: weekly cents rollup, RANGE
+    centered moving average (full-frame rows only), per-phase
+    uncentered seasonal means, residual — every division a truncating
+    integer // (negative detrended values truncate toward zero in both
+    engines, verified; DuckDB HUGEINT sums cast back to BIGINT)."""
+    half = (period - 1) // 2
+    return f"""
+WITH r AS MATERIALIZED (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS wk,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+t AS MATERIALIZED (
+  SELECT o_orderpriority, wk, cents * 1000000 AS x,
+         CAST(SUM(cents * 1000000) OVER w AS BIGINT) AS fsum,
+         COUNT(*) OVER w AS fn
+  FROM r
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY wk
+               RANGE BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+),
+d AS MATERIALIZED (
+  SELECT o_orderpriority, wk, x,
+         fsum // {period} AS trend_micro,
+         wk % {period} AS phase,
+         x - fsum // {period} AS det
+  FROM t WHERE fn = {period}
+),
+s AS MATERIALIZED (
+  SELECT o_orderpriority, phase,
+         CAST(SUM(det) // COUNT(*) AS BIGINT) AS seasonal_micro
+  FROM d GROUP BY 1, 2
+)
+SELECT d.o_orderpriority, d.wk,
+       CAST(d.trend_micro AS BIGINT) AS trend_micro,
+       s.seasonal_micro,
+       CAST(d.det - s.seasonal_micro AS BIGINT) AS resid_micro
+FROM d JOIN s ON d.o_orderpriority = s.o_orderpriority AND d.phase = s.phase
+"""
+
+
+def cusum_changepoint_sql() -> str:
+    """Mirrors events_cusum_changepoint: pinned integer mean
+    (SUM(1e6*cents) // n, truncating), ordered cumulative deviation
+    sum, argmax of |S(t)| with earliest-day ties — all BIGINT."""
+    return """
+WITH r AS MATERIALIZED (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+m AS MATERIALIZED (
+  SELECT event_type,
+         CAST(SUM(cents * 1000000) // COUNT(*) AS BIGINT) AS mean_micro,
+         COUNT(*) AS n_buckets
+  FROM r GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT r.event_type, r.day, m.n_buckets,
+         CAST(SUM(r.cents * 1000000 - m.mean_micro)
+              OVER (PARTITION BY r.event_type ORDER BY r.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum_micro
+  FROM r JOIN m ON r.event_type = m.event_type
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(cusum_micro) DESC, day ASC) AS rn
+  FROM cum
+)
+SELECT event_type, day AS cp_bucket, cusum_micro,
+       CAST(n_buckets AS BIGINT) AS n_buckets
+FROM rk WHERE rn = 1
+"""

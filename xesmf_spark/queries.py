@@ -5553,3 +5553,131 @@ def trade_graph_components(spark, sf_dir):
         )
         .withColumn("n_customers", F.col("n_members") - F.col("n_suppliers"))
     )
+
+
+def parts_skyline(spark, sf_dir):
+    """SKYLINE / Pareto frontier (relational.skyline — Börzsönyi ICDE
+    2001): the parts no other part beats on BOTH price (minimize) and
+    size (maximize) — the "best offers" multi-criteria query SQL can
+    only state as a quadratic NOT EXISTS.  The op's two-phase plan
+    (lossless per-batch Arrow prune -> broadcast anti-join over the
+    frontier-sized candidate set) keeps the quadratic off the full
+    relation; comparisons only, no arithmetic, so the frontier SET is
+    engine-exact and the oracle is the NOT-EXISTS replay verbatim."""
+    from xesmf_spark.relational import skyline
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline(p, maximize=["p_size"], minimize=["p_retailprice"])
+
+
+def parts_basket_rules(spark, sf_dir):
+    """Market-basket association rules (relational.basket_rules —
+    Agrawal-Srikant support/confidence/lift over transaction baskets):
+    orders are baskets, part BRANDS are items; every ordered brand
+    pair co-bought in >= 5 orders gets exact-BIGINT support,
+    confidence and lift in micro units (truncating division, both
+    engines).  The transaction-modality counterpart of token-window
+    PMI (documents_pmi_collocations) with the measure family a
+    recommender thresholds on.  Pair generation joins on the basket
+    key only — per-basket quadratic is basket-size-bounded, never
+    corpus-shaped."""
+    from xesmf_spark.relational import basket_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item")
+    )
+    return basket_rules(baskets, min_pair_support=5)
+
+
+def customers_record_linkage(spark, sf_dir):
+    """Structured entity resolution (pipeline.record_linkage_pairs —
+    Fellegi-Sunter-lite weighted field agreement under composite
+    blocking): customers blocked on (nation, market segment), scored
+    by a graded Levenshtein name comparator (weight 0.7) plus an
+    exact 1000-dollar account-balance-bucket comparator (weight 0.3);
+    pairs scoring >= 0.9 in micro units survive.  The bucket is exact
+    integer cents div 100000 (negative balances truncate identically
+    in both engines); the name term is
+    ((maxlen - lev) * 700000) div maxlen — all BIGINT, JVM-side
+    levenshtein, equi-join on the block key only."""
+    from xesmf_spark.pipeline import record_linkage_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000L"
+        ).alias("acct_bucket"),
+    )
+    return record_linkage_pairs(
+        c,
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        fields=[("c_name", "lev", 700_000), ("acct_bucket", "exact", 300_000)],
+        min_score_micro=900_000,
+    )
+
+
+def orders_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition
+    (timeseries.seasonal_decompose) of WEEKLY revenue per order
+    priority: trend = centered 5-week moving average (RANGE frame on
+    the integer week, full-frame rows only), seasonal = per-(priority,
+    week mod 5) mean of the detrended series, residual = the rest.
+    Money enters as exact cents, everything after is BIGINT
+    micro-cents with truncating division — negative detrended values
+    divide identically in Spark (div) and DuckDB (//), both truncate
+    toward zero.  Runs on rollup state (priority x week), never raw
+    orders."""
+    from xesmf_spark.timeseries import seasonal_decompose
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"
+                " div 7L"
+            ).alias("wk"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return seasonal_decompose(
+        r, ["o_orderpriority"], "wk", "cents", period=5
+    )
+
+
+def events_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM changepoint locator (timeseries.cusum_changepoints
+    — Page 1954) per event type over daily value totals: the day where
+    the cumulative deviation from the pinned integer mean peaks in
+    absolute value (ties -> earliest day) is the most likely level
+    shift.  Exact cents -> micro-cents BIGINT chain; the single mean
+    division truncates toward zero in both engines; one scalar agg +
+    one cumulative window + one argmax window, all on (type x day)
+    rollup state."""
+    from xesmf_spark.timeseries import cusum_changepoints
+
+    r = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            # events.ts contract = BIGINT epoch ns (_t absorbs the
+            # physical encoding); positive ts -> DIV = calendar day
+            F.expr("ts DIV 86400000000000").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return cusum_changepoints(r, ["event_type"], "day", "cents")

@@ -1647,6 +1647,17 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         return e.sparkSession.createDataFrame(
             [], "node long, auth_micro long, hub_micro long"
         )
+    if n > 1_000_000:
+        # Above 1e6 nodes the integer seed 1e6 // n truncates to 0 and
+        # the L1 normalization total can reach 0, turning every score
+        # NULL via non-ANSI div while the SQL replay errors — gate
+        # loudly instead (rescale the micro unit to go bigger).
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError(
+            f"hits: {n} nodes exceeds the 1e6-node micro-unit bound; "
+            "normalization seed would truncate to 0"
+        )
     hub = nodes.select("node", F.lit(1_000_000 // n).alias("s"))
 
     def _push(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
@@ -1666,8 +1677,15 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             .select("node", F.coalesce("__in", F.lit(0)).alias("raw"))
         )
         tot = raw.agg(F.sum("raw").alias("__tot"))  # 1 row — scalar broadcast
+        # Defense-in-depth behind the n <= 1e6 gate: a zero total would
+        # NULL every score under non-ANSI div; fail loudly instead.
         return raw.crossJoin(F.broadcast(tot)).select(
-            "node", F.expr("(raw * 1000000L) div __tot").alias("s")
+            "node",
+            F.expr(
+                "CASE WHEN __tot <= 0 THEN "
+                "raise_error('hits: zero normalization total') "
+                "ELSE (raw * 1000000L) div __tot END"
+            ).alias("s"),
         )
 
     auth = None
@@ -1715,7 +1733,18 @@ def pagerank_weighted(
         edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .persist()
     )
+    # Loud gate: a NULL or non-positive collapsed weight makes the
+    # `div wout` share NULL (silently dropped by SUM — rank mass would
+    # vanish) or negative; the SQL replay instead divides by zero.
+    # One limit(1) probe over the already-persisted collapsed edges.
+    if e.filter(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count():
+        e.unpersist()
+        raise ValueError(
+            "pagerank_weighted: NULL or non-positive collapsed edge "
+            "weight; filter weights > 0 upstream"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1724,6 +1753,7 @@ def pagerank_weighted(
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         nodes.unpersist()
         return e.sparkSession.createDataFrame([], "node long, rank_micro long")
     base = (1_000_000 - damp_micro) // n
@@ -1760,5 +1790,189 @@ def pagerank_weighted(
             )
             .localCheckpoint(eager=False)
         )
+    e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def skyline(
+    df: DataFrame,
+    maximize: list[str] | None = None,
+    minimize: list[str] | None = None,
+) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator — the multi-criteria "best
+    offers" query (Börzsönyi et al., ICDE 2001): keep exactly the rows
+    no other row STRICTLY dominates, where q dominates p iff q is >= p
+    on every ``maximize`` column, <= p on every ``minimize`` column,
+    and strictly better on at least one.  Rows with identical
+    criterion vectors dominate each other only non-strictly, so all of
+    them survive — the standard skyline tie rule, and the one a
+    NOT-EXISTS SQL replay states directly.
+
+    Two-phase distributed plan (the classic MR-skyline shape):
+
+    1. LOCAL PRUNE — ``mapInPandas`` computes the Pareto frontier of
+       every Arrow batch (vectorized block-nested-loop on the
+       sign-normalized criterion matrix).  Dominance is transitive, so
+       a globally non-dominated row is non-dominated in its batch —
+       the prune is lossless and reduces candidates from O(n) to the
+       frontier size per batch, with zero shuffle.
+    2. GLOBAL VERIFY — a broadcast LEFT ANTI self-theta-join of the
+       surviving candidates removes cross-batch dominated rows.  The
+       quadratic runs only on the pruned candidate set (frontiers are
+       typically tiny vs n), and broadcasting it keeps the verify
+       shuffle-free too.
+
+    Criterion columns must be non-null (nulls have no place in a
+    dominance order — filter upstream); this is asserted cheaply in
+    the local phase.  Exactness: comparisons only, no arithmetic — the
+    result is the unique frontier SET regardless of partitioning.
+    """
+    maximize = list(maximize or [])
+    minimize = list(minimize or [])
+    dims = maximize + minimize
+    if not dims:
+        raise ValueError("skyline needs at least one criterion column")
+    if len(set(dims)) != len(dims):
+        raise ValueError(f"duplicate criterion column in {dims}")
+    signs = [1.0] * len(maximize) + [-1.0] * len(minimize)
+    schema = df.schema
+
+    def local_frontier(pdfs):
+        import numpy as np
+
+        for b in pdfs:
+            if len(b) == 0:
+                continue
+            Y = np.column_stack(
+                [
+                    b[c].to_numpy(np.float64) * s
+                    for c, s in zip(dims, signs)
+                ]
+            )
+            if np.isnan(Y).any():
+                raise ValueError(
+                    "skyline: NULL/NaN in criterion columns — filter "
+                    "upstream; dominance over NULL is undefined"
+                )
+            # sort best-first on the first criterion so kept rows can
+            # only be dominated by earlier kept rows (never later ones)
+            order = np.lexsort(tuple(Y[:, j] for j in range(Y.shape[1] - 1, -1, -1)))[
+                ::-1
+            ]
+            Y = Y[order]
+            keep_idx: list[int] = []
+            K = np.empty((0, Y.shape[1]))
+            for i in range(len(Y)):
+                y = Y[i]
+                if len(keep_idx):
+                    dom = ((K >= y).all(axis=1) & (K > y).any(axis=1)).any()
+                    if dom:
+                        continue
+                keep_idx.append(order[i])
+                K = np.vstack([K, y])
+            yield b.iloc[sorted(keep_idx)]
+
+    # the candidate set is referenced twice (probe + broadcast build);
+    # an eager localCheckpoint materializes the phase-1 prune ONCE —
+    # it is frontier-sized, so checkpoint storage is trivial
+    cand = df.mapInPandas(local_frontier, schema).localCheckpoint(eager=True)
+    p = cand.alias("p")
+    q = cand.select(
+        *[F.col(c).alias(f"__q_{c}") for c in dims]
+    ).alias("q")
+    geq = [
+        (F.col(f"__q_{c}") >= F.col(f"p.{c}"))
+        if c in maximize
+        else (F.col(f"__q_{c}") <= F.col(f"p.{c}"))
+        for c in dims
+    ]
+    strict = [
+        (F.col(f"__q_{c}") > F.col(f"p.{c}"))
+        if c in maximize
+        else (F.col(f"__q_{c}") < F.col(f"p.{c}"))
+        for c in dims
+    ]
+    cond = geq[0]
+    for g in geq[1:]:
+        cond = cond & g
+    s = strict[0]
+    for t in strict[1:]:
+        s = s | t
+    return p.join(F.broadcast(q), cond & s, "left_anti")
+
+
+def basket_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Association rules over co-occurrence baskets (Agrawal & Srikant
+    market-basket shape): for every ORDERED item pair (a -> b) that
+    co-occurs in at least ``min_pair_support`` baskets, emit exact
+    integer support/confidence/lift:
+
+        support(a,b)      = |baskets containing both|
+        conf_micro(a->b)  = (1e6 * support(a,b)) div |baskets with a|
+        lift_micro(a->b)  = (1e6 * support(a,b) * N)
+                              div (|baskets with a| * |baskets with b|)
+
+    with N = total distinct baskets.  All-BIGINT (numerators stay
+    below 1e6·N·support — BIGINT-safe for any realistic catalog), both
+    directions emitted, ties fully determined by the exact integers.
+    Differs from :func:`xesmf_spark.pipeline.pmi_collocations` in
+    modality (transaction baskets, not token windows) and in the
+    measure family (support/confidence/lift — the thresholds a
+    recommender actually filters on).
+
+    Scale shape: baskets dedup to (basket, item) ONCE (one exchange on
+    the basket key), pair generation is a self-equi-join ON THE BASKET
+    KEY (never all-pairs; per-basket quadratic is basket-size-bounded,
+    the domain constant), pair counts and item counts are map-side
+    combinable aggs, and the two item-frequency joins are item-keyed.
+    The 1-row N scalar joins via broadcast crossJoin, never collected.
+    Output: ``(item_a, item_b, support, conf_micro, lift_micro)``."""
+    if min_pair_support < 1:
+        raise ValueError(
+            f"min_pair_support must be >= 1, got {min_pair_support}"
+        )
+    # (basket, item) dedup once; the four consumers below share the
+    # IDENTICAL distinct subplan, so Spark's ReusedExchange serves them
+    # from one shuffle — no persist needed (and at raw-basket scale a
+    # cache of this frame would not fit executor storage anyway)
+    bi = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    total = bi.select(F.countDistinct("__b").alias("__N"))
+    a = bi.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = bi.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_pair_support)
+    )
+    out = (
+        pairs.join(
+            item_n.select(F.col("__i").alias("item_a"), F.col("__n").alias("__na")),
+            "item_a",
+        )
+        .join(
+            item_n.select(F.col("__i").alias("item_b"), F.col("__n").alias("__nb")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("(1000000L * support) div __na").alias("conf_micro"),
+            F.expr("(1000000L * support * __N) div (__na * __nb)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+    return out

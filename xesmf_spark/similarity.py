@@ -243,6 +243,12 @@ def _cosine_topk_gemm(
     order = np.argsort(p_ids, kind="stable")  # id-ascending: stable tie order
     p_ids, P = p_ids[order], np.ascontiguousarray(P[order])
     p_nrm = np.sqrt(np.einsum("ij,ij->i", P, P))
+    if not np.all(p_nrm > 0.0):
+        bad = p_ids[p_nrm <= 0.0][:5].tolist()
+        raise ValueError(
+            f"cosine_topk: zero-norm pool embedding(s), e.g. ids {bad}; "
+            "cosine is undefined — filter upstream"
+        )
     bc = spark.sparkContext.broadcast((p_ids, P, p_nrm))
 
     def fn(pdfs):
@@ -257,6 +263,12 @@ def _cosine_topk_gemm(
             q_ids = b[id_col].to_numpy(np.int64)
             Q = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            if not np.all(qn > 0.0):
+                bad = q_ids[qn <= 0.0][:5].tolist()
+                raise ValueError(
+                    "cosine_topk: zero-norm query embedding(s), e.g. "
+                    f"ids {bad}; cosine is undefined — filter upstream"
+                )
             # same scalar expression as the fold/oracle: dot/(nq*np) —
             # one multiply, one divide per pair
             C = (Q @ Pm.T) / np.outer(qn, pn)
@@ -1598,8 +1610,10 @@ def mmr_topk(
         score(c) = λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
 
     so near-duplicate hits don't crowd the result list. Exact integer
-    selection: rel and pairwise sims are round-6 cosines lifted to
-    micro units (BIGINT), the empty-selection max is 0 by convention,
+    selection: rel and pairwise sims are cosines lifted to micro units
+    (BIGINT) with HALF-AWAY rounding at the 6th decimal (matching SQL
+    ROUND semantics in both Spark and DuckDB, not numpy's
+    half-to-even), the empty-selection max is 0 by convention,
     λ = ``lam_micro``/1e6, ties break by candidate id ascending —
     every argmax is a deterministic integer comparison, so a SQL
     engine unrolling the k greedy steps reproduces the exact picks.
@@ -1632,9 +1646,18 @@ def mmr_topk(
         rel = pdf["rel_micro"].to_numpy(np.int64)
         V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
         nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-        S = np.rint(np.round((V @ V.T) / np.outer(nrm, nrm), 6) * 1e6).astype(
-            np.int64
-        )
+        if not np.all(nrm > 0.0):
+            raise ValueError(
+                "mmr_topk: zero-norm embedding in candidate pool; "
+                "cosine similarity is undefined — filter upstream"
+            )
+        # Half-AWAY rounding at the 6th decimal (floor(|x|*1e6 + 0.5)
+        # with the sign restored) — pins the tie rule to SQL ROUND
+        # (HALF_UP in Spark, half-away in DuckDB), unlike numpy's
+        # round-half-to-even, so an exact half picks the same
+        # candidate in the SQL replay.
+        C = (V @ V.T) / np.outer(nrm, nrm)
+        S = (np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5)).astype(np.int64)
         n = len(ids)
         chosen: list[int] = []
         scores: list[int] = []

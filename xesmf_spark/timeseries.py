@@ -113,3 +113,134 @@ def mad_anomalies(
             ),
         )
     )
+
+
+def seasonal_decompose(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition over rollup state:
+
+        trend_micro(t)    = (1e6 * SUM(x) over [t-h, t+h]) div period
+        detrended(t)      = 1e6*x(t) - trend_micro(t)
+        seasonal_micro(p) = SUM(detrended where phase=p) div COUNT(..)
+        resid_micro(t)    = detrended(t) - seasonal_micro(phase(t))
+
+    with ``h = (period-1)//2`` (``period`` must be odd so the moving
+    average is centered) and ``phase = bucket % period``.  The trend
+    frame is a RANGE window on the integer bucket, so calendar gaps
+    shrink the frame; rows whose frame holds fewer than ``period``
+    buckets get no trend and are excluded from both the seasonal means
+    and the output — the deterministic boundary rule a SQL replay
+    states verbatim (COUNT(*) OVER the same frame = period).
+
+    Exactness: all terms are BIGINT; the two divisions truncate toward
+    zero in BOTH engines (Spark ``div`` and DuckDB ``//`` agree on
+    negative operands — verified, unlike SQL-standard FLOOR division),
+    so detrended/seasonal/resid are bit-identical under replay even
+    where detrending goes negative.  Seasonal indices are uncentered
+    per-phase means (documented; centering adds one more scalar join
+    without changing determinism).
+
+    Scale shape: ONE per-key RANGE window over the rollup state + one
+    (key, phase)-grouped mean joined back on (key, phase) — cost is
+    O(state), never raw-event-shaped; no driver scalars.  Output:
+    keys + bucket + ``trend_micro, seasonal_micro, resid_micro``."""
+    from pyspark.sql import Window
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = (period - 1) // 2
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(bucket_col).cast("long"))
+        .rangeBetween(-half, half)
+    )
+    x = (F.col(val_col).cast("long") * F.lit(M)).alias("__x")
+    t = rollup.select(
+        *key_cols,
+        F.col(bucket_col),
+        x,
+        F.sum(F.col(val_col).cast("long") * F.lit(M)).over(w).alias("__fsum"),
+        F.count(F.lit(1)).over(w).alias("__fn"),
+    ).filter(F.col("__fn") == period)
+    t = t.select(
+        *key_cols,
+        bucket_col,
+        "__x",
+        F.expr(f"__fsum div {period}L").alias("trend_micro"),
+        (F.col(bucket_col).cast("long") % period).alias("__phase"),
+    ).withColumn("__det", F.col("__x") - F.col("trend_micro"))
+    seas = t.groupBy(*key_cols, "__phase").agg(
+        F.expr("sum(__det) div count(1)").alias("seasonal_micro")
+    )
+    return t.join(seas, [*key_cols, "__phase"]).select(
+        *key_cols,
+        bucket_col,
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("__det") - F.col("seasonal_micro")).alias("resid_micro"),
+    )
+
+
+def cusum_changepoints(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+) -> DataFrame:
+    """CUSUM changepoint locator per key: with the per-key mean pinned
+    to ``mean_micro = SUM(1e6*x) div n``, the cumulative sum of
+    deviations ``S(t) = Σ_{i<=t} (1e6*x(i) - mean_micro)`` peaks (in
+    absolute value) at the most likely single shift point of the
+    series — the classic offline CUSUM statistic (Page 1954).  Returns
+    one row per key: the argmax bucket (ties -> earliest bucket), the
+    signed CUSUM there, and the series length.
+
+    Exactness: every term is BIGINT; the single division truncates
+    toward zero identically in Spark (``div``) and DuckDB (``//``),
+    including negative-mean series, so S(t) and the argmax are
+    engine-exact with no float anywhere.
+
+    Scale shape: one per-key scalar agg joined back (map-side
+    combinable), one per-key ordered cumulative-sum window, one
+    row_number argmax window — all over O(state) rollup rows, never
+    raw events; no driver scalars.  Output:
+    keys + ``cp_bucket, cusum_micro, n_buckets``."""
+    from pyspark.sql import Window
+
+    x = (F.col(val_col).cast("long") * F.lit(M)).alias("__x")
+    stats = rollup.groupBy(*key_cols).agg(
+        F.expr(f"sum(cast({val_col} as long) * {M}L) div count(1)").alias(
+            "__mean"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(bucket_col).cast("long"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        rollup.select(*key_cols, bucket_col, x)
+        .join(stats, key_cols)
+        .withColumn(
+            "cusum_micro", F.sum(F.col("__x") - F.col("__mean")).over(wcum)
+        )
+    )
+    warg = Window.partitionBy(*key_cols).orderBy(
+        F.abs(F.col("cusum_micro")).desc(), F.col(bucket_col).asc()
+    )
+    return (
+        cum.withColumn("__rn", F.row_number().over(warg))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col(bucket_col).alias("cp_bucket"),
+            "cusum_micro",
+            "n_buckets",
+        )
+    )

@@ -117,6 +117,11 @@ def decode_wav(payload: bytes) -> tuple:
         if tag == b"fmt ":
             if size < 16:
                 raise ValueError(f"fmt chunk too short: {size} bytes")
+            if start + 16 > len(b):
+                raise ValueError(
+                    "truncated fmt chunk: declared size "
+                    f"{size} but only {len(b) - start} bytes remain"
+                )
             audio_format, n_channels, sample_rate, _rate, block_align, bits = (
                 struct.unpack_from("<HHIIHH", b, start)
             )
