@@ -44,12 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 5 r13 NEW queries lead (skyline, basket rules, record
-    # linkage, seasonal decomposition, CUSUM); the r12 window follows
+    # the 11 r13 NEW queries lead (skyline, JL random projection x4,
+    # basket rules, record linkage, seasonal decomposition, CUSUM
+    # batch + streaming, AVI video frame sampling); the r12 window
+    # follows
     # unchanged — it already contains every carrier of this round's
     # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
-    # zero-norm gates, WAV fmt gate). The 5 regrid cyclers displaced
-    # past position 50 rejoin the tail head for r14.
+    # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
+    # position 50 (stream_sessionize/dedup + the stable regrid
+    # family) rejoin the tail head for r14.
     # Prior-round rationale (r12):
     # IN-WINDOW = (a) 23 r12 NEW queries (unigram tok/encode, WAV
     # stats + resample, bilinear image resize, streaming PSI,
@@ -71,10 +74,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a0) r13 NEW queries (skyline, basket rules, record linkage,
         # seasonal decomposition, CUSUM changepoint)
         "parts_skyline": Q.parts_skyline,
+        "ann_rp_project": Q.ann_rp_project,
+        "ann_rp_top3": Q.ann_rp_top3,
+        "ann_rp_recall": Q.ann_rp_recall,
+        "ann_rp_distortion": Q.ann_rp_distortion,
         "parts_basket_rules": Q.parts_basket_rules,
         "customers_record_linkage": Q.customers_record_linkage,
         "orders_seasonal_decompose": Q.orders_seasonal_decompose,
         "events_cusum_changepoint": Q.events_cusum_changepoint,
+        "stream_cusum": Q.stream_cusum,
+        "multimodal_video_avi": Q.multimodal_video_avi,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
         "multimodal_audio_wav": Q.multimodal_audio_wav,
@@ -411,10 +420,59 @@ FROM (VALUES {values}) AS v(d, s, mn, mx)
 def oracle_sql() -> dict[str, str]:
     return {
         "parts_skyline": PO.skyline_sql(),
+        "ann_rp_project": PO.rp_project_sql(),
+        "ann_rp_distortion": PO.rp_distortion_sql(),
+        "ann_rp_top3": PO.rp_topk_sql(),
+        "ann_rp_recall": f"""
+WITH exact_q AS ({PO.ann_euclid_topk_sql()}),
+approx_q AS ({PO.rp_topk_sql()}),
+m AS (
+  SELECT COUNT(*) AS n_matched
+  FROM exact_q e JOIN approx_q a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+e AS (SELECT COUNT(*) AS n_exact FROM exact_q)
+SELECT ROUND(CAST(n_matched AS DOUBLE) / n_exact, 6) AS recall_at_3,
+       n_exact, n_matched
+FROM e, m
+""",
         "parts_basket_rules": PO.basket_rules_sql(),
         "customers_record_linkage": PO.record_linkage_sql(),
         "orders_seasonal_decompose": PO.seasonal_decompose_sql(),
         "events_cusum_changepoint": PO.cusum_changepoint_sql(),
+        # the streaming twin: 4-batch sum-merged state == the batch
+        # rollup exactly (mergeable integer partials), same replay
+        "stream_cusum": PO.cusum_changepoint_sql(),
+        "multimodal_video_avi": """
+-- replay of the AVI round-trip: document bytes -> consecutive 6x6 RGB
+-- frames (108 bytes each, row-major, <= 6 frames; ASCII corpus, chars
+-- == bytes); every 2nd frame, per-channel mean in exact milli units;
+-- fps/n_frames are pure functions of doc_id/length per
+-- attach_avi_payload
+WITH fr AS (
+  SELECT doc_id, f, c,
+         SUM(ord(substr(text, CAST(108 * f + 3 * k + c + 1 AS INT), 1)))
+           AS s
+  FROM documents,
+       unnest(range(least(length(text) // 108, 6))) AS t(f),
+       unnest(range(36)) AS u(k),
+       unnest(range(3)) AS v(c)
+  WHERE f % 2 = 0
+  GROUP BY 1, 2, 3
+)
+SELECT fr.doc_id,
+       CAST(least(length(d.text) // 108, 6) AS BIGINT) AS n_frames,
+       CAST(5 + fr.doc_id % 3 AS BIGINT) AS fps,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST((1000 * MAX(CASE WHEN c = 0 THEN s END)) // 36 AS BIGINT)
+         AS mean_r_milli,
+       CAST((1000 * MAX(CASE WHEN c = 1 THEN s END)) // 36 AS BIGINT)
+         AS mean_g_milli,
+       CAST((1000 * MAX(CASE WHEN c = 2 THEN s END)) // 36 AS BIGINT)
+         AS mean_b_milli
+FROM fr JOIN documents d ON fr.doc_id = d.doc_id
+GROUP BY fr.doc_id, d.text, f
+""",
         "pipeline_cdc_chunks": PO.cdc_chunks_sql(),
         "pipeline_bigram_lm": PO.bigram_logprob_sql(),
         "trade_graph_communities": PO.lpa_communities_sql(),

@@ -599,6 +599,11 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "customers_record_linkage",
         "orders_seasonal_decompose",
         "events_cusum_changepoint",
+        "ann_rp_top3",
+        "ann_rp_recall",
+        "ann_rp_distortion",
+        "stream_cusum",
+        "multimodal_video_avi",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -120,6 +120,12 @@ ALLOW = {
     # the k rule-violation counts are ONE aggregated row crossed onto
     # the k-row rule-name axis (scalar broadcast, the funnel shape)
     "lineitem_constraints": {"BroadcastNestedLoopJoin"},
+    # the same 1x1 recall-ratio cross as ann_sq8_recall, plus
+    # euclid_topk's documented exact-audit broadcast cross join
+    "ann_rp_recall": {"BroadcastNestedLoopJoin"},
+    # two 1-row scalar crosses (n_pairs onto the ranked frame, n_zero
+    # onto the 1-row quantile result)
+    "ann_rp_distortion": {"BroadcastNestedLoopJoin"},
     # the skyline's global verify is a LEFT ANTI theta-join whose
     # broadcast side is the FRONTIER-SIZED candidate set (phase-1 prune
     # output, not a data-volume relation) — the quadratic is bounded by

@@ -754,7 +754,11 @@ def main() -> None:
                 id_col="id",
                 block_cols=["blk"],
                 fields=[("name", "lev", 700_000), ("ab", "exact", 300_000)],
-                min_score_micro=800_000,
+                # hash-mixed 9-digit names sit at lev ~7-9 of 13; 500k
+                # keeps the ab-match + name-similarity tail so the
+                # measured run emits real pairs (0-row outputs measure
+                # the filter, not the matcher)
+                min_score_micro=500_000,
             ),
         ),
         # CUSUM on synthetic rollup state: keys grow Nx at constant
@@ -770,6 +774,14 @@ def main() -> None:
                 ["k"],
                 "t",
                 "x",
+            ),
+        ),
+        # JL projection: one posexplode + broadcast sign join + keyed
+        # SUM — linear in n * in_dim * out_dim
+        (
+            "similarity_rp_project",
+            lambda d, s: SIM.random_projection(
+                emb_at(d), out_dim=16, in_dim=64
             ),
         ),
         # seasonal decomposition on the same synthetic state shape:
@@ -865,6 +877,11 @@ def main() -> None:
             "constant block size (20): block COUNT grows Nx, "
             "within-block quadratic fixed — the honest linear regime of "
             "any blocked matcher; JVM levenshtein, no Python"
+        ),
+        "similarity_rp_project": (
+            "declarative projection path: explode + broadcast sign join "
+            "+ map-side-combinable keyed SUM; linear in pool rows at "
+            "constant dims"
         ),
         "timeseries_cusum": (
             "per-key windows over rollup state; keys grow Nx at "

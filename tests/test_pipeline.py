@@ -1980,3 +1980,85 @@ def test_record_linkage_pairs_field_comparators(spark):
         record_linkage_pairs(
             df, "id", ["blk"], [("name", "soundex", 1)]
         )
+
+
+def test_random_projection_gemm_matches_relational_and_sql_formula(spark):
+    """The three renderings of the pinned Rademacher projection must
+    agree bit-for-bit: the relational op (posexplode + broadcast sign
+    join), the numpy GEMM kernel inside rp_topk/rp_distortion, and
+    the SQL sign formula evaluated via Spark SQL."""
+    import numpy as np
+
+    from xesmf_spark.similarity import (
+        _rp_sign_expr,
+        _rp_sign_matrix,
+        random_projection,
+    )
+
+    out_dim, in_dim = 5, 12
+    # sign matrix == Spark SQL evaluation of the pinned expression
+    S = _rp_sign_matrix(out_dim, in_dim)
+    rows = spark.sql(
+        "SELECT j, d, " + _rp_sign_expr("j", "d") + " AS s FROM "
+        f"(SELECT id div {in_dim}L AS j, id % {in_dim} AS d "
+        f" FROM range({out_dim * in_dim}))"
+    ).collect()
+    for r in rows:
+        assert S[r["j"], r["d"]] == r["s"], (r["j"], r["d"])
+    # signs are balanced-ish (a degenerate all-equal matrix would make
+    # the projection rank-1; the r13 low-bit formula failed this way)
+    assert 0.3 < (S == 1).mean() < 0.7
+    assert np.linalg.matrix_rank(S.astype(float)) == out_dim
+
+    # relational op == direct numpy GEMM on the same lift
+    rng_vals = [
+        (i, [((i * 31 + d * 7) % 17 - 8) / 8.0 for d in range(in_dim)])
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rng_vals, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["j"]): r["y"]
+        for r in random_projection(
+            df, out_dim=out_dim, in_dim=in_dim
+        ).collect()
+    }
+    V = np.array(
+        [np.array(v, dtype=np.float32) for _, v in rng_vals], dtype=np.float64
+    )
+    Y = np.floor(1_000_000.0 * V).astype(np.int64) @ S.T
+    exp = {(i, j): int(Y[i, j]) for i in range(9) for j in range(out_dim)}
+    assert got == exp
+
+
+def test_rp_topk_and_distortion_consistency(spark):
+    """rp_topk ranks by the exact projected BIGINT distances (verified
+    against a local replay); rp_distortion quantiles sit around 1e6
+    and p05 <= p50 <= p95 with all pairs accounted for."""
+    import numpy as np
+
+    from xesmf_spark.similarity import _rp_sign_matrix, rp_distortion, rp_topk
+
+    in_dim, out_dim, n = 16, 8, 30
+    vals = [
+        (i, [((i * 13 + d * 5) % 23 - 11) / 11.0 for d in range(in_dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(vals, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["d2"])
+        for r in rp_topk(df, k=2, out_dim=out_dim, in_dim=in_dim).collect()
+    }
+    S = _rp_sign_matrix(out_dim, in_dim)
+    V = np.array([np.array(v, np.float32) for _, v in vals], np.float64)
+    Y = np.floor(1e6 * V).astype(np.int64) @ S.T
+    D = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+    for q in range(n):
+        order = sorted(
+            ((int(D[q, p]), p) for p in range(n) if p != q)
+        )[:2]
+        for rk, (d2, p) in enumerate(order, start=1):
+            assert got[(q, rk)] == (p, d2)
+    row = rp_distortion(df, out_dim=out_dim, in_dim=in_dim).collect()[0]
+    assert row["p05_micro"] <= row["p50_micro"] <= row["p95_micro"]
+    assert row["n_pairs"] + row["n_zero"] == n * (n - 1) // 2
+    assert 200_000 < row["p50_micro"] < 5_000_000  # ratio ~ O(1)

@@ -745,3 +745,42 @@ def test_psi_drift_stream_equals_batch(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 10 and got[0]["psi_micro"] >= 0
+
+
+def test_cusum_stream_equals_batch(spark, tmp_path):
+    """Streaming CUSUM maintenance: N-batch sum-merged rollup state ==
+    the batch cusum_changepoints on the union (mergeable integer
+    partials), including state versioning across micro-batches."""
+    from xesmf_spark.streaming import cusum_stream
+    from xesmf_spark.timeseries import cusum_changepoints
+
+    src = tmp_path / "vals"
+    rows_all = []
+    for part in range(3):
+        rows = [
+            ("k%d" % (i % 2), (part * 5 + i) % 12, 10 + ((part * 7 + i) % 9))
+            for i in range(60)
+        ]
+        rows_all += rows
+        spark.createDataFrame(
+            rows, "k string, t long, x long"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("k string, t long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = (
+        cusum_stream(stream, ["k"], "t", "x", state_dir=str(tmp_path / "st"))
+        .orderBy("k")
+        .collect()
+    )
+    batch = (
+        spark.createDataFrame(rows_all, "k string, t long, x long")
+        .groupBy("k", "t")
+        .agg(__import__("pyspark.sql.functions", fromlist=["sum"]).sum("x").alias("x"))
+    )
+    want = cusum_changepoints(batch, ["k"], "t", "x").orderBy("k").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 2

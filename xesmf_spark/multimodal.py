@@ -1026,3 +1026,125 @@ def resize_images_bilinear(
     return df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)).mapInPandas(
         kernel, RESIZE_SCHEMA
     )
+
+
+AVI_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+    ]
+)
+
+#: demo video geometry: 6x6 RGB frames => 108 text bytes per frame.
+#: width 6 gives an 18-byte DIB row -> 2 pad bytes per row, so the
+#: container's stride-padding path is exercised on every payload.
+_AVI_W = 6
+_AVI_H = 6
+_AVI_FRAME_BYTES = _AVI_H * _AVI_W * 3
+_AVI_MAX_FRAMES = 6
+
+
+def attach_avi_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Demo AVI payload column: each document's utf-8 bytes become
+    consecutive 6x6 RGB frames (108 bytes each, row-major, up to 6
+    frames) containered as a real AVI file via
+    :func:`xesmf_spark.avi.encode_avi` — deterministic per doc so an
+    SQL oracle can replay every pixel from the text column (ASCII
+    corpus, chars == bytes):
+
+    - ``fps = 5 + doc_id % 3``
+    - frame f's pixel (y, x, c) = text byte ``108·f + 18·y + 3·x + c``
+    - docs shorter than one frame emit NO payload row (the honest
+      too-short gate; the oracle states the same bound)
+
+    The encoder's bottom-up BGR DIB rows + 4-byte stride padding are
+    undone exactly by the decoder, so decoded pixels == text bytes."""
+    from xesmf_spark.avi import encode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                raw = str(text).encode("utf-8")
+                n = min(len(raw) // _AVI_FRAME_BYTES, _AVI_MAX_FRAMES)
+                if n < 1:
+                    continue
+                arr = (
+                    np.frombuffer(raw[: n * _AVI_FRAME_BYTES], dtype=np.uint8)
+                    .reshape(n, _AVI_H, _AVI_W, 3)
+                )
+                ids.append(did)
+                payloads.append(encode_avi(arr, fps=5 + did % 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "format": "video/avi",
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, AVI_PAYLOAD_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_r_milli", LongType()),
+        StructField("mean_g_milli", LongType()),
+        StructField("mean_b_milli", LongType()),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    stride: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fixed-stride VIDEO frame sampling over real AVI containers: walk
+    the container (:func:`xesmf_spark.avi.decode_avi` — nested LISTs,
+    JUNK/idx1 skipping, DIB stride/flip), keep every ``stride``-th
+    frame, and emit exact per-channel means in milli units
+    (``(1000·Σ channel bytes) div (h·w)`` BIGINT — no float).  The
+    parsed container fields (n_frames, fps) ride along so container
+    parsing itself is value-checked, the wav_audio_stats discipline.
+
+    Scale shape: ONE map-only Arrow pass fused behind the scan — no
+    shuffle at any scale; at web scale follow with repartition before
+    per-frame heavy work (the sample_frames note)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    from xesmf_spark.avi import decode_avi
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, fps = decode_avi(bytes(payload))
+                n, h, w, _ = frames.shape
+                px = h * w
+                for f in range(0, n, stride):
+                    sums = frames[f].reshape(px, 3).astype(np.int64).sum(axis=0)
+                    out["doc_id"].append(int(did))
+                    out["n_frames"].append(n)
+                    out["fps"].append(fps)
+                    out["frame_idx"].append(f)
+                    out["mean_r_milli"].append(int(1000 * sums[0]) // px)
+                    out["mean_g_milli"].append(int(1000 * sums[1]) // px)
+                    out["mean_b_milli"].append(int(1000 * sums[2]) // px)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        kernel, VIDEO_FRAME_SCHEMA
+    )

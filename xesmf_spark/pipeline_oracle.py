@@ -2875,3 +2875,108 @@ SELECT event_type, day AS cp_bucket, cusum_micro,
        CAST(n_buckets AS BIGINT) AS n_buckets
 FROM rk WHERE rn = 1
 """
+
+
+_RP_PROJ_CTES = """
+rpex AS MATERIALIZED (
+  SELECT vec_id, i AS d,
+         CAST(FLOOR(1000000.0 * embedding[CAST(i + 1 AS INT)]::DOUBLE)
+              AS BIGINT) AS xm
+  FROM embeddings, unnest(range({in_dim})) AS t(i)
+  WHERE {where}
+),
+rproj AS MATERIALIZED (
+  SELECT vec_id, j,
+         CAST(SUM((1 - 2 * (bit_count((j * 1000003 + d + 1) * 2654435761)
+                            % 2)) * xm) AS BIGINT) AS y
+  FROM rpex, unnest(range({out_dim})) AS s(j)
+  GROUP BY vec_id, j
+)"""
+
+
+def rp_project_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Mirrors ann_rp_project: micro-lift + pinned Rademacher sign sums
+    (the sign formula of similarity._rp_sign_expr with DuckDB //,
+    identical to Spark div on positive operands)."""
+    ctes = _RP_PROJ_CTES.format(in_dim=in_dim, out_dim=out_dim, where="TRUE")
+    return f"""
+WITH
+{ctes}
+SELECT vec_id, j, y FROM rproj WHERE vec_id < 100
+"""
+
+
+def rp_topk_sql(k: int = 3, out_dim: int = 16, in_dim: int = 64) -> str:
+    """Mirrors ann_rp_top3: exact BIGINT squared L2 in the projected
+    space, (d2 ASC, neighbor ASC) ranking, self-matches excluded —
+    no rounding anywhere (the d2 bound in_dim²·1e12·out_dim sits far
+    inside 2^63 at unit-scale embeddings)."""
+    ctes = _RP_PROJ_CTES.format(in_dim=in_dim, out_dim=out_dim, where="TRUE")
+    return f"""
+WITH
+{ctes},
+rpairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2
+  FROM rproj a JOIN rproj b ON a.j = b.j AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM rpairs
+) WHERE rank <= {k}
+"""
+
+
+def rp_distortion_sql(
+    out_dim: int = 16, in_dim: int = 64, max_id: int = 300
+) -> str:
+    """Mirrors ann_rp_distortion: exact BIGINT pair distances in both
+    spaces over the bounded pool, ratio = (1e6·d2_sketch) //
+    (out_dim·d2_exact) in HUGEINT (1e6·d2s reaches ~1e23 — the Spark
+    kernel runs the same division in Python bigints), nearest-rank
+    p05/p50/p95 selection (value at a sorted position is well-defined
+    under ties)."""
+    ctes = _RP_PROJ_CTES.format(
+        in_dim=in_dim, out_dim=out_dim, where=f"vec_id < {max_id}"
+    )
+    return f"""
+WITH
+{ctes},
+de AS MATERIALIZED (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         CAST(SUM((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2e
+  FROM rpex a JOIN rpex b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+dsk AS MATERIALIZED (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2s
+  FROM rproj a JOIN rproj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+r AS MATERIALIZED (
+  SELECT CAST((1000000::HUGEINT * dsk.d2s)
+              // ({out_dim} * de.d2e) AS BIGINT) AS ratio_micro
+  FROM de JOIN dsk ON de.qa = dsk.qa AND de.qb = dsk.qb
+  WHERE de.d2e > 0
+),
+z AS (SELECT COUNT(*) AS n_zero FROM de WHERE d2e = 0),
+n AS (SELECT COUNT(*) AS n_pairs FROM r),
+sel AS (
+  SELECT ratio_micro, ROW_NUMBER() OVER (ORDER BY ratio_micro ASC) AS rn
+  FROM r
+)
+SELECT
+  MAX(CASE WHEN rn = 1 + (5 * (n_pairs - 1)) // 100
+      THEN ratio_micro END) AS p05_micro,
+  MAX(CASE WHEN rn = 1 + (50 * (n_pairs - 1)) // 100
+      THEN ratio_micro END) AS p50_micro,
+  MAX(CASE WHEN rn = 1 + (95 * (n_pairs - 1)) // 100
+      THEN ratio_micro END) AS p95_micro,
+  CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+  CAST(MAX(n_zero) AS BIGINT) AS n_zero
+FROM sel, n, z
+"""

@@ -5681,3 +5681,133 @@ def events_cusum_changepoint(spark, sf_dir):
         .agg(F.sum("cents").alias("cents"))
     )
     return cusum_changepoints(r, ["event_type"], "day", "cents")
+
+
+def ann_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection
+    (similarity.random_projection): 64-dim embeddings sketched to 16
+    BIGINT coordinates with a deterministic Rademacher ±1 matrix —
+    micro-lift (FLOOR(1e6·x), IEEE-identical both engines) then pure
+    integer ±1 sums, so the projected table is bit-replayable.  The
+    declarative path: posexplode + broadcast sign-table join +
+    map-side-combinable keyed SUM; the first 100 vectors keep the
+    checked output compact (the GEMM search twin `ann_rp_top3` runs
+    the full pool)."""
+    from xesmf_spark.similarity import random_projection
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < 100
+    )
+    return random_projection(emb, out_dim=16, in_dim=64)
+
+
+def ann_rp_top3(spark, sf_dir):
+    """Exact top-3 neighbors in the JL SKETCH space (similarity.rp_topk):
+    squared L2 over the 16-dim integer projection — 4x fewer
+    dimensions than the raw vectors, distances small exact BIGINTs (no
+    rounding quantum anywhere).  GEMM physical strategy (pool
+    projected once driver-side, broadcast; queries stream through
+    mapInPandas) — bit-identical to the relational projection op by
+    the shared pinned sign/lift formulas, which the SQL oracle replays
+    end-to-end."""
+    from xesmf_spark.similarity import rp_topk
+
+    return rp_topk(_par(spark, _t(spark, sf_dir, "embeddings")), k=3)
+
+
+def ann_rp_recall(spark, sf_dir):
+    """Recall@3 of the JL-sketch search against the exact euclidean
+    baseline — the dimension-reduction quality audit (the JL lemma's
+    distance distortion made measurable; same composed recall shape as
+    ann_sq8_recall / ann_pq_recall).  Both engines run both searches
+    and the oracle checks the NUMBER."""
+    from xesmf_spark import similarity as SIM
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings"))
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = SIM.rp_topk(emb, k=3).select("query_id", "neighbor_id")
+    matched = exact.join(approx, ["query_id", "neighbor_id"])
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return n_e.crossJoin(n_m).select(
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_3"),
+        "n_exact",
+        "n_matched",
+    )
+
+
+def ann_rp_distortion(spark, sf_dir):
+    """JL distance-distortion audit (similarity.rp_distortion): exact
+    nearest-rank p05/p50/p95 of the per-pair ratio
+    d2_sketch/(out_dim·d2_exact) over a bounded 300-vector pool — the
+    lemma's concentration claim as a checkable number (measured
+    ~0.50/0.96/1.66 at 64→16), the honest audit where top-k rank
+    recall is near-random on a sphere-uniform corpus.  All distances
+    exact BIGINTs off the shared micro lift; the ratio divides in
+    Python/HUGEINT bigints (1e6·d2s ~ 1e23); quantiles are exact
+    order statistics."""
+    from xesmf_spark.similarity import rp_distortion
+
+    emb = _par(spark, _t(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < 300
+    )
+    return rp_distortion(emb, out_dim=16, in_dim=64)
+
+
+def stream_cusum(spark, sf_dir):
+    """STREAMING CUSUM changepoint monitor (streaming.cusum_stream):
+    events arrive as 4 time-slab micro-batches, each SUM-merged into
+    the versioned (event_type, day, cents) rollup state under the
+    rollup_stream at-least-once discipline; the final state feeds the
+    batch CUSUM locator.  Daily sums are mergeable integer partials,
+    so 4-batch maintenance is bit-identical to the batch twin
+    `events_cusum_changepoint` — which is exactly the oracle."""
+    import hashlib
+    import shutil
+
+    from xesmf_spark import streaming as ST
+
+    d = _stage_split_stream_dir(spark, sf_dir, n_parts=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    state_dir = f"/tmp/xesmf_cusum_state_{tag}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir + "_cp", ignore_errors=True)
+    new_stream = ST.events_stream(spark, d, max_files=1).select(
+        "event_type",
+        F.expr("ts DIV 86400000000000").alias("day"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return ST.cusum_stream(
+        new_stream, ["event_type"], "day", "cents", state_dir=state_dir
+    )
+
+
+def multimodal_video_avi(spark, sf_dir):
+    """Fixed-stride VIDEO frame sampling over REAL AVI containers
+    (multimodal.video_frame_stats over the native RIFF/AVI codec in
+    xesmf_spark.avi): each document's bytes become consecutive 6x6 RGB
+    frames containered as a spec-shaped AVI (avih/strh/strf headers,
+    JUNK + idx1 chunks exercising the skip paths, bottom-up BGR DIB
+    rows with stride padding), then decoded back by walking the nested
+    LIST structure; every 2nd frame emits exact per-channel milli
+    means, with the PARSED container fields (n_frames, fps) in the
+    output so container parsing is value-checked.  The oracle replays
+    every pixel from the text column (ASCII corpus, chars == bytes).
+    Two map-only Arrow passes fused behind the scan — no shuffle."""
+    from xesmf_spark.multimodal import attach_avi_payload, video_frame_stats
+
+    docs = _docs(spark, sf_dir)
+    out = video_frame_stats(attach_avi_payload(docs), stride=2)
+    return out.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("fps").cast("long").alias("fps"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "mean_r_milli",
+        "mean_g_milli",
+        "mean_b_milli",
+    )

@@ -848,3 +848,59 @@ def psi_drift_stream(
     return psi_from_histograms(
         hb, state.withColumnRenamed("n", "n_new"), nbins
     )
+
+
+def cusum_stream(
+    new_stream: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """STREAMING changepoint monitor — the offline CUSUM locator
+    (:func:`xesmf_spark.timeseries.cusum_changepoints`) run the way
+    production runs it: every micro-batch SUM-aggregates its
+    ``(keys, bucket, value)`` rows and merges them into the persistent
+    versioned rollup state inside ``foreachBatch`` (the
+    :func:`rollup_stream` at-least-once discipline — merge onto the
+    newest STRICTLY-EARLIER version, idempotent republish,
+    crash-atomic rename), then the FINAL state feeds the batch CUSUM
+    op.  Sums are mergeable integer partials, so N-batch maintenance
+    is bit-identical to the batch op on the union — exactly what the
+    oracle computes.
+
+    Scale shape: per batch one map-side-combinable keyed SUM + a merge
+    against O(state) rows — never raw event volume; the CUSUM tail is
+    the batch op's windows over state."""
+    from xesmf_spark.timeseries import cusum_changepoints
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(*key_cols, bucket_col).agg(
+            F.sum(val_col).alias(val_col)
+        )
+        prev = _state_before(batch_df.sparkSession, state_dir, batch_id)
+        merged = (
+            prev.unionByName(delta)
+            .groupBy(*key_cols, bucket_col)
+            .agg(F.sum(val_col).alias(val_col))
+            if prev is not None
+            else delta
+        )
+        _publish_version(merged, state_dir, batch_id)
+
+    q = (
+        new_stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir or state_dir + "_cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"cusum_stream did not finish within {timeout_sec}s")
+    state = latest_rollup_state(new_stream.sparkSession, state_dir)
+    if state is None:
+        raise RuntimeError(f"cusum_stream produced no state under {state_dir}")
+    return cusum_changepoints(state, key_cols, bucket_col, val_col)
