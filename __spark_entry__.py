@@ -44,10 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 11 r13 NEW queries lead (skyline, JL random projection x4,
+    # the 14 r13 NEW queries lead (skyline, JL random projection x4,
     # basket rules, record linkage, seasonal decomposition, CUSUM
-    # batch + streaming, AVI video frame sampling); the r12 window
-    # follows
+    # batch + streaming, AVI video frame sampling, positional
+    # proximity, ACF, seasonal anomalies); the r12 window follows
     # unchanged — it already contains every carrier of this round's
     # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
     # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_seasonal_decompose": Q.orders_seasonal_decompose,
         "events_cusum_changepoint": Q.events_cusum_changepoint,
         "stream_cusum": Q.stream_cusum,
+        "documents_proximity": Q.documents_proximity,
+        "events_acf": Q.events_acf,
+        "orders_seasonal_anomalies": Q.orders_seasonal_anomalies,
         "multimodal_video_avi": Q.multimodal_video_avi,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
@@ -443,6 +446,111 @@ FROM e, m
         # the streaming twin: 4-batch sum-merged state == the batch
         # rollup exactly (mergeable integer partials), same replay
         "stream_cusum": PO.cusum_changepoint_sql(),
+        "documents_proximity": """
+-- positional replay: shared normalizing tokenizer, 0-based positions,
+-- ordered gap in [1, 3]
+WITH toks AS (
+  SELECT doc_id, i AS pos, ts[CAST(i + 1 AS INT)] AS term
+  FROM (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                        ' ') AS ts
+    FROM documents
+  ), unnest(range(len(ts))) AS r(i)
+),
+a AS (SELECT doc_id, pos AS pa FROM toks WHERE term = 'merge'),
+b AS (SELECT doc_id, pos AS pb FROM toks WHERE term = 'join'),
+m AS (
+  SELECT a.doc_id, pb - pa AS gap
+  FROM a JOIN b USING (doc_id)
+  WHERE pb - pa BETWEEN 1 AND 3
+)
+SELECT doc_id, COUNT(*) AS n_matches, CAST(MIN(gap) AS BIGINT) AS min_gap
+FROM m GROUP BY doc_id
+""",
+        "events_acf": """
+-- sample ACF replay: CENTS-scale devs (milli lift -- the 1e6 lift
+-- overflows the covariance numerator), pairs where both days exist,
+-- variance over all days; negative covariances truncate identically
+WITH r AS MATERIALIZED (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean
+      FROM r GROUP BY 1),
+d AS MATERIALIZED (
+  SELECT r.event_type, day, cents - mean AS dev
+  FROM r JOIN m USING (event_type)
+),
+v AS (SELECT event_type, CAST(SUM(dev * dev) AS BIGINT) AS var
+      FROM d GROUP BY 1),
+p AS (
+  SELECT a.event_type, l.lag,
+         CAST(SUM(a.dev * b.dev) AS BIGINT) AS cov,
+         COUNT(*) AS n_pairs
+  FROM d a
+  CROSS JOIN unnest(range(1, 6)) AS l(lag)
+  JOIN d b ON a.event_type = b.event_type AND b.day = a.day + l.lag
+  GROUP BY 1, 2
+)
+SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
+       CAST((1000 * cov) // var AS BIGINT) AS acf_milli, n_pairs
+FROM p JOIN v USING (event_type)
+""",
+        "orders_seasonal_anomalies": """
+-- composition replay: the seasonal_decompose chain, then the
+-- integer-PINNED median/MAD flags (med2/mad4 doubling + ROUND --
+-- engine medians drift a ULP at micro-cent magnitude)
+WITH r AS MATERIALIZED (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS wk,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+t AS MATERIALIZED (
+  SELECT o_orderpriority, wk, cents * 1000000 AS x,
+         CAST(SUM(cents * 1000000) OVER w AS BIGINT) AS fsum,
+         COUNT(*) OVER w AS fn
+  FROM r
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY wk
+               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+d AS MATERIALIZED (
+  SELECT o_orderpriority, wk, x - fsum // 5 AS det, wk % 5 AS phase
+  FROM t WHERE fn = 5
+),
+s AS MATERIALIZED (
+  SELECT o_orderpriority, phase,
+         CAST(SUM(det) // COUNT(*) AS BIGINT) AS seasonal_micro
+  FROM d GROUP BY 1, 2
+),
+res AS MATERIALIZED (
+  SELECT d.o_orderpriority, d.wk,
+         CAST(d.det - s.seasonal_micro AS BIGINT) AS resid_micro
+  FROM d JOIN s ON d.o_orderpriority = s.o_orderpriority
+              AND d.phase = s.phase
+),
+med AS (SELECT o_orderpriority,
+               CAST(ROUND(2 * MEDIAN(resid_micro)) AS BIGINT) AS med2
+        FROM res GROUP BY 1),
+dev AS (
+  SELECT res.o_orderpriority, wk, resid_micro, med2,
+         ABS(2 * resid_micro - med2) AS dev2
+  FROM res JOIN med USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, CAST(ROUND(2 * MEDIAN(dev2)) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT dev.o_orderpriority, dev.wk, dev.resid_micro, dev.med2, mad.mad4
+FROM dev JOIN mad USING (o_orderpriority)
+WHERE 2 * dev2 > 3 * mad4
+""",
         "multimodal_video_avi": """
 -- replay of the AVI round-trip: document bytes -> consecutive 6x6 RGB
 -- frames (108 bytes each, row-major, <= 6 frames; ASCII corpus, chars

@@ -604,6 +604,9 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "ann_rp_distortion",
         "stream_cusum",
         "multimodal_video_avi",
+        "documents_proximity",
+        "events_acf",
+        "orders_seasonal_anomalies",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

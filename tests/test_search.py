@@ -185,3 +185,39 @@ def test_textrank_query_ranks_hub_word_first(spark, tmp_path):
     assert "the" not in toks and "xx" not in toks
     ranks = [(r["rank_micro"], r["token"]) for r in out]
     assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+
+
+def test_proximity_pairs_ordered_and_unordered(spark):
+    """proximity_pairs: ordered gap window, min_gap/n_matches exact;
+    unordered counts both directions; adjacency is max_gap=1."""
+    from xesmf_spark.search import proximity_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge the big join now merge join"),
+            (2, "join then merge"),          # only b-before-a
+            (3, "merge far far far far join"),  # gap 5 > 3
+            (4, "no terms here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["min_gap"])
+        for r in proximity_pairs(docs, "merge", "join", max_gap=3).collect()
+    }
+    # doc 1 positions: merge@0, join@3, merge@5, join@6 ->
+    # ordered pairs within 3: (0,3), (5,6) -> 2 matches, min gap 1
+    assert got == {1: (2, 1)}
+    un = {
+        r["doc_id"]: (r["n_matches"], r["min_gap"])
+        for r in proximity_pairs(
+            docs, "merge", "join", max_gap=3, ordered=False
+        ).collect()
+    }
+    # doc 2: join@0, merge@2 -> |gap| 2
+    assert un[2] == (1, 2) and un[1][0] >= 2
+    phrase = {
+        r["doc_id"]
+        for r in proximity_pairs(docs, "merge", "join", max_gap=1).collect()
+    }
+    assert phrase == {1}

@@ -168,3 +168,72 @@ def test_cusum_changepoint_finds_level_shift(spark):
         len(series),
     )
     assert row["cp_bucket"] == 3  # last pre-shift bucket
+
+
+def test_acf_matches_local_replay_including_gaps(spark):
+    """acf: equals an exact integer local replay (truncating divisions,
+    pairs only where both buckets exist, variance over all buckets);
+    a perfectly alternating series gives strongly negative lag-1 and
+    positive lag-2 autocorrelation."""
+    from xesmf_spark.timeseries import acf
+
+    vals = {0: 10, 1: 30, 2: 10, 3: 30, 4: 10, 6: 30, 7: 10}  # gap at 5
+    rows = [("a", t, v) for t, v in vals.items()]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        (row["k"], row["lag"]): (row["acf_milli"], row["n_pairs"])
+        for row in acf(r, ["k"], "t", "x", max_lag=2).collect()
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    mean = trunc_div(sum(vals.values()), len(vals))
+    dev = {t: v - mean for t, v in vals.items()}
+    var = sum(d * d for d in dev.values())
+    exp = {}
+    for lag in (1, 2):
+        pairs = [(t, t + lag) for t in vals if t + lag in vals]
+        cov = sum(dev[a] * dev[b] for a, b in pairs)
+        exp[("a", lag)] = (trunc_div(1000 * cov, var), len(pairs))
+    assert got == exp
+    # alternation: strongly negative lag-1, positive lag-2 (damped by
+    # the calendar gap and the short series)
+    assert got[("a", 1)][0] < -500 and got[("a", 2)][0] > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(r, ["k"], "t", "x", max_lag=0)
+
+
+def test_mad_anomalies_exact_integer_pinning(spark):
+    """mad_anomalies_exact: med2/mad4 are the doubled medians as exact
+    integers; the flag is a pure integer compare equal to the float
+    |x-med| > n*MAD rule."""
+    from xesmf_spark.timeseries import mad_anomalies_exact
+
+    series = [10, 11, 12, 13, 100]  # 100 is the outlier; n=5 odd
+    rows = [("a", t, v) for t, v in enumerate(series)]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {
+        row["t"]: (row["med2"], row["mad4"], row["is_anomaly"])
+        for row in mad_anomalies_exact(r, ["k"], "x", n_sigmas=3).collect()
+    }
+    import statistics
+
+    med = statistics.median(series)
+    mad = statistics.median([abs(v - med) for v in series])
+    for t, v in enumerate(series):
+        med2, mad4, flag = out[t]
+        assert med2 == round(2 * med) and mad4 == round(4 * mad)
+        assert flag == (abs(v - med) > 3 * mad)
+    assert out[4][2] and not any(out[t][2] for t in range(4))
+
+    # even count: both medians land on halves, still exact
+    r2 = spark.createDataFrame(
+        [("b", t, v) for t, v in enumerate([10, 11, 13, 100])],
+        "k string, t long, x long",
+    )
+    row = mad_anomalies_exact(r2, ["k"], "x").collect()[0]
+    assert row["med2"] == 2 * 12  # median 12.0 of (11,13)

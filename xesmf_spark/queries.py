@@ -5811,3 +5811,88 @@ def multimodal_video_avi(spark, sf_dir):
         "mean_g_milli",
         "mean_b_milli",
     )
+
+
+def documents_proximity(spark, sf_dir):
+    """Positional proximity search (search.proximity_pairs): documents
+    where 'join' follows 'merge' within 3 token positions — the
+    phrase/NEAR operator positional postings serve and bag-of-words
+    scoring cannot; completes the search family (TF-IDF / BM25 /
+    inverted index / CMS / RRF) with the position-aware rung.  One
+    posexplode + two pushed-down term filters + one doc-keyed
+    equi-join; per-doc cost tf_a·tf_b, never corpus-shaped."""
+    from xesmf_spark.search import proximity_pairs
+
+    return proximity_pairs(
+        _docs(spark, sf_dir), "merge", "join", max_gap=3, ordered=True
+    )
+
+
+def events_acf(spark, sf_dir):
+    """Sample autocorrelation (timeseries.acf) of daily revenue per
+    event type at lags 1-5: exact BIGINT devs in CENTS (milli lift —
+    the 1e6 lift would overflow the covariance numerator, the
+    lineitem_correlations pre-scaling bound), pairs where both
+    calendar days exist, variance over all days.  One scalar agg +
+    one lag-exploded keyed equi-join + two map-side SUMs, all on
+    (type x day) rollup state."""
+    from xesmf_spark.timeseries import acf
+
+    r = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("ts DIV 86400000000000").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return acf(r, ["event_type"], "day", "cents", max_lag=5).select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "acf_milli",
+        "n_pairs",
+    )
+
+
+def orders_seasonal_anomalies(spark, sf_dir):
+    """Seasonally-adjusted anomaly flags — the op COMPOSITION a real
+    monitor runs: weekly revenue decomposes (seasonal_decompose), then
+    the robust median/MAD detector (mad_anomalies_exact) flags weeks
+    whose RESIDUAL is > 3 MADs from the per-priority median — so a
+    seasonal peak is not an anomaly but a deviation FROM the seasonal
+    pattern is.  Integer-PINNED medians (med2/mad4 doubling + round):
+    at micro-cent magnitudes the engines' interpolated MEDIANs differ
+    by a ULP (~1e-4, measured this round), so raw-double med/mad
+    columns would hash-mismatch — the doubling trick turns every
+    compare into exact BIGINT arithmetic."""
+    from xesmf_spark.timeseries import mad_anomalies_exact, seasonal_decompose
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"
+                " div 7L"
+            ).alias("wk"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    dec = seasonal_decompose(r, ["o_orderpriority"], "wk", "cents", period=5)
+    flagged = mad_anomalies_exact(
+        dec.select("o_orderpriority", "wk", "resid_micro"),
+        ["o_orderpriority"],
+        "resid_micro",
+        n_sigmas=3,
+    )
+    return flagged.filter(F.col("is_anomaly")).select(
+        "o_orderpriority", "wk", "resid_micro", "med2", "mad4"
+    )

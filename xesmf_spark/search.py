@@ -332,3 +332,62 @@ def hybrid_rrf(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rrf_score", "rank")
     )
+
+
+def proximity_pairs(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_gap: int = 3,
+    ordered: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """POSITIONAL proximity search — the query class an inverted index
+    with positions serves and bag-of-words scoring (TF-IDF/BM25)
+    cannot: documents where ``term_b`` occurs within ``max_gap`` token
+    positions AFTER ``term_a`` (``ordered=True``; the phrase/near
+    operator), or within ±``max_gap`` either side (``ordered=False``).
+    Token positions come from the shared normalizing tokenizer
+    (``pipeline.tokens``), so positions are identical in the SQL
+    replay.  ``max_gap=1, ordered=True`` is exact-phrase adjacency.
+
+    Output: ``(doc_id, n_matches, min_gap)`` — occurrence-pair count
+    and the tightest gap per matching document, both exact integers.
+
+    Scale shape: one posexplode, two term-filtered position lists
+    (pushed-down equality filters — each is term-frequency-sized, not
+    corpus-sized), ONE doc-keyed equi-join between them, one keyed
+    agg.  Per-doc cost is tf_a·tf_b — bounded by in-document term
+    frequency, never corpus-shaped; for stop-word-grade terms run the
+    stopword filter first (the hot-shingle valve's advice)."""
+    from xesmf_spark.pipeline import tokens
+
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    a = pos.filter(F.col("term") == term_a).select(
+        id_col, F.col("pos").alias("__pa")
+    )
+    b = pos.filter(F.col("term") == term_b).select(
+        id_col, F.col("pos").alias("__pb")
+    )
+    gap = F.col("__pb") - F.col("__pa")
+    cond = (
+        (gap >= 1) & (gap <= max_gap)
+        if ordered
+        else (F.abs(gap) >= 1) & (F.abs(gap) <= max_gap)
+    )
+    eff = gap if ordered else F.abs(gap)
+    return (
+        a.join(b, id_col)
+        .filter(cond)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min(eff).cast("long").alias("min_gap"),
+        )
+    )

@@ -244,3 +244,122 @@ def cusum_changepoints(
             "n_buckets",
         )
     )
+
+
+def acf(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample AUTOCORRELATION function per key at lags ``1..max_lag``
+    over rollup state:
+
+        acf_milli(l) = (1000 · Σ_t dev(t)·dev(t+l)) div Σ_t dev(t)²
+
+    with ``dev(t) = x(t) − mean`` and ``mean = SUM(x) div n`` — the
+    standard sample ACF, every term exact BIGINT (milli, not micro:
+    dev² sums approach 1e14 on cents-scale rollups, so the 1e6 lift
+    would overflow the final numerator; the 1000 lift keeps
+    1000·cov ≤ ~1e17 with headroom — the lineitem_correlations
+    pre-scaling discipline, bound documented here).  Negative
+    covariances divide identically in both engines (truncation toward
+    zero).  Lag pairs exist where BOTH buckets exist — calendar gaps
+    shrink the pair set for that lag, stated verbatim by the SQL
+    replay; the variance denominator uses ALL buckets.
+
+    Scale shape: one scalar agg join-back, ONE keyed equi-join of the
+    state against its lag-exploded self (state × max_lag rows — never
+    raw volume), two map-side-combinable SUMs.  Output:
+    keys + ``(lag, acf_milli, n_pairs)``."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    stats = rollup.groupBy(*key_cols).agg(
+        F.expr(f"sum(cast({val_col} as long)) div count(1)").alias("__mean")
+    )
+    dev = (
+        rollup.join(stats, key_cols)
+        .select(
+            *key_cols,
+            F.col(bucket_col).cast("long").alias("__t"),
+            (F.col(val_col).cast("long") - F.col("__mean")).alias("__dev"),
+        )
+    )
+    var = dev.groupBy(*key_cols).agg(
+        F.sum(F.col("__dev") * F.col("__dev")).alias("__var")
+    )
+    right = dev.select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        F.col("__t"),
+        F.col("__dev").alias("__dev_r"),
+    ).select(
+        *key_cols, "lag", (F.col("__t") - F.col("lag")).alias("__t"), "__dev_r"
+    )
+    pairs = dev.join(right, [*key_cols, "__t"])
+    return (
+        pairs.groupBy(*key_cols, "lag")
+        .agg(
+            F.sum(F.col("__dev") * F.col("__dev_r")).alias("__cov"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .join(var, key_cols)
+        .select(
+            *key_cols,
+            "lag",
+            F.expr("(1000L * __cov) div __var").alias("acf_milli"),
+            "n_pairs",
+        )
+    )
+
+
+def mad_anomalies_exact(
+    rollup: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    n_sigmas: int = 3,
+) -> DataFrame:
+    """Integer-PINNED median/MAD anomaly flags for BIGINT-valued
+    rollups — the exact twin of :func:`mad_anomalies` for magnitudes
+    where doubles betray the replay: at ~1e11+ the two engines'
+    interpolated MEDIANs differ by one ULP (~1e-4 — measured on
+    micro-cent residuals; ROUND(..., 6) cannot absorb that), so this
+    op never compares raw medians.  Medians of integers land on exact
+    halves, therefore
+
+        med2 = ROUND(2 · median(x))          -- exact integer
+        dev2 = |2·x − med2|                  -- exact BIGINT
+        mad4 = ROUND(2 · median(dev2))       -- exact integer (4·MAD)
+        anomaly  ⇔  2·dev2 > n_sigmas·mad4   -- pure integer compare
+
+    (|x−med| > n·MAD ⇔ dev2/2 > n·mad4/4 ⇔ 2·dev2 > n·mad4).  The
+    ROUND eats each engine's ULP noise; everything after is BIGINT.
+
+    Scale shape: identical to :func:`mad_anomalies` — two grouped
+    medians + two state-keyed joins, all on rollup state.  Output:
+    the rollup's columns + ``med2, mad4, is_anomaly``."""
+    x2 = (F.col(val_col).cast("long") * 2).alias("__x2")
+    meds = rollup.groupBy(*key_cols).agg(
+        F.round(F.expr(f"2 * median(cast({val_col} as long))"))
+        .cast("long")
+        .alias("med2")
+    )
+    with_med = rollup.join(meds, key_cols).withColumn(
+        "__dev2", F.abs(F.col(val_col).cast("long") * 2 - F.col("med2"))
+    )
+    mads = with_med.groupBy(*key_cols).agg(
+        F.round(F.expr("2 * median(__dev2)")).cast("long").alias("mad4")
+    )
+    return (
+        with_med.join(mads, key_cols)
+        .select(
+            *rollup.columns,
+            "med2",
+            "mad4",
+            (
+                F.lit(2) * F.col("__dev2")
+                > F.lit(int(n_sigmas)) * F.col("mad4")
+            ).alias("is_anomaly"),
+        )
+    )
