@@ -44,10 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 14 r13 NEW queries lead (skyline, JL random projection x4,
+    # the 16 r13 NEW queries lead (skyline, JL random projection x4,
     # basket rules, record linkage, seasonal decomposition, CUSUM
     # batch + streaming, AVI video frame sampling, positional
-    # proximity, ACF, seasonal anomalies); the r12 window follows
+    # proximity, ACF, seasonal anomalies, linear gap interpolation,
+    # hashing-trick features); the r12 window follows
     # unchanged — it already contains every carrier of this round's
     # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
     # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_proximity": Q.documents_proximity,
         "events_acf": Q.events_acf,
         "orders_seasonal_anomalies": Q.orders_seasonal_anomalies,
+        "orders_gapfill_interpolate": Q.orders_gapfill_interpolate,
+        "documents_feature_hash": Q.documents_feature_hash,
         "multimodal_video_avi": Q.multimodal_video_avi,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
@@ -446,6 +449,61 @@ FROM e, m
         # the streaming twin: 4-batch sum-merged state == the batch
         # rollup exactly (mergeable integer partials), same replay
         "stream_cusum": PO.cusum_changepoint_sql(),
+        "orders_gapfill_interpolate": """
+-- replay: weekly rollup, LEAD to the next present week, linear
+-- integer interpolation for the in-between weeks (truncating //),
+-- unioned with the originals
+WITH r AS MATERIALIZED (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS wk,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+n AS (
+  SELECT o_orderpriority, wk, cents,
+         LEAD(wk) OVER w AS wk1, LEAD(cents) OVER w AS cents1
+  FROM r WINDOW w AS (PARTITION BY o_orderpriority ORDER BY wk)
+),
+fill AS (
+  SELECT o_orderpriority, t.tm AS wk,
+         CAST(cents + ((cents1 - cents) * (t.tm - wk)) // (wk1 - wk)
+              AS BIGINT) AS cents,
+         TRUE AS is_interpolated
+  FROM n, unnest(range(wk + 1, wk1)) AS t(tm)
+  WHERE wk1 IS NOT NULL AND wk1 - wk > 1
+)
+SELECT o_orderpriority, wk, cents, FALSE AS is_interpolated FROM r
+UNION ALL
+SELECT * FROM fill
+""",
+        "documents_feature_hash": """
+-- hashing-trick replay off the md5-portable hash pair: bucket =
+-- ((first 15 md5 hex chars) % 1000000007) % 64 (base_hash then the
+-- feature modulus), sign from the un-reduced hash's low bit;
+-- zero-sum buckets dropped
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                        ' ') AS ts
+    FROM documents WHERE doc_id < 500
+  ), unnest(ts) AS t(term)
+  WHERE t.term != ''
+),
+h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(term), 1, 15))::BIGINT % 1000000007)
+           % 64 AS bucket,
+         1 - 2 * (('0x' || substr(md5(term), 1, 15))::BIGINT % 2) AS s
+  FROM toks
+)
+SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, bucket
+HAVING SUM(s) != 0
+""",
         "documents_proximity": """
 -- positional replay: shared normalizing tokenizer, 0-based positions,
 -- ordered gap in [1, 3]
@@ -453,7 +511,7 @@ WITH toks AS (
   SELECT doc_id, i AS pos, ts[CAST(i + 1 AS INT)] AS term
   FROM (
     SELECT doc_id,
-           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
                         ' ') AS ts
     FROM documents
   ), unnest(range(len(ts))) AS r(i)
@@ -1328,7 +1386,7 @@ FROM planted
 """,
         "pipeline_repetition": r"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
   FROM documents
 ),
 tk AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM norm),
@@ -1475,7 +1533,7 @@ GROUP BY lang
 SELECT token, COUNT(*) AS n
 FROM (
   SELECT unnest(string_split(
-           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
   FROM documents
 )
 GROUP BY token
@@ -1485,7 +1543,7 @@ LIMIT 20
         "pipeline_chunks": r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
   FROM documents
 ),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
@@ -1505,7 +1563,7 @@ FROM ch
 -- spanned-context explode. Every output column is an integer count.
 WITH base AS (
   SELECT doc_id,
-         len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS n,
          md5(CAST(doc_id AS VARCHAR)) AS ord_key,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
   FROM documents
@@ -1663,8 +1721,8 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
 WITH q AS (
   SELECT doc_id, lang,
          CAST((1000000 * len(list_distinct(
-                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))))
-              // len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))))
+              // len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
            AS BIGINT) AS qm_micro,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
   FROM documents
@@ -1678,7 +1736,7 @@ SELECT doc_id, lang, qm_micro FROM q WHERE u < qm_micro
 -- running total, windowed SUM cast back from HUGEINT
 WITH toks AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
   FROM documents
   WHERE text IS NOT NULL
 ),
@@ -2443,7 +2501,7 @@ FROM r3 JOIN nation ON node = n_nationkey
         "documents_tfidf_terms": r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2469,7 +2527,7 @@ SELECT doc_id, term, tf, score_micro FROM ranked WHERE rnk <= 3
         "documents_bm25": r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 lens AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
@@ -2508,7 +2566,7 @@ LIMIT 10
 -- the md5 row hashes, so values compare exactly; the CM theorem's
 -- one-sided bound (est >= exact, ALWAYS) rides along as a boolean
 WITH toks AS (
-  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 probes AS (
@@ -2865,7 +2923,7 @@ FROM lineitem
         "documents_inverted_index": r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

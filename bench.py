@@ -607,6 +607,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "documents_proximity",
         "events_acf",
         "orders_seasonal_anomalies",
+        "orders_gapfill_interpolate",
+        "documents_feature_hash",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

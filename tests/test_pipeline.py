@@ -2062,3 +2062,41 @@ def test_rp_topk_and_distortion_consistency(spark):
     assert row["p05_micro"] <= row["p50_micro"] <= row["p95_micro"]
     assert row["n_pairs"] + row["n_zero"] == n * (n - 1) // 2
     assert 200_000 < row["p50_micro"] < 5_000_000  # ratio ~ O(1)
+
+
+def test_feature_hash_signed_buckets_and_replay(spark):
+    """feature_hash: per-bucket signed sums equal a local md5 replay;
+    repeated tokens accumulate; zero-sum buckets are dropped."""
+    import hashlib
+
+    from xesmf_spark.pipeline import P, feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "Alpha  ALPHA"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in feature_hash(docs, n_features=8).collect()
+    }
+
+    def h(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+
+    def bucket(term):
+        return (h(term) % P) % 8
+
+    def sign(term):
+        return 1 - 2 * (h(term) % 2)
+
+    exp = {}
+    for did, toks in [(1, ["alpha", "alpha", "beta"]), (2, ["alpha", "alpha"])]:
+        acc = {}
+        for t in toks:
+            acc[bucket(t)] = acc.get(bucket(t), 0) + sign(t)
+        for b, w in acc.items():
+            if w != 0:
+                exp[(did, b)] = w
+    assert got == exp
+    # normalization: doc 2's cased/extra-space text hashes like doc 1's
+    assert got[(2, bucket("alpha"))] == 2 * sign("alpha")

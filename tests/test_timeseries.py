@@ -237,3 +237,28 @@ def test_mad_anomalies_exact_integer_pinning(spark):
     )
     row = mad_anomalies_exact(r2, ["k"], "x").collect()[0]
     assert row["med2"] == 2 * 12  # median 12.0 of (11,13)
+
+
+def test_interpolate_gaps_linear_integer(spark):
+    """interpolate_gaps: filled values equal the exact truncating
+    linear interpolation, including a negative slope; originals pass
+    through flagged False; no fill outside the observed range."""
+    from xesmf_spark.timeseries import interpolate_gaps
+
+    rows = [("a", 0, 100), ("a", 4, 20), ("a", 6, 26)]
+    r = spark.createDataFrame(rows, "k string, t long, x long")
+    got = {
+        (row["k"], row["t"]): (row["x"], row["is_interpolated"])
+        for row in interpolate_gaps(r, ["k"], "t", "x").collect()
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    exp = {("a", t): (v, False) for _, t, v in rows}
+    for t in (1, 2, 3):  # 100 -> 20 over 4 steps, slope -20
+        exp[("a", t)] = (100 + trunc_div((20 - 100) * t, 4), True)
+    exp[("a", 5)] = (20 + trunc_div((26 - 20) * 1, 2), True)
+    assert got == exp
+    assert got[("a", 1)] == (80, True) and got[("a", 5)] == (23, True)

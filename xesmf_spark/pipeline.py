@@ -2477,3 +2477,47 @@ def record_linkage_pairs(
         .filter(F.col("score_micro") >= min_score_micro)
         .select("id_a", "id_b", "score_micro")
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    n_features: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. 2009) — fixed-dimension
+    sparse text features with no vocabulary pass: every token lands in
+    bucket ``base_hash(term) % n_features`` carrying sign
+    ``1 − 2·(wide_hash(term) % 2)`` (the signed variant that makes
+    collisions cancel in expectation), and a document's feature vector
+    is the per-bucket signed occurrence sum.  Both hashes are the
+    repo's md5-derived engine-portable functions, so the SQL replay is
+    bit-exact; buckets whose signed sum is 0 are dropped (documented —
+    a zero coordinate is indistinguishable from an absent one in a
+    sparse encoding).
+
+    Output: long-format ``(id, bucket, weight)`` — the relational
+    encoding of the sparse matrix (the COO discipline), ready for the
+    linear-model dot products :func:`xesmf_spark.similarity` runs.
+
+    Scale shape: one explode + one (id, bucket)-keyed map-side-
+    combinable SUM — linear in token volume, vocabulary-free (the
+    trick's entire point at web scale)."""
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.select(
+            id_col,
+            (base_hash(F.col("term")) % n_features).alias("bucket"),
+            (F.lit(1) - F.lit(2) * (wide_hash(F.col("term")) % 2))
+            .cast("long")
+            .alias("__s"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -5896,3 +5896,44 @@ def orders_seasonal_anomalies(spark, sf_dir):
     return flagged.filter(F.col("is_anomaly")).select(
         "o_orderpriority", "wk", "resid_micro", "med2", "mad4"
     )
+
+
+def orders_gapfill_interpolate(spark, sf_dir):
+    """Linear gap interpolation (timeseries.interpolate_gaps) of the
+    weekly revenue rollup per priority: missing weeks between each
+    priority's first and last observation get
+    v0 + ((v1-v0)·(t-t0)) div (t1-t0) in exact BIGINT (truncating
+    division, engine-identical on negative slopes) — the gap-repair
+    rung between zero-fill and model imputation.  One LEAD window +
+    one gap-bounded sequence explode on rollup state."""
+    from xesmf_spark.timeseries import interpolate_gaps
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"
+                " div 7L"
+            ).alias("wk"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return interpolate_gaps(r, ["o_orderpriority"], "wk", "cents")
+
+
+def documents_feature_hash(spark, sf_dir):
+    """Hashing-trick sparse features (pipeline.feature_hash): 64
+    signed buckets per document from the md5-portable hash pair, long
+    COO output, zero-sum buckets dropped — the vocabulary-free
+    featurizer web-scale linear models use.  Bounded to doc_id < 500
+    so the checked output stays compact; one explode + one keyed SUM,
+    linear in token volume."""
+    from xesmf_spark.pipeline import feature_hash
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return feature_hash(docs, n_features=64)

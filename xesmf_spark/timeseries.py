@@ -363,3 +363,72 @@ def mad_anomalies_exact(
             ).alias("is_anomaly"),
         )
     )
+
+
+def interpolate_gaps(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Fill missing integer buckets between each key's first and last
+    observation by LINEAR interpolation in exact integer arithmetic:
+
+        v(t) = v0 + ((v1 − v0) · (t − t0)) div (t1 − t0)
+
+    for a gap between present buckets t0 < t < t1 — the
+    gap-repair rung between zero-fill (events_hourly_gapfill) and
+    model-based imputation; truncating division keeps every filled
+    value BIGINT and engine-identical (negative slopes truncate the
+    same in Spark ``div`` and DuckDB ``//``).
+
+    Scale shape: one per-key LEAD window over rollup state + one
+    bounded sequence explode (gap-sized, between consecutive PRESENT
+    rows only — never a dense calendar cross join), unioned with the
+    originals.  Output: keys + bucket + ``val_col`` +
+    ``is_interpolated``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__t"))
+    base = rollup.select(
+        *key_cols,
+        F.col(bucket_col).cast("long").alias("__t"),
+        F.col(val_col).cast("long").alias("__v"),
+    )
+    with_next = base.select(
+        *key_cols,
+        "__t",
+        "__v",
+        F.lead("__t").over(w).alias("__t1"),
+        F.lead("__v").over(w).alias("__v1"),
+    )
+    filled = (
+        with_next.filter(
+            F.col("__t1").isNotNull() & (F.col("__t1") - F.col("__t") > 1)
+        )
+        .select(
+            *key_cols,
+            "__t",
+            "__v",
+            "__t1",
+            "__v1",
+            F.explode(
+                F.sequence(F.col("__t") + 1, F.col("__t1") - 1)
+            ).alias("__tm"),
+        )
+        .select(
+            *key_cols,
+            F.col("__tm").alias(bucket_col),
+            F.expr("__v + ((__v1 - __v) * (__tm - __t)) div (__t1 - __t)").alias(
+                val_col
+            ),
+            F.lit(True).alias("is_interpolated"),
+        )
+    )
+    originals = base.select(
+        *key_cols,
+        F.col("__t").alias(bucket_col),
+        F.col("__v").alias(val_col),
+        F.lit(False).alias("is_interpolated"),
+    )
+    return originals.unionByName(filled)
