@@ -44,11 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 16 r13 NEW queries lead (skyline, JL random projection x4,
+    # the 17 r13 NEW queries lead (skyline, JL random projection x4,
     # basket rules, record linkage, seasonal decomposition, CUSUM
     # batch + streaming, AVI video frame sampling, positional
     # proximity, ACF, seasonal anomalies, linear gap interpolation,
-    # hashing-trick features); the r12 window follows
+    # hashing-trick features, sequential-pattern mining); the r12
+    # window follows
     # unchanged — it already contains every carrier of this round's
     # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
     # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_seasonal_anomalies": Q.orders_seasonal_anomalies,
         "orders_gapfill_interpolate": Q.orders_gapfill_interpolate,
         "documents_feature_hash": Q.documents_feature_hash,
+        "events_sequential_patterns": Q.events_sequential_patterns,
         "multimodal_video_avi": Q.multimodal_video_avi,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
@@ -449,6 +451,31 @@ FROM e, m
         # the streaming twin: 4-batch sum-merged state == the batch
         # rollup exactly (mergeable integer partials), same replay
         "stream_cusum": PO.cusum_changepoint_sql(),
+        "events_sequential_patterns": """
+-- replay: per-user event streams ordered by (epoch-ns ts, event_id),
+-- adjacent 2-/3-runs via LEAD, support = distinct users, >= 15 kept
+WITH base AS (
+  SELECT user_id, EPOCH_NS(ts) AS tns, event_id, event_type FROM events
+),
+l AS (
+  SELECT user_id, event_type AS i0,
+         LEAD(event_type, 1) OVER w AS i1,
+         LEAD(event_type, 2) OVER w AS i2
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+),
+runs AS (
+  SELECT user_id, i0 || '>' || i1 AS pattern, 2 AS length
+  FROM l WHERE i1 IS NOT NULL
+  UNION ALL
+  SELECT user_id, i0 || '>' || i1 || '>' || i2 AS pattern, 3 AS length
+  FROM l WHERE i2 IS NOT NULL
+)
+SELECT pattern, CAST(length AS BIGINT) AS length,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support,
+       COUNT(*) AS n_occurrences
+FROM runs GROUP BY pattern, length
+HAVING COUNT(DISTINCT user_id) >= 15
+""",
         "orders_gapfill_interpolate": """
 -- replay: weekly rollup, LEAD to the next present week, linear
 -- integer interpolation for the in-between weeks (truncating //),

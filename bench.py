@@ -609,6 +609,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "orders_seasonal_anomalies",
         "orders_gapfill_interpolate",
         "documents_feature_hash",
+        "events_sequential_patterns",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -784,6 +784,54 @@ def main() -> None:
                 emb_at(d), out_dim=16, in_dim=64
             ),
         ),
+        # hashing trick: one explode + one keyed SUM over the scaled
+        # corpus — linear in token volume, vocabulary-free
+        (
+            "pipeline_feature_hash",
+            lambda d, s: PIPE.feature_hash(
+                spark.read.parquet(f"{d}/documents.parquet"), n_features=64
+            ),
+        ),
+        # positional proximity: posexplode + two term filters + one
+        # doc-keyed pair join; replica suffixing means only the base
+        # replica's tokens match the query terms, so the MEASURED cost
+        # is the tokenize+filter scan (linear in corpus) at constant
+        # match volume
+        (
+            "search_proximity",
+            lambda d, s: __import__(
+                "xesmf_spark.search", fromlist=["proximity_pairs"]
+            ).proximity_pairs(
+                spark.read.parquet(f"{d}/documents.parquet"),
+                "merge",
+                "join",
+                max_gap=3,
+            ),
+        ),
+        # sequential patterns: one window pass + union + keyed agg
+        # over a synthetic session stream (sessions grow Nx at
+        # constant length/alphabet)
+        (
+            "relational_sequential",
+            lambda d, s: REL.sequential_patterns(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 10").alias("sess"),
+                    (F.col("id") % 10).alias("t"),
+                    F.concat(
+                        F.lit("e"),
+                        F.pmod(
+                            F.col("id") * 7 + F.expr("id div 10") * 3,
+                            F.lit(6),
+                        ).cast("string"),
+                    ).alias("item"),
+                ),
+                "sess",
+                ["t"],
+                "item",
+                max_len=3,
+                min_support=2,
+            ),
+        ),
         # seasonal decomposition on the same synthetic state shape:
         # one RANGE window + one phase-mean agg + join-back per key
         (
@@ -882,6 +930,20 @@ def main() -> None:
             "declarative projection path: explode + broadcast sign join "
             "+ map-side-combinable keyed SUM; linear in pool rows at "
             "constant dims"
+        ),
+        "pipeline_feature_hash": (
+            "explode + map-side-combinable keyed SUM; linear in token "
+            "volume (the hashing trick's point — no vocabulary pass)"
+        ),
+        "search_proximity": (
+            "tokenize+filter scan linear in corpus; match volume "
+            "constant under replica suffixing (only base-replica "
+            "tokens equal the query terms) — the pair join itself is "
+            "doc-keyed and tf-bounded"
+        ),
+        "relational_sequential": (
+            "window LEADs + union + keyed agg; sessions grow Nx at "
+            "constant length — linear in events"
         ),
         "timeseries_cusum": (
             "per-key windows over rollup state; keys grow Nx at "

@@ -1534,3 +1534,42 @@ def test_basket_rules_matches_local_replay(spark):
         ("a", "b"): (2, (1_000_000 * 2) // 4, (1_000_000 * 2 * 5) // (4 * 3)),
         ("b", "a"): (2, (1_000_000 * 2) // 3, (1_000_000 * 2 * 5) // (3 * 4)),
     }
+
+
+def test_sequential_patterns_contiguous_runs(spark):
+    """sequential_patterns: adjacent runs only (no gapped
+    subsequences), support counts distinct sessions, occurrences count
+    raw runs, min_support filters, ordering pinned by the tiebreaker."""
+    from xesmf_spark.relational import sequential_patterns
+
+    rows = [
+        # session 1: a b a b  -> a>b x2, b>a x1, a>b>a, b>a>b
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        # session 2: a b c    -> a>b, b>c, a>b>c
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        # session 3: a c b    -> a>c, c>b, a>c>b (b NOT adjacent to a)
+        (3, 1, "a"), (3, 2, "c"), (3, 3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "s long, t long, item string")
+    got = {
+        r["pattern"]: (r["length"], r["support"], r["n_occurrences"])
+        for r in sequential_patterns(
+            df, "s", ["t"], "item", max_len=3, min_support=2
+        ).collect()
+    }
+    assert got["a>b"] == (2, 2, 3)  # sessions 1 (x2) and 2
+    assert "b>a" not in got  # support 1 < 2
+    assert "a>b>c" not in got  # support 1
+    assert set(got) == {"a>b"}
+    full = {
+        r["pattern"]: (r["support"], r["n_occurrences"])
+        for r in sequential_patterns(
+            df, "s", ["t"], "item", max_len=3, min_support=1
+        ).collect()
+    }
+    assert full["a>b>a"] == (1, 1) and full["a>c>b"] == (1, 1)
+    assert full["b>a"] == (1, 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_len"):
+        sequential_patterns(df, "s", ["t"], "item", max_len=1)

@@ -5937,3 +5937,25 @@ def documents_feature_hash(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return feature_hash(docs, n_features=64)
+
+
+def events_sequential_patterns(spark, sf_dir):
+    """Contiguous sequential-pattern mining
+    (relational.sequential_patterns): per-user event-type streams
+    ordered by (ts, event_id), every adjacent 2- and 3-run counted,
+    support = distinct users, patterns in >= 15 users kept (low enough
+    that the sf0.001 fixture emits rows too) — the
+    DISCOVERY twin of the fixed-chain funnel.  One window pass with
+    two LEADs (contiguity ⇒ no self-joins), one union, one keyed
+    agg."""
+    from xesmf_spark.relational import sequential_patterns
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return sequential_patterns(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        max_len=3,
+        min_support=15,
+    )

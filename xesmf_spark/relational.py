@@ -1976,3 +1976,73 @@ def basket_rules(
         )
     )
     return out
+
+
+def sequential_patterns(
+    df: DataFrame,
+    session_col: str,
+    order_cols: list[str],
+    item_col: str,
+    max_len: int = 3,
+    min_support: int = 2,
+) -> DataFrame:
+    """CONTIGUOUS sequential-pattern mining over per-session ordered
+    event streams (the PrefixSpan family restricted to adjacent
+    subsequences — the n-gram-of-behavior variant real clickstream
+    mining ships first, and the one a SQL replay can state exactly):
+    every run of 2..``max_len`` consecutive items inside a session is
+    a candidate pattern; its SUPPORT is the number of DISTINCT
+    sessions containing it at least once, and ``n_occurrences`` the
+    raw run count.  Patterns below ``min_support`` sessions are
+    dropped.  Ordering inside a session is pinned by ``order_cols``
+    (pass a unique tiebreaker column last — deterministic sequences
+    are the replay contract).
+
+    Differs from :func:`funnel_steps` (fixed caller-named step chain)
+    in DIRECTION: the funnel measures known sequences, this op
+    DISCOVERS them.
+
+    Scale shape: one per-session window pass producing ``max_len − 1``
+    LEAD columns (no self-joins — contiguity makes the n-gram a pure
+    window projection), one union of the length slices, one
+    map-side-combinable (pattern)-keyed agg with a COUNT DISTINCT on
+    the session key.  Output: ``(pattern, length, support,
+    n_occurrences)`` with pattern the '>'-joined item run."""
+    from pyspark.sql import Window
+
+    if max_len < 2:
+        raise ValueError(f"max_len must be >= 2, got {max_len}")
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    w = Window.partitionBy(session_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    leads = df.select(
+        F.col(session_col).alias("__s"),
+        F.col(item_col).cast("string").alias("__i0"),
+        *[
+            F.lead(F.col(item_col).cast("string"), k).over(w).alias(f"__i{k}")
+            for k in range(1, max_len)
+        ],
+    )
+    slices = []
+    for ln in range(2, max_len + 1):
+        cols = [F.col(f"__i{k}") for k in range(ln)]
+        slices.append(
+            leads.filter(F.col(f"__i{ln - 1}").isNotNull()).select(
+                "__s",
+                F.concat_ws(">", *cols).alias("pattern"),
+                F.lit(ln).cast("long").alias("length"),
+            )
+        )
+    runs = slices[0]
+    for s in slices[1:]:
+        runs = runs.unionByName(s)
+    return (
+        runs.groupBy("pattern", "length")
+        .agg(
+            F.countDistinct("__s").alias("support"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("support") >= min_support)
+    )
