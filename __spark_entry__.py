@@ -44,12 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 17 r13 NEW queries lead (skyline, JL random projection x4,
+    # the 19 r13 NEW queries lead (skyline, JL random projection x4,
     # basket rules, record linkage, seasonal decomposition, CUSUM
     # batch + streaming, AVI video frame sampling, positional
     # proximity, ACF, seasonal anomalies, linear gap interpolation,
-    # hashing-trick features, sequential-pattern mining); the r12
-    # window follows
+    # hashing-trick features, sequential-pattern mining, Theil-Sen
+    # slope, Benford audit); the r12 window follows
     # unchanged — it already contains every carrier of this round's
     # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
     # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gapfill_interpolate": Q.orders_gapfill_interpolate,
         "documents_feature_hash": Q.documents_feature_hash,
         "events_sequential_patterns": Q.events_sequential_patterns,
+        "events_theilsen": Q.events_theilsen,
+        "orders_benford": Q.orders_benford,
         "multimodal_video_avi": Q.multimodal_video_avi,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
@@ -451,6 +453,59 @@ FROM e, m
         # the streaming twin: 4-batch sum-merged state == the batch
         # rollup exactly (mergeable integer partials), same replay
         "stream_cusum": PO.cusum_changepoint_sql(),
+        "events_theilsen": """
+-- Theil-Sen replay: daily cents rollup, all ordered pairs per type,
+-- micro-lifted truncating slopes, med2-doubled median (ULP-safe)
+WITH r AS MATERIALIZED (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         CAST((1000000 * (b.cents - a.cents)) // (b.day - a.day)
+              AS BIGINT) AS s
+  FROM r a JOIN r b ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+       CAST(ROUND(2 * MEDIAN(s)) AS BIGINT) AS slope_med2_micro,
+       COUNT(*) AS n_pairs
+FROM p GROUP BY event_type
+""",
+        "orders_benford": """
+-- Benford replay: first digit from the decimal string of |cents|,
+-- exact milli shares, floored log10(1+1/d) expectation per digit
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+tot AS (
+  SELECT COUNT(*) FILTER (cents != 0) AS N,
+         COUNT(*) FILTER (cents = 0) AS n_zero
+  FROM c
+),
+d AS (
+  SELECT CAST(substr(CAST(ABS(cents) AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS cnt
+  FROM c WHERE cents != 0 GROUP BY 1
+),
+ax AS (
+  SELECT CAST(t.dd AS INT) AS digit,
+         CAST(FLOOR(1000 * LOG10(1 + 1.0 / t.dd)) AS BIGINT)
+           AS expected_milli
+  FROM unnest(range(1, 10)) AS t(dd)
+)
+SELECT ax.digit, CAST(COALESCE(cnt, 0) AS BIGINT) AS n,
+       CAST((1000 * COALESCE(cnt, 0)) // (SELECT N FROM tot) AS BIGINT)
+         AS observed_milli,
+       ax.expected_milli,
+       CAST((1000 * COALESCE(cnt, 0)) // (SELECT N FROM tot)
+            - ax.expected_milli AS BIGINT) AS dev_milli,
+       CAST((SELECT n_zero FROM tot) AS BIGINT) AS n_zero
+FROM ax LEFT JOIN d USING (digit)
+""",
         "events_sequential_patterns": """
 -- replay: per-user event streams ordered by (epoch-ns ts, event_id),
 -- adjacent 2-/3-runs via LEAD, support = distinct users, >= 15 kept

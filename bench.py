@@ -610,6 +610,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "orders_gapfill_interpolate",
         "documents_feature_hash",
         "events_sequential_patterns",
+        "events_theilsen",
+        "orders_benford",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

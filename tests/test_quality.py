@@ -296,3 +296,28 @@ def test_profile_correlations_matches_numpy(spark):
     assert got[("a", "e")][1] == -1_000_000
     assert got[("a", "b")][1] > 900_000
     assert abs(got[("a", "c")][1]) < 150_000
+
+
+def test_benford_audit_exact_shares(spark):
+    """benford_audit: digit counts from decimal strings, exact milli
+    shares, zeros excluded and counted, absent digits emit n=0."""
+    import math
+
+    from xesmf_spark.quality import benford_audit
+
+    vals = [1, 19, 123, 2, 25, 0, -34, 911, 0, 100]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = {r["digit"]: r for r in benford_audit(df, "x").collect()}
+    assert set(rows) == set(range(1, 10))
+    nonzero = [v for v in vals if v != 0]
+    from collections import Counter
+
+    c = Counter(int(str(abs(v))[0]) for v in nonzero)
+    for d in range(1, 10):
+        r = rows[d]
+        assert r["n"] == c.get(d, 0)
+        assert r["observed_milli"] == (1000 * c.get(d, 0)) // len(nonzero)
+        assert r["expected_milli"] == math.floor(1000 * math.log10(1 + 1 / d))
+        assert r["dev_milli"] == r["observed_milli"] - r["expected_milli"]
+        assert r["n_zero"] == 2
+    assert rows[5]["n"] == 0  # absent digit still present with n=0

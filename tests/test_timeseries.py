@@ -262,3 +262,40 @@ def test_interpolate_gaps_linear_integer(spark):
     exp[("a", 5)] = (20 + trunc_div((26 - 20) * 1, 2), True)
     assert got == exp
     assert got[("a", 1)] == (80, True) and got[("a", 5)] == (23, True)
+
+
+def test_theilsen_robust_to_spike_and_matches_replay(spark):
+    """theilsen_slope: equals the exact local replay; a single spike
+    barely moves the Theil-Sen slope while it wrecks the OLS slope;
+    the max_buckets valve drops oversized keys whole."""
+    import statistics
+
+    from xesmf_spark.timeseries import theilsen_slope
+
+    clean = [("a", t, 10 * t + 3) for t in range(10)]
+    spiked = [("b", t, 10 * t + 3 + (100_000 if t == 5 else 0)) for t in range(10)]
+    r = spark.createDataFrame(clean + spiked, "k string, t long, x long")
+    got = {
+        row["k"]: (row["slope_med2_micro"], row["n_pairs"])
+        for row in theilsen_slope(r, ["k"], "t", "x").collect()
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def replay(rows):
+        pts = [(t, x) for _, t, x in rows]
+        slopes = [
+            trunc_div(1_000_000 * (x2 - x1), t2 - t1)
+            for i, (t1, x1) in enumerate(pts)
+            for (t2, x2) in pts[i + 1 :]
+        ]
+        return round(2 * statistics.median(slopes)), len(slopes)
+
+    assert got["a"] == replay(clean) == (2 * 10_000_000, 45)
+    assert got["b"] == replay(spiked)
+    # robust: the spiked slope stays within 2x of the true slope
+    assert abs(got["b"][0] / 2 - 10_000_000) < 10_000_000
+    # valve: keys above the bound vanish
+    assert theilsen_slope(r, ["k"], "t", "x", max_buckets=5).count() == 0

@@ -495,3 +495,76 @@ def profile_correlations(
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+def benford_audit(
+    df: DataFrame,
+    val_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """BENFORD first-significant-digit audit — the classic
+    fabricated-numbers screen (Newcomb 1881 / Benford 1938): compare
+    each digit 1-9's observed share against the law
+    ``P(d) = log10(1 + 1/d)``.  The first digit comes from the DECIMAL
+    STRING of the absolute integer value (no float log on the data
+    path — string heads are engine-exact); zero values are excluded
+    and counted in ``n_zero``.  Shares are exact milli units
+    ``(1000·n_d) div N``; the expectation floors ``1000·log10(1+1/d)``
+    once per digit (a 9-value constant — a last-ulp libm divergence
+    would need the product to sit within 1e-13 of a milli boundary,
+    and none of the nine does).
+
+    Scale shape: one projection + one 9-bucket map-side-combinable
+    count + a broadcast 9-row digit axis; the N scalar rides a 1-row
+    broadcast cross.  Output: groups + ``(digit, n, observed_milli,
+    expected_milli, dev_milli, n_zero)`` for every digit 1-9 (absent
+    digits emit n = 0 — the axis join keeps the row)."""
+    import math
+
+    group_cols = list(group_cols or [])
+    spark = df.sparkSession
+    x = F.col(val_col).cast("long")
+    base = df.select(
+        *group_cols,
+        F.when(
+            x != 0, F.substring(F.abs(x).cast("string"), 1, 1).cast("int")
+        ).alias("__d"),
+    )
+    nz = base.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("__d").isNull(), 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).alias("__N"),
+    )
+    counts = (
+        base.filter(F.col("__d").isNotNull())
+        .groupBy(*group_cols, "__d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    digits = spark.createDataFrame(
+        [(d, int(math.floor(1000 * math.log10(1 + 1 / d)))) for d in range(1, 10)],
+        "digit int, expected_milli long",
+    )
+    axis = (
+        nz.crossJoin(F.broadcast(digits))
+        if not group_cols
+        else nz.join(F.broadcast(digits), F.lit(True))
+    )
+    out = (
+        axis.join(
+            counts.withColumnRenamed("__d", "digit"),
+            [*group_cols, "digit"],
+            "left",
+        )
+        .select(
+            *group_cols,
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("(1000L * coalesce(n, 0L)) div __N").alias("observed_milli"),
+            "expected_milli",
+            (
+                F.expr("(1000L * coalesce(n, 0L)) div __N")
+                - F.col("expected_milli")
+            ).alias("dev_milli"),
+            "n_zero",
+        )
+    )
+    return out

@@ -5959,3 +5959,45 @@ def events_sequential_patterns(spark, sf_dir):
         max_len=3,
         min_support=15,
     )
+
+
+def events_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend slope (timeseries.theilsen_slope) of
+    daily revenue per event type: the median of all pairwise slopes —
+    the estimator a single spiked day cannot drag the way it drags the
+    OLS slope (events_trend_slope).  Micro-lifted truncating BIGINT
+    slopes, med2-doubled median (engine medians drift a ULP at these
+    magnitudes), per-key pair join on 30-day state (435 pairs/key)."""
+    from xesmf_spark.timeseries import theilsen_slope
+
+    r = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("ts DIV 86400000000000").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return theilsen_slope(r, ["event_type"], "day", "cents")
+
+
+def orders_benford(spark, sf_dir):
+    """Benford first-significant-digit audit (quality.benford_audit)
+    over order totals in cents: per digit 1-9, exact milli observed
+    share vs the floored log10(1+1/d) expectation — the classic
+    fabricated-numbers screen, with the first digit taken from the
+    DECIMAL STRING of the absolute integer (no float log on the data
+    path).  One projection + one 9-bucket count + a broadcast digit
+    axis."""
+    from xesmf_spark.quality import benford_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    return benford_audit(o, "cents")

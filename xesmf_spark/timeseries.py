@@ -432,3 +432,59 @@ def interpolate_gaps(
         F.lit(False).alias("is_interpolated"),
     )
     return originals.unionByName(filled)
+
+
+def theilsen_slope(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+    max_buckets: int | None = 2000,
+) -> DataFrame:
+    """Theil-Sen ROBUST trend slope per key — the median of all
+    pairwise slopes, the estimator a single spike cannot drag the way
+    it drags OLS (events_trend_slope's integer least squares):
+
+        slope(i,j) = (1e6·(x_j − x_i)) div (t_j − t_i)   for t_i < t_j
+        slope_med2 = ROUND(2 · median(slopes))           -- exact BIGINT
+
+    Slopes are micro-lifted truncating BIGINT divisions (negative
+    slopes truncate identically both engines); the median is pinned by
+    the med2 doubling (engine medians drift a ULP at large magnitudes
+    — the :func:`mad_anomalies_exact` discipline), so the reported
+    2×-slope is an exact integer.
+
+    Scale shape: ONE key-equi self-join of the rollup state against
+    itself (per-key quadratic: B buckets → B²/2 pairs — STATE-shaped,
+    never raw volume; the classic Theil-Sen cost).  ``max_buckets``
+    is the skew valve: keys with more state rows than the bound are
+    EXCLUDED whole (emitted nowhere — run on a coarser rollup
+    instead), the editdist/record-linkage valve contract.  Output:
+    keys + ``(slope_med2_micro, n_pairs)``."""
+    b = rollup.select(
+        *key_cols,
+        F.col(bucket_col).cast("long").alias("__t"),
+        F.col(val_col).cast("long").alias("__x"),
+    )
+    if max_buckets is not None:
+        sz = b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+        b = (
+            b.join(sz, key_cols)
+            .filter(F.col("__bn") <= max_buckets)
+            .drop("__bn")
+        )
+    left = b.select(
+        *key_cols, F.col("__t").alias("__t1"), F.col("__x").alias("__x1")
+    )
+    right = b.select(
+        *key_cols, F.col("__t").alias("__t2"), F.col("__x").alias("__x2")
+    )
+    pairs = left.join(right, key_cols).filter(F.col("__t1") < F.col("__t2"))
+    slopes = pairs.select(
+        *key_cols,
+        F.expr("(1000000L * (__x2 - __x1)) div (__t2 - __t1)").alias("__s"),
+    )
+    return slopes.groupBy(*key_cols).agg(
+        F.round(F.expr("2 * median(__s)")).cast("long").alias("slope_med2_micro"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
