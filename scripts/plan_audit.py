@@ -123,6 +123,9 @@ ALLOW = {
     # the same 1x1 recall-ratio cross as ann_sq8_recall, plus
     # euclid_topk's documented exact-audit broadcast cross join
     "ann_rp_recall": {"BroadcastNestedLoopJoin"},
+    # the 1-row (N, n_zero) totals crossed onto the 9-row digit axis
+    # (scalar-x-axis broadcast, the funnel/constraints shape)
+    "orders_benford": {"BroadcastNestedLoopJoin"},
     # two 1-row scalar crosses (n_pairs onto the ranked frame, n_zero
     # onto the 1-row quantile result)
     "ann_rp_distortion": {"BroadcastNestedLoopJoin"},
