@@ -44,12 +44,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 19 r13 NEW queries lead (skyline, JL random projection x4,
+    # the 21 r13 NEW queries lead (skyline, JL random projection x4,
     # basket rules, record linkage, seasonal decomposition, CUSUM
     # batch + streaming, AVI video frame sampling, positional
     # proximity, ACF, seasonal anomalies, linear gap interpolation,
     # hashing-trick features, sequential-pattern mining, Theil-Sen
-    # slope, Benford audit); the r12 window follows
+    # slope, Benford audit, personalized PageRank, trimmed/winsorized
+    # means); the r12 window follows
     # unchanged — it already contains every carrier of this round's
     # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
     # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
@@ -93,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequential_patterns": Q.events_sequential_patterns,
         "events_theilsen": Q.events_theilsen,
         "orders_benford": Q.orders_benford,
+        "nations_trade_ppr": Q.nations_trade_ppr,
+        "events_robust_stats": Q.events_robust_stats,
         "multimodal_video_avi": Q.multimodal_video_avi,
         # (a) r12 NEW queries
         "pipeline_unigram_tok": Q.pipeline_unigram_tok,
@@ -453,6 +456,8 @@ FROM e, m
         # the streaming twin: 4-batch sum-merged state == the batch
         # rollup exactly (mergeable integer partials), same replay
         "stream_cusum": PO.cusum_changepoint_sql(),
+        "nations_trade_ppr": PO.ppr_sql(iters=3),
+        "events_robust_stats": PO.robust_stats_sql(),
         "events_theilsen": """
 -- Theil-Sen replay: daily cents rollup, all ordered pairs per type,
 -- micro-lifted truncating slopes, med2-doubled median (ULP-safe)

@@ -612,6 +612,8 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "events_sequential_patterns",
         "events_theilsen",
         "orders_benford",
+        "nations_trade_ppr",
+        "events_robust_stats",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

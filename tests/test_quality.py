@@ -321,3 +321,28 @@ def test_benford_audit_exact_shares(spark):
         assert r["dev_milli"] == r["observed_milli"] - r["expected_milli"]
         assert r["n_zero"] == 2
     assert rows[5]["n"] == 0  # absent digit still present with n=0
+
+
+def test_robust_stats_trimmed_and_winsorized(spark):
+    """robust_stats: matches the exact local replay; the trimmed and
+    winsorized means shrug off a spike the raw mean cannot; ties
+    straddling the cut are multiset-invariant."""
+    from xesmf_spark.quality import robust_stats
+
+    vals = [10, 10, 10, 11, 12, 13, 14, 15, 16, 1000]  # n=10, k=1 at 10%
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, x long")
+    row = robust_stats(df, ["k"], "x", trim_milli=100).collect()[0]
+    s = sorted(vals)
+    n, k = 10, 1
+    lo, hi = s[k], s[n - k - 1]
+    tsum = sum(s[k : n - k])
+    wsum = sum(min(max(v, lo), hi) for v in vals)
+    assert (row["n"], row["k_trim"], row["lo"], row["hi"]) == (n, k, lo, hi)
+    assert row["trimmed_mean_micro"] == (1_000_000 * tsum) // (n - 2 * k)
+    assert row["winsor_mean_micro"] == (1_000_000 * wsum) // n
+    # robustness: both far below the raw mean (~111) times 1e6
+    assert row["trimmed_mean_micro"] < 20_000_000
+    import pytest
+
+    with pytest.raises(ValueError, match="trim_milli"):
+        robust_stats(df, ["k"], "x", trim_milli=500)

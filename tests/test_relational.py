@@ -1573,3 +1573,54 @@ def test_sequential_patterns_contiguous_runs(spark):
 
     with pytest.raises(ValueError, match="max_len"):
         sequential_patterns(df, "s", ["t"], "item", max_len=1)
+
+
+def test_pagerank_personalized_matches_replay_and_concentrates(spark):
+    """pagerank_personalized: equals a local dict replay of the pinned
+    recurrence (teleport + dangling mass on seeds only); rank
+    concentrates near the seed set; unreachable non-seeds stay 0;
+    empty seeds raise."""
+    from xesmf_spark.relational import pagerank_personalized
+    import pytest as _pytest
+
+    # 1 -> 2 -> 3 (3 dangling), isolated 9 unreachable from the seed
+    edges = [(1, 2), (2, 3), (9, 8)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    def replay(iters=3, damp=850_000):
+        nodes = sorted({u for e in edges for u in e} | {1})
+        out = {}
+        for s, d in edges:
+            out.setdefault(s, []).append(d)
+        S = {1}
+        r = {v: (1_000_000 // len(S) if v in S else 0) for v in nodes}
+        tele = (1_000_000 - damp) // len(S)
+        for _ in range(iters):
+            dang = sum(r[v] for v in nodes if v not in out)
+            nr = {}
+            for v in nodes:
+                inc = sum(
+                    ((r[s] * damp) // 1_000_000) // len(out[s])
+                    for s in out
+                    if v in out[s]
+                )
+                nr[v] = (
+                    (tele if v in S else 0)
+                    + inc
+                    + (((dang * damp) // 1_000_000) // len(S) if v in S else 0)
+                )
+            r = nr
+        return r
+
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_personalized(edf, seeds, iters=3).collect()
+    }
+    assert got == replay()
+    assert got[1] > got[2] > got[3] > 0
+    assert got[9] == 0 and got[8] == 0  # unreachable from the seed
+    with _pytest.raises(ValueError, match="empty seed"):
+        pagerank_personalized(
+            edf, spark.createDataFrame([], "node long")
+        )

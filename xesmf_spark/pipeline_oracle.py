@@ -2980,3 +2980,106 @@ SELECT
   CAST(MAX(n_zero) AS BIGINT) AS n_zero
 FROM sel, n, z
 """
+
+
+def ppr_sql(iters: int = 3, damp: int = 850_000, region: int = 2) -> str:
+    """Mirrors nations_trade_ppr: unrolled replay of the personalized
+    recurrence — teleport (1e6−damp)//nS and dangling redistribution
+    ((dang·damp//1e6)//nS) land on the SEED nations only; seeds start
+    at 1e6//nS, everything else 0."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
+                  CAST(c_nationkey AS BIGINT) AS dst
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+seeds AS MATERIALIZED (
+  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+  WHERE n_regionkey = {region}
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+  UNION SELECT node FROM seeds
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node IN (SELECT node FROM seeds)
+              THEN 1000000 // (SELECT COUNT(*) FROM seeds)
+              ELSE 0 END AS r
+  FROM nodes
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+d{t - 1} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r), 0) AS dang FROM r{t - 1}
+  WHERE node NOT IN (SELECT src FROM deg)
+),
+r{t} AS MATERIALIZED (
+  SELECT nd.node,
+         CASE WHEN nd.node IN (SELECT node FROM seeds)
+              THEN (1000000 - {damp}) // (SELECT COUNT(*) FROM seeds)
+              ELSE 0 END
+           + COALESCE(c.s, 0)
+           + CASE WHEN nd.node IN (SELECT node FROM seeds)
+                  THEN (((SELECT dang FROM d{t - 1}) * {damp}) // 1000000)
+                       // (SELECT COUNT(*) FROM seeds)
+                  ELSE 0 END AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(((r.r * {damp}) // 1000000) // o.deg) AS BIGINT) AS s
+    FROM e JOIN deg o ON e.src = o.src JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY e.dst) c ON nd.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n_name, CAST(r AS BIGINT) AS rank_micro
+FROM r{iters} JOIN nation ON node = n_nationkey
+"""
+    )
+    return "".join(parts)
+
+
+def robust_stats_sql(trim_milli: int = 100) -> str:
+    """Mirrors events_robust_stats: per-type rank window, boundary
+    order statistics, conditional trimmed sum, clamp-winsorized sum —
+    all BIGINT, tie-invariant multisets."""
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+),
+rk AS MATERIALIZED (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+b AS MATERIALIZED (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX((n * {trim_milli}) // 1000) AS BIGINT) AS k_trim,
+         MAX(CASE WHEN rn = (n * {trim_milli}) // 1000 + 1 THEN x END) AS lo,
+         MAX(CASE WHEN rn = n - (n * {trim_milli}) // 1000 THEN x END) AS hi,
+         SUM(CASE WHEN rn > (n * {trim_milli}) // 1000
+                   AND rn <= n - (n * {trim_milli}) // 1000
+                  THEN x END) AS tsum
+  FROM rk GROUP BY event_type
+),
+w AS (
+  SELECT rk.event_type, SUM(GREATEST(LEAST(x, hi), lo)) AS wsum
+  FROM rk JOIN b USING (event_type) GROUP BY rk.event_type
+)
+SELECT b.event_type, b.n, b.k_trim, b.lo, b.hi,
+       CAST((1000000 * tsum) // (n - 2 * k_trim) AS BIGINT)
+         AS trimmed_mean_micro,
+       CAST((1000000 * wsum) // n AS BIGINT) AS winsor_mean_micro
+FROM b JOIN w USING (event_type)
+"""

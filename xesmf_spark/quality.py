@@ -568,3 +568,88 @@ def benford_audit(
         )
     )
     return out
+
+
+def robust_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    trim_milli: int = 100,
+) -> DataFrame:
+    """TRIMMED and WINSORIZED means per group — the robust location
+    estimators between the mean (spike-draggable) and the median
+    (throws away magnitude): with ``k = (n · trim_milli) div 1000``
+    rows cut from EACH tail of the per-group value ordering,
+
+        trimmed_mean_micro   = (1e6 · Σ ranks k+1..n−k) div (n − 2k)
+        winsor_mean_micro    = (1e6 · Σ clamp(x, lo, hi)) div n
+
+    where ``lo``/``hi`` are the boundary order statistics (ranks k+1
+    and n−k).  All BIGINT; rank ties are broken arbitrarily by
+    row_number but the selected MULTISET is tie-invariant (equal
+    values straddling a boundary contribute the same sum either way),
+    so both means are engine-exact.  ``trim_milli`` must be < 500
+    (each tail below half).
+
+    Scale shape: one per-group sort window (rank), one grouped
+    conditional agg, one boundary join-back — all map-side-combinable
+    after the rank.  Output: groups + ``(n, k, lo, hi,
+    trimmed_mean_micro, winsor_mean_micro)``."""
+    from pyspark.sql import Window
+
+    if not 0 <= trim_milli < 500:
+        raise ValueError(f"trim_milli must be in [0, 500), got {trim_milli}")
+    x = F.col(val_col).cast("long")
+    # the window must order by the RENAMED column — referencing the
+    # caller's name here fails analysis (the interpolate_gaps lesson)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__x").asc())
+    ranked = df.select(*group_cols, x.alias("__x")).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    sized = ranked.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    ).withColumn("__k", F.expr(f"(__n * {trim_milli}L) div 1000L"))
+    bounds = sized.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k_trim"),
+        F.max(F.when(F.col("__rn") == F.col("__k") + 1, F.col("__x"))).alias(
+            "lo"
+        ),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n") - F.col("__k"), F.col("__x"))
+        ).alias("hi"),
+        F.sum(
+            F.when(
+                (F.col("__rn") > F.col("__k"))
+                & (F.col("__rn") <= F.col("__n") - F.col("__k")),
+                F.col("__x"),
+            )
+        ).alias("__tsum"),
+    )
+    win = (
+        sized.join(
+            bounds.select(*group_cols, "lo", "hi"), group_cols
+        )
+        .select(
+            *group_cols,
+            F.greatest(F.least(F.col("__x"), F.col("hi")), F.col("lo")).alias(
+                "__wx"
+            ),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("__wx").alias("__wsum"))
+    )
+    return (
+        bounds.join(win, group_cols)
+        .select(
+            *group_cols,
+            "n",
+            "k_trim",
+            "lo",
+            "hi",
+            F.expr("(1000000L * __tsum) div (n - 2L * k_trim)").alias(
+                "trimmed_mean_micro"
+            ),
+            F.expr("(1000000L * __wsum) div n").alias("winsor_mean_micro"),
+        )
+    )

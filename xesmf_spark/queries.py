@@ -6001,3 +6001,51 @@ def orders_benford(spark, sf_dir):
         )
     )
     return benford_audit(o, "cents")
+
+
+def nations_trade_ppr(spark, sf_dir):
+    """PERSONALIZED PageRank (relational.pagerank_personalized —
+    Haveliwala topic-sensitive ranking) over the q7 trade graph,
+    teleporting to the ASIA nations: "which nations are most related
+    to Asian trade" — the recommendation primitive the uniform
+    PageRank can't answer.  Exact integer micro-units (teleport and
+    dangling mass both land on the seed set, truncating BIGINT
+    divisions), unrolled 3-iteration CTE oracle."""
+    from xesmf_spark.relational import pagerank_personalized
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+    )
+    nation = _t(spark, sf_dir, "nation")
+    seeds = nation.filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    ranks = pagerank_personalized(edges, seeds, iters=3, damp_micro=850_000)
+    return ranks.join(
+        nation.select("n_nationkey", "n_name"),
+        ranks.node == nation.n_nationkey,
+    ).select("n_name", "rank_micro")
+
+
+def events_robust_stats(spark, sf_dir):
+    """Trimmed + winsorized means (quality.robust_stats) of raw event
+    value cents per type at 10% per tail — the robust location rung
+    between the mean and the median; exact BIGINT order statistics,
+    tie-invariant selected multisets, truncating final divisions."""
+    from xesmf_spark.quality import robust_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return robust_stats(ev, ["event_type"], "cents", trim_milli=100)

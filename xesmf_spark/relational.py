@@ -2046,3 +2046,107 @@ def sequential_patterns(
         )
         .filter(F.col("support") >= min_support)
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damp_micro: int = 850_000,
+) -> DataFrame:
+    """PERSONALIZED PageRank — the teleport vector concentrates on a
+    caller-chosen SEED set instead of all nodes (Haveliwala 2002), the
+    "related to these items" primitive behind recommendation and
+    topic-sensitive ranking.  Same exact integer micro-unit contract
+    as :func:`pagerank`, with two personalization changes:
+
+    - the teleport term ``(1e6 − damp) div nS`` lands ONLY on seeds;
+    - dangling mass redistributes to the SEEDS (not uniformly) —
+      ``(dang · damp div 1e6) div nS`` per seed — the standard PPR
+      convention that keeps rank mass flowing back to the topic.
+
+    Initial ranks: ``1e6 div nS`` on seeds, 0 elsewhere.  Every step
+    is truncating BIGINT division on non-negative values, so the
+    recurrence is bit-replayable by an unrolled-CTE oracle.  Seeds
+    not present in the edge list still teleport (they are real nodes
+    of the personalized walk); non-seed nodes unreachable from seeds
+    keep rank 0 and appear in the output with it.
+
+    Scale shape: identical to :func:`pagerank` — per iteration one
+    keyed edge-rank equi-join + map-side SUM + one scalar dangling
+    agg broadcast back; eager-truncated lineage; driver scalar = the
+    one seed count."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst").distinct().persist()
+    s = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .persist()
+    )
+    n_s = s.count()
+    if n_s == 0:
+        e.unpersist()
+        s.unpersist()
+        raise ValueError("pagerank_personalized: empty seed set")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    is_seed = s.select("node", F.lit(1).alias("__seed"))
+    base = nodes.join(is_seed, "node", "left").select(
+        "node", F.coalesce("__seed", F.lit(0)).alias("__seed")
+    ).persist()
+    ranks = base.select(
+        "node",
+        F.when(F.col("__seed") == 1, F.lit(1_000_000 // n_s))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_micro"),
+    )
+    tele = (1_000_000 - damp_micro) // n_s
+    for _ in range(iters):
+        contribs = (
+            e.join(out_deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"((rank_micro * {damp_micro}L) div 1000000L) div deg"
+                ).alias("__share"),
+            )
+        )
+        dang = ranks.join(
+            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("__dang"))
+        ranks = (
+            base.join(
+                contribs.groupBy("node").agg(F.sum("__share").alias("__in")),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed") == 1, F.lit(tele)).otherwise(F.lit(0))
+                    + F.coalesce("__in", F.lit(0))
+                    + F.when(
+                        F.col("__seed") == 1,
+                        F.expr(
+                            f"((__dang * {damp_micro}L) div 1000000L) div {n_s}L"
+                        ),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    e.unpersist()
+    s.unpersist()
+    nodes.unpersist()
+    base.unpersist(blocking=False)
+    return ranks
