@@ -693,6 +693,32 @@ def main() -> None:
                 iters=3,
             ),
         ),
+        # personalized PageRank on the pagerank synthetic shape with
+        # a fixed 1000-node seed set: per-round cost identical to the
+        # uniform op (one keyed join + SUM + scalar dangling agg)
+        (
+            "relational_ppr",
+            lambda d, s: REL.pagerank_personalized(
+                spark.range(50_000 * s)
+                .select(F.col("id").alias("src"))
+                .select(
+                    "src",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(
+                                    F.col("src") * F.lit(m) + F.lit(a),
+                                    F.lit(50_000 * s),
+                                )
+                                for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                            ]
+                        )
+                    ).alias("dst"),
+                ),
+                spark.range(1000).select(F.col("id").alias("node")),
+                iters=3,
+            ),
+        ),
         # r13 additions --------------------------------------------
         # skyline: uniform-random 2-D points (hash-mixed), expected
         # frontier O(log n) — phase 1 is a linear per-batch prune,
@@ -930,6 +956,11 @@ def main() -> None:
             "declarative projection path: explode + broadcast sign join "
             "+ map-side-combinable keyed SUM; linear in pool rows at "
             "constant dims"
+        ),
+        "relational_ppr": (
+            "same per-round shape as relational_pagerank (keyed edge "
+            "join + SUM + scalar dangling broadcast); the seed set is "
+            "a constant"
         ),
         "pipeline_feature_hash": (
             "explode + map-side-combinable keyed SUM; linear in token "
