@@ -1624,3 +1624,68 @@ def test_pagerank_personalized_matches_replay_and_concentrates(spark):
         pagerank_personalized(
             edf, spark.createDataFrame([], "node long")
         )
+
+
+def test_skyline_three_criteria_and_single_dim(spark):
+    """skyline generalizes beyond 2-D: 3-criterion frontier matches
+    brute force; a single maximize criterion reduces to the max-set."""
+    from xesmf_spark.relational import skyline
+
+    pts = [
+        (1, 1.0, 5, 100),
+        (2, 2.0, 5, 100),   # dominated by 1 (worse price, equal rest)
+        (3, 1.0, 9, 50),    # frontier (best size)
+        (4, 1.5, 7, 120),   # frontier (best qual)
+        (5, 1.0, 5, 100),   # tie of 1 -> survives
+        (6, 3.0, 4, 40),    # dominated by everyone relevant
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size int, qual int")
+
+    def brute(rows):
+        out = []
+        for p in rows:
+            dom = any(
+                q[1] <= p[1] and q[2] >= p[2] and q[3] >= p[3]
+                and (q[1] < p[1] or q[2] > p[2] or q[3] > p[3])
+                for q in rows
+            )
+            if not dom:
+                out.append(p[0])
+        return sorted(out)
+
+    got = sorted(
+        r["id"]
+        for r in skyline(
+            df, maximize=["size", "qual"], minimize=["price"]
+        ).collect()
+    )
+    assert got == brute(pts) == [1, 3, 4, 5]
+    # 1-D: frontier of a single maximize column = all rows attaining max
+    one = sorted(
+        r["id"] for r in skyline(df, maximize=["qual"]).collect()
+    )
+    assert one == [4]
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        skyline(df, maximize=["size"], minimize=["size"])
+
+
+def test_basket_rules_min_support_one_and_self_pairs_excluded(spark):
+    """basket_rules: min_pair_support=1 emits every co-occurring
+    ordered pair exactly once per direction; items never pair with
+    themselves; singleton baskets emit nothing."""
+    from xesmf_spark.relational import basket_rules
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "basket_id long, item string"
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in basket_rules(df, min_pair_support=1).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+    import pytest
+
+    with pytest.raises(ValueError, match="min_pair_support"):
+        basket_rules(df, min_pair_support=0)
