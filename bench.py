@@ -741,23 +741,34 @@ def _run_workloads(spark, sf_dir, timings, timed):
         centroids=trained["cb"], codebooks=pq_tr["cb"], refine_k=16,
     )
 
-    # --- native JPEG decode kernel throughput (r11 verdict task 7) -------
-    # The codec shipped in r11 with no regression guard. Bench-local
-    # corpus: 96 pseudorandom 48x48 RGB images (incompressible - the
+    # --- native JPEG decode kernel throughput (r11 verdict task 7; r14
+    # rework alongside the LUT entropy decoder) -------------------------
+    # Corpus: 96 pseudorandom RGB images (incompressible - the
     # Huffman-heavy worst case), baseline 4:2:0 q80, encoded DRIVER-side
-    # (encode cost excluded); the timed pass is the Arrow-batched
-    # decode+resample consumer path (multimodal.resize_images), MB/s
-    # over the compressed payload bytes.
+    # (encode cost excluded).  Two lines:
+    #   * jpeg_kernel_MBps      - SINGLE-CORE pure-Python decode_jpeg
+    #     over the payloads, min-of-3 (isolates the entropy decoder -
+    #     the number the 100-TB core-seconds/GB story is built on);
+    #   * multimodal_jpeg_decode_MBps - the Arrow-batched Spark consumer
+    #     path (multimodal.resize_images) on local[32], MB/s over
+    #     compressed bytes.  r14 note: images grew 48x48 -> 192x192 so
+    #     the corpus (~2.4 MB vs the old 0.35 MB) swamps fixed job
+    #     latency; the pre-r14 line measured scheduler overhead, not
+    #     decode (96 tiny payloads finished in well under the ~0.4 s a
+    #     local mapInPandas round trip costs, capping the old metric at
+    #     ~1 MB/s regardless of kernel speed).
+    import time as _time
+
     import numpy as np
 
-    from xesmf_spark.jpeg import encode_jpeg
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
     from xesmf_spark.multimodal import resize_images
 
     rng = np.random.default_rng(42)
     jpayloads = [
         bytes(
             encode_jpeg(
-                rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8),
+                rng.integers(0, 256, size=(192, 192, 3), dtype=np.uint8),
                 quality=80,
                 subsampling="4:2:0",
             )
@@ -765,6 +776,15 @@ def _run_workloads(spark, sf_dir, timings, timed):
         for _ in range(96)
     ]
     jpeg_mb = sum(len(p) for p in jpayloads) / 1e6
+    kbest = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        for p in jpayloads[:16]:
+            decode_jpeg(p)
+        kbest = min(kbest, _time.perf_counter() - t0)
+    timings["jpeg_kernel_MBps"] = round(
+        sum(len(p) for p in jpayloads[:16]) / 1e6 / kbest, 3
+    )
     jdf = (
         spark.createDataFrame(
             [(i, bytearray(p)) for i, p in enumerate(jpayloads)],

@@ -85,6 +85,10 @@ _ZIGZAG = np.array(
     dtype=np.int64,
 )
 
+#: zigzag position → natural flat index, as a plain list for the hot
+#: LUT decode loop (list indexing beats numpy scalar indexing there)
+_ZZ_LIST = _ZIGZAG.tolist()
+
 # T.81 Annex K.3 example Huffman specs: (BITS count-per-code-length
 # 1..16, HUFFVAL symbol list).  Round-trip correctness does NOT depend
 # on these matching the standard byte-for-byte — the decoder always
@@ -193,9 +197,13 @@ def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
 
 def _dequant_idct(qcoef: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """(nb_y, nb_x, 8, 8) quantized coefficients → (H, W) uint8 plane
-    (dequantize, IDCT, +128 level shift, round, clamp)."""
-    coef = qcoef * qt
-    spatial = np.einsum("xu,ijuv,vy->ijxy", _T.T, coef.astype(np.float64), _T)
+    (dequantize, IDCT, +128 level shift, round, clamp).  Batched
+    ``matmul`` (``T.T @ C @ T`` broadcast over blocks) — the encoder
+    twin, ``expected_reconstruction``, and both decoder engines all
+    share THIS kernel, which is what keeps the lossy round trip
+    bit-reproducible."""
+    coef = (qcoef * qt).astype(np.float64)
+    spatial = _T.T @ coef @ _T
     nb_y, nb_x = qcoef.shape[:2]
     plane = spatial.transpose(0, 2, 1, 3).reshape(nb_y * 8, nb_x * 8) + 128.0
     return np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
@@ -529,6 +537,25 @@ def expected_reconstruction(
 
 
 # ---------------------------------------------------------------- decode
+#
+# Two entropy-decode engines share every kernel above (tables, IDCT,
+# upsample, color):
+#
+# * ``engine="lut"`` (default, the 100-TB path): the scan is destuffed
+#   ONCE with C-level ``bytes.find``, split at RSTn markers into
+#   independent segments, and decoded with a 16-bit-window canonical
+#   Huffman LUT — one list index per symbol instead of one Python call
+#   per bit.  LUTs are built per distinct DHT payload and cached at
+#   module level, so an Arrow batch of same-encoder payloads (the
+#   common crawl shape) pays the 65536-entry build once per worker.
+#   Decoded coefficients accumulate in flat Python lists and land in
+#   the numpy store via a single vectorized scatter per component.
+# * ``engine="bitwise"``: the original per-bit reader, kept as the
+#   slow reference twin — differential pytests drive both engines over
+#   every subsampling/restart/quality config and require identical
+#   pixels.  It is also the automatic fallback for non-conforming
+#   restart cadence (an encoder emitting RSTn off the DRI schedule),
+#   which the segment-sliced fast path deliberately does not model.
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 de-stuffing and RSTn
     awareness (``align_restart`` realigns past a restart marker)."""
@@ -641,18 +668,232 @@ def _decode_block(br, lut_dc, lut_ac, pred: int) -> tuple[np.ndarray, int]:
     return blk.reshape(8, 8), dc
 
 
-def decode_jpeg(payload: bytes) -> "np.ndarray":
+# 16-bit-window LUT machinery (engine="lut") --------------------------
+_MASKS = tuple((1 << n) - 1 for n in range(33))
+
+#: {DHT bits+vals bytes: packed LUT list} — packed entry = (symbol << 5)
+#: | code_length; 0 marks an invalid prefix.  Module-level so repeated
+#: payloads from the same encoder (one Arrow batch, one worker) build
+#: each 65536-entry table exactly once.
+_LUT_CACHE: dict[bytes, list] = {}
+
+
+def _fast_lut(bits: bytes, vals: bytes) -> list:
+    key = bytes(bits) + b"\x00" + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(65536, dtype=np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (vals[k] << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    entry = lut.tolist()
+    _LUT_CACHE[key] = entry
+    return entry
+
+
+def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Destuff the entropy-coded data starting at ``pos`` (0xFF00 →
+    0xFF) and split it at RSTn markers; returns one ``bytes`` per
+    restart segment.  C-level ``find`` does the scanning, so this is a
+    single linear pass regardless of stuffing density."""
+    segs = []
+    cur = bytearray()
+    n = len(payload)
+    while True:
+        nxt = payload.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= n:
+            cur += payload[pos : nxt if nxt >= 0 else n]
+            segs.append(bytes(cur))
+            return segs
+        cur += payload[pos:nxt]
+        m = payload[nxt + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos = nxt + 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos = nxt + 2
+        else:
+            # real marker (EOI / next header): end of scan data
+            segs.append(bytes(cur))
+            return segs
+
+
+def _decode_segment_lut(seg, blocks, preds, out_dc_idx, out_dc_val, out_ac):
+    """Decode one destuffed restart segment.  ``blocks`` is the
+    pre-built schedule [(comp_slot, dc_lut, ac_lut, flat_base), ...].
+
+    Hot-loop shape: the segment is expanded ONCE (vectorized) into a
+    list of 32-bit windows, one per byte offset, so any 16-bit Huffman
+    peek and any ≤15-bit value field is two shifts off ``win[pos >> 3]``
+    — no per-bit calls, no accumulator refill branches.  DC lands in
+    per-component index/value lists; each AC coefficient appends ONE
+    packed int ``(flat_target << 17) | (value + 65536)`` for a single
+    vectorized unpack+scatter later."""
+    n = len(seg)
+    a = np.frombuffer(seg + b"\xff" * 24, dtype=np.uint8).astype(np.uint32)
+    win = (
+        (a[: n + 16] << 24) | (a[1 : n + 17] << 16) | (a[2 : n + 18] << 8)
+        | a[3 : n + 19]
+    ).tolist()
+    pos = 0
+    masks = _MASKS
+    zzl = _ZZ_LIST
+    bit_end = 8 * (n + 8)  # real bits + spec-legal 1-fill allowance
+    try:
+        for comp, dcl, acl, base in blocks:
+            w = win[pos >> 3]
+            sh = pos & 7
+            e = dcl[(w >> (16 - sh)) & 0xFFFF]
+            if not e:
+                raise ValueError("invalid Huffman code in entropy stream")
+            s = e >> 5
+            if s:
+                end = sh + (e & 31) + s
+                if end <= 32:
+                    v = (w >> (32 - end)) & masks[s]
+                else:  # value field straddles the 4-byte window (rare)
+                    p2 = pos + (e & 31)
+                    v = (win[p2 >> 3] >> (32 - (p2 & 7) - s)) & masks[s]
+                pos += end - sh
+                if v >> (s - 1) == 0:  # EXTEND (T.81 F.2.2.1)
+                    v -= masks[s]
+            else:
+                pos += e & 31
+                v = 0
+            dc = preds[comp] + v
+            preds[comp] = dc
+            out_dc_idx[comp].append(base)
+            out_dc_val[comp].append(dc)
+            oa_append = out_ac[comp].append
+            i = 1
+            while i < 64:
+                w = win[pos >> 3]
+                sh = pos & 7
+                e = acl[(w >> (16 - sh)) & 0xFFFF]
+                if not e:
+                    raise ValueError("invalid Huffman code in entropy stream")
+                s = (e >> 5) & 15
+                if s:
+                    i += e >> 9
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    end = sh + (e & 31) + s
+                    m = masks[s]
+                    if end <= 32:
+                        v = (w >> (32 - end)) & m
+                    else:
+                        p2 = pos + (e & 31)
+                        v = (win[p2 >> 3] >> (32 - (p2 & 7) - s)) & m
+                    pos += end - sh
+                    if v >> (s - 1) == 0:
+                        v -= m
+                    oa_append(((base + zzl[i]) << 17) | (v + 65536))
+                    i += 1
+                else:
+                    pos += e & 31
+                    if e >> 9 == 15:  # ZRL
+                        i += 16
+                        continue
+                    break  # EOB
+            if pos > bit_end:
+                raise ValueError("truncated entropy stream")
+    except IndexError:
+        raise ValueError("truncated entropy stream") from None
+
+
+def _decode_scan_lut(payload, pos, sof, qts, huff_specs, scan, restart_interval):
+    """LUT-engine scan decode.  Returns the image, or ``None`` when the
+    restart-marker cadence disagrees with DRI (the bitwise twin then
+    handles the non-conforming stream)."""
+    if sof is None:
+        raise ValueError("SOS before SOF0")
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    segs = _entropy_segments(payload, pos)
+    interval = restart_interval if restart_interval else n_mcu
+    expected = -(-n_mcu // interval)
+    if len(segs) != expected:
+        if len(segs) < expected:
+            raise ValueError("truncated entropy stream (missing restart segments)")
+        return None  # early/extra RSTn: non-conforming cadence, fall back
+    tabsel = {cid: (td, ta) for cid, td, ta in scan}
+    luts = {}
+    for cid, ch, cv, qid in comps:
+        td, ta = tabsel[cid]
+        luts[cid] = (_fast_lut(*huff_specs[(0, td)]), _fast_lut(*huff_specs[(1, ta)]))
+    # per-block schedule: (component slot, dc LUT, ac LUT, flat base)
+    blocks = []
+    for mcu in range(n_mcu):
+        my, mx = divmod(mcu, mcux)
+        for k, (cid, ch, cv, qid) in enumerate(comps):
+            dcl, acl = luts[cid]
+            rb = mcux * ch
+            for dy in range(cv):
+                for dx in range(ch):
+                    base = ((my * cv + dy) * rb + (mx * ch + dx)) * 64
+                    blocks.append((k, dcl, acl, base))
+    bpm = len(blocks) // n_mcu
+    out_dc_idx = [[] for _ in comps]
+    out_dc_val = [[] for _ in comps]
+    out_ac = [[] for _ in comps]
+    for s_i, seg in enumerate(segs):
+        lo = s_i * interval
+        hi = min(lo + interval, n_mcu)
+        _decode_segment_lut(
+            seg,
+            blocks[lo * bpm : hi * bpm],
+            [0] * len(comps),
+            out_dc_idx,
+            out_dc_val,
+            out_ac,
+        )
+    planes = {}
+    for k, (cid, ch, cv, qid) in enumerate(comps):
+        store = np.zeros(mcuy * cv * mcux * ch * 64, dtype=np.int64)
+        if out_ac[k]:
+            packed = np.array(out_ac[k], dtype=np.int64)
+            store[packed >> 17] = (packed & 0x1FFFF) - 65536
+        if out_dc_idx[k]:
+            store[np.array(out_dc_idx[k], dtype=np.int64)] = np.array(
+                out_dc_val[k], dtype=np.int64
+            )
+        planes[cid] = _dequant_idct(
+            store.reshape(mcuy * cv, mcux * ch, 8, 8), qts[qid]
+        )
+    return _assemble_image(planes, comps, h, w, hmax, vmax)
+
+
+def decode_jpeg(payload: bytes, engine: str = "lut") -> "np.ndarray":
     """Decode a BASELINE sequential JPEG (SOF0; grayscale, generic
     sampling factors incl. 4:4:4 / 4:2:0 / 4:2:2 YCbCr; restart markers
     honored) to (H, W) or (H, W, 3) uint8.
     Progressive (SOF2) and the extended/lossless/arithmetic SOF
     variants raise a loud ``NotImplementedError`` — the documented gate,
-    same policy as the PNG decoder's non-baseline variants."""
+    same policy as the PNG decoder's non-baseline variants.
+
+    ``engine="lut"`` (default) is the vectorized production path;
+    ``engine="bitwise"`` forces the per-bit reference twin (differential
+    tests drive both)."""
+    if engine not in ("lut", "bitwise"):
+        raise ValueError(f"engine must be 'lut' or 'bitwise', got {engine!r}")
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     sof = None
     restart_interval = 0
     while pos + 2 <= len(payload):
@@ -693,7 +934,7 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 bits = body[off + 1 : off + 17]
                 n = sum(bits)
                 vals = body[off + 17 : off + 17 + n]
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = (bytes(bits), bytes(vals))
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -720,14 +961,23 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tabs >> 4, tabs & 0x0F))
             pos = nxt
-            return _decode_scan(payload, pos, sof, qts, huff, scan, restart_interval)
+            if engine == "lut":
+                out = _decode_scan_lut(
+                    payload, pos, sof, qts, huff, scan, restart_interval
+                )
+                if out is not None:
+                    return out
+            return _decode_scan_bitwise(
+                payload, pos, sof, qts, huff, scan, restart_interval
+            )
         pos = nxt
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(payload, pos, sof, qts, huff, scan, restart_interval):
+def _decode_scan_bitwise(payload, pos, sof, qts, huff_specs, scan, restart_interval):
     if sof is None:
         raise ValueError("SOS before SOF0")
+    huff = {key: _decode_table(*spec) for key, spec in huff_specs.items()}
     h, w, comps = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -764,6 +1014,12 @@ def _decode_scan(payload, pos, sof, qts, huff, scan, restart_interval):
     planes = {}
     for cid, ch, cv, qid in comps:
         planes[cid] = _dequant_idct(stores[cid], qts[qid])
+    return _assemble_image(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble_image(planes, comps, h, w, hmax, vmax):
+    """Shared decoder tail: chroma replicate-upsample to the luma grid,
+    YCbCr→RGB, crop padding — both entropy engines land here."""
     if len(comps) == 1:
         return planes[comps[0][0]][:h, :w]
     ids = [c[0] for c in comps]
