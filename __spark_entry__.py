@@ -510,6 +510,7 @@ SELECT ax.digit, CAST(COALESCE(cnt, 0) AS BIGINT) AS n,
             - ax.expected_milli AS BIGINT) AS dev_milli,
        CAST((SELECT n_zero FROM tot) AS BIGINT) AS n_zero
 FROM ax LEFT JOIN d USING (digit)
+WHERE (SELECT N FROM tot) > 0  -- all-zero input: no digits to audit
 """,
         "events_sequential_patterns": """
 -- replay: per-user event streams ordered by (epoch-ns ts, event_id),
@@ -644,6 +645,7 @@ p AS (
 SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
        CAST((1000 * cov) // var AS BIGINT) AS acf_milli, n_pairs
 FROM p JOIN v USING (event_type)
+WHERE var > 0  -- constant series: ACF undefined, key dropped
 """,
         "orders_seasonal_anomalies": """
 -- composition replay: the seasonal_decompose chain, then the
@@ -1473,7 +1475,7 @@ FROM planted
 """,
         "pipeline_repetition": r"""
 WITH norm AS (
-  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
   FROM documents
 ),
 tk AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM norm),
@@ -1620,7 +1622,7 @@ GROUP BY lang
 SELECT token, COUNT(*) AS n
 FROM (
   SELECT unnest(string_split(
-           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS token
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
   FROM documents
 )
 GROUP BY token
@@ -1630,7 +1632,7 @@ LIMIT 20
         "pipeline_chunks": r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
   FROM documents
 ),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
@@ -1650,7 +1652,7 @@ FROM ch
 -- spanned-context explode. Every output column is an integer count.
 WITH base AS (
   SELECT doc_id,
-         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS n,
+         len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n,
          md5(CAST(doc_id AS VARCHAR)) AS ord_key,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
   FROM documents
@@ -1808,8 +1810,8 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
 WITH q AS (
   SELECT doc_id, lang,
          CAST((1000000 * len(list_distinct(
-                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))))
-              // len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))))
+              // len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
            AS BIGINT) AS qm_micro,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
   FROM documents
@@ -1823,7 +1825,7 @@ SELECT doc_id, lang, qm_micro FROM q WHERE u < qm_micro
 -- running total, windowed SUM cast back from HUGEINT
 WITH toks AS (
   SELECT doc_id,
-         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
   FROM documents
   WHERE text IS NOT NULL
 ),
@@ -2588,7 +2590,7 @@ FROM r3 JOIN nation ON node = n_nationkey
         "documents_tfidf_terms": r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2614,7 +2616,7 @@ SELECT doc_id, term, tf, score_micro FROM ranked WHERE rnk <= 3
         "documents_bm25": r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 lens AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
@@ -2653,7 +2655,7 @@ LIMIT 10
 -- the md5 row hashes, so values compare exactly; the CM theorem's
 -- one-sided bound (est >= exact, ALWAYS) rides along as a boolean
 WITH toks AS (
-  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 probes AS (
@@ -3010,7 +3012,7 @@ FROM lineitem
         "documents_inverted_index": r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
   FROM documents
 ),
 pairs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

@@ -86,3 +86,41 @@ def test_record_completeness_exit_code(tmp_path):
     )
     assert p.returncode == 2, p.stdout + p.stderr
     assert "RECORD INCOMPLETE" in p.stdout
+
+
+def test_oracle_sql_regex_literals_reach_duckdb_intact(spark):
+    """r13 ADVICE regression: a '\\s+' doubled INSIDE an r\"\"\" oracle
+    string ships DuckDB the two-character regex backslash-backslash-s
+    (a no-op on whitespace), silently diverging from Spark's tokens()
+    on any text with consecutive spaces/tabs.  Testdata has ZERO
+    consecutive-whitespace docs, so the driver gate cannot catch this —
+    this fixture does.
+
+    Two layers: (1) no compiled oracle string may contain the broken
+    double-backslash value; (2) the house normalizer collapses messy
+    whitespace IDENTICALLY in Spark and DuckDB on a fixture doc that
+    actually exercises it."""
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    for name, sql in E.oracle_sql().items():
+        assert "\\\\s+" not in sql, (
+            f"oracle {name!r} ships a literal double-backslash regex to DuckDB"
+        )
+
+    from xesmf_spark.pipeline import tokens
+
+    messy = "Hello  world\tand\n\nagain  \t mixed"
+    got_spark = (
+        spark.createDataFrame([(messy,)], "text string")
+        .select(tokens(F.col("text")).alias("t"))
+        .first()
+        .t
+    )
+    got_duck = duckdb.sql(
+        "SELECT string_split(lower(trim(regexp_replace(?, '\\s+', ' ', 'g'))), ' ')",
+        params=[messy],
+    ).fetchone()[0]
+    assert got_spark == got_duck == ["hello", "world", "and", "again", "mixed"]

@@ -346,3 +346,20 @@ def test_robust_stats_trimmed_and_winsorized(spark):
 
     with pytest.raises(ValueError, match="trim_milli"):
         robust_stats(df, ["k"], "x", trim_milli=500)
+
+
+def test_benford_all_zero_group_dropped_not_null(spark):
+    """r13 ADVICE: a group whose values are all zero has N = 0 digits;
+    the group must be DROPPED (one semantic both engines state), never
+    emitted with NULL observed/dev shares."""
+    from xesmf_spark.quality import benford_audit
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 123), ("b", 0), ("b", 987)],
+        "g string, v long",
+    )
+    rows = benford_audit(df, "v", group_cols=["g"]).collect()
+    assert {r.g for r in rows} == {"b"}
+    assert all(r.observed_milli is not None and r.dev_milli is not None for r in rows)
+    brow = [r for r in rows if r.digit == 1][0]
+    assert brow.n == 1 and brow.n_zero == 1  # 123 leads with 1; one zero

@@ -1689,3 +1689,70 @@ def test_basket_rules_min_support_one_and_self_pairs_excluded(spark):
 
     with pytest.raises(ValueError, match="min_pair_support"):
         basket_rules(df, min_pair_support=0)
+
+
+def test_skyline_int64_exact_above_2e53_and_mixed_gate(spark):
+    """r13 ADVICE: all-integral criteria must compare in int64 — in
+    float64, 2^53 and 2^53+1 collapse to the same value and the
+    genuinely non-dominated row is falsely pruned (phase 2 never
+    restores).  Mixed int/float criteria with an integral column past
+    2^53 must refuse loudly instead of comparing inexactly."""
+    import pytest as _pytest
+
+    from xesmf_spark.relational import skyline
+
+    big = 2**53
+    # a wins on c1 by exactly 1 ulp-of-int (invisible in float64),
+    # b wins on c2 -> NEITHER dominates; both must survive
+    df = spark.createDataFrame(
+        [(1, big + 1, 1), (2, big, 2)], "id long, c1 long, c2 long"
+    )
+    got = {r.id for r in skyline(df, maximize=["c1", "c2"]).collect()}
+    assert got == {1, 2}
+
+    mixed = spark.createDataFrame(
+        [(1, big + 1, 1.0), (2, big, 2.0)], "id long, c1 long, c2 double"
+    )
+    with _pytest.raises(Exception, match="2\\^53"):
+        skyline(mixed, maximize=["c1", "c2"]).collect()
+
+
+def test_skyline_anticorrelated_valve_is_loud(spark):
+    """r13 verdict task: perfectly anti-correlated criteria make the
+    frontier O(n).  The operator must (a) still be CORRECT when the
+    valve admits it, and (b) raise loudly — naming the measured
+    candidate count — when the frontier exceeds max_candidates,
+    never silently broadcast an input-sized candidate set."""
+    import pytest as _pytest
+
+    from xesmf_spark.relational import skyline
+
+    n = 400
+    rows = [(i, i, n - i) for i in range(n)]  # y = -x: all non-dominated
+    df = spark.createDataFrame(rows, "id long, x long, y long").repartition(8)
+    assert skyline(df, maximize=["x", "y"]).count() == n
+    with _pytest.raises(ValueError, match="max_candidates"):
+        skyline(df, maximize=["x", "y"], max_candidates=100)
+
+
+def test_basket_rules_lift_decimal_matches_bigint_past_wrap(spark):
+    """r13 ADVICE: the lift numerator 1e6*support*N wraps BIGINT at
+    N ~ 3e6 baskets.  Pin the DECIMAL(38,0) expression now used by
+    basket_rules to Python-bigint division at magnitudes where the
+    old BIGINT arithmetic wrapped (N = 9e12)."""
+    s, N, na, nb = 3_000_000_000, 9_000_000_000_000, 4_000_000_000_000, 5_000_000_000_000
+    got = spark.sql(
+        f"SELECT CAST((CAST(1000000 AS DECIMAL(38,0)) * {s}L * {N}L) "
+        f"div (CAST({na} AS DECIMAL(38,0)) * {nb}L) AS BIGINT) AS lift"
+    ).first().lift
+    assert got == (1_000_000 * s * N) // (na * nb)
+    # and the old pure-BIGINT formula genuinely fails there: silent
+    # wrap under non-ANSI, ARITHMETIC_OVERFLOW under ANSI — either way
+    # not the exact quotient the decimal path now returns
+    try:
+        wrapped = spark.sql(
+            f"SELECT (1000000L * {s}L * {N}L) div ({na}L * {nb}L) AS lift"
+        ).first().lift
+    except Exception:
+        wrapped = None  # ANSI mode: long overflow raises
+    assert wrapped != (1_000_000 * s * N) // (na * nb)

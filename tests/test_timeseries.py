@@ -299,3 +299,18 @@ def test_theilsen_robust_to_spike_and_matches_replay(spark):
     assert abs(got["b"][0] / 2 - 10_000_000) < 10_000_000
     # valve: keys above the bound vanish
     assert theilsen_slope(r, ["k"], "t", "x", max_buckets=5).count() == 0
+
+
+def test_acf_constant_series_key_dropped_not_null(spark):
+    """r13 ADVICE: a constant series has zero variance and an undefined
+    ACF — the key is DROPPED (mirrors the oracle's WHERE var > 0),
+    never emitted with NULL acf_milli."""
+    from xesmf_spark.timeseries import acf
+
+    rows = [("flat", t, 500) for t in range(10)] + [
+        ("varies", t, 100 * (t % 3)) for t in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket long, v long")
+    out = acf(df, key_cols=["k"], bucket_col="bucket", val_col="v", max_lag=2).collect()
+    assert {r.k for r in out} == {"varies"}
+    assert all(r.acf_milli is not None for r in out)

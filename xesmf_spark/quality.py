@@ -530,10 +530,14 @@ def benford_audit(
             x != 0, F.substring(F.abs(x).cast("string"), 1, 1).cast("int")
         ).alias("__d"),
     )
+    # a group whose values are ALL zero has no digits to audit: drop it
+    # (r13 ADVICE — Spark's non-ANSI div would emit NULL shares while
+    # the DuckDB replay's // 0 errors; the filter states one semantic
+    # both engines can express)
     nz = base.groupBy(*group_cols).agg(
         F.sum(F.when(F.col("__d").isNull(), 1).otherwise(0)).alias("n_zero"),
         F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).alias("__N"),
-    )
+    ).filter(F.col("__N") > 0)
     counts = (
         base.filter(F.col("__d").isNotNull())
         .groupBy(*group_cols, "__d")

@@ -1799,6 +1799,7 @@ def skyline(
     df: DataFrame,
     maximize: list[str] | None = None,
     minimize: list[str] | None = None,
+    max_candidates: int = 2_000_000,
 ) -> DataFrame:
     """SKYLINE (Pareto-frontier) operator — the multi-criteria "best
     offers" query (Börzsönyi et al., ICDE 2001): keep exactly the rows
@@ -1827,6 +1828,17 @@ def skyline(
     dominance order — filter upstream); this is asserted cheaply in
     the local phase.  Exactness: comparisons only, no arithmetic — the
     result is the unique frontier SET regardless of partitioning.
+
+    ANTI-CORRELATED VALVE (r13 verdict task): on adversarial data the
+    frontier is O(n) (e.g. two perfectly anti-correlated criteria make
+    EVERY row non-dominated), so phase 2's broadcast would balloon to
+    the input size.  The candidate set is already materialized by the
+    eager checkpoint, so its count is free — if it exceeds
+    ``max_candidates`` (default 2e6 rows, comfortably inside a
+    broadcast at any sane row width) the operator raises LOUDLY with
+    the measured count instead of silently attempting a 100-TB-scale
+    broadcast.  Callers that genuinely need a huge frontier can raise
+    the valve and accept a shuffled sort-merge verify cost.
     """
     maximize = list(maximize or [])
     minimize = list(minimize or [])
@@ -1835,8 +1847,24 @@ def skyline(
         raise ValueError("skyline needs at least one criterion column")
     if len(set(dims)) != len(dims):
         raise ValueError(f"duplicate criterion column in {dims}")
-    signs = [1.0] * len(maximize) + [-1.0] * len(minimize)
     schema = df.schema
+    # criterion dtype discipline (r13 ADVICE): integral criteria
+    # compare in int64 — a float64 matrix silently rounds above 2^53
+    # and can FALSELY PRUNE a genuinely non-dominated row (phase 2 only
+    # removes candidates, it never restores).  Mixed/float criteria use
+    # float64 with a loud 2^53 exactness assert on any integral column.
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long", "short", "byte"}
+    col_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in dims:
+        if c not in col_types:
+            raise ValueError(f"skyline: unknown criterion column {c!r}")
+    all_int = all(col_types[c] in _INTEGRAL for c in dims)
+    int_cols = [c for c in dims if col_types[c] in _INTEGRAL]
+    signs = (
+        [1] * len(maximize) + [-1] * len(minimize)
+        if all_int
+        else [1.0] * len(maximize) + [-1.0] * len(minimize)
+    )
 
     def local_frontier(pdfs):
         import numpy as np
@@ -1844,13 +1872,33 @@ def skyline(
         for b in pdfs:
             if len(b) == 0:
                 continue
-            Y = np.column_stack(
-                [
-                    b[c].to_numpy(np.float64) * s
-                    for c, s in zip(dims, signs)
-                ]
-            )
-            if np.isnan(Y).any():
+            if any(b[c].isna().any() for c in dims):
+                raise ValueError(
+                    "skyline: NULL/NaN in criterion columns — filter "
+                    "upstream; dominance over NULL is undefined"
+                )
+            if all_int:
+                Y = np.column_stack(
+                    [
+                        b[c].to_numpy(np.int64) * s
+                        for c, s in zip(dims, signs)
+                    ]
+                )
+            else:
+                for c in int_cols:
+                    if (np.abs(b[c].to_numpy(np.int64)) > 2**53).any():
+                        raise ValueError(
+                            f"skyline: integral criterion {c!r} exceeds "
+                            "2^53 — float64 comparison would be inexact "
+                            "(mixed int/float criteria); rescale upstream"
+                        )
+                Y = np.column_stack(
+                    [
+                        b[c].to_numpy(np.float64) * s
+                        for c, s in zip(dims, signs)
+                    ]
+                )
+            if (not all_int) and np.isnan(Y).any():
                 raise ValueError(
                     "skyline: NULL/NaN in criterion columns — filter "
                     "upstream; dominance over NULL is undefined"
@@ -1862,7 +1910,7 @@ def skyline(
             ]
             Y = Y[order]
             keep_idx: list[int] = []
-            K = np.empty((0, Y.shape[1]))
+            K = np.empty((0, Y.shape[1]), dtype=Y.dtype)
             for i in range(len(Y)):
                 y = Y[i]
                 if len(keep_idx):
@@ -1877,6 +1925,14 @@ def skyline(
     # an eager localCheckpoint materializes the phase-1 prune ONCE —
     # it is frontier-sized, so checkpoint storage is trivial
     cand = df.mapInPandas(local_frontier, schema).localCheckpoint(eager=True)
+    n_cand = cand.count()  # free: counts the materialized checkpoint
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"skyline: {n_cand} phase-1 candidates exceed max_candidates="
+            f"{max_candidates} — anti-correlated criteria make the frontier "
+            "O(n); broadcasting it would be a silent scale explosion. Raise "
+            "max_candidates only if the verify join cost is acceptable."
+        )
     p = cand.alias("p")
     q = cand.select(
         *[F.col(c).alias(f"__q_{c}") for c in dims]
@@ -1918,9 +1974,13 @@ def basket_rules(
         lift_micro(a->b)  = (1e6 * support(a,b) * N)
                               div (|baskets with a| * |baskets with b|)
 
-    with N = total distinct baskets.  All-BIGINT (numerators stay
-    below 1e6·N·support — BIGINT-safe for any realistic catalog), both
-    directions emitted, ties fully determined by the exact integers.
+    with N = total distinct baskets.  Support/confidence numerators are
+    BIGINT; the lift numerator (1e6·support·N can reach 1e6·N² — past
+    BIGINT at N ≈ 3e6 baskets, r13 ADVICE) is computed in
+    DECIMAL(38,0), exact to N ≈ 9e12 baskets where lift_micro itself
+    would no longer fit BIGINT — guarded by a loud raise_error gate on
+    N (the hits() discipline), never a silent wrap.  Both directions
+    emitted, ties fully determined by the exact integers.
     Differs from :func:`xesmf_spark.pipeline.pmi_collocations` in
     modality (transaction baskets, not token windows) and in the
     measure family (support/confidence/lift — the thresholds a
@@ -1945,7 +2005,16 @@ def basket_rules(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
     item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
-    total = bi.select(F.countDistinct("__b").alias("__N"))
+    # lift_micro <= 1e6 * N, so N past ~9.2e12 baskets cannot yield a
+    # BIGINT lift — raise loudly (1-row scalar, negligible cost)
+    total = bi.select(F.countDistinct("__b").alias("__N")).select(
+        F.expr(
+            "CASE WHEN __N > 9200000000000 THEN "
+            "CAST(raise_error('basket_rules: basket count exceeds the "
+            "BIGINT-exact lift bound (9.2e12)') AS BIGINT) "
+            "ELSE __N END"
+        ).alias("__N")
+    )
     a = bi.select(F.col("__b"), F.col("__i").alias("item_a"))
     b = bi.select(F.col("__b"), F.col("__i").alias("item_b"))
     pairs = (
@@ -1970,9 +2039,13 @@ def basket_rules(
             "item_b",
             "support",
             F.expr("(1000000L * support) div __na").alias("conf_micro"),
-            F.expr("(1000000L * support * __N) div (__na * __nb)").alias(
-                "lift_micro"
-            ),
+            # DECIMAL(38,0) keeps 1e6*support*N exact far past the
+            # BIGINT wrap point (r13 ADVICE); div on decimals is the
+            # same integral division DuckDB's HUGEINT replay performs
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * support * __N) "
+                "div (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"
+            ).alias("lift_micro"),
         )
     )
     return out

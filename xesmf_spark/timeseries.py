@@ -286,9 +286,12 @@ def acf(
             (F.col(val_col).cast("long") - F.col("__mean")).alias("__dev"),
         )
     )
+    # constant series have zero variance and an undefined ACF: drop the
+    # key (r13 ADVICE — Spark non-ANSI div NULLs, DuckDB // 0 errors;
+    # the filter is the one semantic both engines state identically)
     var = dev.groupBy(*key_cols).agg(
         F.sum(F.col("__dev") * F.col("__dev")).alias("__var")
-    )
+    ).filter(F.col("__var") > 0)
     right = dev.select(
         *key_cols,
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
