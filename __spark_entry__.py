@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # come off the DEEP end; same-round evidence for every tail entry
     # comes from the committed full-surface record + tri-scale runs.
     return {
+        # (a00) r14 NEW queries lead the window
+        "pipeline_nb_quality": Q.pipeline_nb_quality,
+        "pipeline_exactsubstr": Q.pipeline_exactsubstr,
         # (a0) r13 NEW queries (skyline, basket rules, record linkage,
         # seasonal decomposition, CUSUM changepoint)
         "parts_skyline": Q.parts_skyline,
@@ -1851,10 +1854,14 @@ WHERE cum_tokens <= 5000
 """,
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),
+        "pipeline_nb_quality": PO.nb_quality_sql(),
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "pipeline_decontaminate_fuzzy": PO.decontaminate_fuzzy_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),
         "pipeline_span_dedup_multilevel": PO.span_dedup_multilevel_sql(),
+        "pipeline_exactsubstr": PO.span_dedup_multilevel_sql(
+            levels=((13, 8), (26, 4)), exact_run=50, rare_quote=True
+        ),
         "pipeline_unigram_tok": PO.unigram_train_sql(),
         "trade_graph_shortest_paths": PO.shortest_paths_sql(),
         "pipeline_mixture_sample": PO.mixture_sample_sql(),

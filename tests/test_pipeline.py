@@ -2100,3 +2100,110 @@ def test_feature_hash_signed_buckets_and_replay(spark):
     assert got == exp
     # normalization: doc 2's cased/extra-space text hashes like doc 1's
     assert got[(2, bucket("alpha"))] == 2 * sign("alpha")
+
+
+def test_nb_quality_heldout_accuracy_and_unseen_tokens(spark):
+    """NB classifier contract (r12/r13 verdict task): trained on the
+    planted NB_TRAIN_DOCS corpus it must classify a HELD-OUT set drawn
+    from the same two vocabularies with 100% accuracy, score docs of
+    unseen-only tokens with the prior+unseen constants (not NULL), and
+    emit exact BIGINT micro-nat scores."""
+    from xesmf_spark.pipeline import NB_TRAIN_DOCS, nb_quality_score
+
+    train = spark.createDataFrame(NB_TRAIN_DOCS, "label long, text string")
+    held = spark.createDataFrame(
+        [
+            (1, 1, "query window data table join column order"),
+            (2, 1, "batch plan scan group row value data table"),
+            (3, 0, "free click buy spam win junk slow now"),
+            (4, 0, "junk noise spam free slow click buy win"),
+            (5, 1, "column data order join table query group plan"),
+            (6, 0, "spam spam click free junk win now buy"),
+        ],
+        "doc_id long, want long, text string",
+    )
+    out = {r.doc_id: r for r in nb_quality_score(
+        train, held.select("doc_id", "text")
+    ).collect()}
+    want = {r.doc_id: r.want for r in held.collect()}
+    assert all(out[d].pred_label == want[d] for d in want), {
+        d: (out[d].pred_label, out[d].score_micro) for d in want
+    }
+    assert all(isinstance(out[d].score_micro, int) for d in want)
+
+    # unseen-only doc: finite score from the prior + unseen constants
+    alien = spark.createDataFrame(
+        [(9, "zzz qqq xxx yyy")], "doc_id long, text string"
+    )
+    row = nb_quality_score(train, alien).collect()[0]
+    assert row.n_tokens == 4 and row.score_micro is not None
+    # balanced classes + symmetric smoothing: unseen-only resolves by
+    # total-count asymmetry only; just pin determinism
+    row2 = nb_quality_score(train, alien).collect()[0]
+    assert row.score_micro == row2.score_micro
+
+
+def test_dedup_spans_exact_run_cuts_true_maximal_run(spark):
+    """ExactSubstr longest-run refinement (r12/r13 verdict task): a
+    planted 100-token quote shared by two docs must come out of the
+    NON-keeper as EXACTLY ONE island of EXACTLY 100 tokens at every
+    level config — including configs whose support-2 level is absent
+    (the level-quantization gap the refinement closes) — and a
+    51-token run must now be cut exactly where no level could see it.
+    Base docs are pairwise-unique tokens, so the quote is the only
+    repeated content."""
+    from xesmf_spark.pipeline import dedup_spans
+
+    quote = " ".join(f"q{i}" for i in range(100))
+    filler_a = " ".join(f"a{i}" for i in range(40))
+    filler_b = " ".join(f"b{i}" for i in range(35))
+    filler_c = " ".join(f"c{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [
+            (1, filler_a + " " + quote),            # keeper (min id)
+            (2, filler_b + " " + quote + " " + filler_c),
+            (3, " ".join(f"z{i}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    configs = [
+        ((13, 8), (26, 4)),              # no support-2 level at all
+        ((13, 8),),
+        ((13, 8), (26, 4), (52, 2)),     # support-2 level also present
+    ]
+    for levels in configs:
+        out = {
+            r.doc_id: r
+            for r in dedup_spans(docs, levels=levels, exact_run=50).collect()
+        }
+        assert out[1].n_islands == 0, (levels, "keeper must keep its copy")
+        assert out[2].n_islands == 1, (levels, out[2])
+        assert out[2].n_removed == 100, (levels, out[2])
+        assert out[3].n_islands == 0
+
+    # 51-token run: invisible to ((13,8),(26,4),(52,2)) levels alone,
+    # cut EXACTLY by exact_run=50
+    run51 = " ".join(f"r{i}" for i in range(51))
+    docs51 = spark.createDataFrame(
+        [
+            (1, filler_a + " " + run51),
+            (2, run51 + " " + filler_b),
+            (3, " ".join(f"z{i}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    lv = ((13, 8), (26, 4), (52, 2))
+    base = {r.doc_id: r for r in dedup_spans(docs51, levels=lv).collect()}
+    assert base[2].n_removed == 0, "levels alone must miss the 51-run"
+    ref = {
+        r.doc_id: r
+        for r in dedup_spans(docs51, levels=lv, exact_run=50).collect()
+    }
+    assert ref[2].n_islands == 1 and ref[2].n_removed == 51, ref[2]
+    assert ref[1].n_islands == 0
+
+    # exact_run below the lowest gram length refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact_run"):
+        dedup_spans(docs, levels=((13, 8),), exact_run=12)

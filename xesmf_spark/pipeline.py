@@ -978,6 +978,132 @@ def unigram_logprob_score(
     )
 
 
+#: planted good/bad training corpus for the NB quality classifier query
+#: (shared verbatim by queries.pipeline_nb_quality, the DuckDB oracle's
+#: VALUES table, and the held-out pytest — one source of truth).  Vocab
+#: deliberately overlaps the synthetic documents tables' domain words so
+#: scoring real docs exercises both matched and unseen tokens.
+NB_TRAIN_DOCS: list[tuple[int, str]] = [
+    (1, "table join query window column data batch order group"),
+    (1, "query plan scan filter column order data table row"),
+    (1, "window agg group order batch data column join line"),
+    (1, "customer order line part value data table query plan"),
+    (1, "data column table row value scan filter plan batch"),
+    (1, "join group window agg order query table data part"),
+    (0, "slow slow spam click buy free free win now now"),
+    (0, "click click free buy win spam spam now slow junk"),
+    (0, "buy now free win click junk junk spam slow slow"),
+    (0, "win free spam click buy junk now now slow noise"),
+    (0, "noise junk spam slow free buy click win now junk"),
+    (0, "spam noise slow junk free free buy click win buy"),
+]
+
+
+def nb_quality_score(
+    train: DataFrame,
+    score_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial NAIVE-BAYES quality classifier — the trained
+    good/bad text filter a curation pipeline reaches for after the
+    heuristics (the fastText-classifier slot in CCNet/GPT-3-style
+    stacks; r12/r13 verdict task).  ``train`` supplies labeled docs
+    (``label_col`` ∈ {0, 1}; 1 = keep-quality); every ``score_df`` doc
+    gets the add-one-smoothed token log-likelihood-ratio score
+
+        score = prior + Σ_tok [ln P(tok|1) − ln P(tok|0)]
+        P(tok|c) = (cnt_c(tok) + 1) / (total_c + V)
+
+    with V the train vocabulary size; tokens unseen in training take
+    the constant ratio at cnt = 0.  ``pred_label = 1`` iff score > 0.
+
+    EXACT cross-engine arithmetic (the ``unigram_logprob_score``
+    micro-nat discipline): every per-token term is floored to integer
+    micro-nats BEFORE summation — each ln() argument is ONE division
+    of two exact BIGINTs cast to double, identical operand bits on
+    both engines — so per-doc sums are order-independent BIGINTs and
+    the prediction threshold compares exact integers.
+
+    Scale shape: training is one explode + one token-keyed groupBy
+    building the vocabulary-sized per-class count table (multinomial
+    NB training IS a word count — the canonical map-side-combinable
+    agg); the class totals/V/priors ride 1-row broadcasts; scoring is
+    a token-keyed equi-join (NOT a broadcast — a 100-TB corpus vocab
+    can exceed driver memory) + one per-doc agg.  Empty tokens from
+    blank text are filtered on both engines (Spark split('') yields
+    [''], DuckDB []).  Output: ``(id, n_tokens, score_micro,
+    pred_label)``."""
+    ttok = train.select(
+        F.col(label_col).alias("__y"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = ttok.groupBy("token").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__c1"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__c0"),
+    )
+    tot = counts.agg(
+        F.sum("__c1").alias("__t1"),
+        F.sum("__c0").alias("__t0"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    pri = train.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__n1"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__n0"),
+    )
+
+    def _lp(num, den):
+        return F.floor(
+            F.lit(micro) * F.log(num.cast("double") / den.cast("double"))
+        ).cast("long")
+
+    llr = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            _lp(F.col("__c1") + 1, F.col("__t1") + F.col("__V"))
+            - _lp(F.col("__c0") + 1, F.col("__t0") + F.col("__V"))
+        ).alias("__w"),
+    )
+    consts = (
+        tot.crossJoin(pri)
+        .select(
+            (
+                _lp(F.lit(1), F.col("__t1") + F.col("__V"))
+                - _lp(F.lit(1), F.col("__t0") + F.col("__V"))
+            ).alias("__u"),
+            (
+                _lp(F.col("__n1"), F.col("__n1") + F.col("__n0"))
+                - _lp(F.col("__n0"), F.col("__n1") + F.col("__n0"))
+            ).alias("__p"),
+        )
+    )
+    stok = score_df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        stok.join(llr, "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(F.coalesce(F.col("__w"), F.col("__u"))) + F.first("__p")).alias(
+                "score_micro"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score_micro",
+            F.when(F.col("score_micro") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pred_label"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -1130,6 +1256,7 @@ def dedup_spans(
     min_docs: int = 2,
     hash_grams: bool = False,
     levels: tuple[int, ...] | None = None,
+    exact_run: int | None = None,
 ) -> DataFrame:
     """Repeated-SPAN scrubbing — sub-document dedup in the style of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1187,6 +1314,25 @@ def dedup_spans(
     island window is restored by a per-start ``max(e)``
     pre-aggregation (longest level dominates), skipped at a single
     level where uniqueness holds by construction.
+
+    ``exact_run`` (r13 verdict task — the ExactSubstr longest-run
+    refinement of Lee et al.) closes the LEVEL-QUANTIZATION gap: a
+    verbatim run longer than ``exact_run`` tokens but shorter than the
+    first support-2 level (e.g. a 51-token quote under levels
+    ``((13,8),(26,4),(52,2))``) passes no level's threshold and
+    survives.  The refinement CHAINS ADJACENT lowest-level gram
+    matches per (doc, keeper) pair at a fixed alignment: every
+    repeated lowest-gram (support ≥ 2, keeper = min doc id, keeper
+    position = the keeper's first occurrence) contributes a match at
+    diagonal ``pos − keeper_pos``; consecutive positions on one
+    diagonal force (by n−1-token overlap) a single verbatim run, whose
+    maximal extent is cut whole when it spans ≥ ``exact_run`` tokens —
+    the TRUE run boundaries, no quantization.  Runs whose gram matches
+    straddle different keepers or different keeper occurrences chain
+    conservatively (possible under-cut, never a false cut).  Must be
+    ≥ the lowest gram length.  Plan cost: one extra keyed agg + join
+    on the SAME lowest-level gram explode plus one (doc, keeper,
+    diagonal)-partitioned window — still linear, still no pair join.
     """
     from xesmf_spark.apply import _PERSISTED
 
@@ -1207,6 +1353,11 @@ def dedup_spans(
         raise ValueError(f"levels must be positive gram lengths, got {levels}")
     if any(md < 2 for _, md in norm_levels):
         raise ValueError("per-level min_docs must be >= 2")
+    if exact_run is not None and exact_run < norm_levels[0][0]:
+        raise ValueError(
+            f"exact_run ({exact_run}) must be >= the lowest gram length "
+            f"({norm_levels[0][0]}) — shorter runs contain no full gram"
+        )
 
     toks_df = (
         df.select(F.col(id_col).alias("sid"), tokens(F.col(text_col)).alias("t"))
@@ -1215,15 +1366,19 @@ def dedup_spans(
     )
     _PERSISTED.append(toks_df)
 
-    def _level_spans(nl: int, md: int, lowest: bool) -> DataFrame:
+    def _grams(nl: int, lowest: bool) -> DataFrame:
         src = toks_df if lowest else toks_df.filter(F.col("L") >= nl)
-        grams = src.select(
+        g = src.select(
             "sid", "L", F.posexplode(positioned_ngrams(F.col("t"), nl)).alias(
                 "pos0", "gram"
             )
         )
         if hash_grams:
-            grams = grams.withColumn("gram", F.xxhash64("gram"))
+            g = g.withColumn("gram", F.xxhash64("gram"))
+        return g
+
+    def _level_spans(nl: int, md: int, lowest: bool) -> DataFrame:
+        grams = _grams(nl, lowest)
         rep = (
             grams.groupBy("gram")
             .agg(
@@ -1246,7 +1401,52 @@ def dedup_spans(
     spans = _level_spans(norm_levels[0][0], norm_levels[0][1], lowest=True)
     for nl, md in norm_levels[1:]:
         spans = spans.unionAll(_level_spans(nl, md, lowest=False))
-    if len(norm_levels) > 1:
+    if exact_run is not None:
+        n0 = norm_levels[0][0]
+        g0 = _grams(n0, lowest=True)
+        xrep = (
+            g0.groupBy("gram")
+            .agg(F.min("sid").alias("keeper"), F.countDistinct("sid").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("gram", "keeper")
+        )
+        kpos = (
+            g0.join(xrep, "gram")
+            .filter(F.col("sid") == F.col("keeper"))
+            .groupBy("gram")
+            .agg(F.min("pos0").alias("kpos"))
+        )
+        xmatch = (
+            g0.join(xrep, "gram")
+            .join(kpos, "gram")
+            .filter(F.col("sid") != F.col("keeper"))
+            .select(
+                "sid",
+                "keeper",
+                "pos0",
+                F.least(F.col("pos0") + n0 - 1, F.col("L") - 1).alias("e"),
+                (F.col("pos0") - F.col("kpos")).alias("diag"),
+            )
+        )
+        wx = Window.partitionBy("sid", "keeper", "diag").orderBy("pos0")
+        wx_run = wx.rowsBetween(Window.unboundedPreceding, 0)
+        xspans = (
+            xmatch.withColumn(
+                "brk",
+                F.when(
+                    F.col("pos0")
+                    > F.coalesce(F.lag("pos0").over(wx), F.lit(-2)) + 1,
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("run", F.sum("brk").over(wx_run))
+            .groupBy("sid", "keeper", "diag", "run")
+            .agg(F.min("pos0").alias("s"), F.max("e").alias("e"))
+            .filter(F.col("e") - F.col("s") + 1 >= exact_run)
+            .select("sid", "s", "e")
+        )
+        spans = spans.unionAll(xspans)
+    if len(norm_levels) > 1 or exact_run is not None:
         # restore (sid, s) uniqueness for the island window's
         # deterministic ROWS ordering; max(e) = the longest level's span
         spans = spans.groupBy("sid", "s").agg(F.max("e").alias("e"))

@@ -388,6 +388,78 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {radius}
 """
 
 
+def nb_quality_sql(micro: int = 1_000_000) -> str:
+    """Mirrors pipeline.nb_quality_score: add-one multinomial NB over
+    the planted NB_TRAIN_DOCS corpus (embedded as a VALUES table — one
+    source of truth with the Spark query), per-token log-likelihood
+    ratios floored to micro-nats per class BEFORE the BIGINT doc sum,
+    unseen-token and prior constants from the same 1-row totals."""
+    from xesmf_spark.pipeline import NB_TRAIN_DOCS
+
+    vals = ",\n         ".join(f"({y}, '{t}')" for y, t in NB_TRAIN_DOCS)
+    return f"""
+WITH train(label, ttext) AS (
+  VALUES {vals}
+),
+ttok AS (
+  SELECT label,
+         unnest(string_split(lower(trim(regexp_replace(ttext, '\\s+', ' ', 'g'))), ' '))
+           AS token
+  FROM train
+),
+cnts AS (
+  SELECT token,
+         SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+  FROM ttok WHERE token != '' GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+         COUNT(*) AS V
+  FROM cnts
+),
+pri AS (
+  SELECT SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+  FROM train
+),
+llr AS (
+  SELECT token,
+         CAST(FLOOR({micro} * LN(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + V AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR({micro} * LN(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + V AS DOUBLE))) AS BIGINT)
+           AS w
+  FROM cnts, tot
+),
+consts AS (
+  SELECT CAST(FLOOR({micro} * LN(CAST(1 AS DOUBLE) / CAST(t1 + V AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR({micro} * LN(CAST(1 AS DOUBLE) / CAST(t0 + V AS DOUBLE))) AS BIGINT)
+           AS u,
+         CAST(FLOOR({micro} * LN(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR({micro} * LN(CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))) AS BIGINT)
+           AS p
+  FROM tot, pri
+),
+stok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS token
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(COALESCE(w, (SELECT u FROM consts))) AS BIGINT) AS s
+  FROM stok LEFT JOIN llr USING (token)
+  WHERE token != ''
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST(s + (SELECT p FROM consts) AS BIGINT) AS score_micro,
+       CAST(CASE WHEN s + (SELECT p FROM consts) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS pred_label
+FROM sc
+"""
+
+
 def unigram_logprob_sql(micro: int = 1_000_000) -> str:
     """Mirrors pipeline.unigram_logprob_score: per-token log-probs
     floored to integer micro-nats before the (exact BIGINT) per-doc
@@ -542,6 +614,8 @@ LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 
 def span_dedup_multilevel_sql(
     levels: tuple[tuple[int, int], ...] = ((13, 8), (26, 4), (52, 2)),
+    exact_run: int | None = None,
+    rare_quote: bool = False,
 ) -> str:
     """Mirrors pipeline.dedup_spans(levels=...) on the long-quote
     planted corpus (_longquote_cte): per (gram length, min_docs) level
@@ -549,7 +623,13 @@ def span_dedup_multilevel_sql(
     than the level — the whole-text convention applies at the LOWEST
     level only), spans unioned + per-start MAX(e), then the same
     gaps-and-islands merge / token removal / string_agg rebuild as
-    span_dedup_sql."""
+    span_dedup_sql.
+
+    ``exact_run`` extends the chain with the ExactSubstr longest-run
+    CTEs (r13 verdict task): support-2 lowest-level grams keyed to
+    their keeper's first occurrence, chained along one (doc, keeper,
+    diagonal) at consecutive positions, maximal runs >= exact_run
+    tokens emitted as spans."""
     levels = tuple(sorted(levels))
     blocks, span_sels = [], []
     for i, (nl, md) in enumerate(levels):
@@ -573,11 +653,52 @@ spans_{nl} AS (
 )"""
         )
         span_sels.append(f"SELECT * FROM spans_{nl}")
+    if exact_run is not None:
+        n0 = levels[0][0]
+        blocks.append(
+            f"""xrep AS (
+  SELECT ngram, MIN(doc_id) AS keeper
+  FROM grams_{n0} GROUP BY ngram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+xkpos AS (
+  SELECT g.ngram, MIN(g.pos0) AS kpos
+  FROM grams_{n0} g JOIN xrep r ON g.ngram = r.ngram AND g.doc_id = r.keeper
+  GROUP BY g.ngram
+),
+xmatch AS (
+  SELECT g.doc_id, r.keeper, g.pos0, g.e, g.pos0 - k.kpos AS diag
+  FROM grams_{n0} g
+  JOIN xrep r ON g.ngram = r.ngram
+  JOIN xkpos k ON g.ngram = k.ngram
+  WHERE g.doc_id <> r.keeper
+),
+xmark AS (
+  SELECT doc_id, keeper, diag, pos0, e,
+         CASE WHEN pos0 > COALESCE(LAG(pos0) OVER (
+                PARTITION BY doc_id, keeper, diag ORDER BY pos0), -2) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM xmatch
+),
+xrun AS (
+  SELECT doc_id, keeper, diag, pos0, e,
+         SUM(brk) OVER (PARTITION BY doc_id, keeper, diag ORDER BY pos0
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM xmark
+),
+xspans AS (
+  SELECT doc_id, MIN(pos0) AS s, MAX(e) AS e
+  FROM xrun GROUP BY doc_id, keeper, diag, run
+  HAVING MAX(e) - MIN(pos0) + 1 >= {exact_run}
+)"""
+        )
+        span_sels.append("SELECT * FROM xspans")
     level_ctes = ",\n".join(blocks)
     union = "\n  UNION ALL\n  ".join(span_sels)
     return f"""
 WITH
-{_longquote_cte()},
+{_longquote_cte(rare_quote)},
 {NORM_CTE},
 {level_ctes},
 spans AS (
@@ -638,17 +759,21 @@ LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 """
 
 
-def _longquote_cte() -> str:
+def _longquote_cte(rare: bool = False) -> str:
     """documents + planted long-quote carriers (doc_id %% 9 == 0 ->
     new id +400000, a fixed 100-token quote prefixed to the text) —
-    mirrored in queries._docs_with_longquote."""
-    return """docs AS (
+    mirrored in queries._docs_with_longquote.  ``rare=True`` plants
+    the quote in exactly TWO docs (ids 0 and 9 -> +400000; mirrored in
+    queries._docs_with_rare_longquote) so only the exact-run path can
+    reach it."""
+    where = "doc_id IN (0, 9)" if rare else "doc_id % 9 = 0"
+    return f"""docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 400000,
          array_to_string(list_transform(range(100),
                          i -> 'q' || CAST(i AS VARCHAR)), ' ') || ' ' || text
-  FROM documents WHERE doc_id % 9 = 0
+  FROM documents WHERE {where}
 )"""
 
 

@@ -3312,6 +3312,40 @@ def pipeline_span_dedup_multilevel(spark, sf_dir):
     )
 
 
+def _docs_with_rare_longquote(docs):
+    """documents + exactly TWO planted quote carriers (doc_id 0 and 9,
+    new ids +400000 with the fixed 100-token quote prefixed) — support
+    2 keeps every quote 13-gram below all level thresholds, so ONLY
+    the exact-run refinement can cut it.  Mirrored in
+    pipeline_oracle._longquote_cte(rare=True)."""
+    quote = " ".join(f"q{i}" for i in range(100))
+    planted = docs.filter(F.col("doc_id").isin(0, 9)).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit(quote + " "), F.col("text")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(planted)
+
+
+def pipeline_exactsubstr(spark, sf_dir):
+    """ExactSubstr longest-run scrubbing (pipeline.dedup_spans with
+    exact_run=50, levels ((13,8),(26,4)) — NO support-2 level): the
+    planted 100-token quote carried by exactly TWO docs (+400000 ids
+    of doc_id 0 and 9) passes no level threshold, so only the
+    longest-run refinement can cut it — chained adjacent 13-gram
+    matches against the keeper at a fixed alignment, cut at the TRUE
+    maximal verbatim boundaries (one island, exactly the quote) when
+    the run spans >= 50 tokens.  Plan: the same lowest-level explode
+    feeds one extra keyed agg + join and one (doc, keeper, diagonal)
+    window — linear, no pair join."""
+    from xesmf_spark.pipeline import dedup_spans
+
+    return dedup_spans(
+        _docs_with_rare_longquote(_docs(spark, sf_dir)),
+        levels=((13, 8), (26, 4)),
+        exact_run=50,
+    )
+
+
 def pipeline_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dedup: banded bucket-join candidates verified
     with exact shingle-set Jaccard (never all-pairs)."""
@@ -3418,6 +3452,20 @@ def pipeline_unigram_quality(spark, sf_dir):
     from xesmf_spark import pipeline as PL
 
     return PL.unigram_logprob_score(_docs(spark, sf_dir))
+
+
+def pipeline_nb_quality(spark, sf_dir):
+    """Trained Naive-Bayes quality classifier (pipeline.nb_quality_score
+    — the r12/r13 verdict's fastText-shaped gap): train on the planted
+    good/bad corpus (pipeline.NB_TRAIN_DOCS — 6 clean domain docs vs 6
+    spam docs, vocabulary overlapping the documents table), score every
+    document with add-one-smoothed micro-nat log-likelihood ratios, and
+    predict keep/drop at score > 0.  Training = one token-keyed
+    groupBy; scoring = keyed vocab equi-join, never a broadcast."""
+    from xesmf_spark import pipeline as PL
+
+    train = spark.createDataFrame(PL.NB_TRAIN_DOCS, "label long, text string")
+    return PL.nb_quality_score(train, _docs(spark, sf_dir))
 
 
 def pipeline_decontaminate(spark, sf_dir):
