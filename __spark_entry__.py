@@ -43,19 +43,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only. Round-13 rotation (policy + log in SURVEY.md 2E):
-    # the 21 r13 NEW queries lead (skyline, JL random projection x4,
-    # basket rules, record linkage, seasonal decomposition, CUSUM
-    # batch + streaming, AVI video frame sampling, positional
-    # proximity, ACF, seasonal anomalies, linear gap interpolation,
-    # hashing-trick features, sequential-pattern mining, Theil-Sen
-    # slope, Benford audit, personalized PageRank, trimmed/winsorized
-    # means); the r12 window follows
-    # unchanged — it already contains every carrier of this round's
-    # ADVICE-fix engine changes (hits, weighted PageRank, MMR/cosine
-    # zero-norm gates, WAV fmt gate). The 9 cyclers displaced past
-    # position 50 (stream_sessionize/dedup + the stable regrid
-    # family) rejoin the tail head for r14.
+    # entries only.  Round-14 rotation (policy + log in SURVEY.md 2E)
+    # is applied by the _R14_WINDOW reorder at the end of this
+    # function: (a) 2 r14 NEW queries (NB quality classifier,
+    # ExactSubstr longest-run scrub); (b) 16 r14 CHANGED — skyline
+    # (int64 criteria + anti-correlated valve), basket rules (decimal
+    # lift), Benford + ACF (zero-denominator filters),
+    # span_dedup_multilevel (shared _grams refactor), image_resize_jpeg
+    # (LUT entropy decoder), and the 10 queries whose r-string oracles
+    # carried the broken '\\s+' regex (repetition, token_freq, chunks,
+    # pack_contexts, weighted_sample, token_budget, tfidf, bm25, cms,
+    # inverted_index — r13 ADVICE #1); (c) the 23 entries the r13
+    # window displaced past position 50 (image_resize_png, ahash
+    # pair/dedup, burst components, upsert_delete, cdc_apply,
+    # components, q19, editdist, quality_tiers, props_stats, curate,
+    # stream hourly/sessionize/dedup, the 8-query stable regrid
+    # family); (d) 9 cyclers from the STALEST tail stratum
+    # (simhash_pairs, the conservative regrid family, stream_regrid,
+    # sketch_accuracy, tpch_q8/q9).  The dict literal below keeps its
+    # historical r13 grouping; the reorder — not the literal — is the
+    # window of record.
     # Prior-round rationale (r12):
     # IN-WINDOW = (a) 23 r12 NEW queries (unigram tok/encode, WAV
     # stats + resample, bilinear image resize, streaming PSI,
@@ -73,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tail is ordered freshest-evidence-first so each round's cyclers
     # come off the DEEP end; same-round evidence for every tail entry
     # comes from the committed full-surface record + tri-scale runs.
-    return {
+    base = {
         # (a00) r14 NEW queries lead the window
         "pipeline_nb_quality": Q.pipeline_nb_quality,
         "pipeline_exactsubstr": Q.pipeline_exactsubstr,
@@ -316,6 +323,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": Q.tpch_q8_market_share,
         "tpch_q9_product_type": Q.tpch_q9_product_type,
     }
+    out = {k: base[k] for k in _R14_WINDOW}
+    out.update({k: v for k, v in base.items() if k not in out})
+    return out
+
+
+#: the 50 driver-checked entries for round 14 — see the rotation
+#: rationale at the top of queries().  Everything not listed keeps its
+#: dict-literal order behind these (freshest evidence first, so the
+#: r13/r12 blocks that just rotated out sit at the tail head).
+_R14_WINDOW = [
+    # (a) r14 new
+    "pipeline_nb_quality",
+    "pipeline_exactsubstr",
+    # (b) r14 changed — engine or oracle
+    "parts_skyline",
+    "parts_basket_rules",
+    "orders_benford",
+    "events_acf",
+    "pipeline_span_dedup_multilevel",
+    "multimodal_image_resize_jpeg",
+    "pipeline_repetition",
+    "pipeline_token_freq",
+    "pipeline_chunks",
+    "pipeline_pack_contexts",
+    "pipeline_weighted_sample",
+    "pipeline_token_budget",
+    "documents_tfidf_terms",
+    "documents_bm25",
+    "documents_cms_frequency",
+    "documents_inverted_index",
+    # (c) the 23 entries displaced past position 50 by the r13 window
+    "multimodal_image_resize_png",
+    "multimodal_ahash_pairs",
+    "multimodal_ahash_dedup",
+    "orders_burst_components",
+    "customers_upsert_delete",
+    "stream_cdc_apply",
+    "trade_graph_components",
+    "tpch_q19_disjunctive",
+    "pipeline_editdist_dedup",
+    "documents_quality_tiers",
+    "events_props_stats",
+    "pipeline_curate",
+    "stream_hourly",
+    "stream_sessionize",
+    "stream_dedup",
+    "regrid_bilinear_periodic",
+    "regrid_bilinear_noperiodic",
+    "regrid_patch",
+    "regrid_nearest_s2d",
+    "regrid_nearest_d2s",
+    "regrid_bilinear_locstream",
+    "regrid_bilinear_curvilinear",
+    "regrid_patch_curvilinear",
+    # (d) 9 cyclers from the stalest tail stratum
+    "pipeline_simhash_pairs",
+    "regrid_conservative",
+    "regrid_conservative_clip",
+    "regrid_conservative_4d",
+    "regrid_dataset_multivar",
+    "stream_regrid",
+    "events_sketch_accuracy",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type",
+]
 
 
 #: recompute every output byte of the decode->grayscale->resample

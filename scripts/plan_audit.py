@@ -54,6 +54,10 @@ ALLOW = {
     # (event types), the sort is per-group in the agg buffer
     "events_percentiles": {"SortAggregate"},
     "knn_top3": {"BroadcastNestedLoopJoin"},
+    # NB classifier: the class-total/vocab-size and unseen/prior
+    # constants are 1-row scalar crosses (the model TABLE itself joins
+    # keyed on the token — never broadcast)
+    "pipeline_nb_quality": {"BroadcastNestedLoopJoin"},
     # the quartile-cutoff sketch result is ONE broadcast row crossed
     # onto the corpus scan — replacing the global-sort window is the
     # whole point of this query's plan

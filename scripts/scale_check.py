@@ -874,6 +874,172 @@ def main() -> None:
                 period=7,
             ),
         ),
+        # r14 ledger-debt entries (r13 verdict task 6) ----------------
+        # temperature mixing: per-source size agg (sources constant) +
+        # one per-source rank window over the scaled corpus
+        (
+            "pipeline_mixture_sample",
+            lambda d, s: PIPE.mixture_sample(
+                spark.read.parquet(f"{d}/documents.parquet"), total=200
+            ),
+        ),
+        # RRF fusion: two ranked legs FULL-OUTER joined on
+        # (query, neighbor) + one per-query top-k window; queries grow
+        # Nx at constant leg depth 5
+        (
+            "search_hybrid_rrf",
+            lambda d, s: __import__(
+                "xesmf_spark.search", fromlist=["hybrid_rrf"]
+            ).hybrid_rrf(
+                spark.range(500_000 * s).select(
+                    F.expr("id div 5").alias("query_id"),
+                    F.pmod(F.col("id") * 7919 + 13, F.lit(100_000 * s)).alias(
+                        "neighbor_id"
+                    ),
+                    (F.col("id") % 5 + 1).alias("rank"),
+                ),
+                spark.range(500_000 * s).select(
+                    F.expr("id div 5").alias("query_id"),
+                    F.pmod(F.col("id") * 104729 + 7, F.lit(100_000 * s)).alias(
+                        "neighbor_id"
+                    ),
+                    (F.col("id") % 5 + 1).alias("rank"),
+                ),
+                topk=3,
+            ),
+        ),
+        # MMR rerank: queries AND pool both scale Nx (self set), so the
+        # retrieval stage's total work is N^2 — the sq8/pq_sharded
+        # honest-exponent note; the rerank itself is pool_k-bounded
+        ("similarity_mmr_topk", lambda d, s: SIM.mmr_topk(emb_at(d), k=3, pool_k=8)),
+        # leakage-free split: one group join + md5 route; docs grow Nx
+        # at constant group size 4
+        (
+            "pipeline_grouped_split",
+            lambda d, s: PIPE.grouped_split(
+                spark.range(1_000_000 * s).select(
+                    F.col("id").alias("doc_id"),
+                    F.col("id").cast("string").alias("text"),
+                ),
+                spark.range(1_000_000 * s).select(
+                    F.col("id").alias("doc_id"),
+                    F.expr("id div 4").alias("keep_id"),
+                ),
+            ),
+        ),
+        # KS drift: two-sample CDF prefix scan over distinct values —
+        # time tracks distinct-value volume (the w1_drift shape)
+        (
+            "quality_ks_drift",
+            lambda d, s: QUAL.ks_drift(
+                spark.range(1_000_000 * s).select(
+                    F.pmod(F.col("id") * 7919, F.lit(100_000)).alias("v")
+                ),
+                spark.range(1_000_000 * s).select(
+                    (F.pmod(F.col("id") * 104729, F.lit(100_000)) + 5_000).alias(
+                        "v"
+                    )
+                ),
+                "v",
+            ),
+        ),
+        # multi-source Bellman-Ford: 4 fixed rounds of keyed edge join
+        # + min agg; nodes/edges grow Nx, sources constant
+        (
+            "trade_graph_shortest_paths",
+            lambda d, s: REL.shortest_paths(
+                spark.range(600_000 * s).select(
+                    F.expr("id div 3").alias("src"),
+                    F.pmod(
+                        F.expr("id div 3") * (F.col("id") % 3 * 2 + 3) + 1,
+                        F.lit(200_000 * s),
+                    ).alias("dst"),
+                    (F.pmod(F.col("id") * 7919, F.lit(90)) + 10).alias("w"),
+                ),
+                spark.range(10).select(F.col("id").alias("node")),
+                iters=4,
+            ),
+        ),
+        # Theil-Sen: keys grow Nx at CONSTANT 200-bucket series — the
+        # per-key B^2/2 pair join is the fixed domain constant the
+        # max_buckets valve pins; time tracks key volume
+        (
+            "timeseries_theilsen",
+            lambda d, s: TS.theilsen_slope(
+                spark.range(200_000 * s).select(
+                    F.expr("id div 200").alias("k"),
+                    F.pmod(F.col("id"), F.lit(200)).alias("t"),
+                    (
+                        F.pmod(F.col("id"), F.lit(200)) * 3
+                        + F.pmod(F.col("id") * 7919, F.lit(40))
+                    ).alias("x"),
+                ),
+                ["k"],
+                "t",
+                "x",
+            ),
+        ),
+        # sample ACF: one keyed equi-join of state against its
+        # lag-exploded self (state x max_lag rows); keys grow Nx at
+        # constant 1000-bucket length
+        (
+            "timeseries_acf",
+            lambda d, s: TS.acf(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 1000").alias("k"),
+                    F.pmod(F.col("id"), F.lit(1000)).alias("t"),
+                    F.pmod(F.col("id") * 7919, F.lit(1000)).alias("x"),
+                ),
+                ["k"],
+                "t",
+                "x",
+                max_lag=5,
+            ),
+        ),
+        # gap interpolation: LEAD window + range explode of gap spans;
+        # keys grow Nx at constant series length and 50% gap density
+        (
+            "timeseries_interpolate",
+            lambda d, s: TS.interpolate_gaps(
+                spark.range(500_000 * s).select(
+                    F.expr("id div 500").alias("k"),
+                    (F.pmod(F.col("id"), F.lit(500)) * 2).alias("t"),
+                    F.pmod(F.col("id") * 7919, F.lit(1000)).alias("x"),
+                ),
+                ["k"],
+                "t",
+                "x",
+            ),
+        ),
+        # trimmed/winsorized means: two rank windows + one agg per
+        # group; groups grow Nx at constant 1000-value size
+        (
+            "quality_robust_stats",
+            lambda d, s: QUAL.robust_stats(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 1000").alias("k"),
+                    F.pmod(F.col("id") * 7919, F.lit(100_000)).alias("x"),
+                ),
+                ["k"],
+                "x",
+            ),
+        ),
+        # Benford audit: one projection + 9-bucket map-combinable count
+        # + broadcast digit axis; groups grow Nx at constant size
+        (
+            "quality_benford",
+            lambda d, s: QUAL.benford_audit(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 10000").alias("k"),
+                    (F.pmod(F.col("id") * 7919, F.lit(99_999)) + 1).alias("x"),
+                ),
+                "x",
+                group_cols=["k"],
+            ),
+        ),
+        # native AVI attach+decode+frame stats: two map-only Arrow
+        # passes over the scaled documents table (payload count ~Nx)
+        ("multimodal_video_avi", lambda d, s: Q.multimodal_video_avi(spark, d)),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -988,6 +1154,63 @@ def main() -> None:
             "fixed-3 pagerank over the token co-occurrence graph; "
             "nodes/edges grow ~Nx with suffixed replicas, per-round "
             "cost one keyed join + SUM"
+        ),
+        "pipeline_mixture_sample": (
+            "per-source size agg (sources a constant set) + one "
+            "per-source rank window; output bounded by total=200"
+        ),
+        "search_hybrid_rrf": (
+            "full-outer (query, neighbor) join of two ranked legs + "
+            "per-query top-k window; queries grow Nx at constant leg "
+            "depth — linear in leg rows"
+        ),
+        "similarity_mmr_topk": (
+            "queries AND pool both scale Nx (self set), so the "
+            "retrieval stage's total work is N^2 (the sq8/pq_sharded "
+            "honest-exponent note); the MMR rerank itself is "
+            "pool_k-bounded per query"
+        ),
+        "pipeline_grouped_split": (
+            "one keyed group join + md5 route — linear in docs at "
+            "constant group size"
+        ),
+        "quality_ks_drift": (
+            "two-sample CDF prefix scan over distinct values + 1-row "
+            "sup agg; time tracks distinct-value volume (constant "
+            "100k domain here, so near-flat is the honest shape)"
+        ),
+        "trade_graph_shortest_paths": (
+            "4 fixed rounds of keyed edge join + MIN agg; edge volume "
+            "grows Nx, the reached set stays frontier-bounded "
+            "(constant 10 sources x branching^4), so rows are flat "
+            "while join cost tracks edges"
+        ),
+        "timeseries_theilsen": (
+            "keys grow Nx at CONSTANT 200-bucket series — the per-key "
+            "B^2/2 pair join is the fixed domain constant the "
+            "max_buckets=2000 valve pins; linear in keys"
+        ),
+        "timeseries_acf": (
+            "state x max_lag keyed self-join + two SUM aggs; keys "
+            "grow Nx at constant series length — linear in state rows"
+        ),
+        "timeseries_interpolate": (
+            "one LEAD window + gap-span range explode; output bounded "
+            "by filled buckets (constant 50% gap density)"
+        ),
+        "quality_robust_stats": (
+            "two rank windows + one agg per group; groups grow Nx at "
+            "constant 1000-value size — linear in rows"
+        ),
+        "quality_benford": (
+            "one projection + 9-bucket map-combinable count + "
+            "broadcast 9-row axis; linear in rows (sub-second at both "
+            "scales — exponent is JVM-warmup noise, the 1x number "
+            "carries first-run overhead)"
+        ),
+        "multimodal_video_avi": (
+            "two map-only Arrow passes (attach + decode/frame-stats); "
+            "payload count ~Nx, near-flat until 32 cores saturate"
         ),
     }
     out = {"factor": factor, "base": base, "trials_min_of": trials, "ops": {}}
