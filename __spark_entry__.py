@@ -45,8 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-14 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R14_WINDOW reorder at the end of this
-    # function: (a) 2 r14 NEW queries (NB quality classifier,
-    # ExactSubstr longest-run scrub); (b) 16 r14 CHANGED — skyline
+    # function: (a) 6 r14 NEW queries (NB quality classifier,
+    # ExactSubstr longest-run scrub, winnowing fingerprints, Dirichlet
+    # query likelihood, Holt smoothing, multi-touch attribution);
+    # (b) 16 r14 CHANGED — skyline
     # (int64 criteria + anti-correlated valve), basket rules (decimal
     # lift), Benford + ACF (zero-denominator filters),
     # span_dedup_multilevel (shared _grams refactor), image_resize_jpeg
@@ -58,9 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair/dedup, burst components, upsert_delete, cdc_apply,
     # components, q19, editdist, quality_tiers, props_stats, curate,
     # stream hourly/sessionize/dedup, the 8-query stable regrid
-    # family); (d) 9 cyclers from the STALEST tail stratum
-    # (simhash_pairs, the conservative regrid family, stream_regrid,
-    # sketch_accuracy, tpch_q8/q9).  The dict literal below keeps its
+    # family); (d) 5 cyclers from the STALEST tail stratum
+    # (simhash_pairs, the conservative regrid family — stream_regrid,
+    # sketch_accuracy and tpch_q8/q9 yielded their slots to the
+    # second-half new queries and head the stale stratum for r15).  The dict literal below keeps its
     # historical r13 grouping; the reorder — not the literal — is the
     # window of record.
     # Prior-round rationale (r12):
@@ -84,6 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a00) r14 NEW queries lead the window
         "pipeline_nb_quality": Q.pipeline_nb_quality,
         "pipeline_exactsubstr": Q.pipeline_exactsubstr,
+        "documents_winnowing": Q.documents_winnowing,
+        "documents_query_likelihood": Q.documents_query_likelihood,
+        "orders_holt_forecast": Q.orders_holt_forecast,
+        "events_attribution": Q.events_attribution,
         # (a0) r13 NEW queries (skyline, basket rules, record linkage,
         # seasonal decomposition, CUSUM changepoint)
         "parts_skyline": Q.parts_skyline,
@@ -336,6 +343,10 @@ _R14_WINDOW = [
     # (a) r14 new
     "pipeline_nb_quality",
     "pipeline_exactsubstr",
+    "documents_winnowing",
+    "documents_query_likelihood",
+    "orders_holt_forecast",
+    "events_attribution",
     # (b) r14 changed — engine or oracle
     "parts_skyline",
     "parts_basket_rules",
@@ -377,16 +388,14 @@ _R14_WINDOW = [
     "regrid_bilinear_locstream",
     "regrid_bilinear_curvilinear",
     "regrid_patch_curvilinear",
-    # (d) 9 cyclers from the stalest tail stratum
+    # (d) 5 cyclers from the stalest tail stratum (4 slots yielded to
+    # the second-half r14 new queries; stream_regrid, q8/q9 and
+    # sketch_accuracy head the stale stratum for r15)
     "pipeline_simhash_pairs",
     "regrid_conservative",
     "regrid_conservative_clip",
     "regrid_conservative_4d",
     "regrid_dataset_multivar",
-    "stream_regrid",
-    "events_sketch_accuracy",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type",
 ]
 
 
@@ -1927,6 +1936,10 @@ WHERE cum_tokens <= 5000
         "pipeline_simhash_pairs": PO.simhash_pairs_sql(bits=60),
         "pipeline_unigram_quality": PO.unigram_logprob_sql(),
         "pipeline_nb_quality": PO.nb_quality_sql(),
+        "documents_winnowing": PO.winnowing_sql(),
+        "documents_query_likelihood": PO.query_likelihood_sql(),
+        "orders_holt_forecast": PO.holt_sql(),
+        "events_attribution": PO.attribution_sql(),
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "pipeline_decontaminate_fuzzy": PO.decontaminate_fuzzy_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),

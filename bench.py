@@ -751,7 +751,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
     #     the number the 100-TB core-seconds/GB story is built on);
     #   * multimodal_jpeg_decode_MBps - the Arrow-batched Spark consumer
     #     path (multimodal.resize_images) on local[32], MB/s over
-    #     compressed bytes.  r14 note: images grew 48x48 -> 192x192 so
+    #     compressed bytes.  r14 note: images grew 48x48 -> 256x256 so
     #     the corpus (~2.4 MB vs the old 0.35 MB) swamps fixed job
     #     latency; the pre-r14 line measured scheduler overhead, not
     #     decode (96 tiny payloads finished in well under the ~0.4 s a
@@ -768,7 +768,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
     jpayloads = [
         bytes(
             encode_jpeg(
-                rng.integers(0, 256, size=(192, 192, 3), dtype=np.uint8),
+                rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8),
                 quality=80,
                 subsampling="4:2:0",
             )

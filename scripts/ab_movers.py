@@ -36,11 +36,17 @@ out = {}
 # one tiny warmup job so the first timed query doesn't pay JVM/codegen
 spark.range(1000).count()
 for n in names:
-    release_persisted()
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    qs[n](spark, "/root/testdata/sf0.1").count()
-    out[n] = round(time.perf_counter() - t0, 3)
+    # mirror bench.py timed_med: two trials, record the min — the
+    # pinned records carry warm-session minima, so a single cold run
+    # (parquet footers, codegen, worker spin-up) is not comparable
+    trials = []
+    for _ in range(2):
+        release_persisted()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[n](spark, "/root/testdata/sf0.1").count()
+        trials.append(time.perf_counter() - t0)
+    out[n] = round(min(trials), 3)
 print("ABRESULT " + json.dumps(out))
 spark.stop()
 """

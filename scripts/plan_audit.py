@@ -58,6 +58,9 @@ ALLOW = {
     # constants are 1-row scalar crosses (the model TABLE itself joins
     # keyed on the token — never broadcast)
     "pipeline_nb_quality": {"BroadcastNestedLoopJoin"},
+    # Dirichlet QL: the |q|-row (3 terms) cf/T table crossed onto the
+    # doc-length projection — query size is a tiny caller constant
+    "documents_query_likelihood": {"BroadcastNestedLoopJoin"},
     # the quartile-cutoff sketch result is ONE broadcast row crossed
     # onto the corpus scan — replacing the global-sort window is the
     # whole point of this query's plan

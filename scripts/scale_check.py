@@ -1040,6 +1040,55 @@ def main() -> None:
         # native AVI attach+decode+frame stats: two map-only Arrow
         # passes over the scaled documents table (payload count ~Nx)
         ("multimodal_video_avi", lambda d, s: Q.multimodal_video_avi(spark, d)),
+        # r14 second-half ops ------------------------------------------
+        # winnowing: linear char-gram explode x w window memberships +
+        # keyed MIN; suffixed replicas share no grams, so pair volume
+        # stays base-rate while fingerprint volume grows Nx
+        ("pipeline_winnowing", lambda d, s: Q.documents_winnowing(spark, d)),
+        # Dirichlet QL: one token explode filtered to |q| terms + a
+        # docs x |q| broadcast score — linear in corpus tokens
+        (
+            "search_query_likelihood",
+            lambda d, s: Q.documents_query_likelihood(spark, d),
+        ),
+        # attribution: user-keyed conversion x touch join + one
+        # per-conversion window; users grow Nx at constant 20-event
+        # activity (19 touches then a purchase) — linear in events
+        (
+            "relational_attribution",
+            lambda d, s: REL.attribution(
+                spark.range(1_000_000 * s).select(
+                    F.col("id").alias("event_id"),
+                    (F.col("id") * 1_000_000_000).alias("ts"),
+                    F.expr("id div 20").alias("user_id"),
+                    F.when(F.col("id") % 20 == 19, F.lit("purchase"))
+                    .when(F.col("id") % 2 == 0, F.lit("view"))
+                    .otherwise(F.lit("click"))
+                    .alias("event_type"),
+                    (F.pmod(F.col("id"), F.lit(500)) + 1).cast("double").alias(
+                        "value"
+                    ),
+                ),
+                conversion_type="purchase",
+                touch_types=["view", "click"],
+                lookback_days=7,
+            ),
+        ),
+        # Holt smoothing: per-key sequential fold over collected STATE
+        # (constant 1000-bucket series); keys grow Nx
+        (
+            "timeseries_holt",
+            lambda d, s: TS.holt_smooth(
+                spark.range(1_000_000 * s).select(
+                    F.expr("id div 1000").alias("k"),
+                    F.pmod(F.col("id"), F.lit(1000)).alias("t"),
+                    F.pmod(F.col("id") * 7919, F.lit(1000)).alias("x"),
+                ),
+                ["k"],
+                "t",
+                "x",
+            ),
+        ),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -1211,6 +1260,26 @@ def main() -> None:
         "multimodal_video_avi": (
             "two map-only Arrow passes (attach + decode/frame-stats); "
             "payload count ~Nx, near-flat until 32 cores saturate"
+        ),
+        "pipeline_winnowing": (
+            "linear char-gram explode x w window memberships + keyed "
+            "MIN + df-valved pair join; suffixed replicas share no "
+            "grams so pair volume stays base-rate"
+        ),
+        "search_query_likelihood": (
+            "token explode filtered to |q| terms + docs x |q| "
+            "broadcast score + doc-keyed agg — linear in corpus tokens"
+        ),
+        "timeseries_holt": (
+            "per-key sequential integer fold over collected rollup "
+            "STATE (constant series length, max_buckets valve); keys "
+            "grow Nx — linear in state rows"
+        ),
+        "relational_attribution": (
+            "user-keyed conversion x touch join + per-conversion "
+            "window; users grow Nx at constant activity — linear in "
+            "events (per-user pair volume is the bounded domain "
+            "constant every attribution engine pays)"
         ),
     }
     out = {"factor": factor, "base": base, "trials_min_of": trials, "ops": {}}

@@ -2207,3 +2207,79 @@ def test_dedup_spans_exact_run_cuts_true_maximal_run(spark):
 
     with _pytest.raises(ValueError, match="exact_run"):
         dedup_spans(docs, levels=((13, 8),), exact_run=12)
+
+
+def test_winnowing_guarantee_and_rightmost_min(spark):
+    """Winnowing theorem contract: any shared substring of length >=
+    k + w - 1 normalized chars yields a shared fingerprint; density is
+    far below 1 per gram; fingerprints are deterministic across
+    partitionings; a doc shorter than w grams still gets >= 1
+    fingerprint."""
+    from xesmf_spark.pipeline import winnowing_fingerprints, winnowing_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text one " + shared + " closing words alpha"),
+            (2, "completely different start " + shared + " other ending"),
+            (3, "no overlap here at all just unrelated words entirely"),
+            (4, "tiny"),  # < k chars: single short gram, one window
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, k=8, w=8)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[4], "short doc must keep one fingerprint"
+    assert len(by_doc[1] & by_doc[2]) >= 1, "winnowing guarantee violated"
+    # density: selected fingerprints << grams (~2/(w+1))
+    n_grams_1 = len("intro text one " + shared + " closing words alpha") - 8 + 1
+    assert len([r for r in rows if r.doc_id == 1]) < n_grams_1 / 2
+    # determinism across partitioning
+    fp2 = {(r.doc_id, r.fp_hash, r.fp_pos) for r in
+           winnowing_fingerprints(docs.repartition(7), k=8, w=8).collect()}
+    assert fp2 == {(r.doc_id, r.fp_hash, r.fp_pos) for r in rows}
+    # pairs: 1-2 share, 3 pairs with nobody
+    pairs = winnowing_overlap_pairs(docs, k=8, w=8, min_shared=1).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    p = pairs[0]
+    assert 0 < p.containment_milli <= 1000 and p.n_shared >= 1
+
+
+def test_query_likelihood_ranks_and_gates(spark):
+    """QL ranking sanity: a doc dense in the query terms outranks one
+    without them; zero-tf docs still score (collection prior); a query
+    term absent from the corpus raises loudly; scores are exact ints
+    matched by a local bigint replay."""
+    import math
+
+    import pytest as _pytest
+
+    from xesmf_spark.search import query_likelihood_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge join merge join data table"),
+            (2, "table scan filter group window order"),
+            (3, "merge data something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = query_likelihood_topk(docs, ["merge", "join"], mu=100, k=3).collect()
+    assert [r.doc_id for r in out][0] == 1
+    assert len(out) == 3  # zero-tf doc 2 still ranked
+    # local replay of doc 1's exact score
+    T = 6 + 6 + 6
+    cf = {"merge": 3, "join": 2}
+    tf1 = {"merge": 2, "join": 2}
+    want = sum(
+        math.floor(1e6 * math.log(tf1[t] * T + 100 * cf[t]))
+        - math.floor(1e6 * math.log(T * (6 + 100)))
+        for t in ("merge", "join")
+    )
+    got1 = [r for r in out if r.doc_id == 1][0]
+    assert got1.score_micro == want and got1.n_tokens == 6
+    with _pytest.raises(Exception, match="zero corpus frequency"):
+        query_likelihood_topk(docs, ["zzz_absent"], k=3).collect()

@@ -1756,3 +1756,45 @@ def test_basket_rules_lift_decimal_matches_bigint_past_wrap(spark):
     except Exception:
         wrapped = None  # ANSI mode: long overflow raises
     assert wrapped != (1_000_000 * s * N) // (na * nb)
+
+
+def test_attribution_models_conserve_and_window(spark):
+    """Attribution contract: per conversion, linear credits sum to
+    EXACTLY 1000*cents (remainder on the last touch), first/last each
+    land 1000*cents on exactly one touch, touches outside the lookback
+    window or after the conversion credit nothing, ties break by
+    event id."""
+    from datetime import datetime as DT
+
+    from xesmf_spark.relational import attribution
+
+    rows = [
+        # user 1: three touches then a purchase of 10.01
+        (1, DT(2024, 1, 1, 10), 1, "view", 0.0),
+        (2, DT(2024, 1, 2, 10), 1, "click", 0.0),
+        (3, DT(2024, 1, 2, 10), 1, "view", 0.0),   # ts tie with id 2
+        (4, DT(2024, 1, 3, 10), 1, "purchase", 10.01),
+        # user 1: stale touch (outside 7d of the 2nd purchase), then buy
+        (5, DT(2024, 2, 1, 10), 1, "purchase", 5.00),
+        # user 2: touch AFTER purchase — no credit
+        (6, DT(2024, 1, 5, 10), 2, "purchase", 3.00),
+        (7, DT(2024, 1, 6, 10), 2, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = attribution(df, "purchase", ["view", "click"], lookback_days=7).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert set(by_conv) == {4}, by_conv  # conv 5 has no in-window touch; 6 none before
+    got = sorted(by_conv[4], key=lambda r: r.touch_rank)
+    assert [r.touch_id for r in got] == [1, 2, 3]  # tie (2,3) by id
+    cents = 1001
+    assert sum(r.credit_linear_milli for r in got) == 1000 * cents
+    assert [r.credit_first_milli for r in got] == [1000 * cents, 0, 0]
+    assert [r.credit_last_milli for r in got] == [0, 0, 1000 * cents]
+    base = (1000 * cents) // 3
+    assert [r.credit_linear_milli for r in got] == [
+        base, base, 1000 * cents - 2 * base
+    ]

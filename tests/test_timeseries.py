@@ -314,3 +314,48 @@ def test_acf_constant_series_key_dropped_not_null(spark):
     out = acf(df, key_cols=["k"], bucket_col="bucket", val_col="v", max_lag=2).collect()
     assert {r.k for r in out} == {"varies"}
     assert all(r.acf_milli is not None for r in out)
+
+
+def test_holt_smooth_matches_python_fold_and_valve(spark):
+    """Holt recursion: engine output equals a literal Python integer
+    fold (same truncating divisions) for a trending series with a
+    spike; n=1 and n=2 edge keys; the max_buckets valve raises."""
+    import pytest as _pytest
+
+    from xesmf_spark.timeseries import holt_smooth
+
+    xs = [100, 130, 160, 190, 400, 250, 280, 310]
+    rows = [("k", t, x) for t, x in enumerate(xs)]
+    rows += [("one", 0, 500)]
+    rows += [("two", 0, 10), ("two", 1, 30)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {
+        (r.k, r.h): r
+        for r in holt_smooth(
+            df, ["k"], "t", "x", alpha_milli=300, beta_milli=100, horizon=2
+        ).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    l, b = 1000 * xs[0], 1000 * (xs[1] - xs[0])
+    for x in xs[1:]:
+        nl = tdiv(300 * 1000 * x + 700 * (l + b), 1000)
+        b = tdiv(100 * (nl - l) + 900 * b, 1000)
+        l = nl
+    assert out[("k", 1)].level_milli == l and out[("k", 1)].trend_milli == b
+    assert out[("k", 2)].forecast_milli == l + 2 * b
+    assert out[("k", 1)].n_buckets == 8
+    # n=1: trend 0, forecast = level
+    assert out[("one", 1)].trend_milli == 0
+    assert out[("one", 1)].forecast_milli == out[("one", 1)].level_milli == 500000
+    # n=2: init consumes x2 in both b1 and the t=2 step
+    l2, b2 = 1000 * 10, 1000 * 20
+    nl = tdiv(300 * 1000 * 30 + 700 * (l2 + b2), 1000)
+    nb = tdiv(100 * (nl - l2) + 900 * b2, 1000)
+    assert out[("two", 1)].level_milli == nl and out[("two", 1)].trend_milli == nb
+
+    with _pytest.raises(Exception, match="max_buckets"):
+        holt_smooth(df, ["k"], "t", "x", max_buckets=3).collect()

@@ -728,6 +728,156 @@ def rolling_hash(col: Column) -> Column:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the normalized text, slide a window of ``w`` consecutive hashes,
+    and keep the RIGHTMOST MINIMUM of each window.  The selected set is
+    position-robust (any shared substring of length ≥ k + w − 1
+    guarantees a shared fingerprint — the winnowing theorem), ~2/(w+1)
+    density, and content-addressed — the citation-grade plagiarism /
+    overlap primitive between exact hashing (:func:`rolling_hash`, one
+    digest per doc) and shingle Jaccard (every gram kept).
+
+    Deterministic, engine-exact: gram hash = :func:`base_hash` (md5,
+    identical both engines); rightmost-min tie-break is folded into ONE
+    exact integer key ``hb·2^20 + (2^20 − 1 − pos)`` so a single MIN
+    agg selects hash-then-rightmost-position (no nondeterministic
+    min_by ties); docs longer than 2^20 normalized chars raise loudly.
+    Docs with fewer than ``w`` grams keep one fingerprint (the global
+    rightmost min — the single complete window over the whole doc), so
+    every non-empty doc is represented.
+
+    Scale shape: one projection + one explode of ``w`` window
+    memberships per gram (w is a small domain constant) + one
+    (doc, window)-keyed map-side-combinable MIN + one distinct — all
+    linear in corpus characters, zero joins.  Output:
+    ``(id, fp_hash, fp_pos)`` distinct fingerprints."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    norm = (
+        df.select(F.col(id_col).alias("__id"), normalize_text(F.col(text_col)).alias("__nt"))
+        .select(
+            "__id",
+            F.expr(
+                "CASE WHEN length(__nt) > 1048575 THEN "
+                "CAST(raise_error('winnowing_fingerprints: doc exceeds 2^20 "
+                "normalized chars — the packed tie-break key would overflow') "
+                "AS STRING) ELSE __nt END"
+            ).alias("nt"),
+        )
+        .filter(F.length("nt") > 0)
+    )
+    grams = norm.select(
+        "__id",
+        F.greatest(F.length("nt") - k, F.lit(0)).alias("__lmax"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(length(nt) - {k}, 0)), "
+                f"i -> substring(nt, i + 1, {k}))"
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "__id",
+        "__lmax",
+        "pos0",
+        (base_hash(F.col("g")) * F.lit(1048576) + (F.lit(1048575) - F.col("pos0"))).alias(
+            "__key"
+        ),
+    )
+    wins = (
+        grams.select(
+            "__id",
+            "__lmax",
+            "__key",
+            F.explode(F.sequence(F.col("pos0"), F.col("pos0") + (w - 1))).alias("p"),
+        )
+        .filter(
+            (F.col("p") <= F.col("__lmax"))
+            & ((F.col("p") >= w - 1) | (F.col("p") == F.col("__lmax")))
+        )
+        .groupBy("__id", "p")
+        .agg(F.min("__key").alias("__key"))
+    )
+    return (
+        wins.select(
+            F.col("__id").alias(id_col),
+            F.expr("__key div 1048576").alias("fp_hash"),
+            (F.lit(1048575) - F.pmod(F.col("__key"), F.lit(1048576))).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 2,
+    max_df: int = MAX_SHINGLE_DF,
+    min_containment_milli: int = 0,
+) -> DataFrame:
+    """Document-overlap candidate pairs from shared winnowing
+    fingerprints — the MOSS report stage: docs sharing ≥ ``min_shared``
+    distinct fingerprints, with the exact containment fraction
+    ``containment_milli = (1000 · n_shared) div min(n_a, n_b)``;
+    pairs below ``min_containment_milli`` are dropped (on a small
+    shared vocabulary, raw fingerprint co-occurrence pairs topically
+    similar docs — the containment threshold is what separates
+    verbatim overlap from topic overlap).  Fingerprints in more than
+    ``max_df`` docs are boilerplate and excluded from pairing (the
+    :data:`MAX_SHINGLE_DF` valve — candidate GENERATION is bounded;
+    per-doc totals stay full).
+
+    Scale shape: fingerprint build (linear, see
+    :func:`winnowing_fingerprints`), one hash-keyed df count, one
+    hash-keyed self-equi-join bounded by the df valve, one pair-keyed
+    agg + two doc-size joins — the shingle-intersection economics."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    hashes = fp.select(F.col(id_col).alias("sid"), "fp_hash").distinct()
+    sizes = hashes.groupBy("sid").agg(F.count(F.lit(1)).alias("n_fp"))
+    dfc = hashes.groupBy("fp_hash").agg(F.countDistinct("sid").alias("__df"))
+    rare = hashes.join(
+        dfc.filter(F.col("__df") <= max_df).select("fp_hash"), "fp_hash"
+    )
+    a = rare.select(F.col("sid").alias("id_a"), "fp_hash")
+    b = rare.select(F.col("sid").alias("id_b"), "fp_hash")
+    inter = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp_hash").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("sid").alias("id_a"), F.col("n_fp").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("sid").alias("id_b"), F.col("n_fp").alias("__nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.expr("(1000L * n_shared) div least(__na, __nb)").alias(
+                "containment_milli"
+            ),
+        )
+        .filter(F.col("containment_milli") >= min_containment_milli)
+    )
+
+
 #: BPE-ish pre-tokenization pattern over normalized text: letter runs,
 #: digit runs, and single punctuation marks (the usual byte-pair
 #: pre-split shape, minus byte-level fallback)

@@ -759,6 +759,192 @@ LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 """
 
 
+def winnowing_sql(
+    k: int = 8, w: int = 8, min_shared: int = 4, max_df: int = MAX_SHINGLE_DF,
+    min_containment_milli: int = 500,
+) -> str:
+    """Mirrors pipeline.winnowing_overlap_pairs on the planted-dups
+    corpus: char k-gram md5 hashes, window-of-w rightmost-min selection
+    via the SAME packed key ``hb·2^20 + (2^20−1−pos)`` MIN, df-valved
+    pair join, exact containment milli."""
+    return f"""
+WITH
+{_docs_cte(True)},
+norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM docs WHERE length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) > 0
+),
+g AS (
+  SELECT doc_id, i AS pos0, greatest(length(nt) - {k}, 0) AS lmax,
+         substr(nt, CAST(i AS INT) + 1, {k}) AS gram
+  FROM norm, UNNEST(range(greatest(length(nt) - {k}, 0) + 1)) AS u(i)
+),
+h AS (
+  SELECT doc_id, pos0, lmax,
+         (('0x' || substr(md5(gram), 1, 15))::BIGINT % {P}) * 1048576
+           + (1048575 - pos0) AS key
+  FROM g
+),
+wins AS (
+  SELECT doc_id, pos0 + r0 AS p, MIN(key) AS key
+  FROM h, UNNEST(range({w})) AS rr(r0)
+  WHERE pos0 + r0 <= lmax AND (pos0 + r0 >= {w} - 1 OR pos0 + r0 = lmax)
+  GROUP BY doc_id, pos0 + r0
+),
+fp AS (SELECT DISTINCT doc_id, key // 1048576 AS fp_hash FROM wins),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1),
+rare AS (
+  SELECT fp.doc_id, fp.fp_hash FROM fp
+  JOIN (SELECT fp_hash FROM fp GROUP BY fp_hash
+        HAVING COUNT(DISTINCT doc_id) <= {max_df}) ok USING (fp_hash)
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(DISTINCT a.fp_hash) AS BIGINT) AS n_shared
+  FROM rare a JOIN rare b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp_hash) >= {min_shared}
+)
+SELECT id_a, id_b, n_shared,
+       CAST((1000 * n_shared) // least(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS containment_milli
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE (1000 * n_shared) // least(sa.n_fp, sb.n_fp) >= {min_containment_milli}
+"""
+
+
+def query_likelihood_sql(
+    terms: tuple[str, ...] = ("data", "join", "merge"),
+    mu: int = 2000,
+    k: int = 10,
+    micro: int = 1_000_000,
+) -> str:
+    """Mirrors search.query_likelihood_topk: Dirichlet-smoothed QL with
+    per-term micro-nat floors of single-BIGINT ln args (numerator and
+    denominator floored separately, exactly as the engine does)."""
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS doc_len FROM toks),
+tt AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS T FROM toks),
+q(term) AS (VALUES {vals}),
+cf AS (
+  SELECT q.term, CAST(COUNT(tok.term) AS BIGINT) AS cf
+  FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY 1
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+),
+scored AS (
+  SELECT l.doc_id, l.doc_len,
+         CAST(FLOOR({micro} * LN(CAST(COALESCE(tf.tf, 0) * tt.T
+                                      + {mu} * cf.cf AS DOUBLE))) AS BIGINT)
+       - CAST(FLOOR({micro} * LN(CAST(tt.T * (l.doc_len + {mu})
+                                      AS DOUBLE))) AS BIGINT) AS lp
+  FROM lens l CROSS JOIN tt CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.term = cf.term
+)
+SELECT doc_id, doc_len AS n_tokens, CAST(SUM(lp) AS BIGINT) AS score_micro
+FROM scored GROUP BY 1, 2
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+def attribution_sql(lookback_days: int = 7) -> str:
+    """Mirrors relational.attribution + the events_attribution report:
+    user-keyed conversion x touch join inside the lookback window,
+    per-conversion (ts, id) rank, the three credit models with the
+    linear remainder on the LAST touch."""
+    return f"""
+WITH conv AS (
+  SELECT user_id AS u, event_id AS cid, ts AS cts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id AS u, event_id AS tid, event_type AS tt, ts AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT conv.cid, conv.cents, tch.tid, tch.tt, tch.tts
+  FROM conv JOIN tch ON conv.u = tch.u
+   AND tch.tts < conv.cts
+   AND tch.tts >= conv.cts - INTERVAL {lookback_days} DAY
+),
+r AS (
+  SELECT cid, cents, tt,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, tid) AS rk,
+         COUNT(*) OVER (PARTITION BY cid) AS n
+  FROM j
+)
+SELECT tt AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1000 * cents ELSE 0 END) AS BIGINT)
+         AS first_milli,
+       CAST(SUM(CASE WHEN rk = n THEN 1000 * cents ELSE 0 END) AS BIGINT)
+         AS last_milli,
+       CAST(SUM(CASE WHEN rk = n
+                THEN 1000 * cents - (n - 1) * ((1000 * cents) // n)
+                ELSE (1000 * cents) // n END) AS BIGINT) AS linear_milli
+FROM r GROUP BY 1
+"""
+
+
+def holt_sql(
+    alpha_milli: int = 300, beta_milli: int = 100, horizon: int = 3
+) -> str:
+    """Mirrors timeseries.holt_smooth over the weekly orders-cents
+    rollup: the milli-state truncating BIGINT recursion replayed as a
+    RECURSIVE CTE (l_t inlined twice inside b_t, exactly as the
+    engine's fold repeats it)."""
+    a, b = alpha_milli, beta_milli
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT o_orderpriority AS pk,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+           AS wk,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+idx AS (
+  SELECT pk, CAST(ROW_NUMBER() OVER (PARTITION BY pk ORDER BY wk) AS BIGINT)
+           AS i, cents
+  FROM r
+),
+nn AS (SELECT pk, CAST(MAX(i) AS BIGINT) AS n FROM idx GROUP BY 1),
+hw AS (
+  SELECT i1.pk, CAST(1 AS BIGINT) AS i,
+         CAST(1000 * i1.cents AS BIGINT) AS l,
+         CAST(COALESCE(1000 * (i2.cents - i1.cents), 0) AS BIGINT) AS b
+  FROM idx i1 LEFT JOIN idx i2 ON i2.pk = i1.pk AND i2.i = 2
+  WHERE i1.i = 1
+  UNION ALL
+  SELECT hw.pk, hw.i + 1,
+         CAST(({a} * 1000 * x.cents + {1000 - a} * (hw.l + hw.b)) // 1000
+              AS BIGINT),
+         CAST(({b} * ((({a} * 1000 * x.cents + {1000 - a} * (hw.l + hw.b))
+                       // 1000) - hw.l)
+               + {1000 - b} * hw.b) // 1000 AS BIGINT)
+  FROM hw JOIN idx x ON x.pk = hw.pk AND x.i = hw.i + 1
+)
+SELECT f.pk AS o_orderpriority, nn.n AS n_buckets,
+       f.l AS level_milli, f.b AS trend_milli,
+       CAST(hh.h AS BIGINT) AS h,
+       CAST(f.l + hh.h * f.b AS BIGINT) AS forecast_milli
+FROM hw f
+JOIN nn ON f.pk = nn.pk AND f.i = nn.n
+CROSS JOIN (SELECT unnest(range(1, {horizon + 1})) AS h) hh
+"""
+
+
 def _longquote_cte(rare: bool = False) -> str:
     """documents + planted long-quote carriers (doc_id %% 9 == 0 ->
     new id +400000, a fixed 100-token quote prefixed to the text) —

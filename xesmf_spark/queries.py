@@ -5670,6 +5670,95 @@ def customers_record_linkage(spark, sf_dir):
     )
 
 
+def events_attribution(spark, sf_dir):
+    """Multi-touch attribution report (relational.attribution): every
+    purchase distributes its cents across the same user's view/click
+    touches in the prior 7 days under first/last/linear models at once
+    — exact BIGINT milli-cents, linear remainder pinned to the last
+    touch so per-conversion credits CONSERVE.  Report grain: per touch
+    type, pair/conversion counts + the three credit sums.  Plan: one
+    user-keyed equi-join + one per-conversion window — per-user pair
+    volume is activity-bounded, never corpus-shaped."""
+    from xesmf_spark.relational import attribution
+
+    a = attribution(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["view", "click"],
+        lookback_days=7,
+    )
+    return a.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.sum("credit_first_milli").alias("first_milli"),
+        F.sum("credit_last_milli").alias("last_milli"),
+        F.sum("credit_linear_milli").alias("linear_milli"),
+    )
+
+
+def orders_holt_forecast(spark, sf_dir):
+    """Holt double-exponential level+trend smoothing
+    (timeseries.holt_smooth) of WEEKLY revenue cents per order
+    priority, alpha=0.3/beta=0.1 in milli fractions, 3-step-ahead
+    forecasts.  Every smoothing step is a truncating BIGINT recursion
+    (milli-unit state), replayed verbatim by a DuckDB RECURSIVE CTE —
+    the sequential fold runs per key on rollup STATE (priority x week),
+    keys parallelize, the max_buckets valve guards the collect."""
+    from xesmf_spark.timeseries import holt_smooth
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"
+                " div 7L"
+            ).alias("wk"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return holt_smooth(
+        r, ["o_orderpriority"], "wk", "cents",
+        alpha_milli=300, beta_milli=100, horizon=3,
+    )
+
+
+def documents_winnowing(spark, sf_dir):
+    """MOSS winnowing overlap pairs (pipeline.winnowing_overlap_pairs,
+    k=8 char-grams, window w=8) on the planted-duplicates corpus: docs
+    sharing >= 4 distinct selected fingerprints, exact containment
+    milli over the smaller fingerprint set.  The winnowing theorem
+    guarantees any shared run >= k+w-1 = 15 normalized chars yields a
+    shared fingerprint, so the planted exact copies and truncations
+    must pair.  Linear fingerprint build (explode of w window
+    memberships + keyed MIN), df-valved hash join for pairing."""
+    from xesmf_spark.pipeline import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(
+        _docs_with_dups(_docs(spark, sf_dir)), k=8, w=8, min_shared=4,
+        min_containment_milli=500,
+    )
+
+
+def documents_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval
+    (search.query_likelihood_topk, mu=2000): top 10 docs for the
+    3-term query {merge, join, data} — the probabilistic LM ranking
+    twin of documents_bm25 (zero-tf terms take the collection prior,
+    so every doc scores every term).  Per-term micro-nat floors of
+    single-BIGINT ln args keep both engines bit-identical; ranking by
+    exact integers, ties by doc_id."""
+    from xesmf_spark.search import query_likelihood_topk
+
+    return query_likelihood_topk(
+        _docs(spark, sf_dir), ["merge", "join", "data"], mu=2000, k=10
+    )
+
+
 def orders_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition
     (timeseries.seasonal_decompose) of WEEKLY revenue per order

@@ -254,6 +254,105 @@ def salted_join(
     return out.drop("__salt")
 
 
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION — the marketing-analytics credit
+    assignment the funnel/retention/session family stops short of:
+    every ``conversion_type`` event distributes its cents value across
+    the ``touch_types`` events of the same user in the preceding
+    ``lookback_days`` window, under all three classic models at once:
+
+        first_touch  — 1000·cents to the earliest touch in window
+        last_touch   — 1000·cents to the latest
+        linear       — (1000·cents) div n to each, remainder to the
+                       LAST touch (deterministic — credits CONSERVE:
+                       per conversion they sum to exactly 1000·cents)
+
+    Credits are exact BIGINT milli-cents; touch order inside a window
+    is pinned by (ts, event id).  A touch inside two conversions'
+    windows credits both (the any-touch-in-window model — stated, not
+    hidden; dedup to next-conversion-only upstream if needed).
+    Conversions with no touch in window emit nothing (report them via
+    an anti-join).
+
+    Scale shape: one user-keyed equi-join of conversions against
+    touches with the window predicate as a post-join filter (per-user
+    pair volume is activity-bounded — the per-key quadratic every
+    attribution engine pays, never corpus-shaped), one per-conversion
+    ROWS window for rank/count.  Output: (user, conv_id, conv_cents,
+    touch_id, touch_type, touch_rank, n_touches, credit_first_milli,
+    credit_last_milli, credit_linear_milli)."""
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if lookback_days < 1:
+        raise ValueError(f"lookback_days must be >= 1, got {lookback_days}")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("__cts"),
+        F.expr(
+            f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("conv_cents"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("__tts"),
+    )
+    # ts may arrive as TIMESTAMP or as the house BIGINT epoch-ns
+    # contract (tables.load_table) — a fixed day count is exactly
+    # 86400e9 ns either way (naive timestamps, no calendar effects)
+    ts_type = dict(events.dtypes)[ts_col]
+    if ts_type.startswith("timestamp"):
+        window_lo = F.col("__cts") - F.expr(f"INTERVAL {lookback_days} DAYS")
+    else:
+        window_lo = F.col("__cts") - F.lit(lookback_days * 86_400_000_000_000)
+    j = conv.join(touch, "user").filter(
+        (F.col("__tts") < F.col("__cts")) & (F.col("__tts") >= window_lo)
+    )
+    w = Window.partitionBy("conv_id").orderBy("__tts", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    ranked = j.withColumn("touch_rank", F.row_number().over(w)).withColumn(
+        "n_touches", F.count(F.lit(1)).over(wn)
+    )
+    base = F.expr("(1000L * conv_cents) div n_touches")
+    is_last = F.col("touch_rank") == F.col("n_touches")
+    return ranked.select(
+        "user",
+        "conv_id",
+        "conv_cents",
+        "touch_id",
+        "touch_type",
+        F.col("touch_rank").cast("long").alias("touch_rank"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.when(F.col("touch_rank") == 1, 1000 * F.col("conv_cents"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("credit_first_milli"),
+        F.when(is_last, 1000 * F.col("conv_cents"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("credit_last_milli"),
+        F.when(
+            is_last,
+            1000 * F.col("conv_cents") - (F.col("n_touches") - 1) * base,
+        )
+        .otherwise(base)
+        .cast("long")
+        .alias("credit_linear_milli"),
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: Sequence[str],

@@ -291,6 +291,116 @@ def inverted_index(
     )
 
 
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: int = 2000,
+    k: int = 10,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` documents by the Dirichlet-smoothed QUERY-LIKELIHOOD
+    language model (Ponte & Croft 1998; Zhai & Lafferty 2001 — the
+    probabilistic ranking twin of :func:`bm25_topk`):
+
+        score(d) = Σ_{t∈q} ln P(t|d),
+        P(t|d)   = (tf_td + μ·cf_t/T) / (dl_d + μ)
+                 = (tf_td·T + μ·cf_t) / (T·(dl_d + μ))
+
+    with cf_t the corpus frequency, T total corpus tokens, dl_d the doc
+    length.  Unlike BM25, EVERY document scores every query term
+    (zero-tf terms take the collection prior), so the ranking is a
+    proper likelihood.
+
+    EXACT integer discipline: per (doc, term),
+    ``lp_micro = FLOOR(micro·ln(tf·T + μ·cf)) − FLOOR(micro·ln(T·(dl+μ)))``
+    — each ln() argument is ONE exact BIGINT (< 2^53 asserted via a
+    loud T gate), so both engines build identical doubles and the
+    per-doc sum is an order-independent BIGINT.  Query terms absent
+    from the corpus (cf = 0 ⇒ P = 0, score −∞) raise loudly rather
+    than silently skewing ranks.  Top-k by (score DESC, id ASC) via
+    TakeOrdered — no global sort.
+
+    Scale shape: one token explode filtered to the |q| query terms
+    BEFORE the tf agg (predicate on the explode output — |q| is a tiny
+    constant), one projection for doc lengths, the |q|-row term table
+    broadcast onto the doc-length table (docs × |q| scored rows), one
+    doc-keyed agg."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if mu < 1:
+        raise ValueError(f"mu must be >= 1, got {mu}")
+    terms = sorted(set(query_terms))
+    lens = doc_lengths(docs, id_col, text_col)
+    tok = docs.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus totals: T over ALL tokens, cf per query term
+    totals = docs.select(
+        F.size(tokens(F.col(text_col))).alias("__n")
+    ).agg(F.sum("__n").cast("long").alias("T"))
+    cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    axis = docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    cf_full = (
+        axis.join(cf, "term", "left")
+        .select("term", F.coalesce("cf", F.lit(0)).alias("cf"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.expr(
+                "CASE WHEN cf = 0 THEN "
+                "CAST(raise_error(concat('query_likelihood_topk: term \\'', "
+                "term, '\\' has zero corpus frequency — P(t|d) = 0 for every "
+                "doc')) AS BIGINT) ELSE cf END"
+            ).alias("cf"),
+            F.expr(
+                "CASE WHEN T > 4000000000000 THEN "
+                "CAST(raise_error('query_likelihood_topk: corpus tokens "
+                "exceed the 2^53 exactness bound for tf*T') AS BIGINT) "
+                "ELSE T END"
+            ).alias("T"),
+        )
+    )
+    scored = (
+        lens.crossJoin(F.broadcast(cf_full))
+        .join(tf, [id_col, "term"], "left")
+        .select(
+            id_col,
+            "doc_len",
+            (
+                F.floor(
+                    F.lit(micro)
+                    * F.log(
+                        (
+                            F.coalesce(F.col("tf"), F.lit(0)) * F.col("T")
+                            + F.lit(mu) * F.col("cf")
+                        ).cast("double")
+                    )
+                ).cast("long")
+                - F.floor(
+                    F.lit(micro)
+                    * F.log(
+                        (F.col("T") * (F.col("doc_len") + F.lit(mu))).cast(
+                            "double"
+                        )
+                    )
+                ).cast("long")
+            ).alias("lp_micro"),
+        )
+        .groupBy(id_col, "doc_len")
+        .agg(F.sum("lp_micro").alias("score_micro"))
+    )
+    return (
+        scored.select(id_col, F.col("doc_len").alias("n_tokens"), "score_micro")
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def hybrid_rrf(
     lex: DataFrame,
     sem: DataFrame,

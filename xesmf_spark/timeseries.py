@@ -437,6 +437,115 @@ def interpolate_gaps(
     return originals.unionByName(filled)
 
 
+def holt_smooth(
+    rollup: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    val_col: str,
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+    horizon: int = 3,
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """HOLT double-exponential smoothing (level + linear trend) per key
+    — the forecasting rung above :func:`ewma` (no trend) and below a
+    full seasonal method (pair with :func:`seasonal_decompose` for
+    that): with milli-fraction weights α, β and the classic init
+    l₁ = x₁, b₁ = x₂ − x₁,
+
+        l_t = (α·1000·x_t + (1000−α)·(l_{t−1} + b_{t−1})) div 1000
+        b_t = (β·(l_t − l_{t−1}) + (1000−β)·b_{t−1}) div 1000
+
+    every step an exact truncating BIGINT op (state carried in milli
+    units), so the final level/trend — and the h-step forecasts
+    ``l_n + h·b_n`` — are bit-identical on both engines (the recursion
+    replays as a DuckDB RECURSIVE CTE).  Buckets are consumed in sort
+    order; calendar gaps count as single steps (run
+    :func:`interpolate_gaps` first for calendar-true smoothing —
+    documented composition, not hidden resampling).
+
+    Scale shape: smoothing is inherently SEQUENTIAL per key, so the
+    series is collected per key into one array (state-shaped: rollup
+    rows, never raw volume) and folded with one ``aggregate`` — keys
+    parallelize, the fold is linear.  ``max_buckets`` is the loud
+    valve: a key whose state exceeds it raises (collecting an
+    unbounded series into one row is the failure mode this guards).
+    Output: keys + ``(n_buckets, level_milli, trend_milli, h,
+    forecast_milli)``, one row per horizon step 1..``horizon``."""
+    if not 0 <= alpha_milli <= 1000 or not 0 <= beta_milli <= 1000:
+        raise ValueError(
+            f"alpha_milli/beta_milli must be in [0, 1000], got "
+            f"{alpha_milli}/{beta_milli}"
+        )
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    arr = (
+        rollup.select(
+            *key_cols,
+            F.col(bucket_col).cast("long").alias("__t"),
+            F.col(val_col).cast("long").alias("__x"),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__t").alias("t"), F.col("__x").alias("x")))
+            ).alias("__arr")
+        )
+        .select(
+            *key_cols,
+            F.expr(
+                f"CASE WHEN size(__arr) > {max_buckets} THEN "
+                f"CAST(raise_error('holt_smooth: series exceeds max_buckets="
+                f"{max_buckets} state rows — aggregate to a coarser rollup') "
+                f"AS ARRAY<STRUCT<t: BIGINT, x: BIGINT>>) ELSE __arr END"
+            ).alias("__arr"),
+        )
+    )
+    a, b = alpha_milli, beta_milli
+    # init l1 = x1, b1 = x2 - x1; recursion folds over x2..xn (x2 is
+    # consumed by BOTH init and the t=2 step — the standard Holt init).
+    # b_t needs l_t, so the l_t expression is inlined twice (the same
+    # repetition the RECURSIVE-CTE oracle states).
+    fold = (
+        f"aggregate("
+        f"  slice(__arr, 2, greatest(size(__arr) - 1, 0)),"
+        f"  named_struct("
+        f"    'l', 1000L * __arr[0].x,"
+        f"    'b', CASE WHEN size(__arr) >= 2"
+        f"         THEN 1000L * (__arr[1].x - __arr[0].x) ELSE 0L END),"
+        f"  (acc, e) -> named_struct("
+        f"    'l', ({a}L * 1000L * e.x + {1000 - a}L * (acc.l + acc.b)) div 1000,"
+        f"    'b', ({b}L * ((({a}L * 1000L * e.x + {1000 - a}L * (acc.l + acc.b))"
+        f"      div 1000) - acc.l) + {1000 - b}L * acc.b) div 1000))"
+    )
+    state = arr.select(
+        *key_cols,
+        F.size("__arr").cast("long").alias("n_buckets"),
+        F.expr(fold).alias("__s"),
+    ).select(
+        *key_cols,
+        "n_buckets",
+        F.col("__s.l").alias("level_milli"),
+        F.col("__s.b").alias("trend_milli"),
+    )
+    return state.select(
+        *key_cols,
+        "n_buckets",
+        "level_milli",
+        "trend_milli",
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+    ).select(
+        *key_cols,
+        "n_buckets",
+        "level_milli",
+        "trend_milli",
+        F.col("h").cast("long").alias("h"),
+        (F.col("level_milli") + F.col("h") * F.col("trend_milli")).alias(
+            "forecast_milli"
+        ),
+    )
+
+
 def theilsen_slope(
     rollup: DataFrame,
     key_cols: list[str],
