@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_query_likelihood": Q.documents_query_likelihood,
         "orders_holt_forecast": Q.orders_holt_forecast,
         "events_attribution": Q.events_attribution,
+        "stream_sliding": Q.stream_sliding,
         # (a0) r13 NEW queries (skyline, basket rules, record linkage,
         # seasonal decomposition, CUSUM changepoint)
         "parts_skyline": Q.parts_skyline,
@@ -347,6 +348,7 @@ _R14_WINDOW = [
     "documents_query_likelihood",
     "orders_holt_forecast",
     "events_attribution",
+    "stream_sliding",
     # (b) r14 changed — engine or oracle
     "parts_skyline",
     "parts_basket_rules",
@@ -395,7 +397,6 @@ _R14_WINDOW = [
     "regrid_conservative",
     "regrid_conservative_clip",
     "regrid_conservative_4d",
-    "regrid_dataset_multivar",
 ]
 
 
@@ -1940,6 +1941,18 @@ WHERE cum_tokens <= 5000
         "documents_query_likelihood": PO.query_likelihood_sql(),
         "orders_holt_forecast": PO.holt_sql(),
         "events_attribution": PO.attribution_sql(),
+        "stream_sliding": """
+WITH e AS (
+  SELECT (EPOCH_NS(ts) // 3600000000000) * 3600 AS hr, event_type, value
+  FROM events
+),
+x AS (
+  SELECT hr - o.off AS epoch_sec, event_type, value
+  FROM e, UNNEST([0, 3600]) AS o(off)
+)
+SELECT epoch_sec, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM x GROUP BY 1, 2
+""",
         "pipeline_decontaminate": PO.decontaminate_sql(),
         "pipeline_decontaminate_fuzzy": PO.decontaminate_fuzzy_sql(),
         "pipeline_span_dedup": PO.span_dedup_sql(),

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = "/root/testdata/sf0.001"
 
 #: queries whose construction executes a streaming job
-SKIP = {"stream_hourly", "stream_sessionize", "stream_dedup", "stream_regrid",
+SKIP = {"stream_hourly", "stream_sliding", "stream_sessionize", "stream_dedup", "stream_regrid",
         "stream_interval_join", "stream_rollup"}
 
 #: red flags that are deliberate & bounded where they appear.

@@ -784,3 +784,45 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
     want = cusum_changepoints(batch, ["k"], "t", "x").orderBy("k").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 2
+
+
+def test_stream_sliding_matches_batch(spark, tmp_path):
+    """Sliding 2h/1h windowed streaming aggregate over the finite input
+    equals the batch sliding-window groupBy exactly (every event lands
+    in two hour-aligned windows; the sentinel flush closes all)."""
+    import shutil
+
+    src_dir = tmp_path / "events_stream_sl"
+    src_dir.mkdir()
+    shutil.copy(EVENTS, src_dir / "part-000.parquet")
+    ST.stage_flush_sentinel(
+        str(src_dir),
+        offset_ns=24 * 3600 * 1_000_000_000,
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
+    ev = ST.events_stream(spark, str(src_dir))
+    out = ST.run_to_memory(
+        ST.stream_sliding_events(ev), "sliding_test", output_mode="append"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in out.collect()
+        if r.event_type != ST.FLUSH_MARKER
+    }
+    from xesmf_spark.tables import event_time_col, normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        normalize_events(spark.read.parquet(EVENTS))
+        .withColumn("event_ts", event_time_col("ts"))
+        .groupBy(F.window("event_ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # every tumbling hour appears in exactly two sliding windows:
+    # per-type row count doubles vs the 1h tumbling agg (hour set is
+    # contiguous in this fixture, edges included via the half-open span)

@@ -4017,6 +4017,38 @@ def stream_hourly(spark, sf_dir):
     )
 
 
+def stream_sliding(spark, sf_dir):
+    """Structured Streaming SLIDING-window aggregate (2-hour windows
+    hopping every hour, watermarked, append mode) driven to completion
+    with availableNow + the far-future flush sentinel — the
+    overlapping-window feature the tumbling stream_hourly can't
+    express.  Every event lands in exactly two hour-aligned windows,
+    so the finite stream equals a batch explode-by-two replay EXACTLY
+    — FULL value oracle."""
+    import uuid
+
+    from xesmf_spark import streaming as ST
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _stage_stream_dir(spark, sf_dir)
+    ST.stage_flush_sentinel(
+        d,
+        offset_ns=24 * 3600 * 1_000_000_000,
+        user_col="user_id",
+        overrides={"event_type": ST.FLUSH_MARKER},
+    )
+    ev = ST.events_stream(spark, d)
+    out = ST.run_to_memory(
+        ST.stream_sliding_events(ev), f"q_stream_sliding_{uuid.uuid4().hex[:8]}"
+    )
+    return out.filter(F.col("event_type") != ST.FLUSH_MARKER).select(
+        F.unix_timestamp("window_start").alias("epoch_sec"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def stream_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState
     sessionization) driven to completion. FULL DuckDB oracle: the

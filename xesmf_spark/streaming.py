@@ -69,6 +69,35 @@ def stream_hourly_events(
     )
 
 
+def stream_sliding_events(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING (hopping) windowed aggregate with late-data watermark —
+    the overlapping-window twin of :func:`stream_hourly_events`
+    (tumbling): every event lands in ``window``/``slide`` windows
+    (2 here), the moving-average shape dashboards ask for.  Spark
+    maintains one state row per open (window, key); the watermark
+    bounds open windows, so state is (window span / slide) × keys —
+    constant per key at any input volume."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def regrid_stream(
     field_stream: DataFrame,
     weights: DataFrame,
