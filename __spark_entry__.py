@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_holt_forecast": Q.orders_holt_forecast,
         "events_attribution": Q.events_attribution,
         "stream_sliding": Q.stream_sliding,
+        "documents_rake": Q.documents_rake,
         # (a0) r13 NEW queries (skyline, basket rules, record linkage,
         # seasonal decomposition, CUSUM changepoint)
         "parts_skyline": Q.parts_skyline,
@@ -349,6 +350,7 @@ _R14_WINDOW = [
     "orders_holt_forecast",
     "events_attribution",
     "stream_sliding",
+    "documents_rake",
     # (b) r14 changed — engine or oracle
     "parts_skyline",
     "parts_basket_rules",
@@ -396,7 +398,6 @@ _R14_WINDOW = [
     "pipeline_simhash_pairs",
     "regrid_conservative",
     "regrid_conservative_clip",
-    "regrid_conservative_4d",
 ]
 
 
@@ -1941,6 +1942,7 @@ WHERE cum_tokens <= 5000
         "documents_query_likelihood": PO.query_likelihood_sql(),
         "orders_holt_forecast": PO.holt_sql(),
         "events_attribution": PO.attribution_sql(),
+        "documents_rake": PO.rake_sql(),
         "stream_sliding": """
 WITH e AS (
   SELECT (EPOCH_NS(ts) // 3600000000000) * 3600 AS hr, event_type, value

@@ -1074,6 +1074,9 @@ def main() -> None:
                 lookback_days=7,
             ),
         ),
+        # RAKE: one per-doc window pass + two keyed aggs over the
+        # scaled corpus — linear in tokens
+        ("pipeline_rake", lambda d, s: Q.documents_rake(spark, d)),
         # Holt smoothing: per-key sequential fold over collected STATE
         # (constant 1000-bucket series); keys grow Nx
         (
@@ -1274,6 +1277,14 @@ def main() -> None:
             "per-key sequential integer fold over collected rollup "
             "STATE (constant series length, max_buckets valve); keys "
             "grow Nx — linear in state rows"
+        ),
+        "pipeline_rake": (
+            "one per-doc gaps-and-islands window + two (doc, x)-keyed "
+            "map-combinable aggs + one join-back — linear in tokens; "
+            "replica suffixing de-stopwords the replicas (no "
+            "delimiters -> over-long runs filtered), so OUTPUT stays "
+            "base-rate while token volume grows Nx — the time column "
+            "is the honest signal"
         ),
         "relational_attribution": (
             "user-keyed conversion x touch join + per-conversion "

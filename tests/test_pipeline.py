@@ -2283,3 +2283,32 @@ def test_query_likelihood_ranks_and_gates(spark):
     assert got1.score_micro == want and got1.n_tokens == 6
     with _pytest.raises(Exception, match="zero corpus frequency"):
         query_likelihood_topk(docs, ["zzz_absent"], k=3).collect()
+
+
+def test_rake_paper_arithmetic_and_delimiters(spark):
+    """RAKE contract on a hand-computed fixture: phrase runs split at
+    stopwords/punctuation, word score = (1000*degree) div freq with
+    DOC-LOCAL stats, phrase score = sum of member word scores, top-k
+    deterministic by (score DESC, first_pos)."""
+    from xesmf_spark.pipeline import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data table scan and data table for big index"),
+            (2, "alpha beta ; gamma"),  # punctuation token delimits
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in rake_keyphrases(docs, topk=3).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    got1 = sorted(out[1], key=lambda r: -r.score_milli)
+    # freq: data 2, table 2, scan 1; degree: data 5, table 5, scan 3
+    # wscores: 2500/2500/3000 -> "data table scan"=8000, "data table"=5000
+    assert [(r.phrase, r.score_milli) for r in got1] == [
+        ("data table scan", 8000),
+        ("data table", 5000),
+        ("big index", 4000),
+    ]
+    got2 = {r.phrase for r in out[2]}
+    assert got2 == {"alpha beta", "gamma"}  # ';' split, not merged

@@ -878,6 +878,117 @@ def winnowing_overlap_pairs(
     )
 
 
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_phrase_len: int = 4,
+    topk: int = 3,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010) —
+    the PHRASE-level keyword rung above single-token TextRank: split
+    each doc's token stream into CANDIDATE PHRASES at stopword /
+    non-alphanumeric delimiters (maximal runs of content tokens, capped
+    at ``max_phrase_len``), score each content word by
+
+        word_score_milli = (1000 · degree(w)) div freq(w)
+
+    where, per the paper, ``freq(w)`` counts the word's occurrences in
+    candidate phrases and ``degree(w)`` sums the lengths of the phrases
+    containing it (co-occurrence incl. itself); a phrase scores the sum
+    of its words' milli scores.  Word statistics are DOC-LOCAL (RAKE is
+    a per-document extractor).  Top-``topk`` phrases per doc by
+    (score DESC, first position ASC) — fully deterministic, exact
+    BIGINT milli arithmetic.
+
+    Scale shape: one posexplode + one per-doc gaps-and-islands window
+    builds the phrase runs (linear in tokens), phrase/word stats are
+    two (doc, ·)-keyed map-side-combinable aggs, scoring one keyed
+    join back, top-k one per-doc ROWS window.  Output: ``(id, phrase,
+    n_words, score_milli, first_pos)``."""
+    if max_phrase_len < 1 or topk < 1:
+        raise ValueError(
+            f"max_phrase_len and topk must be >= 1, got "
+            f"{max_phrase_len}/{topk}"
+        )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).withColumn(
+        "is_delim",
+        F.array_contains(stop_arr, F.col("tok"))
+        | ~F.col("tok").rlike("^[a-z0-9]+$")
+        | (F.col("tok") == ""),
+    )
+    # gaps-and-islands: a content token starts a new phrase iff the
+    # previous position was a delimiter (or doc start)
+    wp = Window.partitionBy("__id").orderBy("pos")
+    runs = (
+        toks.withColumn(
+            "brk",
+            F.when(
+                (~F.col("is_delim"))
+                & F.coalesce(F.lag("is_delim").over(wp), F.lit(True)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run",
+            F.sum("brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(~F.col("is_delim"))
+    )
+    phrases = (
+        runs.groupBy("__id", "run")
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                        .getField("tok")).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.min("pos").alias("first_pos"),
+        )
+        .filter(F.col("n_words") <= max_phrase_len)
+    )
+    # doc-local word stats over candidate-phrase members only
+    members = runs.join(
+        phrases.select("__id", "run"), ["__id", "run"]
+    ).select("__id", "run", "tok")
+    ph_len = phrases.select("__id", "run", "n_words")
+    wstats = (
+        members.join(ph_len, ["__id", "run"])
+        .groupBy("__id", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+        .select(
+            "__id",
+            "tok",
+            F.expr("(1000L * degree) div freq").alias("wscore_milli"),
+        )
+    )
+    scored = (
+        members.join(wstats, ["__id", "tok"])
+        .groupBy("__id", "run")
+        .agg(F.sum("wscore_milli").alias("score_milli"))
+        .join(phrases, ["__id", "run"])
+    )
+    wtop = Window.partitionBy("__id").orderBy(
+        F.desc("score_milli"), F.asc("first_pos")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= topk)
+        .select(
+            F.col("__id").alias(id_col),
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            "score_milli",
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
 #: BPE-ish pre-tokenization pattern over normalized text: letter runs,
 #: digit runs, and single punctuation marks (the usual byte-pair
 #: pre-split shape, minus byte-level fallback)

@@ -856,6 +856,67 @@ LIMIT {k}
 """
 
 
+def rake_sql(max_phrase_len: int = 4, topk: int = 3) -> str:
+    """Mirrors pipeline.rake_keyphrases: stopword/non-alnum delimited
+    candidate-phrase runs, doc-local (1000·degree) div freq word
+    scores, per-phrase sums, deterministic (score DESC, first_pos)
+    top-k."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INT) + 1] AS tok
+  FROM toks, UNNEST(range(len(t))) AS u(i)
+),
+fl AS (
+  SELECT doc_id, pos, tok,
+         (tok IN {_STOPLIST.replace('[', '(').replace(']', ')')}
+          OR NOT regexp_matches(tok, '^[a-z0-9]+$') OR tok = '') AS is_delim
+  FROM tok
+),
+br AS (
+  SELECT doc_id, pos, tok, is_delim,
+         CASE WHEN NOT is_delim AND COALESCE(LAG(is_delim) OVER
+                (PARTITION BY doc_id ORDER BY pos), true)
+              THEN 1 ELSE 0 END AS brk
+  FROM fl
+),
+rn AS (
+  SELECT doc_id, pos, tok, is_delim,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM br
+),
+mem AS (SELECT doc_id, run, pos, tok FROM rn WHERE NOT is_delim),
+ph AS (
+  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS n_words, MIN(pos) AS first_pos
+  FROM mem GROUP BY 1, 2 HAVING COUNT(*) <= {max_phrase_len}
+),
+mem2 AS (SELECT mem.* FROM mem JOIN ph USING (doc_id, run)),
+ws AS (
+  SELECT m.doc_id, m.tok,
+         CAST((1000 * SUM(p.n_words)) // COUNT(*) AS BIGINT) AS wscore
+  FROM mem2 m JOIN ph p USING (doc_id, run) GROUP BY 1, 2
+),
+sc AS (
+  SELECT m.doc_id, m.run, CAST(SUM(ws.wscore) AS BIGINT) AS score_milli
+  FROM mem2 m JOIN ws ON ws.doc_id = m.doc_id AND ws.tok = m.tok
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT ph.doc_id, ph.phrase, ph.n_words, sc.score_milli, ph.first_pos,
+         ROW_NUMBER() OVER (PARTITION BY ph.doc_id
+                            ORDER BY sc.score_milli DESC, ph.first_pos) AS rk
+  FROM ph JOIN sc USING (doc_id, run)
+)
+SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words, score_milli,
+       CAST(first_pos AS BIGINT) AS first_pos
+FROM rk WHERE rk <= {topk}
+"""
+
+
 def attribution_sql(lookback_days: int = 7) -> str:
     """Mirrors relational.attribution + the events_attribution report:
     user-keyed conversion x touch join inside the lookback window,

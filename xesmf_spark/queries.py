@@ -5776,6 +5776,18 @@ def documents_winnowing(spark, sf_dir):
     )
 
 
+def documents_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (pipeline.rake_keyphrases, Rose et
+    al. 2010): stopword/non-alphanumeric delimited candidate phrases,
+    doc-local (1000·degree) div freq word scores, top-3 phrases per
+    doc by exact milli score — the phrase-level keyword rung above
+    single-token TextRank.  Linear window pass + two keyed aggs; fully
+    deterministic tie-break (score DESC, first position)."""
+    from xesmf_spark.pipeline import rake_keyphrases
+
+    return rake_keyphrases(_docs(spark, sf_dir), topk=3)
+
+
 def documents_query_likelihood(spark, sf_dir):
     """Dirichlet-smoothed query-likelihood retrieval
     (search.query_likelihood_topk, mu=2000): top 10 docs for the
