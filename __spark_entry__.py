@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": Q.events_attribution,
         "stream_sliding": Q.stream_sliding,
         "documents_rake": Q.documents_rake,
+        "events_ccf": Q.events_ccf,
         # (a0) r13 NEW queries (skyline, basket rules, record linkage,
         # seasonal decomposition, CUSUM changepoint)
         "parts_skyline": Q.parts_skyline,
@@ -351,6 +352,7 @@ _R14_WINDOW = [
     "events_attribution",
     "stream_sliding",
     "documents_rake",
+    "events_ccf",
     # (b) r14 changed — engine or oracle
     "parts_skyline",
     "parts_basket_rules",
@@ -397,7 +399,6 @@ _R14_WINDOW = [
     # sketch_accuracy head the stale stratum for r15)
     "pipeline_simhash_pairs",
     "regrid_conservative",
-    "regrid_conservative_clip",
 ]
 
 
@@ -1943,6 +1944,7 @@ WHERE cum_tokens <= 5000
         "orders_holt_forecast": PO.holt_sql(),
         "events_attribution": PO.attribution_sql(),
         "documents_rake": PO.rake_sql(),
+        "events_ccf": PO.ccf_sql(),
         "stream_sliding": """
 WITH e AS (
   SELECT (EPOCH_NS(ts) // 3600000000000) * 3600 AS hr, event_type, value

@@ -1074,6 +1074,24 @@ def main() -> None:
                 lookback_days=7,
             ),
         ),
+        # CCF: one bucket-keyed equi-join of A devs against B's
+        # lag-exploded devs — state-shaped; buckets grow Nx
+        (
+            "timeseries_ccf",
+            lambda d, s: TS.cross_correlation(
+                spark.range(100_000 * s).select(
+                    F.col("id").alias("day"),
+                    F.pmod(F.col("id") * 7919, F.lit(1000)).alias("cents"),
+                ),
+                spark.range(100_000 * s).select(
+                    (F.col("id") + 2).alias("day"),
+                    (F.pmod(F.col("id") * 7919, F.lit(1000)) + 50).alias("cents"),
+                ),
+                "day",
+                "cents",
+                max_lag=3,
+            ),
+        ),
         # RAKE: one per-doc window pass + two keyed aggs over the
         # scaled corpus — linear in tokens
         ("pipeline_rake", lambda d, s: Q.documents_rake(spark, d)),
@@ -1277,6 +1295,10 @@ def main() -> None:
             "per-key sequential integer fold over collected rollup "
             "STATE (constant series length, max_buckets valve); keys "
             "grow Nx — linear in state rows"
+        ),
+        "timeseries_ccf": (
+            "two scalar mean join-backs + one bucket-keyed equi-join "
+            "against the (2L+1)-exploded B devs — linear in state rows"
         ),
         "pipeline_rake": (
             "one per-doc gaps-and-islands window + two (doc, x)-keyed "

@@ -359,3 +359,27 @@ def test_holt_smooth_matches_python_fold_and_valve(spark):
 
     with _pytest.raises(Exception, match="max_buckets"):
         holt_smooth(df, ["k"], "t", "x", max_buckets=3).collect()
+
+
+def test_cross_correlation_detects_planted_lead(spark):
+    """CCF contract: with B = A shifted by +2 buckets (plus offset),
+    the lag-2 beta dominates and equals ~1000 milli (B moves 1:1 with
+    A two buckets later); pairs shrink by |lag|; constant A yields no
+    rows (variance filter)."""
+    from xesmf_spark.timeseries import cross_correlation
+
+    xs = [100, 400, 150, 900, 200, 700, 300, 800, 100, 600]
+    a = spark.createDataFrame(
+        [(t, x) for t, x in enumerate(xs)], "day long, cents long"
+    )
+    b = spark.createDataFrame(
+        [(t + 2, x + 50) for t, x in enumerate(xs)], "day long, cents long"
+    )
+    out = {r.lag: r for r in cross_correlation(a, b, "day", "cents", max_lag=3).collect()}
+    assert out[2].beta_milli == max(r.beta_milli for r in out.values())
+    # B(t+2) = A(t) + 50: identical devs on the 10 overlapping pairs
+    # minus mean-shift noise from edge buckets -> beta close to 1000
+    assert 900 <= out[2].beta_milli <= 1100, out[2]
+    assert out[3].n_pairs < out[2].n_pairs <= 10
+    flat = spark.createDataFrame([(t, 5) for t in range(10)], "day long, cents long")
+    assert cross_correlation(flat, b, "day", "cents").count() == 0

@@ -917,6 +917,40 @@ FROM rk WHERE rk <= {topk}
 """
 
 
+def ccf_sql(max_lag: int = 3) -> str:
+    """Mirrors timeseries.cross_correlation over the daily click (A)
+    vs purchase (B) cents rollups: truncating-BIGINT means/devs, A's
+    variance as the β normalizer, pairs where both days exist."""
+    return f"""
+WITH e AS (
+  SELECT EPOCH_NS(ts) // 86400000000000 AS day, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+ra AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS x FROM e
+       WHERE event_type = 'click' GROUP BY 1),
+rb AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS x FROM e
+       WHERE event_type = 'purchase' GROUP BY 1),
+ma AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS m FROM ra),
+mb AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS m FROM rb),
+da AS (SELECT day, x - (SELECT m FROM ma) AS d FROM ra),
+db_ AS (SELECT day, x - (SELECT m FROM mb) AS d FROM rb),
+v AS (SELECT CAST(SUM(d * d) AS BIGINT) AS var FROM da),
+p AS (
+  SELECT l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS cov,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM da a
+  CROSS JOIN UNNEST(range(-{max_lag}, {max_lag + 1})) AS l(lag)
+  JOIN db_ b ON b.day = a.day + l.lag
+  GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST((1000 * cov) // (SELECT var FROM v) AS BIGINT) AS beta_milli,
+       n_pairs
+FROM p WHERE (SELECT var FROM v) > 0
+"""
+
+
 def attribution_sql(lookback_days: int = 7) -> str:
     """Mirrors relational.attribution + the events_attribution report:
     user-keyed conversion x touch join inside the lookback window,

@@ -5728,6 +5728,32 @@ def events_attribution(spark, sf_dir):
     )
 
 
+def events_ccf(spark, sf_dir):
+    """Lead-lag cross-correlation (timeseries.cross_correlation)
+    between daily click cents (A) and daily purchase cents (B) at lags
+    −3..+3 — the two-series question ACF can't answer (does click
+    revenue lead purchase revenue?).  beta_milli = lag-l regression
+    coefficient of B on A, every term exact truncating BIGINT; pairs
+    where both days exist; one bucket-keyed equi-join of A against
+    B's lag-exploded self (state-shaped, never raw volume)."""
+    from xesmf_spark.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day"),
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    a = ev.filter(F.col("event_type") == "click").groupBy("day").agg(
+        F.sum("cents").alias("cents")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").groupBy("day").agg(
+        F.sum("cents").alias("cents")
+    )
+    return cross_correlation(a, b, "day", "cents", max_lag=3)
+
+
 def orders_holt_forecast(spark, sf_dir):
     """Holt double-exponential level+trend smoothing
     (timeseries.holt_smooth) of WEEKLY revenue cents per order

@@ -246,6 +246,76 @@ def cusum_changepoints(
     )
 
 
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_col: str,
+    val_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """LEAD-LAG cross-correlation between two (bucket, value) series —
+    the two-series twin of :func:`acf` and the question ACF cannot
+    answer ("does series A lead series B, and by how much?"):
+
+        beta_milli(l) = (1000 · Σ_t devA(t)·devB(t+l)) div Σ_t devA(t)²
+
+    for l in −``max_lag``..+``max_lag`` — the lag-l regression
+    coefficient of B on A (POSITIVE l = A leads B by l buckets).  The
+    β normalization (devA variance) keeps every term an exact
+    truncating BIGINT — the Pearson-style √(varA·varB) normalizer
+    would force an inexact square root; callers wanting the symmetric
+    CCF can run the op twice and geometric-mean downstream.  Pairs
+    exist where both buckets exist (calendar gaps shrink that lag's
+    pair set, stated verbatim by the replay); the variance denominator
+    uses ALL of A's buckets; zero-variance A raises nothing — it is
+    dropped like :func:`acf`'s constant keys.
+
+    Scale shape: two scalar mean join-backs, ONE bucket-keyed
+    equi-join of A's deviations against B's lag-exploded deviations
+    (state × (2·max_lag+1) rows — never raw volume), two
+    map-side-combinable SUMs.  Output: ``(lag, beta_milli,
+    n_pairs)``."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+
+    def _dev(df, name):
+        stats = df.agg(
+            F.expr(f"sum(cast({val_col} as long)) div count(1)").alias("__m")
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(
+                F.col(bucket_col).cast("long").alias("__t"),
+                (F.col(val_col).cast("long") - F.col("__m")).alias(name),
+            )
+        )
+
+    da = _dev(a, "__da")
+    db = _dev(b, "__db")
+    var = da.agg(F.sum(F.col("__da") * F.col("__da")).alias("__var")).filter(
+        F.col("__var") > 0
+    )
+    right = db.select(
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag))).alias("lag"),
+        (F.col("__t") - F.col("lag")).alias("__t"),
+        F.col("__db").alias("__db_r"),
+    )
+    return (
+        da.join(right, "__t")
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("__da") * F.col("__db_r")).alias("__cov"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(var))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.expr("(1000L * __cov) div __var").alias("beta_milli"),
+            "n_pairs",
+        )
+    )
+
+
 def acf(
     rollup: DataFrame,
     key_cols: list[str],
