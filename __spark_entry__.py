@@ -45,9 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-14 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R14_WINDOW reorder at the end of this
-    # function: (a) 6 r14 NEW queries (NB quality classifier,
+    # function: (a) 9 r14 NEW queries (NB quality classifier,
     # ExactSubstr longest-run scrub, winnowing fingerprints, Dirichlet
-    # query likelihood, Holt smoothing, multi-touch attribution);
+    # query likelihood, Holt smoothing, multi-touch attribution,
+    # sliding-window streaming agg, RAKE keyphrases, lead-lag CCF);
     # (b) 16 r14 CHANGED — skyline
     # (int64 criteria + anti-correlated valve), basket rules (decimal
     # lift), Benford + ACF (zero-denominator filters),
@@ -60,10 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair/dedup, burst components, upsert_delete, cdc_apply,
     # components, q19, editdist, quality_tiers, props_stats, curate,
     # stream hourly/sessionize/dedup, the 8-query stable regrid
-    # family); (d) 5 cyclers from the STALEST tail stratum
-    # (simhash_pairs, the conservative regrid family — stream_regrid,
-    # sketch_accuracy and tpch_q8/q9 yielded their slots to the
-    # second-half new queries and head the stale stratum for r15).  The dict literal below keeps its
+    # family); (d) 2 cyclers from the STALEST tail stratum
+    # (simhash_pairs, regrid_conservative — the other stale cyclers
+    # yielded their slots to the second-half new queries and head the
+    # stale stratum for r15).  The dict literal below keeps its
     # historical r13 grouping; the reorder — not the literal — is the
     # window of record.
     # Prior-round rationale (r12):

@@ -61,6 +61,10 @@ ALLOW = {
     # Dirichlet QL: the |q|-row (3 terms) cf/T table crossed onto the
     # doc-length projection — query size is a tiny caller constant
     "documents_query_likelihood": {"BroadcastNestedLoopJoin"},
+    # CCF: the two 1-row series means and the 1-row variance are
+    # scalar broadcasts crossed onto state-shaped frames (the acf
+    # join-back shape; the lag join itself is bucket-keyed equi)
+    "events_ccf": {"BroadcastNestedLoopJoin"},
     # the quartile-cutoff sketch result is ONE broadcast row crossed
     # onto the corpus scan — replacing the global-sort window is the
     # whole point of this query's plan
