@@ -614,6 +614,18 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "orders_benford",
         "nations_trade_ppr",
         "events_robust_stats",
+        # r14: NB quality classifier, ExactSubstr longest-run scrub,
+        # MOSS winnowing, Dirichlet QL, Holt smoothing, multi-touch
+        # attribution, sliding-window stream, RAKE, lead-lag CCF
+        "pipeline_nb_quality",
+        "pipeline_exactsubstr",
+        "documents_winnowing",
+        "documents_query_likelihood",
+        "orders_holt_forecast",
+        "events_attribution",
+        "stream_sliding",
+        "documents_rake",
+        "events_ccf",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
