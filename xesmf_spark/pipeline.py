@@ -840,9 +840,16 @@ def winnowing_overlap_pairs(
     Scale shape: fingerprint build (linear, see
     :func:`winnowing_fingerprints`), one hash-keyed df count, one
     hash-keyed self-equi-join bounded by the df valve, one pair-keyed
-    agg + two doc-size joins — the shingle-intersection economics."""
+    agg + two doc-size joins — the shingle-intersection economics.
+    The distinct fingerprint set is PERSISTED (it is ~2/(w+1) of the
+    gram volume and feeds four consumers — sizes, df counts, both join
+    legs; without the persist Spark replays the char-gram explode per
+    consumer: measured 1.8× at sf0.1)."""
+    from xesmf_spark.apply import _PERSISTED
+
     fp = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
-    hashes = fp.select(F.col(id_col).alias("sid"), "fp_hash").distinct()
+    hashes = fp.select(F.col(id_col).alias("sid"), "fp_hash").distinct().persist()
+    _PERSISTED.append(hashes)
     sizes = hashes.groupBy("sid").agg(F.count(F.lit(1)).alias("n_fp"))
     dfc = hashes.groupBy("fp_hash").agg(F.countDistinct("sid").alias("__df"))
     rare = hashes.join(
@@ -904,8 +911,13 @@ def rake_keyphrases(
     Scale shape: one posexplode + one per-doc gaps-and-islands window
     builds the phrase runs (linear in tokens), phrase/word stats are
     two (doc, ·)-keyed map-side-combinable aggs, scoring one keyed
-    join back, top-k one per-doc ROWS window.  Output: ``(id, phrase,
-    n_words, score_milli, first_pos)``."""
+    join back, top-k one per-doc ROWS window.  The run table feeds
+    FOUR consumers (phrases, members, both stat joins), so it is
+    PERSISTED — the dedup_spans toks_df discipline (corpus-token-
+    shaped, spills to disk at scale; without it Spark replays the
+    explode+window per consumer — measured 2.15× at sf0.1).  Output:
+    ``(id, phrase, n_words, score_milli, first_pos)``."""
+    from xesmf_spark.apply import _PERSISTED
     if max_phrase_len < 1 or topk < 1:
         raise ValueError(
             f"max_phrase_len and topk must be >= 1, got "
@@ -938,7 +950,9 @@ def rake_keyphrases(
             F.sum("brk").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
         )
         .filter(~F.col("is_delim"))
+        .persist()
     )
+    _PERSISTED.append(runs)
     phrases = (
         runs.groupBy("__id", "run")
         .agg(
