@@ -322,25 +322,31 @@ def query_likelihood_topk(
     than silently skewing ranks.  Top-k by (score DESC, id ASC) via
     TakeOrdered — no global sort.
 
-    Scale shape: one token explode filtered to the |q| query terms
+    Scale shape: ONE token explode filtered to the |q| query terms
     BEFORE the tf agg (predicate on the explode output — |q| is a tiny
-    constant), one projection for doc lengths, the |q|-row term table
+    constant; the filtered table is term-bounded and PERSISTED for its
+    two consumers), one projection for doc lengths (which also yields
+    the corpus total T — no second tokenize), the |q|-row term table
     broadcast onto the doc-length table (docs × |q| scored rows), one
     doc-keyed agg."""
+    from xesmf_spark.apply import _PERSISTED
+
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if mu < 1:
         raise ValueError(f"mu must be >= 1, got {mu}")
     terms = sorted(set(query_terms))
     lens = doc_lengths(docs, id_col, text_col)
-    tok = docs.select(
-        id_col, F.explode(tokens(F.col(text_col))).alias("term")
-    ).filter(F.col("term").isin(terms))
+    tok = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .persist()
+    )
+    _PERSISTED.append(tok)
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # corpus totals: T over ALL tokens, cf per query term
-    totals = docs.select(
-        F.size(tokens(F.col(text_col))).alias("__n")
-    ).agg(F.sum("__n").cast("long").alias("T"))
+    # corpus totals: T = sum of per-doc lengths — the lens projection
+    # already tokenized every doc, no second corpus pass
+    totals = lens.agg(F.sum("doc_len").cast("long").alias("T"))
     cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     axis = docs.sparkSession.createDataFrame(
         [(t,) for t in terms], "term string"
