@@ -612,3 +612,85 @@ def test_bpe_train_and_encode_match_reference(spark, words, n_merges):
     # the pure-Python encoder agrees word-by-word too
     for w in wf:
         assert encode_word_python(w, pairs) == ref_vocab[w]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    quality=st.integers(30, 95),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from(["4:4:4", "4:2:0", "4:2:2"]),
+    ri=st.sampled_from([0, 1, 3]),
+    gray=st.booleans(),
+)
+def test_jpeg_lut_engine_equals_bitwise_fuzz(h, w, quality, seed, sub, ri, gray):
+    """PROPERTY (r14): for ANY image/quality/subsampling/restart
+    config, the LUT entropy decoder and the per-bit reference twin
+    produce identical pixels, and both equal the encoder's own
+    reconstruction — the Huffman layer is lossless under fuzz, not
+    just on pinned seeds.  Pure-Python property, no Spark job."""
+    import numpy as np
+
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg, expected_reconstruction
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    ss = "4:4:4" if gray else sub
+    payload = encode_jpeg(img, quality=quality, subsampling=ss, restart_interval=ri)
+    lut = decode_jpeg(payload)
+    assert np.array_equal(lut, decode_jpeg(payload, engine="bitwise"))
+    assert np.array_equal(lut, expected_reconstruction(img, quality=quality, subsampling=ss))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(2, 5),
+    k=st.integers(3, 6),
+    w=st.integers(2, 5),
+)
+def test_winnowing_equals_bruteforce_fuzz(spark, seed, n_docs, k, w):
+    """PROPERTY (r14): winnowing_fingerprints equals a literal
+    brute-force rightmost-window-min replay for ANY (k, w) and random
+    token soup — selection positions AND hashes, not just counts."""
+    import random
+
+    from xesmf_spark.pipeline import P as _P
+    from xesmf_spark.pipeline import winnowing_fingerprints
+
+    rnd = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 30))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+
+    import hashlib
+
+    def bh(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
+
+    want = set()
+    for did, text in docs:
+        nt = " ".join(text.lower().split())
+        if not nt:
+            continue
+        grams = [nt[i : i + k] for i in range(max(len(nt) - k, 0) + 1)]
+        hs = [bh(g) for g in grams]
+        lmax = len(grams) - 1
+        for p in range(len(grams)):
+            if not (p <= lmax and (p >= w - 1 or p == lmax)):
+                continue
+            lo = max(0, p - w + 1)
+            win = list(range(lo, p + 1))
+            mn = min(hs[i] for i in win)
+            pos = max(i for i in win if hs[i] == mn)  # rightmost min
+            want.add((did, mn, pos))
+    assert got == want
