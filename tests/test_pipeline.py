@@ -2312,3 +2312,20 @@ def test_rake_paper_arithmetic_and_delimiters(spark):
     ]
     got2 = {r.phrase for r in out[2]}
     assert got2 == {"alpha beta", "gamma"}  # ';' split, not merged
+
+
+def test_nb_quality_single_class_training_raises(spark):
+    """A training set missing one class must raise loudly (Spark would
+    otherwise NULL the ln(0) prior where DuckDB errors — an
+    engine-divergent silent failure)."""
+    import pytest as _pytest
+
+    from xesmf_spark.pipeline import nb_quality_score
+
+    train = spark.createDataFrame(
+        [(1, "good words only"), (1, "more good words")],
+        "label long, text string",
+    )
+    score = spark.createDataFrame([(1, "good words")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="both classes"):
+        nb_quality_score(train, score).collect()

@@ -383,3 +383,18 @@ def test_cross_correlation_detects_planted_lead(spark):
     assert out[3].n_pairs < out[2].n_pairs <= 10
     flat = spark.createDataFrame([(t, 5) for t in range(10)], "day long, cents long")
     assert cross_correlation(flat, b, "day", "cents").count() == 0
+
+
+def test_holt_magnitude_gate_raises(spark):
+    """|value| past 9e12 must raise loudly (the recursion's
+    alpha*1000*x term would wrap BIGINT silently under non-ANSI Spark
+    while the DuckDB replay computes in HUGEINT)."""
+    import pytest as _pytest
+
+    from xesmf_spark.timeseries import holt_smooth
+
+    df = spark.createDataFrame(
+        [("k", 0, 10_000_000_000_000), ("k", 1, 5)], "k string, t long, x long"
+    )
+    with _pytest.raises(Exception, match="9e12"):
+        holt_smooth(df, ["k"], "t", "x").collect()

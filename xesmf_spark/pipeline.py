@@ -1324,9 +1324,20 @@ def nb_quality_score(
         F.sum("__c0").alias("__t0"),
         F.count(F.lit(1)).alias("__V"),
     )
+    # a missing class makes the prior ln(0): Spark's F.log would emit
+    # NULL silently while DuckDB LN(0) errors — raise loudly instead
+    # (one 1-row CASE, the hits()/basket_rules gate discipline)
     pri = train.agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__n1"),
         F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__n0"),
+    ).select(
+        F.expr(
+            "CASE WHEN __n1 = 0 OR __n0 = 0 THEN "
+            "CAST(raise_error('nb_quality_score: training set must contain "
+            "both classes (label 0 and 1) — the class prior is ln(0) "
+            "otherwise') AS BIGINT) ELSE __n1 END"
+        ).alias("__n1"),
+        "__n0",
     )
 
     def _lp(num, den):

@@ -264,7 +264,12 @@ def cross_correlation(
     β normalization (devA variance) keeps every term an exact
     truncating BIGINT — the Pearson-style √(varA·varB) normalizer
     would force an inexact square root; callers wanting the symmetric
-    CCF can run the op twice and geometric-mean downstream.  Pairs
+    CCF can run the op twice and geometric-mean downstream.  Overflow
+    bound (the :func:`acf` milli-lift discipline): 1000·Σ devA·devB
+    must stay inside BIGINT — cents-scale devs with ≤ ~1e5 buckets
+    keep the numerator ≤ ~1e17 with headroom; rescale units upstream
+    for larger magnitudes (Spark's non-ANSI sum would wrap silently
+    where the DuckDB replay's HUGEINT doesn't).  Pairs
     exist where both buckets exist (calendar gaps shrink that lag's
     pair set, stated verbatim by the replay); the variance denominator
     uses ALL of A's buckets; zero-variance A raises nothing — it is
@@ -553,7 +558,16 @@ def holt_smooth(
         rollup.select(
             *key_cols,
             F.col(bucket_col).cast("long").alias("__t"),
-            F.col(val_col).cast("long").alias("__x"),
+            # α·1000·x must stay inside BIGINT (Spark non-ANSI multiply
+            # wraps silently where the DuckDB replay's HUGEINT doesn't):
+            # |x| ≤ 9e12 keeps every recursion term ≤ ~2.7e18 with
+            # headroom for the (l + b) state — gate loudly past it
+            F.expr(
+                f"CASE WHEN abs(CAST({val_col} AS BIGINT)) > 9000000000000 "
+                f"THEN CAST(raise_error('holt_smooth: |value| exceeds the "
+                f"BIGINT-exact bound (9e12) — rescale units upstream') "
+                f"AS BIGINT) ELSE CAST({val_col} AS BIGINT) END"
+            ).alias("__x"),
         )
         .groupBy(*key_cols)
         .agg(
