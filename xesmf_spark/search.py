@@ -315,9 +315,12 @@ def query_likelihood_topk(
 
     EXACT integer discipline: per (doc, term),
     ``lp_micro = FLOOR(micro·ln(tf·T + μ·cf)) − FLOOR(micro·ln(T·(dl+μ)))``
-    — each ln() argument is ONE exact BIGINT (< 2^53 asserted via a
-    loud T gate), so both engines build identical doubles and the
-    per-doc sum is an order-independent BIGINT.  Query terms absent
+    — each ln() argument is ONE BIGINT, so both engines cast the SAME
+    integer to the SAME double (bit-identical even past 2^53 — IEEE
+    casts are deterministic) and the per-doc sum is an
+    order-independent BIGINT.  The loud T gate (4e12) guards the
+    BIGINT arithmetic itself: tf·T must not WRAP under Spark's
+    non-ANSI multiply where DuckDB's HUGEINT keeps going.  Query terms absent
     from the corpus (cf = 0 ⇒ P = 0, score −∞) raise loudly rather
     than silently skewing ranks.  Top-k by (score DESC, id ASC) via
     TakeOrdered — no global sort.
