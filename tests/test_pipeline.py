@@ -2329,3 +2329,16 @@ def test_nb_quality_single_class_training_raises(spark):
     score = spark.createDataFrame([(1, "good words")], "doc_id long, text string")
     with _pytest.raises(Exception, match="both classes"):
         nb_quality_score(train, score).collect()
+
+
+def test_winnowing_identical_docs_full_containment(spark):
+    """Edge: two identical docs share their entire fingerprint set —
+    containment_milli == 1000 exactly."""
+    from xesmf_spark.pipeline import winnowing_overlap_pairs
+
+    text = "the quick brown fox jumps over the lazy dog repeatedly today"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = winnowing_overlap_pairs(docs, k=8, w=8, min_shared=1).collect()
+    assert len(rows) == 1 and rows[0].containment_milli == 1000

@@ -1798,3 +1798,30 @@ def test_attribution_models_conserve_and_window(spark):
     assert [r.credit_linear_milli for r in got] == [
         base, base, 1000 * cents - 2 * base
     ]
+
+
+def test_attribution_zero_value_and_single_touch(spark):
+    """Edge: a zero-value conversion credits exact zeros (no NULLs);
+    a single-touch conversion gets all three models' full credit on
+    that one touch (first == last == linear)."""
+    from datetime import datetime as DT
+
+    from xesmf_spark.relational import attribution
+
+    df = spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1), 1, "view", 0.0),
+            (2, DT(2024, 1, 2), 1, "purchase", 0.0),     # zero value
+            (3, DT(2024, 2, 1), 2, "click", 0.0),
+            (4, DT(2024, 2, 2), 2, "purchase", 7.25),    # single touch
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = attribution(df, "purchase", ["view", "click"]).collect()
+    z = [r for r in rows if r.conv_id == 2][0]
+    assert (z.credit_first_milli, z.credit_last_milli, z.credit_linear_milli) == (0, 0, 0)
+    s = [r for r in rows if r.conv_id == 4][0]
+    want = 1000 * 725
+    assert (s.credit_first_milli, s.credit_last_milli, s.credit_linear_milli) == (
+        want, want, want
+    )
