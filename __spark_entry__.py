@@ -395,9 +395,9 @@ _R14_WINDOW = [
     "regrid_bilinear_locstream",
     "regrid_bilinear_curvilinear",
     "regrid_patch_curvilinear",
-    # (d) 5 cyclers from the stalest tail stratum (4 slots yielded to
-    # the second-half r14 new queries; stream_regrid, q8/q9 and
-    # sketch_accuracy head the stale stratum for r15)
+    # (d) 2 cyclers from the stalest tail stratum (the other slots
+    # yielded to the second-half r14 new queries; stream_regrid, q8/q9
+    # and sketch_accuracy head the stale stratum for r15)
     "pipeline_simhash_pairs",
     "regrid_conservative",
 ]

@@ -463,6 +463,54 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     assert np.array_equal(decode_jpeg(doctored), base)
 
 
+def test_jpeg_fill_bytes_inside_entropy_stream_before_rst():
+    """Spec-legal FF fill immediately BEFORE an RSTn inside the
+    entropy-coded data (B.1.1.2) must decode on the default LUT engine
+    too, not just the bitwise twin whose align_restart skips fill
+    (r14 ADVICE: _entropy_segments used to treat FF FF as end-of-scan
+    and hard-fail with 'missing restart segments')."""
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    good = encode_jpeg(img, quality=80, restart_interval=1)
+    base = decode_jpeg(good)
+    # find the first RSTn in the scan (after SOS) and pad fill ahead
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    rst = -1
+    for m in range(0xD0, 0xD8):
+        p = good.find(bytes([0xFF, m]), sos)
+        if p >= 0 and (rst < 0 or p < rst):
+            rst = p
+    assert rst > 0
+    doctored = good[:rst] + b"\xff\xff" + good[rst:]
+    for engine in ("lut", "bitwise"):
+        assert np.array_equal(decode_jpeg(doctored, engine=engine), base), engine
+
+
+def test_jpeg_lut_cache_is_bounded():
+    """The module-level Huffman LUT cache must stay bounded: real
+    corpora carry per-image optimized tables (~2 MB each as Python
+    lists), so unbounded growth is an executor OOM-by-leak (r14
+    ADVICE).  Also checks LRU refresh keeps a hot key resident."""
+    from xesmf_spark import jpeg as J
+
+    J._LUT_CACHE.clear()
+    # synthesize >cap distinct single-code tables: bits=[1,0,...,0],
+    # vals=[v] — each valid on its own, all distinct cache keys
+    bits = bytes([1] + [0] * 15)
+    first = J._fast_lut(bits, bytes([0]))
+    for v in range(1, J._LUT_CACHE_CAP + 40):
+        if v % 7 == 0:
+            assert J._fast_lut(bits, bytes([0])) is first  # LRU refresh
+        J._fast_lut(bits, bytes([v]))
+        assert len(J._LUT_CACHE) <= J._LUT_CACHE_CAP
+    # the hot key survived eviction pressure via recency refresh
+    assert (bits + b"\x00" + bytes([0])) in J._LUT_CACHE
+    J._LUT_CACHE.clear()
+
+
 def test_resize_kernel_raises_on_gated_signature_payloads(spark):
     """A payload CARRYING a known codec signature that fails to decode
     must fail the job loudly (r11 ADVICE: no silent _fake_decode junk

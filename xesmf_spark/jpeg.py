@@ -674,14 +674,22 @@ _MASKS = tuple((1 << n) - 1 for n in range(33))
 #: {DHT bits+vals bytes: packed LUT list} — packed entry = (symbol << 5)
 #: | code_length; 0 marks an invalid prefix.  Module-level so repeated
 #: payloads from the same encoder (one Arrow batch, one worker) build
-#: each 65536-entry table exactly once.
+#: each 65536-entry table exactly once.  BOUNDED LRU: real-world
+#: corpora carry per-image optimized tables (each ~2 MB as a Python
+#: list), so an unbounded cache is an OOM-by-leak in a long-lived
+#: executor — cap at 64 entries (covers any per-encoder batch; diverse
+#: corpora evict oldest-used first).
 _LUT_CACHE: dict[bytes, list] = {}
+_LUT_CACHE_CAP = 64
 
 
 def _fast_lut(bits: bytes, vals: bytes) -> list:
     key = bytes(bits) + b"\x00" + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
+        # refresh recency (dict preserves insertion order → LRU)
+        _LUT_CACHE.pop(key)
+        _LUT_CACHE[key] = hit
         return hit
     lut = np.zeros(65536, dtype=np.int64)
     code = 0
@@ -694,6 +702,8 @@ def _fast_lut(bits: bytes, vals: bytes) -> list:
             k += 1
         code <<= 1
     entry = lut.tolist()
+    if len(_LUT_CACHE) >= _LUT_CACHE_CAP:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = entry
     return entry
 
@@ -717,6 +727,11 @@ def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
         if m == 0x00:
             cur.append(0xFF)
             pos = nxt + 2
+        elif m == 0xFF:
+            # spec-legal FF fill byte(s) before a marker (B.1.1.2) —
+            # skip one and rescan (stuffed data is always FF00, so a
+            # raw FF FF can only be fill ahead of RSTn/EOI/next header)
+            pos = nxt + 1
         elif 0xD0 <= m <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()

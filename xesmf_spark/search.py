@@ -318,9 +318,11 @@ def query_likelihood_topk(
     — each ln() argument is ONE BIGINT, so both engines cast the SAME
     integer to the SAME double (bit-identical even past 2^53 — IEEE
     casts are deterministic) and the per-doc sum is an
-    order-independent BIGINT.  The loud T gate (4e12) guards the
-    BIGINT arithmetic itself: tf·T must not WRAP under Spark's
-    non-ANSI multiply where DuckDB's HUGEINT keeps going.  Query terms absent
+    order-independent BIGINT.  The loud wrap gate bounds the LARGEST
+    product either engine forms — T·(max_dl+μ), which also bounds
+    tf·T + μ·cf — against 2^63−1 (checked in double, which cannot
+    wrap): nothing may WRAP under Spark's non-ANSI multiply where
+    DuckDB's HUGEINT keeps going.  Query terms absent
     from the corpus (cf = 0 ⇒ P = 0, score −∞) raise loudly rather
     than silently skewing ranks.  Top-k by (score DESC, id ASC) via
     TakeOrdered — no global sort.
@@ -349,7 +351,10 @@ def query_likelihood_topk(
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # corpus totals: T = sum of per-doc lengths — the lens projection
     # already tokenized every doc, no second corpus pass
-    totals = lens.agg(F.sum("doc_len").cast("long").alias("T"))
+    totals = lens.agg(
+        F.sum("doc_len").cast("long").alias("T"),
+        F.max("doc_len").cast("long").alias("max_dl"),
+    )
     cf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     axis = docs.sparkSession.createDataFrame(
         [(t,) for t in terms], "term string"
@@ -366,10 +371,18 @@ def query_likelihood_topk(
                 "term, '\\' has zero corpus frequency — P(t|d) = 0 for every "
                 "doc')) AS BIGINT) ELSE cf END"
             ).alias("cf"),
+            # wrap gate on the LARGEST BIGINT either engine forms:
+            # T·(max_dl+μ) bounds tf·T + μ·cf too (tf ≤ dl ≤ max_dl,
+            # cf ≤ T).  Checked in DOUBLE (can't wrap) against 9e18
+            # (< 2^63−1, margin for double rounding) — bare T gates
+            # miss long docs: T near 4e12 with a 2.4M-token doc wraps
+            # T·(dl+μ) while DuckDB's HUGEINT stays exact (r14 ADVICE).
             F.expr(
-                "CASE WHEN T > 4000000000000 THEN "
-                "CAST(raise_error('query_likelihood_topk: corpus tokens "
-                "exceed the 2^53 exactness bound for tf*T') AS BIGINT) "
+                f"CASE WHEN CAST(T AS DOUBLE) * (max_dl + {mu}) "
+                "> 9.0e18 THEN "
+                "CAST(raise_error('query_likelihood_topk: T*(max_doc_len"
+                "+mu) exceeds the BIGINT wrap bound — scores would wrap "
+                "under non-ANSI multiply') AS BIGINT) "
                 "ELSE T END"
             ).alias("T"),
         )
