@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize": Q.multimodal_image_resize,
         "multimodal_image_resize_png": Q.multimodal_image_resize_png,
         "multimodal_image_resize_jpeg": Q.multimodal_image_resize_jpeg,
+        "multimodal_image_resize_jpeg_progressive": (
+            Q.multimodal_image_resize_jpeg_progressive
+        ),
         "multimodal_ahash_pairs": Q.multimodal_ahash_pairs,
         "multimodal_ahash_dedup": Q.multimodal_ahash_dedup,
         # (b) the 3 reachable singles (r11 verdict ask #1):
@@ -832,6 +835,10 @@ GROUP BY fr.doc_id, d.text, f
         # same replay as ann_pq_top3: the sharded plan is value-identical
         "ann_pq_top3_sharded": PO.ann_pq_topk_sql(),
         "multimodal_image_resize_jpeg": _img_resize_jpeg_oracle(),
+        # progressive transmission is lossless over the same quantized
+        # coefficients, so the SAME reference-reconstruction VALUES
+        # oracle pins the SOF2 path
+        "multimodal_image_resize_jpeg_progressive": _img_resize_jpeg_oracle(),
         "regrid_conservative": O.regrid_oracle_sql("conservative"),
         # the general polygon-clipping builder on the same fixture pair —
         # identical closed-form oracle (same spherical-area measure)

@@ -359,25 +359,110 @@ def test_jpeg_bitstream_lossless_and_kernels_match():
     assert int(np.abs(dec.astype(int) - smooth.astype(int)).max()) <= 6
 
 
-def test_jpeg_rejects_progressive_and_junk_loudly():
-    """SOF2 (progressive) raises NotImplementedError naming the gate;
-    non-JPEG bytes raise ValueError; decode_image dispatches JPEG by
-    SOI signature."""
+def test_jpeg_rejects_arithmetic_and_junk_loudly():
+    """Arithmetic-coded SOF variants raise NotImplementedError naming
+    the gate; a baseline stream with a flipped SOF2 marker is a
+    MALFORMED progressive stream (its DC scan claims Se=63) and raises
+    ValueError; non-JPEG bytes raise ValueError; decode_image
+    dispatches JPEG by SOI signature; SOF1 (extended sequential,
+    8-bit) decodes identically to SOF0."""
     import pytest as _pytest
 
     from xesmf_spark.jpeg import decode_jpeg, encode_jpeg
 
     img = np.zeros((8, 8), dtype=np.uint8)
     good = encode_jpeg(img)
-    # patch the SOF0 marker (FF C0) to SOF2 (FF C2)
     i = good.index(b"\xff\xc0")
-    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(good[:i] + b"\xff\xc9" + good[i + 2 :])
+    with _pytest.raises(ValueError, match="flipped SOF2"):
+        decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
-    # decode_image routes by signature
+    # decode_image routes by signature; SOF1 == SOF0 at 8-bit
     assert MM.decode_image(good).shape == (8, 8)
+    s1 = good[:i] + b"\xff\xc1" + good[i + 2 :]
+    assert np.array_equal(decode_jpeg(s1), decode_jpeg(good))
+
+
+def test_jpeg_progressive_roundtrip_byte_exact():
+    """decode_jpeg(encode_jpeg_progressive(x, q, sub)) must equal
+    expected_reconstruction(x, q, sub) EXACTLY — proves the whole
+    progressive entropy layer (spectral selection, successive
+    approximation, EOB runs, refinement correction bits, restart
+    cadence) lossless, the baseline byte-exactness discipline
+    extended to SOF2."""
+    from xesmf_spark.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+        expected_reconstruction,
+    )
+
+    rng = np.random.default_rng(23)
+    r = np.arange(64)[:, None]
+    c = np.arange(64)[None, :]
+    smooth = ((r + c) // 2).astype(np.uint8)  # long EOB runs, EOBn>1
+    cases = [
+        (rng.integers(0, 256, size=(17, 23), dtype=np.uint8), 80, "4:4:4", 0),
+        (smooth, 5, "4:4:4", 0),  # quality 5: giant EOB runs
+        (np.full((40, 48, 3), 98, dtype=np.uint8), 80, "4:2:0", 0),  # constant
+        (rng.integers(0, 256, size=(33, 49, 3), dtype=np.uint8), 35, "4:2:0", 0),
+        (rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8), 90, "4:2:2", 0),
+        # restart markers inside every scan type
+        (rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8), 75, "4:2:0", 2),
+        (smooth[:33, :41], 40, "4:4:4", 1),
+    ]
+    for img, q, sub, ri in cases:
+        kw = {"quality": q, "restart_interval": ri}
+        if img.ndim == 3:
+            kw["subsampling"] = sub
+        payload = encode_jpeg_progressive(img, **kw)
+        assert payload[:2] == b"\xff\xd8" and b"\xff\xc2" in payload
+        exp = expected_reconstruction(img, quality=q, subsampling=sub)
+        assert np.array_equal(decode_jpeg(payload), exp), (img.shape, q, sub, ri)
+    # a custom no-successive-approximation script also round-trips
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(
+        img,
+        quality=85,
+        scans=(
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        ),
+    )
+    assert np.array_equal(
+        decode_jpeg(payload), expected_reconstruction(img, quality=85)
+    )
+
+
+def test_jpeg_progressive_through_resize_kernel(spark):
+    """A real progressive payload flows through the Arrow resize
+    kernel exactly like baseline — the r14 'biggest capability hole'
+    (a crawl corpus is heavily progressive) is closed at the Spark
+    boundary, not just the kernel."""
+    from xesmf_spark.jpeg import encode_jpeg_progressive, expected_reconstruction
+    from xesmf_spark.multimodal import resize_images
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    img = ((3 + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8)
+    rows = [
+        (0, bytearray(encode_jpeg_progressive(img, quality=90))),
+        (1, bytearray(encode_jpeg_progressive(img, quality=90, subsampling="4:2:0"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        rw.doc_id: np.frombuffer(bytes(rw.pixels), dtype=np.uint8).reshape(8, 8)
+        for rw in resize_images(df, out_h=8, out_w=8).collect()
+    }
+    for did, sub in ((0, "4:4:4"), (1, "4:2:0")):
+        exp = expected_reconstruction(img, quality=90, subsampling=sub)
+        gray = exp.mean(axis=2).astype(np.uint8)
+        want = gray[np.ix_((np.arange(8) * 16) // 8, (np.arange(8) * 16) // 8)]
+        assert np.array_equal(out[did], want), sub
 
 
 def test_resize_images_decodes_real_jpeg(spark):
@@ -523,19 +608,19 @@ def test_resize_kernel_raises_on_gated_signature_payloads(spark):
 
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
-    prog = bytearray(encode_jpeg(img))
-    i = bytes(prog).find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    arith = bytearray(encode_jpeg(img))
+    i = bytes(arith).find(b"\xff\xc0")
+    arith[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic-coded)
 
     # kernel-level: the loud gate propagates
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        _decode_or_fake(bytes(prog))
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        _decode_or_fake(bytes(arith))
     # signature-less bytes still fake-decode (documents-table payloads)
     assert _decode_or_fake(b"plain text payload").ndim == 2
 
     # job-level: the Spark task must surface the gate, not junk pixels
-    df = spark.createDataFrame([(0, bytes(prog))], "doc_id long, payload binary")
-    with _pytest.raises(Exception, match="progressive|NotImplementedError"):
+    df = spark.createDataFrame([(0, bytes(arith))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="arithmetic|NotImplementedError"):
         resize_images(df).collect()
 
 

@@ -37,7 +37,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg", "expected_reconstruction"]
+__all__ = [
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+    "decode_jpeg",
+    "expected_reconstruction",
+]
 
 # ---------------------------------------------------------------- tables
 # ITU-T T.81 Annex K.1 example quantization tables (the de-facto
@@ -498,6 +503,265 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoder
+#: all-symbols AC Huffman spec for the progressive encoder: 255 9-bit
+#: codes + one 10-bit.  Progressive AC scans need the EOBn symbols
+#: (0x10..0xE0) that the Annex-K baseline tables lack; a flat table
+#: keeps the fixture encoder simple — the decoder rebuilds its tables
+#: from DHT either way, so table shape exercises nothing extra.
+_AC_ALL_SPEC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+#: libjpeg's standard progressive scan script (jcparam.c shape —
+#: public knowledge): interleaved DC at Al=1, luma AC split into a
+#: low band at Al=2 then the rest, per-band refinements down to Al=0.
+#: Tuples are (component indices, Ss, Se, Ah, Al).
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _emit_scan_progressive(
+    zzgrids, sof, scan_idx, ss, se, ah, al, restart_interval, dc_codes, ac_codes
+):
+    """Entropy-code one progressive scan (T.81 G.1.2) over the zigzag
+    coefficient grids; returns the stuffed entropy bytes.  Implements
+    the lazy EOB-run emission with buffered correction bits — the
+    exact dual of ``_decode_scan_progressive``'s reader."""
+    mcus = _scan_geometry(sof, list(scan_idx))
+    n_mcu = len(mcus)
+    bw = _BitWriter()
+    interval = restart_interval if restart_interval else n_mcu
+    rst = 0
+    eobrun = 0
+    ebits: list[int] = []  # correction bits buffered across the EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, length = ac_codes[nb << 4]
+            bw.write(code, length)
+            if nb:
+                bw.write(eobrun & ((1 << nb) - 1), nb)
+            for b in ebits:
+                bw.write(b, 1)
+            ebits.clear()
+            eobrun = 0
+
+    lo = 0
+    while lo < n_mcu:
+        hi = min(lo + interval, n_mcu)
+        if lo:
+            flush_eob()
+            bw.emit_marker(0xD0 + rst % 8)
+            rst += 1
+        preds = [0] * len(sof[2])
+        for mi in range(lo, hi):
+            for ci, by, bx in mcus[mi]:
+                blk = zzgrids[ci][by][bx]
+                if ss == 0:
+                    c = blk[0]
+                    if ah == 0:
+                        v = c >> al  # DC point transform: arithmetic shift
+                        size, bits = _magnitude(v - preds[ci])
+                        preds[ci] = v
+                        code, length = dc_codes[ci][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(bits, size)
+                    else:
+                        bw.write((c >> al) & 1, 1)
+                elif ah == 0:
+                    # AC first scan: point transform truncates toward 0
+                    r = 0
+                    for k in range(ss, se + 1):
+                        c = blk[k]
+                        v = abs(c) >> al
+                        if v == 0:
+                            r += 1
+                            continue
+                        if c < 0:
+                            v = -v
+                        flush_eob()
+                        while r > 15:
+                            code, length = ac_codes[0xF0]
+                            bw.write(code, length)
+                            r -= 16
+                        size, bits = _magnitude(v)
+                        code, length = ac_codes[(r << 4) | size]
+                        bw.write(code, length)
+                        bw.write(bits, size)
+                        r = 0
+                    if r:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+                else:
+                    # AC refinement: abs>>Al == 1 means newly significant
+                    # (Ah == Al+1), > 1 means already-significant history
+                    # whose next bit travels as a correction bit
+                    band = blk[ss : se + 1]
+                    absv = [abs(c) >> al for c in band]
+                    eob = -1
+                    for i, a in enumerate(absv):
+                        if a == 1:
+                            eob = i
+                    r = 0
+                    pend: list[int] = []
+                    for i, a in enumerate(absv):
+                        if a == 0:
+                            r += 1
+                            continue
+                        if i <= eob:
+                            while r > 15:
+                                flush_eob()
+                                code, length = ac_codes[0xF0]
+                                bw.write(code, length)
+                                r -= 16
+                                for b in pend:
+                                    bw.write(b, 1)
+                                pend.clear()
+                        if a > 1:
+                            pend.append(a & 1)
+                            continue
+                        flush_eob()
+                        code, length = ac_codes[(r << 4) | 1]
+                        bw.write(code, length)
+                        bw.write(1 if band[i] > 0 else 0, 1)
+                        for b in pend:
+                            bw.write(b, 1)
+                        pend.clear()
+                        r = 0
+                    if r > 0 or pend:
+                        eobrun += 1
+                        ebits.extend(pend)
+                        if eobrun == 32767:
+                            flush_eob()
+        lo = hi
+    flush_eob()
+    return bw.flush()
+
+
+def encode_jpeg_progressive(
+    arr: "np.ndarray",
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as a
+    PROGRESSIVE JFIF JPEG (SOF2): the same quantized coefficients as
+    :func:`encode_jpeg`, transmitted via the standard spectral-
+    selection × successive-approximation scan script, so
+
+        decode_jpeg(encode_jpeg_progressive(img, q, sub))
+            == expected_reconstruction(img, q, sub)
+
+    must hold EXACTLY — the progressive entropy layer is lossless by
+    construction, same discipline as the baseline pair.  ``scans``
+    overrides the script with (comp_indices, Ss, Se, Ah, Al) tuples;
+    the default is the libjpeg-shaped script (DC first at Al=1, banded
+    AC first scans, refinements down to Al=0)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"need (H, W) gray or (H, W, 3) RGB uint8, got {a.shape}")
+    if subsampling not in _SAMP_FACTORS:
+        raise ValueError(
+            f"subsampling must be one of {sorted(_SAMP_FACTORS)}, got {subsampling!r}"
+        )
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = _scale_qt(_QT_LUMA, quality)
+    qt_c = _scale_qt(_QT_CHROMA, quality)
+    fh, fv = _SAMP_FACTORS[subsampling]
+    sub = (not gray) and (fh, fv) != (1, 1)
+
+    # per-component zigzag coefficient grids (lists for the scalar loops)
+    def zz_grid(coef: np.ndarray) -> list:
+        return coef.reshape(coef.shape[0], coef.shape[1], 64)[
+            ..., _ZIGZAG
+        ].tolist()
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        zzgrids = [zz_grid(_plane_coeffs(a, qt_l))]
+    else:
+        comps = [(1, fh, fv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        ycc = _rgb_to_ycbcr(a)
+        if sub:
+            ypl = _pad_edge(ycc[..., 0], 8 * fv, 8 * fh)
+            cbp = _subsample_box(_pad_edge(ycc[..., 1], 8 * fv, 8 * fh), fv, fh)
+            crp = _subsample_box(_pad_edge(ycc[..., 2], 8 * fv, 8 * fh), fv, fh)
+        else:
+            ypl, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        zzgrids = [
+            zz_grid(_plane_coeffs(ypl, qt_l)),
+            zz_grid(_plane_coeffs(cbp, qt_c)),
+            zz_grid(_plane_coeffs(crp, qt_c)),
+        ]
+    sof = (h, w, comps)
+    script = scans
+    if script is None:
+        script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, qt_l)
+    if not gray:
+        out += _dqt_segment(1, qt_c)
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, qid in comps:
+        sof_body += bytes([cid, (ch << 4) | cv, qid])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    out += _dht_segment(0, 0, _DC_LUMA_SPEC)
+    out += _dht_segment(1, 0, _AC_ALL_SPEC)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_SPEC)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = [
+        _canonical_codes(_DC_LUMA_SPEC if ci == 0 else _DC_CHROMA_SPEC)
+        for ci in range(len(comps))
+    ]
+    ac_codes = _canonical_codes(_AC_ALL_SPEC)
+    for scan_idx, ss, se, ah, al in script:
+        scomp = b""
+        for ci in scan_idx:
+            td = 0 if ci == 0 else 1
+            scomp += bytes([comps[ci][0], (td << 4) | 0])
+        sos = bytes([len(scan_idx)]) + scomp + bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _emit_scan_progressive(
+            zzgrids, sof, scan_idx, ss, se, ah, al,
+            restart_interval, dc_codes, ac_codes,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def expected_reconstruction(
     arr: "np.ndarray", quality: int = 90, subsampling: str = "4:4:4"
 ) -> np.ndarray:
@@ -708,11 +972,13 @@ def _fast_lut(bits: bytes, vals: bytes) -> list:
     return entry
 
 
-def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(payload: bytes, pos: int, with_end: bool = False):
     """Destuff the entropy-coded data starting at ``pos`` (0xFF00 →
     0xFF) and split it at RSTn markers; returns one ``bytes`` per
     restart segment.  C-level ``find`` does the scanning, so this is a
-    single linear pass regardless of stuffing density."""
+    single linear pass regardless of stuffing density.  With
+    ``with_end`` also returns the offset of the marker that terminated
+    the scan data (progressive streams parse on past each scan)."""
     segs = []
     cur = bytearray()
     n = len(payload)
@@ -721,7 +987,7 @@ def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
         if nxt < 0 or nxt + 1 >= n:
             cur += payload[pos : nxt if nxt >= 0 else n]
             segs.append(bytes(cur))
-            return segs
+            return (segs, n) if with_end else segs
         cur += payload[pos:nxt]
         m = payload[nxt + 1]
         if m == 0x00:
@@ -739,7 +1005,7 @@ def _entropy_segments(payload: bytes, pos: int) -> list[bytes]:
         else:
             # real marker (EOI / next header): end of scan data
             segs.append(bytes(cur))
-            return segs
+            return (segs, nxt) if with_end else segs
 
 
 def _decode_segment_lut(seg, blocks, preds, out_dc_idx, out_dc_val, out_ac):
@@ -891,17 +1157,281 @@ def _decode_scan_lut(payload, pos, sof, qts, huff_specs, scan, restart_interval)
     return _assemble_image(planes, comps, h, w, hmax, vmax)
 
 
+# Progressive (SOF2) machinery — T.81 Annex G --------------------------
+#
+# A progressive stream carries the SAME quantized coefficients as a
+# baseline one, transmitted across multiple scans: spectral selection
+# (each scan covers a zigzag band Ss..Se) crossed with successive
+# approximation (first scans send coefficients divided by 2^Al, later
+# "refinement" scans send one correction bit per coefficient).  DC
+# scans may interleave components in MCU order; AC scans carry exactly
+# one component and traverse its own block raster.  The entropy layer
+# adds EOB-run coding (EOBn ends 2^n..2^(n+1)-1 blocks at once) and,
+# in refinement scans, interleaved correction bits (G.1.2.3).
+#
+# The decoder below reuses the baseline LUT machinery (destuff-once
+# via _entropy_segments + 16-bit-window canonical Huffman LUTs); the
+# encoder twin (encode_jpeg_progressive) exists so tests can pin the
+# whole layer byte-exact against expected_reconstruction without any
+# third-party codec — the same discipline as the baseline pair.
+
+
+class _SegReader:
+    """Windowed bit reader over ONE destuffed restart segment — the
+    progressive twin of ``_decode_segment_lut``'s hot loop (same
+    32-bit-window trick; progressive scans read many isolated single
+    bits, which is one shift here).  Reads past the real data consume
+    spec-legal 1-fill; past the fill allowance they raise."""
+
+    __slots__ = ("win", "pos", "bit_end")
+
+    def __init__(self, seg: bytes) -> None:
+        n = len(seg)
+        a = np.frombuffer(seg + b"\xff" * 24, dtype=np.uint8).astype(np.uint32)
+        self.win = (
+            (a[: n + 16] << 24) | (a[1 : n + 17] << 16)
+            | (a[2 : n + 18] << 8) | a[3 : n + 19]
+        ).tolist()
+        self.pos = 0
+        self.bit_end = 8 * (n + 8)
+
+    def symbol(self, lut: list) -> int:
+        pos = self.pos
+        e = lut[(self.win[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF]
+        if not e:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self.pos = pos + (e & 31)
+        if self.pos > self.bit_end:
+            raise ValueError("truncated entropy stream")
+        return e >> 5
+
+    def bits(self, n: int) -> int:
+        pos = self.pos
+        self.pos = pos + n
+        if self.pos > self.bit_end:
+            raise ValueError("truncated entropy stream")
+        sh = pos & 7
+        return (self.win[pos >> 3] >> (32 - sh - n)) & _MASKS[n]
+
+    def bit(self) -> int:
+        pos = self.pos
+        self.pos = pos + 1
+        if self.pos > self.bit_end:
+            raise ValueError("truncated entropy stream")
+        return (self.win[pos >> 3] >> (31 - (pos & 7))) & 1
+
+
+def _scan_geometry(sof, scan_idx: list) -> list:
+    """Block transmission order for one scan (T.81 G.1 / A.2):
+    interleaved MCU order when the scan carries >1 component, the
+    component's OWN ceil(size/8) block raster when it carries one —
+    note a single-component scan covers ceil(ceil(w·ch/hmax)/8) blocks
+    per row, which is LESS than the interleaved grid's mcux·ch when
+    the image needs MCU padding.  Returns a list of MCUs, each a list
+    of (comp_index, by, bx) into the component's interleaved-grid
+    store — shared by the progressive encoder and decoder so the two
+    traversals cannot drift."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(scan_idx) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        mcus = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci in scan_idx:
+                    cid, ch, cv, qid = comps[ci]
+                    for dy in range(cv):
+                        for dx in range(ch):
+                            blocks.append((ci, my * cv + dy, mx * ch + dx))
+                mcus.append(blocks)
+        return mcus
+    ci = scan_idx[0]
+    cid, ch, cv, qid = comps[ci]
+    bw_i = -(-(-(-(w * ch) // hmax)) // 8)
+    bh_i = -(-(-(-(h * cv) // vmax)) // 8)
+    return [[(ci, by, bx)] for by in range(bh_i) for bx in range(bw_i)]
+
+
+def _alloc_stores(sof) -> list:
+    """Per-component coefficient stores for progressive accumulation:
+    one zigzag-order 64-int list per block of the interleaved grid
+    (plain lists — the scan loops are scalar-indexed Python)."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        [[[0] * 64 for _ in range(mcux * ch)] for _ in range(mcuy * cv)]
+        for cid, ch, cv, qid in comps
+    ]
+
+
+def _decode_scan_progressive(
+    payload, pos, sof, stores, huff_specs, scan, ss, se, ah, al, restart_interval
+):
+    """Decode one progressive scan into ``stores``; returns the payload
+    offset of the marker terminating the scan's entropy data.
+
+    Implements all four scan kinds of T.81 Annex G: DC first
+    (Huffman-coded diffs of DC>>Al, optionally interleaved), DC
+    refinement (one raw bit per block at weight 2^Al), AC first
+    (run/size coding of coef/2^Al with EOB-run termination), AC
+    refinement (G.1.2.3 — newly-significant coefficients as ±2^Al with
+    interleaved correction bits for already-significant ones)."""
+    if sof is None:
+        raise ValueError("SOS before SOF2")
+    h, w, comps = sof
+    if not (ss <= se <= 63):
+        raise ValueError(f"bad spectral selection Ss={ss} Se={se}")
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "progressive DC scan must have Se=0 — a baseline stream with "
+            "a flipped SOF2 marker is malformed, not progressive"
+        )
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must carry exactly one component")
+    if ah not in (0, al + 1):
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    scan_idx = []
+    luts = {}
+    for cid, td, ta in scan:
+        if cid not in idx_of:
+            raise ValueError(f"scan references unknown component {cid}")
+        ci = idx_of[cid]
+        scan_idx.append(ci)
+        if ss == 0 and ah == 0:
+            luts[ci] = _fast_lut(*huff_specs[(0, td)])
+        elif ss > 0:
+            luts[ci] = _fast_lut(*huff_specs[(1, ta)])
+    mcus = _scan_geometry(sof, scan_idx)
+    n_mcu = len(mcus)
+    segs, end = _entropy_segments(payload, pos, with_end=True)
+    interval = restart_interval if restart_interval else n_mcu
+    expected = -(-n_mcu // interval)
+    if len(segs) != expected:
+        raise ValueError(
+            f"restart cadence mismatch in progressive scan: {len(segs)} "
+            f"segments, expected {expected}"
+        )
+    p1 = 1 << al
+    m1 = -p1
+    for si, seg in enumerate(segs):
+        rd = _SegReader(seg)
+        preds = [0] * len(comps)
+        eobrun = 0
+        for mi in range(si * interval, min((si + 1) * interval, n_mcu)):
+            for ci, by, bx in mcus[mi]:
+                blk = stores[ci][by][bx]
+                if ss == 0:
+                    if ah == 0:
+                        s = rd.symbol(luts[ci]) & 15
+                        v = _extend(rd.bits(s), s) if s else 0
+                        preds[ci] += v
+                        blk[0] = preds[ci] << al
+                    elif rd.bit():
+                        blk[0] |= p1
+                elif ah == 0:
+                    # AC first scan (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    lut = luts[ci]
+                    while k <= se:
+                        rs = rd.symbol(lut)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rd.bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        blk[k] = _extend(rd.bits(s), s) << al
+                        k += 1
+                else:
+                    # AC refinement scan (G.1.2.3)
+                    k = ss
+                    lut = luts[ci]
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = rd.symbol(lut)
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rd.bits(r)
+                                    break
+                            elif s != 1:
+                                raise ValueError(
+                                    "AC refinement symbol with size != 1"
+                                )
+                            else:
+                                val = p1 if rd.bit() else m1
+                            while k <= se:
+                                c = blk[k]
+                                if c:
+                                    if rd.bit() and not (c & p1):
+                                        blk[k] = c + (p1 if c > 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun:
+                        while k <= se:
+                            c = blk[k]
+                            if c and rd.bit() and not (c & p1):
+                                blk[k] = c + (p1 if c > 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    return end
+
+
+def _finish_progressive(stores, sof, qts):
+    """Zigzag→natural scatter, dequantize, IDCT, assemble — the shared
+    decoder tail applied to the accumulated progressive stores."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for ci, (cid, ch, cv, qid) in enumerate(comps):
+        zz = np.array(stores[ci], dtype=np.int64)
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz
+        bh, bw_ = zz.shape[:2]
+        planes[cid] = _dequant_idct(nat.reshape(bh, bw_, 8, 8), qts[qid])
+    return _assemble_image(planes, comps, h, w, hmax, vmax)
+
+
 def decode_jpeg(payload: bytes, engine: str = "lut") -> "np.ndarray":
-    """Decode a BASELINE sequential JPEG (SOF0; grayscale, generic
-    sampling factors incl. 4:4:4 / 4:2:0 / 4:2:2 YCbCr; restart markers
-    honored) to (H, W) or (H, W, 3) uint8.
-    Progressive (SOF2) and the extended/lossless/arithmetic SOF
-    variants raise a loud ``NotImplementedError`` — the documented gate,
-    same policy as the PNG decoder's non-baseline variants.
+    """Decode a Huffman-coded JPEG — baseline sequential (SOF0),
+    extended sequential (SOF1, 8-bit), or PROGRESSIVE (SOF2, full
+    spectral selection × successive approximation per T.81 Annex G) —
+    to (H, W) or (H, W, 3) uint8.  Grayscale and generic sampling
+    factors incl. 4:4:4 / 4:2:0 / 4:2:2 YCbCr; restart markers honored
+    in all modes.  The arithmetic-coded and lossless/hierarchical SOF
+    variants raise a loud ``NotImplementedError`` — the documented
+    gate, same policy as the PNG decoder's non-baseline variants.
 
     ``engine="lut"`` (default) is the vectorized production path;
-    ``engine="bitwise"`` forces the per-bit reference twin (differential
-    tests drive both)."""
+    ``engine="bitwise"`` forces the per-bit reference twin for
+    sequential scans (differential tests drive both).  Progressive
+    scans always decode through the windowed-LUT reader."""
     if engine not in ("lut", "bitwise"):
         raise ValueError(f"engine must be 'lut' or 'bitwise', got {engine!r}")
     if payload[:2] != b"\xff\xd8":
@@ -910,6 +1440,8 @@ def decode_jpeg(payload: bytes, engine: str = "lut") -> "np.ndarray":
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     sof = None
+    progressive = False
+    stores = None
     restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -951,21 +1483,29 @@ def decode_jpeg(payload: bytes, engine: str = "lut") -> "np.ndarray":
                 vals = body[off + 17 : off + 17 + n]
                 huff[(tc, th)] = (bytes(bits), bytes(vals))
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical at
+            # 8-bit precision) / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise NotImplementedError(f"precision {prec} not baseline")
+                raise NotImplementedError(f"precision {prec} not supported")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, qid))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            kind = "progressive (SOF2)" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            kind = (
+                "arithmetic-coded"
+                if marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+                else "lossless/differential"
+            )
             raise NotImplementedError(
-                f"native JPEG path handles baseline sequential (SOF0) only, "
-                f"got {kind} — re-encode baseline or install PIL"
+                f"native JPEG path handles Huffman sequential (SOF0/SOF1) "
+                f"and progressive (SOF2) only, got {kind} "
+                f"SOF{marker - 0xC0} — re-encode or install PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -975,6 +1515,18 @@ def decode_jpeg(payload: bytes, engine: str = "lut") -> "np.ndarray":
             for i in range(ns):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tabs >> 4, tabs & 0x0F))
+            if progressive:
+                if sof is None:
+                    raise ValueError("SOS before SOF2")
+                if stores is None:
+                    stores = _alloc_stores(sof)
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                pos = _decode_scan_progressive(
+                    payload, nxt, sof, stores, huff, scan,
+                    ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                )
+                continue  # more scans (or EOI) follow
             pos = nxt
             if engine == "lut":
                 out = _decode_scan_lut(
@@ -986,6 +1538,8 @@ def decode_jpeg(payload: bytes, engine: str = "lut") -> "np.ndarray":
                 payload, pos, sof, qts, huff, scan, restart_interval
             )
         pos = nxt
+    if stores is not None:
+        return _finish_progressive(stores, sof, qts)
     raise ValueError("no SOS marker found")
 
 

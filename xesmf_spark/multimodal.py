@@ -9,12 +9,14 @@ never pass through row-at-a-time Python, and the JVM treats them as
 opaque byte arrays (no codec work JVM-side).
 
 Codec support is layered: uncompressed 24-bit BMP, PNG (bit depth 8,
-gray/RGB/RGBA, all five scanline filters), and baseline sequential
-JPEG (SOF0 — gray, 4:4:4, 4:2:0; ``xesmf_spark.jpeg``) decode NATIVELY
-(pure numpy + stdlib — no codec library needed, so the three dominant
-interchange formats work everywhere; round-trip tested via the encoder
-twins ``encode_bmp``/``encode_png``/``jpeg.encode_jpeg``); progressive
-JPEG and other formats dispatch to PIL when importable and raise
+gray/RGB/RGBA, all five scanline filters), and Huffman-coded JPEG
+(baseline SOF0, extended-sequential SOF1, and PROGRESSIVE SOF2 — gray,
+4:4:4, 4:2:0, 4:2:2; ``xesmf_spark.jpeg``) decode NATIVELY (pure
+numpy + stdlib — no codec library needed, so the dominant interchange
+formats including crawl-typical progressive JPEG work everywhere;
+round-trip tested via the encoder twins ``encode_bmp``/``encode_png``/
+``jpeg.encode_jpeg``/``jpeg.encode_jpeg_progressive``); arithmetic-
+coded JPEG and other formats dispatch to PIL when importable and raise
 loudly otherwise (PIL/librosa/ffmpeg are absent in this container).
 ``_fake_decode`` remains the deterministic stand-in so the Spark-side
 plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
@@ -256,9 +258,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_decode(payload)
     if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
-        # baseline sequential JPEG decodes natively (xesmf_spark.jpeg:
-        # Huffman + dequant + IDCT in numpy); progressive and the other
-        # SOF variants raise a loud NotImplementedError inside
+        # Huffman-coded JPEG (baseline SOF0/SOF1 + progressive SOF2)
+        # decodes natively (xesmf_spark.jpeg); the arithmetic-coded and
+        # lossless SOF variants raise a loud NotImplementedError inside
         from xesmf_spark.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
@@ -313,7 +315,7 @@ def _decode_or_fake(payload: bytes) -> np.ndarray:
 
     A payload carrying a known codec signature (PNG / JPEG SOI / BMP)
     that then fails to decode must raise — NotImplementedError for the
-    documented codec gates (progressive JPEG, non-24bpp BMP) and
+    documented codec gates (arithmetic-coded JPEG, non-24bpp BMP) and
     ValueError for recognized-but-corrupt streams — never be silently
     replaced by deterministic junk pixels. ``_fake_decode`` remains the
     stand-in ONLY for payloads with no known signature (e.g. the

@@ -1757,6 +1757,60 @@ def multimodal_image_resize_png(spark, sf_dir):
     )
 
 
+def multimodal_image_resize_jpeg_progressive(spark, sf_dir):
+    """The decode->grayscale->resample chain through the native
+    PROGRESSIVE JPEG path (SOF2 — T.81 Annex G spectral selection ×
+    successive approximation, EOB-run coding, refinement scans; the
+    dominant shape in real crawl corpora): the same 48 deterministic
+    16x16 RGB fixtures as multimodal_image_resize_jpeg, encoded
+    progressive via the libjpeg-shaped scan script cycling 4:4:4,
+    4:2:0, 4:2:2 and alternating restart intervals, decoded and
+    resized inside the Arrow mapInPandas kernel.  Progressive
+    transmission is lossless over the same quantized coefficients, so
+    the oracle is the SAME pure-Python reference reconstruction VALUES
+    table as the baseline query — a green hash proves the whole
+    progressive entropy layer (multi-scan accumulation through
+    resampled pixels) bit-equal to the reference kernel."""
+    import numpy as np
+
+    from xesmf_spark.jpeg import encode_jpeg_progressive
+    from xesmf_spark.multimodal import resize_images
+
+    r = np.arange(16)[:, None, None]
+    c = np.arange(16)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    rows = [
+        (
+            d,
+            bytearray(
+                encode_jpeg_progressive(
+                    ((d + 7 * r + 13 * c + 29 * ch) % 256).astype(np.uint8),
+                    quality=85,
+                    subsampling=("4:4:4", "4:2:0", "4:2:2")[d % 3],
+                    restart_interval=(0, 2)[d % 2],
+                )
+            ),
+        )
+        for d in range(48)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    resized = resize_images(df, out_h=8, out_w=8).withColumn("hx", F.hex("pixels"))
+    bvals = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(F.col("hx").substr(i * 2 + F.lit(1), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    return resized.select(
+        "doc_id",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.aggregate(bvals, F.lit(0).cast("long"), lambda a, x: a + x).alias("byte_sum"),
+        F.array_min(bvals).alias("byte_min"),
+        F.array_max(bvals).alias("byte_max"),
+    )
+
+
 def multimodal_image_resize_jpeg(spark, sf_dir):
     """The decode->grayscale->resample chain through the native
     baseline-JPEG path (xesmf_spark.jpeg.decode_jpeg: marker parse,
