@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_synthetic_source": Q.stream_synthetic_source,
         "lineitem_constraints": Q.lineitem_constraints,
         "pipeline_bigram_lm": Q.pipeline_bigram_lm,
+        "pipeline_trigram_lm": Q.pipeline_trigram_lm,
+        "pipeline_domain_caps": Q.pipeline_domain_caps,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "documents_pmi_collocations": Q.documents_pmi_collocations,
         "parts_copurchase_clustering": Q.parts_copurchase_clustering,
@@ -821,6 +823,8 @@ GROUP BY fr.doc_id, d.text, f
 """,
         "pipeline_cdc_chunks": PO.cdc_chunks_sql(),
         "pipeline_bigram_lm": PO.bigram_logprob_sql(),
+        "pipeline_trigram_lm": PO.trigram_logprob_sql(),
+        "pipeline_domain_caps": PO.domain_caps_sql(),
         "trade_graph_communities": PO.lpa_communities_sql(),
         "trade_graph_components": PO.trade_components_sql(),
         "orders_burst_components": PO.burst_components_sql(),

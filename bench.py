@@ -626,6 +626,10 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "stream_sliding",
         "documents_rake",
         "events_ccf",
+        # r15: progressive JPEG carrier, trigram LM, domain caps
+        "multimodal_image_resize_jpeg_progressive",
+        "pipeline_trigram_lm",
+        "pipeline_domain_caps",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())
@@ -796,6 +800,29 @@ def _run_workloads(spark, sf_dir, timings, timed):
         kbest = min(kbest, _time.perf_counter() - t0)
     timings["jpeg_kernel_MBps"] = round(
         sum(len(p) for p in jpayloads[:16]) / 1e6 / kbest, 3
+    )
+    # r15: the progressive (SOF2) twin of the same fixture — the
+    # multi-scan accumulation path; per-core MB/s over compressed bytes
+    from xesmf_spark.jpeg import encode_jpeg_progressive
+
+    ppayloads = [
+        bytes(
+            encode_jpeg_progressive(
+                rng.integers(0, 256, size=(256, 256, 3), dtype=np.uint8),
+                quality=80,
+                subsampling="4:2:0",
+            )
+        )
+        for _ in range(16)
+    ]
+    kbest = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        for p in ppayloads:
+            decode_jpeg(p)
+        kbest = min(kbest, _time.perf_counter() - t0)
+    timings["jpeg_progressive_kernel_MBps"] = round(
+        sum(len(p) for p in ppayloads) / 1e6 / kbest, 3
     )
     jdf = (
         spark.createDataFrame(

@@ -1118,6 +1118,12 @@ def main() -> None:
         # one diagonal-chain keyed agg + window on the existing gram
         # explode — still no pair join, linear in gram volume
         ("pipeline_exactsubstr", lambda d, s: Q.pipeline_exactsubstr(spark, d)),
+        # r15: trigram LM — three Zipf-bounded count shuffles + five
+        # keyed scoring joins; linear in corpus tokens
+        ("pipeline_trigram_lm", lambda d, s: Q.pipeline_trigram_lm(spark, d)),
+        # r15: domain caps — pure projection + salted two-stage top-k
+        # window + zero-shuffle stratified filter; linear in docs
+        ("pipeline_domain_caps", lambda d, s: Q.pipeline_domain_caps(spark, d)),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -1332,6 +1338,18 @@ def main() -> None:
             "dedup_spans(exact_run=50): diagonal-chain run assembly on "
             "the existing gram explode — one extra keyed agg + window, "
             "no pair join; linear in gram volume"
+        ),
+        "pipeline_trigram_lm": (
+            "three Zipf-bounded count shuffles (trigram/bigram/unigram "
+            "types) + five keyed scoring joins + per-doc agg — linear "
+            "in corpus tokens (type tables grow with suffixed replicas, "
+            "all joins keyed equi)"
+        ),
+        "pipeline_domain_caps": (
+            "pure-projection domain extraction + SALTED two-stage "
+            "top-cap window (each salt partition's output bounded at "
+            "cap — no hot mega-domain partition) + zero-shuffle md5 "
+            "stratified filter; linear in docs"
         ),
     }
     # streaming operators are deliberately ABSENT from this ledger:

@@ -1534,6 +1534,91 @@ def test_bigram_logprob_matches_brute_force(spark):
     assert 4 not in got  # <2 tokens -> absent by contract
 
 
+def test_domain_caps_normalization_and_cap(spark):
+    """normalized_domain handles scheme case, userinfo, ports,
+    trailing dots, www, and path/query/fragment tails; domain_caps
+    keeps exactly the top-cap per domain by (priority DESC, id ASC)
+    and the salted two-stage result equals the one-stage row_number
+    at every n_salts (including the degenerate n_salts=1)."""
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:8080/a/b?q=1", 50),
+        (2, "http://user:pw@example.com/path", 90),
+        (3, "https://example.com.#frag", 70),
+        (4, "example.com?bare=1", 60),  # schemeless
+        (5, "https://sub.example.com/x", 80),  # different domain
+        (6, "https://www.other.org", 10),
+        (7, "https://example.com", 70),  # ties with 3 -> id breaks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    for n_salts in (1, 3, 8):
+        out = {
+            r.doc_id: (r.domain, r.domain_rank)
+            for r in PL.domain_caps(df, "url", cap=2, n_salts=n_salts).collect()
+        }
+        # example.com docs by (n_chars DESC, id ASC):
+        # 2(90), 3(70,id3), 7(70,id7), 4(60), 1(50) -> top-2 = {2, 3}
+        assert out == {
+            2: ("example.com", 1),
+            3: ("example.com", 2),
+            5: ("sub.example.com", 1),
+            6: ("other.org", 1),
+        }, (n_salts, out)
+
+
+def test_trigram_logprob_matches_brute_force(spark):
+    """trigram_logprob_score against a local float replay: the mixture
+    0.7*c3/c12 + 0.2*c2/c1 + 0.1*cu/total with the SAME left
+    association, floored to micro-nats per triple; docs with <3 tokens
+    absent by contract."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a b c a b c d"),
+        (2, "a b c d e"),
+        (3, "d d d d"),
+        (4, "two only"),
+        (5, "b a c"),
+        (6, "a b c"),
+    ]
+    toks = {d: t.split(" ") for d, t in docs}
+    uni = Counter(w for t in toks.values() for w in t)
+    total = sum(uni.values())
+    bigs = [bg for t in toks.values() for bg in zip(t, t[1:])]
+    c2 = Counter(bigs)
+    c1 = Counter(bg[0] for bg in bigs)
+    tris = {d: list(zip(t, t[1:], t[2:])) for d, t in toks.items()}
+    c3 = Counter(tg for tl in tris.values() for tg in tl)
+    c12 = Counter(tg[:2] for tl in tris.values() for tg in tl)
+    want = {}
+    for d, tl in tris.items():
+        if not tl:
+            continue
+        lps = [
+            math.floor(
+                1_000_000
+                * math.log(
+                    0.7 * (c3[tg] / c12[tg[:2]])
+                    + 0.2 * (c2[tg[1:]] / c1[tg[1]])
+                    + 0.1 * (uni[tg[2]] / total)
+                )
+            )
+            for tg in tl
+        ]
+        want[d] = (len(lps), sum(lps))
+    out = PL.trigram_logprob_score(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["sum_lp_micro"]) for r in out.collect()
+    }
+    assert got == want
+    assert 4 not in got  # <3 tokens -> absent by contract
+    # boilerplate (repeated "a b c") must outscore the unique-path doc
+    avg = {r["doc_id"]: r["avg_logprob"] for r in out.collect()}
+    assert avg[6] > avg[2]
+
+
 def test_pmi_collocations_matches_brute_force(spark):
     import math
     from collections import Counter

@@ -2335,6 +2335,78 @@ def stratified_sample(
     return df.filter(h8 < expr)
 
 
+def normalized_domain(url_col) -> "F.Column":
+    """Registrable-host extraction from a URL column — the standard
+    crawl-curation key (domain-level caps, quotas, blocklists): strip
+    the scheme and userinfo, cut at the first path/query/fragment
+    delimiter, drop an explicit port and any trailing dot, lowercase,
+    and strip one leading ``www.``.  Pure built-in expression (two
+    regexp_replaces + one extract + lower) — stays inside whole-stage
+    codegen, no UDF; DuckDB mirrors the same regexes for oracle
+    parity."""
+    c = url_col if not isinstance(url_col, str) else F.col(url_col)
+    host = F.regexp_extract(
+        F.regexp_replace(
+            F.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""),
+            "^[^/?#]*@",
+            "",
+        ),
+        "^([^/?#]*)",
+        1,
+    )
+    host = F.lower(F.regexp_replace(host, ":[0-9]+$", ""))
+    host = F.regexp_replace(host, "[.]$", "")
+    return F.regexp_replace(host, "^www[.]", "").alias("domain")
+
+
+def domain_caps(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 100,
+    priority_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-domain document cap — the URL-level curation primitive every
+    crawl pipeline runs (bound any one domain's share of the corpus;
+    C4/RefinedWeb-style): keep at most ``cap`` documents per
+    :func:`normalized_domain`, preferring high ``priority_col`` (ties
+    broken by ascending ``id_col`` — a total order, so the kept set is
+    unique).  Returns the input columns plus ``domain`` and
+    ``domain_rank`` (1-based within the domain).
+
+    Scale shape: domain extraction is a pure projection; the cap is a
+    SALTED two-stage top-k, the hot-key-safe form of "row_number per
+    domain" — a mega-domain (wikipedia.org at crawl scale) would
+    otherwise serialize one partition.  Stage 1 ranks within
+    (domain, id % n_salts) and keeps ``cap`` per salt (each partition's
+    output bounded at cap); stage 2 ranks the ≤ cap·n_salts survivors
+    per domain.  Any row in the global top-cap of its domain is in the
+    top-cap of its salt subgroup, so the two-stage result EQUALS the
+    one-stage row_number — the oracle replays the simple form and must
+    hash-match, which pins the equivalence every round."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    from pyspark.sql import Window
+
+    d = df.withColumn("domain", normalized_domain(F.col(url_col)))
+    order = [F.col(priority_col).desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(
+        "domain", F.pmod(F.col(id_col), F.lit(n_salts))
+    ).orderBy(*order)
+    stage1 = d.withColumn("__rs", F.row_number().over(w1)).filter(
+        F.col("__rs") <= cap
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        stage1.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+        .drop("__rs")
+    )
+
+
 def editdist_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2802,6 +2874,118 @@ def bigram_logprob_score(
             "avg_logprob",
             F.col("sum_lp_micro").cast("double")
             / (F.lit(float(micro)) * F.col("n_bigrams").cast("double")),
+        )
+    )
+
+
+def trigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated-TRIGRAM language-model quality score — the top of
+    the CCNet-style perplexity ladder above
+    :func:`bigram_logprob_score`: each token triple (w1, w2, w3) is
+    scored by
+
+        P(w3 | w1 w2) = 0.7 * c3(w1 w2 w3)/c12(w1 w2 *)
+                      + 0.2 * c2(w2 w3)/c1(w2 *)
+                      + 0.1 * cu(w3)/total
+
+    (MLE trigram interpolated with the MLE bigram and the corpus
+    unigram — Jelinek-Mercer with fixed weights, the simplest mixture
+    that keeps every probability strictly positive on its own training
+    corpus).  The bigram back-off counts come from the FULL adjacent-
+    pair tables (all positions), the trigram counts from the triple
+    table; higher orders separate boilerplate from noise more sharply
+    than the bigram filter alone.
+
+    EXACT cross-engine arithmetic (the house micro-nat discipline):
+    all three mixture terms are IEEE-exact double divisions of exact
+    BIGINTs, the mixture is three exact multiplies + two adds with
+    identical left association on both engines, and the per-triple
+    log-prob is floored to integer micro-nats BEFORE the per-doc sum —
+    an order-independent BIGINT accumulation.  The only libm call is
+    one ln() per distinct operand bit-pattern.
+
+    Docs with < 3 tokens have no trigrams and are absent from the
+    output (same contract as the bigram scorer; consumers LEFT-join).
+
+    Scale shape: three Zipf-bounded count shuffles build the trigram,
+    bigram, and unigram tables (far below corpus size but NOT driver-
+    or broadcast-sized at 100 TB, so all five scoring joins are keyed
+    equi-joins); the 1-row total is the only broadcast.  Scoring =
+    five keyed joins + one per-doc agg."""
+    t = tokens(F.col(text_col))
+    toks = df.select(F.col(id_col), F.explode(t).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("total"))
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+        ),
+    ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+    big = df.select(F.explode(pairs_arr).alias("bg")).select(
+        F.col("bg.wa").alias("wa"), F.col("bg.wb").alias("wb")
+    )
+    c2 = big.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("wa").agg(F.count(F.lit(1)).alias("c1"))
+    tri_arr = F.when(
+        F.size(t) >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 2),
+                F.slice(t, 2, F.size(t) - 2),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            F.slice(t, 3, F.size(t) - 2),
+            lambda p, c: F.struct(
+                p.getField("w1").alias("w1"),
+                p.getField("w2").alias("w2"),
+                c.alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    tri = df.select(F.col(id_col), F.explode(tri_arr).alias("tg")).select(
+        F.col(id_col),
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = (
+        F.lit(0.7) * (F.col("c3").cast("double") / F.col("c12").cast("double"))
+        + F.lit(0.2) * (F.col("c2").cast("double") / F.col("c1").cast("double"))
+        + F.lit(0.1) * (F.col("cu").cast("double") / F.col("total").cast("double"))
+    )
+    scored = (
+        tri.join(c3, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(c2.select(F.col("wa").alias("w2"), F.col("wb").alias("w3"), "c2"),
+              ["w2", "w3"])
+        .join(c1.select(F.col("wa").alias("w2"), "c1"), ["w2"])
+        .join(uni.select(F.col("token").alias("w3"), "cu"), ["w3"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.floor(F.lit(micro) * F.log(p)).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / (F.lit(float(micro)) * F.col("n_trigrams").cast("double")),
         )
     )
 

@@ -2197,6 +2197,131 @@ GROUP BY doc_id
 """
 
 
+def domain_caps_sql(cap: int = 3) -> str:
+    """Mirrors queries.pipeline_domain_caps: the same deterministic URL
+    synthesis, the same normalization regexes (scheme/userinfo strip,
+    host extract, port/trailing-dot strip, lower, www strip — every
+    regex string identical to pipeline.normalized_domain; both engines
+    anchor them so replace-first vs replace-all cannot diverge), then
+    the ONE-STAGE row_number per domain the engine's salted two-stage
+    top-k is provably equal to (any global top-cap row is in its salt
+    subgroup's top-cap), then the stratified md5-threshold filter
+    ({en: g, de: 80000000, default 40000000})."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         (CASE doc_id % 4 WHEN 0 THEN 'https://www.'
+                          WHEN 1 THEN 'HTTP://'
+                          WHEN 2 THEN 'https://user:pw@'
+                          ELSE 'https://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN upper(core) ELSE core END)
+         || (CASE WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0 THEN '.' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || (CASE doc_id % 3 WHEN 0 THEN '/p/' || doc_id
+                             WHEN 1 THEN '?q=' || doc_id
+                             ELSE '#s' END) AS url
+  FROM (
+    SELECT *,
+           source || '.example.'
+           || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END) AS core
+    FROM documents
+  )
+),
+nd AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_replace(
+               regexp_extract(
+                 regexp_replace(
+                   regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                   '^[^/?#]*@', ''),
+                 '^([^/?#]*)', 1),
+               ':[0-9]+$', '')),
+             '[.]$', ''),
+           '^www[.]', '') AS domain
+  FROM u
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC
+         ) AS domain_rank
+  FROM nd
+)
+SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank, lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM r
+WHERE domain_rank <= {cap}
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      (CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '80000000'
+                 ELSE '40000000' END)
+"""
+
+
+def trigram_logprob_sql(micro: int = 1_000_000) -> str:
+    """Mirrors pipeline.trigram_logprob_score: Jelinek-Mercer
+    interpolated trigram P(w3|w1 w2) = 0.7*c3/c12 + 0.2*c2/c1 +
+    0.1*cu/total with per-triple micro-nat flooring before the exact
+    BIGINT per-doc sum.  All three mixture terms are IEEE-exact
+    divisions of exact BIGINTs, three exact multiplies and two adds
+    with identical left association on both engines; the only libm
+    call is one LN() per distinct operand bit-pattern (same ~1e-10
+    boundary-risk budget as bigram_logprob_sql)."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY token),
+tot AS MATERIALIZED (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+bg AS MATERIALIZED (
+  SELECT u.wa AS wa, u.wb AS wb FROM (
+    SELECT unnest(list_transform(range(len(t) - 1),
+                  i -> {{'wa': t[i + 1], 'wb': t[i + 2]}})) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+c2 AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY wa, wb),
+c1 AS (SELECT wa, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY wa),
+tg AS MATERIALIZED (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 2),
+                  i -> {{'w1': t[i + 1], 'w2': t[i + 2], 'w3': t[i + 3]}})) AS u
+    FROM toks WHERE len(t) >= 3
+  )
+),
+c3 AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg GROUP BY w1, w2, w3
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tg GROUP BY w1, w2),
+lp AS (
+  -- tg/bg/tot are MATERIALIZED: un-materialized, DuckDB's join-order
+  -- enumeration over the seven inlined relations degenerates on this
+  -- shape (measured: >240 s vs 0.16 s — the BPE-replay lesson again)
+  SELECT tg.doc_id,
+         CAST(FLOOR({micro} * LN(
+           0.7 * (CAST(c3.c3 AS DOUBLE) / CAST(c12.c12 AS DOUBLE))
+           + 0.2 * (CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+           + 0.1 * (CAST(uni.cu AS DOUBLE) / CAST(tot.total AS DOUBLE))
+         )) AS BIGINT) AS lp_micro
+  FROM tg
+  JOIN c3 USING (w1, w2, w3)
+  JOIN c12 USING (w1, w2)
+  JOIN c2 ON tg.w2 = c2.wa AND tg.w3 = c2.wb
+  JOIN c1 ON tg.w2 = c1.wa
+  JOIN uni ON tg.w3 = uni.token, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+       CAST(SUM(lp_micro) AS DOUBLE) / (CAST({micro} AS DOUBLE) * COUNT(*)) AS avg_logprob
+FROM lp
+GROUP BY doc_id
+"""
+
+
 def lpa_communities_sql(iters: int = 3) -> str:
     """Replays relational.label_propagation over the customer-supplier
     trade graph as a MATERIALIZED CTE chain (one votes+argmax pair per

@@ -5360,6 +5360,65 @@ def pipeline_bigram_lm(spark, sf_dir):
     return PL.bigram_logprob_score(_docs(spark, sf_dir))
 
 
+def pipeline_domain_caps(spark, sf_dir):
+    """URL-domain curation composed with stratified sampling — the
+    crawl-corpus balancing pass (C4/RefinedWeb-style): deterministic
+    URLs are synthesized per document exercising every normalization
+    case (mixed-case schemes and hosts, userinfo, www prefix, explicit
+    ports, trailing dots, path/query/fragment tails), then
+    pipeline.domain_caps keeps the top-3 docs per normalized domain
+    (by n_chars DESC, doc_id ASC — the salted two-stage top-k whose
+    equivalence to one-stage row_number the oracle pins), then
+    pipeline.stratified_sample downsamples by language ({en: 1.0,
+    de: 0.5, default 0.25} via the reshuffle-stable md5 threshold).
+    Pure projections + one keyed window + a zero-shuffle filter."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    core = F.concat(
+        F.col("source"),
+        F.lit(".example."),
+        F.when(d % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+    )
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("https://www."))
+        .when(d % 4 == 1, F.lit("HTTP://"))
+        .when(d % 4 == 2, F.lit("https://user:pw@"))
+        .otherwise(F.lit("https://")),
+        F.when(d % 5 == 0, F.upper(core)).otherwise(core),
+        F.when((d % 11 == 0) & (d % 7 != 0), F.lit(".")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("/p/"), d.cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?q="), d.cast("string")))
+        .otherwise(F.lit("#s")),
+    )
+    capped = PL.domain_caps(
+        docs.withColumn("url", url), "url", cap=3, priority_col="n_chars"
+    )
+    kept = PL.stratified_sample(
+        capped, {"en": 1.0, "de": 0.5}, "lang", "doc_id", default=0.25
+    )
+    return kept.select(
+        "doc_id",
+        "domain",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def pipeline_trigram_lm(spark, sf_dir):
+    """Jelinek-Mercer interpolated TRIGRAM LM quality scores over
+    documents (pipeline.trigram_logprob_score): the top of the
+    CCNet-style perplexity ladder — P(w3|w1 w2) = 0.7*MLE3 + 0.2*MLE2
+    + 0.1*unigram, all counts Zipf-bounded keyed tables, per-triple
+    micro-nat flooring before the exact BIGINT per-doc sum."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.trigram_logprob_score(_docs(spark, sf_dir))
+
+
 def trade_graph_communities(spark, sf_dir):
     """Fixed-3-iteration synchronous label propagation
     (relational.label_propagation) over the bipartite customer-
