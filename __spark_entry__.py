@@ -43,29 +43,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries only.  Round-14 rotation (policy + log in SURVEY.md 2E)
-    # is applied by the _R14_WINDOW reorder at the end of this
-    # function: (a) 9 r14 NEW queries (NB quality classifier,
-    # ExactSubstr longest-run scrub, winnowing fingerprints, Dirichlet
-    # query likelihood, Holt smoothing, multi-touch attribution,
-    # sliding-window streaming agg, RAKE keyphrases, lead-lag CCF);
-    # (b) 16 r14 CHANGED — skyline
-    # (int64 criteria + anti-correlated valve), basket rules (decimal
-    # lift), Benford + ACF (zero-denominator filters),
-    # span_dedup_multilevel (shared _grams refactor), image_resize_jpeg
-    # (LUT entropy decoder), and the 10 queries whose r-string oracles
-    # carried the broken '\\s+' regex (repetition, token_freq, chunks,
-    # pack_contexts, weighted_sample, token_budget, tfidf, bm25, cms,
-    # inverted_index — r13 ADVICE #1); (c) the 23 entries the r13
-    # window displaced past position 50 (image_resize_png, ahash
-    # pair/dedup, burst components, upsert_delete, cdc_apply,
-    # components, q19, editdist, quality_tiers, props_stats, curate,
-    # stream hourly/sessionize/dedup, the 8-query stable regrid
-    # family); (d) 2 cyclers from the STALEST tail stratum
-    # (simhash_pairs, regrid_conservative — the other stale cyclers
-    # yielded their slots to the second-half new queries and head the
-    # stale stratum for r15).  The dict literal below keeps its
-    # historical r13 grouping; the reorder — not the literal — is the
+    # entries only.  Round-15 rotation (policy + log in SURVEY.md 2E)
+    # is applied by the _R15_WINDOW reorder at the end of this
+    # function: (a) 3 r15 NEW queries (progressive-JPEG resize carrier,
+    # trigram interpolated LM, URL-domain caps + stratified sampling);
+    # (b) 2 r15 CHANGED — multimodal_image_resize_jpeg (decode_jpeg
+    # restructure: SOF1/SOF2 acceptance, bounded LUT cache, fill-byte
+    # destuffing) and documents_query_likelihood (T·(max_dl+mu) wrap
+    # gate); (c) the 8 remaining r14-new single-greens (second green:
+    # nb_quality, exactsubstr, winnowing, holt, attribution,
+    # stream_sliding, rake, ccf); (d) the 17-query r13-new single-green
+    # block that headed the tail line (rp family, record_linkage,
+    # seasonal decompose/anomalies, cusum batch+stream, proximity,
+    # gapfill, feature_hash, sequential, theilsen, ppr, robust_stats,
+    # video_avi); (e) the 7 stale cyclers the r14 log promised slots
+    # (conservative_clip/_4d, dataset_multivar, stream_regrid,
+    # sketch_accuracy, q8, q9); (f) 13 from the next tail stratum (the
+    # r12 singles: unigram_tok, audio_wav, shortest_paths, mixture,
+    # hybrid_rrf, ks/w1 drift, hits, sq8 top3+recall, char_entropy,
+    # textrank, containment).  The dict literal below keeps its
+    # historical grouping; the reorder — not the literal — is the
     # window of record.
     # Prior-round rationale (r12):
     # IN-WINDOW = (a) 23 r12 NEW queries (unigram tok/encode, WAV
@@ -339,72 +336,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": Q.tpch_q8_market_share,
         "tpch_q9_product_type": Q.tpch_q9_product_type,
     }
-    out = {k: base[k] for k in _R14_WINDOW}
+    out = {k: base[k] for k in _R15_WINDOW}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
 
 
-#: the 50 driver-checked entries for round 14 — see the rotation
+#: the 50 driver-checked entries for round 15 — see the rotation
 #: rationale at the top of queries().  Everything not listed keeps its
 #: dict-literal order behind these (freshest evidence first, so the
-#: r13/r12 blocks that just rotated out sit at the tail head).
-_R14_WINDOW = [
-    # (a) r14 new
+#: r14/r13 blocks that just rotated out sit at the tail head).
+_R15_WINDOW = [
+    # (a) r15 new
+    "multimodal_image_resize_jpeg_progressive",
+    "pipeline_trigram_lm",
+    "pipeline_domain_caps",
+    # (b) r15 changed — engine or oracle
+    "multimodal_image_resize_jpeg",
+    "documents_query_likelihood",
+    # (c) the 8 remaining r14-new single-greens (second green)
     "pipeline_nb_quality",
     "pipeline_exactsubstr",
     "documents_winnowing",
-    "documents_query_likelihood",
     "orders_holt_forecast",
     "events_attribution",
     "stream_sliding",
     "documents_rake",
     "events_ccf",
-    # (b) r14 changed — engine or oracle
-    "parts_skyline",
-    "parts_basket_rules",
-    "orders_benford",
-    "events_acf",
-    "pipeline_span_dedup_multilevel",
-    "multimodal_image_resize_jpeg",
-    "pipeline_repetition",
-    "pipeline_token_freq",
-    "pipeline_chunks",
-    "pipeline_pack_contexts",
-    "pipeline_weighted_sample",
-    "pipeline_token_budget",
-    "documents_tfidf_terms",
-    "documents_bm25",
-    "documents_cms_frequency",
-    "documents_inverted_index",
-    # (c) the 23 entries displaced past position 50 by the r13 window
-    "multimodal_image_resize_png",
-    "multimodal_ahash_pairs",
-    "multimodal_ahash_dedup",
-    "orders_burst_components",
-    "customers_upsert_delete",
-    "stream_cdc_apply",
-    "trade_graph_components",
-    "tpch_q19_disjunctive",
-    "pipeline_editdist_dedup",
-    "documents_quality_tiers",
-    "events_props_stats",
-    "pipeline_curate",
-    "stream_hourly",
-    "stream_sessionize",
-    "stream_dedup",
-    "regrid_bilinear_periodic",
-    "regrid_bilinear_noperiodic",
-    "regrid_patch",
-    "regrid_nearest_s2d",
-    "regrid_nearest_d2s",
-    "regrid_bilinear_locstream",
-    "regrid_bilinear_curvilinear",
-    "regrid_patch_curvilinear",
-    # (d) 2 cyclers from the stalest tail stratum (the other slots
-    # yielded to the second-half r14 new queries; stream_regrid, q8/q9
-    # and sketch_accuracy head the stale stratum for r15)
-    "pipeline_simhash_pairs",
-    "regrid_conservative",
+    # (d) the r13-new single-green block that headed the tail line
+    "ann_rp_project",
+    "ann_rp_top3",
+    "ann_rp_recall",
+    "ann_rp_distortion",
+    "customers_record_linkage",
+    "orders_seasonal_decompose",
+    "events_cusum_changepoint",
+    "stream_cusum",
+    "documents_proximity",
+    "orders_seasonal_anomalies",
+    "orders_gapfill_interpolate",
+    "documents_feature_hash",
+    "events_sequential_patterns",
+    "events_theilsen",
+    "nations_trade_ppr",
+    "events_robust_stats",
+    "multimodal_video_avi",
+    # (e) the stale cyclers the r14 rotation promised slots
+    "regrid_conservative_clip",
+    "regrid_conservative_4d",
+    "regrid_dataset_multivar",
+    "stream_regrid",
+    "events_sketch_accuracy",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type",
+    # (f) the next tail stratum (r12 singles) fills the window
+    "pipeline_unigram_tok",
+    "multimodal_audio_wav",
+    "trade_graph_shortest_paths",
+    "pipeline_mixture_sample",
+    "documents_hybrid_rrf",
+    "orders_ks_drift",
+    "orders_w1_drift",
+    "nations_trade_hits",
+    "ann_sq8_top3",
+    "documents_char_entropy",
+    "documents_textrank",
+    "pipeline_containment",
+    "ann_sq8_recall",
 ]
 
 
