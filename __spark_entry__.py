@@ -45,8 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-15 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R15_WINDOW reorder at the end of this
-    # function: (a) 3 r15 NEW queries (progressive-JPEG resize carrier,
-    # trigram interpolated LM, URL-domain caps + stratified sampling);
+    # function: (a) 5 r15 NEW queries (progressive-JPEG resize carrier,
+    # trigram interpolated LM, URL-domain caps + stratified sampling,
+    # Kneser-Ney bigram LM, recency-weighted age sampling);
     # (b) 2 r15 CHANGED — multimodal_image_resize_jpeg (decode_jpeg
     # restructure: SOF1/SOF2 acceptance, bounded LUT cache, fill-byte
     # destuffing) and documents_query_likelihood (T·(max_dl+mu) wrap
@@ -58,10 +59,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill, feature_hash, sequential, theilsen, ppr, robust_stats,
     # video_avi); (e) the 7 stale cyclers the r14 log promised slots
     # (conservative_clip/_4d, dataset_multivar, stream_regrid,
-    # sketch_accuracy, q8, q9); (f) 13 from the next tail stratum (the
+    # sketch_accuracy, q8, q9); (f) 11 from the next tail stratum (the
     # r12 singles: unigram_tok, audio_wav, shortest_paths, mixture,
-    # hybrid_rrf, ks/w1 drift, hits, sq8 top3+recall, char_entropy,
-    # textrank, containment).  The dict literal below keeps its
+    # hybrid_rrf, ks/w1 drift, hits, sq8_top3, char_entropy, textrank —
+    # pipeline_containment and ann_sq8_recall yielded their slots to
+    # the late-r15 new queries and head the line for r16 with
+    # same-round full-surface evidence).  The dict literal below keeps its
     # historical grouping; the reorder — not the literal — is the
     # window of record.
     # Prior-round rationale (r12):
@@ -248,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_bigram_lm": Q.pipeline_bigram_lm,
         "pipeline_trigram_lm": Q.pipeline_trigram_lm,
         "pipeline_domain_caps": Q.pipeline_domain_caps,
+        "pipeline_kneser_ney_lm": Q.pipeline_kneser_ney_lm,
+        "pipeline_recency_sample": Q.pipeline_recency_sample,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "documents_pmi_collocations": Q.documents_pmi_collocations,
         "parts_copurchase_clustering": Q.parts_copurchase_clustering,
@@ -350,6 +355,8 @@ _R15_WINDOW = [
     "multimodal_image_resize_jpeg_progressive",
     "pipeline_trigram_lm",
     "pipeline_domain_caps",
+    "pipeline_kneser_ney_lm",
+    "pipeline_recency_sample",
     # (b) r15 changed — engine or oracle
     "multimodal_image_resize_jpeg",
     "documents_query_likelihood",
@@ -400,8 +407,6 @@ _R15_WINDOW = [
     "ann_sq8_top3",
     "documents_char_entropy",
     "documents_textrank",
-    "pipeline_containment",
-    "ann_sq8_recall",
 ]
 
 
@@ -822,6 +827,24 @@ GROUP BY fr.doc_id, d.text, f
         "pipeline_bigram_lm": PO.bigram_logprob_sql(),
         "pipeline_trigram_lm": PO.trigram_logprob_sql(),
         "pipeline_domain_caps": PO.domain_caps_sql(),
+        "pipeline_kneser_ney_lm": PO.kneser_ney_sql(),
+        "pipeline_recency_sample": r"""
+-- recency-weighted keep: exp(-age/365) decay floored to micro-units
+-- (one exact-BIGINT/constant division into EXP, IEEE-deterministic),
+-- md5-uniform threshold replayed verbatim
+WITH q AS (
+  SELECT doc_id, lang,
+         (doc_id * 7919) % 730 AS age_days,
+         CAST(FLOOR(1000000 * EXP(-(CAST((doc_id * 7919) % 730 AS DOUBLE)
+                                    / 365.0))) AS BIGINT) AS weight_micro,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS u
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(age_days AS BIGINT) AS age_days, weight_micro, lang
+FROM q WHERE u < weight_micro
+""",
         "trade_graph_communities": PO.lpa_communities_sql(),
         "trade_graph_components": PO.trade_components_sql(),
         "orders_burst_components": PO.burst_components_sql(),

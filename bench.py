@@ -626,10 +626,13 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "stream_sliding",
         "documents_rake",
         "events_ccf",
-        # r15: progressive JPEG carrier, trigram LM, domain caps
+        # r15: progressive JPEG carrier, trigram LM, domain caps,
+        # Kneser-Ney LM, recency-weighted sampling
         "multimodal_image_resize_jpeg_progressive",
         "pipeline_trigram_lm",
         "pipeline_domain_caps",
+        "pipeline_kneser_ney_lm",
+        "pipeline_recency_sample",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -106,6 +106,11 @@ ALLOW = {
     # same 1-row token-total scalar cross, bigram order (the unigram
     # mixture term's normalization constant)
     "pipeline_bigram_lm": {"BroadcastNestedLoopJoin"},
+    # same 1-row token-total scalar cross, trigram order
+    "pipeline_trigram_lm": {"BroadcastNestedLoopJoin"},
+    # the 1-row bigram-TYPE total (KN's continuation normalizer T)
+    # crossed onto the scoring rows
+    "pipeline_kneser_ney_lm": {"BroadcastNestedLoopJoin"},
     # the two 1-row corpus totals (N1 tokens, N2 bigrams) crossed onto
     # the bigram-type table — the PMI normalization constants
     "documents_pmi_collocations": {"BroadcastNestedLoopJoin"},

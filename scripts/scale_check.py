@@ -1124,6 +1124,11 @@ def main() -> None:
         # r15: domain caps — pure projection + salted two-stage top-k
         # window + zero-shuffle stratified filter; linear in docs
         ("pipeline_domain_caps", lambda d, s: Q.pipeline_domain_caps(spark, d)),
+        # r15: Kneser-Ney — ONE persisted bigram-type shuffle + three
+        # aggregates OF the type table + keyed scoring joins
+        ("pipeline_kneser_ney_lm", lambda d, s: Q.pipeline_kneser_ney_lm(spark, d)),
+        # r15: recency sampling — pure projection + filter, zero shuffle
+        ("pipeline_recency_sample", lambda d, s: Q.pipeline_recency_sample(spark, d)),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -1350,6 +1355,15 @@ def main() -> None:
             "top-cap window (each salt partition's output bounded at "
             "cap — no hot mega-domain partition) + zero-shuffle md5 "
             "stratified filter; linear in docs"
+        ),
+        "pipeline_kneser_ney_lm": (
+            "one persisted Zipf-bounded bigram-type shuffle + three "
+            "aggregates OF the type table + three keyed scoring joins "
+            "— linear in corpus tokens"
+        ),
+        "pipeline_recency_sample": (
+            "pure projection + md5-threshold filter — zero shuffle, "
+            "linear scan"
         ),
     }
     # streaming operators are deliberately ABSENT from this ledger:

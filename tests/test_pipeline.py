@@ -1534,6 +1534,80 @@ def test_bigram_logprob_matches_brute_force(spark):
     assert 4 not in got  # <2 tokens -> absent by contract
 
 
+def test_kneser_ney_matches_brute_force(spark):
+    """kneser_ney_logprob_score against a local float replay: term1 =
+    (c2-0.75)/c1, term2 = ((0.75*n1f)/c1)*(n1b/T) with continuation
+    counts from the bigram TYPE table, identical association, per-pair
+    micro-nat floors; <2-token docs absent; every scored bigram is
+    observed so c2-0.75 > 0 always."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "d d d"),
+        (4, "solo"),
+        (5, "b a"),
+    ]
+    toks = {d: t.split(" ") for d, t in docs}
+    bigs = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    c2 = Counter(bg for bl in bigs.values() for bg in bl)
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    tt = len(c2)
+    want = {}
+    for d, bl in bigs.items():
+        if not bl:
+            continue
+        lps = [
+            math.floor(
+                1_000_000
+                * math.log(
+                    (c2[bg] - 0.75) / c1[bg[0]]
+                    + ((0.75 * n1f[bg[0]]) / c1[bg[0]]) * (n1b[bg[1]] / tt)
+                )
+            )
+            for bg in bl
+        ]
+        want[d] = (len(lps), sum(lps))
+    out = PL.kneser_ney_logprob_score(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_lp_micro"]) for r in out.collect()
+    }
+    assert got == want
+    assert 4 not in got
+
+
+def test_recency_weighted_sample_decay_and_clock_skew(spark):
+    """recency_weighted_sample: weight = floor(1e6*exp(-age/tau));
+    age 0 weight is 1e6 (md5-uniform < 1e6 always -> kept); negative
+    ages (clock skew) weight > 1e6 and are ALWAYS kept; a huge age
+    weights ~0 and is dropped regardless of hash."""
+    import math
+
+    rows = [(i, f"doc {i} text", [0, 0, -30, 365, 100000][i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, age_days long")
+    out = {r.doc_id: r.qm_micro for r in
+           PL.recency_weighted_sample(df, "age_days", tau_days=365).collect()}
+    assert 2 in out and out[2] > 1_000_000  # future-dated: always kept
+    assert 4 not in out  # ancient: weight 0, dropped
+    for d, age in ((0, 0), (1, 0), (2, -30), (3, 365)):
+        if d in out:
+            assert out[d] == math.floor(1e6 * math.exp(-age / 365.0))
+    # age 0 -> weight exactly 1e6 -> always kept (uniform < 1e6)
+    assert 0 in out and 1 in out and out[0] == 1_000_000
+    with __import__("pytest").raises(ValueError, match="tau_days"):
+        PL.recency_weighted_sample(df, "age_days", tau_days=0)
+
+
 def test_domain_caps_normalization_and_cap(spark):
     """normalized_domain handles scheme case, userinfo, ports,
     trailing dots, www, and path/query/fragment tails; domain_caps

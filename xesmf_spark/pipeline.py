@@ -2087,6 +2087,37 @@ def weighted_sample(
     )
 
 
+def recency_weighted_sample(
+    df: DataFrame,
+    age_col: str = "age_days",
+    tau_days: int = 365,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DOCUMENT-AGE curation: keep each document with probability
+    exp(−age/τ) — the recency-weighted sampling a freshness-sensitive
+    corpus runs next to per-domain caps (old crawl snapshots decay
+    smoothly instead of a hard date cutoff; τ is the half-life knob,
+    ~0.69·τ days to 50% keep rate).
+
+    EXACT cross-engine arithmetic: the weight is
+    ``FLOOR(1e6 · EXP(−(CAST(age AS DOUBLE) / τ)))`` — one division of
+    an exact BIGINT by an exact integer constant (IEEE-deterministic),
+    one libm EXP per distinct age, floored to integer micro-units —
+    then the :func:`weighted_sample` md5-threshold keep (deterministic,
+    reshuffle-stable, no float RNG).  Negative ages (future-dated
+    docs) weight > 1e6 and are always kept — the documented clock-skew
+    convention.  Pure projection + filter: zero shuffle at any
+    scale."""
+    if tau_days < 1:
+        raise ValueError(f"tau_days must be >= 1, got {tau_days}")
+    w = F.floor(
+        F.lit(1_000_000)
+        * F.exp(-(F.col(age_col).cast("double") / F.lit(float(tau_days))))
+    ).cast("long")
+    return weighted_sample(df, id_col=id_col, text_col=text_col, weight_micro=w)
+
+
 def mixture_sample(
     df: DataFrame,
     total: int,
@@ -2862,6 +2893,98 @@ def bigram_logprob_score(
         .select(
             F.col(id_col),
             F.floor(F.lit(micro) * F.log(p)).cast("long").alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_logprob",
+            F.col("sum_lp_micro").cast("double")
+            / (F.lit(float(micro)) * F.col("n_bigrams").cast("double")),
+        )
+    )
+
+
+def kneser_ney_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated KNESER-NEY bigram language-model quality score —
+    the state-of-the-art n-gram smoother (Kneser & Ney 1995; Chen &
+    Goodman 1998 showed it dominates every other classical smoothing),
+    completing the LM ladder above the Jelinek-Mercer bigram/trigram
+    scorers:
+
+        P(w2 | w1) = (c(w1 w2) − D) / c(w1 ·)
+                   + (D · N1+(w1 ·) / c(w1 ·)) · (N1+(· w2) / T)
+
+    with discount D = 0.75 (EXACTLY 3/4 — an exact binary double, so
+    the subtraction and multiply are IEEE-deterministic), N1+(w1 ·)
+    the number of distinct continuations of w1, N1+(· w2) the number
+    of distinct LEFT contexts of w2 (the continuation probability —
+    KN's insight: how many contexts a word completes, not how often it
+    occurs), and T the total number of distinct bigram types.  Scoring
+    a corpus against its own model means every scored bigram is
+    observed, so c ≥ 1 ⇒ c − D ≥ 0.25 > 0 and the max(·, 0) of the
+    general form never binds (documented contract).
+
+    EXACT cross-engine arithmetic: every count is an exact BIGINT;
+    term1 = (CAST(c2) − 0.75)/c1 and
+    term2 = ((0.75·n1f)/c1)·(n1b/T) are evaluated with IDENTICAL
+    association on both engines; per-pair log-probs floor to integer
+    micro-nats before the order-independent per-doc BIGINT sum.
+
+    Docs with < 2 tokens have no bigrams and are absent (same contract
+    as the other LM scorers).
+
+    Scale shape: ONE Zipf-bounded bigram-type count shuffle, persisted
+    for its four consumers (scoring join, context aggregate,
+    continuation aggregate, type total); c1/N1+ aggregates are keyed
+    groupBys OF the type table (far smaller than the corpus); scoring
+    = three keyed joins + the 1-row T broadcast + one per-doc agg."""
+    from xesmf_spark.apply import _PERSISTED
+
+    t = tokens(F.col(text_col))
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = df.select(F.col(id_col), F.explode(pairs_arr).alias("bg")).select(
+        F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    _PERSISTED.append(c2)
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    n1b = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).alias("tt"))
+    term1 = (F.col("c2").cast("double") - F.lit(0.75)) / F.col("c1").cast(
+        "double"
+    )
+    term2 = (
+        (F.lit(0.75) * F.col("n1f").cast("double")) / F.col("c1").cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("tt").cast("double"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .join(n1b, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col(id_col),
+            F.floor(F.lit(micro) * F.log(term1 + term2))
+            .cast("long")
+            .alias("lp_micro"),
         )
     )
     return (

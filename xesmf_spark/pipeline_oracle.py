@@ -2259,6 +2259,57 @@ WHERE domain_rank <= {cap}
 """
 
 
+def kneser_ney_sql(micro: int = 1_000_000) -> str:
+    """Mirrors pipeline.kneser_ney_logprob_score: interpolated KN
+    bigram with D = 0.75 (exact binary), continuation counts from the
+    bigram TYPE table, term association pinned to the engine's —
+    (c2−0.75)/c1 + ((0.75·n1f)/c1)·(n1b/T) — with per-pair micro-nat
+    floors before the exact BIGINT per-doc sum.  bg/c2/tt are
+    MATERIALIZED (the trigram lesson: un-materialized multi-consumer
+    CTEs send DuckDB's join-order enumeration off a cliff)."""
+    return f"""
+WITH
+{_docs_cte(False)},
+{NORM_CTE},
+bg AS MATERIALIZED (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 1),
+                  i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS u
+    FROM toks WHERE len(t) >= 2
+  )
+),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY w1
+),
+n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
+tt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM c2),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR({micro} * LN(
+           (CAST(c2.c2 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE)
+           + ((0.75 * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
+             * (CAST(n1b.n1b AS DOUBLE) / CAST(tt.tt AS DOUBLE))
+         )) AS BIGINT) AS lp_micro
+  FROM bg
+  JOIN c2 USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN n1b USING (w2), tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+       CAST(SUM(lp_micro) AS DOUBLE) / (CAST({micro} AS DOUBLE) * COUNT(*)) AS avg_logprob
+FROM lp
+GROUP BY doc_id
+"""
+
+
 def trigram_logprob_sql(micro: int = 1_000_000) -> str:
     """Mirrors pipeline.trigram_logprob_score: Jelinek-Mercer
     interpolated trigram P(w3|w1 w2) = 0.7*c3/c12 + 0.2*c2/c1 +

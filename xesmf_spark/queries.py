@@ -5360,6 +5360,38 @@ def pipeline_bigram_lm(spark, sf_dir):
     return PL.bigram_logprob_score(_docs(spark, sf_dir))
 
 
+def pipeline_recency_sample(spark, sf_dir):
+    """Document-AGE curation (pipeline.recency_weighted_sample): a
+    deterministic crawl age (doc_id·7919 mod 730 days — two snapshot
+    years) decays each doc's keep probability as exp(−age/365), then
+    the md5-threshold weighted keep.  Together with
+    pipeline_domain_caps this covers both axes of the r14 verdict's
+    'document-age/URL-domain curation primitives'."""
+    from xesmf_spark import pipeline as PL
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "age_days", (F.col("doc_id") * 7919) % 730
+    )
+    out = PL.recency_weighted_sample(docs, "age_days", tau_days=365)
+    return out.select(
+        "doc_id",
+        F.col("age_days").cast("long").alias("age_days"),
+        F.col("qm_micro").cast("long").alias("weight_micro"),
+        "lang",
+    )
+
+
+def pipeline_kneser_ney_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM quality scores over documents
+    (pipeline.kneser_ney_logprob_score): the state-of-the-art n-gram
+    smoother atop the LM ladder — D = 0.75 (exact binary) absolute
+    discounting with continuation-count backoff, every term an exact
+    BIGINT division, per-pair micro-nat floors."""
+    from xesmf_spark import pipeline as PL
+
+    return PL.kneser_ney_logprob_score(_docs(spark, sf_dir))
+
+
 def pipeline_domain_caps(spark, sf_dir):
     """URL-domain curation composed with stratified sampling — the
     crawl-corpus balancing pass (C4/RefinedWeb-style): deterministic
