@@ -45,9 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-15 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R15_WINDOW reorder at the end of this
-    # function: (a) 5 r15 NEW queries (progressive-JPEG resize carrier,
+    # function: (a) 6 r15 NEW queries (progressive-JPEG resize carrier,
     # trigram interpolated LM, URL-domain caps + stratified sampling,
-    # Kneser-Ney bigram LM, recency-weighted age sampling);
+    # Kneser-Ney bigram LM, recency-weighted age sampling, Gopher
+    # duplicate-line repetition stats);
     # (b) 2 r15 CHANGED — multimodal_image_resize_jpeg (decode_jpeg
     # restructure: SOF1/SOF2 acceptance, bounded LUT cache, fill-byte
     # destuffing) and documents_query_likelihood (T·(max_dl+mu) wrap
@@ -59,12 +60,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill, feature_hash, sequential, theilsen, ppr, robust_stats,
     # video_avi); (e) the 7 stale cyclers the r14 log promised slots
     # (conservative_clip/_4d, dataset_multivar, stream_regrid,
-    # sketch_accuracy, q8, q9); (f) 11 from the next tail stratum (the
+    # sketch_accuracy, q8, q9); (f) 10 from the next tail stratum (the
     # r12 singles: unigram_tok, audio_wav, shortest_paths, mixture,
-    # hybrid_rrf, ks/w1 drift, hits, sq8_top3, char_entropy, textrank —
-    # pipeline_containment and ann_sq8_recall yielded their slots to
-    # the late-r15 new queries and head the line for r16 with
-    # same-round full-surface evidence).  The dict literal below keeps its
+    # hybrid_rrf, ks/w1 drift, hits, sq8_top3, char_entropy —
+    # pipeline_containment, ann_sq8_recall and documents_textrank
+    # yielded their slots to the late-r15 new queries and head the
+    # line for r16 with same-round full-surface evidence).  The dict
+    # literal below keeps its
     # historical grouping; the reorder — not the literal — is the
     # window of record.
     # Prior-round rationale (r12):
@@ -253,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_domain_caps": Q.pipeline_domain_caps,
         "pipeline_kneser_ney_lm": Q.pipeline_kneser_ney_lm,
         "pipeline_recency_sample": Q.pipeline_recency_sample,
+        "documents_dup_lines": Q.documents_dup_lines,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "documents_pmi_collocations": Q.documents_pmi_collocations,
         "parts_copurchase_clustering": Q.parts_copurchase_clustering,
@@ -357,6 +360,7 @@ _R15_WINDOW = [
     "pipeline_domain_caps",
     "pipeline_kneser_ney_lm",
     "pipeline_recency_sample",
+    "documents_dup_lines",
     # (b) r15 changed — engine or oracle
     "multimodal_image_resize_jpeg",
     "documents_query_likelihood",
@@ -406,7 +410,6 @@ _R15_WINDOW = [
     "nations_trade_hits",
     "ann_sq8_top3",
     "documents_char_entropy",
-    "documents_textrank",
 ]
 
 
@@ -828,6 +831,51 @@ GROUP BY fr.doc_id, d.text, f
         "pipeline_trigram_lm": PO.trigram_logprob_sql(),
         "pipeline_domain_caps": PO.domain_caps_sql(),
         "pipeline_kneser_ney_lm": PO.kneser_ney_sql(),
+        "documents_dup_lines": r"""
+-- Gopher duplicate-line stats over the same deterministic 3/4-line
+-- relayout (line3 repeats line1 for doc_id%3==0, doc_id%5==0 appends
+-- a second line1); per-line occurrence counts via list functions,
+-- exact integer milli divisions
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+laid AS (
+  SELECT doc_id,
+         array_to_string(t[1:6], ' ') AS l1,
+         array_to_string(t[7:12], ' ') AS l2,
+         CASE WHEN doc_id % 3 = 0 THEN array_to_string(t[1:6], ' ')
+              ELSE array_to_string(t[13:18], ' ') END AS l3
+  FROM toks
+),
+lined AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           CASE WHEN doc_id % 5 = 0 THEN [l1, l2, l3, l1]
+                ELSE [l1, l2, l3] END,
+           x -> trim(x)), x -> x <> '') AS lines
+  FROM laid
+),
+st AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(list_sum(list_transform(lines, x -> len(x))) AS BIGINT)
+           AS n_line_chars,
+         CAST(len(list_distinct(lines)) AS BIGINT) AS nd,
+         CAST(COALESCE(list_sum(list_transform(list_distinct(lines),
+              x -> (len(list_filter(lines, y -> y = x)) - 1) * len(x))), 0)
+           AS BIGINT) AS xc
+  FROM lined
+  WHERE len(lines) > 0
+)
+SELECT doc_id, n_lines, n_line_chars,
+       CAST(1000 * (n_lines - nd) // n_lines AS BIGINT)
+         AS dup_line_frac_milli,
+       CAST(1000 * xc // n_line_chars AS BIGINT)
+         AS dup_line_char_frac_milli
+FROM st
+""",
         "pipeline_recency_sample": r"""
 -- recency-weighted keep: exp(-age/365) decay floored to micro-units
 -- (one exact-BIGINT/constant division into EXP, IEEE-deterministic),

@@ -633,6 +633,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_domain_caps",
         "pipeline_kneser_ney_lm",
         "pipeline_recency_sample",
+        "documents_dup_lines",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

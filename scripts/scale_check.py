@@ -1129,6 +1129,9 @@ def main() -> None:
         ("pipeline_kneser_ney_lm", lambda d, s: Q.pipeline_kneser_ney_lm(spark, d)),
         # r15: recency sampling — pure projection + filter, zero shuffle
         ("pipeline_recency_sample", lambda d, s: Q.pipeline_recency_sample(spark, d)),
+        # r15: Gopher dup-line stats — per-row higher-order array ops,
+        # zero shuffle
+        ("documents_dup_lines", lambda d, s: Q.documents_dup_lines(spark, d)),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -1364,6 +1367,11 @@ def main() -> None:
         "pipeline_recency_sample": (
             "pure projection + md5-threshold filter — zero shuffle, "
             "linear scan"
+        ),
+        "documents_dup_lines": (
+            "per-row higher-order array ops (split/trim/distinct/"
+            "occurrence counts) — zero shuffle, linear scan; per-doc "
+            "cost O(lines · distinct), the repetition_stats trade"
         ),
     }
     # streaming operators are deliberately ABSENT from this ledger:

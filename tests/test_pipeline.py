@@ -1534,6 +1534,32 @@ def test_bigram_logprob_matches_brute_force(spark):
     assert 4 not in got  # <2 tokens -> absent by contract
 
 
+def test_line_repetition_stats_hand_computed(spark):
+    """line_repetition_stats on a hand-built fixture: dup fractions in
+    exact integer millis, whitespace-only lines dropped, zero-line
+    docs absent, char numerator charges every occurrence beyond the
+    first."""
+    docs = [
+        (1, "nav bar\nbody text here\nnav bar\nfooter"),  # 1 dup of 7 chars
+        (2, "a\n  \nb\n\nc"),  # blanks dropped -> 3 distinct
+        (3, "x\nx\nx"),  # 2 excess copies of 1 char
+        (4, "   \n\n"),  # zero non-empty lines -> absent
+        (5, "only one line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in PL.line_repetition_stats(df).collect()}
+    assert 4 not in out
+    r1 = out[1]
+    assert (r1.n_lines, r1.n_line_chars) == (4, 34)  # 7+14+7+6
+    assert r1.dup_line_frac_milli == 1000 * 1 // 4
+    assert r1.dup_line_char_frac_milli == 1000 * 7 // 34
+    assert out[2].dup_line_frac_milli == 0 and out[2].n_lines == 3
+    r3 = out[3]
+    assert (r3.n_lines, r3.dup_line_frac_milli) == (3, 1000 * 2 // 3)
+    assert r3.dup_line_char_frac_milli == 1000 * 2 // 3
+    assert out[5].n_lines == 1 and out[5].dup_line_frac_milli == 0
+
+
 def test_kneser_ney_matches_brute_force(spark):
     """kneser_ney_logprob_score against a local float replay: term1 =
     (c2-0.75)/c1, term2 = ((0.75*n1f)/c1)*(n1b/T) with continuation

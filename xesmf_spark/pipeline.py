@@ -3001,6 +3001,78 @@ def kneser_ney_logprob_score(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style duplicate-LINE repetition signals (Rae et al. 2021,
+    appendix A1 — the structural half of the repetition rule set that
+    :func:`repetition_stats`'s token/bigram fractions miss; boilerplate
+    nav bars, cookie banners and scraped menus repeat whole LINES):
+
+        dup_line_frac_milli      = 1000·(n_lines − n_distinct) div n_lines
+        dup_line_char_frac_milli = 1000·Σ_l (c_l − 1)·len(l) div Σ chars
+
+    where c_l counts occurrences of each distinct non-empty trimmed
+    line and the char numerator charges every occurrence BEYOND the
+    first (identical lines have identical lengths, so "which copy is
+    the original" cannot matter).  Exact integer milli divisions —
+    bit-identical on both engines.
+
+    Pure projection — line splitting, trimming, distinct-counting and
+    the char sums all run INSIDE the row via higher-order array
+    functions; no explode, no shuffle, embarrassingly parallel (the
+    same trade as repetition_stats).  Docs with zero non-empty lines
+    are absent from the output (documented contract)."""
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), lines.alias("lines")).withColumn(
+        "n_lines", F.size("lines").cast("long")
+    )
+    base = base.filter(F.col("n_lines") > 0)
+    n_chars = F.aggregate(
+        F.col("lines"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+    n_distinct = F.size(F.array_distinct(F.col("lines"))).cast("long")
+    excess_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(F.col("lines")),
+            lambda x: (
+                F.size(F.filter(F.col("lines"), lambda y: y == x)).cast("long")
+                - F.lit(1)
+            )
+            * F.length(x).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    staged = base.select(
+        F.col(id_col),
+        "n_lines",
+        n_chars.alias("n_line_chars"),
+        n_distinct.alias("__nd"),
+        excess_chars.alias("__xc"),
+    )
+    return staged.select(
+        F.col(id_col),
+        "n_lines",
+        "n_line_chars",
+        F.expr("1000 * (n_lines - __nd) div n_lines")
+        .cast("long")
+        .alias("dup_line_frac_milli"),
+        F.expr("1000 * __xc div n_line_chars")
+        .cast("long")
+        .alias("dup_line_char_frac_milli"),
+    )
+
+
 def trigram_logprob_score(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -5360,6 +5360,35 @@ def pipeline_bigram_lm(spark, sf_dir):
     return PL.bigram_logprob_score(_docs(spark, sf_dir))
 
 
+def documents_dup_lines(spark, sf_dir):
+    """Gopher duplicate-line repetition signals
+    (pipeline.line_repetition_stats) over deterministically
+    multi-lined documents: each doc is re-laid as four lines built
+    from normalized-token slices — line1 = tokens 1-6, line2 = 7-12,
+    line3 repeats line1 for doc_id%3==0 (else tokens 13-18), and
+    doc_id%5==0 appends a second copy of line1 — so the planted
+    duplicate-line structure is exactly known to both engines.  The
+    operator itself is a pure higher-order-array projection (split,
+    trim, distinct, per-line occurrence counts) — no explode, no
+    shuffle."""
+    from xesmf_spark import pipeline as PL
+    from xesmf_spark.pipeline import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = tokens(F.col("text"))
+    l1 = F.concat_ws(" ", F.slice(t, 1, 6))
+    l2 = F.concat_ws(" ", F.slice(t, 7, 6))
+    l3 = F.when(F.col("doc_id") % 3 == 0, l1).otherwise(
+        F.concat_ws(" ", F.slice(t, 13, 6))
+    )
+    multi = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat_ws("\n", l1, l2, l3, l1),
+    ).otherwise(F.concat_ws("\n", l1, l2, l3))
+    staged = docs.select("doc_id", multi.alias("text"))
+    return PL.line_repetition_stats(staged)
+
+
 def pipeline_recency_sample(spark, sf_dir):
     """Document-AGE curation (pipeline.recency_weighted_sample): a
     deterministic crawl age (doc_id·7919 mod 730 days — two snapshot
