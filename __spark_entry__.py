@@ -45,10 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-15 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R15_WINDOW reorder at the end of this
-    # function: (a) 6 r15 NEW queries (progressive-JPEG resize carrier,
+    # function: (a) 7 r15 NEW queries (progressive-JPEG resize carrier,
     # trigram interpolated LM, URL-domain caps + stratified sampling,
     # Kneser-Ney bigram LM, recency-weighted age sampling, Gopher
-    # duplicate-line repetition stats);
+    # duplicate-line repetition stats, prefix-doubling suffix ranks);
     # (b) 2 r15 CHANGED — multimodal_image_resize_jpeg (decode_jpeg
     # restructure: SOF1/SOF2 acceptance, bounded LUT cache, fill-byte
     # destuffing) and documents_query_likelihood (T·(max_dl+mu) wrap
@@ -60,10 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill, feature_hash, sequential, theilsen, ppr, robust_stats,
     # video_avi); (e) the 7 stale cyclers the r14 log promised slots
     # (conservative_clip/_4d, dataset_multivar, stream_regrid,
-    # sketch_accuracy, q8, q9); (f) 10 from the next tail stratum (the
+    # sketch_accuracy, q8, q9); (f) 9 from the next tail stratum (the
     # r12 singles: unigram_tok, audio_wav, shortest_paths, mixture,
-    # hybrid_rrf, ks/w1 drift, hits, sq8_top3, char_entropy —
-    # pipeline_containment, ann_sq8_recall and documents_textrank
+    # hybrid_rrf, ks/w1 drift, hits, sq8_top3 — pipeline_containment,
+    # ann_sq8_recall, documents_textrank and documents_char_entropy
     # yielded their slots to the late-r15 new queries and head the
     # line for r16 with same-round full-surface evidence).  The dict
     # literal below keeps its
@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_kneser_ney_lm": Q.pipeline_kneser_ney_lm,
         "pipeline_recency_sample": Q.pipeline_recency_sample,
         "documents_dup_lines": Q.documents_dup_lines,
+        "documents_suffix_ranks": Q.documents_suffix_ranks,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "documents_pmi_collocations": Q.documents_pmi_collocations,
         "parts_copurchase_clustering": Q.parts_copurchase_clustering,
@@ -361,6 +362,7 @@ _R15_WINDOW = [
     "pipeline_kneser_ney_lm",
     "pipeline_recency_sample",
     "documents_dup_lines",
+    "documents_suffix_ranks",
     # (b) r15 changed — engine or oracle
     "multimodal_image_resize_jpeg",
     "documents_query_likelihood",
@@ -409,7 +411,6 @@ _R15_WINDOW = [
     "orders_w1_drift",
     "nations_trade_hits",
     "ann_sq8_top3",
-    "documents_char_entropy",
 ]
 
 
@@ -875,6 +876,25 @@ SELECT doc_id, n_lines, n_line_chars,
        CAST(1000 * xc // n_line_chars AS BIGINT)
          AS dup_line_char_frac_milli
 FROM st
+""",
+        "documents_suffix_ranks": r"""
+-- suffix ranks by direct lexicographic DENSE_RANK over the 16-char
+-- prefix of each suffix — the string-order ground truth the doubling
+-- rounds must reproduce (sentinel-padded block comparison == string
+-- comparison, the classical Manber-Myers argument)
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+  FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, unnest(range(0, len(ntext))) AS pos, ntext
+  FROM d WHERE len(ntext) > 0
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(DENSE_RANK() OVER
+            (ORDER BY substr(ntext, CAST(pos + 1 AS INTEGER), 16))
+         AS BIGINT) AS rank16
+FROM p
 """,
         "pipeline_recency_sample": r"""
 -- recency-weighted keep: exp(-age/365) decay floored to micro-units

@@ -634,6 +634,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_kneser_ney_lm",
         "pipeline_recency_sample",
         "documents_dup_lines",
+        "documents_suffix_ranks",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

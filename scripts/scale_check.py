@@ -1132,6 +1132,19 @@ def main() -> None:
         # r15: Gopher dup-line stats — per-row higher-order array ops,
         # zero shuffle
         ("documents_dup_lines", lambda d, s: Q.documents_dup_lines(spark, d)),
+        # r15: prefix-doubling suffix ranks over the WHOLE scaled
+        # corpus (the registered query caps at 60 docs) — log2(16)=4
+        # rounds of keyed join + two-phase distributed dense rank;
+        # expect ~linear in total chars
+        (
+            "relational_suffix_ranks",
+            lambda d, s: REL.suffix_ranks(
+                spark.read.parquet(f"{d}/documents.parquet").select(
+                    "doc_id", PIPE.normalize_text(F.col("text")).alias("text")
+                ),
+                k=16,
+            ),
+        ),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -1372,6 +1385,13 @@ def main() -> None:
             "per-row higher-order array ops (split/trim/distinct/"
             "occurrence counts) — zero shuffle, linear scan; per-doc "
             "cost O(lines · distinct), the repetition_stats trade"
+        ),
+        "relational_suffix_ranks": (
+            "4 doubling rounds x (one keyed equi-join + one two-phase "
+            "distributed dense rank: range repartition + per-partition "
+            "window + O(#partitions) offset broadcast) — linear in "
+            "total corpus chars per round, no global single-partition "
+            "sort anywhere"
         ),
     }
     # streaming operators are deliberately ABSENT from this ledger:

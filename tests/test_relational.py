@@ -1825,3 +1825,51 @@ def test_attribution_zero_value_and_single_touch(spark):
     assert (s.credit_first_milli, s.credit_last_milli, s.credit_linear_milli) == (
         want, want, want
     )
+
+
+def test_dense_rank_distributed_matches_global(spark):
+    """dense_rank_distributed == the single-window global dense rank
+    on a multi-key fixture with heavy ties, independent of partition
+    count; empty cols rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from xesmf_spark.relational import dense_rank_distributed
+
+    random.seed(3)
+    rows = [(random.randint(0, 50), random.randint(0, 5)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    vals = sorted(set(rows))
+    want = {v: i + 1 for i, v in enumerate(vals)}
+    for parts in (1, 7):
+        out = dense_rank_distributed(df.repartition(parts), ["a", "b"], "rk")
+        assert all(want[(r.a, r.b)] == r.rk for r in out.collect())
+    with _pytest.raises(ValueError, match="cols"):
+        dense_rank_distributed(df, [])
+
+
+def test_suffix_ranks_matches_string_sort(spark):
+    """suffix_ranks (prefix doubling) == brute-force lexicographic
+    dense rank of the k-char suffix prefixes, across docs, including
+    short suffixes (matching shorter prefix sorts first) and repeated
+    substrings (banana's overlapping 'ana's); non-power-of-two k
+    rejected."""
+    import pytest as _pytest
+
+    from xesmf_spark.relational import suffix_ranks
+
+    docs = [(1, "banana"), (2, "bandana"), (3, "a"), (4, "nan"), (5, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (1, 4, 8):
+        got = {(r.id, r.pos): r.rank for r in suffix_ranks(df, k=k).collect()}
+        sufs = [
+            (t[p : p + k], d, p)
+            for d, t in docs
+            if t
+            for p in range(len(t))
+        ]
+        rk = {s: i + 1 for i, s in enumerate(sorted(set(s for s, *_ in sufs)))}
+        assert got == {(d, p): rk[s] for s, d, p in sufs}, k
+    with _pytest.raises(ValueError, match="power of two"):
+        suffix_ranks(df, k=6)

@@ -5360,6 +5360,33 @@ def pipeline_bigram_lm(spark, sf_dir):
     return PL.bigram_logprob_score(_docs(spark, sf_dir))
 
 
+def documents_suffix_ranks(spark, sf_dir):
+    """Corpus-wide suffix ranks by distributed prefix doubling
+    (relational.suffix_ranks — the Manber-Myers suffix-array step
+    under ExactSubstr dedup and BWT): every suffix of the first 60
+    documents' normalized text dense-ranked by its first 16
+    characters, log2(16) = 4 rounds of one keyed equi-join + one
+    TWO-PHASE distributed dense rank (relational.
+    dense_rank_distributed: range repartition + per-partition window +
+    O(#partitions) offset broadcast — NO single-partition global
+    window anywhere).  Oracle = DENSE_RANK over substr(ntext, pos+1,
+    16): string order and sentinel-padded block order agree, the
+    classical doubling correctness argument, here pinned by hash every
+    round."""
+    from xesmf_spark.pipeline import normalize_text
+    from xesmf_spark.relational import suffix_ranks
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", normalize_text(F.col("text")).alias("text"))
+    )
+    out = suffix_ranks(docs, "doc_id", "text", k=16)
+    return out.select(
+        F.col("id").alias("doc_id"), "pos", F.col("rank").alias("rank16")
+    )
+
+
 def documents_dup_lines(spark, sf_dir):
     """Gopher duplicate-line repetition signals
     (pipeline.line_repetition_stats) over deterministically

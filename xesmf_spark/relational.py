@@ -2322,3 +2322,116 @@ def pagerank_personalized(
     nodes.unpersist()
     base.unpersist(blocking=False)
     return ranks
+
+
+def dense_rank_distributed(
+    df: DataFrame, cols: list[str], out_col: str = "rank"
+) -> DataFrame:
+    """GLOBAL dense rank over ``cols`` WITHOUT a single-partition
+    window — the two-phase form that survives 100 TB where
+    ``Window.orderBy(...)`` (no partitionBy) would serialize the whole
+    relation through one task:
+
+    1. ``repartitionByRange(cols)`` — a distributed range-partitioned
+       shuffle; equal keys land in one partition, partitions are
+       sorted ranges.
+    2. a PER-PARTITION dense_rank (window partitioned by
+       ``spark_partition_id()`` — parallel, no global sort), plus a
+       tiny per-partition distinct-count table.
+    3. cumulative offsets over that partition-count table (one window
+       over O(#partitions) rows) broadcast-joined back:
+       global rank = local rank + offset.
+
+    The result is independent of WHERE the range boundaries fall (rank
+    is a pure function of the ordering), so partition count and
+    sampling cannot change values — which is what makes the op
+    oracle-checkable.  Ranks are 1-based and dense.  NULL ordering
+    follows Spark's default (NULLS FIRST ascending) — callers that
+    mirror a DuckDB oracle should avoid NULL keys."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    from xesmf_spark.apply import _PERSISTED
+
+    order = [F.col(c).asc() for c in cols]
+    d = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    # local is consumed TWICE (offset counts + the join-back); the
+    # persist is CORRECTNESS-load-bearing, not a cache: un-persisted,
+    # each consumer re-executes the lineage and repartitionByRange
+    # RE-SAMPLES its boundaries, so the two executions assign
+    # DIFFERENT __pid values and the offset join keys diverge
+    # (measured on the sf0.1 suffix corpus: 265k of 1.48M rows
+    # survive, silently).  It also removes the r11 iterative-op
+    # lineage doubling for callers like suffix_ranks.
+    local = d.withColumn("__lr", F.dense_rank().over(w)).persist()
+    _PERSISTED.append(local)
+    counts = local.groupBy("__pid").agg(F.max("__lr").alias("__n"))
+    woff = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lr") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
+def suffix_ranks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+) -> DataFrame:
+    """Corpus-wide SUFFIX RANKS by prefix doubling — the distributed
+    suffix-array construction step (Manber-Myers doubling, the
+    algorithm under Lee et al.'s ExactSubstr dedup and every BWT):
+    rank every suffix of every document by its first ``k`` characters
+    (k a power of two), equal prefixes sharing a dense rank.
+
+    Round 0 dense-ranks single characters; round t merges each
+    suffix's rank with the rank of the suffix ``2^t`` positions later
+    (missing → 0, which orders a short matching prefix FIRST — exactly
+    lexicographic string order), so log2(k) rounds of ONE keyed
+    equi-join + ONE :func:`dense_rank_distributed` each produce the
+    k-prefix ranks.  No suffix string ever materializes beyond the
+    single exploded character column — the memory shape that lets this
+    run where "sort all suffixes as strings" cannot.
+
+    Returns (id, pos, rank) with pos 0-based and rank the GLOBAL dense
+    rank across the whole corpus; the DuckDB oracle replays it as
+    DENSE_RANK() OVER (ORDER BY substr(text, pos+1, k)) — string
+    comparison and sentinel-padded block comparison agree, which is
+    the classical correctness argument for doubling."""
+    if k < 1 or (k & (k - 1)) != 0:
+        raise ValueError(f"k must be a power of two >= 1, got {k}")
+    chars = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+    )
+    s = dense_rank_distributed(chars, ["ch"], "r").select("id", "pos", "r")
+    t = 1
+    while t < k:
+        nxt = s.select(
+            F.col("id"), (F.col("pos") - t).alias("pos"), F.col("r").alias("r2")
+        )
+        merged = (
+            s.join(nxt, ["id", "pos"], "left")
+            .select("id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
+        )
+        s = dense_rank_distributed(merged, ["r", "r2"], "r").select(
+            "id", "pos", "r"
+        )
+        t *= 2
+    return s.select(
+        F.col("id"), F.col("pos").cast("long").alias("pos"),
+        F.col("r").alias("rank"),
+    )
