@@ -437,6 +437,53 @@ def test_jpeg_progressive_roundtrip_byte_exact():
     )
 
 
+def test_jpeg_progressive_fuzz_byte_exact():
+    """Seeded fuzz over random (shape, quality, subsampling, restart,
+    scan-script) configs — every decode must equal the reference
+    reconstruction EXACTLY (the baseline fuzz discipline extended to
+    SOF2; catches interaction bugs a fixed matrix misses: odd sizes ×
+    restarts × banded scripts × low quality EOB runs)."""
+    from xesmf_spark.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+        expected_reconstruction,
+    )
+
+    rng = np.random.default_rng(31)
+    subs = ["4:4:4", "4:2:0", "4:2:2"]
+    for trial in range(12):
+        h = int(rng.integers(8, 50))
+        w = int(rng.integers(8, 50))
+        gray = trial % 4 == 0
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        q = int(rng.integers(5, 96))
+        sub = "4:4:4" if gray else subs[int(rng.integers(0, 3))]
+        ri = int(rng.integers(0, 4))  # 0 = no restarts
+        kw = {"quality": q, "restart_interval": ri}
+        if not gray:
+            kw["subsampling"] = sub
+        if trial % 5 == 4:
+            # random custom band split at full precision
+            split = int(rng.integers(2, 62))
+            kw["scans"] = tuple(
+                [(tuple(range(1 if gray else 3)), 0, 0, 0, 0)]
+                + [
+                    ((c,), 1, split, 0, 0)
+                    for c in range(1 if gray else 3)
+                ]
+                + [
+                    ((c,), split + 1, 63, 0, 0)
+                    for c in range(1 if gray else 3)
+                ]
+            )
+        payload = encode_jpeg_progressive(img, **kw)
+        exp = expected_reconstruction(img, quality=q, subsampling=sub)
+        assert np.array_equal(decode_jpeg(payload), exp), (
+            trial, shape, q, sub, ri,
+        )
+
+
 def test_jpeg_progressive_through_resize_kernel(spark):
     """A real progressive payload flows through the Arrow resize
     kernel exactly like baseline — the r14 'biggest capability hole'
