@@ -484,6 +484,44 @@ def test_jpeg_progressive_fuzz_byte_exact():
         )
 
 
+def test_jpeg_progressive_adversarial_inputs_fail_loudly():
+    """Truncated or corrupted progressive streams must raise promptly
+    or decode to validly-shaped pixels (a flipped entropy byte that
+    still parses is lossy garbage-in-garbage-out, the standard codec
+    contract) — never hang, never return a wrong shape.  A stream cut
+    BETWEEN scans decodes the partially-refined image (the defining
+    progressive property: render what arrived)."""
+    import pytest as _pytest
+
+    from xesmf_spark.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    good = encode_jpeg_progressive(img, quality=80, subsampling="4:2:0")
+    base = decode_jpeg(good)
+    for frac in (0.3, 0.6, 0.9):
+        with _pytest.raises(ValueError):
+            decode_jpeg(good[: int(len(good) * frac)])
+    # corrupt one byte inside each scan's entropy data
+    sos = []
+    p = good.find(b"\xff\xda")
+    while p >= 0:
+        sos.append(p)
+        p = good.find(b"\xff\xda", p + 2)
+    for sp in sos[:4]:
+        b = bytearray(good)
+        b[sp + 20] ^= 0xFF
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.shape == base.shape
+        except ValueError:
+            pass  # loud failure is equally acceptable
+    # a clean cut between scans renders the partial refinement
+    partial = good[: sos[3]] + b"\xff\xd9"
+    out = decode_jpeg(partial)
+    assert out.shape == base.shape and not np.array_equal(out, base)
+
+
 def test_jpeg_progressive_through_resize_kernel(spark):
     """A real progressive payload flows through the Arrow resize
     kernel exactly like baseline — the r14 'biggest capability hole'
