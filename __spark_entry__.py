@@ -45,10 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-15 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R15_WINDOW reorder at the end of this
-    # function: (a) 7 r15 NEW queries (progressive-JPEG resize carrier,
+    # function: (a) 8 r15 NEW queries (progressive-JPEG resize carrier,
     # trigram interpolated LM, URL-domain caps + stratified sampling,
     # Kneser-Ney bigram LM, recency-weighted age sampling, Gopher
-    # duplicate-line repetition stats, prefix-doubling suffix ranks);
+    # duplicate-line repetition stats, prefix-doubling suffix ranks,
+    # suffix-order longest repeated substrings);
     # (b) 2 r15 CHANGED — multimodal_image_resize_jpeg (decode_jpeg
     # restructure: SOF1/SOF2 acceptance, bounded LUT cache, fill-byte
     # destuffing) and documents_query_likelihood (T·(max_dl+mu) wrap
@@ -60,13 +61,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill, feature_hash, sequential, theilsen, ppr, robust_stats,
     # video_avi); (e) the 7 stale cyclers the r14 log promised slots
     # (conservative_clip/_4d, dataset_multivar, stream_regrid,
-    # sketch_accuracy, q8, q9); (f) 9 from the next tail stratum (the
+    # sketch_accuracy, q8, q9); (f) 8 from the next tail stratum (the
     # r12 singles: unigram_tok, audio_wav, shortest_paths, mixture,
-    # hybrid_rrf, ks/w1 drift, hits, sq8_top3 — pipeline_containment,
-    # ann_sq8_recall, documents_textrank and documents_char_entropy
-    # yielded their slots to the late-r15 new queries and head the
-    # line for r16 with same-round full-surface evidence).  The dict
-    # literal below keeps its
+    # hybrid_rrf, ks/w1 drift, hits — pipeline_containment,
+    # ann_sq8_recall, ann_sq8_top3, documents_textrank and
+    # documents_char_entropy yielded their slots to the late-r15 new
+    # queries and head the line for r16 with same-round full-surface
+    # evidence).  The dict literal below keeps its
     # historical grouping; the reorder — not the literal — is the
     # window of record.
     # Prior-round rationale (r12):
@@ -257,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_recency_sample": Q.pipeline_recency_sample,
         "documents_dup_lines": Q.documents_dup_lines,
         "documents_suffix_ranks": Q.documents_suffix_ranks,
+        "documents_longest_repeats": Q.documents_longest_repeats,
         "parts_copurchase_triangles": Q.parts_copurchase_triangles,
         "documents_pmi_collocations": Q.documents_pmi_collocations,
         "parts_copurchase_clustering": Q.parts_copurchase_clustering,
@@ -363,6 +365,7 @@ _R15_WINDOW = [
     "pipeline_recency_sample",
     "documents_dup_lines",
     "documents_suffix_ranks",
+    "documents_longest_repeats",
     # (b) r15 changed — engine or oracle
     "multimodal_image_resize_jpeg",
     "documents_query_likelihood",
@@ -410,7 +413,6 @@ _R15_WINDOW = [
     "orders_ks_drift",
     "orders_w1_drift",
     "nations_trade_hits",
-    "ann_sq8_top3",
 ]
 
 
@@ -876,6 +878,46 @@ SELECT doc_id, n_lines, n_line_chars,
        CAST(1000 * xc // n_line_chars AS BIGINT)
          AS dup_line_char_frac_milli
 FROM st
+""",
+        "documents_longest_repeats": r"""
+-- the classical definition the doubling machinery must reproduce:
+-- sort all suffixes as STRINGS, pair order-adjacent suffixes, LCP =
+-- the largest j whose j-prefixes agree (monotone, so MAX over a
+-- generate_series works), top-10 by the same total order
+WITH d AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+  FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, pos,
+         substr(ntext, CAST(pos + 1 AS INTEGER)) AS suf,
+         len(ntext) - pos AS slen
+  FROM (SELECT doc_id, unnest(range(0, len(ntext))) AS pos, ntext
+        FROM d WHERE len(ntext) > 0)
+),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY suf, doc_id, pos) AS rn FROM s
+),
+p AS (
+  SELECT a.doc_id AS a_doc, a.pos AS a_pos, b.doc_id AS b_doc,
+         b.pos AS b_pos, a.suf AS asuf, b.suf AS bsuf,
+         LEAST(a.slen, b.slen) AS m
+  FROM o a JOIN o b ON b.rn = a.rn + 1
+),
+l AS (
+  SELECT a_doc, a_pos, b_doc, b_pos,
+         COALESCE(MAX(CASE WHEN substr(asuf, 1, CAST(j AS INTEGER))
+                              = substr(bsuf, 1, CAST(j AS INTEGER))
+                           THEN j END), 0) AS lcp
+  FROM p LEFT JOIN LATERAL unnest(range(1, m + 1)) t(j) ON TRUE
+  GROUP BY a_doc, a_pos, b_doc, b_pos
+)
+SELECT CAST(lcp AS BIGINT) AS lcp,
+       a_doc, CAST(a_pos AS BIGINT) AS a_pos,
+       b_doc, CAST(b_pos AS BIGINT) AS b_pos
+FROM l
+ORDER BY lcp DESC, a_doc, a_pos, b_doc, b_pos
+LIMIT 10
 """,
         "documents_suffix_ranks": r"""
 -- suffix ranks by direct lexicographic DENSE_RANK over the 16-char

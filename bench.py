@@ -74,13 +74,21 @@ def main():
     except Exception as e:  # noqa: BLE001
         timings["harness_err"] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
 
+    # total sums ONLY wall-time lines.  The r15 audit found the
+    # driver-recorded value dominated by wav_kernel_MBps (~12.5k
+    # "seconds" that were really MB/s): the old exclusion caught only
+    # *GBps keys.  Use the same not-a-duration predicate as
+    # scripts/pin_bench.py (throughput suffixes + recall ratios +
+    # scaling metadata) so "total_bench_sec" is seconds, full stop.
+    def _is_seconds(k, v):
+        if not isinstance(v, (int, float)):
+            return False
+        if k.endswith(("_MBps", "_GBps", "_rows_per_sec")) or "recall" in k:
+            return False
+        return not (k.startswith("scaling_") or k.endswith("_n"))
+
     total = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if isinstance(v, (int, float)) and not k.endswith("GBps")
-        ),
-        3,
+        sum(v for k, v in timings.items() if _is_seconds(k, v)), 3
     )
     # ARTIFACT CONTRACT (learned from r6): the driver records only the
     # LAST 2000 chars of stdout and json-parses the JSON line found
@@ -635,6 +643,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "pipeline_recency_sample",
         "documents_dup_lines",
         "documents_suffix_ranks",
+        "documents_longest_repeats",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

@@ -1145,6 +1145,19 @@ def main() -> None:
                 k=16,
             ),
         ),
+        # r15: full-order suffix ranking + rank-stack LCP walk over the
+        # WHOLE scaled corpus — ~log2(max_len) doubling + as many walk
+        # rounds, each one keyed join per leg; rounds are constant in
+        # corpus SIZE (max doc length doesn't grow), so expect ~linear
+        (
+            "relational_longest_repeats",
+            lambda d, s: REL.longest_repeats(
+                spark.read.parquet(f"{d}/documents.parquet").select(
+                    "doc_id", PIPE.normalize_text(F.col("text")).alias("text")
+                ),
+                top_k=10,
+            ),
+        ),
     ]
 
     def measure(fn, sf_dir, scale):
@@ -1392,6 +1405,12 @@ def main() -> None:
             "window + O(#partitions) offset broadcast) — linear in "
             "total corpus chars per round, no global single-partition "
             "sort anywhere"
+        ),
+        "relational_longest_repeats": (
+            "full-order doubling + rank-stack LCP walk: round COUNT is "
+            "log2(max doc length), constant in corpus size, each round "
+            "one keyed join per leg on the suffix table — linear in "
+            "total chars; output a TakeOrdered top-10"
         ),
     }
     # streaming operators are deliberately ABSENT from this ledger:

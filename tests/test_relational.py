@@ -1873,3 +1873,45 @@ def test_suffix_ranks_matches_string_sort(spark):
         assert got == {(d, p): rk[s] for s, d, p in sufs}, k
     with _pytest.raises(ValueError, match="power of two"):
         suffix_ranks(df, k=6)
+
+
+def test_longest_repeats_matches_brute_force(spark):
+    """longest_repeats == brute-force adjacent-suffix LCP over the
+    string-sorted suffix list, including cross-doc repeats, the
+    identical-tail clamp ('banana banana' overlaps), and the total-
+    order tie cut."""
+    from xesmf_spark.relational import longest_repeats
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox leaps over a sleepy dog"),
+        (3, "mississippi"),
+        (4, "banana banana"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.lcp, r.a_id, r.a_pos, r.b_id, r.b_pos)
+        for r in longest_repeats(df, top_k=8).collect()
+    ]
+    sufs = sorted(
+        (t[p:], d, p) for d, t in docs for p in range(len(t))
+    )
+
+    def lcp(x, y):
+        n = 0
+        for a, b in zip(x, y):
+            if a != b:
+                break
+            n += 1
+        return n
+
+    pairs = sorted(
+        (
+            (lcp(s1, s2), d1, p1, d2, p2)
+            for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:])
+        ),
+        key=lambda t: (-t[0], t[1], t[2], t[3], t[4]),
+    )
+    assert got == pairs[:8]
+    # sanity: ' quick brown fox ' spans docs 1 and 2 (17 chars)
+    assert got[0][0] >= 17

@@ -5387,6 +5387,36 @@ def documents_suffix_ranks(spark, sf_dir):
     )
 
 
+def documents_longest_repeats(spark, sf_dir):
+    """Top-10 longest repeated substrings across the first 40
+    documents' normalized text (relational.longest_repeats — the
+    analytical core of ExactSubstr dedup answered exactly): full-order
+    distributed suffix ranking (prefix doubling until 2^m covers the
+    longest doc), suffix-order adjacency pairing (the longest repeat
+    is always an adjacent-suffix LCP — the suffix-array theorem), and
+    a rank-stack LCP walk (binary-counter descent over the saved
+    doubling tables — O(log L) keyed joins, never a character
+    comparison).  Oracle = direct string-sorted adjacent-suffix LCP via
+    a max-matching-prefix join: the classical definition, hash-pinned
+    against the doubling machinery end to end."""
+    from xesmf_spark.pipeline import normalize_text
+    from xesmf_spark.relational import longest_repeats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 40) & F.col("text").isNotNull())
+        .select("doc_id", normalize_text(F.col("text")).alias("text"))
+    )
+    out = longest_repeats(docs, "doc_id", "text", top_k=10)
+    return out.select(
+        "lcp",
+        F.col("a_id").alias("a_doc"),
+        "a_pos",
+        F.col("b_id").alias("b_doc"),
+        "b_pos",
+    )
+
+
 def documents_dup_lines(spark, sf_dir):
     """Gopher duplicate-line repetition signals
     (pipeline.line_repetition_stats) over deterministically

@@ -2435,3 +2435,146 @@ def suffix_ranks(
         F.col("id"), F.col("pos").cast("long").alias("pos"),
         F.col("r").alias("rank"),
     )
+
+
+def longest_repeats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Longest repeated substrings across a corpus — the analytical
+    core of Lee-et-al ExactSubstr dedup, answered exactly from the
+    distributed suffix order: rank ALL suffixes to full length
+    (prefix doubling until 2^m covers the longest document), pair each
+    suffix with its suffix-order NEIGHBOR (the longest repeat is
+    always an adjacent-suffix LCP — the classical suffix-array
+    theorem), and compute each pair's LCP by walking the SAVED rank
+    tables high-to-low (binary-counter descent: if the 2^j-blocks at
+    the current offset agree, advance 2^j) — O(log L) keyed joins per
+    level, never a character comparison.
+
+    Sentinel-padding argument (why the walk is exact): rank_k equality
+    for suffixes of DIFFERENT remaining lengths is impossible (the
+    shorter one's pad can only equal another pad), so an "equal" step
+    is always a true k-char match — except when both tails are
+    IDENTICAL and equal-length, where the walk may overshoot the end;
+    the final LEAST(off, remaining_a, remaining_b) clamp is exact for
+    precisely that case.
+
+    Returns the ``top_k`` rows (lcp, a_id, a_pos, b_id, b_pos) by
+    (lcp DESC, a_id, a_pos, b_id, b_pos) — a total order, so the cut
+    is deterministic.  Scale shape: log2(max_len) doubling rounds +
+    log2(max_len) LCP-walk rounds, each ONE keyed equi-join per leg
+    on the suffix table; the only driver-side values are the 1-row
+    max-length aggregate and the top-k TakeOrdered."""
+    from xesmf_spark.apply import _PERSISTED
+
+    chars = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("len"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+    )
+    max_len = chars.agg(F.max("len")).collect()[0][0]
+    if max_len is None:
+        raise ValueError("corpus has no non-empty documents")
+    lens = chars.select("id", "len").distinct().persist()
+    _PERSISTED.append(lens)
+    # every round checkpoints RELIABLY (disk), not locally (heap):
+    # ~log2(max_len) doubling rounds followed by as many LCP-walk
+    # rounds would otherwise stack into one plan whose optimization
+    # alone stalls the driver (the r11 iterative-lineage lesson), AND
+    # the walk must retain EVERY doubling level simultaneously —
+    # localCheckpoint pins ~2·log2(L) corpus-sized frames in executor
+    # memory and OOMed the 16g driver at 19.7M suffixes; disk
+    # checkpoints keep the heap at the working set, the same shape an
+    # HDFS-backed cluster run needs
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir("/tmp/xesmf_spark_ckpt")
+    s = (
+        dense_rank_distributed(chars.select("id", "pos", "ch"), ["ch"], "r")
+        .select("id", "pos", "r")
+        .checkpoint()
+    )
+    stack = [(1, s)]
+    k = 1
+    while k < max_len:
+        nxt = s.select(
+            F.col("id"), (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
+        )
+        merged = s.join(nxt, ["id", "pos"], "left").select(
+            "id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        )
+        s = (
+            dense_rank_distributed(merged, ["r", "r2"], "r")
+            .select("id", "pos", "r")
+            .checkpoint()
+        )
+        k *= 2
+        stack.append((k, s))
+    # total suffix order: ranks are full-length, ties (identical
+    # suffixes) broken by (id, pos) — dense over a unique triple is a
+    # row number
+    ordered = dense_rank_distributed(s, ["r", "id", "pos"], "rn").checkpoint()
+    a = ordered.select(
+        F.col("rn"), F.col("id").alias("a_id"), F.col("pos").alias("a_pos")
+    )
+    b = ordered.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.col("id").alias("b_id"),
+        F.col("pos").alias("b_pos"),
+    )
+    pairs = a.join(b, "rn").drop("rn").withColumn("off", F.lit(0))
+    # LCP walk, largest block first; stack[-1] may exceed max_len —
+    # still valid (equality at an oversized block is a true full-tail
+    # match, clamped below)
+    for k, frame in reversed(stack):
+        ra = frame.select(
+            F.col("id").alias("a_id"),
+            F.col("pos").alias("__pa"),
+            F.col("r").alias("__ra"),
+        )
+        rb = frame.select(
+            F.col("id").alias("b_id"),
+            F.col("pos").alias("__pb"),
+            F.col("r").alias("__rb"),
+        )
+        pairs = (
+            pairs.withColumn("__pa", F.col("a_pos") + F.col("off"))
+            .withColumn("__pb", F.col("b_pos") + F.col("off"))
+            .join(ra, ["a_id", "__pa"], "left")
+            .join(rb, ["b_id", "__pb"], "left")
+            .withColumn(
+                "off",
+                F.when(
+                    F.col("__ra").isNotNull()
+                    & (F.col("__ra") == F.col("__rb")),
+                    F.col("off") + k,
+                ).otherwise(F.col("off")),
+            )
+            .drop("__pa", "__pb", "__ra", "__rb")
+            .checkpoint()
+        )
+    la = lens.select(F.col("id").alias("a_id"), F.col("len").alias("__la"))
+    lb = lens.select(F.col("id").alias("b_id"), F.col("len").alias("__lb"))
+    out = (
+        pairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .select(
+            F.least(
+                F.col("off"),
+                F.col("__la") - F.col("a_pos"),
+                F.col("__lb") - F.col("b_pos"),
+            ).cast("long").alias("lcp"),
+            "a_id",
+            F.col("a_pos").cast("long").alias("a_pos"),
+            "b_id",
+            F.col("b_pos").cast("long").alias("b_pos"),
+        )
+    )
+    return out.orderBy(
+        F.col("lcp").desc(), "a_id", "a_pos", "b_id", "b_pos"
+    ).limit(top_k)
