@@ -1915,3 +1915,58 @@ def test_longest_repeats_matches_brute_force(spark):
     assert got == pairs[:8]
     # sanity: ' quick brown fox ' spans docs 1 and 2 (17 chars)
     assert got[0][0] >= 17
+
+
+def test_longest_repeats_random_ab_corpus_and_storage_hygiene(spark):
+    """Seeded fuzz on a repeat-dense two-letter alphabet (maximal
+    stress for the identical-tail clamp and rank-tie handling), plus
+    the storage contract: the op must leave _PERSISTED at its prior
+    depth and its own checkpoint directory free of files."""
+    import os
+    import random
+
+    from xesmf_spark.apply import _PERSISTED
+    from xesmf_spark.relational import longest_repeats
+
+    rng = random.Random(1507)
+    docs = [
+        (d, "".join(rng.choice("ab") for _ in range(rng.randint(1, 60))))
+        for d in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    n_persisted0 = len(_PERSISTED)
+    got = [
+        (r.lcp, r.a_id, r.a_pos, r.b_id, r.b_pos)
+        for r in longest_repeats(df, top_k=12).collect()
+    ]
+
+    sufs = sorted((t[p:], d, p) for d, t in docs for p in range(len(t)))
+
+    def lcp(x, y):
+        n = 0
+        for a, b in zip(x, y):
+            if a != b:
+                break
+            n += 1
+        return n
+
+    pairs = sorted(
+        (
+            (lcp(s1, s2), d1, p1, d2, p2)
+            for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:])
+        ),
+        key=lambda t: (-t[0], t[1], t[2], t[3], t[4]),
+    )
+    assert got == pairs[:12]
+
+    # storage contract — the hygiene regression lock
+    assert len(_PERSISTED) == n_persisted0
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt is not None and "xesmf_spark_ckpt" in ckpt:
+        leftover = [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert leftover == []
