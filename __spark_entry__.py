@@ -45,11 +45,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries only.  Round-15 rotation (policy + log in SURVEY.md 2E)
     # is applied by the _R15_WINDOW reorder at the end of this
-    # function: (a) 8 r15 NEW queries (progressive-JPEG resize carrier,
+    # function: (a) 9 r15 NEW queries (progressive-JPEG resize carrier,
     # trigram interpolated LM, URL-domain caps + stratified sampling,
     # Kneser-Ney bigram LM, recency-weighted age sampling, Gopher
     # duplicate-line repetition stats, prefix-doubling suffix ranks,
-    # suffix-order longest repeated substrings);
+    # suffix-order longest repeated substrings, DSIR importance
+    # resampling weights);
     # (b) 2 r15 CHANGED — multimodal_image_resize_jpeg (decode_jpeg
     # restructure: SOF1/SOF2 acceptance, bounded LUT cache, fill-byte
     # destuffing) and documents_query_likelihood (T·(max_dl+mu) wrap
@@ -61,11 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gapfill, feature_hash, sequential, theilsen, ppr, robust_stats,
     # video_avi); (e) the 7 stale cyclers the r14 log promised slots
     # (conservative_clip/_4d, dataset_multivar, stream_regrid,
-    # sketch_accuracy, q8, q9); (f) 8 from the next tail stratum (the
+    # sketch_accuracy, q8, q9); (f) 7 from the next tail stratum (the
     # r12 singles: unigram_tok, audio_wav, shortest_paths, mixture,
-    # hybrid_rrf, ks/w1 drift, hits — pipeline_containment,
-    # ann_sq8_recall, ann_sq8_top3, documents_textrank and
-    # documents_char_entropy yielded their slots to the late-r15 new
+    # hybrid_rrf, ks/w1 drift — pipeline_containment, ann_sq8_recall,
+    # ann_sq8_top3, documents_textrank, documents_char_entropy and
+    # nations_trade_hits yielded their slots to the late-r15 new
     # queries and head the line for r16 with same-round full-surface
     # evidence).  The dict literal below keeps its
     # historical grouping; the reorder — not the literal — is the
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_trigram_lm": Q.pipeline_trigram_lm,
         "pipeline_domain_caps": Q.pipeline_domain_caps,
         "pipeline_kneser_ney_lm": Q.pipeline_kneser_ney_lm,
+        "pipeline_dsir": Q.pipeline_dsir,
         "pipeline_recency_sample": Q.pipeline_recency_sample,
         "documents_dup_lines": Q.documents_dup_lines,
         "documents_suffix_ranks": Q.documents_suffix_ranks,
@@ -362,6 +364,7 @@ _R15_WINDOW = [
     "pipeline_trigram_lm",
     "pipeline_domain_caps",
     "pipeline_kneser_ney_lm",
+    "pipeline_dsir",
     "pipeline_recency_sample",
     "documents_dup_lines",
     "documents_suffix_ranks",
@@ -412,7 +415,6 @@ _R15_WINDOW = [
     "documents_hybrid_rrf",
     "orders_ks_drift",
     "orders_w1_drift",
-    "nations_trade_hits",
 ]
 
 
@@ -834,6 +836,7 @@ GROUP BY fr.doc_id, d.text, f
         "pipeline_trigram_lm": PO.trigram_logprob_sql(),
         "pipeline_domain_caps": PO.domain_caps_sql(),
         "pipeline_kneser_ney_lm": PO.kneser_ney_sql(),
+        "pipeline_dsir": PO.dsir_sql(),
         "documents_dup_lines": r"""
 -- Gopher duplicate-line stats over the same deterministic 3/4-line
 -- relayout (line3 repeats line1 for doc_id%3==0, doc_id%5==0 appends

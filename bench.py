@@ -644,6 +644,7 @@ def _run_workloads(spark, sf_dir, timings, timed):
         "documents_dup_lines",
         "documents_suffix_ranks",
         "documents_longest_repeats",
+        "pipeline_dsir",
     ):
         fn = getattr(Q, name)
         timed_med(name, lambda fn=fn: fn(spark, sf_dir).collect())

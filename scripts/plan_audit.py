@@ -111,6 +111,9 @@ ALLOW = {
     # the 1-row bigram-TYPE total (KN's continuation normalizer T)
     # crossed onto the scoring rows
     "pipeline_kneser_ney_lm": {"BroadcastNestedLoopJoin"},
+    # the 1-row (target_total, raw_total) scalar crossed onto the
+    # n_buckets-row side table — DSIR's two normalization constants
+    "pipeline_dsir": {"BroadcastNestedLoopJoin"},
     # the two 1-row corpus totals (N1 tokens, N2 bigrams) crossed onto
     # the bigram-type table — the PMI normalization constants
     "documents_pmi_collocations": {"BroadcastNestedLoopJoin"},

@@ -1127,6 +1127,10 @@ def main() -> None:
         # r15: Kneser-Ney — ONE persisted bigram-type shuffle + three
         # aggregates OF the type table + keyed scoring joins
         ("pipeline_kneser_ney_lm", lambda d, s: Q.pipeline_kneser_ney_lm(spark, d)),
+        # r15: hashed-feature importance weights — one explode + one
+        # (id, bucket) keyed count + an n_buckets-row broadcast model;
+        # linear in token volume
+        ("pipeline_dsir", lambda d, s: Q.pipeline_dsir(spark, d)),
         # r15: recency sampling — pure projection + filter, zero shuffle
         ("pipeline_recency_sample", lambda d, s: Q.pipeline_recency_sample(spark, d)),
         # r15: Gopher dup-line stats — per-row higher-order array ops,
@@ -1389,6 +1393,12 @@ def main() -> None:
             "one persisted Zipf-bounded bigram-type shuffle + three "
             "aggregates OF the type table + three keyed scoring joins "
             "— linear in corpus tokens"
+        ),
+        "pipeline_dsir": (
+            "one unigram+bigram explode + ONE persisted (id, bucket) "
+            "keyed count shuffle feeding both the n_buckets-row model "
+            "build and the scoring join (a broadcast of n_buckets "
+            "rows) — linear in corpus tokens, vocabulary-free"
         ),
         "pipeline_recency_sample": (
             "pure projection + md5-threshold filter — zero shuffle, "

@@ -2527,3 +2527,62 @@ def test_winnowing_identical_docs_full_containment(spark):
     )
     rows = winnowing_overlap_pairs(docs, k=8, w=8, min_shared=1).collect()
     assert len(rows) == 1 and rows[0].containment_milli == 1000
+
+
+def test_dsir_weights_match_brute_force(spark):
+    """dsir_weights against a local replay: md5 bucket hash, unigram +
+    bigram features, Laplace +1 smoothed target/raw bucket
+    distributions, per-bucket micro-nat floors of EACH ln separately,
+    per-doc BIGINT count*delta sums; target docs absent from the
+    output; a target-vocab doc must outscore an off-vocab doc."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "the sky is blue and the sea is blue", True),
+        (2, "blue sky over the blue sea", True),
+        (3, "the sky is blue today", False),
+        (4, "stock market prices fell sharply today", False),
+        (5, "blue sea blue sky blue blue", False),
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    B, MICRO = 64, 1_000_000
+    out = {
+        r.doc_id: (r.n_feats, r.w_micro)
+        for r in PL.dsir_weights(
+            df, F.col("tgt"), n_buckets=B, micro=MICRO
+        ).collect()
+    }
+
+    def bucket(term):
+        h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % 1000000007
+        return h % B
+
+    def feats(text):
+        ts = [t for t in text.lower().strip().split() if t]
+        return Counter(
+            [bucket(t) for t in ts]
+            + [bucket(a + " " + b) for a, b in zip(ts, ts[1:])]
+        )
+
+    ct, cr = Counter(), Counter()
+    for _d, text, tgt in docs:
+        (ct if tgt else cr).update(feats(text))
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def delta(b):
+        return math.floor(MICRO * math.log((ct[b] + 1) / (tt + B))) - math.floor(
+            MICRO * math.log((cr[b] + 1) / (tr + B))
+        )
+
+    exp = {}
+    for d, text, tgt in docs:
+        f = feats(text)
+        if tgt or not f:
+            continue
+        exp[d] = (sum(f.values()), sum(c * delta(b) for b, c in f.items()))
+    assert out == exp
+    # ordering sanity: the target-vocab doc outscores the off-vocab one
+    assert out[3][1] > out[4][1] and out[5][1] > out[4][1]

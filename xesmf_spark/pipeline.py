@@ -3386,3 +3386,127 @@ def feature_hash(
         .agg(F.sum("__s").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023), the canonical method for selecting pretraining data that
+    RESEMBLES a small high-quality target corpus: fit two bag-of-
+    hashed-n-gram distributions (target vs raw), and weight every raw
+    document by its log importance ratio
+
+        log w(doc) = sum over features f of
+                     count_doc(f) * [ln p_target(b(f)) - ln p_raw(b(f))]
+
+    with features = unigrams AND bigrams (the paper's choice) hashed
+    into ``n_buckets`` buckets by the repo's md5-portable
+    :func:`base_hash`, and Laplace +1 smoothing on both bucket
+    distributions (every ratio strictly positive and defined even for
+    buckets one side never emits).  Bigram feature strings are
+    ``w1 || ' ' || w2`` — normalized tokens contain no spaces, so the
+    bigram feature space cannot collide with the unigram one.
+
+    EXACT cross-engine arithmetic (the LM-scorer micro-nat
+    discipline): bucket probabilities are IEEE-exact double divisions
+    of exact BIGINTs (< 2^53), each ln() is floored to integer
+    micro-nats SEPARATELY, the per-bucket delta is an exact BIGINT
+    difference, and the per-doc score is count * delta summed in
+    BIGINT — order-independent.  Magnitude: |delta| <= ~40 * micro
+    (ln of the minimum smoothed probability), counts <= doc tokens,
+    so a 1e9-token document stays ~1e16 < 2^63 — no overflow gate
+    needed at any realistic document size (documented, not valved).
+
+    Output: one row per NON-target document —
+    ``(id, n_feats, w_micro)`` where ``w_micro`` is the log importance
+    weight in micro-nats; the DSIR selection step is a top-k or a
+    Gumbel draw OVER these weights, left to the caller (deterministic
+    rank selection is what the shipped query does).
+
+    Scale shape: one explode builds the (doc, bucket) occurrences
+    (linear in token volume, vocabulary-free — the hashing trick);
+    ONE (id, bucket) keyed count shuffle is persisted for its two
+    consumers (model build + scoring); the two bucket distributions
+    are a groupBy of that table (n_buckets rows — model-sized) and
+    join back as ONE broadcast of ``n_buckets`` rows; scoring is a
+    per-doc keyed SUM.  Nothing corpus-shaped crosses the driver."""
+    from xesmf_spark.apply import _PERSISTED
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    t = tokens(F.col(text_col))
+    uni = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("__tgt"),
+        F.explode(t).alias("term"),
+    ).filter(F.col("term") != "")
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("__tgt"),
+        F.explode(pairs_arr).alias("term"),
+    ).filter(F.col("term") != " ")
+    feats = (
+        uni.unionByName(big)
+        .select(
+            "id", "__tgt", (base_hash(F.col("term")) % n_buckets).alias("bucket")
+        )
+        .groupBy("id", "__tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    _PERSISTED.append(feats)
+    # the two hashed-feature distributions: n_buckets rows each side
+    side = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("cr"),
+    )
+    tot = side.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    delta = (
+        side.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.floor(
+                    F.lit(micro)
+                    * F.log(
+                        (F.col("ct") + F.lit(1)).cast("double")
+                        / (F.col("tt") + F.lit(n_buckets)).cast("double")
+                    )
+                )
+                - F.floor(
+                    F.lit(micro)
+                    * F.log(
+                        (F.col("cr") + F.lit(1)).cast("double")
+                        / (F.col("tr") + F.lit(n_buckets)).cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("delta_micro"),
+        )
+    )
+    return (
+        feats.filter(~F.col("__tgt"))
+        .join(F.broadcast(delta), "bucket")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("delta_micro")).cast("long").alias("w_micro"),
+        )
+    )

@@ -3665,3 +3665,72 @@ SELECT b.event_type, b.n, b.k_trim, b.lo, b.hi,
        CAST((1000000 * wsum) // n AS BIGINT) AS winsor_mean_micro
 FROM b JOIN w USING (event_type)
 """
+
+
+def dsir_sql(n_buckets: int = 64, micro: int = 1_000_000, top_k: int = 15) -> str:
+    """Mirrors pipeline.dsir_weights as driven by queries.pipeline_dsir:
+    unigram + bigram feature strings (bigram = w1 || ' ' || w2 — token
+    space is space-free, so the feature spaces are disjoint), the
+    md5-portable bucket hash, Laplace +1 smoothed target/raw bucket
+    distributions, per-bucket micro-nat floors of EACH ln separately,
+    and exact BIGINT count*delta per-doc sums.  CTEs feeding multiple
+    consumers are AS MATERIALIZED (the house DuckDB join-order trap).
+    Target slice = source IN ('src0','src1','src2')."""
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext,
+         source IN ('src0', 'src1', 'src2') AS tgt
+  FROM documents
+),
+toks AS (SELECT doc_id, tgt, string_split(ntext, ' ') AS t FROM d),
+uni AS (
+  SELECT doc_id, tgt, u.term
+  FROM (SELECT doc_id, tgt, t AS ts FROM toks), unnest(ts) AS u(term)
+  WHERE u.term != ''
+),
+bg AS (
+  SELECT doc_id, tgt, u.term FROM (
+    SELECT doc_id, tgt,
+           unnest(list_transform(range(len(t) - 1),
+                  i -> t[i + 1] || ' ' || t[i + 2])) AS term
+    FROM toks WHERE len(t) >= 2
+  ) u(doc_id, tgt, term)
+),
+fh AS MATERIALIZED (
+  SELECT doc_id, tgt,
+         (('0x' || substr(md5(term), 1, 15))::BIGINT % 1000000007)
+           % {n_buckets} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)
+  GROUP BY doc_id, tgt, bucket
+),
+side AS MATERIALIZED (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS BIGINT) AS cr
+  FROM fh GROUP BY bucket
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+  FROM side
+),
+delta AS MATERIALIZED (
+  SELECT bucket,
+         CAST(
+           FLOOR({micro} * LN(CAST(ct + 1 AS DOUBLE)
+                              / CAST(tt + {n_buckets} AS DOUBLE)))
+         - FLOOR({micro} * LN(CAST(cr + 1 AS DOUBLE)
+                              / CAST(tr + {n_buckets} AS DOUBLE)))
+         AS BIGINT) AS delta_micro
+  FROM side, tot
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       CAST(SUM(cnt * delta_micro) AS BIGINT) AS w_micro
+FROM fh JOIN delta USING (bucket)
+WHERE NOT tgt
+GROUP BY doc_id
+ORDER BY w_micro DESC, doc_id
+LIMIT {top_k}
+"""

@@ -5478,6 +5478,26 @@ def pipeline_kneser_ney_lm(spark, sf_dir):
     return PL.kneser_ney_logprob_score(_docs(spark, sf_dir))
 
 
+def pipeline_dsir(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023) — importance resampling
+    weights that rank the raw pool by resemblance to a target slice
+    (pipeline.dsir_weights): hashed unigram+bigram bag features
+    (md5-portable base_hash into 64 buckets), Laplace +1 smoothed
+    target/raw distributions, per-bucket micro-nat ln floors, exact
+    BIGINT count*delta per-doc sums.  Target = the src0/src1/src2
+    slice of the corpus; output = the top-15 raw docs by
+    (w_micro DESC, doc_id) — the deterministic selection step over
+    the importance weights."""
+    from xesmf_spark import pipeline as PL
+
+    out = PL.dsir_weights(
+        _docs(spark, sf_dir),
+        F.col("source").isin("src0", "src1", "src2"),
+        n_buckets=64,
+    )
+    return out.orderBy(F.col("w_micro").desc(), "doc_id").limit(15)
+
+
 def pipeline_domain_caps(spark, sf_dir):
     """URL-domain curation composed with stratified sampling — the
     crawl-corpus balancing pass (C4/RefinedWeb-style): deterministic
