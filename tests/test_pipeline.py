@@ -2586,3 +2586,25 @@ def test_dsir_weights_match_brute_force(spark):
     assert out == exp
     # ordering sanity: the target-vocab doc outscores the off-vocab one
     assert out[3][1] > out[4][1] and out[5][1] > out[4][1]
+
+
+def test_dsir_weights_null_target_flag_rows_absent(spark):
+    """SQL three-valued logic contract: rows whose is_target evaluates
+    NULL count toward neither distribution and are absent from the
+    output; coalescing the flag to false restores them as raw."""
+    docs = [
+        (1, "alpha beta", "src0"),
+        (2, "alpha gamma", None),
+        (3, "alpha beta gamma", "src5"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    flag = F.col("source").isin("src0")
+    out = {r.doc_id for r in PL.dsir_weights(df, flag, n_buckets=16).collect()}
+    assert out == {3}
+    out2 = {
+        r.doc_id
+        for r in PL.dsir_weights(
+            df, F.coalesce(flag, F.lit(False)), n_buckets=16
+        ).collect()
+    }
+    assert out2 == {2, 3}

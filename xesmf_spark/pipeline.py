@@ -3429,6 +3429,13 @@ def dsir_weights(
     Gumbel draw OVER these weights, left to the caller (deterministic
     rank selection is what the shipped query does).
 
+    NULL contract: rows where ``is_target`` evaluates NULL (e.g. a
+    NULL source column under ``isin``) follow SQL three-valued logic
+    on BOTH engines — they count toward NEITHER distribution and are
+    absent from the output (both the target conditional and its
+    negation are NULL-false).  Callers that want NULL-flagged rows
+    treated as raw must pass ``F.coalesce(cond, F.lit(False))``.
+
     Scale shape: one explode builds the (doc, bucket) occurrences
     (linear in token volume, vocabulary-free — the hashing trick);
     ONE (id, bucket) keyed count shuffle is persisted for its two
