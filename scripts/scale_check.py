@@ -1418,9 +1418,11 @@ def main() -> None:
         ),
         "relational_longest_repeats": (
             "full-order doubling + rank-stack LCP walk: round COUNT is "
-            "log2(max doc length), constant in corpus size, each round "
-            "one keyed join per leg on the suffix table — linear in "
-            "total chars; output a TakeOrdered top-10"
+            "log2(max doc length) with Manber-Myers early termination "
+            "(stop when all ranks distinct), constant in corpus size; "
+            "each round one keyed join per leg — linear in total chars; "
+            "gate measured NEUTRAL here (max doc 577, top repeat 573); "
+            "its regime is long-doc corpora"
         ),
     }
     # streaming operators are deliberately ABSENT from this ledger:

@@ -1970,3 +1970,37 @@ def test_longest_repeats_random_ab_corpus_and_storage_hygiene(spark):
             for f in files
         ]
         assert leftover == []
+
+
+def test_longest_repeats_identical_docs_never_distinct(spark):
+    """Identical documents keep suffix ranks tied at EVERY doubling
+    level, so the Manber-Myers early-termination gate never fires and
+    the (id, pos) tie-break path must produce the exact brute-force
+    answer (full-length cross-doc repeats included)."""
+    from xesmf_spark.relational import longest_repeats
+
+    docs = [(1, "abcab"), (2, "abcab"), (3, "abcab")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.lcp, r.a_id, r.a_pos, r.b_id, r.b_pos)
+        for r in longest_repeats(df, top_k=20).collect()
+    ]
+    sufs = sorted((t[p:], d, p) for d, t in docs for p in range(len(t)))
+
+    def lcp(x, y):
+        n = 0
+        for a, b in zip(x, y):
+            if a != b:
+                break
+            n += 1
+        return n
+
+    pairs = sorted(
+        (
+            (lcp(s1, s2), d1, p1, d2, p2)
+            for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:])
+        ),
+        key=lambda t: (-t[0], t[1], t[2], t[3], t[4]),
+    )
+    assert got == pairs[:20]
+    assert got[0][0] == 5  # the full doc repeats across ids

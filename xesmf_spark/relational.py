@@ -2521,9 +2521,26 @@ def longest_repeats(
         .checkpoint()
     )
     _drain_persisted()
+    # Manber-Myers EARLY TERMINATION: once every suffix has a distinct
+    # rank (max dense rank == #suffixes), further doubling rounds are
+    # identity relabelings — and distinct rank_k means all k-prefixes
+    # are distinct, so every adjacent-suffix LCP is < k, within the
+    # walk's reach over the SAVED stack (max expressible offset
+    # k + k/2 + ... + 1 = 2k − 1 >= k − 1).  On real text ranks go
+    # distinct at k ~ a small multiple of the longest repeat — far
+    # below the longest DOCUMENT the un-gated loop doubles to.  The
+    # check is a 1-row aggregate per round on the just-checkpointed
+    # frame.  Identical-document corpora never reach distinctness and
+    # fall through to the k >= max_len exit as before.
+    n_suffixes = lens.agg(F.sum("len")).collect()[0][0]
+
+    def _max_rank(frame):
+        return frame.agg(F.max("r")).collect()[0][0]
+
     stack = [(1, s)]
     k = 1
-    while k < max_len:
+    mx = _max_rank(s)
+    while k < max_len and mx < n_suffixes:
         nxt = s.select(
             F.col("id"), (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
         )
@@ -2538,11 +2555,17 @@ def longest_repeats(
         _drain_persisted()
         k *= 2
         stack.append((k, s))
-    # total suffix order: ranks are full-length, ties (identical
-    # suffixes) broken by (id, pos) — dense over a unique triple is a
-    # row number
-    ordered = dense_rank_distributed(s, ["r", "id", "pos"], "rn").checkpoint()
-    _drain_persisted()
+        mx = _max_rank(s)
+    # total suffix order: ranks are full-length.  If the loop exited
+    # on distinctness the ranks ARE the total order already (the
+    # tie-break dense rank would be an identity relabeling — skipped);
+    # otherwise ties (identical suffixes) are broken by (id, pos) —
+    # dense over a unique triple is a row number
+    if mx == n_suffixes:
+        ordered = s.select("id", "pos", F.col("r").alias("rn"))
+    else:
+        ordered = dense_rank_distributed(s, ["r", "id", "pos"], "rn").checkpoint()
+        _drain_persisted()
     a = ordered.select(
         F.col("rn"), F.col("id").alias("a_id"), F.col("pos").alias("a_pos")
     )
