@@ -408,9 +408,18 @@ def dedup_groups(
     from xesmf_spark.apply import _PERSISTED
 
     half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # pre-partition the persisted edge list on dst — the key EVERY
+    # round's propagation join uses — so each round shuffles only the
+    # O(N) label table against the cached partitioning instead of
+    # re-exchanging |E| edges per round (guide §2.4; partition count
+    # inherits spark.sql.shuffle.partitions, scale-adaptive via conf)
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("dst"))
+        .persist()
+    )
     # localCheckpoint (not persist) each round: persist keeps the FULL
     # logical plan, which nests once per round and grows exponentially
     # with the convergence-check join (a 12-round chain OOMed the
@@ -2578,6 +2587,11 @@ def containment_pairs(
     directions, then a size join — never all-pairs. Output:
     ``(src_id, dst_id, n_inter, n_src_shingles, containment_micro)``
     for ordered pairs at or above the threshold."""
+    # NOTE (r15 optimization round, measured): persisting the per-doc
+    # shingle array here REGRESSED the query 1.51x at sf0.1 — AQE's
+    # runtime exchange-stage reuse already shares the duplicated
+    # subtrees, and the persist only added a materialization barrier.
+    # Left unpersisted on evidence (OPTIMIZATION_r15.md).
     sh = (
         df.select(
             F.col(id_col).alias("sid"),
@@ -2653,6 +2667,12 @@ def prefix_filter_pairs(
     blow-up at the true duplicate mass, and upstream
     :func:`exact_dedup` removes identical-set clusters first in the
     production composition."""
+    # NOTE (r15 optimization round, measured): the exploded shingle
+    # table feeds five consumers, but persisting it REGRESSED the query
+    # 1.33x at sf0.1 — AQE's runtime exchange-stage reuse already
+    # deduplicates the identical subtrees, and the persist only added a
+    # materialization barrier + cache write. Left unpersisted on
+    # evidence (OPTIMIZATION_r15.md).
     sh = docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("tok"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfc = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))

@@ -5605,9 +5605,14 @@ def parts_copurchase_triangles(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # emit each unordered co-purchase pair ONCE (a < b): triangle_count
+    # symmetrizes internally via least/greatest + distinct, so the
+    # one-direction edge list yields the IDENTICAL und set while the
+    # self-join emits (and the downstream distinct shuffles) half the
+    # rows (guide §2.3 "shuffle fewer bytes"; oracle-verified equal)
     edges = (
         a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
@@ -5660,9 +5665,12 @@ def parts_copurchase_clustering(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # one direction per pair — clustering_coefficient symmetrizes
+    # internally; identical und set, half the self-join output (see
+    # parts_copurchase_triangles)
     edges = (
         a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )

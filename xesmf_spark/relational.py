@@ -957,6 +957,17 @@ def pagerank(
     PageRank plan; lineage is truncated per iteration with
     localCheckpoint so ``iters`` stays bounded-plan.  The only driver
     scalar is N (one count)."""
+    # the edge list (and everything upstream of it — for textrank a
+    # tokenize+window pass, for the trade graphs a lineitem join) is
+    # invariant across iterations but was re-executed by EVERY consumer:
+    # outdeg (1x), each iteration's contribs join (iters x), and the
+    # per-iteration dangling anti-join re-derived outdeg again.  Persist
+    # the (src, dst, outdeg) frame ONCE, pre-partitioned on src — the
+    # per-iteration join key — so each iteration shuffles only the O(N)
+    # rank table against the cached partitioning (guide §2.4 "remove
+    # shuffles outright" + §5 caching: reused AND expensive to
+    # recompute).  repartition(src) inherits spark.sql.shuffle.partitions
+    # (scale-adaptive via conf, not a local[32] constant).
     e = edges.select(F.col("src"), F.col("dst")).distinct()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
@@ -968,10 +979,12 @@ def pagerank(
         return e.sparkSession.createDataFrame([], "node long, rank_micro long")
     base = (1_000_000 - damp_micro) // n
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(outdeg, "src").repartition(F.col("src")).persist()
+    outdeg_nodes = outdeg.select("src").persist()
     ranks = nodes.select("node", F.lit(1_000_000 // n).alias("rank_micro"))
     for _ in range(iters):
         contribs = (
-            e.join(outdeg, "src")
+            ed
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
@@ -989,7 +1002,7 @@ def pagerank(
         # integer share per node
         dang = (
             ranks.join(
-                outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+                outdeg_nodes.select(F.col("src").alias("node")), "node", "left_anti"
             ).agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("__dang"))
         )
         ranks = (
@@ -1011,7 +1024,15 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    nodes.unpersist()
+    # caches stay registered (not unpersisted here): the returned frame
+    # is LAZY — its checkpoint chain still reads ed/outdeg_nodes/nodes
+    # when the CALLER first executes it.  Same CACHING CONTRACT as the
+    # pipeline module's persisting operators (MEMORY_AND_DISK,
+    # LRU-evictable, released by release_persisted()/clearCache between
+    # bench runs).
+    from xesmf_spark.apply import _PERSISTED
+
+    _PERSISTED.extend((nodes, ed, outdeg_nodes))
     return ranks
 
 
@@ -1201,9 +1222,13 @@ def label_propagation(
     bounded by their degree (the vote agg is map-side combinable on
     (node, label))."""
     e = edges.select("src", "dst").distinct()
+    # pre-partitioned on dst — the key every round's neighbor join
+    # uses — so rounds shuffle only the O(N) label table against the
+    # cached partitioning (guide §2.4)
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
         .persist()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
@@ -1261,9 +1286,12 @@ def connected_components(edges: DataFrame, iters: int = 5) -> DataFrame:
     localCheckpoint (consumes the persisted edge list while cached —
     the :func:`label_propagation` discipline)."""
     e = edges.select("src", "dst").distinct()
+    # pre-partitioned on dst, the per-round join key (guide §2.4; see
+    # :func:`label_propagation`)
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(F.col("dst"))
         .persist()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
@@ -1321,6 +1349,8 @@ def connected_components_converged(
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        # pre-partitioned on dst, the per-round hook-join key (§2.4)
+        .repartition(F.col("dst"))
         .persist()
     )
     f = (
@@ -1687,8 +1717,18 @@ def shortest_paths(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
     # parallel edges collapse to their min weight up front (halves the
-    # per-round join volume on multigraphs; a no-op on simple graphs)
-    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+    # per-round join volume on multigraphs; a no-op on simple graphs);
+    # persisted PRE-PARTITIONED on src, the key every round's
+    # relaxation join uses, so rounds shuffle only the O(N) distance
+    # table (guide §2.4).  The groupBy already hash-partitions on
+    # (src, dst) — one extra narrow-input exchange here buys iters
+    # shuffle-free probe sides.
+    e = (
+        e.groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition(F.col("src"))
+        .persist()
+    )
     dist = sources.select(F.col(sources.columns[0]).alias("node")).distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     )
@@ -1733,6 +1773,13 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select("src", "dst").distinct().persist()
+    # the auth half-step joins e on src, the hub half-step on dst —
+    # every iteration, both directions.  Persist one pre-partitioned
+    # copy per key so each half-step shuffles only the O(N) score
+    # table (guide §2.4); e itself stays persisted for nodes/degree
+    # consumers.
+    e_by_src = e.repartition(F.col("src")).persist()
+    e_by_dst = e.repartition(F.col("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1742,6 +1789,8 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     n = nodes.count()
     if n == 0:
         e.unpersist()
+        e_by_src.unpersist()
+        e_by_dst.unpersist()
         nodes.unpersist()
         return e.sparkSession.createDataFrame(
             [], "node long, auth_micro long, hub_micro long"
@@ -1752,6 +1801,8 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         # NULL via non-ANSI div while the SQL replay errors — gate
         # loudly instead (rescale the micro unit to go bigger).
         e.unpersist()
+        e_by_src.unpersist()
+        e_by_dst.unpersist()
         nodes.unpersist()
         raise ValueError(
             f"hits: {n} nodes exceeds the 1e6-node micro-unit bound; "
@@ -1764,7 +1815,7 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         then L1-normalize to 1e6 total in exact integer arithmetic."""
         raw = (
             nodes.join(
-                e.join(
+                (e_by_src if key_in == "src" else e_by_dst).join(
                     scores.withColumnRenamed("node", key_in), key_in
                 )
                 .groupBy(key_out)
@@ -1796,8 +1847,11 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         .join(hub.withColumnRenamed("s", "hub_micro"), "node")
         .select("node", "auth_micro", "hub_micro")
     )
-    e.unpersist()
-    nodes.unpersist()
+    # lazy result still reads the caches — registry, not unpersist
+    # (see :func:`pagerank`)
+    from xesmf_spark.apply import _PERSISTED
+
+    _PERSISTED.extend((e, e_by_src, e_by_dst, nodes))
     return out
 
 
@@ -1856,11 +1910,17 @@ def pagerank_weighted(
         nodes.unpersist()
         return e.sparkSession.createDataFrame([], "node long, rank_micro long")
     base = (1_000_000 - damp_micro) // n
+    # same invariant-frame discipline as :func:`pagerank`: the
+    # (src, dst, w, wout) join is loop-invariant — persist it ONCE,
+    # pre-partitioned on src (the per-iteration join key) so each
+    # iteration shuffles only the O(N) rank table (guide §2.4/§5)
     wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = e.join(wout, "src").repartition(F.col("src")).persist()
+    wout_nodes = wout.select("src").persist()
     ranks = nodes.select("node", F.lit(1_000_000 // n).alias("rank_micro"))
     for _ in range(iters):
         contribs = (
-            e.join(wout, "src")
+            ew
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
@@ -1870,7 +1930,7 @@ def pagerank_weighted(
             )
         )
         dang = ranks.join(
-            wout.select(F.col("src").alias("node")), "node", "left_anti"
+            wout_nodes.select(F.col("src").alias("node")), "node", "left_anti"
         ).agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("__dang"))
         ranks = (
             nodes.join(
@@ -1889,8 +1949,11 @@ def pagerank_weighted(
             )
             .localCheckpoint(eager=False)
         )
-    e.unpersist()
-    nodes.unpersist()
+    # lazy result still reads the caches — keep them registered for
+    # release_persisted()/clearCache, as in :func:`pagerank`
+    from xesmf_spark.apply import _PERSISTED
+
+    _PERSISTED.extend((e, nodes, ew, wout_nodes))
     return ranks
 
 
@@ -2281,9 +2344,14 @@ def pagerank_personalized(
         .alias("rank_micro"),
     )
     tele = (1_000_000 - damp_micro) // n_s
+    # invariant-frame discipline (see :func:`pagerank`): the
+    # (src, dst, deg) join is loop-invariant — persist once,
+    # pre-partitioned on the per-iteration join key
+    ed = e.join(out_deg, "src").repartition(F.col("src")).persist()
+    deg_nodes = out_deg.select("src").persist()
     for _ in range(iters):
         contribs = (
-            e.join(out_deg, "src")
+            ed
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
@@ -2293,7 +2361,7 @@ def pagerank_personalized(
             )
         )
         dang = ranks.join(
-            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+            deg_nodes.select(F.col("src").alias("node")), "node", "left_anti"
         ).agg(F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("__dang"))
         ranks = (
             base.join(
@@ -2317,10 +2385,11 @@ def pagerank_personalized(
             )
             .localCheckpoint(eager=False)
         )
-    e.unpersist()
-    s.unpersist()
-    nodes.unpersist()
-    base.unpersist(blocking=False)
+    # lazy result still reads the caches — registry, not unpersist
+    # (see :func:`pagerank`)
+    from xesmf_spark.apply import _PERSISTED
+
+    _PERSISTED.extend((e, s, nodes, base, ed, deg_nodes))
     return ranks
 
 
@@ -2353,6 +2422,13 @@ def dense_rank_distributed(
     from xesmf_spark.apply import _PERSISTED
 
     order = [F.col(c).asc() for c in cols]
+    # repartitionByRange executes its child twice (range-boundary
+    # sampling + the shuffle).  An input persist was TRIED in the r15
+    # optimization round and regressed the suffix operators (the
+    # callers now feed this a cheap projection over a checkpointed
+    # frame, so the cache write costs more than the re-execution) —
+    # callers with an expensive input should checkpoint/persist it
+    # themselves, as suffix_ranks/longest_repeats do per round.
     d = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -2398,11 +2474,14 @@ def suffix_ranks(
     Round 0 dense-ranks single characters; round t merges each
     suffix's rank with the rank of the suffix ``2^t`` positions later
     (missing → 0, which orders a short matching prefix FIRST — exactly
-    lexicographic string order), so log2(k) rounds of ONE keyed
-    equi-join + ONE :func:`dense_rank_distributed` each produce the
-    k-prefix ranks.  No suffix string ever materializes beyond the
-    single exploded character column — the memory shape that lets this
-    run where "sort all suffixes as strings" cannot.
+    lexicographic string order), so log2(k) rounds of ONE ``lead(r,
+    2^t)`` window (positions are dense 0..len-1 by construction, so
+    the row ``2^t`` ahead IS position ``pos + 2^t`` — one doc-keyed
+    exchange, vs the former self-join's two) + ONE
+    :func:`dense_rank_distributed` each produce the k-prefix ranks.
+    No suffix string ever materializes beyond the single exploded
+    character column — the memory shape that lets this run where
+    "sort all suffixes as strings" cannot.
 
     Returns (id, pos, rank) with pos 0-based and rank the GLOBAL dense
     rank across the whole corpus; the DuckDB oracle replays it as
@@ -2417,19 +2496,45 @@ def suffix_ranks(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
     )
-    s = dense_rank_distributed(chars, ["ch"], "r").select("id", "pos", "r")
+    from xesmf_spark.apply import _PERSISTED
+
+    # truncate lineage per round (the longest_repeats discipline, on
+    # the heap): un-truncated, the doubling plan nests once per round
+    # and the FINAL plan carried ~2,600 Exchange nodes at k=16
+    # (plans/r15/documents_suffix_ranks_before.txt) — the driver spent
+    # a visible share of the query optimizing, not executing (guide
+    # §7.3).  Each round's persists are drained once its checkpoint
+    # materializes.
+    n_persisted0 = len(_PERSISTED)
+
+    def _drain():
+        while len(_PERSISTED) > n_persisted0:
+            _PERSISTED.pop().unpersist()
+
+    s = (
+        dense_rank_distributed(chars, ["ch"], "r")
+        .select("id", "pos", "r")
+        .localCheckpoint(eager=True)
+    )
+    _drain()
+    w_doc = Window.partitionBy("id").orderBy("pos")
     t = 1
     while t < k:
-        nxt = s.select(
-            F.col("id"), (F.col("pos") - t).alias("pos"), F.col("r").alias("r2")
+        # lead(r, t) over the doc's dense 0..len-1 positions IS the
+        # rank at pos+t (row offset == position offset); past-the-end
+        # reads NULL → 0, the shorter-prefix-first sentinel.  One
+        # exchange (hash by id) replaces the former self-join's two
+        # (both legs ranged by (id, pos)) — guide §2.4.
+        merged = s.select(
+            "id", "pos", "r",
+            F.coalesce(F.lead("r", t).over(w_doc), F.lit(0)).alias("r2"),
         )
-        merged = (
-            s.join(nxt, ["id", "pos"], "left")
-            .select("id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
+        s = (
+            dense_rank_distributed(merged, ["r", "r2"], "r")
+            .select("id", "pos", "r")
+            .localCheckpoint(eager=True)
         )
-        s = dense_rank_distributed(merged, ["r", "r2"], "r").select(
-            "id", "pos", "r"
-        )
+        _drain()
         t *= 2
     return s.select(
         F.col("id"), F.col("pos").cast("long").alias("pos"),
@@ -2538,14 +2643,16 @@ def longest_repeats(
         return frame.agg(F.max("r")).collect()[0][0]
 
     stack = [(1, s)]
+    w_doc = Window.partitionBy("id").orderBy("pos")
     k = 1
     mx = _max_rank(s)
     while k < max_len and mx < n_suffixes:
-        nxt = s.select(
-            F.col("id"), (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
-        )
-        merged = s.join(nxt, ["id", "pos"], "left").select(
-            "id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        # lead(r, k) over the doc's dense positions == rank at pos+k;
+        # past-the-end NULL → 0 sentinel.  One doc-keyed exchange
+        # replaces the former self-join's two (see suffix_ranks).
+        merged = s.select(
+            "id", "pos", "r",
+            F.coalesce(F.lead("r", k).over(w_doc), F.lit(0)).alias("r2"),
         )
         s = (
             dense_rank_distributed(merged, ["r", "r2"], "r")

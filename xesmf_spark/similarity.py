@@ -357,7 +357,11 @@ def kmeans_centroids(
     Cm /= np.linalg.norm(Cm, axis=1, keepdims=True)
     k = len(Cm)
 
-    vecs = df.select(vec_col)
+    # loop-invariant scan: every Lloyd iteration re-reads the vectors
+    # (20 iterations in the bench config) — persist once so iterations
+    # 2..n read the cache instead of re-scanning parquet (guide §5;
+    # the training input is a bounded sample by contract)
+    vecs = df.select(vec_col).persist()
     for _ in range(n_iters):
         bc = spark.sparkContext.broadcast(Cm)
 
@@ -397,6 +401,7 @@ def kmeans_centroids(
         Cm = np.where(nonempty[:, None], sums, Cm)  # empty cell: keep old
         Cm /= np.linalg.norm(Cm, axis=1, keepdims=True)
         bc.destroy()
+    vecs.unpersist()  # every iteration collected eagerly — safe to drop
     return np.arange(k, dtype=np.int64), Cm
 
 
@@ -1114,7 +1119,8 @@ def pq_train_codebooks(
     spark = df.sparkSession
     C = _pq_seed_codebooks(df, m, ksub, id_col, vec_col)
     dsub = C.shape[2]
-    vecs = df.select(vec_col)
+    # loop-invariant scan — persist once (see kmeans_centroids)
+    vecs = df.select(vec_col).persist()
     for _ in range(n_iters):
         bc = spark.sparkContext.broadcast(C)
 
@@ -1158,6 +1164,7 @@ def pq_train_codebooks(
         nonempty = counts > 0
         C = np.where(nonempty[:, :, None], sums / np.maximum(counts, 1)[:, :, None], C)
         bc.destroy()
+    vecs.unpersist()  # every iteration collected eagerly — safe to drop
     return C
 
 
