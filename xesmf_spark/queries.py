@@ -3740,8 +3740,12 @@ def ann_pq_recall(spark, sf_dir):
     ann_ivf_recall."""
     from xesmf_spark import similarity as SIM
 
+    from xesmf_spark.apply import _PERSISTED
+
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    # persist the bounded exact leg: two consumers (see ann_rp_recall)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
+    _PERSISTED.append(exact)
     approx = SIM.pq_topk(emb, k=3).select("query_id", "neighbor_id")
     matched = exact.join(approx, ["query_id", "neighbor_id"])
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -3780,8 +3784,12 @@ def ann_sq8_recall(spark, sf_dir):
     engines run both searches and the oracle checks the NUMBER."""
     from xesmf_spark import similarity as SIM
 
+    from xesmf_spark.apply import _PERSISTED
+
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    # persist the bounded exact leg: two consumers (see ann_rp_recall)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
+    _PERSISTED.append(exact)
     approx = SIM.sq8_topk(emb, k=3).select("query_id", "neighbor_id")
     matched = exact.join(approx, ["query_id", "neighbor_id"])
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -3832,8 +3840,12 @@ def ann_ivfpq_refine_recall(spark, sf_dir):
     run both searches; the oracle checks the recall NUMBER."""
     from xesmf_spark import similarity as SIM
 
+    from xesmf_spark.apply import _PERSISTED
+
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    # persist the bounded exact leg: two consumers (see ann_rp_recall)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
+    _PERSISTED.append(exact)
     approx = SIM.ivfpq_topk(emb, k=3, refine_k=16).select(
         "query_id", "neighbor_id"
     )
@@ -3870,7 +3882,13 @@ def ann_ivf_recall(spark, sf_dir):
     deployment needs, expressed as a join of the two searches (matched
     pairs / exact pairs). Both engines run both searches, so the oracle
     checks the recall NUMBER itself, not just each search separately."""
-    exact = ann_cosine_top3(spark, sf_dir).select("query_id", "neighbor_id")
+    from xesmf_spark.apply import _PERSISTED
+
+    # persist the bounded exact leg: two consumers (see ann_rp_recall)
+    exact = (
+        ann_cosine_top3(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
+    _PERSISTED.append(exact)
     approx = ann_ivf_top3(spark, sf_dir).select("query_id", "neighbor_id")
     matched = exact.join(approx, ["query_id", "neighbor_id"])
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -6189,8 +6207,14 @@ def ann_rp_recall(spark, sf_dir):
     and the oracle checks the NUMBER."""
     from xesmf_spark import similarity as SIM
 
+    from xesmf_spark.apply import _PERSISTED
+
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
+    # the exact leg feeds BOTH the match join and the denominator agg;
+    # persist its bounded top-k result (n_queries x 3 rows) so the
+    # brute-force search runs once, not per consumer (guide §5)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
+    _PERSISTED.append(exact)
     approx = SIM.rp_topk(emb, k=3).select("query_id", "neighbor_id")
     matched = exact.join(approx, ["query_id", "neighbor_id"])
     n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
