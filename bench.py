@@ -80,10 +80,16 @@ def main():
     # *GBps keys.  Use the same not-a-duration predicate as
     # scripts/pin_bench.py (throughput suffixes + recall ratios +
     # scaling metadata) so "total_bench_sec" is seconds, full stop.
+    # r15-opt refinement: the recall-FRACTION lines all carry
+    # "recall_at" (ann_*_recall_at3_*); the bare ann_ivf_recall /
+    # ann_rp_recall keys are WALL-TIME query lines that the r15
+    # "recall" substring wrongly dropped from the total (~3-9 s of
+    # real work).  Totals before this fix undercount by those two
+    # lines — recorded in OPTIMIZATION_r15.md with both values.
     def _is_seconds(k, v):
         if not isinstance(v, (int, float)):
             return False
-        if k.endswith(("_MBps", "_GBps", "_rows_per_sec")) or "recall" in k:
+        if k.endswith(("_MBps", "_GBps", "_rows_per_sec")) or "recall_at" in k:
             return False
         return not (k.startswith("scaling_") or k.endswith("_n"))
 

@@ -18,7 +18,13 @@ import sys
 
 
 def is_throughput(key: str) -> bool:
-    return key.endswith(("_MBps", "_GBps", "_rows_per_sec")) or "recall" in key
+    # "recall_at" catches every recall-FRACTION line
+    # (ann_*_recall_at3_*) without swallowing the bare
+    # ann_ivf_recall / ann_rp_recall keys, which are wall-time query
+    # lines — the r15 "recall" substring MAXed those two in pins and
+    # dropped them from totals (fixed in the r15 optimization round;
+    # see OPTIMIZATION_r15.md).
+    return key.endswith(("_MBps", "_GBps", "_rows_per_sec")) or "recall_at" in key
 
 
 def is_metadata(key: str) -> bool:
