@@ -1972,6 +1972,60 @@ def test_longest_repeats_random_ab_corpus_and_storage_hygiene(spark):
         assert leftover == []
 
 
+def test_longest_repeats_fixed_point_with_long_identical_tails(spark):
+    """The r15-opt internals lock: (a) the rank partition hits its
+    FIXED POINT at a small doubling level (random-ish text separates
+    fast) while IDENTICAL cross-doc tails far longer than that level
+    persist — the early-termination exit must still report those
+    full-tail LCPs exactly (the oversized-block promotion), not
+    truncate them at 2K-1; (b) with top_k far below the pair count the
+    walk's exact top-k prune fires and must not disturb the cut,
+    including lower-bound ties at the threshold (the shared tail makes
+    MANY pairs tie)."""
+    import random
+
+    from xesmf_spark.relational import longest_repeats
+
+    rng = random.Random(2026)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    tail = "".join(rng.choice(alpha) for _ in range(97))
+    docs = [
+        (1, "q" + tail),
+        (2, "z" + tail),  # identical 97-char tails, distinct heads
+        (3, "".join(rng.choice(alpha) for _ in range(80))),
+        (4, "".join(rng.choice(alpha) for _ in range(80))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sufs = sorted((t[p:], d, p) for d, t in docs for p in range(len(t)))
+
+    def lcp(x, y):
+        n = 0
+        for a, b in zip(x, y):
+            if a != b:
+                break
+            n += 1
+        return n
+
+    pairs = sorted(
+        (
+            (lcp(s1, s2), d1, p1, d2, p2)
+            for (s1, d1, p1), (s2, d2, p2) in zip(sufs, sufs[1:])
+        ),
+        key=lambda t: (-t[0], t[1], t[2], t[3], t[4]),
+    )
+    # the fixture really exercises both paths: the longest repeat is
+    # the full 97-char tail — far beyond any small fixed-point level —
+    # and there are hundreds of adjacent pairs for top_k=6 to prune
+    assert pairs[0][0] == 97 and len(pairs) > 100
+    for top_k in (6, 40, len(pairs) + 5):
+        got = [
+            (r.lcp, r.a_id, r.a_pos, r.b_id, r.b_pos)
+            for r in longest_repeats(df, top_k=top_k).collect()
+        ]
+        assert got == pairs[:top_k], top_k
+
+
 def test_longest_repeats_identical_docs_never_distinct(spark):
     """Identical documents keep suffix ranks tied at EVERY doubling
     level, so the Manber-Myers early-termination gate never fires and

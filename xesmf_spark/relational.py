@@ -2585,17 +2585,29 @@ def longest_repeats(
     (true for this library: longest_repeats is the only one)."""
     from xesmf_spark.apply import _PERSISTED
 
-    chars = df.filter(
+    nonempty = df.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0)
-    ).select(
+    )
+    chars = nonempty.select(
         F.col(id_col).alias("id"),
-        F.length(text_col).alias("len"),
         F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
     )
-    max_len = chars.agg(F.max("len")).collect()[0][0]
+    # lens / max_len / n_suffixes are functions of the UN-exploded
+    # input — deriving them from `chars` (as before the r15
+    # optimization round) re-executed the corpus-sized explode once
+    # per aggregate and paid a distinct shuffle over exploded rows;
+    # the doc-level projection is |docs|-shaped (guide §2.3).  The
+    # explode itself also narrows by the dropped len column.
+    lens = (
+        nonempty.select(
+            F.col(id_col).alias("id"), F.length(text_col).alias("len")
+        )
+        .distinct()
+        .persist()
+    )
+    max_len = lens.agg(F.max("len")).collect()[0][0]
     if max_len is None:
         raise ValueError("corpus has no non-empty documents")
-    lens = chars.select("id", "len").distinct().persist()
     # every round checkpoints RELIABLY (disk), not locally (heap):
     # ~log2(max_len) doubling rounds followed by as many LCP-walk
     # rounds would otherwise stack into one plan whose optimization
@@ -2646,10 +2658,12 @@ def longest_repeats(
     w_doc = Window.partitionBy("id").orderBy("pos")
     k = 1
     mx = _max_rank(s)
-    while k < max_len and mx < n_suffixes:
+    prev_mx = -1
+    while k < max_len and mx < n_suffixes and mx > prev_mx:
         # lead(r, k) over the doc's dense positions == rank at pos+k;
         # past-the-end NULL → 0 sentinel.  One doc-keyed exchange
         # replaces the former self-join's two (see suffix_ranks).
+        prev_mx = mx
         merged = s.select(
             "id", "pos", "r",
             F.coalesce(F.lead("r", k).over(w_doc), F.lit(0)).alias("r2"),
@@ -2663,6 +2677,26 @@ def longest_repeats(
         k *= 2
         stack.append((k, s))
         mx = _max_rank(s)
+    if mx == prev_mx and mx < n_suffixes:
+        # PARTITION FIXED POINT (the duplicate-suffix early exit): the
+        # rank partition only refines round over round, so an UNCHANGED
+        # distinct count means the refinement was equality — and then
+        # it stays equal forever (if P_2k == P_k, then suffixes equal
+        # at 2k have their +2k tails equal at 2k too, so P_4k == P_2k;
+        # induction).  Corpora with duplicate cross-doc suffixes never
+        # reach mx == n_suffixes, and before this gate the loop doubled
+        # all the way to max_len through provably-identity relabelings
+        # (measured on the sf0.1 bench corpus: ranks froze at k=32,
+        # 109 duplicate tails, and 4 doubling + 4 walk rounds ran for
+        # nothing).  At the fixed point, EQUAL rank implies the full
+        # remaining tails are identical (equal at every 2^m), so the
+        # top stack block is promoted to an OVERSIZED block: equality
+        # there is a true full-tail match and the final
+        # LEAST(off, remaining) clamp — the same mechanism that already
+        # handles the k >= max_len exit — recovers the exact LCP.
+        # Non-identical pairs differ at the fixed point itself, so
+        # their LCP < K/2 stays within the remaining blocks' reach.
+        stack[-1] = (max(stack[-1][0], max_len), stack[-1][1])
     # total suffix order: ranks are full-length.  If the loop exited
     # on distinctness the ranks ARE the total order already (the
     # tie-break dense rank would be an identity relabeling — skipped);
@@ -2681,11 +2715,61 @@ def longest_repeats(
         F.col("id").alias("b_id"),
         F.col("pos").alias("b_pos"),
     )
-    pairs = a.join(b, "rn").drop("rn").withColumn("off", F.lit(0))
+    # remaining lengths ride along from the start (they are the prune
+    # bound below AND the final clamp — carrying them replaces the two
+    # lens joins that used to close the op)
+    la = lens.select(F.col("id").alias("a_id"), F.col("len").alias("__la"))
+    lb = lens.select(F.col("id").alias("b_id"), F.col("len").alias("__lb"))
+    pairs = (
+        a.join(b, "rn").drop("rn")
+        .join(la, "a_id")
+        .join(lb, "b_id")
+        .select(
+            "a_id", "a_pos", "b_id", "b_pos",
+            (F.col("__la") - F.col("a_pos")).alias("__rem_a"),
+            (F.col("__lb") - F.col("b_pos")).alias("__rem_b"),
+            F.lit(0).alias("off"),
+        )
+    )
     # LCP walk, largest block first; stack[-1] may exceed max_len —
     # still valid (equality at an oversized block is a true full-tail
     # match, clamped below)
-    for k, frame in reversed(stack):
+    blocks = list(reversed(stack))
+    sum_from = [sum(b for b, _ in blocks[i:]) for i in range(len(blocks))]
+    for i, (k, frame) in enumerate(blocks):
+        if i > 0:
+            # EXACT top-k prune: a pair's final lcp is sandwiched in
+            # [least(off, rem_a, rem_b), least(off + sum(remaining
+            # blocks), rem_a, rem_b)] — off only grows by true matches
+            # and the clamp is monotone.  Any pair whose UPPER bound is
+            # strictly below the top_k-th largest LOWER bound can never
+            # enter the (lcp DESC, ids) cut, whatever the remaining
+            # rounds say, so the corpus-sized pair table collapses to
+            # the contenders after the top block and every later walk
+            # round (2 keyed joins + a reliable checkpoint each) runs
+            # on survivors instead of n_suffixes rows.  The threshold
+            # is one TakeOrdered over the just-checkpointed frame;
+            # fewer than top_k pairs -> no prune (tk would be
+            # undefined), tie-heavy corpora prune nothing and stay
+            # exact.
+            lows = [
+                r[0]
+                for r in pairs.select(
+                    F.least("off", "__rem_a", "__rem_b").alias("__lb")
+                )
+                .orderBy(F.desc("__lb"))
+                .limit(top_k)
+                .collect()
+            ]
+            if len(lows) == top_k and lows[-1] > 0:
+                pairs = pairs.filter(
+                    F.least(
+                        F.col("off") + F.lit(sum_from[i]),
+                        F.col("__rem_a"),
+                        F.col("__rem_b"),
+                    )
+                    >= F.lit(lows[-1])
+                )
         ra = frame.select(
             F.col("id").alias("a_id"),
             F.col("pos").alias("__pa"),
@@ -2712,22 +2796,14 @@ def longest_repeats(
             .drop("__pa", "__pb", "__ra", "__rb")
             .checkpoint()
         )
-    la = lens.select(F.col("id").alias("a_id"), F.col("len").alias("__la"))
-    lb = lens.select(F.col("id").alias("b_id"), F.col("len").alias("__lb"))
-    out = (
-        pairs.join(la, "a_id")
-        .join(lb, "b_id")
-        .select(
-            F.least(
-                F.col("off"),
-                F.col("__la") - F.col("a_pos"),
-                F.col("__lb") - F.col("b_pos"),
-            ).cast("long").alias("lcp"),
-            "a_id",
-            F.col("a_pos").cast("long").alias("a_pos"),
-            "b_id",
-            F.col("b_pos").cast("long").alias("b_pos"),
-        )
+    out = pairs.select(
+        F.least(
+            F.col("off"), F.col("__rem_a"), F.col("__rem_b")
+        ).cast("long").alias("lcp"),
+        "a_id",
+        F.col("a_pos").cast("long").alias("a_pos"),
+        "b_id",
+        F.col("b_pos").cast("long").alias("b_pos"),
     )
     ranked = out.orderBy(
         F.col("lcp").desc(), "a_id", "a_pos", "b_id", "b_pos"
