@@ -1861,7 +1861,10 @@ def test_suffix_ranks_matches_string_sort(spark):
 
     docs = [(1, "banana"), (2, "bandana"), (3, "a"), (4, "nan"), (5, None)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    for k in (1, 4, 8):
+    # k <= 16 exercises the substring-seed-only path (w0 = k, no
+    # doubling); k = 16 is the exact seed boundary; k = 32 exercises
+    # seed-16 + one doubling round
+    for k in (1, 4, 8, 16, 32):
         got = {(r.id, r.pos): r.rank for r in suffix_ranks(df, k=k).collect()}
         sufs = [
             (t[p : p + k], d, p)

@@ -2459,6 +2459,45 @@ def dense_rank_distributed(
     )
 
 
+#: Manber-Myers seed width (r15 optimization): round 0 ranks suffixes
+#: by their first _SEED_W characters in ONE dense rank instead of
+#: log2(_SEED_W) doubling rounds.  Provably the identical partition AND
+#: order: rank_w equality is padded w-block-tuple equality, which is
+#: truncated prefix-string equality; the 0 pad sorts a shorter matching
+#: prefix first, exactly Spark's (and every) lexicographic string
+#: order, and UTF-8 byte order is code-point order, so comparing the
+#: concatenated prefix bytes == comparing the char tuple — the same
+#: classical sentinel argument the suffix_ranks oracle states.  The
+#: seed key stays a BOUNDED 16 bytes/row at any corpus scale (never
+#: suffix-length-shaped), so the 100-TB memory argument is unchanged.
+_SEED_W = 16
+
+
+def _suffix_prefixes(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """(id, pos, __p): every suffix position of every non-empty doc
+    with its first ``w`` characters (truncated at doc end).  Positions
+    enumerate 0..length-1 via sequence() — the same character-count
+    basis as F.length, which the downstream lens/lead machinery already
+    assumes — without materializing a per-char array first."""
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("__t") - F.lit(1))
+            ).alias("pos"),
+            "__t",
+        )
+        .select(
+            "id", "pos",
+            F.expr(f"substring(__t, pos + 1, {int(w)})").alias("__p"),
+        )
+    )
+
+
 def suffix_ranks(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2471,17 +2510,22 @@ def suffix_ranks(
     rank every suffix of every document by its first ``k`` characters
     (k a power of two), equal prefixes sharing a dense rank.
 
-    Round 0 dense-ranks single characters; round t merges each
-    suffix's rank with the rank of the suffix ``2^t`` positions later
-    (missing → 0, which orders a short matching prefix FIRST — exactly
-    lexicographic string order), so log2(k) rounds of ONE ``lead(r,
-    2^t)`` window (positions are dense 0..len-1 by construction, so
-    the row ``2^t`` ahead IS position ``pos + 2^t`` — one doc-keyed
-    exchange, vs the former self-join's two) + ONE
-    :func:`dense_rank_distributed` each produce the k-prefix ranks.
-    No suffix string ever materializes beyond the single exploded
-    character column — the memory shape that lets this run where
-    "sort all suffixes as strings" cannot.
+    Round 0 dense-ranks the first ``min(k, 16)`` characters DIRECTLY
+    (one dense rank over a bounded substring — ranking by a w-char
+    prefix string IS w levels of doubling: sentinel-padded block order
+    == string order, the same classical argument the oracle leans on,
+    so the r15-optimization seed skips log2(16)=4 corpus-sized rounds
+    outright); round t then merges each suffix's rank with the rank of
+    the suffix ``2^t`` positions later (missing → 0, which orders a
+    short matching prefix FIRST — exactly lexicographic string order),
+    so log2(k/16) rounds of ONE ``lead(r, 2^t)`` window (positions are
+    dense 0..len-1 by construction, so the row ``2^t`` ahead IS
+    position ``pos + 2^t`` — one doc-keyed exchange, vs the former
+    self-join's two) + ONE :func:`dense_rank_distributed` each produce
+    the k-prefix ranks.  No suffix string ever materializes beyond the
+    BOUNDED 16-char seed prefix — the memory shape that lets this run
+    where "sort all suffixes as strings" cannot (the seed key is a
+    constant 16 bytes/row, NOT suffix-length-shaped).
 
     Returns (id, pos, rank) with pos 0-based and rank the GLOBAL dense
     rank across the whole corpus; the DuckDB oracle replays it as
@@ -2490,12 +2534,8 @@ def suffix_ranks(
     the classical correctness argument for doubling."""
     if k < 1 or (k & (k - 1)) != 0:
         raise ValueError(f"k must be a power of two >= 1, got {k}")
-    chars = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
-    ).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
-    )
+    w0 = min(k, _SEED_W)
+    pref = _suffix_prefixes(df, id_col, text_col, w0)
     from xesmf_spark.apply import _PERSISTED
 
     # truncate lineage per round (the longest_repeats discipline, on
@@ -2511,14 +2551,20 @@ def suffix_ranks(
         while len(_PERSISTED) > n_persisted0:
             _PERSISTED.pop().unpersist()
 
-    s = (
-        dense_rank_distributed(chars, ["ch"], "r")
-        .select("id", "pos", "r")
-        .localCheckpoint(eager=True)
-    )
+    s = dense_rank_distributed(pref, ["__p"], "r").select("id", "pos", "r")
+    if k <= w0:
+        # the seed IS the answer — one dense rank, no doubling, no
+        # checkpoint (single-consumer plan; the dense-rank-internal
+        # persist stays registered for release_persisted(), the
+        # standard non-iterative contract)
+        return s.select(
+            F.col("id"), F.col("pos").cast("long").alias("pos"),
+            F.col("r").alias("rank"),
+        )
+    s = s.localCheckpoint(eager=True)
     _drain()
     w_doc = Window.partitionBy("id").orderBy("pos")
-    t = 1
+    t = w0
     while t < k:
         # lead(r, t) over the doc's dense 0..len-1 positions IS the
         # rank at pos+t (row offset == position offset); past-the-end
@@ -2550,8 +2596,10 @@ def longest_repeats(
 ) -> DataFrame:
     """Longest repeated substrings across a corpus — the analytical
     core of Lee-et-al ExactSubstr dedup, answered exactly from the
-    distributed suffix order: rank ALL suffixes to full length
-    (prefix doubling until 2^m covers the longest document), pair each
+    distributed suffix order: rank ALL suffixes to full length (a
+    16-char substring seed — one dense rank standing in for 4 doubling
+    rounds, see _SEED_W — then prefix doubling until 2^m covers the
+    longest document), pair each
     suffix with its suffix-order NEIGHBOR (the longest repeat is
     always an adjacent-suffix LCP — the classical suffix-array
     theorem), and compute each pair's LCP by walking the SAVED rank
@@ -2569,10 +2617,11 @@ def longest_repeats(
 
     Returns the ``top_k`` rows (lcp, a_id, a_pos, b_id, b_pos) by
     (lcp DESC, a_id, a_pos, b_id, b_pos) — a total order, so the cut
-    is deterministic.  Scale shape: log2(max_len) doubling rounds +
-    log2(max_len) LCP-walk rounds, each ONE keyed equi-join per leg
-    on the suffix table; the only driver-side values are the 1-row
-    max-length aggregate and the top-k TakeOrdered.
+    is deterministic.  Scale shape: log2(max_len/16) doubling rounds +
+    as many LCP-walk rounds (each ONE keyed equi-join per leg on the
+    suffix table) + one prefix-string residue round for the final <16
+    chars; the only driver-side values are the 1-row max-length
+    aggregate and the top-k TakeOrdered.
 
     Storage hygiene: the op MATERIALIZES its bounded ``top_k`` result
     (never corpus-shaped), then unpersists every intermediate and
@@ -2588,16 +2637,16 @@ def longest_repeats(
     nonempty = df.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0)
     )
-    chars = nonempty.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
-    )
+    # (id, pos, __p): suffix positions with their first _SEED_W chars —
+    # the seed dense rank over __p IS log2(_SEED_W) doubling rounds
+    # (see _SEED_W), so the stack starts at block 16 and the build
+    # loop skips 4 corpus-sized dense_rank+checkpoint rounds
+    pref = _suffix_prefixes(df, id_col, text_col, _SEED_W)
     # lens / max_len / n_suffixes are functions of the UN-exploded
-    # input — deriving them from `chars` (as before the r15
+    # input — deriving them from the exploded frame (as before the r15
     # optimization round) re-executed the corpus-sized explode once
     # per aggregate and paid a distinct shuffle over exploded rows;
-    # the doc-level projection is |docs|-shaped (guide §2.3).  The
-    # explode itself also narrows by the dropped len column.
+    # the doc-level projection is |docs|-shaped (guide §2.3).
     lens = (
         nonempty.select(
             F.col(id_col).alias("id"), F.length(text_col).alias("len")
@@ -2632,12 +2681,20 @@ def longest_repeats(
         while len(_PERSISTED) > n_persisted0:
             _PERSISTED.pop().unpersist()
 
+    # the seed frame CARRIES __p: the LCP walk's final sub-16 residue
+    # is resolved by a direct common-prefix-length expression over
+    # these strings (two survivor-sized joins) instead of building and
+    # walking rank blocks 8/4/2/1 — one wider checkpoint replaces
+    # three corpus-sized dense_rank+checkpoint rounds and three walk
+    # rounds (guide §2.2: fewer corpus-shaped shuffles beats narrower
+    # rows here; the extra column is a bounded 16 chars)
     s = (
-        dense_rank_distributed(chars.select("id", "pos", "ch"), ["ch"], "r")
-        .select("id", "pos", "r")
+        dense_rank_distributed(pref, ["__p"], "r")
+        .select("id", "pos", "r", "__p")
         .checkpoint()
     )
     _drain_persisted()
+    seed_frame = s
     # Manber-Myers EARLY TERMINATION: once every suffix has a distinct
     # rank (max dense rank == #suffixes), further doubling rounds are
     # identity relabelings — and distinct rank_k means all k-prefixes
@@ -2654,9 +2711,9 @@ def longest_repeats(
     def _max_rank(frame):
         return frame.agg(F.max("r")).collect()[0][0]
 
-    stack = [(1, s)]
+    stack = [(_SEED_W, s)]
     w_doc = Window.partitionBy("id").orderBy("pos")
-    k = 1
+    k = _SEED_W
     mx = _max_rank(s)
     prev_mx = -1
     while k < max_len and mx < n_suffixes and mx > prev_mx:
@@ -2735,7 +2792,13 @@ def longest_repeats(
     # still valid (equality at an oversized block is a true full-tail
     # match, clamped below)
     blocks = list(reversed(stack))
-    sum_from = [sum(b for b, _ in blocks[i:]) for i in range(len(blocks))]
+    # the +(_SEED_W - 1) term is the residue step below: after every
+    # rank block the walk can still advance up to 15 chars from the
+    # prefix-string comparison, so prune upper bounds must include it
+    sum_from = [
+        sum(b for b, _ in blocks[i:]) + (_SEED_W - 1)
+        for i in range(len(blocks))
+    ]
     for i, (k, frame) in enumerate(blocks):
         if i > 0:
             # EXACT top-k prune: a pair's final lcp is sandwiched in
@@ -2796,6 +2859,50 @@ def longest_repeats(
             .drop("__pa", "__pb", "__ra", "__rb")
             .checkpoint()
         )
+    # SUB-16 RESIDUE, exactly: after the binary-counter descent over
+    # blocks >= _SEED_W, a pair's remaining lcp - off is < _SEED_W
+    # (greedy powers-of-two down to 16 recover lcp's binary digits;
+    # fixed-point corpora: non-identical pairs differ at the frozen
+    # block itself, identical tails ride the promoted top block and
+    # the clamp).  Join each leg's carried seed-prefix string at the
+    # final offset and add the two strings' common prefix length — a
+    # monotone sum of 15 prefix-equality indicators, replacing the
+    # 8/4/2/1 rank-block builds (3 corpus dense_rank+checkpoint
+    # rounds) and their walk rounds (2 corpus-side join exchanges +
+    # a checkpoint each) with two survivor-sized joins.  Equal-length
+    # identical short tails overshoot (both truncated strings equal ->
+    # all 15 indicators fire) exactly like the oversized top block;
+    # the final LEAST(off, remaining) clamp recovers them.  Join
+    # misses (offset past doc end) contribute 0.
+    cpl = F.lit(0)
+    for j in range(1, _SEED_W):
+        cpl = cpl + F.when(
+            F.substring("__sa", 1, j) == F.substring("__sb", 1, j),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    pa = seed_frame.select(
+        F.col("id").alias("a_id"), F.col("pos").alias("__pa"),
+        F.col("__p").alias("__sa"),
+    )
+    pb = seed_frame.select(
+        F.col("id").alias("b_id"), F.col("pos").alias("__pb"),
+        F.col("__p").alias("__sb"),
+    )
+    pairs = (
+        pairs.withColumn("__pa", F.col("a_pos") + F.col("off"))
+        .withColumn("__pb", F.col("b_pos") + F.col("off"))
+        .join(pa, ["a_id", "__pa"], "left")
+        .join(pb, ["b_id", "__pb"], "left")
+        .withColumn(
+            "off",
+            F.col("off")
+            + F.when(
+                F.col("__sa").isNotNull() & F.col("__sb").isNotNull(),
+                cpl,
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__pa", "__pb", "__sa", "__sb")
+    )
     out = pairs.select(
         F.least(
             F.col("off"), F.col("__rem_a"), F.col("__rem_b")
