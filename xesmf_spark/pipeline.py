@@ -271,18 +271,34 @@ def _pairs_from_buckets(
 ) -> DataFrame:
     """Self-equi-join the (band, bh) bucket rows into candidate pairs,
     with the :data:`MAX_LSH_BUCKET` skew valve: oversized buckets are
-    excluded BEFORE the join (the size pre-aggregate shuffles on the
-    same key the join does — no extra exchange shape, and AQE sees the
-    real sizes). ``log_drops`` triggers one extra small job counting
-    the dropped buckets (callers should only ask when the upstream
-    signature table is persisted, else the count recomputes it)."""
+    excluded BEFORE the join. The valve is a window count over the
+    SAME (band, bh) key the self-join uses, and the counted bucket
+    rows are persisted (docs x bands rows — id + band + hash, bounded,
+    registered in ``_PERSISTED``): one exchange materializes once and
+    the valve filter, the optional drop-count job, and BOTH self-join
+    sides read it with no further exchange (the earlier
+    size-aggregate + join-back shape paid a second corpus-bucket
+    exchange plus a full recompute for the ``log_drops`` count).
+    ``log_drops`` triggers one extra small job counting the dropped
+    buckets (a cached scan)."""
     if max_bucket is not None:
-        sz = buckets.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
+        from pyspark.sql import Window
+
+        from xesmf_spark.apply import _PERSISTED
+
+        counted = buckets.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+        ).persist()
+        _PERSISTED.append(counted)
         if log_drops:
             import logging
 
-            over = sz.filter(F.col("bucket_n") > max_bucket)
-            n_over = over.count()
+            n_over = (
+                counted.filter(F.col("bucket_n") > max_bucket)
+                .select("band", "bh")
+                .distinct()
+                .count()
+            )
             if n_over:
                 logging.getLogger(__name__).warning(
                     "lsh_candidate_pairs: dropping %d bucket(s) larger than "
@@ -291,11 +307,7 @@ def _pairs_from_buckets(
                     n_over,
                     max_bucket,
                 )
-        buckets = (
-            buckets.join(sz, ["band", "bh"])
-            .filter(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
+        buckets = counted.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -352,20 +364,22 @@ def minhash_dedup_pairs(
         log_drops=True,  # sigs is persisted — the drop count is cheap
     )
 
-    inter = (
-        cand.join(ex.alias("ea"), F.col("id_a") == F.col("ea.sid"))
-        .join(
-            ex.alias("eb"),
-            (F.col("id_b") == F.col("eb.sid"))
-            & (F.col("ea.shingle") == F.col("eb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.select("sid", "n_sh")
+    # verify with array_intersect over the persisted per-doc shingle
+    # SETS (shingles() is array_distinct, so |array_intersect| IS the
+    # intersection cardinality the exploded double-join counted): two
+    # candidate-keyed joins replace the former four (two corpus-wide
+    # exploded-shingle joins + two size look-ups) and nothing
+    # candidate x shingle ever enters a shuffle. The n_inter > 0 guard
+    # keeps the old inner-join semantics (a zero-overlap candidate
+    # produced no row there) for any threshold, including 0.
+    sets = sh.select("sid", "sh_set", "n_sh")
     return (
-        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.sid"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.sid"))
+        cand.join(sets.alias("sa"), F.col("id_a") == F.col("sa.sid"))
+        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.sid"))
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sa.sh_set", "sb.sh_set"))
+        )
+        .filter(F.col("n_inter") > 0)
         .select(
             "id_a",
             "id_b",
@@ -1505,32 +1519,68 @@ def decontaminate_fuzzy(
     sh_e, b_e = _side(eval_df, "__eval_id")
 
     if max_bucket is not None:
-        sz = (
-            b_t.select("band", "bh")
-            .unionAll(b_e.select("band", "bh"))
-            .groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
+        # COMBINED-occupancy valve as ONE window count over the unioned
+        # bucket rows (same (band, bh) key the candidate join uses),
+        # persisted so the filter and both join sides read a single
+        # materialized exchange — the former size-aggregate + two
+        # join-backs re-exchanged both sides' bucket tables. The side
+        # marker splits the union back without touching the id columns.
+        from pyspark.sql import Window
+
+        t_type = dict(b_t.dtypes)["__train_id"]
+        e_type = dict(b_e.dtypes)["__eval_id"]
+        u = (
+            b_t.select(
+                "__train_id",
+                F.lit(None).cast(e_type).alias("__eval_id"),
+                "band",
+                "bh",
+            )
+            .unionAll(
+                b_e.select(
+                    F.lit(None).cast(t_type).alias("__train_id"),
+                    "__eval_id",
+                    "band",
+                    "bh",
+                )
+            )
+            .withColumn(
+                "bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bh")),
+            )
+            .filter(F.col("bucket_n") <= max_bucket)
+            .persist()
         )
-        ok = sz.filter(F.col("bucket_n") <= max_bucket).select("band", "bh")
-        b_t = b_t.join(ok, ["band", "bh"])
-        b_e = b_e.join(ok, ["band", "bh"])
+        _PERSISTED.append(u)
+        b_t = u.filter(F.col("__train_id").isNotNull()).select(
+            "__train_id", "band", "bh"
+        )
+        b_e = u.filter(F.col("__eval_id").isNotNull()).select(
+            "__eval_id", "band", "bh"
+        )
     cand = (
         b_t.join(b_e, ["band", "bh"])
         .select("__train_id", "__eval_id")
         .distinct()
     )
 
-    ex_t = sh_t.select("__train_id", F.explode("sh_set").alias("shingle"))
-    ex_e = sh_e.select("__eval_id", F.explode("sh_set").alias("shingle"))
-    inter = (
-        cand.join(ex_t, "__train_id")
-        .join(ex_e, ["__eval_id", "shingle"])
-        .groupBy("__train_id", "__eval_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # verify with array_intersect over the persisted per-side shingle
+    # SETS (shingles() is array_distinct) — two candidate-keyed joins
+    # replace the two exploded-shingle joins + two size look-ups; the
+    # n_inter > 0 guard keeps the old inner-join semantics.
     return (
-        inter.join(sh_t.select("__train_id", F.col("n_sh").alias("n_t")), "__train_id")
-        .join(sh_e.select("__eval_id", F.col("n_sh").alias("n_e")), "__eval_id")
+        cand.join(
+            sh_t.select("__train_id", F.col("sh_set").alias("set_t"),
+                        F.col("n_sh").alias("n_t")),
+            "__train_id",
+        )
+        .join(
+            sh_e.select("__eval_id", F.col("sh_set").alias("set_e"),
+                        F.col("n_sh").alias("n_e")),
+            "__eval_id",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("set_t", "set_e")))
+        .filter(F.col("n_inter") > 0)
         .select(
             F.col("__train_id").alias(id_col),
             F.col("__eval_id").alias("eval_id"),
@@ -2490,11 +2540,24 @@ def editdist_dedup_pairs(
     norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("ntext"))
     b = norm.withColumn("block", F.substring("ntext", 1, prefix))
     if max_block is not None:
-        sz = b.groupBy("block").agg(F.count(F.lit(1)).alias("block_n"))
+        # valve as a window count over the SAME block key the pair
+        # join uses — one exchange (shared by both join sides via AQE
+        # exchange reuse: identical subtrees) instead of the former
+        # size-aggregate + join-back's extra exchange pair
+        from pyspark.sql import Window
+
+        counted = b.withColumn(
+            "block_n", F.count(F.lit(1)).over(Window.partitionBy("block"))
+        )
         if log_drops:
             import logging
 
-            n_over = sz.filter(F.col("block_n") > max_block).count()
+            n_over = (
+                counted.filter(F.col("block_n") > max_block)
+                .select("block")
+                .distinct()
+                .count()
+            )
             if n_over:
                 logging.getLogger(__name__).warning(
                     "editdist_dedup_pairs: dropping %d prefix block(s) larger "
@@ -2503,7 +2566,7 @@ def editdist_dedup_pairs(
                     n_over,
                     max_block,
                 )
-        b = b.join(sz, "block").filter(F.col("block_n") <= max_block).drop("block_n")
+        b = counted.filter(F.col("block_n") <= max_block).drop("block_n")
     a = b.select(F.col(id_col).alias("id_a"), F.col("ntext").alias("ta"), "block")
     c = b.select(F.col(id_col).alias("id_b"), F.col("ntext").alias("tb"), "block")
     pairs = a.join(c, "block").filter(F.col("id_a") < F.col("id_b"))
@@ -3323,8 +3386,18 @@ def record_linkage_pairs(
         F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in block_cols
     ]))
     if max_block is not None:
-        sz = b.groupBy("__block").agg(F.count(F.lit(1)).alias("__bn"))
-        b = b.join(sz, "__block").filter(F.col("__bn") <= max_block).drop("__bn")
+        # same window-count valve as editdist_dedup_pairs: one exchange
+        # on the block key (AQE-shared by both pair-join sides) instead
+        # of the size-aggregate + join-back
+        from pyspark.sql import Window
+
+        b = (
+            b.withColumn(
+                "__bn", F.count(F.lit(1)).over(Window.partitionBy("__block"))
+            )
+            .filter(F.col("__bn") <= max_block)
+            .drop("__bn")
+        )
     left = b.select(
         "__block",
         F.col("__id").alias("id_a"),
