@@ -798,9 +798,16 @@ def hamming_pairs(
         F.col("bb.bh").alias("bh"),
     )
     if max_bucket is not None:
-        sz = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
+        # valve as a window count over the SAME (band, bh) key the
+        # self-join uses — one exchange shared by both join sides (AQE
+        # exchange reuse) instead of size-aggregate + join-back
+        from pyspark.sql import Window
+
         bands = (
-            bands.join(sz, ["band", "bh"])
+            bands.withColumn(
+                "bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bh")),
+            )
             .filter(F.col("bucket_n") <= max_bucket)
             .drop("bucket_n")
         )

@@ -699,13 +699,17 @@ def ngram_jaccard_pairs(
     ).withColumn("n_sh", F.size("sh_set"))
     ex = sh.select(*block_cols, "sid", F.explode("sh_set").alias("shingle"))
     if max_df is not None:
-        # DF pre-aggregate shuffles on the same (block, shingle) key the
-        # intersection join uses — no new exchange shape
-        dfc = ex.groupBy(*block_cols, "shingle").agg(
-            F.count(F.lit(1)).alias("df_n")
-        )
+        # DF valve as a window count over the SAME (block, shingle) key
+        # the intersection join uses — one exchange that the join's two
+        # identical sides then share (AQE exchange reuse), instead of
+        # the former size-aggregate + join-back's extra exchange
         ex = (
-            ex.join(dfc, [*block_cols, "shingle"])
+            ex.withColumn(
+                "df_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*block_cols, "shingle")
+                ),
+            )
             .filter(F.col("df_n") <= max_df)
             .drop("df_n")
         )
@@ -2665,8 +2669,16 @@ def containment_pairs(
     )
     ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
     if max_df is not None:
-        dfc = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_n"))
-        ex = ex.join(dfc, "shingle").filter(F.col("df_n") <= max_df).drop("df_n")
+        # DF valve as a window count over the SAME shingle key the
+        # intersection join uses — one exchange shared by both join
+        # sides (AQE exchange reuse) instead of size-agg + join-back
+        ex = (
+            ex.withColumn(
+                "df_n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df_n") <= max_df)
+            .drop("df_n")
+        )
     inter = (
         ex.alias("ea")
         .join(ex.alias("eb"), "shingle")
@@ -2730,21 +2742,27 @@ def prefix_filter_pairs(
     blow-up at the true duplicate mass, and upstream
     :func:`exact_dedup` removes identical-set clusters first in the
     production composition."""
-    # NOTE (r15 optimization round, measured): the exploded shingle
-    # table feeds five consumers, but persisting it REGRESSED the query
-    # 1.33x at sf0.1 — AQE's runtime exchange-stage reuse already
-    # deduplicates the identical subtrees, and the persist only added a
-    # materialization barrier + cache write. Left unpersisted on
-    # evidence (OPTIMIZATION_r15.md).
-    sh = docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("tok"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfc = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfn"))
+    # NOTE (r15 optimization round, measured): persisting the exploded
+    # shingle table REGRESSED the query 1.33x at sf0.1 — AQE's runtime
+    # exchange-stage reuse already deduplicates the identical subtrees,
+    # and the persist only added a materialization barrier + cache
+    # write. Left unpersisted on evidence (OPTIMIZATION_r15.md; the
+    # later §11-wave restructure below also cut the consumer count —
+    # sizes/df come from the carried array + a window, and the verify
+    # reads the arrays, not the explode).
+    # per-doc shingle SET carried as an array: n_sh is size() (shingles
+    # are distinct), the explode CARRIES it (no per-doc size aggregate +
+    # join-back), and the final verify intersects the arrays directly
+    arr = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh_set")
+    ).withColumn("n_sh", F.size("sh_set"))
+    sh = arr.select(id_col, "n_sh", F.explode("sh_set").alias("tok"))
+    # token document frequency as a window count over tok (one exchange,
+    # no aggregate + join-back); rarest-first prefix order unchanged
     w = Window.partitionBy(id_col).orderBy(F.col("dfn").asc(), F.col("tok").asc())
-    ordered = (
-        sh.join(dfc, "tok")
-        .join(sizes, id_col)
-        .withColumn("rn", F.row_number().over(w))
-    )
+    ordered = sh.withColumn(
+        "dfn", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    ).withColumn("rn", F.row_number().over(w))
     prefix = ordered.filter(
         F.col("rn")
         <= F.col("n_sh")
@@ -2768,19 +2786,26 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    s1 = sh.select(F.col(id_col).alias("id_a"), "tok")
-    s2 = sh.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        cand.join(s1, "id_a")
-        .join(s2, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # verify with array_intersect over the per-doc shingle sets — two
+    # candidate-keyed joins instead of two corpus-wide exploded-token
+    # joins + two size look-ups (the §11 minhash move; counts provably
+    # equal on distinct sets, and n_inter >= 1 for every prefix-join
+    # candidate so no inner-join-semantics guard is needed — kept
+    # anyway via the threshold filter, threshold_micro >= 1)
+    sa = arr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("na"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    sb = arr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("nb"),
+    )
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
         .select(
             "id_a",
             "id_b",

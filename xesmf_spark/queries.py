@@ -3289,13 +3289,18 @@ def documents_hybrid_rrf(spark, sf_dir):
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
     sem = SIM.cosine_topk(emb, k=5).select("query_id", "neighbor_id", "rank")
     sh = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
-    ok = (
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+    # df valve as a window count over the SAME shingle key the pair
+    # join uses (one exchange, AQE-shared by both join sides, instead
+    # of the countDistinct aggregate + join-back); count(1) == the old
+    # countDistinct(doc_id) because (doc_id, shingle) rows are distinct
+    # by construction — shingles() is array_distinct per doc
+    shx = (
+        sh.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("nd") <= 100)
-        .select("shingle")
+        .drop("nd")
     )
-    shx = sh.join(ok, "shingle")
     pairs = (
         shx.alias("a")
         .join(shx.alias("b"), "shingle")
