@@ -452,16 +452,25 @@ def dedup_groups(
             edges.join(labels, edges["dst"] == labels["node"])
             .select(F.col("src").alias("node"), "lbl")
         )
+        # the convergence check is FOLDED into the round's checkpoint:
+        # carry the previous label through the min-agg (the old-label
+        # join reuses the agg's node partitioning, and the node sets
+        # are identical by construction — prop nodes are edge srcs,
+        # i.e. label nodes), so "changed" is a scan over the
+        # just-materialized frame instead of a second O(N)-join JOB
+        # per round (one exchange of new_labels + one job removed per
+        # round; guide §2.4)
         new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .join(labels.withColumnRenamed("lbl", "old"), "node")
+            .localCheckpoint()
         )
-        labels = new_labels
+        changed = (
+            new_labels.filter(F.col("lbl") != F.col("old")).limit(1).count()
+        )
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     comp = labels.select(F.col("node"), F.col("lbl").alias("keep_id"))
@@ -640,9 +649,16 @@ def simhash_pairs(
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     if max_bucket is not None:
-        sz = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("bucket_n"))
+        # valve as a window count over the SAME (band, bh) key the
+        # self-join uses — one exchange shared by both join sides (AQE
+        # exchange reuse) instead of size-aggregate + join-back: the
+        # same shape already shipped in hamming_pairs / minhash /
+        # containment (0.7-0.8x A/B there)
         bands = (
-            bands.join(sz, ["band", "bh"])
+            bands.withColumn(
+                "bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bh")),
+            )
             .filter(F.col("bucket_n") <= max_bucket)
             .drop("bucket_n")
         )

@@ -1375,19 +1375,21 @@ def connected_components_converged(
             .join(h.select(F.col("node").alias("ptr"), "comp"), "ptr")
             .select("node", "comp")
         )
+        # convergence check folded into the round's checkpoint: the
+        # old-label join reuses the min-agg's node partitioning and
+        # the node sets are identical by construction, so "changed"
+        # is a scan over the just-materialized frame — one exchange
+        # of newf + one join JOB removed per round (the
+        # pipeline.dedup_groups discipline; guide §2.4)
         newf = (
             h.unionByName(hp)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .join(f.withColumnRenamed("comp", "old"), "node")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            newf.join(f.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        f = newf
+        changed = newf.filter(F.col("comp") != F.col("old")).limit(1).count()
+        f = newf.select("node", "comp")
         if changed == 0:
             break
     sym.unpersist()
