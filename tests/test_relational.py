@@ -1119,6 +1119,38 @@ def test_triangle_count_matches_brute_force(spark):
     assert row["n_edges"] == len(und)
 
 
+def test_triangle_closing_probe_strategies_agree(spark, monkeypatch):
+    """The closing-edge probe picks broadcast-semi vs shuffled-semi by
+    the driver-measured edge count (TRIANGLE_BROADCAST_MAX_EDGES);
+    both strategies must return identical results — triangles AND
+    per-node coefficients."""
+    from itertools import combinations
+
+    from xesmf_spark import relational as R
+
+    edges = (
+        list(combinations([1, 2, 3, 4], 2))
+        + [(100, x) for x in range(200, 212)]
+        + [(4, 5)]
+        + [(20, 21), (22, 21), (20, 22), (21, 20)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def snap():
+        tri = R.triangle_count(df).collect()[0].asDict()
+        cc = sorted(tuple(r) for r in R.clustering_coefficient(df).collect())
+        return tri, cc
+
+    # default bound: tiny graph -> broadcast branch
+    assert R.TRIANGLE_BROADCAST_MAX_EDGES > 100
+    bcast = snap()
+    # force the big-graph fallback (shuffled semi join)
+    monkeypatch.setattr(R, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+    shuffled = snap()
+    assert bcast == shuffled
+    assert bcast[0]["n_triangles"] == 5
+
+
 def test_shared_neighbor_jaccard_scores_and_valve(spark):
     from xesmf_spark.relational import shared_neighbor_jaccard
 

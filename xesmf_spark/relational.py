@@ -21,8 +21,26 @@ blow-up even for a key holding millions of rows on both sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Closing-edge probe strategy bound for the triangle family (guide
+# §3.1/§3.2): when the oriented edge list is small enough to broadcast
+# (a pair-key hash relation; 4M edges ~ 64 MB built), the wedge table —
+# O(m^1.5) rows, the dominant exchange of the whole operator — is
+# probed map-side by a broadcast LEFT SEMI join and NEVER shuffled.
+# Larger graphs keep the shuffled semi join: the 100-TB path is
+# unchanged (an edge set at that scale is not a dim table).  Env knob
+# so a cluster can raise/lower it with executor memory; the PySpark
+# manual-Bloom fallback from the guide is not available (might_contain
+# / bloom_filter_agg are optimizer-internal, unresolvable from SQL in
+# 4.1), so the broadcast-semi-join "when they fit" variant is the
+# documented substitute.
+TRIANGLE_BROADCAST_MAX_EDGES = int(
+    os.environ.get("XESMF_TRIANGLE_BROADCAST_MAX_EDGES", "4000000")
+)
 
 
 def _check_output_collisions(
@@ -1415,8 +1433,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Scale shape: a degree agg, two keyed equi-joins (wedge build =
     oriented x oriented on the middle vertex, then a semi-join of
     wedge endpoints against the oriented edge set), and one global
-    count. No broadcasts (an edge set at 100 TB is not a dim table),
-    no windows, no driver scalars."""
+    count.  One bounded driver scalar (the edge count, which the
+    output carries anyway) picks the closing-probe strategy: below
+    :data:`TRIANGLE_BROADCAST_MAX_EDGES` the oriented edge set is
+    broadcast and the O(m^1.5) wedge table is probed map-side (never
+    shuffled); above it the shuffled semi join stands — an edge set
+    at 100 TB is not a dim table.  No windows."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -1458,17 +1480,28 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wedges = o.join(
         o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
     ).select("u", "w")
-    # INNER join, not left_semi: distinct wedges with different middle
-    # vertices share the same (u, w) closing pair — each is its own
-    # triangle, so wedge multiplicity must be preserved (o is distinct
-    # by construction, so the join cannot double-count a closing edge)
-    tri = wedges.join(o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"])
+    # closing probe as LEFT SEMI (o is distinct on (u, v), so inner ≡
+    # semi and wedge MULTIPLICITY — one row per distinct middle vertex
+    # — is preserved either way).  The wedge table is the O(m^1.5)
+    # dominant exchange of the operator (49M rows vs 1.2M edges on the
+    # sf0.1 co-purchase graph); when the edge list fits the broadcast
+    # bound, probing it map-side removes that exchange outright
+    # (guide §3.1/§3.2 — the count below doubles as the n_edges
+    # output, so the driver scalar is work the query already owed).
+    n_e = und.count()
+    closing = o.select(F.col("u"), F.col("v").alias("w"))
+    if n_e <= TRIANGLE_BROADCAST_MAX_EDGES:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     out = (
-        n_nodes.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_tri))
+        n_nodes.crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            F.lit(n_e).cast("long").alias("n_edges"),
+            "n_triangles",
+        )
         .select("n_nodes", "n_edges", "n_triangles")
     )
     return out
@@ -1572,7 +1605,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 
     Scale shape: triangle_count's joins + one explode + one count
     shuffle keyed on node — nothing new materializes beyond the
-    triangle set itself."""
+    triangle set itself; the closing probe inherits triangle_count's
+    conditional-broadcast strategy (one bounded driver scalar)."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -1607,7 +1641,15 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     wedges = o.join(
         o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
     ).select("u", "v", "w")
-    tri = wedges.join(o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"])
+    # closing probe as conditional-broadcast LEFT SEMI — see
+    # triangle_count: inner ≡ semi on the distinct oriented edge set,
+    # and the broadcast keeps the O(m^1.5) wedge table out of the
+    # exchange when the edge list fits the bound (guide §3.1/§3.2)
+    n_e = und.count()
+    closing = o.select(F.col("u"), F.col("v").alias("w"))
+    if n_e <= TRIANGLE_BROADCAST_MAX_EDGES:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
     node_tri = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
