@@ -416,8 +416,9 @@ def dedup_groups(
     O(log n)-round alternating star-contraction of Kiveris et al.
     ("Connected Components in MapReduce", SOCC'14) is the drop-in
     upgrade if adversarial long-chain graphs ever matter. The driver
-    loop runs Spark JOBS per round (a convergence count), never
-    collects data rows.
+    loop runs ONE Spark job per round (the checkpoint, which carries
+    the previous label so the convergence count is a limit-1 scan
+    over the materialized frame), never collects data rows.
     """
     from xesmf_spark.apply import _PERSISTED
 

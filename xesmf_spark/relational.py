@@ -1359,10 +1359,13 @@ def connected_components_converged(
 
     Returns (node, component) — all integer state, no RNG, no floats.
 
-    Scale shape: per round TWO keyed equi-joins (edge x labels, labels
-    x labels) + map-side-combinable MIN aggs + one limit-1 changed
-    count; lineage truncated per round with an eager localCheckpoint.
-    O(|E|) shuffle per round, O(log diameter) rounds."""
+    Scale shape: per round THREE keyed equi-joins (edge x labels,
+    labels x labels for the shortcut, and the old-label carry that
+    folds the convergence check into the round's checkpoint) +
+    map-side-combinable MIN aggs + one limit-1 changed SCAN over the
+    just-materialized frame (no separate join job); lineage truncated
+    per round with an eager localCheckpoint. O(|E|) shuffle per
+    round, O(log diameter) rounds."""
     e = edges.select("src", "dst").distinct()
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
