@@ -96,6 +96,24 @@ def main():
     total = round(
         sum(v for k, v in timings.items() if _is_seconds(k, v)), 3
     )
+    # r16 (verdict task 2, bench contract hygiene): the driver's
+    # per-query diff and 8-vs-32-core scaling ratios treat every
+    # queries{} value as SECONDS, but ~10 of the lines were recall
+    # FRACTIONS (ann_*_recall_at3_*), throughputs (*_MBps/*_GBps), or
+    # counters — meaningless as durations and able to fabricate
+    # phantom "regressions" (a recall change would read as a perf
+    # change).  Split them into a separate top-level "metrics" map:
+    # queries{} now carries ONLY wall-time seconds (and error
+    # entries, which are named after queries).  No wall-time key is
+    # renamed or removed — the non-duration keys keep their names and
+    # values, one map over.  Totals are unchanged (they already
+    # summed only _is_seconds lines).
+    metrics = {
+        k: v
+        for k, v in timings.items()
+        if isinstance(v, (int, float)) and not _is_seconds(k, v)
+    }
+    timings = {k: v for k, v in timings.items() if k not in metrics}
     # ARTIFACT CONTRACT (learned from r6): the driver records only the
     # LAST 2000 chars of stdout and json-parses the JSON line found
     # there. r6's line grew past 2000 chars, so the head (metric/value)
@@ -117,6 +135,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "metrics": metrics,
         "sf": sf,
         # measurement pins, recorded so cross-round comparisons are
         # read against the actual condition (r9 ADVICE: the cold
@@ -147,13 +166,14 @@ def main():
                 if isinstance(op.get("scaling_exponent"), (int, float))
             ]
             if exps:
-                timings["scaling_10x_worst_exp"] = max(exps)
+                metrics["scaling_10x_worst_exp"] = max(exps)
         except (ValueError, OSError):
             pass
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     printed = dict(timings)
+    printed_metrics = dict(metrics)
 
     def _line() -> str:
         return json.dumps(
@@ -161,6 +181,7 @@ def main():
                 "sf": sf,
                 "detail": "BENCH_LOCAL.json",
                 "queries": printed,
+                "metrics": printed_metrics,
                 "unit": "sec",
                 "metric": "total_bench_sec",
                 "value": total,
@@ -180,12 +201,26 @@ def main():
         key=lambda k: printed[k],
     )
     # budget 1700 of the 2000-char tail: leaves headroom for stray
-    # log lines sharing the tail AND for the drop-counter key itself
+    # log lines sharing the tail AND for the drop-counter key itself.
+    # Drop order: fastest non-headline QUERY lines first (as before),
+    # then metrics entries — everything dropped from the printed line
+    # stays in BENCH_LOCAL.json.  The drop counter lives in metrics
+    # now (it is a counter, not a duration).
     dropped = 0
     while len(_line()) > 1700 and by_speed:
         del printed[by_speed.pop(0)]
         dropped += 1
-        printed["printed_dropped_fastest_n"] = dropped
+        printed_metrics["printed_dropped_fastest_n"] = dropped
+    by_speed_m = sorted(
+        (
+            k
+            for k, v in printed_metrics.items()
+            if isinstance(v, (int, float)) and k != "printed_dropped_fastest_n"
+        ),
+        key=lambda k: printed_metrics[k],
+    )
+    while len(_line()) > 1700 and by_speed_m:
+        del printed_metrics[by_speed_m.pop(0)]
     print(_line())
     spark.stop()
 

@@ -54,6 +54,20 @@ def main() -> None:
             else:
                 qs[k] = min(qs[k], v)
     merged["queries"] = qs
+    # r16: non-duration lines (recall fractions, *_MBps/*_GBps,
+    # counters) live in a separate top-level "metrics" map now —
+    # merge it too (MAX for throughputs = machine capability; recall
+    # fractions and counters are run-invariant, last wins)
+    ms: dict = {}
+    for d in datas:
+        for k, v in d.get("metrics", {}).items():
+            if isinstance(v, (int, float)) and isinstance(
+                ms.get(k), (int, float)
+            ) and is_throughput(k):
+                ms[k] = max(ms[k], v)
+            else:
+                ms[k] = v
+    merged["metrics"] = ms
     merged["conditions"] = dict(base.get("conditions") or {})
     merged["conditions"]["pin"] = f"min of {len(runs)} fresh-JVM sweeps"
     merged["value"] = round(

@@ -1144,10 +1144,14 @@ def test_triangle_closing_probe_strategies_agree(spark, monkeypatch):
     # default bound: tiny graph -> broadcast branch
     assert R.TRIANGLE_BROADCAST_MAX_EDGES > 100
     bcast = snap()
-    # force the big-graph fallback (shuffled semi join)
+    # force the big-graph path: bloom-pruned shuffled semi join
     monkeypatch.setattr(R, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+    assert R.TRIANGLE_BLOOM_BITS_PER_EDGE > 0
+    bloomed = snap()
+    # third branch: bloom prune disabled -> plain shuffled semi join
+    monkeypatch.setattr(R, "TRIANGLE_BLOOM_BITS_PER_EDGE", 0)
     shuffled = snap()
-    assert bcast == shuffled
+    assert bcast == bloomed == shuffled
     assert bcast[0]["n_triangles"] == 5
 
 

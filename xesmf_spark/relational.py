@@ -42,6 +42,53 @@ TRIANGLE_BROADCAST_MAX_EDGES = int(
     os.environ.get("XESMF_TRIANGLE_BROADCAST_MAX_EDGES", "4000000")
 )
 
+# Above the broadcast bound (r15 verdict task 1): the oriented edge
+# set is no longer broadcastable, but the wedge table can still be
+# pruned MAP-SIDE before the shuffled semi join with a Bloom filter
+# over the oriented (u, w) closing keys (guide §3.2, via the in-repo
+# bloom_prune_join).  Wedges that provably don't close die in the
+# stage that builds them; only closing candidates (+ fpp false
+# positives) reach the O(m^1.5) exchange, and the trailing exact semi
+# join restores exactness (Bloom filters have no false negatives).
+# Sizing is scale-adaptive: BITS_PER_EDGE bits per oriented edge
+# (default 12 -> ~1.1% fpp at k=3 hashes), capped at MAX_BITS
+# (default 2^30 = a 128 MB bitmap, within the guide's "few hundred
+# MB broadcast is fine" bound; past the cap fpp degrades gracefully
+# and the result stays exact).  BITS_PER_EDGE=0 disables the prune
+# (plain shuffled semi join — the third strategy branch the
+# agreement pytest locks).
+TRIANGLE_BLOOM_BITS_PER_EDGE = int(
+    os.environ.get("XESMF_TRIANGLE_BLOOM_BITS_PER_EDGE", "12")
+)
+TRIANGLE_BLOOM_MAX_BITS = int(
+    os.environ.get("XESMF_TRIANGLE_BLOOM_MAX_BITS", str(1 << 30))
+)
+
+
+def _wedge_closing_semi(wedges: "DataFrame", o: "DataFrame", n_e: int) -> "DataFrame":
+    """Closing-edge probe shared by triangle_count /
+    clustering_coefficient: LEFT SEMI of the O(m^1.5) wedge table
+    against the distinct oriented edge set on (u, w), strategy picked
+    by the driver-measured edge count ``n_e`` (a scalar the callers
+    already owe as the ``n_edges`` output):
+
+    - ``n_e <= TRIANGLE_BROADCAST_MAX_EDGES``: broadcast the edge set
+      and probe map-side — the wedge table is never shuffled (§3.1);
+    - above the bound: Bloom-prune the wedge table map-side, then the
+      shuffled semi join over survivors only (§3.2, constants above);
+    - ``TRIANGLE_BLOOM_BITS_PER_EDGE <= 0``: plain shuffled semi join.
+    """
+    closing = o.select(F.col("u"), F.col("v").alias("w"))
+    if n_e <= TRIANGLE_BROADCAST_MAX_EDGES:
+        return wedges.join(F.broadcast(closing), ["u", "w"], "left_semi")
+    if TRIANGLE_BLOOM_BITS_PER_EDGE <= 0:
+        return wedges.join(closing, ["u", "w"], "left_semi")
+    m = min(n_e * TRIANGLE_BLOOM_BITS_PER_EDGE, TRIANGLE_BLOOM_MAX_BITS)
+    m = max(64, ((int(m) + 63) // 64) * 64)
+    return bloom_prune_join(
+        wedges, closing, ["u", "w"], m_bits=m, n_hashes=3, how="left_semi"
+    )
+
 
 def _check_output_collisions(
     left_cols: list[str], right_out: list[str], suffix: str
@@ -1440,8 +1487,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     output carries anyway) picks the closing-probe strategy: below
     :data:`TRIANGLE_BROADCAST_MAX_EDGES` the oriented edge set is
     broadcast and the O(m^1.5) wedge table is probed map-side (never
-    shuffled); above it the shuffled semi join stands — an edge set
-    at 100 TB is not a dim table.  No windows."""
+    shuffled); above it — an edge set at 100 TB is not a dim table —
+    the wedge table is Bloom-pruned map-side on the (u, w) closing
+    keys before the shuffled semi join (:func:`_wedge_closing_semi`),
+    so the dominant exchange carries only closing candidates.  No
+    windows."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -1492,10 +1542,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # (guide §3.1/§3.2 — the count below doubles as the n_edges
     # output, so the driver scalar is work the query already owed).
     n_e = und.count()
-    closing = o.select(F.col("u"), F.col("v").alias("w"))
-    if n_e <= TRIANGLE_BROADCAST_MAX_EDGES:
-        closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    tri = _wedge_closing_semi(wedges, o, n_e)
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     out = (
@@ -1644,15 +1691,13 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     wedges = o.join(
         o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
     ).select("u", "v", "w")
-    # closing probe as conditional-broadcast LEFT SEMI — see
-    # triangle_count: inner ≡ semi on the distinct oriented edge set,
-    # and the broadcast keeps the O(m^1.5) wedge table out of the
-    # exchange when the edge list fits the bound (guide §3.1/§3.2)
+    # closing probe as conditional-broadcast / bloom-pruned LEFT SEMI
+    # — see triangle_count and _wedge_closing_semi: inner ≡ semi on
+    # the distinct oriented edge set, and the broadcast (or the bloom
+    # prune above the bound) keeps the O(m^1.5) wedge table out of
+    # (or small in) the exchange (guide §3.1/§3.2)
     n_e = und.count()
-    closing = o.select(F.col("u"), F.col("v").alias("w"))
-    if n_e <= TRIANGLE_BROADCAST_MAX_EDGES:
-        closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    tri = _wedge_closing_semi(wedges, o, n_e)
     node_tri = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
