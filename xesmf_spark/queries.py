@@ -1930,12 +1930,27 @@ def pipeline_curate(spark, sf_dir):
     shuffle is the final aggregate."""
     from xesmf_spark.pipeline import repetition_stats, scrub_pii, stratified_sample
 
+    from xesmf_spark.apply import _PERSISTED
+
     scrubbed = scrub_pii(_with_planted_pii(_docs(spark, sf_dir))).withColumn(
         "n_pii", F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
     )
     # carry_cols keeps the whole chain ONE projection — the previous
     # self-join recomputed the scrub regex pass on both branches
     enriched = repetition_stats(scrubbed, carry_cols=("lang", "n_pii"))
+    # r16: fence the per-doc stats row.  Without it the quality-gate
+    # filter below is pushed to the scan with every aliased expression
+    # INLINED — the plan showed the scrub+tokenize chain 6x and the
+    # O(tokens x distinct) array_distinct/array_max HOF work twice
+    # more in the Filter, then again in the output Project (guide
+    # §4.4's duplication, via deterministic built-ins; HOF lambdas
+    # are CodegenFallback, so no CSE saves them).  The persisted row
+    # is the SLIM decision table (guide §8 "decide on small rows"):
+    # doc_id/lang/n_pii + 4 numeric stats, O(docs) x ~50 B at any
+    # scale, text column long gone.  Registered in _PERSISTED;
+    # bench.py clears it after the timed query.
+    enriched = enriched.persist()
+    _PERSISTED.append(enriched)
     kept = enriched.filter(
         (F.col("distinct_ratio") >= 0.4) & (F.col("top_token_frac") <= 0.12)
     )
