@@ -3752,6 +3752,34 @@ def ann_pq_top3_sharded(spark, sf_dir):
     )
 
 
+def _recall_vs_exact(exact, approx):
+    """Shared tail of the five ANN recall audits (r16): ONE left join
+    + ONE scalar aggregate computes the denominator and the match
+    count in a single pass — replacing the r15 persisted-exact +
+    match-join + two aggs + crossJoin shape.  The exact leg now has
+    exactly ONE consumer, so the persist is unnecessary by
+    construction (the brute-force search still runs once).  Provably
+    value-identical: every *_topk emits DISTINCT (query_id,
+    neighbor_id) pairs (rank window ≤ k over deduped candidates), so
+    the left join preserves exact's row count (count(1) == n_exact)
+    and count(__hit) equals the former inner-join count."""
+    j = exact.join(
+        approx.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_matched"),
+    ).select(
+        F.round(
+            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_3"),
+        "n_exact",
+        "n_matched",
+    )
+
+
 def ann_pq_recall(spark, sf_dir):
     """Recall@3 of the PQ compressed search against the exact EUCLIDEAN
     baseline (similarity.euclid_topk — PQ quantizes squared L2, so the
@@ -3760,23 +3788,10 @@ def ann_pq_recall(spark, sf_dir):
     ann_ivf_recall."""
     from xesmf_spark import similarity as SIM
 
-    from xesmf_spark.apply import _PERSISTED
-
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    # persist the bounded exact leg: two consumers (see ann_rp_recall)
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
-    _PERSISTED.append(exact)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
     approx = SIM.pq_topk(emb, k=3).select("query_id", "neighbor_id")
-    matched = exact.join(approx, ["query_id", "neighbor_id"])
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return n_e.crossJoin(n_m).select(
-        F.round(
-            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
-        ).alias("recall_at_3"),
-        "n_exact",
-        "n_matched",
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 def ann_mmr_top3(spark, sf_dir):
@@ -3804,23 +3819,10 @@ def ann_sq8_recall(spark, sf_dir):
     engines run both searches and the oracle checks the NUMBER."""
     from xesmf_spark import similarity as SIM
 
-    from xesmf_spark.apply import _PERSISTED
-
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    # persist the bounded exact leg: two consumers (see ann_rp_recall)
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
-    _PERSISTED.append(exact)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
     approx = SIM.sq8_topk(emb, k=3).select("query_id", "neighbor_id")
-    matched = exact.join(approx, ["query_id", "neighbor_id"])
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return n_e.crossJoin(n_m).select(
-        F.round(
-            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
-        ).alias("recall_at_3"),
-        "n_exact",
-        "n_matched",
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 def ann_ivfpq_top3(spark, sf_dir):
@@ -3860,25 +3862,12 @@ def ann_ivfpq_refine_recall(spark, sf_dir):
     run both searches; the oracle checks the recall NUMBER."""
     from xesmf_spark import similarity as SIM
 
-    from xesmf_spark.apply import _PERSISTED
-
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    # persist the bounded exact leg: two consumers (see ann_rp_recall)
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
-    _PERSISTED.append(exact)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
     approx = SIM.ivfpq_topk(emb, k=3, refine_k=16).select(
         "query_id", "neighbor_id"
     )
-    matched = exact.join(approx, ["query_id", "neighbor_id"])
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return n_e.crossJoin(n_m).select(
-        F.round(
-            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
-        ).alias("recall_at_3"),
-        "n_exact",
-        "n_matched",
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 def ann_ivf_multiprobe(spark, sf_dir):
@@ -3902,24 +3891,9 @@ def ann_ivf_recall(spark, sf_dir):
     deployment needs, expressed as a join of the two searches (matched
     pairs / exact pairs). Both engines run both searches, so the oracle
     checks the recall NUMBER itself, not just each search separately."""
-    from xesmf_spark.apply import _PERSISTED
-
-    # persist the bounded exact leg: two consumers (see ann_rp_recall)
-    exact = (
-        ann_cosine_top3(spark, sf_dir).select("query_id", "neighbor_id").persist()
-    )
-    _PERSISTED.append(exact)
+    exact = ann_cosine_top3(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_ivf_top3(spark, sf_dir).select("query_id", "neighbor_id")
-    matched = exact.join(approx, ["query_id", "neighbor_id"])
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return n_e.crossJoin(n_m).select(
-        F.round(
-            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
-        ).alias("recall_at_3"),
-        "n_exact",
-        "n_matched",
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 def events_props_stats(spark, sf_dir):
@@ -6227,25 +6201,10 @@ def ann_rp_recall(spark, sf_dir):
     and the oracle checks the NUMBER."""
     from xesmf_spark import similarity as SIM
 
-    from xesmf_spark.apply import _PERSISTED
-
     emb = _par(spark, _t(spark, sf_dir, "embeddings"))
-    # the exact leg feeds BOTH the match join and the denominator agg;
-    # persist its bounded top-k result (n_queries x 3 rows) so the
-    # brute-force search runs once, not per consumer (guide §5)
-    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id").persist()
-    _PERSISTED.append(exact)
+    exact = SIM.euclid_topk(emb, k=3).select("query_id", "neighbor_id")
     approx = SIM.rp_topk(emb, k=3).select("query_id", "neighbor_id")
-    matched = exact.join(approx, ["query_id", "neighbor_id"])
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return n_e.crossJoin(n_m).select(
-        F.round(
-            F.col("n_matched").cast("double") / F.col("n_exact").cast("double"), 6
-        ).alias("recall_at_3"),
-        "n_exact",
-        "n_matched",
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 def ann_rp_distortion(spark, sf_dir):
