@@ -105,13 +105,18 @@ def unigram_seed(
     return multi.unionAll(singles)
 
 
-def _score_vocab(vocab_counts: DataFrame, micro: int = MICRO) -> DataFrame:
+def _score_vocab(vocab_counts: DataFrame, micro: int = MICRO, total: int | None = None) -> DataFrame:
     """``(piece, cnt)`` -> ``(piece, cnt, score)``: micro-nat
-    ``FLOOR(micro · ln(total/cnt))`` over the vocab total (one bounded
-    scalar agg); zero-count pieces (kept singles) get RARE_SCORE.  The
-    ln runs JVM-side — the same libm pairing every ln-using oracle
-    query in this repo is green under."""
-    total = vocab_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    ``FLOOR(micro · ln(total/cnt))`` over the vocab total; zero-count
+    pieces (kept singles) get RARE_SCORE.  The ln runs JVM-side — the
+    same libm pairing every ln-using oracle query in this repo is
+    green under.  ``total`` may be passed by a caller that already
+    holds the counts driver-side (exact integer sum == the agg —
+    r16: saves one scalar-agg JOB per vocab rebuild, and for the
+    un-materialized seed it saved a full re-execution of the seed
+    aggregation); when omitted, one bounded scalar agg computes it."""
+    if total is None:
+        total = vocab_counts.agg(F.sum("cnt")).collect()[0][0] or 0
     return vocab_counts.select(
         "piece",
         "cnt",
@@ -120,6 +125,18 @@ def _score_vocab(vocab_counts: DataFrame, micro: int = MICRO) -> DataFrame:
             * F.log(F.lit(float(total)) / F.col("cnt").cast("double"))
         )).otherwise(F.lit(RARE_SCORE)).cast("long").alias("score"),
     )
+
+
+def _scored_rows_df(spark, rows: list, micro: int = MICRO) -> DataFrame:
+    """Score a DRIVER-side ``[(piece, cnt), ...]`` vocab: the total is
+    the exact integer sum of the rows in hand (identical to the
+    scalar agg it replaces), so scoring costs ONE tiny JVM job (the
+    ln still runs JVM-side for oracle parity) instead of two per
+    rebuild (r16 — guide §5: the driver should not spawn jobs to
+    learn what it already holds)."""
+    total = sum(int(c) for _, c in rows)
+    dfc = spark.createDataFrame(rows, "piece string, cnt long")
+    return _score_vocab(dfc, micro, total=total)
 
 
 def viterbi_segment_python(
@@ -206,9 +223,14 @@ def unigram_train(
     words = bpe_word_counts(df, text_col).localCheckpoint(eager=True)
     spark = words.sparkSession
 
-    seed = unigram_seed(words, max_piece_len, n_seed)
-    vocab = _score_vocab(seed, micro)
-    vocab_rows = vocab.collect()  # bounded: n_seed + |charset|
+    # r16: collect the seed COUNTS once (bounded: n_seed + |charset|)
+    # and score from driver rows — the old _score_vocab(seed) ran the
+    # whole substring-explode aggregation TWICE (once under the total
+    # agg, once under the collect of the scored frame)
+    seed_rows = unigram_seed(words, max_piece_len, n_seed).collect()
+    vocab_rows = _scored_rows_df(
+        spark, [(r["piece"], int(r["cnt"])) for r in seed_rows], micro
+    ).collect()
     singles = sorted(r["piece"] for r in vocab_rows if len(r["piece"]) == 1)
 
     def _rebuild(counts_rows: list, keep_multi: set | None) -> list:
@@ -225,8 +247,7 @@ def unigram_train(
         return rows
 
     def _scored_df(rows: list) -> DataFrame:
-        dfc = spark.createDataFrame(rows, "piece string, cnt long")
-        return _score_vocab(dfc, micro)
+        return _scored_rows_df(spark, rows, micro)
 
     for _ in range(n_iters):
         scores = {r["piece"]: int(r["score"]) for r in vocab_rows}
@@ -245,9 +266,7 @@ def unigram_train(
         for r in vocab_rows
         if len(r["piece"]) == 1 or r["piece"] in keep
     ]
-    pruned = _score_vocab(
-        spark.createDataFrame(pruned_rows, "piece string, cnt long"), micro
-    )
+    pruned = _scored_rows_df(spark, pruned_rows, micro)
     scores = {r["piece"]: int(r["score"]) for r in pruned.collect()}
 
     # final E-step = the emitted model's counts and scores
