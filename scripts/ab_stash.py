@@ -29,6 +29,7 @@ from xesmf_spark import release_persisted
 from xesmf_spark.session import get_spark
 
 names = %(names)r
+action = %(action)r
 spark = get_spark("ab_stash")
 spark.sparkContext.setLogLevel("ERROR")
 qs = E.queries()
@@ -40,7 +41,12 @@ for n in names:
         release_persisted()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        qs[n](spark, "/root/testdata/sf0.1").count()
+        df = qs[n](spark, "/root/testdata/sf0.1")
+        # AB_ACTION=collect mirrors bench.py's timed action; count()
+        # can let the optimizer PRUNE the query's work (e.g. a
+        # key-unique left join collapses under count-only), timing a
+        # different plan than the bench measures
+        df.collect() if action == "collect" else df.count()
         trials.append(time.perf_counter() - t0)
     out[n] = round(min(trials), 3)
 print("ABRESULT " + json.dumps(out))
@@ -50,7 +56,11 @@ spark.stop()
 
 def _run_arm(names: list[str], rot: int) -> dict[str, float]:
     order = names[rot % len(names):] + names[: rot % len(names)]
-    code = _CHILD % {"repo": HERE, "names": order}
+    code = _CHILD % {
+        "repo": HERE,
+        "names": order,
+        "action": os.environ.get("AB_ACTION", "count"),
+    }
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600, cwd=HERE,

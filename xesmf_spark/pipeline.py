@@ -1764,27 +1764,50 @@ def dedup_spans(
             )
         )
 
-    spans = _level_spans(norm_levels[0][0], norm_levels[0][1], lowest=True)
+    # r16 (guide §2.3 two-level partial agg + §2.4): ONE aggregate over
+    # the lowest-level gram explode serves BOTH the level valve and the
+    # exact-run refinement.  The (gram, sid) pre-aggregation turns the
+    # countDistinct (an Expand-doubled shuffle) into a plain count, and
+    # min(struct(sid, min_pos)) yields the keeper AND the keeper's
+    # first position in the same pass — the old shape paid a second
+    # countDistinct agg (xrep), a join-back + agg for the keeper
+    # position (kpos), and a third gram-keyed exchange of the explode.
+    # Semantics identical: keeper = min(sid) (struct ordering compares
+    # sid first); kpos = min pos0 among the keeper's rows (= the old
+    # join-back's min); nd = count of distinct sids.
+    n0, md0 = norm_levels[0]
+    g0 = _grams(n0, lowest=True)
+    g_agg = (
+        g0.groupBy("gram", "sid")
+        .agg(F.min("pos0").alias("minpos"))
+        .groupBy("gram")
+        .agg(
+            F.min(F.struct(F.col("sid"), F.col("minpos"))).alias("kmin"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    )
+    rep0 = g_agg.filter(F.col("nd") >= md0).select(
+        "gram", F.col("kmin.sid").alias("keeper")
+    )
+    spans = (
+        g0.join(rep0, "gram")
+        .filter(F.col("sid") != F.col("keeper"))
+        .select(
+            "sid",
+            F.col("pos0").alias("s"),
+            F.least(F.col("pos0") + n0 - 1, F.col("L") - 1).alias("e"),
+        )
+    )
     for nl, md in norm_levels[1:]:
         spans = spans.unionAll(_level_spans(nl, md, lowest=False))
     if exact_run is not None:
-        n0 = norm_levels[0][0]
-        g0 = _grams(n0, lowest=True)
-        xrep = (
-            g0.groupBy("gram")
-            .agg(F.min("sid").alias("keeper"), F.countDistinct("sid").alias("nd"))
-            .filter(F.col("nd") >= 2)
-            .select("gram", "keeper")
-        )
-        kpos = (
-            g0.join(xrep, "gram")
-            .filter(F.col("sid") == F.col("keeper"))
-            .groupBy("gram")
-            .agg(F.min("pos0").alias("kpos"))
+        xrep = g_agg.filter(F.col("nd") >= 2).select(
+            "gram",
+            F.col("kmin.sid").alias("keeper"),
+            F.col("kmin.minpos").alias("kpos"),
         )
         xmatch = (
             g0.join(xrep, "gram")
-            .join(kpos, "gram")
             .filter(F.col("sid") != F.col("keeper"))
             .select(
                 "sid",
