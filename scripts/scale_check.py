@@ -191,6 +191,46 @@ def main() -> None:
     def emb_at(sf_dir):
         return Q._par(spark, Q._t(spark, sf_dir, "embeddings"))
 
+    # r16: shared builder for the 4-out-regular + hub graph the
+    # triangle-family entries triplicate inline, plus a wrapper that
+    # pins the ABOVE-BOUND closing-probe strategy (bloom-pruned
+    # shuffled semi — the 100-TB branch): the strategy is chosen at
+    # DataFrame-construction time from the driver-measured edge count,
+    # so toggling the module constant around the build is sufficient
+    def tri_hub_graph(s):
+        return (
+            spark.range(50_000 * s)
+            .select(F.col("id").alias("src"))
+            .select(
+                "src",
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.col("src") * F.lit(m) + F.lit(a),
+                                F.lit(50_000 * s),
+                            )
+                            for m, a in ((17, 3), (31, 7), (13, 11), (7, 29))
+                        ]
+                    )
+                ).alias("dst"),
+            )
+            .union(
+                spark.range(4096).select(
+                    F.lit(0).cast("long").alias("src"),
+                    (F.col("id") * 12 + 1).alias("dst"),
+                )
+            )
+        )
+
+    def forced_above_bound(build):
+        old = REL.TRIANGLE_BROADCAST_MAX_EDGES
+        REL.TRIANGLE_BROADCAST_MAX_EDGES = 0
+        try:
+            return build()
+        finally:
+            REL.TRIANGLE_BROADCAST_MAX_EDGES = old
+
     # (name, fn(sf_dir, scale) -> DataFrame); IVFPQ grows index
     # granularity with the pool (constant cell size — see module doc)
     workloads = [
@@ -462,6 +502,21 @@ def main() -> None:
                 ),
             ),
         ),
+        # r16: the same triangle/clustering graphs with the broadcast
+        # bound forced to 0 — the BLOOM-PRUNED shuffled-semi closing
+        # probe (the 100-TB branch) measured at 1x/10x edge volume
+        (
+            "relational_triangles_bloom",
+            lambda d, s: forced_above_bound(
+                lambda: REL.triangle_count(tri_hub_graph(s))
+            ),
+        ),
+        (
+            "relational_clustering_bloom",
+            lambda d, s: forced_above_bound(
+                lambda: REL.clustering_coefficient(tri_hub_graph(s))
+            ),
+        ),
         # r11: fixed-5-round connected components on the same family —
         # per round one keyed join + MIN agg
         (
@@ -608,6 +663,13 @@ def main() -> None:
         # join economics as ngram_jaccard (suffixed replicas keep the
         # near-dup rate constant, so output rows grow ~Nx)
         ("pipeline_containment", lambda d, s: Q.pipeline_containment(spark, d)),
+        # r16 (verdict task 7): the prefix-filter pair generator — the
+        # one r15-optimized inverted-index family member the ledger
+        # lacked an exponent for
+        (
+            "pipeline_prefix_filter",
+            lambda d, s: Q.pipeline_prefix_filter_pairs(spark, d),
+        ),
         # corpus TextRank: explode + per-doc lead + distinct-edge agg +
         # fixed-3 pagerank; vocab (nodes) and edges both grow ~Nx with
         # the suffixed replicas
@@ -1177,6 +1239,22 @@ def main() -> None:
     # per-op context the exponent alone can't carry — merged into the
     # written entries so the artifact is self-explaining
     notes = {
+        "relational_triangles_bloom": (
+            "closing probe FORCED above the broadcast bound: bloom-pruned "
+            "wedge table + shuffled semi join (the 100-TB branch); same "
+            "graph as relational_triangles, which measures the broadcast "
+            "branch at these edge counts"
+        ),
+        "relational_clustering_bloom": (
+            "bloom-pruned shuffled-semi closing probe (see "
+            "relational_triangles_bloom)"
+        ),
+        "pipeline_exactsubstr": (
+            "count() prunes the final cleaned-text md5 projection (a "
+            "key-unique left join is cardinality-neutral), so the exponent "
+            "tracks the gram/valve/island machinery — the part the r16 "
+            "two-level agg restructured"
+        ),
         "similarity_pq_sharded": (
             "queries AND codes both scale Nx (the pool is the query set), "
             "so total ADC work grows N^2 and exponent ~1 IS the honest "
