@@ -1772,9 +1772,14 @@ def dedup_spans(
     # first position in the same pass — the old shape paid a second
     # countDistinct agg (xrep), a join-back + agg for the keeper
     # position (kpos), and a third gram-keyed exchange of the explode.
-    # Semantics identical: keeper = min(sid) (struct ordering compares
-    # sid first); kpos = min pos0 among the keeper's rows (= the old
-    # join-back's min); nd = count of distinct sids.
+    # Semantics identical: keeper = min(sid); kpos = min_by(minpos,
+    # sid) = the keeper's min pos0 (deterministic — (gram, sid) rows
+    # are UNIQUE after the first level, so the min_by ordering has no
+    # ties); nd = count of distinct sids.  min_by, not min(struct):
+    # a struct-typed aggregation buffer forces SortAggregate — a
+    # per-partition sort of the corpus-sized gram table — while
+    # min_by's fixed-width buffer keeps whole-stage HashAggregate
+    # (verified in the plan).
     n0, md0 = norm_levels[0]
     g0 = _grams(n0, lowest=True)
     g_agg = (
@@ -1782,13 +1787,12 @@ def dedup_spans(
         .agg(F.min("pos0").alias("minpos"))
         .groupBy("gram")
         .agg(
-            F.min(F.struct(F.col("sid"), F.col("minpos"))).alias("kmin"),
+            F.min("sid").alias("keeper"),
+            F.min_by("minpos", "sid").alias("kpos0"),
             F.count(F.lit(1)).alias("nd"),
         )
     )
-    rep0 = g_agg.filter(F.col("nd") >= md0).select(
-        "gram", F.col("kmin.sid").alias("keeper")
-    )
+    rep0 = g_agg.filter(F.col("nd") >= md0).select("gram", "keeper")
     spans = (
         g0.join(rep0, "gram")
         .filter(F.col("sid") != F.col("keeper"))
@@ -1802,9 +1806,7 @@ def dedup_spans(
         spans = spans.unionAll(_level_spans(nl, md, lowest=False))
     if exact_run is not None:
         xrep = g_agg.filter(F.col("nd") >= 2).select(
-            "gram",
-            F.col("kmin.sid").alias("keeper"),
-            F.col("kmin.minpos").alias("kpos"),
+            "gram", "keeper", F.col("kpos0").alias("kpos")
         )
         xmatch = (
             g0.join(xrep, "gram")
