@@ -2614,9 +2614,35 @@ def editdist_dedup_pairs(
                 )
         b = counted.filter(F.col("block_n") <= max_block).drop("block_n")
     a = b.select(F.col(id_col).alias("id_a"), F.col("ntext").alias("ta"), "block")
+    # Spread the O(len^2) DP verification across the cluster: the
+    # candidate table is tiny in BYTES but ~1 ms/row in CPU, so AQE's
+    # byte-based partition coalescing funnels the whole verification
+    # into ONE task (measured: 3.5 s single-thread on the sf0.1
+    # corpus).  An explicit numPartitions round-robin exchange of the
+    # STREAM side is exempt from AQE coalescing, costs one linear
+    # pass over the (small) doc rows — never the pair table — and
+    # balances a hot block's quadratic work across tasks (§2.5/§2.6).
+    a = a.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
     c = b.select(F.col(id_col).alias("id_b"), F.col("ntext").alias("tb"), "block")
     pairs = a.join(c, "block").filter(F.col("id_a") < F.col("id_b"))
-    dist = F.levenshtein("ta", "tb")
+    # BANDED Levenshtein (Spark >= 3.5 threshold form): O(len*k)
+    # instead of O(len^2) per pair, returning -1 when the distance
+    # exceeds the per-pair threshold.  Provably value-identical to the
+    # unbanded filter: thr >= max_rel_dist*maxlen + 1e-6*maxlen (both
+    # int casts truncate at most 1 each, the +2 restores them), so
+    #  - dist <= thr: banded == exact distance, the exact rel filter
+    #    below decides exactly as before;
+    #  - dist > thr:  dist >= thr+1 > (max_rel_dist + 1e-6)*maxlen,
+    #    hence rel > max_rel_dist + 1e-6 and round(rel, 6) >
+    #    max_rel_dist — the unbanded filter drops the pair too
+    #    (1e-6 > the 5e-7 half-ULP of ROUND(x, 6)).
+    thr_sql = (
+        f"cast({float(max_rel_dist)!r} * greatest(length(ta), length(tb)) as int)"
+        f" + cast(1.0e-6 * greatest(length(ta), length(tb)) as int) + 2"
+    )
+    dist = F.expr(f"levenshtein(ta, tb, {thr_sql})")
     maxlen = F.greatest(F.length("ta"), F.length("tb"))
     rel = F.when(maxlen == 0, F.lit(0.0)).otherwise(dist / maxlen)
     return (
@@ -2626,7 +2652,7 @@ def editdist_dedup_pairs(
             dist.alias("dist"),
             F.round(rel, 6).alias("rel_dist"),
         )
-        .filter(F.col("rel_dist") <= F.lit(max_rel_dist))
+        .filter((F.col("dist") >= 0) & (F.col("rel_dist") <= F.lit(max_rel_dist)))
     )
 
 
@@ -3469,6 +3495,14 @@ def record_linkage_pairs(
         "__block",
         F.col("__id").alias("id_a"),
         *[F.col(c).alias(f"__a_{c}") for c in cols],
+    )
+    # same parallelism fence as editdist_dedup_pairs: the per-pair
+    # comparator work (levenshtein fields) is CPU-heavy but tiny in
+    # bytes, so AQE's byte-based coalescing would run the whole
+    # verification in one task; an explicit-numPartitions round-robin
+    # exchange of the stream side is AQE-exempt and linear in records
+    left = left.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     )
     right = b.select(
         "__block",
