@@ -2727,15 +2727,32 @@ def containment_pairs(
     # runtime exchange-stage reuse already shares the duplicated
     # subtrees, and the persist only added a materialization barrier.
     # Left unpersisted on evidence (OPTIMIZATION_r15.md).
-    sh = (
-        df.select(
-            F.col(id_col).alias("sid"),
-            shingles(F.col(text_col), n).alias("sh_set"),
-        )
-        .withColumn("n_sh", F.size("sh_set"))
-        .filter(F.col("n_sh") > 0)
+    # NO n_sh > 0 filter: it is provably redundant (an empty shingle
+    # set explodes to zero rows, so a 0-shingle doc can never appear
+    # in the intersection, and the sizes join below is INNER from the
+    # pair side) — and because the predicate is built from the full
+    # shingling expression, the optimizer pushed the ENTIRE tokenize +
+    # transform + array_distinct chain below the parallelizing
+    # repartition into the single-task file scan, replicated across
+    # every scan leg (profiled r16: 8 single-task stages, ~28 s of
+    # serialized CPU at sf0.1, evaluating the corpus shingling twice
+    # per leg — the same §4.4 duplication shape pipeline_curate hit).
+    sh = df.select(
+        F.col(id_col).alias("sid"),
+        shingles(F.col(text_col), n).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
+    # explode_outer + isnotnull instead of explode: plain explode makes
+    # InferFiltersFromGenerate re-derive `size(sh_set) > 0` — the full
+    # shingling chain — and push it into the (single-task) file scan,
+    # exactly the duplication the dropped filter above caused.  The
+    # outer variant fires no inferred filter; the post-filter on the
+    # GENERATED column cannot sink below the Generate, and it is
+    # provably identical (explode drops null/empty arrays; outer emits
+    # one null row for them, which the isnotnull removes — shingle
+    # elements themselves are never null by construction).
+    ex = sh.select("sid", F.explode_outer("sh_set").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
     )
-    ex = sh.select("sid", F.explode("sh_set").alias("shingle"))
     if max_df is not None:
         # DF valve as a window count over the SAME shingle key the
         # intersection join uses — one exchange shared by both join
